@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference runs on a managed Databricks runtime and never configures Spark
+itself (`notebooks/demo-notebook.py` relies on the ambient session). We run on
+OSS Spark, so the session factory is where the 100 TB-minded defaults live:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting, dynamic
+  broadcast conversion) — the single biggest lever for plans that must survive
+  a 100x scale-up without hand-tuning.
+- Arrow on for the few Pandas-UDF code paths (vectorized Python, never row-at-a-time).
+- Session timezone pinned to UTC so timestamp semantics are reproducible across
+  the engine, the DuckDB oracle, and any cluster deployment.
+- ``parquet nanosAsLong`` so nanosecond-precision parquet timestamps (which
+  vanilla Spark refuses to read) surface as epoch-nanos BIGINT; the table
+  loaders convert to TIMESTAMP explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "incremental-etl-on-lakehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    On a real cluster, pass ``master=None`` with an externally configured
+    master URL; locally this defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

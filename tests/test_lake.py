@@ -1,0 +1,151 @@
+"""LakeTable: append / merge / CDF / time travel semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable, LakeStreamReader
+from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("country", StringType()),
+        StructField("visitors", LongType()),
+    ]
+)
+
+
+def make_table(spark, tmp_path, rows, cdf=True):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"} if cdf else {},
+    )
+    if rows:
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_create_append_read(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    assert t.version() == 1
+    got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 20}
+    # time travel: version 0 is the empty CREATE
+    assert t.to_df(version=0).count() == 0
+
+
+def test_merge_upsert_delete_and_noop(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20), (3, "Scotland", 30)])
+    src = spark.createDataFrame(
+        [(1, "England", 99, "UPDATE"), (2, "Wales", 20, "NOOP"), (4, "Australia", 40, "INSERT")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    metrics = t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("delete", "source.op = 'DELETE'"),
+            MergeClause("update", "source.op = 'UPDATE'", "*"),
+            MergeClause("insert", None, "*"),
+        ],
+    )
+    assert metrics["num_updated_rows"] == 1
+    assert metrics["num_inserted_rows"] == 1
+    assert metrics["num_deleted_rows"] == 0
+    got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
+    assert got == {1: 99, 2: 20, 3: 30, 4: 40}
+
+    # delete clause
+    src2 = spark.createDataFrame(
+        [(4, "Australia", 0, "DELETE")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    m2 = t.merge(
+        src2,
+        "source.id = target.id",
+        [
+            MergeClause("delete", "source.op = 'DELETE'"),
+            MergeClause("update", "source.op = 'UPDATE'", "*"),
+            MergeClause("insert", "source.op <> 'DELETE'", "*"),
+        ],
+    )
+    assert m2["num_deleted_rows"] == 1
+    assert {r["id"] for r in t.to_df().collect()} == {1, 2, 3}
+
+    # time travel still sees id=4 at the pre-delete version
+    assert {r["id"] for r in t.to_df(version=2).collect()} == {1, 2, 3, 4}
+
+
+def test_merge_noop_touches_no_files(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    src = spark.createDataFrame([(5, "Nowhere", 1, "DELETE")],
+                                StructType(SCHEMA.fields + [StructField("op", StringType())]))
+    m = t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("delete", "source.op = 'DELETE'"),
+            MergeClause("insert", "source.op <> 'DELETE'", "*"),
+        ],
+    )
+    assert m["num_touched_files"] == 0
+    assert m["num_inserted_rows"] == 0
+
+
+def test_cdf_and_stream_reader(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    src = spark.createDataFrame(
+        [(1, "England", 25, "UPDATE"), (2, "Wales", 7, "INSERT")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("update", "source.op = 'UPDATE'", "*"),
+            MergeClause("insert", None, "*"),
+        ],
+    )
+    changes = t.read_changes(starting_version=1).collect()
+    types = sorted((r["_change_type"], r["id"]) for r in changes)
+    assert types == [
+        ("insert", 1),
+        ("insert", 2),
+        ("update_postimage", 1),
+        ("update_preimage", 1),
+    ]
+    pre = [r for r in changes if r["_change_type"] == "update_preimage"][0]
+    post = [r for r in changes if r["_change_type"] == "update_postimage"][0]
+    assert (pre["visitors"], post["visitors"]) == (10, 25)
+    assert {r["_commit_version"] for r in changes} == {1, 2}
+
+    # stream reader: one micro-batch per commit, checkpoint resumes
+    seen = []
+    reader = LakeStreamReader(t, str(tmp_path / "ckpt.json"), mode="cdf", starting_version=1)
+    n = reader.process_available(lambda df, v: seen.append((v, df.count())))
+    assert n == 2
+    assert seen == [(1, 1), (2, 3)]
+    assert reader.process_available(lambda df, v: seen.append((v, df.count()))) == 0
+
+
+def test_append_stream_mode(spark, tmp_path):
+    t = make_table(spark, tmp_path, [], cdf=False)
+    t.append(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    t.append(spark.createDataFrame([(2, "b", 2)], SCHEMA))
+    seen = []
+    reader = LakeStreamReader(t, str(tmp_path / "ck.json"), mode="append", starting_version=0)
+    reader.process_available(lambda df, v: seen.append((v, [r["id"] for r in df.collect()])))
+    assert seen == [(1, [1]), (2, [2])]
+
+
+def test_delete_where(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    t.delete("country = 'Wales'")
+    assert {r["id"] for r in t.to_df().collect()} == {1}
+    changes = t.read_changes(starting_version=2).collect()
+    assert [(r["_change_type"], r["id"]) for r in changes] == [("delete", 2)]
