@@ -1,0 +1,227 @@
+"""The medallion CDC pipeline: JSON landing zone -> Bronze -> Silver -> Gold.
+
+End-to-end re-expression of the reference's demo pipeline
+(``notebooks/demo-notebook.py``), wired from the engine's reusable pieces:
+
+- **Bronze** (``:158-194``): streaming JSON ingest (1 file per micro-batch),
+  augmented with ``data_hash`` (md5 of business columns), ``file_name``
+  provenance, and ``insert_timestamp`` audit columns; appended to an
+  append-only lake table.
+- **Silver** (``:211-287``): per micro-batch of new Bronze rows — latest-wins
+  intra-batch dedup then 3-way conditional MERGE (delete / hash-guarded
+  update / insert) into the current-state snapshot keyed by ``id``; change
+  data feed enabled. Adds derived ``utc_visit_timestamp`` (``:253``).
+- **Gold** (``:349-435``): per micro-batch of Silver *changes* — signed-delta
+  conversion and additive MERGE maintaining ``(country, sum_visitors)``
+  incrementally; only deltas are aggregated, never the full Silver table.
+
+Late/out-of-order data follows the reference (``:262-276``): no watermark —
+latest ``cdc_timestamp`` wins per id and re-delivered duplicates are no-ops
+via the hash guard, so the pipeline is eventually consistent under
+at-least-once delivery.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from incremental_etl_on_lakehouse_spark.functions import data_hash, to_utc
+from incremental_etl_on_lakehouse_spark.lake import LakeStreamReader, LakeTable
+from incremental_etl_on_lakehouse_spark.operators.cdc import (
+    cdf_signed_deltas,
+    merge_agg_delta,
+    merge_cdc_batch,
+)
+from incremental_etl_on_lakehouse_spark.sources.json_source import read_json_stream
+
+# Reference schemas: FIXTURES.md A1-A4; notebooks/demo-notebook.py:163-165,213-227,351-356
+# (built without fromDDL: that needs an active SparkSession at import time)
+def _fields(spec: list[tuple[str, object]]) -> StructType:
+    return StructType([StructField(n, t) for n, t in spec])
+
+
+_S, _L, _T = StringType(), LongType(), TimestampType()
+
+CDC_LOG_SCHEMA = _fields(
+    [
+        ("id", _L),
+        ("country", _S),
+        ("district", _S),
+        ("visit_timestamp", _T),
+        ("num_visitors", _L),
+        ("cdc_operation", _S),
+        ("cdc_timestamp", _T),
+    ]
+)
+BRONZE_SCHEMA = _fields(
+    [(f.name, f.dataType) for f in CDC_LOG_SCHEMA.fields]
+    + [("data_hash", _S), ("file_name", _S), ("insert_timestamp", _T)]
+)
+SILVER_SCHEMA = _fields(
+    [
+        ("id", _L),
+        ("country", _S),
+        ("district", _S),
+        ("visit_timestamp", _T),
+        ("utc_visit_timestamp", _T),
+        ("num_visitors", _L),
+        ("file_name", _S),
+        ("data_hash", _S),
+        ("cdc_operation", _S),
+        ("cdc_timestamp", _T),
+        ("insert_timestamp", _T),
+    ]
+)
+GOLD_SCHEMA = _fields([("country", _S), ("sum_visitors", _L)])
+
+BUSINESS_COLS = ["id", "country", "district", "visit_timestamp", "num_visitors"]
+
+
+def augment_bronze(df: DataFrame) -> DataFrame:
+    """Bronze derived columns (``notebooks/demo-notebook.py:168-170``)."""
+    return (
+        df.withColumn("data_hash", data_hash(*BUSINESS_COLS))
+        .withColumn("file_name", F.input_file_name())
+        .withColumn("insert_timestamp", F.current_timestamp())
+    )
+
+
+def silver_projection(bronze_batch: DataFrame) -> DataFrame:
+    """Silver source projection incl. ``utc_visit_timestamp`` (``:248-259``)."""
+    return bronze_batch.select(
+        "id",
+        "country",
+        "district",
+        "visit_timestamp",
+        to_utc("visit_timestamp").alias("utc_visit_timestamp"),
+        "num_visitors",
+        "file_name",
+        "data_hash",
+        "cdc_operation",
+        "cdc_timestamp",
+        "insert_timestamp",
+    )
+
+
+class MedallionPipeline:
+    def __init__(self, spark: SparkSession, root: str, landing_path: str):
+        self.spark = spark
+        self.root = root
+        self.landing_path = landing_path
+        self.bronze_path = os.path.join(root, "bronze")
+        self.silver_path = os.path.join(root, "silver")
+        self.gold_path = os.path.join(root, "gold")
+        self.checkpoints = os.path.join(root, "_checkpoints")
+
+    # ------------------------------------------------------------------ DDL
+
+    def create_tables(self) -> None:
+        LakeTable.create(self.spark, self.bronze_path, BRONZE_SCHEMA, if_not_exists=True)
+        LakeTable.create(
+            self.spark,
+            self.silver_path,
+            SILVER_SCHEMA,
+            properties={"enableChangeDataFeed": "true"},
+            if_not_exists=True,
+        )
+        LakeTable.create(self.spark, self.gold_path, GOLD_SCHEMA, if_not_exists=True)
+
+    @property
+    def bronze(self) -> LakeTable:
+        return LakeTable(self.spark, self.bronze_path)
+
+    @property
+    def silver(self) -> LakeTable:
+        return LakeTable(self.spark, self.silver_path)
+
+    @property
+    def gold(self) -> LakeTable:
+        return LakeTable(self.spark, self.gold_path)
+
+    # ---------------------------------------------------------------- stages
+
+    def ingest_available(self) -> None:
+        """Landing JSON -> Bronze via real Structured Streaming: file source
+        paced at 1 file/micro-batch, ``foreachBatch`` append sink, Spark
+        checkpoint for exactly-once file tracking
+        (``notebooks/demo-notebook.py:158-173``)."""
+        stream = read_json_stream(self.spark, self.landing_path, CDC_LOG_SCHEMA)
+        bronze = self.bronze
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            bronze.append(augment_bronze(batch_df))
+
+        (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(self.checkpoints, "bronze"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def bronze_to_silver_available(self) -> int:
+        """New Bronze commits -> dedup + CDC MERGE into Silver
+        (``notebooks/demo-notebook.py:232-287``)."""
+        silver = self.silver
+        reader = LakeStreamReader(
+            self.bronze,
+            os.path.join(self.checkpoints, "silver.json"),
+            mode="append",
+            starting_version=0,
+        )
+
+        def apply(batch: DataFrame, _version: int) -> None:
+            merge_cdc_batch(
+                silver,
+                silver_projection(batch),
+                key_cols=["id"],
+                order_cols=["cdc_timestamp"],
+                tiebreak_cols=["insert_timestamp"],
+            )
+
+        return reader.process_available(apply)
+
+    def silver_to_gold_available(self) -> int:
+        """Silver change feed -> signed deltas -> additive MERGE into Gold
+        (``notebooks/demo-notebook.py:378-435``)."""
+        gold = self.gold
+        reader = LakeStreamReader(
+            self.silver,
+            os.path.join(self.checkpoints, "gold.json"),
+            mode="cdf",
+            starting_version=1,
+        )
+
+        def apply(changes: DataFrame, _version: int) -> None:
+            deltas = cdf_signed_deltas(
+                changes, group_cols=["country"], value_col="num_visitors"
+            ).withColumnRenamed("delta_value", "delta_visitors")
+            merge_agg_delta(
+                gold,
+                deltas,
+                group_cols=["country"],
+                agg_col="sum_visitors",
+                delta_col="delta_visitors",
+            )
+
+        return reader.process_available(apply)
+
+    def run_available(self) -> None:
+        """Process everything currently in the landing zone through all
+        three stages (the demo's "run until caught up" loop)."""
+        self.create_tables()
+        self.ingest_available()
+        self.bronze_to_silver_available()
+        self.silver_to_gold_available()

@@ -1,0 +1,164 @@
+"""End-to-end golden test of the medallion CDC pipeline.
+
+Replicates the reference's built-in validation scenario
+(``notebooks/demo-notebook.py:448-538``; expected outcomes ``:520-525``):
+
+- intra-batch duplicate INSERT (Australia counted once, 10k not 20k),
+- genuine cross-batch UPDATE (England 934 -> 10934),
+- inter-batch duplicate (id 298 re-delivered verbatim -> no change),
+- untouched countries unchanged,
+- plus an engine-extension DELETE record (the reference handles DELETE in its
+  merge, ``:270-272``, but never feeds one).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from incremental_etl_on_lakehouse_spark.pipeline import MedallionPipeline
+
+
+def write_cdc_file(path, records):
+    rows = []
+    for (id_, country, district, visit_ts, visitors, op, cdc_ts) in records:
+        rows.append(
+            {
+                "id": id_,
+                "country": country,
+                "district": district,
+                "visit_timestamp": visit_ts,
+                "num_visitors": visitors,
+                "cdc_operation": op,
+                "cdc_timestamp": cdc_ts,
+            }
+        )
+    path.write_text(json.dumps(rows, indent=1))
+
+
+FILE1 = [
+    (7, "England", "District_1", "2023-01-01 10:00:00", 247, "INSERT", "2023-01-01 10:00:00.000"),
+    (7, "England", "District_1", "2023-01-01 11:00:00", 934, "UPDATE", "2023-01-01 11:00:00.000"),
+    (10, "Wales", "District_2", "2023-01-01 10:00:00", 500, "INSERT", "2023-01-01 10:00:00.000"),
+    (20, "Scotland", "District_3", "2023-01-01 10:00:00", 600, "INSERT", "2023-01-01 10:00:00.000"),
+    (298, "Northern Ireland", "District_4", "2023-01-01 10:00:00", 900, "INSERT", "2023-01-01 10:00:00.000"),
+    (298, "Northern Ireland", "District_4", "2023-01-01 12:00:00", 994, "UPDATE", "2023-01-01 12:00:00.000"),
+]
+
+# the injected edge-case file (notebooks/demo-notebook.py:458-500)
+FILE2 = [
+    (100, "Australia", "District_9", "2023-01-02 10:00:00", 10000, "INSERT", "2023-01-02 10:00:00.000"),
+    (100, "Australia", "District_9", "2023-01-02 10:00:00", 10000, "INSERT", "2023-01-02 10:00:00.000"),
+    (7, "England", "District_1", "2023-01-02 11:00:00", 10934, "UPDATE", "2023-01-02 11:00:00.000"),
+    (298, "Northern Ireland", "District_4", "2023-01-01 12:00:00", 994, "UPDATE", "2023-01-01 12:00:00.000"),
+]
+
+FILE3_DELETE = [
+    (10, "Wales", "District_2", "2023-01-03 10:00:00", 500, "DELETE", "2023-01-03 10:00:00.000"),
+]
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    return MedallionPipeline(spark, str(tmp_path / "lake"), str(landing)), landing
+
+
+def gold_state(p):
+    return {r["country"]: r["sum_visitors"] for r in p.gold.to_df().collect()}
+
+
+def silver_state(p):
+    return {r["id"]: r["num_visitors"] for r in p.silver.to_df().collect()}
+
+
+def test_golden_scenario(pipeline):
+    p, landing = pipeline
+
+    write_cdc_file(landing / "cdc_1.json", FILE1)
+    p.run_available()
+
+    assert silver_state(p) == {7: 934, 10: 500, 20: 600, 298: 994}
+    assert gold_state(p) == {
+        "England": 934,
+        "Wales": 500,
+        "Scotland": 600,
+        "Northern Ireland": 994,
+    }
+    gold_v1 = p.gold.version()
+
+    # ---- inject the edge-case file (reference :448-502) ----
+    write_cdc_file(landing / "cdc_2.json", FILE2)
+    p.run_available()
+
+    # golden expectations (reference :520-525)
+    assert gold_state(p) == {
+        "England": 10934,  # +10000 genuine update
+        "Wales": 500,  # no change
+        "Scotland": 600,  # no change
+        "Northern Ireland": 994,  # no change (inter-batch duplicate ignored)
+        "Australia": 10000,  # new insert, 10000 not 20000 (intra-batch dup ignored)
+    }
+
+    # validation query: right-outer join current Gold vs time travel (:527-538)
+    past = p.gold.to_df(version=gold_v1).selectExpr(
+        "country", "sum_visitors as past_sum"
+    )
+    curr = p.gold.to_df()
+    deltas = {
+        r["country"]: r["delta"]
+        for r in curr.join(past, "country", "right_outer")
+        .selectExpr("country", "sum_visitors - nvl(past_sum, 0) as delta")
+        .collect()
+    }
+    assert deltas == {
+        "England": 10000,
+        "Wales": 0,
+        "Scotland": 0,
+        "Northern Ireland": 0,
+    }
+
+    # inter-batch duplicate was a no-op merge: silver files untouched
+    hist = {h["version"]: h for h in p.silver.history()}
+    last_merge = max(v for v, h in hist.items() if h["operation"] == "MERGE")
+    assert hist[last_merge]["metrics"]["num_updated_rows"] == 1  # only England
+
+    # ---- engine extension: DELETE flows through to Gold ----
+    write_cdc_file(landing / "cdc_3.json", FILE3_DELETE)
+    p.run_available()
+    assert 10 not in silver_state(p)
+    assert gold_state(p)["Wales"] == 0
+
+    # idempotence: nothing new -> nothing changes
+    sv, gv = p.silver.version(), p.gold.version()
+    p.run_available()
+    assert (p.silver.version(), p.gold.version()) == (sv, gv)
+
+
+def test_bronze_audit_columns(pipeline):
+    p, landing = pipeline
+    write_cdc_file(landing / "cdc_1.json", FILE1)
+    p.run_available()
+    bronze = p.bronze.to_df()
+    assert bronze.count() == len(FILE1)
+    row = bronze.where("id = 7 and cdc_operation = 'INSERT'").collect()[0]
+    assert row["data_hash"] is not None and len(row["data_hash"]) == 32
+    assert "cdc_1.json" in row["file_name"]
+    assert row["insert_timestamp"] is not None
+    # same business values -> same hash; different -> different
+    hashes = {
+        (r["id"], r["num_visitors"]): r["data_hash"] for r in bronze.collect()
+    }
+    assert hashes[(298, 994)] != hashes[(298, 900)]
+
+
+def test_silver_utc_projection(pipeline):
+    p, landing = pipeline
+    write_cdc_file(landing / "cdc_1.json", FILE1)
+    p.run_available()
+    row = p.silver.to_df().where("id = 7").collect()[0]
+    # Europe/Paris is UTC+1 in January -> utc = visit - 1h (reference :253)
+    delta = row["visit_timestamp"] - row["utc_visit_timestamp"]
+    assert delta.total_seconds() == 3600
