@@ -1,0 +1,360 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Everything is deterministic (hash-seeded, no RNG state) and expressed with
+built-in Catalyst functions — ``xxhash64`` for hashing, higher-order array
+functions for signatures — so the whole signature computation is one narrow
+JVM-side projection. The only shuffles are the ones the algorithms require:
+a groupBy on (band, hash) for LSH bucketing and the candidate-pair join.
+
+Scale notes (100 TB):
+- Exact dedup is a hash-partitioned groupBy on the content hash: one shuffle,
+  map-side partial aggregation, no skew (hashes are uniform).
+- MinHash/LSH never compares all pairs: shuffle keys are (band_index,
+  band_hash); bucket sizes are bounded by near-dup cluster sizes. A hot
+  bucket (giant dup cluster) is itself the answer, not a skew accident.
+- SimHash bucket key is the 16-bit prefix blocks of the 64-bit signature
+  (Hamming-distance blocking).
+- Embedding near-dup buckets by random-hyperplane sign bits (deterministic
+  hyperplanes derived from xxhash64), then verifies cosine within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from incremental_etl_on_lakehouse_spark.functions import cosine_similarity
+from incremental_etl_on_lakehouse_spark.operators.text import (
+    normalize_text,
+    shingles,
+    ws_tokens,
+)
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative row (min id) per exact content hash.
+
+    Generalizes the reference's ``data_hash`` content hashing + latest-wins
+    window (``notebooks/demo-notebook.py:168,262-266``) to arbitrary content
+    columns. One shuffle on the 64-bit content hash.
+    """
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<bigint>: sig[i] = min over shingles of
+    xxhash64(shingle, seed_i). Pure higher-order-function projection."""
+    sh = shingles(col, shingle_k)
+    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda t: F.xxhash64(t, s))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, verified with estimated
+    Jaccard (fraction of equal MinHash components).
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b. The band groupBy is
+    the only wide operation; the pair join happens inside buckets.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("jaccard_sim", est)
+        .where(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: for each similar pair keep the smaller id.
+
+    Connected-component-lite: a row is dropped if it is the larger id of any
+    qualifying pair (greedy representative selection — the standard
+    single-pass choice at scale; full connected components would iterate).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, as (id, sig bigint).
+
+    For each bit b: sum over tokens of (+1 if bit b of xxhash64(token) is set
+    else -1); bit b of the signature is 1 iff the sum is positive. Shape:
+    explode tokens (narrow) -> one hash-partitioned groupBy on the doc id with
+    64 unrolled SUM aggregates (map-side partial agg) -> bit-pack. This is the
+    scan-once, shuffle-once layout; bit positions are unrolled in Python
+    because shift amounts must be literals in Catalyst.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(ws_tokens(F.col(text_col))).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    aggs = []
+    for b in range(64):
+        bit = F.shiftright(h, b).bitwiseAND(F.lit(1))
+        contrib = F.when(F.col("tok").isNull(), 0).otherwise(
+            F.when(bit == 1, 1).otherwise(-1)
+        )
+        aggs.append(F.sum(contrib).alias(f"c{b}"))
+    counts = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(64):
+        bitval = (
+            F.when(F.col(f"c{b}") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        term = F.shiftleft(bitval, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return counts.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two signatures within Hamming distance 3 share at least one
+    of four 16-bit blocks exactly; bucket on (block_index, block_value) and
+    verify the full distance with bit_count(xor).
+    """
+    sig = simhash_signatures(df, text_col, id_col)
+    blocks = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("sig"), i * 16).bitwiseAND(F.lit(65535)).alias("val"),
+        )
+        for i in range(4)
+    ]
+    blocked = sig.select(
+        "id", "sig", F.explode(F.array(*blocks)).alias("bb")
+    ).select("id", "sig", "bb.blk", "bb.val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    bands: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles, restricted to LSH candidates.
+
+    The exact pairwise Jaccard is O(n^2); candidates are first narrowed with
+    a MinHash banding pass (short bands -> high recall at the target
+    threshold: P(candidate) = 1-(1-s^r)^b), then the *exact* similarity is
+    computed by intersecting the two rows' shingle sets
+    (array_intersect/array_union — JVM-side set ops).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+        minhash_signature(F.col(text_col), bands * rows_per_band, shingle_k).alias("sig"),
+    )
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    planes: int = 16,
+    probe_flips: int = 0,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH bucket + cosine verify.
+
+    Hyperplane h_j components are deterministic pseudo-random in [-1,1]:
+    (xxhash64(dim, j) % 2001 - 1000) / 1000. Bucket key = sign-bit string of
+    all planes; only same-bucket pairs get the exact cosine check.
+    """
+    dims = F.size(F.col(vec_col))
+    plane_dot = lambda j: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            F.transform(
+                F.sequence(F.lit(0), dims - 1),
+                lambda d: ((F.xxhash64(d, F.lit(j)) % 2001 + 2001) % 2001 - 1000) / 1000.0,
+            ),
+            lambda x, h: x.cast("double") * h,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bucket = F.concat_ws(
+        "", *[F.when(plane_dot(j) >= 0, "1").otherwise("0") for j in range(planes)]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= cosine_threshold)
+    )

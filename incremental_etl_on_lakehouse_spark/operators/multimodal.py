@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media are opaque ``binary`` columns with a typed metadata struct alongside;
+all shape-changing work (decode, resize, frame-sample, feature-extract) runs
+as Arrow-batched ``mapInPandas`` transforms so Python touches data in
+columnar batches, never row-at-a-time.
+
+The decode kernels themselves are STUBBED — this container has no image or
+audio libraries — behind ``decoder=`` callables that default to a
+deterministic fake (documented) or raise ``NotImplementedError`` for the
+real-codec path. The Spark-side plumbing (schemas, batch iteration,
+partitioning behavior) is real and tested; swapping in Pillow/ffmpeg is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("format", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", LongType()),
+                    StructField("n_bytes", LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Fill the cheap, library-free metadata fields (sizes, magic-number
+    format sniffing) with built-in functions — no Python in this path."""
+    c = F.col(content_col)
+    magic = F.hex(F.substring(c, 1, 4))
+    fmt = (
+        F.when(magic.startswith("89504E47"), "png")
+        .when(magic.startswith("FFD8"), "jpeg")
+        .when(magic.startswith("52494646"), "riff-wav")
+        .otherwise("unknown")
+    )
+    return df.withColumn("sniffed_format", fmt).withColumn("n_bytes", F.length(c).cast("long"))
+
+
+def fake_image_decoder(buf: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 pseudo-pixel statistics
+    derived from the byte content. Replace with Pillow/torchvision in
+    production."""
+    if not buf:
+        return [0.0] * 8
+    n = len(buf)
+    return [
+        float(n),
+        float(buf[0]),
+        float(buf[-1]),
+        float(sum(buf[:64]) % 256),
+        float(max(buf[:64])),
+        float(min(buf[:64])),
+        float(sum(buf) % 997),
+        float((n * 2654435761) % 4093),
+    ]
+
+
+def real_image_decoder(buf: bytes) -> list[float]:  # pragma: no cover
+    raise NotImplementedError(
+        "real image decoding needs Pillow/opencv, not available in this container"
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], list[float]] = fake_image_decoder,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Decode + featurize media via mapInPandas (Arrow batches).
+
+    Each Python worker receives columnar batches; the decoder runs per cell
+    but batch transfer amortizes serialization. Partitioning is preserved —
+    no shuffle is introduced.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media_type": pdf[type_col],
+                    "features": [decoder(bytes(b)) for b in pdf[content_col]],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_nth_byte: int = 1024,
+    max_frames: int = 8,
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-sampling plumbing: emits one row per sampled "frame" with a
+    frame index and a byte-slice standing in for the decoded frame. The
+    slicing/explode shape matches a real ffmpeg-backed sampler; only the
+    decode is fake."""
+    c = F.col(content_col)
+    idx = F.sequence(
+        F.lit(0),
+        F.least(
+            F.greatest((F.length(c) / every_nth_byte).cast("int") - 1, F.lit(0)),
+            F.lit(max_frames - 1),
+        ),
+    )
+    return df.select(
+        "media_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.substring(c, i * every_nth_byte + 1, 16))
+        ).alias("frame_index", "frame_bytes"),
+    )

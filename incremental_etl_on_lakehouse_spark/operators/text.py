@@ -1,0 +1,160 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Catalyst functions (JVM, whole-stage
+codegen) — no Python UDFs — so they vectorize and scale linearly with
+partitions. Designed against the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Operators:
+- ``tokenize`` / ``token_stats``: whitespace + BPE-ish regex token counting.
+- ``quality_score``: length / punctuation / stopword / repetition heuristics
+  (the classic Gopher/C4-style quality filters).
+- ``language_id``: character n-gram profile scoring, pure SQL expressions.
+- ``fingerprint``: normalized content fingerprint (md5) + shingle set for
+  near-dup work in :mod:`.dedup`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish word/number/punctuation splitter: letter runs, digit runs, or a
+# single non-space symbol — roughly what byte-pair pretokenizers produce.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Count of BPE-ish tokens via regexp_count — letters, digits, symbols."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics; one narrow projection, no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars"),
+        (F.length(t) / F.greatest(token_count_ws(t), F.lit(1))).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals + a composite score in [0, 1].
+
+    Signals (all codegen-able):
+    - length score: saturating ramp on character count,
+    - alpha ratio: alphabetic chars / all non-space chars,
+    - stopword ratio: fraction of tokens that are common stopwords
+      (natural text has some; keyword spam has none),
+    - repetition: distinct-token ratio (boilerplate repeats tokens).
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    nonspace = F.regexp_replace(t, r"\s", "")
+    alpha_ratio = F.when(F.length(nonspace) == 0, 0.0).otherwise(
+        F.regexp_count(t, F.lit(r"[A-Za-z]")) / F.length(nonspace)
+    )
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(n_stop / F.lit(3.0), F.lit(1.0))
+    composite = (
+        0.25 * len_score + 0.25 * alpha_ratio + 0.25 * stop_score + 0.25 * distinct_ratio
+    )
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        n_stop.alias("n_stopwords"),
+        F.round(composite, 6).alias("quality_score"),
+    )
+
+
+# Character-trigram profiles per language — tiny, deterministic, embedded.
+# Real deployments plug in fastText et al. via mapInPandas; the operator shape
+# (narrow projection + argmax over per-language scores) is identical.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "es": ["que", "los", "ent", "ado", "cio"],
+    "fr": ["les", "ent", "que", "des", "ion"],
+    "de": ["der", "die", "und", "ein", "sch"],
+    "zh": ["zh_", "ng_", "sh_", "ian", "ang"],
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-profile language guess: score = sum of profile-trigram hits."""
+    t = normalize_text(F.col(text_col))
+    scores = [
+        sum(
+            (F.regexp_count(t, F.lit(tri)) for tri in tris),
+            start=F.lit(0),
+        ).alias(f"score_{lang}")
+        for lang, tris in LANG_PROFILES.items()
+    ]
+    scored = df.select("doc_id", *scores)
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    guess = F.lit(None)
+    # argmax with deterministic first-wins tie-break
+    expr = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.select(
+        "doc_id", *[F.col(f"score_{lang}") for lang in langs], expr.alias("lang_guess")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic content fingerprint of normalized text (md5) — the
+    generalization of the reference's ``data_hash`` content hashing
+    (``notebooks/demo-notebook.py:168``) to documents."""
+    return df.select(
+        "doc_id", F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of normalized text as a distinct array — the unit for
+    MinHash / Jaccard near-dup detection. Built from transform/slice over the
+    token array: stays JVM-side."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+    )

@@ -1,0 +1,196 @@
+"""EXT operators: text analysis, dedup families, similarity search, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from incremental_etl_on_lakehouse_spark.operators import dedup, multimodal, similarity, text
+from incremental_etl_on_lakehouse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).cache()
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_token_stats(spark, docs):
+    out = text.token_stats(docs)
+    row = out.join(docs, "doc_id").where("doc_id = 0").collect()[0]
+    assert row["n_tokens_ws"] == len(row["text"].split())
+    assert row["n_tokens_bpe"] >= row["n_tokens_ws"]
+    assert out.count() == docs.count()
+
+
+def test_quality_score_bounds(docs):
+    out = text.quality_score(docs)
+    bad = out.where("quality_score < 0 or quality_score > 1").count()
+    assert bad == 0
+    assert out.where("n_stopwords > 0").count() > 0
+
+
+def test_language_id_shape(docs):
+    out = text.language_id(docs)
+    assert out.count() == docs.count()
+    assert set(r["lang_guess"] for r in out.collect()) <= set(text.LANG_PROFILES)
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert a == b
+    # same normalized content -> same fingerprint
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(text.shingles(F.col("text"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert short.select(text.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"] == ["a"]
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_exact(df, ["text"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("field", "meadow")
+    far = "completely unrelated content about spark shuffles and partitions at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    kept = dedup.dedup_minhash(df, jaccard_threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_simhash_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "totally different words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=8).collect()
+    ids = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 2) in ids and (1, 3) not in ids
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, shingle_k=2, threshold=0.1).collect()
+    assert len(pairs) == 1
+    # shingles: {ab,bc,cd,de} vs {ab,bc,cd,df}: inter 3, union 5
+    assert abs(pairs[0]["jaccard"] - 0.6) < 1e-6
+
+
+def test_embedding_dup_pairs(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.999, 0.001, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v2), (3, w)], "vec_id long, embedding array<float>"
+    )
+    pairs = dedup.embedding_dup_pairs(df, cosine_threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_topk_bruteforce_matches_numpy(spark, embs):
+    import numpy as np
+
+    queries = embs.where("vec_id < 3")
+    out = similarity.topk_cosine_bruteforce(queries, embs, k=5).collect()
+    rows = embs.collect()
+    mat = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    for qid in [0, 1, 2]:
+        got = sorted(
+            [(r["rank"], r["corpus_id"]) for r in out if r["query_id"] == qid]
+        )
+        q = mat[qid]
+        sims = {
+            cid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for cid, v in mat.items()
+            if cid != qid
+        }
+        expect = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+        assert [cid for _, cid in got] == [cid for cid, _ in expect]
+
+
+def test_topk_lsh_recall(spark, embs):
+    queries = embs.where("vec_id < 10")
+    exact = similarity.topk_cosine_bruteforce(queries, embs, k=3)
+    approx = similarity.topk_cosine_lsh(queries, embs, k=3, planes=4, num_tables=10)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_normalize_vectors(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "vec_id long, embedding array<float>")
+    out = similarity.normalize_vectors(df).collect()[0]["embedding"]
+    assert math.isclose(math.hypot(*out), 1.0, rel_tol=1e-6)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"fakepngdata" * 100),
+        (2, "image", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"fakejpgdata" * 50),
+        (3, "audio", b"RIFF" + b"fakewav" * 200),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+    meta = multimodal.attach_media_meta(df).collect()
+    fmts = {r["media_id"]: r["sniffed_format"] for r in meta}
+    assert fmts == {1: "png", 2: "jpeg", 3: "riff-wav"}
+    assert all(r["n_bytes"] == len(rows[r["media_id"] - 1][2]) for r in meta)
+
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 3
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic fake decoder
+    feats2 = multimodal.extract_features(df).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in feats2
+    }
+
+    frames = multimodal.sample_video_frames(df, every_nth_byte=256, max_frames=4)
+    got = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in got)
+
+    # the real-codec stub surfaces through Spark as a PythonException
+    with pytest.raises(Exception, match="real image decoding"):
+        multimodal.extract_features(df, decoder=multimodal.real_image_decoder).collect()
