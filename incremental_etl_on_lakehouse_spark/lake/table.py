@@ -286,17 +286,31 @@ class LakeTable:
         src = source.withColumn("__s_match", F.lit(True)).alias("source")
         cond = F.expr(condition)
 
-        # 1. Which target files contain matched rows? (file-level pruning)
-        touched = [
-            r["__file"]
-            for r in target.join(src, cond, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        ]
+        # 1. Which target files contain rows that will actually FIRE a
+        #    matched clause? (file-level pruning). Including the clause
+        #    conditions here — not just the ON condition — is what makes a
+        #    re-delivered duplicate batch touch zero files (the reference's
+        #    no-op-update elimination, notebooks/demo-notebook.py:276).
+        if matched_clauses:
+            fire = None
+            for cl in matched_clauses:
+                c = F.expr(cl.condition) if cl.condition is not None else F.lit(True)
+                fire = c if fire is None else (fire | c)
+            touched = [
+                r["__file"]
+                for r in target.join(src, cond, "inner")
+                .where(fire)
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+        else:
+            touched = []
 
         # 2. Rewrite candidates: rows from touched files joined to the source.
-        touched_target = target.where(F.col("__file").isin(touched)).alias("target")
+        touched_target = (
+            target.where(F.col("__file").isin(touched)) if touched else target.limit(0)
+        ).alias("target")
         joined = touched_target.join(src, cond, "left_outer")
         joined = joined.persist()
         try:

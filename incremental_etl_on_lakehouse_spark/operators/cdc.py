@@ -65,6 +65,7 @@ def merge_cdc_batch(
     delete_op: str = "DELETE",
     update_op: str = "UPDATE",
     tiebreak_cols: list[str] | None = None,
+    order_guard_col: str | None = None,
 ) -> dict:
     """Dedup a CDC micro-batch and MERGE it into the snapshot table.
 
@@ -73,26 +74,93 @@ def merge_cdc_batch(
     - WHEN MATCHED AND op = UPDATE AND source.hash <> target.hash -> UPDATE SET *
     - WHEN NOT MATCHED (AND op <> DELETE)    -> INSERT *
 
-    The ``NOT MATCHED AND op <> DELETE`` guard is an engine extension: the
-    reference would insert a DELETE-op row that never matched (its data never
-    exercises this); skipping is the correct CDC semantic.
+    Engine extensions over the reference:
+    - the ``NOT MATCHED AND op <> DELETE`` guard (the reference would insert
+      a DELETE-op row that never matched; its data never exercises this);
+    - ``order_guard_col``: a column present in BOTH source and target (e.g.
+      an event-time epoch) added as ``source.col > target.col`` to the
+      matched clauses, so a *late* re-delivered batch can never regress the
+      snapshot to older values. The reference only handles the
+      identical-redelivery case via the hash guard; with an order guard the
+      "latest cdc_timestamp wins" semantic holds under arbitrary reordering.
 
-    Idempotence under at-least-once replay: a re-delivered identical batch
-    matches every row with an equal hash -> zero clauses fire -> zero files
-    rewritten.
+    Idempotence under at-least-once replay: a re-delivered batch fires zero
+    clauses -> zero files rewritten (file pruning includes clause conditions).
     """
     deduped = dedup_latest(batch, key_cols, order_cols, tiebreak_cols)
     cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in key_cols)
+    guard = (
+        f" AND source.`{order_guard_col}` > target.`{order_guard_col}`"
+        if order_guard_col
+        else ""
+    )
     clauses = [
-        MergeClause("delete", f"source.`{op_col}` = '{delete_op}'"),
+        MergeClause("delete", f"source.`{op_col}` = '{delete_op}'" + guard),
         MergeClause(
             "update",
-            f"source.`{op_col}` = '{update_op}' AND source.`{hash_col}` <> target.`{hash_col}`",
+            f"source.`{op_col}` = '{update_op}' AND source.`{hash_col}` <> target.`{hash_col}`"
+            + guard,
             "*",
         ),
         MergeClause("insert", f"source.`{op_col}` <> '{delete_op}'", "*"),
     ]
     return table.merge(deduped, cond, clauses)
+
+
+def merge_cdc_batch_tombstone(
+    table: LakeTable,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    order_guard_col: str,
+    op_col: str = "cdc_operation",
+    delete_op: str = "DELETE",
+    tombstone_col: str = "_deleted",
+    tiebreak_cols: list[str] | None = None,
+) -> dict:
+    """CDC merge with tombstoned deletes: convergent under ARBITRARY reorder.
+
+    The reference's hard-delete merge (``notebooks/demo-notebook.py:270-272``)
+    has a re-insertion hole: once a key's row is physically gone, a late
+    re-delivered older UPDATE looks like a fresh insert. Keeping deletes as
+    tombstone rows (``tombstone_col = true``) closes it: every key always has
+    exactly one row carrying the max ``order_guard_col`` seen so far, and a
+    matched row is replaced only when the incoming one is strictly newer.
+    The live snapshot is ``WHERE NOT tombstone`` (see ``live_view``).
+
+    This is the standard lakehouse pattern for out-of-order CDC at scale
+    (tombstones compact away later); the cost is storing deleted keys.
+    """
+    deduped = dedup_latest(batch, key_cols, order_cols, tiebreak_cols)
+    cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in key_cols)
+    src_cols = set(batch.columns)
+    is_delete = f"source.`{op_col}` = '{delete_op}'"
+    assignments = {
+        f.name: (f"source.`{f.name}`" if f.name in src_cols else f"target.`{f.name}`")
+        for f in table.schema().fields
+        if f.name != tombstone_col
+    }
+    assignments[tombstone_col] = is_delete
+    insert_assignments = {
+        f.name: (f"source.`{f.name}`" if f.name in src_cols else "NULL")
+        for f in table.schema().fields
+        if f.name != tombstone_col
+    }
+    insert_assignments[tombstone_col] = is_delete
+    clauses = [
+        MergeClause(
+            "update",
+            f"source.`{order_guard_col}` > target.`{order_guard_col}`",
+            assignments,
+        ),
+        MergeClause("insert", None, insert_assignments),
+    ]
+    return table.merge(deduped, cond, clauses)
+
+
+def live_view(table: LakeTable, tombstone_col: str = "_deleted") -> DataFrame:
+    """Current-state rows of a tombstoned snapshot (deletes filtered out)."""
+    return table.to_df().where(~F.col(tombstone_col)).drop(tombstone_col)
 
 
 def cdf_signed_deltas(

@@ -1,0 +1,1278 @@
+"""Query registry: every SURVEY.md §2 operator key as a (Spark, oracle-SQL) pair.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame; each
+oracle is ANSI SQL DuckDB runs over the same parquet tables. The driver
+compares row counts, schemas, and order-insensitive value hashes, so:
+
+- every computed column is aliased identically on both sides;
+- timestamps are emitted as epoch milliseconds (``unix_millis`` vs
+  ``epoch_ms``) — engine-native timestamp rendering never hits the hash;
+- aggregates over money-like doubles go through DECIMAL(18,2) (the synthetic
+  data is exactly 2-decimal) so sums are order-independent and exact, then
+  cast to DOUBLE on both sides;
+- CDC keys run a deterministic two-batch scenario derived from ``events``
+  (batch 1 = ts < 2024-01-16, batch 2 = rest; operation := DELETE for
+  'error' events, UPDATE otherwise) against throwaway lake tables, with the
+  post-state expressed as plain latest-row-per-key SQL for the oracle
+  (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from incremental_etl_on_lakehouse_spark.lake import LakeStreamReader, LakeTable
+from incremental_etl_on_lakehouse_spark.operators import dedup as D
+from incremental_etl_on_lakehouse_spark.operators import multimodal as MM
+from incremental_etl_on_lakehouse_spark.operators import similarity as SIM
+from incremental_etl_on_lakehouse_spark.operators import text as T
+from incremental_etl_on_lakehouse_spark.operators.cdc import (
+    cdf_signed_deltas,
+    dedup_latest,
+    merge_agg_delta,
+    merge_cdc_batch,
+)
+from incremental_etl_on_lakehouse_spark.sources.json_source import (
+    read_json_batch,
+    read_json_stream,
+)
+from incremental_etl_on_lakehouse_spark.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _tmpdir() -> str:
+    return tempfile.mkdtemp(prefix="lakequery-", dir="/tmp")
+
+
+MS = F.unix_millis  # timestamp -> epoch ms (session tz is UTC)
+DEC = "decimal(12,2)"   # money columns
+DEC4 = "decimal(4,2)"   # ratio columns (discount/tax)
+
+# ---------------------------------------------------------------------------
+# CDC scenario shared by the merge/CDF/time-travel/streaming keys.
+# ---------------------------------------------------------------------------
+
+TS_SPLIT = "2024-01-16 00:00:00"
+
+SILVER_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value_cents", LongType()),
+        StructField("data_hash", StringType()),
+        StructField("cdc_operation", StringType()),
+    ]
+)
+GOLD_SCHEMA = StructType(
+    [StructField("event_type", StringType()), StructField("sum_cents", LongType())]
+)
+
+
+def _cdc_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, "events", sf_dir)
+    cdc = ev.select(
+        "user_id",
+        MS("ts").alias("ts_ms"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                MS("ts").cast("string"),
+            )
+        ).alias("data_hash"),
+        F.when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+        .alias("cdc_operation"),
+        "ts",
+        "event_id",
+    )
+    b1 = cdc.where(F.col("ts") < TS_SPLIT)
+    b2 = cdc.where(F.col("ts") >= TS_SPLIT)
+    return b1, b2
+
+
+def _run_cdc_silver(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Create a throwaway Silver lake table and merge both CDC batches."""
+    path = os.path.join(_tmpdir(), "silver")
+    silver = LakeTable.create(
+        spark, path, SILVER_SCHEMA, properties={"enableChangeDataFeed": "true"}
+    )
+    for batch in _cdc_batches(spark, sf_dir):
+        merge_cdc_batch(
+            silver,
+            batch.select(
+                "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
+                "cdc_operation", "ts", "event_id",
+            ),
+            key_cols=["user_id"],
+            order_cols=["ts"],
+            tiebreak_cols=["event_id"],
+            order_guard_col="ts_ms",
+        )
+    return silver
+
+
+# Oracle CTE fragments reused across CDC keys.
+_SQL_CDC = f"""
+WITH cdc AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS cdc_operation,
+         ts, event_id
+  FROM events
+),
+b1 AS (SELECT * FROM cdc WHERE ts < TIMESTAMP '{TS_SPLIT}'),
+b2 AS (SELECT * FROM cdc WHERE ts >= TIMESTAMP '{TS_SPLIT}'),
+s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM b1) WHERE rn = 1 AND cdc_operation <> 'DELETE'
+),
+l2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM b2) WHERE rn = 1
+),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM cdc) WHERE rn = 1 AND cdc_operation <> 'DELETE'
+)
+"""
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_json_batch",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+)
+def src_json_batch(spark, sf_dir):
+    """Batch read of a multiline JSON file (ref notebooks/demo-notebook.py:146);
+    round-trips `nation` through JSON to exercise reader + inference."""
+    out = os.path.join(_tmpdir(), "nation_json")
+    load_table(spark, "nation", sf_dir).coalesce(1).write.mode("overwrite").json(out)
+    df = read_json_batch(spark, out, multiline=False)
+    return df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+@query(
+    "src_json_stream",
+    "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+)
+def src_json_stream(spark, sf_dir):
+    """Streaming JSON file ingest, 1 file per micro-batch
+    (ref notebooks/demo-notebook.py:158-167), availableNow semantics."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = os.path.join(_tmpdir(), "landing")
+    for half in (0, 1):
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(land, f"f{half}"))
+    # flatten: streaming file source wants one dir of files
+    flat = os.path.join(_tmpdir(), "flat")
+    os.makedirs(flat, exist_ok=True)
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_str", StringType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False)
+    sink_name = f"jsonsink_{uuid.uuid4().hex}"
+    (
+        stream.writeStream.format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        MS(F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSSSSS")).alias("ts_ms"),
+    )
+
+
+@query(
+    "snk_delta_append",
+    "SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events",
+)
+def snk_delta_append(spark, sf_dir):
+    """Append sink into a versioned lake table (ref :171-173), two commits."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", MS("ts").alias("ts_ms"), "event_type", "value", "ts"
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "appends"), schema)
+    t.append(ev.where(F.col("ts") < TS_SPLIT).drop("ts"))
+    t.append(ev.where(F.col("ts") >= TS_SPLIT).drop("ts"))
+    return t.to_df()
+
+
+@query(
+    "src_delta_stream",
+    f"SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows FROM events"
+    f" WHERE ts < TIMESTAMP '{TS_SPLIT}'"
+    f" UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM events"
+    f" WHERE ts >= TIMESTAMP '{TS_SPLIT}'",
+)
+def src_delta_stream(spark, sf_dir):
+    """Streaming source over lake-table appends: one micro-batch per commit
+    (ref :282-283)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts")
+    schema = StructType([StructField("event_id", LongType())])
+    root = _tmpdir()
+    t = LakeTable.create(spark, os.path.join(root, "t"), schema)
+    t.append(ev.where(F.col("ts") < TS_SPLIT).select("event_id"))
+    t.append(ev.where(F.col("ts") >= TS_SPLIT).select("event_id"))
+    reader = LakeStreamReader(t, os.path.join(root, "ck.json"), mode="append")
+    seen: list[tuple[int, int]] = []
+    reader.process_available(lambda df, v: seen.append((v, df.count())))
+    return spark.createDataFrame(
+        [(v, n) for v, n in seen], "version int, n_rows long"
+    )
+
+
+_SQL_CDF_CHANGES = (
+    _SQL_CDC
+    + """
+SELECT user_id, 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version, value_cents FROM s1
+UNION ALL
+SELECT s1.user_id, 'update_preimage', CAST(2 AS BIGINT), s1.value_cents
+  FROM s1 JOIN l2 ON s1.user_id = l2.user_id WHERE l2.cdc_operation = 'UPDATE'
+UNION ALL
+SELECT l2.user_id, 'update_postimage', CAST(2 AS BIGINT), l2.value_cents
+  FROM s1 JOIN l2 ON s1.user_id = l2.user_id WHERE l2.cdc_operation = 'UPDATE'
+UNION ALL
+SELECT s1.user_id, 'delete', CAST(2 AS BIGINT), s1.value_cents
+  FROM s1 JOIN l2 ON s1.user_id = l2.user_id WHERE l2.cdc_operation = 'DELETE'
+UNION ALL
+SELECT l2.user_id, 'insert', CAST(2 AS BIGINT), l2.value_cents
+  FROM l2 LEFT JOIN s1 ON s1.user_id = l2.user_id
+  WHERE s1.user_id IS NULL AND l2.cdc_operation <> 'DELETE'
+"""
+)
+
+
+@query("src_cdf_batch", _SQL_CDF_CHANGES)
+def src_cdf_batch(spark, sf_dir):
+    """Batch change-feed query with _change_type/_commit_version metadata
+    (ref table_changes(), :363-373)."""
+    silver = _run_cdc_silver(spark, sf_dir)
+    return silver.read_changes(starting_version=1).select(
+        "user_id", "_change_type", "_commit_version", "value_cents"
+    )
+
+
+@query("src_cdf_stream", _SQL_CDF_CHANGES)
+def src_cdf_stream(spark, sf_dir):
+    """Streaming change-feed source (ref :428-431): micro-batch per commit
+    via the lake stream reader in cdf mode."""
+    silver = _run_cdc_silver(spark, sf_dir)
+    reader = LakeStreamReader(
+        silver,
+        os.path.join(_tmpdir(), "ck.json"),
+        mode="cdf",
+        starting_version=1,
+    )
+    batches: list[DataFrame] = []
+    reader.process_available(
+        lambda df, v: batches.append(
+            df.select("user_id", "_change_type", "_commit_version", "value_cents")
+        )
+    )
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@query(
+    "src_time_travel",
+    _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM s1",
+)
+def src_time_travel(spark, sf_dir):
+    """VERSION AS OF read (ref :533-535): snapshot after the first merge."""
+    silver = _run_cdc_silver(spark, sf_dir)
+    return silver.to_df(version=1).select(
+        "user_id", "ts_ms", "event_type", "value_cents"
+    )
+
+
+@query(
+    "snk_merge",
+    _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM final",
+)
+def snk_merge(spark, sf_dir):
+    """MERGE as the sink of a pipeline stage (ref :244-280): final snapshot
+    after both CDC batches."""
+    silver = _run_cdc_silver(spark, sf_dir)
+    return silver.to_df().select("user_id", "ts_ms", "event_type", "value_cents")
+
+
+@query(
+    "ddl_create_table",
+    "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS country,"
+    " CAST(NULL AS BIGINT) AS sum_visitors WHERE 1 = 0",
+)
+def ddl_create_table(spark, sf_dir):
+    """CREATE TABLE with fixed schema + CDF property (ref :211-227)."""
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("country", StringType()),
+            StructField("sum_visitors", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "ddl"),
+        schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    assert t.cdf_enabled()
+    return t.to_df()
+
+
+@query(
+    "ddl_drop",
+    "SELECT true AS existed_before, false AS exists_after",
+)
+def ddl_drop(spark, sf_dir):
+    """DROP TABLE IF EXISTS semantics (ref :106,110,211,349)."""
+    path = os.path.join(_tmpdir(), "dropme")
+    LakeTable.create(spark, path, StructType([StructField("id", LongType())]))
+    before = LakeTable.exists(path)
+    LakeTable.drop(path)
+    after = LakeTable.exists(path)
+    LakeTable.drop(path)  # idempotent IF EXISTS
+    return spark.createDataFrame(
+        [(before, after)], "existed_before boolean, exists_after boolean"
+    )
+
+
+@query(
+    "util_file_put_rm",
+    "SELECT 2 AS n_files_after_put, 0 AS n_files_after_rm",
+)
+def util_file_put_rm(spark, sf_dir):
+    """Land/delete raw files (ref setup/incremental-etl-helper.py:6-19),
+    local-FS flavor."""
+    d = _tmpdir()
+    for name in ("a.json", "b.json"):
+        with open(os.path.join(d, name), "w") as f:
+            json.dump([{"id": 1}], f)
+    n_put = len(os.listdir(d))
+    for name in list(os.listdir(d)):
+        os.unlink(os.path.join(d, name))
+    n_rm = len(os.listdir(d))
+    return spark.createDataFrame(
+        [(n_put, n_rm)], "n_files_after_put int, n_files_after_rm int"
+    )
+
+
+@query("util_fs_ls", "SELECT 'a.json' AS file_name UNION ALL SELECT 'b.json'")
+def util_fs_ls(spark, sf_dir):
+    """List landed files (ref dbutils.fs.ls, :141)."""
+    d = _tmpdir()
+    for name in ("b.json", "a.json"):
+        open(os.path.join(d, name), "w").write("[]")
+    return spark.createDataFrame(
+        [(n,) for n in sorted(os.listdir(d))], "file_name string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / derived columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "proj_select_list",
+    "SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def proj_select_list(spark, sf_dir):
+    return load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query("proj_select_star", "SELECT * FROM region")
+def proj_select_star(spark, sf_dir):
+    return load_table(spark, "region", sf_dir).select("*")
+
+
+@query(
+    "filter_eq",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+)
+def filter_eq(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@query(
+    "filter_neq",
+    "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag <> 'N'",
+)
+def filter_neq(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.where(F.col("l_returnflag") != "N").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@query(
+    "filter_conj",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " WHERE o_orderstatus = 'O' AND o_totalprice > 100000",
+)
+def filter_conj(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    return o.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "derive_withcolumn",
+    "SELECT event_id, md5(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),"
+    " event_type)) AS data_hash FROM events",
+)
+def derive_withcolumn(spark, sf_dir):
+    """Computed ingest columns (ref :168-170): content hash via md5(concat)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+            )
+        ).alias("data_hash"),
+    )
+
+
+@query(
+    "proj_alias",
+    "SELECT l_orderkey, l_linenumber,"
+    " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)"
+    " AS net_price FROM lineitem",
+)
+def proj_alias(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    net = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC4))
+    ).cast("double")
+    return li.select("l_orderkey", "l_linenumber", net.alias("net_price"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_right_outer",
+    "SELECT r.r_name, n.n_name FROM nation n RIGHT JOIN region r"
+    " ON n.n_regionkey = r.r_regionkey",
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer equi-join (ref validation query :527-538); region is tiny
+    -> broadcast."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "right_outer"
+    ).select("r_name", "n_name")
+
+
+@query(
+    "join_merge_key",
+    "SELECT o.o_orderkey, c.c_name, o.o_totalprice FROM orders o"
+    " JOIN customer c ON o.o_custkey = c.c_custkey",
+)
+def join_merge_key(spark, sf_dir):
+    """Equi-join on the merge key shape (ref :269,418)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 MERGE / §2.5 aggregation keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_cdc_upsert",
+    _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM final",
+)
+def merge_cdc_upsert(spark, sf_dir):
+    """3-way conditional CDC MERGE over two batches (ref :244-280)."""
+    silver = _run_cdc_silver(spark, sf_dir)
+    return silver.to_df().select("user_id", "ts_ms", "event_type", "value_cents")
+
+
+@query(
+    "merge_agg_upsert",
+    "SELECT event_type, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+    " AS sum_cents FROM events WHERE event_type <> 'error' GROUP BY event_type",
+)
+def merge_agg_upsert(spark, sf_dir):
+    """Additive aggregate MERGE (ref :393-425): two grouped delta batches
+    merged into a running total."""
+    gold = LakeTable.create(spark, os.path.join(_tmpdir(), "gold"), GOLD_SCHEMA)
+    b1, b2 = _cdc_batches(spark, sf_dir)
+    for b in (b1, b2):
+        deltas = (
+            b.where(F.col("cdc_operation") != "DELETE")
+            .groupBy("event_type")
+            .agg(F.sum("value_cents").alias("delta_value"))
+        )
+        merge_agg_delta(
+            gold, deltas, group_cols=["event_type"], agg_col="sum_cents"
+        )
+    return gold.to_df()
+
+
+@query(
+    "agg_sum_groupby",
+    "SELECT n.n_name, CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *"
+    " (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue"
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    " JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " GROUP BY n.n_name",
+)
+def agg_sum_groupby(spark, sf_dir):
+    """Grouped sum (ref :397,416) at TPC-H Q5 shape: revenue per nation.
+
+    Join order: fact table joins dim chain; nation/customer are small ->
+    broadcast; the only real shuffle is the final group-by on n_name.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    net = (
+        F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC4))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(net).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "agg_incremental_cdf",
+    _SQL_CDC
+    + "SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS sum_cents"
+    " FROM final GROUP BY event_type",
+)
+def agg_incremental_cdf(spark, sf_dir):
+    """Incremental aggregate maintenance from the change feed
+    (ref :384-425): gold is only ever updated from signed deltas, yet equals
+    the full aggregate of the final silver state."""
+    root = _tmpdir()
+    silver = LakeTable.create(
+        spark,
+        os.path.join(root, "silver"),
+        SILVER_SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    gold = LakeTable.create(spark, os.path.join(root, "gold"), GOLD_SCHEMA)
+    reader = LakeStreamReader(
+        silver, os.path.join(root, "gold_ck.json"), mode="cdf", starting_version=1
+    )
+
+    def update_gold(changes: DataFrame, _v: int) -> None:
+        deltas = cdf_signed_deltas(
+            changes, group_cols=["event_type"], value_col="value_cents"
+        )
+        merge_agg_delta(gold, deltas, group_cols=["event_type"], agg_col="sum_cents")
+
+    for batch in _cdc_batches(spark, sf_dir):
+        merge_cdc_batch(
+            silver,
+            batch.select(
+                "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
+                "cdc_operation", "ts", "event_id",
+            ),
+            key_cols=["user_id"],
+            order_cols=["ts"],
+            tiebreak_cols=["event_id"],
+            order_guard_col="ts_ms",
+        )
+        reader.process_available(update_gold)
+    return gold.to_df().where(F.col("sum_cents") != 0)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window / §2.7 sorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_row_number_dedup",
+    "SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM ("
+    " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+    " FROM events) WHERE rn = 1",
+)
+def win_row_number_dedup(spark, sf_dir):
+    """Latest record per key via ranking window (ref :262-266, QUALIFY rnk=1)."""
+    ev = load_table(spark, "events", sf_dir)
+    latest = dedup_latest(ev, ["user_id"], ["ts"], tiebreak_cols=["event_id"])
+    return latest.select("user_id", "event_id", "event_type", MS("ts").alias("ts_ms"))
+
+
+@query(
+    "sort_multi_key",
+    "SELECT event_id, value, epoch_ms(ts) AS ts_ms FROM events"
+    " ORDER BY value DESC, ts DESC, event_id ASC",
+)
+def sort_multi_key(spark, sf_dir):
+    """Multi-key mixed-direction sort (ref :372)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.orderBy(F.desc("value"), F.desc("ts"), F.asc("event_id")).select(
+        "event_id", "value", MS("ts").alias("ts_ms")
+    )
+
+
+@query("sort_single", "SELECT n_name, n_nationkey FROM nation ORDER BY n_name")
+def sort_single(spark, sf_dir):
+    return load_table(spark, "nation", sf_dir).orderBy("n_name").select(
+        "n_name", "n_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_md5_concat",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def fn_md5_concat(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@query("fn_input_file_name", "SELECT 'lineitem.parquet' AS file_name")
+def fn_input_file_name(spark, sf_dir):
+    """Provenance column (ref :169): distinct basename of the scanned file."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name")
+        )
+        .distinct()
+    )
+
+
+@query("fn_current_timestamp", "SELECT true AS ts_sane")
+def fn_current_timestamp(spark, sf_dir):
+    """Audit column (ref :170): deterministic sanity predicate on the clock."""
+    return spark.range(1).select(
+        (F.current_timestamp() > F.lit("2024-01-01").cast("timestamp")).alias("ts_sane")
+    )
+
+
+@query(
+    "fn_to_utc_timestamp",
+    "SELECT event_id, epoch_ms(timezone('Europe/Paris', ts)) AS utc_ms FROM events",
+)
+def fn_to_utc_timestamp(spark, sf_dir):
+    """Timezone normalization (ref :253): interpret wall time as Paris."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id", MS(F.to_utc_timestamp("ts", "Europe/Paris")).alias("utc_ms")
+    )
+
+
+@query(
+    "fn_nvl",
+    "SELECT n.n_nationkey, coalesce(s.s_acctbal, 0) AS acctbal FROM nation n"
+    " LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey",
+)
+def fn_nvl(spark, sf_dir):
+    """NULL defaulting after an outer join (ref nvl, :528-530)."""
+    n = load_table(spark, "nation", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left_outer").select(
+        "n_nationkey", F.coalesce("s_acctbal", F.lit(0)).alias("acctbal")
+    )
+
+
+@query(
+    "fn_case_when",
+    "SELECT CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 100000"
+    " THEN 'mid' ELSE 'low' END AS bucket, CAST(count(*) AS BIGINT) AS n"
+    " FROM orders GROUP BY 1",
+)
+def fn_case_when(spark, sf_dir):
+    """CASE WHEN (ref signed-delta CASE, :401-413)."""
+    o = load_table(spark, "orders", sf_dir)
+    bucket = (
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "fn_arith",
+    "SELECT l_orderkey, l_linenumber,"
+    " CAST(-1 * CAST(l_quantity AS DECIMAL(8,2)) AS DOUBLE) AS neg_qty,"
+    " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE) AS price_plus_tax,"
+    " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS price_minus_disc"
+    " FROM lineitem",
+)
+def fn_arith(spark, sf_dir):
+    """-1*x, a+b, a-b (ref :404,408,421,530)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(-1) * F.col("l_quantity").cast("decimal(8,2)")).cast("double").alias("neg_qty"),
+        (F.col("l_extendedprice").cast(DEC) + F.col("l_tax").cast(DEC4))
+        .cast("double")
+        .alias("price_plus_tax"),
+        (F.col("l_extendedprice").cast(DEC) - F.col("l_discount").cast(DEC4))
+        .cast("double")
+        .alias("price_minus_disc"),
+    )
+
+
+@query(
+    "fn_timestamp_parse",
+    "SELECT o_orderkey, epoch_ms(o_orderdate) AS parsed_ms FROM orders",
+)
+def fn_timestamp_parse(spark, sf_dir):
+    """Parse yyyy-MM-dd HH:mm:ss[.SSS] strings (ref timestampFormat, :164):
+    format to string then parse back; must round-trip exactly."""
+    o = load_table(spark, "orders", sf_dir)
+    s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSS")
+    return o.select(
+        "o_orderkey",
+        MS(F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss.SSS")).alias("parsed_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming behaviors
+# ---------------------------------------------------------------------------
+
+
+@query("stream_trigger_paced", "SELECT 3 AS n_micro_batches")
+def stream_trigger_paced(spark, sf_dir):
+    """maxFilesPerTrigger=1 pacing (ref :161): 3 files -> 3 micro-batches."""
+    d = _tmpdir()
+    for i in range(3):
+        with open(os.path.join(d, f"f{i}.json"), "w") as f:
+            f.write(json.dumps({"id": i}))
+    schema = StructType([StructField("id", LongType())])
+    stream = read_json_stream(spark, d, schema, max_files_per_trigger=1, multiline=False)
+    n_batches = {"n": 0}
+
+    def count_batch(df, _bid):
+        if not df.isEmpty():
+            n_batches["n"] += 1
+
+    (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.createDataFrame([(n_batches["n"],)], "n_micro_batches int")
+
+
+@query("stream_checkpoint", "SELECT 3 AS first_run_batches, 0 AS second_run_batches")
+def stream_checkpoint(spark, sf_dir):
+    """Checkpointed exactly-once progress (ref :92-97,172): a second run over
+    the same checkpoint reprocesses nothing."""
+    d = _tmpdir()
+    ck = os.path.join(_tmpdir(), "ck")
+    for i in range(3):
+        with open(os.path.join(d, f"f{i}.json"), "w") as f:
+            f.write(json.dumps({"id": i}))
+    schema = StructType([StructField("id", LongType())])
+    counts = []
+    for _run in range(2):
+        n = {"n": 0}
+        stream = read_json_stream(spark, d, schema, multiline=False)
+        (
+            stream.writeStream.foreachBatch(
+                lambda df, _bid: n.__setitem__("n", n["n"] + (0 if df.isEmpty() else 1))
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        counts.append(n["n"])
+    return spark.createDataFrame(
+        [(counts[0], counts[1])], "first_run_batches int, second_run_batches int"
+    )
+
+
+@query(
+    "stream_foreachbatch",
+    _SQL_CDC
+    + "SELECT event_type, CAST(sum(value_cents) AS BIGINT) AS sum_cents"
+    " FROM final GROUP BY event_type",
+)
+def stream_foreachbatch(spark, sf_dir):
+    """foreachBatch micro-batch sink pattern (ref :232-236,285,378-382,433):
+    the full silver->gold incremental loop driven per commit."""
+    return agg_incremental_cdf(spark, sf_dir)
+
+
+@query(
+    "stream_late_data",
+    _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM final",
+)
+def stream_late_data(spark, sf_dir):
+    """Late/out-of-order CDC handling. The reference relies on in-order
+    delivery + hash-guarded idempotence (ref :262-276); the engine's
+    tombstone merge goes further: batches delivered in ANY order (here batch
+    2 before batch 1, then batch 1 re-delivered as a duplicate) converge to
+    the same latest-timestamp-wins snapshot."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        live_view,
+        merge_cdc_batch_tombstone,
+    )
+
+    schema = StructType(
+        SILVER_SCHEMA.fields
+        + [StructField("_deleted", BooleanType())]
+    )
+    silver = LakeTable.create(spark, os.path.join(_tmpdir(), "tomb"), schema)
+    b1, b2 = _cdc_batches(spark, sf_dir)
+    cols = [
+        "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
+        "cdc_operation", "ts", "event_id",
+    ]
+    # out-of-order: newest batch first, then the older one, then a duplicate
+    for batch in (b2, b1, b1):
+        merge_cdc_batch_tombstone(
+            silver,
+            batch.select(*cols),
+            key_cols=["user_id"],
+            order_cols=["ts"],
+            order_guard_col="ts_ms",
+            tiebreak_cols=["event_id"],
+        )
+    # the duplicate re-delivery must have fired nothing
+    last = silver.history()[-1]["metrics"]
+    assert last["num_updated_rows"] == 0 and last["num_inserted_rows"] == 0, last
+    return live_view(silver).select("user_id", "ts_ms", "event_type", "value_cents")
+
+# ---------------------------------------------------------------------------
+# Headline analytics queries (bench workload; TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+    " * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_qty,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,"
+    " CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,"
+    " CAST(count(*) AS BIGINT) AS count_order"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+
+    One scan, map-side partial aggregation, single shuffle on the tiny
+    (returnflag, linestatus) grouping key; decimal accumulators keep the
+    sums order-independent for the oracle hash.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(8,2)")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC4)
+    tax = F.col("l_tax").cast(DEC4)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_top_customers",
+    "SELECT c.c_custkey, c.c_name,"
+    " CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,"
+    " CAST(count(*) AS BIGINT) AS n_orders"
+    " FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"
+    " GROUP BY c.c_custkey, c.c_name"
+    " ORDER BY total_spent DESC, c.c_custkey LIMIT 10",
+)
+def q_top_customers(spark, sf_dir):
+    """Top-k after join+agg: broadcast dim join, partial agg, global top-10
+    (orderBy().limit() -> Spark TakeOrderedAndProject, no full sort)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_events_enriched",
+    "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,"
+    " CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value"
+    " FROM events e GROUP BY e.event_type",
+)
+def q_events_enriched(spark, sf_dir):
+    """Grouped multi-aggregate incl. distinct-count over the stream table."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 EXT operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_dedup_exact",
+    "SELECT doc_id, lang, source FROM ("
+    " SELECT doc_id, lang, source, row_number() OVER ("
+    "   PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)"
+    " WHERE rn = 1",
+)
+def ext_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash, min-id representative."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.dedup_exact(docs, ["text"], id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query("ext_dedup_fuzzy")  # MinHash LSH: xxhash64 not expressible in DuckDB
+def ext_dedup_fuzzy(spark, sf_dir):
+    """Near-dup candidate pairs via MinHash+LSH banding (rows-only check)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+@query("ext_dedup_simhash")  # bit-level xxhash64 signatures: no SQL oracle
+def ext_dedup_simhash(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming blocking (rows-only check)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_pairs(docs, max_hamming=10)
+
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS = f"regexp_split_to_array({_NORM.format(c='text')}, ' ')"
+_SHINGLES3 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS}) - 2, 1)),"
+    f" i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))"
+)
+
+
+@query(
+    "ext_dedup_ngram_jaccard",
+    f"WITH sh AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents)"
+    " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /"
+    " len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard"
+    " FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1",
+)
+def ext_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard for adjacent doc pairs (oracle-checkable slice of
+    the n-gram machinery; the LSH-candidate variant is ext_dedup_fuzzy)."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", T.shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+@query("ext_dedup_embedding")  # LSH bucketing not SQL-expressible
+def ext_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    return D.embedding_dup_pairs(embs, cosine_threshold=0.8)
+
+
+@query(
+    "ext_sim_topk",
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)"
+    " SELECT query_id, corpus_id, cosine_sim, rank FROM ("
+    "  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,"
+    "   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim,"
+    "   row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+    "    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id)"
+    "   AS rank"
+    "  FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id)"
+    " WHERE rank <= 10",
+)
+def ext_sim_topk(spark, sf_dir):
+    """Exact top-10 cosine neighbors for 5 query vectors (brute force)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    queries = embs.where("vec_id < 5")
+    return SIM.topk_cosine_bruteforce(queries, embs, k=10)
+
+
+@query("ext_sim_lsh")  # approximate; compared structurally only
+def ext_sim_lsh(spark, sf_dir):
+    """Approximate top-10 via multi-table hyperplane LSH (rows-only)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    queries = embs.where("vec_id < 5")
+    return SIM.topk_cosine_lsh(queries, embs, k=10, planes=4, num_tables=8)
+
+
+@query(
+    "ext_text_analysis",
+    "SELECT doc_id,"
+    " CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE"
+    "  len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens_ws,"
+    " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)"
+    "  AS n_tokens_bpe,"
+    " CAST(length(text) AS INT) AS n_chars"
+    " FROM documents",
+)
+def ext_text_analysis(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizers."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.token_stats(docs).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("int").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("int").alias("n_tokens_bpe"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+
+
+def _lang_score_sql(lang: str, tris: list[str]) -> str:
+    parts = " + ".join(
+        f"len(regexp_extract_all({_NORM.format(c='text')}, '{t}'))" for t in tris
+    )
+    return f"CAST({parts} AS INT) AS score_{lang}"
+
+
+_LANG_SQL_SCORES = ", ".join(
+    _lang_score_sql(lang, tris) for lang, tris in T.LANG_PROFILES.items()
+)
+_LANG_SQL_BEST = "greatest(" + ", ".join(
+    f"score_{lang}" for lang in T.LANG_PROFILES
+) + ")"
+_LANG_SQL_ARGMAX = (
+    "CASE "
+    + " ".join(
+        f"WHEN score_{lang} = {_LANG_SQL_BEST} THEN '{lang}'"
+        for lang in T.LANG_PROFILES
+    )
+    + " END AS lang_guess"
+)
+
+
+@query(
+    "ext_lang_id",
+    f"SELECT doc_id, {', '.join('score_' + lang for lang in T.LANG_PROFILES)},"
+    f" {_LANG_SQL_ARGMAX} FROM (SELECT doc_id, {_LANG_SQL_SCORES} FROM documents)",
+)
+def ext_lang_id(spark, sf_dir):
+    """Language ID by character-trigram profile scores + argmax."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = T.language_id(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{lang}").cast("int").alias(f"score_{lang}") for lang in T.LANG_PROFILES],
+        "lang_guess",
+    )
+
+
+@query(
+    "ext_quality_score",
+    f"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+ CAST(len(toks) AS INT) AS n_tokens,
+ round(CASE WHEN length(nonspace) = 0 THEN 0.0
+   ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(nonspace) END, 6) AS alpha_ratio,
+ round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS distinct_token_ratio,
+ CAST(len(list_intersect(toks, {T.STOPWORDS!r})) AS INT) AS n_stopwords
+ FROM (SELECT doc_id, text, {_TOKS} AS toks,
+   regexp_replace(text, '\\s', '', 'g') AS nonspace FROM documents)""".replace(
+        "'the', 'a', 'an'", "'the', 'a', 'an'"
+    ).replace("[", "[").replace("!r]", "]"),
+)
+def ext_quality_score(spark, sf_dir):
+    """Quality-filter signals (length/alpha/stopword/repetition)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.quality_score(docs).select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "alpha_ratio",
+        "distinct_token_ratio",
+        F.col("n_stopwords").cast("int").alias("n_stopwords"),
+    )
+
+
+@query(
+    "ext_fingerprint",
+    f"SELECT doc_id, md5({_NORM.format(c='text')}) AS fingerprint FROM documents",
+)
+def ext_fingerprint(spark, sf_dir):
+    """Deterministic normalized-content fingerprint (md5)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return T.fingerprint(docs)
+
+
+@query(
+    "ext_multimodal_col",
+    "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'png', CAST(1104 AS BIGINT), 8),"
+    " (CAST(2 AS BIGINT), 'jpeg', CAST(554 AS BIGINT), 8),"
+    " (CAST(3 AS BIGINT), 'riff-wav', CAST(1404 AS BIGINT), 8))"
+    " t(media_id, sniffed_format, n_bytes, n_features)",
+)
+def ext_multimodal_col(spark, sf_dir):
+    """Binary media columns: magic-number sniffing + mapInPandas feature
+    extraction (deterministic fake decoder; real codecs are stubbed)."""
+    rows = [
+        (1, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"fakepngdata" * 100),
+        (2, "image", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"fakejpgdata" * 50),
+        (3, "audio", b"RIFF" + b"fakewav" * 200),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+    meta = MM.attach_media_meta(df).select("media_id", "sniffed_format", "n_bytes")
+    feats = MM.extract_features(df).select(
+        "media_id", F.size("features").alias("n_features")
+    )
+    return meta.join(feats, "media_id").select(
+        "media_id", "sniffed_format", "n_bytes", F.col("n_features").cast("int").alias("n_features")
+    )
+
+
+@query(
+    "ext_approx_distinct",
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,"
+    " true AS approx_within_5pct FROM events",
+)
+def ext_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct-count for profiling; sanity-bounded vs exact."""
+    ev = load_table(spark, "events", sf_dir)
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    ok = abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 1)
+    return spark.createDataFrame(
+        [(row["exact"], bool(ok))], "exact_distinct long, approx_within_5pct boolean"
+    )
