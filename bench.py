@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization, no
+driver collect cost). Timings are wall-clock per query, value = total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "agg_sum_groupby",
+    "q_top_customers",
+    "q_events_enriched",
+    "win_row_number_dedup",
+    "sort_multi_key",
+    "join_merge_key",
+    "ext_dedup_exact",
+    "ext_fingerprint",
+    "ext_text_analysis",
+    "ext_quality_score",
+    "ext_lang_id",
+    "ext_sim_topk",
+    "ext_dedup_fuzzy",
+    "merge_cdc_upsert",
+    "agg_incremental_cdf",
+]
+
+
+def main() -> None:
+    from incremental_etl_on_lakehouse_spark.queries import QUERIES
+    from incremental_etl_on_lakehouse_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf = None
+    for tok in SF_DIR.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

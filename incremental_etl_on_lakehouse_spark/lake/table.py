@@ -313,6 +313,7 @@ class LakeTable:
         ).alias("target")
         joined = touched_target.join(src, cond, "left_outer")
         joined = joined.persist()
+        inserts = None
         try:
             action = None
             for i, cl in enumerate(matched_clauses):
@@ -382,56 +383,57 @@ class LakeTable:
                 for p in ins_parts[1:]:
                     inserts = inserts.unionByName(p)
 
+            if inserts is not None:
+                inserts = inserts.persist()
+
+            # One aggregation job yields every per-action row count (instead
+            # of one count job per clause kind).
+            action_counts: dict[str, int] = {
+                r["__action"]: r["count"]
+                for r in acted.groupBy("__action").count().collect()
+            } if touched else {}
+            n_ins = inserts.count() if inserts is not None else 0
+            del_actions = [f"delete{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "delete"]
+            upd_actions = [f"update{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "update"]
+            n_del = sum(action_counts.get(a, 0) for a in del_actions)
+            n_upd = sum(action_counts.get(a, 0) for a in upd_actions)
+
             new_data = self._align(survivors)
             if inserts is not None:
                 new_data = new_data.unionByName(self._align(inserts))
-
             adds, written_rows = ([], 0)
-            if touched or inserts is not None:
+            if touched or n_ins:
                 adds, written_rows = self._stage_write(new_data)
 
             # 4. Change-data-feed rows for this commit (materialized: merges
             #    change a sparse subset, so synthesis-from-files can't express them).
             cdf_rel = None
-            n_del = n_upd = n_ins = 0
-            if insert_clauses and inserts is not None:
-                n_ins_df = inserts
-            else:
-                n_ins_df = None
-            del_actions = [f"delete{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "delete"]
-            upd_actions = [f"update{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "update"]
             pre_cols = [F.expr(f"target.`{c}`").alias(c) for c in tgt_cols]
             cdf_parts = []
-            if del_actions:
+            if n_del:
                 d = acted.where(F.col("__action").isin(del_actions)).select(*pre_cols)
-                n_del = d.count()
-                if n_del:
-                    cdf_parts.append(self._align(d).withColumn(CHANGE_TYPE, F.lit("delete")))
-            if upd_actions:
+                cdf_parts.append(self._align(d).withColumn(CHANGE_TYPE, F.lit("delete")))
+            if n_upd:
                 upd_rows = acted.where(F.col("__action").isin(upd_actions))
-                n_upd = upd_rows.count()
-                if n_upd:
-                    pre = upd_rows.select(*pre_cols)
-                    post_cols = []
-                    for colname in tgt_cols:
-                        val = F.expr(f"target.`{colname}`")
-                        for i, cl in enumerate(matched_clauses):
-                            if cl.kind == "update":
-                                val = assignment_expr(cl, i, colname, val)
-                        post_cols.append(val.alias(colname))
-                    post = upd_rows.select(*post_cols)
-                    cdf_parts.append(
-                        self._align(pre).withColumn(CHANGE_TYPE, F.lit("update_preimage"))
-                    )
-                    cdf_parts.append(
-                        self._align(post).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
-                    )
-            if n_ins_df is not None:
-                n_ins = n_ins_df.count()
-                if n_ins:
-                    cdf_parts.append(
-                        self._align(n_ins_df).withColumn(CHANGE_TYPE, F.lit("insert"))
-                    )
+                pre = upd_rows.select(*pre_cols)
+                post_cols = []
+                for colname in tgt_cols:
+                    val = F.expr(f"target.`{colname}`")
+                    for i, cl in enumerate(matched_clauses):
+                        if cl.kind == "update":
+                            val = assignment_expr(cl, i, colname, val)
+                    post_cols.append(val.alias(colname))
+                post = upd_rows.select(*post_cols)
+                cdf_parts.append(
+                    self._align(pre).withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+                )
+                cdf_parts.append(
+                    self._align(post).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+                )
+            if n_ins:
+                cdf_parts.append(
+                    self._align(inserts).withColumn(CHANGE_TYPE, F.lit("insert"))
+                )
             if self.cdf_enabled() and cdf_parts:
                 cdf_all = cdf_parts[0]
                 for p in cdf_parts[1:]:
@@ -462,6 +464,8 @@ class LakeTable:
             return metrics
         finally:
             joined.unpersist()
+            if inserts is not None:
+                inserts.unpersist()
 
     # ------------------------------------------------------------- change feed
 

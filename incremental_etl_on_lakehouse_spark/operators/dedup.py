@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from incremental_etl_on_lakehouse_spark.functions import cosine_similarity
+from incremental_etl_on_lakehouse_spark.operators import spread
 from incremental_etl_on_lakehouse_spark.operators.text import (
     normalize_text,
     shingles,
@@ -57,8 +58,13 @@ def dedup_exact(
 
 
 def minhash_signature(col: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
-    """MinHash signature as array<bigint>: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i). Pure higher-order-function projection."""
+    """MinHash signature as a single column expression (array<bigint>).
+
+    NOTE: only suitable for small inputs / literals — Catalyst re-inlines the
+    shingle sub-expression into every hash lambda after projection collapse,
+    so the shingling regexes run ``num_hashes`` times per row. Use
+    :func:`minhash_signatures` (explode + groupBy) for datasets.
+    """
     sh = shingles(col, shingle_k)
     seeds = F.sequence(F.lit(1), F.lit(num_hashes))
     return F.transform(
@@ -66,6 +72,35 @@ def minhash_signature(col: Column, num_hashes: int = 64, shingle_k: int = 3) -> 
         lambda s: F.array_min(
             F.transform(sh, lambda t: F.xxhash64(t, s))
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, sig array<bigint>), computed scan-once.
+
+    Shape: project shingles once -> explode (narrow) -> ONE hash-partitioned
+    groupBy on the doc id with ``num_hashes`` unrolled ``min(xxhash64(s,
+    seed_i))`` aggregates (map-side partial agg) -> assemble the array.
+    This avoids Catalyst's projection-collapse re-inlining, which would
+    otherwise re-run the shingling regexes once per hash per row.
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    tok = base.select("id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i + 1))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = tok.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -85,10 +120,7 @@ def minhash_lsh_pairs(
     the only wide operation; the pair join happens inside buckets.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
         "id",
         "sig",
@@ -176,7 +208,7 @@ def simhash_signatures(
     scan-once, shuffle-once layout; bit positions are unrolled in Python
     because shift amounts must be literals in Catalyst.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode_outer(ws_tokens(F.col(text_col))).alias("tok"),
     )
@@ -262,11 +294,11 @@ def ngram_jaccard_pairs(
     computed by intersecting the two rows' shingle sets
     (array_intersect/array_union — JVM-side set ops).
     """
+    sigs = minhash_signatures(df, text_col, id_col, bands * rows_per_band, shingle_k)
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
-        minhash_signature(F.col(text_col), bands * rows_per_band, shingle_k).alias("sig"),
-    )
+    ).join(sigs, "id")
     banded = sh.select(
         "id",
         "sh",

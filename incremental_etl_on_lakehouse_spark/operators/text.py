@@ -148,13 +148,20 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles of normalized text as a distinct array — the unit for
-    MinHash / Jaccard near-dup detection. Built from transform/slice over the
-    token array: stays JVM-side."""
-    toks = ws_tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    MinHash / Jaccard near-dup detection. Stays JVM-side.
+
+    The token array is let-bound via a single-element ``transform`` before
+    the per-shingle lambda runs: a lambda that referenced the raw
+    ``ws_tokens`` expression would re-evaluate the normalization regexes once
+    PER SHINGLE per row (measured ~30x slowdown at sf0.1).
+    """
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.concat_ws(" ", t))).otherwise(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(ws_tokens(col)), build), 1)
