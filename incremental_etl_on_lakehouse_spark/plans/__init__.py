@@ -1,0 +1,72 @@
+"""Physical-plan introspection helpers.
+
+The engine's performance story depends on plans having the right shape —
+filters pushed into the parquet scan, small dimensions broadcast, codegen
+covering the hot expressions. These helpers make those properties assertable
+in tests and inspectable in notebooks, so a plan regression fails CI instead
+of surfacing as a 10x slowdown at deployment scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
+    """True if the scan reports pushed filters (optionally containing
+    ``fragment``)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters:" in line and "[]" not in line.split("PushedFilters:")[1][:4]:
+            if fragment is None or fragment in line:
+                return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (column pruning check)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            schema = line.split("ReadSchema:")[1].strip()
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            for part in inner.split(","):
+                name = part.split(":")[0].strip()
+                if name:
+                    cols.append(name)
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan.
+
+    Counts only the detail entries ("(N) Exchange"), not the tree echo, and
+    excludes broadcast exchanges (those are the cheap kind).
+    """
+    import re
+
+    plan = formatted_plan(df)
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen subtrees (from the codegen explain —
+    the AQE formatted plan hides codegen markers before execution)."""
+    import re
+
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
