@@ -283,7 +283,11 @@ class LakeTable:
         tgt_cols = [f.name for f in self.schema().fields]
 
         target = self.to_df().withColumn("__file", F.input_file_name()).alias("target")
-        src = source.withColumn("__s_match", F.lit(True)).alias("source")
+        # The source is evaluated by three separate jobs (touched-file probe,
+        # rewrite join, insert anti-join); persist it so any upstream work
+        # (e.g. a dedup window) runs once.
+        src_persisted = source.withColumn("__s_match", F.lit(True)).persist()
+        src = src_persisted.alias("source")
         cond = F.expr(condition)
 
         # 1. Which target files contain rows that will actually FIRE a
@@ -464,6 +468,7 @@ class LakeTable:
             return metrics
         finally:
             joined.unpersist()
+            src_persisted.unpersist()
             if inserts is not None:
                 inserts.unpersist()
 

@@ -9,7 +9,7 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
 
 from incremental_etl_on_lakehouse_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,157 @@
+"""Property-based tests for CDC merge semantics (hypothesis).
+
+Model: a random sequence of CDC records (key, ts, value, op). The expected
+snapshot is computed by a 10-line Python model (latest record per key by
+(ts, seq); absent if it's a DELETE). The engine must reproduce it:
+
+- `merge_cdc_batch` over time-ordered batches (the reference's delivery
+  assumption),
+- `merge_cdc_batch_tombstone` over ARBITRARILY ordered batches (the engine
+  extension), including duplicated batches.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.operators.cdc import (
+    live_view,
+    merge_cdc_batch,
+    merge_cdc_batch_tombstone,
+)
+
+RECORD = st.tuples(
+    st.integers(min_value=0, max_value=5),  # key
+    st.integers(min_value=0, max_value=50),  # ts
+    st.integers(min_value=0, max_value=999),  # value
+    st.sampled_from(["UPDATE", "UPDATE", "UPDATE", "DELETE"]),
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("ts", LongType()),
+        StructField("seq", LongType()),
+        StructField("value", LongType()),
+        StructField("data_hash", StringType()),
+        StructField("cdc_operation", StringType()),
+    ]
+)
+
+
+def expected_state(records):
+    """records: list of (key, ts, value, op) in sequence order."""
+    latest = {}
+    for seq, (k, ts, v, op) in enumerate(records):
+        cur = latest.get(k)
+        if cur is None or (ts, seq) > (cur[0], cur[1]):
+            latest[k] = (ts, seq, v, op)
+    return {
+        k: (ts, v)
+        for k, (ts, seq, v, op) in latest.items()
+        if op != "DELETE"
+    }
+
+
+def to_df(spark, records, seq_offset=0):
+    rows = [
+        (k, ts, seq_offset + i, v, f"h-{k}-{ts}-{v}-{op}", op)
+        for i, (k, ts, v, op) in enumerate(records)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def order_key_df(df):
+    # encode (ts, seq) as a single guard column: ts * 10^6 + seq
+    return df.withColumn("ord", (F.col("ts") * 1000000 + F.col("seq")).cast("long"))
+
+
+ORD_SCHEMA = StructType(SCHEMA.fields + [StructField("ord", LongType())])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(records=st.lists(RECORD, min_size=1, max_size=30), n_batches=st.integers(1, 3))
+def test_inorder_merge_matches_model(spark, tmp_path_factory, records, n_batches):
+    path = str(tmp_path_factory.mktemp("prop") / uuid.uuid4().hex)
+    table = LakeTable.create(spark, path, ORD_SCHEMA)
+    # time-ordered batches: sort by (ts, seq), then split contiguously
+    ordered = sorted(enumerate(records), key=lambda p: (p[1][1], p[0]))
+    chunk = max(1, len(ordered) // n_batches)
+    batches = [ordered[i : i + chunk] for i in range(0, len(ordered), chunk)]
+    for batch in batches:
+        rows = [
+            (k, ts, seq, v, f"h-{k}-{ts}-{v}-{op}", op)
+            for seq, (k, ts, v, op) in batch
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        merge_cdc_batch(
+            table,
+            order_key_df(df),
+            key_cols=["id"],
+            order_cols=["ts", "seq"],
+            order_guard_col="ord",
+        )
+    got = {
+        r["id"]: (r["ts"], r["value"]) for r in table.to_df().collect()
+    }
+    assert got == expected_state(records)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    records=st.lists(RECORD, min_size=1, max_size=24),
+    perm_seed=st.integers(0, 1000),
+)
+def test_tombstone_merge_converges_any_order(spark, tmp_path_factory, records, perm_seed):
+    import random
+
+    path = str(tmp_path_factory.mktemp("prop") / uuid.uuid4().hex)
+    table = LakeTable.create(
+        spark, path, StructType(ORD_SCHEMA.fields + [StructField("_deleted", BooleanType())])
+    )
+    indexed = list(enumerate(records))
+    rnd = random.Random(perm_seed)
+    rnd.shuffle(indexed)
+    # arbitrary batching of the shuffled sequence + one duplicated batch
+    batches = [indexed[i : i + 8] for i in range(0, len(indexed), 8)]
+    if batches:
+        batches.append(batches[0])  # re-delivery
+    for batch in batches:
+        rows = [
+            (k, ts, seq, v, f"h-{k}-{ts}-{v}-{op}", op)
+            for seq, (k, ts, v, op) in batch
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        merge_cdc_batch_tombstone(
+            table,
+            order_key_df(df),
+            key_cols=["id"],
+            order_cols=["ts", "seq"],
+            order_guard_col="ord",
+        )
+    got = {
+        r["id"]: (r["ts"], r["value"]) for r in live_view(table).collect()
+    }
+    assert got == expected_state(records)
