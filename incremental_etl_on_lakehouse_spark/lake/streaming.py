@@ -74,10 +74,11 @@ class LakeStreamReader:
         if self.mode == "cdf":
             df = self.table.read_changes(version, version)
             return df if df.limit(1).count() else None
-        if not c.add:
+        if c.operation == "COMPACT" or not c.add:
+            # compaction is physical-only: no new rows for append streams
             return None
         files = [self.table._abs(a["path"]) for a in c.add]
-        return self.table.spark.read.schema(self.table.schema()).parquet(*files)
+        return self.table._read_files(files)
 
     def process_available(
         self, fn: Callable[[DataFrame, int], None]

@@ -71,12 +71,23 @@ class LakeTable:
         schema: StructType,
         properties: dict | None = None,
         if_not_exists: bool = False,
+        partition_by: list[str] | None = None,
     ) -> "LakeTable":
+        """Create a table. ``partition_by`` columns get hive directory layout
+        — at scale, the partition key (e.g. a date) is what turns a full
+        scan into a pruned one (the reference's tables are unpartitioned;
+        SURVEY.md §4 flags this as the first 100 TB change)."""
         t = LakeTable(spark, path)
         if lakelog.read_log(t.path):
             if if_not_exists:
                 return t
             raise ValueError(f"lake table already exists at {t.path}")
+        props = dict(properties or {})
+        if partition_by:
+            missing = [c for c in partition_by if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"partition columns not in schema: {missing}")
+            props["partitionBy"] = ",".join(partition_by)
         os.makedirs(t.path, exist_ok=True)
         lakelog.write_commit(
             t.path,
@@ -85,7 +96,7 @@ class LakeTable:
                 operation="CREATE",
                 timestamp_ms=lakelog.now_ms(),
                 schema_json=schema.json(),
-                properties=properties or {},
+                properties=props,
             ),
         )
         return t
@@ -143,33 +154,79 @@ class LakeTable:
     def files(self, version: int | None = None) -> list[str]:
         return [self._abs(r) for r in lakelog.snapshot_files(self._commits(), version)]
 
+    def partition_columns(self) -> list[str]:
+        cols = self.properties().get("partitionBy", "")
+        return [c for c in cols.split(",") if c] if isinstance(cols, str) else list(cols)
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Read a set of data files with the table schema.
+
+        For partitioned tables the partition values live in the directory
+        names (hive layout); reading with ``basePath`` recovers them as
+        columns AND keeps Catalyst's partition pruning working — a filter on
+        a partition column skips whole directories at planning time.
+        """
+        schema = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        if self.partition_columns():
+            data_fields = StructType(
+                [f for f in schema.fields if f.name not in self.partition_columns()]
+            )
+            # Partition discovery requires one consistent non-partition
+            # prefix per read; each commit stages under its own
+            # data/<uuid>/ root, so group files by that root and union.
+            groups: dict[str, list[str]] = {}
+            for f in files:
+                parts = os.path.relpath(f, self.path).split(os.sep)
+                root = (
+                    os.path.join(self.path, *parts[:2])
+                    if parts[0] == DATA_DIR and len(parts) > 2
+                    else self.path
+                )
+                groups.setdefault(root, []).append(f)
+            out = None
+            for root, fs in groups.items():
+                df = self._align(
+                    self.spark.read.schema(data_fields)
+                    .option("basePath", root)
+                    .parquet(*fs)
+                )
+                out = df if out is None else out.unionByName(df)
+            return out
+        return self.spark.read.schema(schema).parquet(*files)
+
     def to_df(self, version: int | None = None) -> DataFrame:
         """Snapshot as of ``version`` (default latest) — the time-travel read.
 
         Reference: ``SELECT * FROM tbl VERSION AS OF 1``
         (``notebooks/demo-notebook.py:533-535``).
         """
-        files = self.files(version)
-        schema = self.schema()
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        return self._read_files(self.files(version))
 
     # ---------------------------------------------------------------- writes
 
     def _stage_write(self, df: DataFrame) -> tuple[list[dict], int]:
-        """Write df as parquet files under data/<uuid>/, return (adds, rows)."""
+        """Write df as parquet under data/<uuid>/ (hive-partitioned when the
+        table declares partition columns), return (adds, rows)."""
         rel_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
         out = self._abs(rel_dir)
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        if self.partition_columns():
+            writer = writer.partitionBy(*self.partition_columns())
+        writer.parquet(out)
         adds, total = [], 0
         import pyarrow.parquet as pq
 
-        for name in sorted(os.listdir(out)):
-            if name.endswith(".parquet"):
-                rows = pq.read_metadata(os.path.join(out, name)).num_rows
-                adds.append({"path": os.path.join(rel_dir, name), "rows": rows})
-                total += rows
+        for dirpath, _dirs, names in os.walk(out):
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    full = os.path.join(dirpath, name)
+                    rows = pq.read_metadata(full).num_rows
+                    adds.append(
+                        {"path": os.path.relpath(full, self.path), "rows": rows}
+                    )
+                    total += rows
         return adds, total
 
     def _align(self, df: DataFrame) -> DataFrame:
@@ -243,6 +300,38 @@ class LakeTable:
                 remove=[self._rel_of(f) for f in touched],
                 cdf_path=cdf_rel,
                 metrics={"num_touched_files": len(touched)},
+            ),
+        )
+        return v
+
+    def compact(self, target_file_rows: int = 4_000_000) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the current snapshot
+        into ~``target_file_rows``-row files. Purely physical — no logical
+        change, so no CDF rows are emitted (the COMPACT op is invisible to
+        ``read_changes``). At scale this runs per partition on a schedule to
+        absorb the small files that micro-batch merges produce."""
+        commits = self._commits()
+        removed = lakelog.snapshot_files(commits)
+        total_rows = sum(
+            a.get("rows", 0) for c in commits for a in c.add if a["path"] in set(removed)
+        )
+        n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
+        df = self.to_df().coalesce(n_files)
+        adds, rows = self._stage_write(self._align(df))
+        v = commits[-1].version + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="COMPACT",
+                timestamp_ms=lakelog.now_ms(),
+                add=adds,
+                remove=removed,
+                metrics={
+                    "num_files_before": len(removed),
+                    "num_files_after": len(adds),
+                    "num_rows": rows,
+                },
             ),
         )
         return v
@@ -492,18 +581,12 @@ class LakeTable:
             part = None
             if c.operation in ("APPEND", "CREATE", "OVERWRITE") and c.add:
                 files = [self._abs(a["path"]) for a in c.add]
-                part = (
-                    self.spark.read.schema(schema)
-                    .parquet(*files)
-                    .withColumn(CHANGE_TYPE, F.lit("insert"))
-                )
+                part = self._read_files(files).withColumn(CHANGE_TYPE, F.lit("insert"))
                 # OVERWRITE also logically deletes the removed files' rows.
             if c.operation == "OVERWRITE" and c.remove:
                 files = [self._abs(r) for r in c.remove]
-                removed = (
-                    self.spark.read.schema(schema)
-                    .parquet(*files)
-                    .withColumn(CHANGE_TYPE, F.lit("delete"))
+                removed = self._read_files(files).withColumn(
+                    CHANGE_TYPE, F.lit("delete")
                 )
                 part = removed if part is None else part.unionByName(removed)
             if c.cdf_path:

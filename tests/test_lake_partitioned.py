@@ -1,0 +1,81 @@
+"""Partitioned lake tables + compaction: layout, pruning, CDF invisibility."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark import plans
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), SCHEMA, partition_by=["day"]
+    )
+    rows = [(i, f"2024-01-{(i % 3) + 1:02d}", i * 10) for i in range(30)]
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    df = t.to_df()
+    assert df.count() == 30
+    assert set(df.columns) == {"id", "day", "v"}
+    got = {(r["id"], r["day"], r["v"]) for r in df.collect()}
+    assert got == set(rows)
+    # data files live under day=... hive dirs
+    assert any("day=2024-01-01" in f for f in t.files())
+    # partition filter prunes the scan to one directory's files
+    one_day = df.where(F.col("day") == "2024-01-01")
+    scan_plan = plans.formatted_plan(one_day)
+    assert one_day.count() == 10
+    assert "PartitionFilters" in scan_plan
+
+
+def test_partitioned_merge(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "pm"), SCHEMA, partition_by=["day"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-01-01", 1), (2, "2024-01-02", 2)], SCHEMA
+        )
+    )
+    src = spark.createDataFrame([(1, "2024-01-01", 99), (3, "2024-01-03", 3)], SCHEMA)
+    m = t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    assert m["num_updated_rows"] == 1 and m["num_inserted_rows"] == 1
+    got = {r["id"]: (r["day"], r["v"]) for r in t.to_df().collect()}
+    assert got == {1: ("2024-01-01", 99), 2: ("2024-01-02", 2), 3: ("2024-01-03", 3)}
+    # only the day=2024-01-01 file was touched
+    assert m["num_touched_files"] == 1
+
+
+def test_compaction_is_cdf_invisible(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "c"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "d", i)], SCHEMA))
+    assert len(t.files()) >= 4
+    changes_before = t.read_changes(starting_version=1).count()
+    v = t.compact()
+    assert len(t.files()) == 1
+    assert t.to_df().count() == 4
+    # no new change rows, streams see nothing new
+    assert t.read_changes(starting_version=1).count() == changes_before
+    assert t.read_changes(starting_version=v).count() == 0
+    # time travel still sees the pre-compaction snapshot
+    assert t.to_df(version=v - 1).count() == 4
