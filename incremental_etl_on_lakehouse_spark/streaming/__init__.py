@@ -1,0 +1,90 @@
+"""Structured Streaming operators beyond the reference's surface.
+
+The reference handles streams exclusively as Delta micro-batches +
+``foreachBatch`` MERGE (SURVEY.md §2.10) and explicitly has *no* watermarks,
+event-time windows, or streaming dedup. Large-scale pipelines need them, so
+this module adds the standard event-time toolkit on Spark's native streaming
+engine (state store-backed, checkpointable):
+
+- ``windowed_agg``: tumbling/sliding event-time windows with a watermark —
+  the canonical bounded-state streaming aggregation;
+- ``dedup_stream``: ``dropDuplicatesWithinWatermark`` keyed dedup (bounded
+  state, unlike the unbounded global ``dropDuplicates``);
+- ``run_to_memory``: test/debug harness executing a streaming query with
+  ``availableNow`` and returning the materialized result.
+
+State scale note: watermarks bound state to (watermark horizon / slide) x
+|keys| windows; at 100 TB/day the state store is RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) and the shuffle key is
+(key, window), uniform unless keys are skewed — salting applies as usual.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: list[Column],
+    group_cols: list[str] | None = None,
+    slide_duration: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data bound.
+
+    Returns window_start/window_end plus the aggregates; output mode
+    ``append`` emits each window once its watermark passes (exactly-once
+    per window with checkpointing).
+    """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    keys = [win.alias("w")] + [F.col(c) for c in (group_cols or [])]
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates of a key arriving
+    within the watermark horizon are dropped; state for older keys is evicted.
+    (The batch-side generalization is ``operators.dedup.dedup_exact``.)"""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def run_to_memory(stream_df: DataFrame, checkpoint: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame with trigger(availableNow) into an
+    in-memory table; returns the materialized batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex}"
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    writer.start().awaitTermination()
+    return stream_df.sparkSession.table(name)
