@@ -229,14 +229,36 @@ class LakeTable:
                     total += rows
         return adds, total
 
-    def _align(self, df: DataFrame) -> DataFrame:
-        schema = self.schema()
-        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
+        schema = schema or self.schema()
+        present = set(df.columns)
+        cols = [
+            (F.col(f.name) if f.name in present else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in schema.fields
+        ]
         return df.select(*cols)
 
-    def append(self, df: DataFrame) -> int:
-        """Transactional append; returns the new version."""
-        adds, rows = self._stage_write(self._align(df))
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Transactional append; returns the new version.
+
+        ``merge_schema=True`` widens the table schema with columns present in
+        ``df`` but not yet in the table (additive evolution — the OSS
+        equivalent of the reference's Autoloader schema hints/evolution,
+        ``notebooks/demo-notebook.py:163-166``; SURVEY.md §4). Older files
+        simply read the new columns as NULL (schema-on-read).
+        """
+        schema_json = None
+        write_schema = self.schema()
+        if merge_schema:
+            new_fields = [
+                f for f in df.schema.fields if f.name not in write_schema.fieldNames()
+            ]
+            if new_fields:
+                write_schema = StructType(write_schema.fields + new_fields)
+                schema_json = write_schema.json()
+        adds, rows = self._stage_write(self._align(df, write_schema))
         v = self.version() + 1
         lakelog.write_commit(
             self.path,
@@ -245,6 +267,7 @@ class LakeTable:
                 operation="APPEND",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
+                schema_json=schema_json,
                 metrics={"num_inserted_rows": rows},
             ),
         )

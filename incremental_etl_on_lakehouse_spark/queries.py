@@ -1276,3 +1276,53 @@ def ext_approx_distinct(spark, sf_dir):
     return spark.createDataFrame(
         [(row["exact"], bool(ok))], "exact_distinct long, approx_within_5pct boolean"
     )
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations (absent from the reference; engine-native via df API)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union",
+    "SELECT c_nationkey AS nationkey FROM customer"
+    " UNION ALL SELECT s_nationkey FROM supplier",
+)
+def setop_union(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "setop_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer"
+    " INTERSECT SELECT s_nationkey FROM supplier",
+)
+def setop_intersect(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    "SELECT n_nationkey AS nationkey FROM nation"
+    " EXCEPT SELECT s_nationkey FROM supplier",
+)
+def setop_except(spark, sf_dir):
+    n = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    # subtract == EXCEPT (distinct) — exceptAll would keep multiplicity
+    return n.subtract(s)
