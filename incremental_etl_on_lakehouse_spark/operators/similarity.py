@@ -142,6 +142,132 @@ def topk_cosine_lsh(
     )
 
 
+def _nearest_centroid(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1) -> DataFrame:
+    """Assign each row its ``n`` nearest centroids (centroids broadcast)."""
+    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_similarity(F.col(vec_col), F.col("__cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    return (
+        joined.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") <= n)
+        .drop("__cvec", "__sim", "__crank")
+    )
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mini k-means for IVF partitioning: seed centroids are
+    the ``k`` smallest ids (deterministic, no RNG), refined with Lloyd
+    iterations (assign -> elementwise mean via posexplode + groupBy).
+
+    Returns (centroid_id, __cvec). At 100 TB you fit on a sample (the
+    centroid quality barely moves past ~100k sampled rows) and broadcast the
+    result — exactly what this function produces.
+    """
+    seeds = (
+        corpus.orderBy(F.col(id_col)).limit(k)
+        .select(F.col(id_col).alias("__seed_id"), F.col(vec_col).alias("__cvec"))
+    )
+    w = Window.orderBy("__seed_id")
+    centroids = seeds.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"), "__cvec"
+    )
+    for _ in range(iterations):
+        assigned = _nearest_centroid(
+            corpus.select(id_col, vec_col), centroids, id_col, vec_col
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("__cvec"),
+            )
+        )
+        centroids = means
+    return centroids
+
+
+def topk_cosine_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    corpus_vec_col: str = "embedding",
+    exclude_self: bool = True,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid; each query
+    probes its ``n_probe`` nearest centroid buckets and exact-rescored.
+
+    Candidate volume ≈ corpus x (n_probe / n_centroids); recall grows with
+    n_probe. Same output schema as the brute-force path. The centroid fit is
+    reusable (pass ``centroids=``) — at scale it's fit once on a sample and
+    shared by every query batch.
+    """
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            corpus, k=n_centroids, id_col=corpus_id_col, vec_col=corpus_vec_col
+        )
+    c = _nearest_centroid(
+        corpus.select(
+            F.col(corpus_id_col).alias("corpus_id"), F.col(corpus_vec_col).alias("__cv")
+        ),
+        centroids,
+        "corpus_id",
+        "__cv",
+    )
+    q = _nearest_centroid(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qv")
+        ),
+        centroids,
+        "query_id",
+        "__qv",
+        n=n_probe,
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine_sim", "rank")
+    )
+
+
 def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize an embedding column (pre-normalized corpora turn cosine
     into a plain dot product — cheaper at query time)."""

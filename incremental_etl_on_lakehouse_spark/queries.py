@@ -1326,3 +1326,11 @@ def setop_except(spark, sf_dir):
     )
     # subtract == EXCEPT (distinct) — exceptAll would keep multiplicity
     return n.subtract(s)
+
+
+@query("ext_sim_ivf")  # approximate (centroid-dependent); rows-only check
+def ext_sim_ivf(spark, sf_dir):
+    """IVF approximate top-k: deterministic mini-kmeans bucketing + probe."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    queries = embs.where("vec_id < 5")
+    return SIM.topk_cosine_ivf(queries, embs, k=10, n_centroids=8, n_probe=3)

@@ -194,3 +194,26 @@ def test_multimodal_plumbing(spark):
     # the real-codec stub surfaces through Spark as a PythonException
     with pytest.raises(Exception, match="real image decoding"):
         multimodal.extract_features(df, decoder=multimodal.real_image_decoder).collect()
+
+
+def test_topk_ivf_recall_and_shape(spark, embs):
+    queries = embs.where("vec_id < 10")
+    exact = similarity.topk_cosine_bruteforce(queries, embs, k=3)
+    approx = similarity.topk_cosine_ivf(
+        queries, embs, k=3, n_centroids=8, n_probe=4
+    )
+    rows = approx.collect()
+    assert {r["query_id"] for r in rows} == set(range(10))
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # determinism: same fit, same result
+    again = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.topk_cosine_ivf(
+            queries, embs, k=3, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert a == again
