@@ -44,6 +44,10 @@ def main() -> None:
     from incremental_etl_on_lakehouse_spark.session import get_spark
 
     spark = get_spark("bench")
+    # warm up the JVM/codegen paths so the first timed query isn't charged
+    # for session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     sf = None
     for tok in SF_DIR.rstrip("/").split("/"):
         if tok.startswith("sf"):

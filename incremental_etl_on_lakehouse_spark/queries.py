@@ -1334,3 +1334,96 @@ def ext_sim_ivf(spark, sf_dir):
     embs = load_table(spark, "embeddings", sf_dir)
     queries = embs.where("vec_id < 5")
     return SIM.topk_cosine_ivf(queries, embs, k=10, n_centroids=8, n_probe=3)
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: semi/anti joins, rollup, analytic windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+)
+def join_semi(spark, sf_dir):
+    """Left semi join: customers having at least one big order."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_anti(spark, sf_dir):
+    """Left anti join: customers with no orders at all."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "agg_rollup",
+    "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers"
+    " FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY ROLLUP (r_name, n_name)",
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (region -> nation -> grand total)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "win_lag",
+    "SELECT event_id, user_id,"
+    " CAST(round(value * 100) AS BIGINT) - lag(CAST(round(value * 100) AS BIGINT), 1, NULL)"
+    "  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents"
+    " FROM events",
+)
+def win_lag(spark, sf_dir):
+    """Analytic lag: per-user delta vs the previous event (exact cents)."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (cents - F.lag(cents, 1).over(w)).alias("delta_cents"),
+    )
+
+
+@query(
+    "win_running_sum",
+    "SELECT event_id, user_id,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents"
+    " FROM events",
+)
+def win_running_sum(spark, sf_dir):
+    """Frame-spec window: per-user running total (rowsBetween)."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("running_cents")
+    )
