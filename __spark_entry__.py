@@ -15,24 +15,38 @@ from pyspark.sql import DataFrame, SparkSession
 from incremental_etl_on_lakehouse_spark.queries import ORACLES, QUERIES
 
 
+def _configure(spark: SparkSession) -> None:
+    """Session settings the queries rely on, applied to whatever session the
+    driver hands us (all are runtime-settable):
+
+    - UTC timezone: the epoch-ms conversions in the oracles assume it;
+    - ``nanosAsLong``: ``events.parquet`` stores TIMESTAMP(NANOS), which OSS
+      Spark refuses to read natively — the loader converts the resulting
+      epoch-nanos BIGINT back to a microsecond timestamp;
+    - AQE on, matching the engine's own session factory.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _configure(spark)
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
-    def with_utc(fn):
+    def with_conf(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # timestamp -> epoch-ms conversions assume a UTC session
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _configure(spark)
             return fn(spark, sf_dir)
 
         return run
 
-    return {name: with_utc(fn) for name, fn in QUERIES.items()}
+    return {name: with_conf(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
