@@ -38,6 +38,21 @@ COMMIT_VERSION = "_commit_version"
 COMMIT_TIMESTAMP = "_commit_timestamp"
 
 
+def _json_safe(v):
+    """Restrict file stats to JSON-comparable scalars; anything else is
+    dropped (None = no stat = conservatively kept by data skipping)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
 @dataclass
 class MergeClause:
     """One WHEN clause of a MERGE, in declaration order.
@@ -206,9 +221,19 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
 
+    def stats_columns(self) -> list[str]:
+        """Columns whose per-file min/max go into the commit log (for data
+        skipping). Set via the ``statsColumns`` table property, e.g. the
+        merge key — Delta keeps stats for the first 32 columns; we keep them
+        opt-in and explicit."""
+        cols = self.properties().get("statsColumns", "")
+        return [c for c in cols.split(",") if c] if isinstance(cols, str) else list(cols)
+
     def _stage_write(self, df: DataFrame) -> tuple[list[dict], int]:
         """Write df as parquet under data/<uuid>/ (hive-partitioned when the
-        table declares partition columns), return (adds, rows)."""
+        table declares partition columns), return (adds, rows). Per-file
+        min/max stats for ``stats_columns()`` are read from the parquet
+        footers (no data scan) and recorded in the add entries."""
         rel_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
         out = self._abs(rel_dir)
         writer = df.write.mode("overwrite")
@@ -218,16 +243,72 @@ class LakeTable:
         adds, total = [], 0
         import pyarrow.parquet as pq
 
+        stat_cols = set(self.stats_columns())
         for dirpath, _dirs, names in os.walk(out):
             for name in sorted(names):
                 if name.endswith(".parquet"):
                     full = os.path.join(dirpath, name)
-                    rows = pq.read_metadata(full).num_rows
-                    adds.append(
-                        {"path": os.path.relpath(full, self.path), "rows": rows}
-                    )
-                    total += rows
+                    meta = pq.read_metadata(full)
+                    add = {
+                        "path": os.path.relpath(full, self.path),
+                        "rows": meta.num_rows,
+                    }
+                    if stat_cols:
+                        stats: dict[str, list] = {}
+                        schema_names = meta.schema.names
+                        for rg in range(meta.num_row_groups):
+                            group = meta.row_group(rg)
+                            for ci in range(group.num_columns):
+                                col = group.column(ci)
+                                cname = schema_names[ci] if ci < len(schema_names) else col.path_in_schema
+                                if cname in stat_cols and col.statistics is not None:
+                                    s = col.statistics
+                                    if s.has_min_max:
+                                        cur = stats.get(cname)
+                                        mn, mx = s.min, s.max
+                                        if cur:
+                                            mn = min(cur[0], mn)
+                                            mx = max(cur[1], mx)
+                                        stats[cname] = [mn, mx]
+                        if stats:
+                            add["stats"] = {
+                                k: [_json_safe(v[0]), _json_safe(v[1])]
+                                for k, v in stats.items()
+                            }
+                    adds.append(add)
+                    total += meta.num_rows
         return adds, total
+
+    def files_matching(
+        self, ranges: dict[str, tuple] | None = None, version: int | None = None
+    ) -> list[str]:
+        """Data-skipping file listing: keep only active files whose recorded
+        min/max overlap the given per-column (lo, hi) ranges. Files without
+        stats are conservatively kept. This is the Delta-style skip that
+        turns a 100 TB merge probe into a scan of just the key-overlapping
+        files."""
+        commits = self._commits()
+        add_meta: dict[str, dict] = {}
+        for c in commits:
+            if version is not None and c.version > version:
+                break
+            for a in c.add:
+                add_meta[a["path"]] = a
+        out = []
+        for rel in lakelog.snapshot_files(commits, version):
+            keep = True
+            stats = (add_meta.get(rel) or {}).get("stats") or {}
+            for colname, (lo, hi) in (ranges or {}).items():
+                if colname in stats:
+                    mn, mx = stats[colname]
+                    if (hi is not None and mn is not None and mn > hi) or (
+                        lo is not None and mx is not None and mx < lo
+                    ):
+                        keep = False
+                        break
+            if keep:
+                out.append(self._abs(rel))
+        return out
 
     def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
         schema = schema or self.schema()
@@ -379,6 +460,7 @@ class LakeTable:
         source: DataFrame,
         condition: str,
         clauses: list[MergeClause],
+        stats_prune: dict[str, str] | None = None,
     ) -> dict:
         """Delta-style MERGE: join source vs target on ``condition``; apply the
         first matching WHEN clause per row. Rewrites only data files containing
@@ -394,13 +476,40 @@ class LakeTable:
         insert_clauses = [c for c in clauses if c.kind == "insert"]
         tgt_cols = [f.name for f in self.schema().fields]
 
-        target = self.to_df().withColumn("__file", F.input_file_name()).alias("target")
-        # The source is evaluated by three separate jobs (touched-file probe,
-        # rewrite join, insert anti-join); persist it so any upstream work
-        # (e.g. a dedup window) runs once.
+        # The source is evaluated by several jobs (bounds, touched-file
+        # probe, rewrite join, insert anti-join); persist it so any upstream
+        # work (e.g. a dedup window) runs once.
         src_persisted = source.withColumn("__s_match", F.lit(True)).persist()
         src = src_persisted.alias("source")
         cond = F.expr(condition)
+
+        # Data skipping: when the merge keys have file stats, restrict the
+        # target read to files whose key range overlaps the batch's. Rows in
+        # skipped files cannot match any source row (equi-key), so every
+        # downstream join — probe, rewrite, anti-join — is unaffected.
+        target_df = None
+        prune_map = {
+            t: s for t, s in (stats_prune or {}).items() if t in self.stats_columns()
+        }
+        if prune_map:
+            bounds_row = src_persisted.agg(
+                *[
+                    f
+                    for scol in prune_map.values()
+                    for f in (F.min(scol).alias(f"__mn_{scol}"), F.max(scol).alias(f"__mx_{scol}"))
+                ]
+            ).collect()[0]
+            ranges = {
+                tcol: (
+                    _json_safe(bounds_row[f"__mn_{scol}"]),
+                    _json_safe(bounds_row[f"__mx_{scol}"]),
+                )
+                for tcol, scol in prune_map.items()
+            }
+            target_df = self._read_files(self.files_matching(ranges))
+        if target_df is None:
+            target_df = self.to_df()
+        target = target_df.withColumn("__file", F.input_file_name()).alias("target")
 
         # 1. Which target files contain rows that will actually FIRE a
         #    matched clause? (file-level pruning). Including the clause
@@ -470,8 +579,9 @@ class LakeTable:
 
             survivors = acted.where(~F.col("__action").startswith("delete")).select(*out_cols)
 
-            # 3. Inserts: source rows matching no target row at all.
-            unmatched = src.join(self.to_df().alias("target"), cond, "left_anti")
+            # 3. Inserts: source rows matching no target row at all (rows in
+            #    stat-pruned files can't match, so the pruned target suffices).
+            unmatched = src.join(target_df.alias("target"), cond, "left_anti")
             inserts = None
             ins_parts = []
             remaining = unmatched

@@ -104,7 +104,11 @@ def merge_cdc_batch(
         ),
         MergeClause("insert", f"source.`{op_col}` <> '{delete_op}'", "*"),
     ]
-    return table.merge(deduped, cond, clauses)
+    # file-stats skipping on the merge keys (active when the table declares
+    # them in its statsColumns property)
+    return table.merge(
+        deduped, cond, clauses, stats_prune={k: k for k in key_cols}
+    )
 
 
 def merge_cdc_batch_tombstone(

@@ -131,7 +131,7 @@ class MedallionPipeline:
             self.spark,
             self.silver_path,
             SILVER_SCHEMA,
-            properties={"enableChangeDataFeed": "true"},
+            properties={"enableChangeDataFeed": "true", "statsColumns": "id"},
             if_not_exists=True,
         )
         LakeTable.create(self.spark, self.gold_path, GOLD_SCHEMA, if_not_exists=True)

@@ -127,7 +127,10 @@ def _run_cdc_silver(spark: SparkSession, sf_dir: str) -> LakeTable:
     """Create a throwaway Silver lake table and merge both CDC batches."""
     path = os.path.join(_tmpdir(), "silver")
     silver = LakeTable.create(
-        spark, path, SILVER_SCHEMA, properties={"enableChangeDataFeed": "true"}
+        spark,
+        path,
+        SILVER_SCHEMA,
+        properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
     )
     for batch in _cdc_batches(spark, sf_dir):
         merge_cdc_batch(
@@ -650,7 +653,7 @@ def agg_incremental_cdf(spark, sf_dir):
         spark,
         os.path.join(root, "silver"),
         SILVER_SCHEMA,
-        properties={"enableChangeDataFeed": "true"},
+        properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
     )
     gold = LakeTable.create(spark, os.path.join(root, "gold"), GOLD_SCHEMA)
     reader = LakeStreamReader(

@@ -79,3 +79,39 @@ def test_compaction_is_cdf_invisible(spark, tmp_path):
     assert t.read_changes(starting_version=v).count() == 0
     # time travel still sees the pre-compaction snapshot
     assert t.to_df(version=v - 1).count() == 4
+
+
+def test_stats_data_skipping(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "s"),
+        SCHEMA,
+        properties={"statsColumns": "id"},
+    )
+    # three appends with disjoint id ranges -> three files with known stats
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, "d", i) for i in range(10)], SCHEMA
+            ).coalesce(1)
+        )
+    assert len(t.files()) == 3
+    # range query skips non-overlapping files
+    assert len(t.files_matching({"id": (100, 105)})) == 1
+    assert len(t.files_matching({"id": (0, 300)})) == 3
+    assert len(t.files_matching({"id": (500, 600)})) == 0
+
+    # merge with stats pruning touches only the overlapping file
+    src = spark.createDataFrame([(101, "d", 999)], SCHEMA)
+    m = t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+        stats_prune={"id": "id"},
+    )
+    assert m["num_updated_rows"] == 1
+    assert m["num_touched_files"] == 1
+    got = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert got[101] == 999 and len(got) == 30
+    # stats recorded for rewritten files too
+    assert len(t.files_matching({"id": (200, 300)})) >= 1
