@@ -83,17 +83,19 @@ SILVER_SCHEMA = _fields(
     ]
 )
 GOLD_SCHEMA = _fields([("country", _S), ("sum_visitors", _L)])
+QUARANTINE_SCHEMA = _fields(
+    [("_corrupt_record", _S), ("file_name", _S), ("insert_timestamp", _T)]
+)
 
 BUSINESS_COLS = ["id", "country", "district", "visit_timestamp", "num_visitors"]
 
 
 def augment_bronze(df: DataFrame) -> DataFrame:
     """Bronze derived columns (``notebooks/demo-notebook.py:168-170``)."""
-    return (
-        df.withColumn("data_hash", data_hash(*BUSINESS_COLS))
-        .withColumn("file_name", F.input_file_name())
-        .withColumn("insert_timestamp", F.current_timestamp())
-    )
+    out = df.withColumn("data_hash", data_hash(*BUSINESS_COLS))
+    if "file_name" not in out.columns:
+        out = out.withColumn("file_name", F.input_file_name())
+    return out.withColumn("insert_timestamp", F.current_timestamp())
 
 
 def silver_projection(bronze_batch: DataFrame) -> DataFrame:
@@ -121,6 +123,7 @@ class MedallionPipeline:
         self.bronze_path = os.path.join(root, "bronze")
         self.silver_path = os.path.join(root, "silver")
         self.gold_path = os.path.join(root, "gold")
+        self.quarantine_path = os.path.join(root, "quarantine")
         self.checkpoints = os.path.join(root, "_checkpoints")
 
     # ------------------------------------------------------------------ DDL
@@ -135,10 +138,17 @@ class MedallionPipeline:
             if_not_exists=True,
         )
         LakeTable.create(self.spark, self.gold_path, GOLD_SCHEMA, if_not_exists=True)
+        LakeTable.create(
+            self.spark, self.quarantine_path, QUARANTINE_SCHEMA, if_not_exists=True
+        )
 
     @property
     def bronze(self) -> LakeTable:
         return LakeTable(self.spark, self.bronze_path)
+
+    @property
+    def quarantine(self) -> LakeTable:
+        return LakeTable(self.spark, self.quarantine_path)
 
     @property
     def silver(self) -> LakeTable:
@@ -154,14 +164,38 @@ class MedallionPipeline:
         """Landing JSON -> Bronze via real Structured Streaming: file source
         paced at 1 file/micro-batch, ``foreachBatch`` append sink, Spark
         checkpoint for exactly-once file tracking
-        (``notebooks/demo-notebook.py:158-173``)."""
-        stream = read_json_stream(self.spark, self.landing_path, CDC_LOG_SCHEMA)
+        (``notebooks/demo-notebook.py:158-173``). Malformed records are
+        captured to the quarantine table instead of flowing on as all-null
+        rows (OSS analogue of Autoloader's rescued-data column)."""
+        stream = read_json_stream(
+            self.spark, self.landing_path, CDC_LOG_SCHEMA, corrupt_col="_corrupt_record"
+        )
         bronze = self.bronze
+        quarantine = self.quarantine
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            bronze.append(augment_bronze(batch_df))
+            # input_file_name() must be captured before persist: cached rows
+            # no longer carry scan-time file provenance
+            batch_df = batch_df.withColumn("file_name", F.input_file_name()).persist()
+            try:
+                bad = batch_df.where(F.col("_corrupt_record").isNotNull())
+                if not bad.isEmpty():
+                    quarantine.append(
+                        bad.select(
+                            "_corrupt_record",
+                            "file_name",
+                            F.current_timestamp().alias("insert_timestamp"),
+                        )
+                    )
+                good = batch_df.where(F.col("_corrupt_record").isNull()).drop(
+                    "_corrupt_record"
+                )
+                if not good.isEmpty():
+                    bronze.append(augment_bronze(good))
+            finally:
+                batch_df.unpersist()
 
         (
             stream.writeStream.foreachBatch(sink)

@@ -76,14 +76,26 @@ def read_json_stream(
     max_files_per_trigger: int = 1,
     multiline: bool = True,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Streaming JSON file source, 1 file per micro-batch by default
     (the reference's ``cloudFiles.maxFilesPerTrigger=1``,
-    ``notebooks/demo-notebook.py:161``)."""
+    ``notebooks/demo-notebook.py:161``).
+
+    ``corrupt_col`` enables quarantine capture: malformed records surface
+    with the raw text in that column instead of silently becoming all-null
+    rows (the OSS analogue of Autoloader's rescued-data column).
+    """
+    if corrupt_col and corrupt_col not in schema.fieldNames():
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(schema.fields + [StructField(corrupt_col, StringType())])
     reader: DataStreamReader = (
         spark.readStream.schema(schema)
         .option("multiLine", str(multiline).lower())
         .option("timestampFormat", timestamp_format)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
     )
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return reader.json(path)

@@ -162,3 +162,17 @@ def test_silver_utc_projection(pipeline):
     # Europe/Paris is UTC+1 in January -> utc = visit - 1h (reference :253)
     delta = row["visit_timestamp"] - row["utc_visit_timestamp"]
     assert delta.total_seconds() == 3600
+
+
+def test_malformed_records_quarantined(pipeline):
+    p, landing = pipeline
+    write_cdc_file(landing / "cdc_1.json", FILE1)
+    (landing / "broken.json").write_text("{this is not json")
+    p.run_available()
+    # pipeline unaffected by the bad file
+    assert silver_state(p) == {7: 934, 10: 500, 20: 600, 298: 994}
+    assert p.bronze.to_df().where("id is null").count() == 0
+    quarantined = p.quarantine.to_df().collect()
+    assert len(quarantined) == 1
+    assert "not json" in quarantined[0]["_corrupt_record"]
+    assert "broken.json" in quarantined[0]["file_name"]
