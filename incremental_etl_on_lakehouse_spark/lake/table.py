@@ -408,19 +408,33 @@ class LakeTable:
         )
         return v
 
-    def compact(self, target_file_rows: int = 4_000_000) -> int:
+    def compact(
+        self, target_file_rows: int = 4_000_000, cluster_by: list[str] | None = None
+    ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current snapshot
         into ~``target_file_rows``-row files. Purely physical — no logical
         change, so no CDF rows are emitted (the COMPACT op is invisible to
         ``read_changes``). At scale this runs per partition on a schedule to
-        absorb the small files that micro-batch merges produce."""
+        absorb the small files that micro-batch merges produce.
+
+        ``cluster_by`` range-partitions and sorts the rewrite on the given
+        columns (Z-order-lite for one dimension): resulting files carry
+        tight, disjoint min/max stats, so ``files_matching``/merge pruning
+        skips all but the overlapping file(s).
+        """
         commits = self._commits()
         removed = lakelog.snapshot_files(commits)
         total_rows = sum(
             a.get("rows", 0) for c in commits for a in c.add if a["path"] in set(removed)
         )
         n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
-        df = self.to_df().coalesce(n_files)
+        df = self.to_df()
+        if cluster_by:
+            df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(n_files)
         adds, rows = self._stage_write(self._align(df))
         v = commits[-1].version + 1
         lakelog.write_commit(

@@ -1430,3 +1430,34 @@ def win_running_sum(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", F.sum(cents).over(w).alias("running_cents")
     )
+
+
+@query(
+    "fn_json_extract",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value FROM events",
+)
+def fn_json_extract(spark, sf_dir):
+    """JSON scalar extraction from a string column (engine extension: the
+    reference only parses JSON at the source reader; semi-structured props
+    columns need in-query extraction)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@query(
+    "sql_interface",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+def sql_interface(spark, sf_dir):
+    """Plain-SQL entry point over registered views (the reference's %sql
+    cells with ${db.x} parameterization, notebooks/demo-notebook.py:184-195).
+    """
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )

@@ -115,3 +115,25 @@ def test_stats_data_skipping(spark, tmp_path):
     assert got[101] == 999 and len(got) == 30
     # stats recorded for rewritten files too
     assert len(t.files_matching({"id": (200, 300)})) >= 1
+
+
+def test_clustered_compaction_tightens_stats(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "z"),
+        SCHEMA,
+        properties={"statsColumns": "id"},
+    )
+    # interleaved appends: every file spans nearly the whole id range
+    for start in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i, "d", i) for i in range(start, 300, 3)], SCHEMA
+            ).coalesce(1)
+        )
+    assert len(t.files_matching({"id": (10, 20)})) == 3  # no skipping possible
+    t.compact(target_file_rows=100, cluster_by=["id"])
+    assert len(t.files()) == 3
+    assert t.to_df().count() == 300
+    # disjoint ranges after clustering: narrow range hits exactly one file
+    assert len(t.files_matching({"id": (10, 20)})) == 1
