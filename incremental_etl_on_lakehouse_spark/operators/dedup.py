@@ -145,7 +145,19 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    # estimate similarity BEFORE deduplicating candidate pairs: the dedup
+    # shuffle then carries 3 scalar columns instead of two 64-element
+    # signature arrays per row
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -155,24 +167,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(est, 6).alias("jaccard_sim"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_hashes))
-    )
-    return (
-        cand.withColumn("jaccard_sim", est)
         .where(F.col("jaccard_sim") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
