@@ -502,9 +502,12 @@ class LakeTable:
         # skipped files cannot match any source row (equi-key), so every
         # downstream join — probe, rewrite, anti-join — is unaffected.
         target_df = None
+        target_empty = not self.files()
         prune_map = {
             t: s for t, s in (stats_prune or {}).items() if t in self.stats_columns()
         }
+        if target_empty:
+            prune_map = {}  # nothing to prune; skip the bounds job
         if prune_map:
             bounds_row = src_persisted.agg(
                 *[
@@ -530,7 +533,7 @@ class LakeTable:
         #    conditions here — not just the ON condition — is what makes a
         #    re-delivered duplicate batch touch zero files (the reference's
         #    no-op-update elimination, notebooks/demo-notebook.py:276).
-        if matched_clauses:
+        if matched_clauses and not target_empty:
             fire = None
             for cl in matched_clauses:
                 c = F.expr(cl.condition) if cl.condition is not None else F.lit(True)

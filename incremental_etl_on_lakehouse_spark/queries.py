@@ -1461,3 +1461,39 @@ def sql_interface(spark, sf_dir):
     return spark.sql(
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     )
+
+
+@query(
+    "agg_percentile",
+    "SELECT event_type,"
+    " round(quantile_cont(value, 0.5), 6) AS p50,"
+    " round(quantile_cont(value, 0.95), 6) AS p95"
+    " FROM events GROUP BY event_type",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (profiling staple)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+@query(
+    "agg_filtered",
+    "SELECT user_id,"
+    " CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,"
+    " CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS BIGINT)"
+    "  AS purchase_cents"
+    " FROM events GROUP BY user_id",
+)
+def agg_filtered(spark, sf_dir):
+    """FILTER-clause aggregates: several conditional metrics in one pass."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("purchase_cents"),
+    )
