@@ -78,7 +78,7 @@ def read_log(table_path: str) -> list[Commit]:
         return []
     commits = []
     for name in sorted(os.listdir(d)):
-        if name.endswith(".json"):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
             with open(os.path.join(d, name)) as f:
                 commits.append(Commit.from_json(f.read()))
     return commits
@@ -102,6 +102,7 @@ def write_commit(table_path: str, commit: Commit) -> None:
         os.link(tmp, target)
     finally:
         os.unlink(tmp)
+    maybe_write_checkpoint(table_path, commit.version)
 
 
 def snapshot_files(commits: list[Commit], version: int | None = None) -> list[str]:
@@ -115,6 +116,87 @@ def snapshot_files(commits: list[Commit], version: int | None = None) -> list[st
         for r in c.remove:
             active.pop(r, None)
     return list(active.keys())
+
+
+# --------------------------------------------------------------------------
+# Log checkpoints: every CHECKPOINT_INTERVAL commits, the full table state
+# (active files + schema + properties) is rolled up into one file, so state
+# reconstruction reads checkpoint + tail instead of every commit since
+# version 0 — the same mechanism as Delta's _delta_log checkpoints. Commit
+# files are never deleted (time travel / change feed still read them).
+# --------------------------------------------------------------------------
+
+CHECKPOINT_INTERVAL = 20
+
+
+def _checkpoint_file(table_path: str, version: int) -> str:
+    return os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.json")
+
+
+def list_versions(table_path: str) -> tuple[list[int], list[int]]:
+    """(commit versions, checkpoint versions), each sorted ascending."""
+    d = log_dir(table_path)
+    if not os.path.isdir(d):
+        return [], []
+    commits, ckpts = [], []
+    for name in os.listdir(d):
+        if name.endswith(".checkpoint.json"):
+            ckpts.append(int(name.split(".")[0]))
+        elif name.endswith(".json") and not name.endswith(".tmp"):
+            stem = name.split(".")[0]
+            if stem.isdigit():
+                commits.append(int(stem))
+    return sorted(commits), sorted(ckpts)
+
+
+def read_commit(table_path: str, version: int) -> Commit:
+    with open(_commit_file(table_path, version)) as f:
+        return Commit.from_json(f.read())
+
+
+def table_state(table_path: str, version: int | None = None) -> dict | None:
+    """Reconstruct {version, active: {path: add-entry}, schema_json,
+    properties} as of ``version`` from the nearest checkpoint plus the
+    commit tail. Returns None for a non-table path."""
+    commit_vs, ckpt_vs = list_versions(table_path)
+    if not commit_vs:
+        return None
+    target = version if version is not None else commit_vs[-1]
+    state = {"version": -1, "active": {}, "schema_json": None, "properties": {}}
+    usable = [v for v in ckpt_vs if v <= target]
+    if usable:
+        with open(_checkpoint_file(table_path, usable[-1])) as f:
+            state = json.load(f)
+    for v in commit_vs:
+        if v <= state["version"] or v > target:
+            continue
+        c = read_commit(table_path, v)
+        for a in c.add:
+            state["active"][a["path"]] = a
+        for r in c.remove:
+            state["active"].pop(r, None)
+        if c.schema_json:
+            state["schema_json"] = c.schema_json
+        state["properties"].update(c.properties)
+        state["version"] = v
+    return state
+
+
+def maybe_write_checkpoint(table_path: str, version: int) -> None:
+    """Roll up a checkpoint after every CHECKPOINT_INTERVAL-th commit."""
+    if version == 0 or version % CHECKPOINT_INTERVAL != 0:
+        return
+    state = table_state(table_path, version)
+    target = _checkpoint_file(table_path, version)
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(tmp)
 
 
 def now_ms() -> int:

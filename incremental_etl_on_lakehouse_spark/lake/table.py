@@ -127,25 +127,33 @@ class LakeTable:
             shutil.rmtree(p)
 
     def _commits(self) -> list[Commit]:
+        """Full commit history — audit paths only (history/change feed);
+        state reconstruction goes through the checkpointed ``_state``."""
         commits = lakelog.read_log(self.path)
         if not commits:
             raise ValueError(f"not a lake table: {self.path}")
         return commits
 
+    def _state(self, version: int | None = None) -> dict:
+        state = lakelog.table_state(self.path, version)
+        if state is None:
+            raise ValueError(f"not a lake table: {self.path}")
+        return state
+
     def version(self) -> int:
-        return self._commits()[-1].version
+        commit_vs, _ = lakelog.list_versions(self.path)
+        if not commit_vs:
+            raise ValueError(f"not a lake table: {self.path}")
+        return commit_vs[-1]
 
     def schema(self) -> StructType:
-        for c in reversed(self._commits()):
-            if c.schema_json:
-                return StructType.fromJson(__import__("json").loads(c.schema_json))
-        raise ValueError("no schema recorded")
+        schema_json = self._state()["schema_json"]
+        if not schema_json:
+            raise ValueError("no schema recorded")
+        return StructType.fromJson(__import__("json").loads(schema_json))
 
     def properties(self) -> dict:
-        props: dict = {}
-        for c in self._commits():
-            props.update(c.properties)
-        return props
+        return dict(self._state()["properties"])
 
     def cdf_enabled(self) -> bool:
         return str(self.properties().get("enableChangeDataFeed", "false")).lower() == "true"
@@ -167,7 +175,7 @@ class LakeTable:
         return os.path.join(self.path, rel)
 
     def files(self, version: int | None = None) -> list[str]:
-        return [self._abs(r) for r in lakelog.snapshot_files(self._commits(), version)]
+        return [self._abs(r) for r in self._state(version)["active"]]
 
     def partition_columns(self) -> list[str]:
         cols = self.properties().get("partitionBy", "")
@@ -287,17 +295,11 @@ class LakeTable:
         stats are conservatively kept. This is the Delta-style skip that
         turns a 100 TB merge probe into a scan of just the key-overlapping
         files."""
-        commits = self._commits()
-        add_meta: dict[str, dict] = {}
-        for c in commits:
-            if version is not None and c.version > version:
-                break
-            for a in c.add:
-                add_meta[a["path"]] = a
+        active = self._state(version)["active"]
         out = []
-        for rel in lakelog.snapshot_files(commits, version):
+        for rel, add in active.items():
             keep = True
-            stats = (add_meta.get(rel) or {}).get("stats") or {}
+            stats = add.get("stats") or {}
             for colname, (lo, hi) in (ranges or {}).items():
                 if colname in stats:
                     mn, mx = stats[colname]
