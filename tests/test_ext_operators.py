@@ -217,3 +217,30 @@ def test_topk_ivf_recall_and_shape(spark, embs):
         ).collect()
     }
     assert a == again
+
+
+def test_binary_file_source(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.sources.binary_source import (
+        read_binary_dir,
+        to_media_df,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(bytes([0x89, 0x50, 0x4E, 0x47]) + b"x" * 50)
+    (d / "b.wav").write_bytes(b"RIFF" + b"y" * 30)
+    (d / "notes.txt").write_text("not media")
+
+    raw = read_binary_dir(spark, str(d))
+    assert raw.count() == 3
+    only_png = read_binary_dir(spark, str(d), glob="*.png")
+    assert only_png.count() == 1
+
+    media = to_media_df(raw)
+    got = {r["file_name"]: (r["sniffed_format"], r["n_bytes"]) for r in media.collect()}
+    assert got["a.png"] == ("png", 54)
+    assert got["b.wav"] == ("riff-wav", 34)
+    assert got["notes.txt"][0] == "unknown"
+    # stable ids from path hash
+    again = {r["file_name"]: r["media_id"] for r in to_media_df(raw).collect()}
+    assert {r["file_name"]: r["media_id"] for r in media.collect()} == again
