@@ -1497,3 +1497,55 @@ def agg_filtered(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
         F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("purchase_cents"),
     )
+
+
+@query("stream_window_agg")  # watermark emission semantics: no SQL oracle
+def stream_window_agg(spark, sf_dir):
+    """Event-time tumbling-window aggregation with watermark over a real
+    Structured Streaming source (engine extension beyond the reference's
+    foreachBatch-only streaming; see streaming/__init__.py)."""
+    from incremental_etl_on_lakehouse_spark.streaming import run_to_memory, windowed_agg
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        "value",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    for half in (0, 1):
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(land, f"f{half}"))
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_cols=["event_type"],
+        watermark="1 hour",
+    )
+    got = run_to_memory(out, os.path.join(_tmpdir(), "ck"))
+    return got.select(
+        MS("window_start").alias("window_start_ms"), "event_type", "n", "sum_value"
+    )
