@@ -631,13 +631,26 @@ class LakeTable:
             if inserts is not None:
                 inserts = inserts.persist()
 
-            # One aggregation job yields every per-action row count (instead
-            # of one count job per clause kind).
-            action_counts: dict[str, int] = {
-                r["__action"]: r["count"]
-                for r in acted.groupBy("__action").count().collect()
-            } if touched else {}
-            n_ins = inserts.count() if inserts is not None else 0
+            # One aggregation job yields every per-action row count AND the
+            # insert count (instead of one count job per clause kind plus a
+            # separate inserts.count()).
+            counts_parts = []
+            if touched:
+                counts_parts.append(acted.select(F.col("__action")))
+            if inserts is not None:
+                counts_parts.append(
+                    inserts.select(F.lit("__insert__").alias("__action"))
+                )
+            action_counts: dict[str, int] = {}
+            if counts_parts:
+                all_actions = counts_parts[0]
+                for p in counts_parts[1:]:
+                    all_actions = all_actions.unionByName(p)
+                action_counts = {
+                    r["__action"]: r["count"]
+                    for r in all_actions.groupBy("__action").count().collect()
+                }
+            n_ins = action_counts.get("__insert__", 0)
             del_actions = [f"delete{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "delete"]
             upd_actions = [f"update{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "update"]
             n_del = sum(action_counts.get(a, 0) for a in del_actions)

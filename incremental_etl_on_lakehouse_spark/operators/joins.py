@@ -1,0 +1,191 @@
+"""Specialized join operators the reference lacks but a lakehouse engine needs.
+
+The reference exercises only equi-joins (SURVEY.md §2.3 — right-outer
+validation join `notebooks/demo-notebook.py:527-538` and the MERGE key join
+`:269,418`). Time-series and skewed workloads at 100 TB need three more
+shapes, each implemented here with an explicitly scalable plan:
+
+- ``asof_join``: for every left row, the most recent right row at-or-before
+  its timestamp (per key). Implemented as union + ordered window with
+  ``last(..., ignorenulls)`` — ONE shuffle on the key, no range cross
+  product, same cost envelope as a sort-merge join. This is the standard
+  distributed as-of algorithm (a sorted merge), not a correlated-subquery
+  translation.
+- ``range_join_binned``: point-in-interval join without the
+  BroadcastNestedLoopJoin cross product: intervals are exploded to the
+  fixed-width bins they overlap, points hash to their bin, and the join is a
+  plain equi-join on the bin id plus a residual predicate. Cost is
+  O(points + intervals x bins-per-interval); correct for arbitrary interval
+  sets. (When the interval side is dim-table small, a broadcast range join
+  is also provided.)
+- ``salted_join``: equi-join with a deterministic salt on the skewed side so
+  one hot key spreads across ``n_salts`` reducers instead of one straggler.
+  AQE's skew-join split handles moderate skew; salting is the explicit tool
+  when one key dominates a partition beyond what splitting fixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_LEFT_MARK = "__asof_is_left"
+_TS = "__asof_ts"
+_BIN = "__range_bin"
+_SALT = "__join_salt"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "left",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """As-of (backward, inclusive) join: attach to each left row the
+    ``value_cols`` of the latest right row with ``right_ts <= left_ts`` for
+    the same key.
+
+    Matches DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``.
+    When several right rows share (key, ts), the one with the greatest
+    ``tiebreak_col`` wins (callers that need strict determinism should pass
+    one or pre-dedupe the right side).
+
+    Plan shape: union the two inputs (right rows carry the payload, left
+    rows carry nulls), shuffle ONCE on ``on``, sort each key group by
+    (ts, side), and propagate the last non-null payload forward. Right rows
+    order before left rows at equal timestamps, making the match inclusive.
+    Skewed keys degrade to a single sorted partition per key — the same
+    failure mode as any PARTITION BY window; AQE cannot split a window
+    partition, so pathological keys should be pre-filtered or bucketed by a
+    coarser time range first.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    order_tail = [F.col(tiebreak_col).asc_nulls_first()] if tiebreak_col else []
+    if tiebreak_col and tiebreak_col not in left.columns:
+        left = left.withColumn(tiebreak_col, F.lit(None))
+
+    lt = left.withColumn(_LEFT_MARK, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_LEFT_MARK),
+        *[F.col(c) for c in value_cols],
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_LEFT_MARK).asc(), *order_tail)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.select(
+        *[c for c in left.columns if c not in value_cols],
+        F.col(_LEFT_MARK),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    ).where(F.col(_LEFT_MARK) == 1).drop(_LEFT_MARK, _TS)
+    if how == "inner":
+        cond = None
+        for c in value_cols:
+            p = F.col(c).isNotNull()
+            cond = p if cond is None else (cond | p)
+        matched = matched.where(cond)
+    return matched
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join ``lo <= point < hi`` as a binned equi-join.
+
+    Each interval is replicated into every fixed-width bin it overlaps
+    (``F.sequence`` + ``explode``); each point lands in exactly one bin, so
+    a (point, interval) pair meets at most once — no post-join dedup. The
+    equi-join on the bin id shuffles both sides by a well-distributed
+    integer key, and the residual range predicate filters within the bin.
+
+    ``bin_width`` trades replication (wide intervals / small bins → many
+    copies) against bin skew (huge bins → everything in one reducer).
+    Pick it near the median interval width.
+    """
+    pb = points.withColumn(_BIN, F.floor(F.col(point_col) / bin_width))
+    ib = intervals.withColumn(
+        _BIN,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width),
+                # hi is exclusive: a bin starting exactly at hi can't match
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / bin_width),
+            )
+        ),
+    )
+    cond = (
+        (pb[_BIN] == ib[_BIN])
+        & (pb[point_col] >= ib[lo_col])
+        & (pb[point_col] < ib[hi_col])
+    )
+    return pb.join(ib, cond, how).drop(_BIN)
+
+
+def range_join_broadcast(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join for dim-table-small interval sets: broadcast
+    the intervals and evaluate the range predicate map-side (a
+    BroadcastNestedLoopJoin — zero shuffle, linear in the fact side)."""
+    cond = (points[point_col] >= intervals[lo_col]) & (
+        points[point_col] < intervals[hi_col]
+    )
+    return points.join(F.broadcast(intervals), cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that spreads skewed left-side keys over ``n_salts``
+    sub-partitions.
+
+    The left (large, skewed) side gets a deterministic per-row salt —
+    ``xxhash64`` of the full row, so identical rows collide but the hot
+    key's many *distinct* rows spread evenly. The right side is replicated
+    ``n_salts`` times (keep it the smaller input). The join key becomes
+    (key, salt): the hot key's rows now land on ``n_salts`` reducers.
+    Result is exactly the plain equi-join.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    ls = left.withColumn(_SALT, salt)
+    rs = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = ls.join(rs, on + [_SALT], how)
+    return joined.drop(_SALT)

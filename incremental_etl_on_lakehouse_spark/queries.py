@@ -1549,3 +1549,302 @@ def stream_window_agg(spark, sf_dir):
     return got.select(
         MS("window_start").alias("window_start_ms"), "event_type", "n", "sum_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Specialized joins (as-of / range / salted-skew), sessionization, reshaping,
+# multi-dimensional aggregates, stateful streaming — engine extensions with
+# explicit 100 TB plan shapes (operators/joins.py docstrings).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    "WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,"
+    "  max(CAST(round(value * 100) AS BIGINT)) AS p_cents"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+    " SELECT e.event_id, e.user_id, p.p_event_id, p.p_cents"
+    " FROM events e ASOF LEFT JOIN p"
+    "   ON e.user_id = p.user_id AND e.ts >= p.ts",
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each event picks up the latest purchase at-or-before it
+    for the same user. Union + ordered window — one shuffle, no range cross
+    product (operators/joins.py:asof_join)."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("p_cents"),
+        )
+    )
+    return asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id", "p_cents"],
+    ).select("event_id", "user_id", "p_event_id", "p_cents")
+
+
+_BANDS = [
+    ("tiny", 0.0, 40000.0),
+    ("mid", 40000.0, 180000.0),
+    ("big", 180000.0, 1000000000.0),
+]
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@query(
+    "join_range",
+    f"SELECT o.o_orderkey, b.band FROM orders o"
+    f" JOIN (VALUES {_BANDS_SQL}) b(band, lo, hi)"
+    f" ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi",
+)
+def join_range(spark, sf_dir):
+    """Point-in-interval range join as a binned equi-join: intervals explode
+    to overlapped bins, points hash to one bin, residual predicate filters —
+    no nested-loop cross product (operators/joins.py:range_join_binned)."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import range_join_binned
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return range_join_binned(
+        o, bands, "o_totalprice", "lo", "hi", bin_width=50000.0
+    ).select("o_orderkey", "band")
+
+
+@query(
+    "join_skew_salted",
+    "SELECT e.event_id, e.user_id, d.n_total FROM events e JOIN"
+    " (SELECT user_id, CAST(count(*) AS BIGINT) AS n_total FROM events"
+    "  GROUP BY user_id) d ON e.user_id = d.user_id",
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-resistant equi-join: deterministic row salt on the fact side ×
+    replicated dim side spreads hot keys over n_salts reducers; result equals
+    the plain join (operators/joins.py:salted_join)."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return salted_join(ev, dim, on=["user_id"], n_salts=8).select(
+        "event_id", "user_id", "n_total"
+    )
+
+
+@query(
+    "win_session",
+    "WITH g AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,"
+    "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s FROM events),"
+    " s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)"
+    " SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,"
+    "  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents"
+    " FROM s GROUP BY user_id, sid",
+)
+def win_session(spark, sf_dir):
+    """Sessionization: gap-based (30 min, inclusive) session windows per user
+    via F.session_window in batch mode — one shuffle on the key; the oracle
+    is the classic gaps-and-islands SQL."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    return out.select(
+        "user_id", MS("first_ts").alias("session_start_ms"), "n_events", "sum_cents"
+    )
+
+
+@query(
+    "agg_cube",
+    "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers"
+    " FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY CUBE (r_name, n_name)",
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping combinations (region×nation, region, nation, total)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_GSETS_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total"
+    " FROM orders GROUP BY GROUPING SETS"
+    " ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+)
+
+
+@query("agg_grouping_sets", _GSETS_SQL)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS through the engine's SQL interface (same text
+    runs on Spark and the oracle — ANSI surface parity)."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_wide",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def pivot_wide(spark, sf_dir):
+    """PIVOT: one column per event type with per-user counts. Explicit value
+    list keeps it a single-pass hash aggregate (no distinct-values pre-scan)."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "unpivot_long",
+    " UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS metric,"
+        f" CAST({m} AS DOUBLE) AS amount FROM lineitem"
+        for m in _UNPIVOT_METRICS
+    ),
+)
+def unpivot_long(spark, sf_dir):
+    """UNPIVOT/melt: wide metric columns to (metric, amount) rows — narrow
+    map-side transform, no shuffle."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_METRICS],
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], _UNPIVOT_METRICS, "metric", "amount"
+    )
+
+
+@query(
+    "explode_tokens",
+    f"SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token"
+    f" FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 500)",
+)
+def explode_tokens(spark, sf_dir):
+    """Lateral explode with position: one row per (doc, token index) — the
+    tokenization fan-out primitive for n-gram/statistics pipelines."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id", F.posexplode(T.ws_tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
+    "ext_ngram_topk",
+    f"SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM"
+    f" (SELECT unnest({_SHINGLES3}) AS gram FROM documents)"
+    f" GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20",
+)
+def ext_ngram_topk(spark, sf_dir):
+    """Corpus-level n-gram statistics: top-20 3-grams by document frequency
+    (explode distinct shingles → count → TakeOrdered top-k, no full sort)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(T.shingles(F.col("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@query(
+    "src_csv_batch",
+    "SELECT * FROM nation",
+)
+def src_csv_batch(spark, sf_dir):
+    """Batch CSV source: header + explicit schema round-trip of `nation`
+    (engine source-format coverage beyond the reference's JSON-only input)."""
+    out = os.path.join(_tmpdir(), "nation_csv")
+    load_table(spark, "nation", sf_dir).coalesce(1).write.option(
+        "header", True
+    ).mode("overwrite").csv(out)
+    return spark.read.option("header", True).schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).csv(out)
+
+
+@query(
+    "stream_stateful",
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event counts maintained in the state store across micro-batches;
+    the converged totals equal the batch GROUP BY."""
+    from incremental_etl_on_lakehouse_spark.streaming import stateful_running_counts
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    for half in (0, 1):
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(land, f"f{half}"))
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("user_id", LongType())]
+    )
+    stream = read_json_stream(
+        spark, flat, schema, max_files_per_trigger=1, multiline=False
+    )
+    counted = stateful_running_counts(stream, key_col="user_id")
+    batches: list[list] = []
+    (
+        counted.writeStream.foreachBatch(lambda df, _b: batches.append(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final: dict[int, int] = {}
+    for batch in batches:
+        for r in batch:
+            final[r["user_id"]] = r["n_events"]
+    return spark.createDataFrame(
+        sorted(final.items()), "user_id long, n_events long"
+    )

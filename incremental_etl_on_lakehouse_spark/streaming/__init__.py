@@ -88,3 +88,32 @@ def run_to_memory(stream_df: DataFrame, checkpoint: str | None = None) -> DataFr
         writer = writer.option("checkpointLocation", checkpoint)
     writer.start().awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stateful_running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key running event count that survives across micro-batches in the
+    state store (the engine's template for arbitrary user-defined streaming
+    state — Arrow-batched, bounded memory per key group).
+
+    Emits the updated cumulative count for every key seen in a batch
+    (output mode ``update``). State is one long per key; at 100 TB the state
+    store backend should be RocksDB and the shuffle key is ``key_col``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_counts(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_counts,
+        outputStructType=f"{key_col} long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

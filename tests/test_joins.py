@@ -1,0 +1,111 @@
+"""Unit tests for the specialized join operators (operators/joins.py).
+
+Each operator is checked against a brute-force equivalent computed with
+plain Spark SQL on the same data, so correctness does not depend on the
+clever plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_etl_on_lakehouse_spark.operators.joins import (
+    asof_join,
+    range_join_binned,
+    range_join_broadcast,
+    salted_join,
+)
+from incremental_etl_on_lakehouse_spark.tables import load_table
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_asof_join_matches_bruteforce(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    # right side: purchases, deduped to one row per (user_id, ts)
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("p_cents"),
+        )
+    )
+    got = asof_join(
+        ev,
+        purch,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["p_event_id", "p_cents"],
+    )
+
+    # brute force: max right ts <= left ts, then fetch payload
+    ev.createOrReplaceTempView("bf_l")
+    purch.createOrReplaceTempView("bf_r")
+    want = spark.sql(
+        """
+        SELECT l.event_id, r.p_event_id, r.p_cents
+        FROM bf_l l
+        LEFT JOIN (
+          SELECT l.event_id AS eid, max(r.ts) AS mts
+          FROM bf_l l JOIN bf_r r
+            ON l.user_id = r.user_id AND r.ts <= l.ts
+          GROUP BY l.event_id
+        ) m ON m.eid = l.event_id
+        LEFT JOIN bf_r r
+          ON r.user_id = l.user_id AND r.ts = m.mts
+        """
+    )
+    assert _rows(got, "event_id", "p_event_id", "p_cents") == _rows(
+        want, "event_id", "p_event_id", "p_cents"
+    )
+    # inner flavor drops unmatched lefts only
+    inner = asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id", "p_cents"], how="inner",
+    )
+    assert inner.count() == want.where("p_event_id IS NOT NULL").count()
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    l = spark.createDataFrame([(1, 100)], "k long, t long")
+    r = spark.createDataFrame([(1, 100, "hit")], "k long, t long, v string")
+    got = asof_join(l, r, on=["k"], left_ts="t", right_ts="t", value_cols=["v"])
+    assert got.collect()[0]["v"] == "hit"
+
+
+def test_range_join_binned_vs_broadcast(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 40000.0), ("mid", 40000.0, 180000.0), ("big", 180000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    a = range_join_binned(o, bands, "o_totalprice", "lo", "hi", bin_width=50000.0)
+    b = range_join_broadcast(o, bands, "o_totalprice", "lo", "hi")
+    assert _rows(a, "o_orderkey", "band") == _rows(b, "o_orderkey", "band")
+    # every order falls in exactly one band
+    assert a.count() == o.count()
+
+
+def test_range_join_bin_boundary_exclusive(spark):
+    # point exactly at hi must not match; exactly at lo must match
+    pts = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, x double")
+    iv = spark.createDataFrame([("a", 10.0, 20.0)], "name string, lo double, hi double")
+    got = range_join_binned(pts, iv, "x", "lo", "hi", bin_width=5.0)
+    assert _rows(got, "id", "name") == [(1, "a")]
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+    )
+    got = salted_join(ev, dim, on=["user_id"], n_salts=4)
+    want = ev.join(dim, "user_id")
+    assert _rows(got, "event_id", "n_total") == _rows(want, "event_id", "n_total")
