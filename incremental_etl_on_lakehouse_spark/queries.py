@@ -1717,8 +1717,10 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
     + " FROM events GROUP BY user_id",
 )
 def pivot_wide(spark, sf_dir):
-    """PIVOT: one column per event type with per-user counts. Explicit value
-    list keeps it a single-pass hash aggregate (no distinct-values pre-scan)."""
+    """PIVOT: one column per event type with per-user counts. The explicit
+    value list avoids the distinct-values discovery job; the plan is a
+    partial-agg shuffle on (user, type) plus a pivotfirst shuffle over the
+    already-reduced groups."""
     ev = load_table(spark, "events", sf_dir)
     wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
     return wide.select(

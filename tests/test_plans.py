@@ -53,3 +53,62 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert plans.codegen_stage_count(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_single_shuffle_no_cross_product(spark, sf_dir):
+    """The as-of join must plan as union + one keyed window shuffle — never a
+    BroadcastNestedLoopJoin/CartesianProduct from a range condition."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    df = asof_join(ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+                   value_cols=["p_event_id"])
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # shuffles: right-side pre-agg on (user_id, ts) + the window on user_id
+    assert plans.shuffle_count(df) <= 2, plan
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned range join must be a hash/sort-merge equi-join on the bin
+    id, not a nested-loop over the range predicate."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import range_join_binned
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 40000.0), ("b", 40000.0, 1e9)], "band string, lo double, hi double"
+    )
+    df = range_join_binned(o, bands, "o_totalprice", "lo", "hi", bin_width=50000.0)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    df = QUERIES["win_session"](spark, sf_dir)
+    assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_unpivot_no_shuffle(spark, sf_dir):
+    df = QUERIES["unpivot_long"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_pivot_two_shuffles_no_value_scan(spark, sf_dir):
+    """Explicit pivot values -> no distinct-values discovery job; the plan is
+    groupBy(key, pivot_col) partial-agg shuffle + a pivotfirst shuffle over
+    the already-reduced rows (the second exchange moves O(groups), not
+    O(input))."""
+    df = QUERIES["pivot_wide"](spark, sf_dir)
+    assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
+
+
+def test_ngram_topk_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["ext_ngram_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
