@@ -1850,3 +1850,159 @@ def stream_stateful(spark, sf_dir):
     return spark.createDataFrame(
         sorted(final.items()), "user_id long, n_events long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Second extension batch: stream-stream join, subqueries, arg-extremes,
+# ranking windows, oracle-checked embedding cosine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_stream_join",
+    "SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id"
+    " FROM events c JOIN events p ON c.user_id = p.user_id"
+    " AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+    " WHERE c.event_type = 'click' AND p.event_type = 'purchase'",
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (clicks × purchases within
+    1 h, per user) over two live file streams; equals the batch interval
+    join once all data is processed (streaming/stream_stream_interval_join).
+    """
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    dirs = {}
+    for etype in ("click", "purchase"):
+        land = os.path.join(_tmpdir(), etype)
+        ev.where(F.col("event_type") == etype).coalesce(1).write.mode(
+            "overwrite"
+        ).json(land)
+        dirs[etype] = land
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_str", StringType()),
+        ]
+    )
+
+    def as_stream(etype, prefix):
+        return read_json_stream(spark, dirs[etype], schema, multiline=False).select(
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("user_id").alias("user_id" if prefix == "c" else "r_user_id"),
+            F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"{prefix}_ts"),
+        )
+
+    clicks = as_stream("click", "c")
+    purchases = as_stream("purchase", "p").withColumnRenamed("r_user_id", "user_id")
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="p_ts",
+        max_delay="1 HOUR",
+    )
+    out = joined.select(
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    return run_to_memory(out, os.path.join(_tmpdir(), "ck"))
+
+
+@query(
+    "filter_subquery",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    " AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)",
+)
+def filter_subquery(spark, sf_dir):
+    """Scalar + IN subqueries through the SQL interface — Catalyst rewrites
+    the scalar subquery to a broadcast value and the IN to a left-semi join
+    (decorrelation is free; no per-row re-execution)."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+        " AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)"
+    )
+
+
+@query(
+    "agg_minmax_by",
+    "SELECT user_id,"
+    " arg_max(event_id, ts ORDER BY ts, event_id) AS last_event_id,"
+    " arg_min(event_id, ts ORDER BY ts, event_id) AS first_event_id"
+    " FROM events GROUP BY user_id",
+)
+def agg_minmax_by(spark, sf_dir):
+    """Argument-extremes: the event id at each user's max/min timestamp in a
+    single hash aggregate (max_by/min_by), no ranking window needed.
+    Deterministic under timestamp ties via a composite (ts, event_id) key."""
+    ev = load_table(spark, "events", sf_dir)
+    pair = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", pair).alias("last_event_id"),
+        F.min_by("event_id", pair).alias("first_event_id"),
+    )
+
+
+@query(
+    "win_rank_dense",
+    "SELECT s_suppkey, s_nationkey,"
+    " CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_rank,"
+    " CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_dense_rank,"
+    " CAST(ntile(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_quartile"
+    " FROM supplier",
+)
+def win_rank_dense(spark, sf_dir):
+    """Ranking-window family (rank / dense_rank / ntile) in one window pass."""
+    s = load_table(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@query(
+    "ext_embedding_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    " round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim"
+    " FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1",
+)
+def ext_embedding_cosine(spark, sf_dir):
+    """Exact cosine similarity for adjacent vector pairs — the oracle-checked
+    slice of the embedding kernel used by ext_dedup_embedding/ext_sim_* (all
+    JVM-side: zip_with products + aggregate sums, no UDF)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    da = F.expr("CAST(transform(ea, x -> CAST(x AS DOUBLE)) AS ARRAY<DOUBLE>)")
+    db = F.expr("CAST(transform(eb, x -> CAST(x AS DOUBLE)) AS ARRAY<DOUBLE>)")
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda e: F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(dot / (norm(da) * norm(db)), 6).alias("cosine_sim"),
+    )

@@ -117,3 +117,32 @@ def stateful_running_counts(stream: DataFrame, key_col: str = "user_id") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left row with right
+    rows of the same key whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so the state store can evict rows once the watermark
+    passes ``ts + max_delay`` — state is O(in-flight window), not O(stream).
+    With availableNow over a finite input the result equals the equivalent
+    batch interval join (oracle-checkable).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
