@@ -1,0 +1,94 @@
+"""Deterministic sampling and sequence-packing operators for training-data
+pipelines.
+
+Random sampling (``df.sample``/``sampleBy``) is non-reproducible across
+retries and cluster layouts — a replayed micro-batch would sample different
+rows, breaking exactly-once downstreams. These operators derive every
+decision from a *content hash* instead: same input ⇒ same sample, on any
+cluster, at any parallelism, under any retry. All expressions are JVM-side
+(md5/conv/window), no UDFs.
+
+- ``hash_sample``: keep a deterministic ~fraction of rows keyed by id.
+- ``stratified_hash_sample``: per-stratum fractions (training-mixture
+  weighting, e.g. upsample wiki, downsample crawl).
+- ``pack_sequences``: assign ordered documents to fixed-token-budget shards —
+  the batch/shard planning step of sequence packing for LLM training. A
+  running token total over a deterministic order maps each doc to
+  ``floor(cumsum_before / budget)``.
+
+Scale notes: hash sampling is a narrow map (no shuffle, fully pushed into
+the scan projection). Packing needs a global order — implemented as a single
+window over the order key; at 100 TB you partition first (e.g. per source
+shard) and pack within partitions, which this API supports via
+``partition_cols``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 16^8 buckets from the first 8 hex chars of md5 — portable to any engine
+# with md5() (DuckDB, Trino, ...), unlike xxhash64.
+_BUCKETS = 16**8
+
+
+def _hash_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, 16^8) from the md5 of the key's string form."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose md5-bucket falls
+    under the threshold. Reproducible and stable under re-partitioning,
+    unlike ``df.sample`` (seeded per-partition)."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(_hash_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-mixture weighting).
+    Strata absent from ``fractions`` are dropped (fraction 0)."""
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(frac * _BUCKETS))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thresh = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    return df.where(_hash_bucket(F.col(key_col)) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    order_cols: list[str],
+    budget: int,
+    partition_cols: list[str] | None = None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each row to a fixed-budget shard: rows are taken in
+    ``order_cols`` order and a shard closes when its cumulative ``size_col``
+    reaches ``budget`` (a document larger than the budget gets its own
+    shard; documents are never split).
+
+    shard = floor(cumsum_exclusive / budget) over the running total — the
+    standard greedy sequential packing. With ``partition_cols`` the packing
+    (and its window) runs independently per partition — the scale path: a
+    global window is a single-reducer sort, a per-source window is an
+    ordinary keyed shuffle.
+    """
+    w = Window.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    cum_incl = F.sum(F.col(size_col)).over(w)
+    cum_excl = cum_incl - F.col(size_col)
+    return df.withColumn(shard_col, F.floor(cum_excl / F.lit(budget)).cast("long"))

@@ -2006,3 +2006,72 @@ def ext_embedding_cosine(spark, sf_dir):
         "id_b",
         F.round(dot / (norm(da) * norm(db)), 6).alias("cosine_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & sequence packing (training-data pipeline ops;
+# operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_HB = "CAST(concat('0x', substring(md5(CAST({k} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "ext_sample_hash",
+    f"SELECT doc_id, lang, source FROM documents"
+    f" WHERE {_HB.format(k='doc_id')} < CAST(0.3 * 4294967296 AS BIGINT)",
+)
+def ext_sample_hash(spark, sf_dir):
+    """Deterministic ~30% sample by content-hash bucket: reproducible across
+    retries/partitionings (unlike df.sample), no shuffle, filter runs in the
+    scan projection."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_sample(docs, "doc_id", 0.3).select("doc_id", "lang", "source")
+
+
+@query(
+    "ext_sample_stratified",
+    f"SELECT doc_id, source FROM documents WHERE {_HB.format(k='doc_id')} <"
+    " CASE WHEN source IN ('src0', 'src1', 'src2') THEN CAST(0.9 * 4294967296 AS BIGINT)"
+    " WHEN source IN ('src3', 'src4') THEN CAST(0.2 * 4294967296 AS BIGINT) ELSE 0 END",
+)
+def ext_sample_stratified(spark, sf_dir):
+    """Training-mixture weighting: per-source deterministic sampling rates
+    (keep 90% of src0-2, 20% of src3-4, drop the rest)."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fr = {"src0": 0.9, "src1": 0.9, "src2": 0.9, "src3": 0.2, "src4": 0.2}
+    return stratified_hash_sample(docs, "doc_id", "source", fr).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "ext_pack_sequences",
+    "SELECT doc_id, source, n_tokens,"
+    " CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard FROM ("
+    " SELECT doc_id, source, n_tokens, sum(n_tokens) OVER ("
+    "  PARTITION BY source ORDER BY doc_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+    " FROM (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN 0"
+    "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens"
+    "  FROM documents))",
+)
+def ext_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: docs (per source, in doc_id order) are
+    assigned to 4096-token shards by running-total offset — the shard/batch
+    planning step of an LLM data loader (operators/sampling.py)."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", "source", T.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        sized, "n_tokens", ["doc_id"], budget=4096, partition_cols=["source"]
+    ).select("doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens"), "shard")

@@ -1,0 +1,66 @@
+"""Unit tests for deterministic sampling / sequence packing
+(operators/sampling.py): reproducibility and packing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incremental_etl_on_lakehouse_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_hash_sample,
+)
+from incremental_etl_on_lakehouse_spark.operators.text import token_count_ws
+from incremental_etl_on_lakehouse_spark.tables import load_table
+
+
+def test_hash_sample_deterministic_and_in_bounds(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    a = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect())
+    # identical under a different partitioning (df.sample would differ)
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.3).collect()
+    )
+    assert a == b and len(a) > 0
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~binomial(n, .3), generous bounds
+    # monotone: a smaller fraction selects a subset
+    c = set(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect())
+    assert c <= set(a)
+
+
+def test_stratified_fractions_respected(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = stratified_hash_sample(docs, "doc_id", "source", {"src0": 1.0, "src1": 0.0})
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"src0"}
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    assert out.count() == n_src0  # fraction 1.0 keeps everything
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    budget = 2048
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sized, "n_tokens", ["doc_id"], budget=budget, partition_cols=["source"]
+    )
+    rows = packed.orderBy("source", "doc_id").collect()
+    # replay per partition: shards are contiguous, start at 0, and a shard's
+    # token total only exceeds the budget by less than its last document
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert rs[0]["shard"] == 0
+        cum = 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["shard"] in (prev["shard"], prev["shard"] + 1)
+        # recompute expected shard ids from scratch
+        cum = 0
+        for r in rs:
+            assert r["shard"] == cum // budget, (src, r)
+            cum += r["n_tokens"]
