@@ -48,6 +48,15 @@ def main() -> None:
     # for session startup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # warm the merge/CDF machinery too (window codegen, persist, commit log,
+    # parquet footer stats) with a miniature end-to-end CDC run, so the
+    # timed merge keys measure steady-state work rather than classloading
+    warm_sf = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_sf):
+        warm_sf = SF_DIR
+    from incremental_etl_on_lakehouse_spark.queries import QUERIES as _Q
+
+    _Q["agg_incremental_cdf"](spark, warm_sf).collect()
     sf = None
     for tok in SF_DIR.rstrip("/").split("/"):
         if tok.startswith("sf"):
