@@ -26,6 +26,8 @@ import tempfile
 import uuid
 from collections.abc import Callable
 
+import pandas as pd  # module-level so string type hints in pandas_udfs resolve
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -2075,3 +2077,64 @@ def ext_pack_sequences(spark, sf_dir):
     return pack_sequences(
         sized, "n_tokens", ["doc_id"], budget=4096, partition_cols=["source"]
     ).select("doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens"), "shard")
+
+
+@query(
+    "ext_udf_vectorized",
+    "SELECT vec_id,"
+    " round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)"
+    "  AS l2_norm,"
+    " round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val"
+    " FROM embeddings",
+)
+def ext_udf_vectorized(spark, sf_dir):
+    """Vectorized (Arrow) pandas_udf over the embedding column: per-vector
+    L2 norm and mean computed on whole numpy batches — the engine's slow-path
+    escape hatch demonstrated oracle-checked (hot paths stay JVM-side; see
+    ext_embedding_cosine for the builtin-function version of this kernel)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return col.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    @pandas_udf("double")
+    def mean_val(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return col.map(lambda v: float(np.mean(v)))
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    dvec = F.expr("CAST(transform(embedding, x -> CAST(x AS DOUBLE)) AS ARRAY<DOUBLE>)")
+    return embs.select(
+        "vec_id",
+        F.round(l2_norm(dvec), 6).alias("l2_norm"),
+        F.round(mean_val(dvec), 6).alias("mean_val"),
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *"
+    " CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta"
+    " FROM lineitem WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global aggregate — every predicate
+    reaches the parquet scan (PushedFilters) and the aggregate is a
+    two-phase partial/final with no grouping shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC4))
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
