@@ -1501,7 +1501,19 @@ def agg_filtered(spark, sf_dir):
     )
 
 
-@query("stream_window_agg")  # watermark emission semantics: no SQL oracle
+@query(
+    "stream_window_agg",
+    # Files arrive in event-time order, so no rows are dropped as late; in
+    # append mode a window emits only once the final watermark
+    # (max event time - 1 hour) passes its end — the oracle encodes exactly
+    # that emission rule, so the streamed result is fully value-checked.
+    "SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,"
+    " CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value"
+    " FROM events"
+    " WHERE date_trunc('day', ts) + INTERVAL 1 DAY <="
+    "  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)"
+    " GROUP BY 1, 2",
+)
 def stream_window_agg(spark, sf_dir):
     """Event-time tumbling-window aggregation with watermark over a real
     Structured Streaming source (engine extension beyond the reference's
