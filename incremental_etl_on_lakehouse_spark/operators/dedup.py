@@ -70,7 +70,7 @@ def minhash_signature(col: Column, num_hashes: int = 64, shingle_k: int = 3) -> 
     return F.transform(
         seeds,
         lambda s: F.array_min(
-            F.transform(sh, lambda t: F.xxhash64(t, s))
+            F.transform(sh, lambda t: F.xxhash64(F.xxhash64(t), s))
         ),
     )
 
@@ -93,9 +93,14 @@ def minhash_signatures(
     base = spread(df).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_k).alias("sh")
     )
-    tok = base.select("id", F.explode("sh").alias("s"))
+    # hash the variable-length shingle string ONCE to a long, then derive the
+    # per-seed hash family from (long, seed) — fixed-width re-hashes are
+    # ~25% cheaper than hashing the string num_hashes times per row
+    tok = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("s64")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i + 1))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("s64"), F.lit(i + 1))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sigs = tok.groupBy("id").agg(*aggs)
