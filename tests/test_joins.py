@@ -109,3 +109,18 @@ def test_salted_join_equals_plain(spark, sf_dir):
     got = salted_join(ev, dim, on=["user_id"], n_salts=4)
     want = ev.join(dim, "user_id")
     assert _rows(got, "event_id", "n_total") == _rows(want, "event_id", "n_total")
+
+
+def test_connected_components_known_graph(spark):
+    from incremental_etl_on_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two chains and one isolated-by-edges pair: {1,2,3,4}, {10,11}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
