@@ -2198,3 +2198,23 @@ def ext_dedup_clusters(spark, sf_dir):
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         )
     )
+
+
+@query("ext_cluster_kmeans")  # iterative (Lloyd) algorithm: rows-only check
+def ext_cluster_kmeans(spark, sf_dir):
+    """K-means clustering of the embedding corpus (deterministic seeds, 2
+    Lloyd iterations — the iterative-algorithm family alongside
+    connected_components): returns each vector's cluster and the cluster
+    sizes are implied. At scale: fit on a sample, broadcast centroids, one
+    narrow assignment pass over the corpus (operators/similarity.py)."""
+    from incremental_etl_on_lakehouse_spark.operators.similarity import (
+        _nearest_centroid,
+        fit_ivf_centroids,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    cents = fit_ivf_centroids(embs, k=8, iterations=2)
+    assigned = _nearest_centroid(embs, cents, "vec_id", "embedding")
+    return assigned.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("cluster_id")
+    )
