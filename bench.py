@@ -43,6 +43,14 @@ def main() -> None:
     from incremental_etl_on_lakehouse_spark.queries import QUERIES
     from incremental_etl_on_lakehouse_spark.session import get_spark
 
+    # clear stale scratch tables from earlier runs (they are this repo's own
+    # /tmp prefix; hundreds of leftover dirs measurably slow the FS)
+    import glob
+    import shutil
+
+    for d in glob.glob("/tmp/lakequery-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
     spark = get_spark("bench")
     # warm up the JVM/codegen paths so the first timed query isn't charged
     # for session startup
