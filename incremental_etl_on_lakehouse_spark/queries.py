@@ -2271,3 +2271,23 @@ def q18_big_orders(spark, sf_dir):
             "c_name", "o_orderkey", F.col("__tq").cast("double").alias("total_qty")
         )
     )
+
+
+@query(
+    "agg_collect_list",
+    "SELECT user_id, list(event_type ORDER BY ts, event_id) AS event_seq"
+    " FROM events GROUP BY user_id",
+)
+def agg_collect_list(spark, sf_dir):
+    """Ordered event-sequence per user (session-path mining input):
+    collect_list over a sort_array(struct) keeps the order deterministic —
+    Spark's collect_list alone has no ordering guarantee under shuffles."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("event_seq")
+    )

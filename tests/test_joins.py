@@ -124,3 +124,30 @@ def test_connected_components_known_graph(spark):
         r["id"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_asof_join_empty_right(spark):
+    l = spark.createDataFrame([(1, 100), (2, 50)], "k long, t long")
+    r = spark.createDataFrame([], "k long, t long, v string")
+    got = asof_join(l, r, on=["k"], left_ts="t", right_ts="t", value_cols=["v"])
+    rows = got.orderBy("k").collect()
+    assert [x["v"] for x in rows] == [None, None]
+    inner = asof_join(
+        l, r, on=["k"], left_ts="t", right_ts="t", value_cols=["v"], how="inner"
+    )
+    assert inner.count() == 0
+
+
+def test_range_join_empty_intervals(spark):
+    pts = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    iv = spark.createDataFrame([], "name string, lo double, hi double")
+    assert range_join_binned(pts, iv, "x", "lo", "hi", bin_width=10.0).count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from incremental_etl_on_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
