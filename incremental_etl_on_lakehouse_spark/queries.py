@@ -2291,3 +2291,161 @@ def agg_collect_list(spark, sf_dir):
             lambda s: s["event_type"],
         ).alias("event_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes (multi-join / subquery / conditional-agg families).
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) *"
+    " (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _disc_price() -> F.Column:
+    """extendedprice * (1 - discount), in exact decimal on both engines."""
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"SELECT l_orderkey, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
+    " epoch_ms(o_orderdate) AS o_orderdate_ms"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    " AND o_orderdate < TIMESTAMP '1998-01-01'"
+    " AND l_shipdate > TIMESTAMP '1998-01-01'"
+    " GROUP BY l_orderkey, o_orderdate"
+    f" ORDER BY sum({_DISC_PRICE_SQL}) DESC, l_orderkey LIMIT 10",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    into a fact-fact join, grouped revenue, deterministic top-10 (full
+    tiebreak on the key so LIMIT picks the same set on any engine). Scale:
+    customer filter broadcasts; orders/lineitem co-shuffle on orderkey and
+    both date predicates reach the parquet scans."""
+    c = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .orderBy(F.desc("__rev"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            MS("o_orderdate").alias("o_orderdate_ms"),
+        )
+    )
+
+
+_Q4_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders"
+    " WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+    " AND o_orderdate < TIMESTAMP '1997-04-01'"
+    " AND EXISTS (SELECT 1 FROM lineitem"
+    "  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)"
+    " GROUP BY o_orderpriority"
+)
+
+
+@query("q4_order_exists", _Q4_SQL)
+def q4_order_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS subquery. Catalyst decorrelates it
+    into a left-semi join on orderkey (one shuffle, no per-row re-execution)
+    — same SQL text runs on the oracle."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+@query(
+    "q5_local_supplier",
+    f"SELECT n_name, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01'"
+    " GROUP BY n_name",
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): 6-table join with a
+    non-key residual (customer and supplier in the same nation). All dims
+    broadcast; the only shuffle is lineitem x orders on orderkey; the
+    region filter prunes nations before the fact join."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .select("n_name", F.col("__rev").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"SELECT round(100.0 *"
+    f" CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL} ELSE 0 END)"
+    f"  AS DOUBLE) / CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 6) AS promo_pct"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1997-09-01'"
+    " AND l_shipdate < TIMESTAMP '1997-10-01'",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional aggregate ratio.
+    Part broadcasts into the filtered lineitem scan; both sums are exact
+    decimals and the division happens once in double at the end."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, "part", sf_dir)
+    dp = _disc_price()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0))).alias(
+                "__promo"
+            ),
+            F.sum(dp).alias("__total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.col("__promo").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
