@@ -12,7 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from incremental_etl_on_lakehouse_spark.queries import ORACLES, QUERIES
+from incremental_etl_on_lakehouse_spark.queries import (
+    ORACLES,
+    QUERIES,
+    ordered_keys,
+)
 
 
 def _configure(spark: SparkSession) -> None:
@@ -46,11 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: with_conf(fn) for name, fn in QUERIES.items()}
+    # Ordered: SURVEY §2 contract keys (all oracle-checked) first, then the
+    # remaining oracle-checked keys, then rows-only/approximate keys — so a
+    # budget-capped correctness sweep verifies the contract surface first.
+    return {name: with_conf(QUERIES[name]) for name in ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key (omitted for the LSH/approximate
     operators whose hash-seeded candidates aren't SQL-expressible — the
     driver records a weaker rows-only check for those)."""
-    return dict(ORACLES)
+    return {k: ORACLES[k] for k in ordered_keys() if k in ORACLES}
