@@ -26,6 +26,39 @@ from pyspark.sql import functions as F
 from incremental_etl_on_lakehouse_spark.functions import cosine_similarity, vec_norm
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over a (query_id, corpus_id, cosine_sim) set.
+
+    Phase 1 pre-reduces per INPUT partition: a window keyed by
+    ``(query_id, spark_partition_id())`` hashes uniformly across reducers
+    (every scored partition contributes its own key), so no single reducer
+    ever sees a whole query's |corpus| candidates. After its ``<= k`` filter,
+    at most ``k * n_partitions`` rows per query survive. Phase 2 runs the
+    global per-query rank over that reduced set — the classic
+    single-reducer-per-query straggler now sees O(k * partitions) rows
+    instead of |corpus|. Results are identical to a one-shot window: the
+    global top-k by (sim desc, corpus_id asc) is a subset of every
+    partition-local top-k under the same ordering.
+    """
+    w_local = Window.partitionBy("query_id", "__part").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    pruned = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(w_local))
+        .where(F.col("__lrank") <= k)
+        .drop("__part", "__lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine_sim", "rank")
+    )
+
+
 def _score(queries: DataFrame, corpus: DataFrame, qid: str, cid: str, qv: str, cv: str):
     q = queries.select(F.col(qid).alias("query_id"), F.col(qv).alias("__qv"))
     c = corpus.select(F.col(cid).alias("corpus_id"), F.col(cv).alias("__cv"))
@@ -54,14 +87,7 @@ def topk_cosine_bruteforce(
     scored = _score(queries, corpus, query_id_col, corpus_id_col, query_vec_col, corpus_vec_col)
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("corpus_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _bucket_expr(vec_col: str, planes: int, table: int):
@@ -132,14 +158,7 @@ def topk_cosine_lsh(
     ).dropDuplicates(["query_id", "corpus_id"])
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("corpus_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _nearest_centroid(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1) -> DataFrame:
@@ -258,14 +277,7 @@ def topk_cosine_ivf(
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("corpus_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -112,3 +112,16 @@ def test_pivot_two_shuffles_no_value_scan(spark, sf_dir):
 def test_ngram_topk_uses_take_ordered(spark, sf_dir):
     df = QUERIES["ext_ngram_topk"](spark, sf_dir)
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_topk_prereduces_before_global_rank(spark, sf_dir):
+    """The similarity rankers must pre-top-k per input partition before the
+    per-query global window: the plan carries a spark_partition_id-keyed
+    window (uniformly hashed — no single reducer sees a whole query's
+    corpus) feeding the query_id-only window, so the global rank's exchange
+    input is O(k * partitions), not |corpus| x |queries|."""
+    df = QUERIES["ext_sim_topk"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    # two window operators: partition-local pre-rank + global rank
+    assert plan.count("Window") >= 2, plan
