@@ -73,14 +73,34 @@ def main() -> None:
             except ValueError:
                 pass
 
+    # Multiple samples per key, report the min: BASELINE.md documents up to
+    # 1.7x run-to-run variance on this box, and round-1 recorded a 26.6 s
+    # ext_fingerprint sample that re-measured at 3.2 s. The min is the right
+    # estimator for "what the plan costs" under one-sided contention noise.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def reset_memoized_state() -> None:
+        """Drop the CDC scenario memoization so every sample of the merge
+        keys rebuilds end-to-end instead of re-reading a cached table."""
+        from incremental_etl_on_lakehouse_spark import queries as qmod
+
+        qmod._CDC_SILVER_CACHE.clear()
+        qmod._CDC_GOLD_CACHE.clear()
+
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            reset_memoized_state()
+            start = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - start, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
+        print(f"# {name}: min {timings[name]:.3f}s of {runs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +110,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "n": n_runs,
                 "sf": sf,
             }
         )

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 )
 
 from incremental_etl_on_lakehouse_spark.lake import LakeStreamReader, LakeTable
+from incremental_etl_on_lakehouse_spark.operators import spread
 from incremental_etl_on_lakehouse_spark.operators import dedup as D
 from incremental_etl_on_lakehouse_spark.operators import multimodal as MM
 from incremental_etl_on_lakehouse_spark.operators import similarity as SIM
@@ -1222,7 +1223,7 @@ def ext_sim_lsh(spark, sf_dir):
 )
 def ext_text_analysis(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex tokenizers."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     return T.token_stats(docs).select(
         "doc_id",
         F.col("n_tokens_ws").cast("int").alias("n_tokens_ws"),
@@ -1261,7 +1262,9 @@ _LANG_SQL_ARGMAX = (
 )
 def ext_lang_id(spark, sf_dir):
     """Language ID by character-trigram profile scores + argmax."""
-    docs = load_table(spark, "documents", sf_dir)
+    # single-file scans arrive as 1 partition; spread() so the regex-heavy
+    # projection parallelizes (no-op on pre-split cluster data)
+    docs = spread(load_table(spark, "documents", sf_dir))
     out = T.language_id(docs)
     return out.select(
         "doc_id",
@@ -1285,7 +1288,7 @@ def ext_lang_id(spark, sf_dir):
 )
 def ext_quality_score(spark, sf_dir):
     """Quality-filter signals (length/alpha/stopword/repetition)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     return T.quality_score(docs).select(
         "doc_id",
         F.col("n_chars").cast("int").alias("n_chars"),
@@ -1302,7 +1305,7 @@ def ext_quality_score(spark, sf_dir):
 )
 def ext_fingerprint(spark, sf_dir):
     """Deterministic normalized-content fingerprint (md5)."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     return T.fingerprint(docs)
 
 
