@@ -333,6 +333,7 @@ class LakeTable:
         simply read the new columns as NULL (schema-on-read).
         """
         schema_json = None
+        snapshot_version = self.version()
         write_schema = self.schema()
         if merge_schema:
             new_fields = [
@@ -342,7 +343,7 @@ class LakeTable:
                 write_schema = StructType(write_schema.fields + new_fields)
                 schema_json = write_schema.json()
         adds, rows = self._stage_write(self._align(df, write_schema))
-        v = self.version() + 1
+        v = snapshot_version + 1
         lakelog.write_commit(
             self.path,
             Commit(
@@ -375,14 +376,19 @@ class LakeTable:
         return v
 
     def delete(self, condition: str) -> int:
-        """DELETE FROM table WHERE condition — rewrites only touched files."""
+        """DELETE FROM table WHERE condition — rewrites only touched files.
+
+        Commits as (snapshot version at read time) + 1: a concurrent commit
+        landing mid-operation collides instead of being silently built over.
+        """
+        snapshot_version = self.version()
         target = self.to_df().withColumn("__file", F.input_file_name())
         cond = F.expr(condition)
         touched = [
             r["__file"] for r in target.where(cond).select("__file").distinct().collect()
         ]
         if not touched:
-            v = self.version() + 1
+            v = snapshot_version + 1
             lakelog.write_commit(
                 self.path,
                 Commit(version=v, operation="DELETE", timestamp_ms=lakelog.now_ms()),
@@ -395,7 +401,7 @@ class LakeTable:
         cdf_rel = None
         if self.cdf_enabled():
             cdf_rel = self._write_cdf(deleted.withColumn(CHANGE_TYPE, F.lit("delete")))
-        v = self.version() + 1
+        v = snapshot_version + 1
         lakelog.write_commit(
             self.path,
             Commit(
@@ -491,6 +497,11 @@ class LakeTable:
         matched_clauses = [c for c in clauses if c.kind in ("delete", "update")]
         insert_clauses = [c for c in clauses if c.kind == "insert"]
         tgt_cols = [f.name for f in self.schema().fields]
+        # Optimistic concurrency: capture the snapshot version the whole
+        # operation reads from; committing as snapshot+1 makes any
+        # intervening writer's commit collide (FileExistsError) instead of
+        # being silently built over (write-skew).
+        snapshot_version = self.version()
 
         # The source is evaluated by several jobs (bounds, touched-file
         # probe, rewrite join, insert anti-join); persist it so any upstream
@@ -530,33 +541,63 @@ class LakeTable:
             target_df = self.to_df()
         target = target_df.withColumn("__file", F.input_file_name()).alias("target")
 
-        # 1. Which target files contain rows that will actually FIRE a
-        #    matched clause? (file-level pruning). Including the clause
-        #    conditions here — not just the ON condition — is what makes a
+        # 1. ONE source-sided outer join drives every planning decision.
+        #    S = source LEFT OUTER target is O(|source batch|) rows — tiny
+        #    next to the target — and, persisted, it yields (a) the
+        #    touched-file list, (b) the insert rows, (c) every action count,
+        #    and (d) the CDF pre/post images, replacing the separate
+        #    full-target probe join and full-target anti join that round 1
+        #    paid per merge. Including the clause conditions in the fire
+        #    filter — not just the ON condition — is what makes a
         #    re-delivered duplicate batch touch zero files (the reference's
         #    no-op-update elimination, notebooks/demo-notebook.py:276).
+        s_matched = F.expr("target.`__file`").isNotNull()
+        s_action = None
+        for i, cl in enumerate(matched_clauses):
+            c = F.expr(cl.condition) if cl.condition is not None else F.lit(True)
+            branch = s_matched & F.coalesce(c, F.lit(False))
+            step = F.when(branch, F.lit(f"{cl.kind}{i}"))
+            s_action = step if s_action is None else s_action.when(
+                branch, F.lit(f"{cl.kind}{i}")
+            )
+        s_action = (
+            s_action.when(s_matched, F.lit("keep"))
+            if s_action is not None
+            else F.when(s_matched, F.lit("keep"))
+        )
+        for j, cl in enumerate(insert_clauses):
+            c = (
+                F.coalesce(F.expr(cl.condition), F.lit(False))
+                if cl.condition
+                else F.lit(True)
+            )
+            s_action = s_action.when(~s_matched & c, F.lit(f"insert{j}"))
+        s_action = s_action.otherwise(F.lit("skip"))
+        s_joined = (
+            src.join(target, cond, "left_outer")
+            .withColumn("__action", s_action)
+            .persist()
+        )
+
+        fire_actions = [f"{cl.kind}{i}" for i, cl in enumerate(matched_clauses)]
         if matched_clauses and not target_empty:
-            fire = None
-            for cl in matched_clauses:
-                c = F.expr(cl.condition) if cl.condition is not None else F.lit(True)
-                fire = c if fire is None else (fire | c)
             touched = [
-                r["__file"]
-                for r in target.join(src, cond, "inner")
-                .where(fire)
-                .select("__file")
+                r["f"]
+                for r in s_joined.where(F.col("__action").isin(fire_actions))
+                .select(F.expr("target.`__file`").alias("f"))
                 .distinct()
                 .collect()
             ]
         else:
             touched = []
 
-        # 2. Rewrite candidates: rows from touched files joined to the source.
+        # 2. Rewrite candidates: rows from touched files joined to the source
+        #    (the only remaining target-side join; it reads ONLY the touched
+        #    files). Materialized exactly once, by _stage_write.
         touched_target = (
             target.where(F.col("__file").isin(touched)) if touched else target.limit(0)
         ).alias("target")
         joined = touched_target.join(src, cond, "left_outer")
-        joined = joined.persist()
         inserts = None
         try:
             action = None
@@ -598,24 +639,19 @@ class LakeTable:
 
             survivors = acted.where(~F.col("__action").startswith("delete")).select(*out_cols)
 
-            # 3. Inserts: source rows matching no target row at all (rows in
-            #    stat-pruned files can't match, so the pruned target suffices).
-            unmatched = src.join(target_df.alias("target"), cond, "left_anti")
+            # 3. Inserts: the S rows that matched no target row (rows in
+            #    stat-pruned files can't match the equi-key, so the pruned
+            #    target suffices). A cheap projection of the persisted S —
+            #    no second target-side join.
             inserts = None
             ins_parts = []
-            remaining = unmatched
-            for cl in insert_clauses:
-                part = (
-                    remaining.where(F.expr(cl.condition)) if cl.condition else remaining
-                )
-                if cl.condition:
-                    remaining = remaining.where(~F.coalesce(F.expr(cl.condition), F.lit(False)))
-                else:
-                    remaining = remaining.limit(0)
+            for j, cl in enumerate(insert_clauses):
+                part = s_joined.where(F.col("__action") == f"insert{j}")
                 if cl.assignments == "*" or cl.assignments is None:
                     src_cols = set(source.columns)
                     proj = [
-                        (F.col(c) if c in src_cols else F.lit(None)).alias(c) for c in tgt_cols
+                        (F.expr(f"source.`{c}`") if c in src_cols else F.lit(None)).alias(c)
+                        for c in tgt_cols
                     ]
                 else:
                     proj = [
@@ -628,29 +664,14 @@ class LakeTable:
                 for p in ins_parts[1:]:
                     inserts = inserts.unionByName(p)
 
-            if inserts is not None:
-                inserts = inserts.persist()
-
-            # One aggregation job yields every per-action row count AND the
-            # insert count (instead of one count job per clause kind plus a
-            # separate inserts.count()).
-            counts_parts = []
-            if touched:
-                counts_parts.append(acted.select(F.col("__action")))
-            if inserts is not None:
-                counts_parts.append(
-                    inserts.select(F.lit("__insert__").alias("__action"))
-                )
-            action_counts: dict[str, int] = {}
-            if counts_parts:
-                all_actions = counts_parts[0]
-                for p in counts_parts[1:]:
-                    all_actions = all_actions.unionByName(p)
-                action_counts = {
-                    r["__action"]: r["count"]
-                    for r in all_actions.groupBy("__action").count().collect()
-                }
-            n_ins = action_counts.get("__insert__", 0)
+            # Every action count from ONE aggregation over the persisted S.
+            action_counts: dict[str, int] = {
+                r["__action"]: r["count"]
+                for r in s_joined.groupBy("__action").count().collect()
+            }
+            n_ins = sum(
+                action_counts.get(f"insert{j}", 0) for j in range(len(insert_clauses))
+            )
             del_actions = [f"delete{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "delete"]
             upd_actions = [f"update{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "update"]
             n_del = sum(action_counts.get(a, 0) for a in del_actions)
@@ -669,10 +690,10 @@ class LakeTable:
             pre_cols = [F.expr(f"target.`{c}`").alias(c) for c in tgt_cols]
             cdf_parts = []
             if n_del:
-                d = acted.where(F.col("__action").isin(del_actions)).select(*pre_cols)
+                d = s_joined.where(F.col("__action").isin(del_actions)).select(*pre_cols)
                 cdf_parts.append(self._align(d).withColumn(CHANGE_TYPE, F.lit("delete")))
             if n_upd:
-                upd_rows = acted.where(F.col("__action").isin(upd_actions))
+                upd_rows = s_joined.where(F.col("__action").isin(upd_actions))
                 pre = upd_rows.select(*pre_cols)
                 post_cols = []
                 for colname in tgt_cols:
@@ -705,7 +726,7 @@ class LakeTable:
                 "num_inserted_rows": n_ins,
                 "num_written_rows": written_rows,
             }
-            v = self.version() + 1
+            v = snapshot_version + 1
             lakelog.write_commit(
                 self.path,
                 Commit(
@@ -721,10 +742,8 @@ class LakeTable:
             metrics["version"] = v
             return metrics
         finally:
-            joined.unpersist()
+            s_joined.unpersist()
             src_persisted.unpersist()
-            if inserts is not None:
-                inserts.unpersist()
 
     # ------------------------------------------------------------- change feed
 
