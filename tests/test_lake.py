@@ -169,3 +169,77 @@ def test_log_checkpointing(spark, tmp_path):
     # add list in memory-free way: state at latest must not re-read it)
     state = lakelog.table_state(t.path)
     assert state["version"] == 25 and len(state["active"]) == 25
+
+
+# ------------------------------------------------ optimistic concurrency
+
+
+def test_concurrent_appends_one_winner_clean_retry(spark, tmp_path):
+    """Two writers race the same version: exactly one v+1 lands, the loser
+    gets FileExistsError and succeeds on retry against the fresh snapshot."""
+    import threading
+
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def writer(name, rows):
+        handle = LakeTable(spark, t.path)  # independent snapshot per writer
+        df = spark.createDataFrame(rows, SCHEMA)
+        barrier.wait()
+        try:
+            results[name] = handle.append(df)
+        except FileExistsError:
+            results[name] = "lost"
+
+    th1 = threading.Thread(target=writer, args=("a", [(10, "Japan", 1)]))
+    th2 = threading.Thread(target=writer, args=("b", [(20, "Chile", 2)]))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    outcomes = sorted(results.values(), key=str)
+    # one clean winner at v2; with unlucky timing both may serialize and win
+    assert outcomes in ([2, "lost"], [2, 3]), outcomes
+    if "lost" in outcomes:
+        loser = next(k for k, v in results.items() if v == "lost")
+        rows = [(10, "Japan", 1)] if loser == "a" else [(20, "Chile", 2)]
+        retry = LakeTable(spark, t.path)  # re-read snapshot, then retry
+        assert retry.append(spark.createDataFrame(rows, SCHEMA)) == 3
+    # no lost updates: every surviving writer's rows are present
+    assert t.to_df().count() == 3
+
+
+def test_merge_write_skew_detected(spark, tmp_path):
+    """A commit landing between a merge's snapshot read and its own commit
+    must make the merge fail (FileExistsError), never be silently built
+    over — the merge's version is pinned to its snapshot."""
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    interloper_done = {}
+    orig_stage = LakeTable._stage_write
+
+    def stage_with_interloper(self, df):
+        # first _stage_write of the merge: sneak in a concurrent append
+        # through a second handle before the merge can commit (guard set
+        # eagerly — the interloper's own append re-enters this hook)
+        if not interloper_done:
+            interloper_done["v"] = None
+            interloper_done["v"] = LakeTable(self.spark, self.path).append(
+                self.spark.createDataFrame([(7, "Peru", 7)], SCHEMA)
+            )
+        return orig_stage(self, df)
+
+    src = spark.createDataFrame([(1, "England", 99, "UPDATE")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]))
+    LakeTable._stage_write = stage_with_interloper
+    try:
+        with pytest.raises(FileExistsError):
+            t.merge(
+                src,
+                "source.id = target.id",
+                [MergeClause("update", "source.op = 'UPDATE'", "*")],
+            )
+    finally:
+        LakeTable._stage_write = orig_stage
+    # the interloper's commit is intact and the merge left no partial state
+    fresh = LakeTable(spark, t.path)
+    assert fresh.version() == interloper_done["v"]
+    got = {r["id"]: r["visitors"] for r in fresh.to_df().collect()}
+    assert got == {1: 10, 7: 7}
