@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import urllib.parse
 import uuid
 from dataclasses import dataclass
 
@@ -463,11 +464,16 @@ class LakeTable:
         return v
 
     def _rel_of(self, abs_or_uri: str) -> str:
+        """Relative path of an ``input_file_name()`` URI under the table root.
+
+        The URI is percent-encoded (spaces, non-ASCII); decode it or the
+        remove entries recorded by merge()/delete() won't match the add
+        paths and rewritten files would stay active (duplicated rows).
+        """
         p = abs_or_uri
         if p.startswith("file:"):
-            p = p[len("file:") :]
-            while p.startswith("//"):
-                p = p[1:]
+            parsed = urllib.parse.urlparse(p)
+            p = urllib.parse.unquote(parsed.path)
         return os.path.relpath(p, self.path)
 
     def _write_cdf(self, df: DataFrame) -> str:
@@ -762,6 +768,22 @@ class LakeTable:
                 continue
             if ending_version is not None and c.version > ending_version:
                 break
+            # APPEND/OVERWRITE changes are synthesized from the commit's file
+            # list, but MERGE/DELETE row-level changes exist only if CDF was
+            # enabled at commit time. Erroring beats a silently partial feed
+            # (inserts visible, updates/deletes missing) — same contract as
+            # Delta's table_changes on a non-CDF table.
+            if (
+                c.operation in ("MERGE", "DELETE")
+                and c.cdf_path is None
+                and (c.add or c.remove)
+            ):
+                raise ValueError(
+                    f"change feed incomplete: commit v{c.version} is a "
+                    f"{c.operation} without materialized change rows (enable "
+                    "enableChangeDataFeed before writing, or read versions "
+                    "outside this range)"
+                )
             part = None
             if c.operation in ("APPEND", "CREATE", "OVERWRITE") and c.add:
                 files = [self._abs(a["path"]) for a in c.add]

@@ -85,10 +85,46 @@ def fake_image_decoder(buf: bytes) -> list[float]:
     ]
 
 
-def real_image_decoder(buf: bytes) -> list[float]:  # pragma: no cover
-    raise NotImplementedError(
-        "real image decoding needs Pillow/opencv, not available in this container"
-    )
+def real_image_decoder(buf: bytes) -> list[float]:
+    """Real decode path: used automatically when Pillow is importable (it is
+    optional — absent in some deployments), else raises with a clear message.
+    Features: 8 image statistics (dims, mode arity, channel means/extremes) —
+    the same shape as :func:`fake_image_decoder` so pipelines are swappable.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decoding needs Pillow, not installed here; pass "
+            "decoder=fake_image_decoder or install Pillow"
+        ) from exc
+    with Image.open(io.BytesIO(buf)) as im:
+        im = im.convert("RGB")
+        px = list(im.getdata())
+        n = max(len(px), 1)
+        means = [sum(p[c] for p in px) / n for c in range(3)]
+        return [
+            float(im.width),
+            float(im.height),
+            float(len(im.getbands())),
+            means[0],
+            means[1],
+            means[2],
+            float(max(max(p) for p in px) if px else 0),
+            float(min(min(p) for p in px) if px else 0),
+        ]
+
+
+def default_image_decoder() -> Callable[[bytes], list[float]]:
+    """Pillow-backed decoder when available, deterministic fake otherwise."""
+    try:  # pragma: no cover - depends on environment
+        from PIL import Image  # noqa: F401  # type: ignore[import-not-found]
+
+        return real_image_decoder
+    except ImportError:
+        return fake_image_decoder
 
 
 FEATURE_SCHEMA = StructType(

@@ -243,3 +243,42 @@ def test_merge_write_skew_detected(spark, tmp_path):
     assert fresh.version() == interloper_done["v"]
     got = {r["id"]: r["visitors"] for r in fresh.to_df().collect()}
     assert got == {1: 10, 7: 7}
+
+
+def test_merge_in_path_with_space(spark, tmp_path):
+    """input_file_name() percent-encodes paths; merge must URL-decode them or
+    rewritten files stay active and rows duplicate."""
+    root = tmp_path / "tbl with space"
+    t = LakeTable.create(spark, str(root), SCHEMA)
+    t.append(spark.createDataFrame([(1, "England", 10), (2, "Wales", 20)], SCHEMA))
+    src = spark.createDataFrame(
+        [(1, "England", 99, "UPDATE")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    m = t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", "source.op = 'UPDATE'", "*")],
+    )
+    assert m["num_updated_rows"] == 1
+    rows = t.to_df().collect()
+    assert len(rows) == 2, rows  # no duplicated survivors
+    assert {r["id"]: r["visitors"] for r in rows} == {1: 99, 2: 20}
+
+
+def test_read_changes_rejects_partial_feed(spark, tmp_path):
+    """On a non-CDF table, append-only change feeds still synthesize, but a
+    MERGE/DELETE commit in range must raise instead of returning a feed with
+    silently missing updates/deletes."""
+    t = make_table(spark, tmp_path, [(1, "England", 10)], cdf=False)
+    assert t.read_changes().count() == 1  # append-only: synthesized inserts
+    src = spark.createDataFrame(
+        [(1, "England", 99, "UPDATE")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    t.merge(src, "source.id = target.id",
+            [MergeClause("update", "source.op = 'UPDATE'", "*")])
+    with pytest.raises(ValueError, match="change feed incomplete"):
+        t.read_changes().count()
+    # versions before the merge still read fine
+    assert t.read_changes(ending_version=1).count() == 1
