@@ -1,0 +1,299 @@
+"""SQL ``MERGE INTO`` front-end over :class:`LakeTable.merge`.
+
+The reference drives its merges as SQL text through ``spark.sql``
+(``notebooks/demo-notebook.py:244-280`` CDC upsert, ``:393-425`` additive
+aggregate merge). OSS Spark without delta-spark has no MERGE target, so this
+module parses the statement and executes it via the engine's programmatic
+merge — the reference's MERGE text ports verbatim (modulo table names).
+
+Supported grammar (the reference's full surface):
+
+    MERGE INTO <table> [AS] [alias]
+    USING (<subquery>) | <view> [AS] [alias]
+    ON <condition>
+    { WHEN MATCHED [AND <cond>] THEN DELETE
+    | WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = e [, ...]
+    | WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+    | WHEN NOT MATCHED [AND <cond>] THEN INSERT (c, ...) VALUES (e, ...) }...
+
+plus ``--`` comments anywhere and ``QUALIFY`` inside the source subquery
+(Databricks/Snowflake syntax the reference relies on, rewritten here to a
+wrapped ``WHERE`` because OSS Spark doesn't parse it).
+
+Parsing is a small scanner, not a grammar: MERGE's clause structure is flat
+and keyword-delimited, so quote/paren-aware splitting is exact for it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
+
+_IDENT = r"[A-Za-z_][\w.$]*"
+
+
+def strip_comments(sql: str) -> str:
+    """Remove ``-- ...`` line comments, leaving quoted strings untouched."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _depths(s: str) -> list[int]:
+    """Paren depth at each index (quote-aware)."""
+    depths, d, i, n = [0] * len(s), 0, 0, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        depths[i] = d
+        i += 1
+    return depths
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 (quote-aware)."""
+    parts, buf, depth, in_str = [], [], 0, False
+    for c in s:
+        if in_str:
+            buf.append(c)
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite every ``SELECT ... QUALIFY pred`` into
+    ``SELECT * FROM (SELECT ...) WHERE pred`` (OSS Spark has no QUALIFY).
+
+    The predicate's window-function aliases must be columns of the inner
+    select — true for the reference's ``ROW_NUMBER() ... AS rnk QUALIFY
+    rnk = 1`` and for QUALIFY's standard usage.
+    """
+    while True:
+        m = re.search(r"\bQUALIFY\b", sql, re.IGNORECASE)
+        if not m:
+            return sql
+        depths = _depths(sql)
+        qpos = m.start()
+        d = depths[qpos]
+        # owning SELECT: nearest preceding SELECT at the same depth
+        sel = None
+        for sm in re.finditer(r"\bSELECT\b", sql[:qpos], re.IGNORECASE):
+            if depths[sm.start()] == d:
+                sel = sm.start()
+        if sel is None:
+            raise ValueError("QUALIFY without an owning SELECT")
+        # predicate extends until the enclosing paren closes (depth < d)
+        pend = len(sql)
+        for i in range(m.end(), len(sql)):
+            if depths[i] < d:
+                pend = i
+                break
+        inner = sql[sel:qpos].rstrip()
+        pred = sql[m.end() : pend].strip()
+        sql = (
+            sql[:sel]
+            + "SELECT * FROM ( "
+            + inner
+            + " ) WHERE "
+            + pred
+            + " "
+            + sql[pend:]
+        )
+
+
+@dataclass
+class MergeStatement:
+    target_name: str
+    target_alias: str | None
+    source_text: str  # subquery text OR view/table name
+    source_is_subquery: bool
+    source_alias: str | None
+    on_condition: str
+    clauses: list[MergeClause] = field(default_factory=list)
+
+
+def _canonicalize(expr: str, stmt: MergeStatement) -> str:
+    """Rewrite ``<alias>.`` qualifiers to the engine's ``source.``/``target.``."""
+    pairs = []
+    if stmt.target_alias:
+        pairs.append((stmt.target_alias, "target"))
+    pairs.append((stmt.target_name, "target"))
+    if stmt.source_alias:
+        pairs.append((stmt.source_alias, "source"))
+    if not stmt.source_is_subquery:
+        pairs.append((stmt.source_text, "source"))
+    for name, canon in pairs:
+        if name and name != canon:
+            expr = re.sub(
+                rf"\b{re.escape(name)}\s*\.", canon + ".", expr, flags=re.IGNORECASE
+            )
+    return expr.strip()
+
+
+def _parse_action(action: str, matched: bool, cond: str | None) -> MergeClause:
+    a = action.strip()
+    if matched and re.fullmatch(r"DELETE", a, re.IGNORECASE):
+        return MergeClause("delete", cond)
+    m = re.fullmatch(r"UPDATE\s+SET\s+(.*)", a, re.IGNORECASE | re.DOTALL)
+    if m and matched:
+        body = m.group(1).strip()
+        if body == "*":
+            return MergeClause("update", cond, "*")
+        assignments = {}
+        for part in split_top_level(body):
+            k, _, v = part.partition("=")
+            col = k.strip().split(".")[-1].strip("` ")
+            assignments[col] = v.strip()
+        return MergeClause("update", cond, assignments)
+    m = re.fullmatch(r"INSERT\s+\*", a, re.IGNORECASE)
+    if m and not matched:
+        return MergeClause("insert", cond, "*")
+    m = re.fullmatch(
+        r"INSERT\s*\((?P<cols>.*?)\)\s*VALUES\s*\((?P<vals>.*)\)",
+        a,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m and not matched:
+        cols = [c.strip().split(".")[-1].strip("` ") for c in split_top_level(m.group("cols"))]
+        vals = split_top_level(m.group("vals"))
+        if len(cols) != len(vals):
+            raise ValueError(f"INSERT column/value arity mismatch: {a}")
+        return MergeClause("insert", cond, dict(zip(cols, vals)))
+    raise ValueError(f"unsupported MERGE action: {a!r} (matched={matched})")
+
+
+def parse_merge(sql: str) -> MergeStatement:
+    s = strip_comments(sql)
+    m = re.match(
+        rf"\s*MERGE\s+INTO\s+(?P<target>{_IDENT})"
+        rf"(?:\s+AS)?(?:\s+(?P<talias>{_IDENT}))?\s+USING\b",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("not a MERGE INTO statement")
+    target, talias = m.group("target"), m.group("talias")
+    pos = m.end()
+    while pos < len(s) and s[pos].isspace():
+        pos += 1
+    if pos < len(s) and s[pos] == "(":
+        depths = _depths(s)
+        close = next(
+            i for i in range(pos + 1, len(s)) if depths[i] == depths[pos] - 1
+        )
+        source_text, source_is_subquery = s[pos + 1 : close].strip(), True
+        pos = close + 1
+    else:
+        im = re.match(rf"(?P<src>{_IDENT})", s[pos:])
+        if not im:
+            raise ValueError("missing USING source")
+        source_text, source_is_subquery = im.group("src"), False
+        pos += im.end()
+    am = re.match(
+        rf"\s*(?:AS\s+)?(?:(?P<salias>{_IDENT})\s+)?ON\s+",
+        s[pos:],
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not am or (am.group("salias") or "").upper() == "ON":
+        raise ValueError("missing ON condition")
+    salias = am.group("salias")
+    pos += am.end()
+    wm = re.search(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", s[pos:], re.IGNORECASE)
+    if not wm:
+        raise ValueError("MERGE has no WHEN clauses")
+    stmt = MergeStatement(
+        target_name=target,
+        target_alias=talias,
+        source_text=source_text,
+        source_is_subquery=source_is_subquery,
+        source_alias=salias,
+        on_condition=s[pos : pos + wm.start()].strip(),
+        clauses=[],
+    )
+    clause_re = re.compile(
+        r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+        r"(?P<action>.*?)(?=\s*WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for cm in clause_re.finditer(s[pos + wm.start() :]):
+        matched = cm.group("not") is None
+        cond = cm.group("cond")
+        cond = _canonicalize(cond, stmt) if cond else None
+        action = _canonicalize(cm.group("action"), stmt)
+        stmt.clauses.append(_parse_action(action.strip(), matched, cond))
+    stmt.on_condition = _canonicalize(stmt.on_condition, stmt)
+    if not stmt.clauses:
+        raise ValueError("MERGE has no parseable WHEN clauses")
+    return stmt
+
+
+def execute_merge(
+    spark: SparkSession,
+    sql: str,
+    resolve,
+    source_df: DataFrame | None = None,
+    stats_prune: dict[str, str] | None = None,
+) -> dict:
+    """Parse + run a MERGE INTO statement against a lake table.
+
+    ``resolve``: LakeTable, dict name->LakeTable, or callable name->LakeTable
+    (the stand-in for a catalog lookup). ``source_df`` overrides the USING
+    source (useful inside foreachBatch where the batch is already a frame).
+    Returns the merge metrics dict.
+    """
+    stmt = parse_merge(sql)
+    if isinstance(resolve, LakeTable):
+        target = resolve
+    elif isinstance(resolve, dict):
+        target = resolve[stmt.target_name]
+    else:
+        target = resolve(stmt.target_name)
+    if source_df is None:
+        if stmt.source_is_subquery:
+            source_df = spark.sql(rewrite_qualify(stmt.source_text))
+        else:
+            source_df = spark.table(stmt.source_text)
+    return target.merge(source_df, stmt.on_condition, stmt.clauses, stats_prune=stats_prune)

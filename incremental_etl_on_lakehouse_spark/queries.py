@@ -400,6 +400,69 @@ def snk_merge(spark, sf_dir):
     return silver.to_df().select("user_id", "ts_ms", "event_type", "value_cents")
 
 
+_MERGE_SQL_TEXT = """
+    MERGE INTO silver_table target
+    USING
+    (
+          SELECT user_id, ts_ms, event_type, value_cents, data_hash, cdc_operation
+          FROM
+          (
+                  -- Remove duplicates within a batch (e.g. quick succession UPDATES)
+                  SELECT    *
+                          , ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) as rnk
+                  FROM {view}
+                  QUALIFY rnk = 1
+          )
+      ) source
+      on source.user_id = target.user_id
+      WHEN MATCHED
+          AND source.cdc_operation = 'DELETE'
+          AND source.ts_ms > target.ts_ms
+          THEN DELETE
+      -- Only processes UPDATEs when there is a data change / removes inter-batch duplicates
+      WHEN MATCHED
+          AND source.cdc_operation = 'UPDATE'
+          AND source.data_hash <> target.data_hash
+          AND source.ts_ms > target.ts_ms
+          THEN UPDATE SET *
+      WHEN NOT MATCHED
+          AND source.cdc_operation <> 'DELETE'
+          THEN INSERT *
+"""
+
+
+@query(
+    "snk_merge_sql",
+    _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM final",
+)
+def snk_merge_sql(spark, sf_dir):
+    """The reference's SQL-text MERGE interface (ref :244-280): the same CDC
+    pipeline as ``snk_merge`` driven entirely through ``MERGE INTO`` text —
+    subquery source with QUALIFY dedup, comments, DELETE / hash-guarded
+    UPDATE SET * / guarded INSERT * — parsed and executed by
+    ``lake.sql.execute_merge``. Oracle identical to snk_merge: the SQL
+    front-end must be semantics-preserving."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_merge
+
+    b1, b2 = _cdc_batches(spark, sf_dir)
+    silver = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "silver_sql"),
+        SILVER_SCHEMA,
+        properties={"statsColumns": "user_id"},
+    )
+    for i, batch in enumerate((b1, b2)):
+        view = f"snk_merge_sql_batch_{i}"
+        batch.createOrReplaceTempView(view)
+        execute_merge(
+            spark,
+            _MERGE_SQL_TEXT.format(view=view),
+            resolve={"silver_table": silver},
+            stats_prune={"user_id": "user_id"},
+        )
+    return silver.to_df().select("user_id", "ts_ms", "event_type", "value_cents")
+
+
 @query(
     "ddl_create_table",
     "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS country,"
