@@ -220,12 +220,35 @@ class LakeTable:
             return out
         return self.spark.read.schema(schema).parquet(*files)
 
-    def to_df(self, version: int | None = None) -> DataFrame:
-        """Snapshot as of ``version`` (default latest) — the time-travel read.
+    def version_at_timestamp(self, timestamp_ms: int) -> int:
+        """Latest version committed at or before ``timestamp_ms`` — the
+        lookup behind ``TIMESTAMP AS OF`` (Delta's companion to the
+        reference's ``VERSION AS OF``, notebooks/demo-notebook.py:533-535).
+        Pure log-metadata scan; no data files are touched."""
+        best = None
+        for c in self._commits():
+            if c.timestamp_ms <= timestamp_ms:
+                best = c.version
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {timestamp_ms} (table created later)"
+            )
+        return best
+
+    def to_df(
+        self, version: int | None = None, timestamp_ms: int | None = None
+    ) -> DataFrame:
+        """Snapshot as of ``version`` or ``timestamp_ms`` (default latest) —
+        the time-travel read.
 
         Reference: ``SELECT * FROM tbl VERSION AS OF 1``
-        (``notebooks/demo-notebook.py:533-535``).
+        (``notebooks/demo-notebook.py:533-535``); ``timestamp_ms`` is the
+        ``TIMESTAMP AS OF`` equivalent.
         """
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp_ms, not both")
+            version = self.version_at_timestamp(timestamp_ms)
         return self._read_files(self.files(version))
 
     # ---------------------------------------------------------------- writes
@@ -462,6 +485,41 @@ class LakeTable:
             ),
         )
         return v
+
+    def vacuum(
+        self,
+        retention_ms: int = 7 * 24 * 3600 * 1000,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Physically delete data files no longer referenced by the current
+        snapshot whose removal commit is older than ``retention_ms`` —
+        Delta's VACUUM. Without it a long-lived table keeps every
+        historical file forever (at 100 TB the dominating storage cost is
+        exactly these merge-rewritten files).
+
+        A file is deletable iff (a) it is NOT active in the current
+        snapshot, and (b) the last commit that removed it is older than the
+        retention horizon. Time travel to versions within retention keeps
+        working; versions older than retention may no longer be readable —
+        the same contract as Delta. Returns the deleted relative paths
+        (``dry_run=True`` only reports).
+        """
+        horizon = lakelog.now_ms() - retention_ms
+        commits = self._commits()
+        active = set(self._state()["active"])
+        removed_at: dict[str, int] = {}
+        for c in commits:
+            for r in c.remove:
+                removed_at[r] = max(removed_at.get(r, 0), c.timestamp_ms)
+        victims = sorted(
+            f
+            for f, t in removed_at.items()
+            if f not in active and t < horizon and os.path.isfile(self._abs(f))
+        )
+        if not dry_run:
+            for f in victims:
+                os.unlink(self._abs(f))
+        return victims
 
     def _rel_of(self, abs_or_uri: str) -> str:
         """Relative path of an ``input_file_name()`` URI under the table root.

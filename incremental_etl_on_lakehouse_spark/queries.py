@@ -390,6 +390,22 @@ def src_time_travel(spark, sf_dir):
 
 
 @query(
+    "src_time_travel_ts",
+    _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM s1",
+)
+def src_time_travel_ts(spark, sf_dir):
+    """TIMESTAMP AS OF read (Delta's companion to VERSION AS OF, ref
+    :533-535): resolve the first-merge commit's wall-clock timestamp to its
+    version from log metadata alone, then read that snapshot — must equal
+    the VERSION AS OF 1 result."""
+    silver = _run_cdc_silver(spark, sf_dir)
+    ts_v1 = next(h["timestamp_ms"] for h in silver.history() if h["version"] == 1)
+    return silver.to_df(timestamp_ms=ts_v1).select(
+        "user_id", "ts_ms", "event_type", "value_cents"
+    )
+
+
+@query(
     "snk_merge",
     _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM final",
 )

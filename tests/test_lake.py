@@ -282,3 +282,61 @@ def test_read_changes_rejects_partial_feed(spark, tmp_path):
         t.read_changes().count()
     # versions before the merge still read fine
     assert t.read_changes(ending_version=1).count() == 1
+
+
+# ------------------------------------------------ timestamp travel + vacuum
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    t.append(spark.createDataFrame([(2, "Wales", 20)], SCHEMA))
+    hist = {h["version"]: h["timestamp_ms"] for h in t.history()}
+    assert t.to_df(timestamp_ms=hist[1]).count() == 1
+    # between v1 and v2 commits (or exactly v2): rounds down to the commit
+    # at-or-before the timestamp
+    assert t.to_df(timestamp_ms=hist[2]).count() == 2
+    assert t.version_at_timestamp(hist[2] + 10_000) == 2
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_at_timestamp(hist[0] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        t.to_df(version=1, timestamp_ms=hist[1])
+
+
+def test_vacuum_removes_only_expired_unreferenced_files(spark, tmp_path):
+    import os
+
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    src = spark.createDataFrame(
+        [(1, "England", 99, "UPDATE")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    t.merge(src, "source.id = target.id",
+            [MergeClause("update", "source.op = 'UPDATE'", "*")])
+    # v1's original file was rewritten by the merge -> unreferenced now
+    all_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t.path, "data"))
+        for f in fs
+    ]
+    live = set(t.files())
+    dead = [f for f in all_files if f not in live]
+    assert dead, "merge should have left at least one rewritten file"
+
+    # retention window still open: nothing is deleted
+    assert t.vacuum(retention_ms=3600_000) == []
+    assert all(os.path.isfile(f) for f in dead)
+
+    # dry run with horizon now: reports but keeps
+    reported = t.vacuum(retention_ms=-1, dry_run=True)
+    assert reported and all(os.path.isfile(t._abs(r)) for r in reported)
+
+    # real vacuum with retention 0 (horizon = now): expired files deleted
+    deleted = t.vacuum(retention_ms=-1)
+    assert sorted(deleted) == sorted(reported)
+    assert all(not os.path.isfile(t._abs(r)) for r in deleted)
+
+    # the live snapshot still reads completely
+    got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
+    assert got == {1: 99, 2: 20}
+    # current version (within retention) still time-travels
+    assert t.to_df(version=t.version()).count() == 2
