@@ -1184,6 +1184,65 @@ def ext_dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(docs, max_hamming=10)
 
 
+_FUZZY_PLANTED_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "ext_dedup_fuzzy_planted",
+    f"WITH base AS (SELECT doc_id, {_FUZZY_PLANTED_NORM} AS n FROM documents),"
+    " corpus AS (SELECT doc_id, n FROM base"
+    "  UNION ALL SELECT doc_id + 1000000, n FROM base WHERE doc_id % 20 = 0),"
+    " toks AS (SELECT doc_id, regexp_split_to_array(n, ' ') AS t FROM corpus),"
+    " s AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+    "   generate_series(1, greatest(len(t) - 2, 1)),"
+    "   i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sig FROM toks)"
+    " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    "  CAST(1.0 AS DOUBLE) AS jaccard_sim"
+    " FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sig = b.sig",
+)
+def ext_dedup_fuzzy_planted(spark, sf_dir):
+    """MinHash+LSH fuzzy dedup with PLANTED duplicates and a full oracle:
+    every 20th document is re-inserted verbatim under doc_id+1000000.
+    Identical text gives an identical 64-component MinHash signature, which
+    collides in every LSH band, so a threshold of estimated-Jaccard 1.0
+    restricts the output to exactly the equal-shingle-set pairs — a set the
+    oracle recomputes directly (normalize -> word 3-shingles -> sorted
+    distinct set equality join). This closes round 1's rows-only gap for the
+    MinHash family: the production banding path is exercised end-to-end and
+    every emitted pair is hash-verified against DuckDB.
+
+    An estimated-Jaccard filter alone saturates (all 64 minhash components
+    can coincide for true J < 1 — observed on ~8 natural near-dup pairs per
+    500 docs), so the candidates get the standard exact rescore: set
+    equality on the shingle arrays. Candidate volume is LSH-bounded, so the
+    rescore joins touch O(pairs), not O(corpus²)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(planted)
+    pairs = D.minhash_lsh_pairs(corpus, jaccard_threshold=1.0)
+    sh = corpus.select("doc_id", T.shingles(F.col("text"), 3).alias("sh"))
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            == F.size(F.array_union("sh_a", "sh_b"))
+        )
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
     " '\\s+', ' ', 'g'))"
@@ -1288,6 +1347,57 @@ def ext_sim_lsh(spark, sf_dir):
     embs = load_table(spark, "embeddings", sf_dir)
     queries = embs.where("vec_id < 5")
     return SIM.topk_cosine_lsh(queries, embs, k=10, planes=4, num_tables=8)
+
+
+def _planted_queries(embs):
+    """×2-scaled copies of every 25th corpus vector. Power-of-two scaling is
+    IEEE-exact, so each copy's hyperplane sign buckets, centroid assignment,
+    and cosine-to-twin (exactly 1.0) are all deterministic — see
+    ext_dedup_embedding."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double") * F.lit(2.0))
+    return embs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), dbl.alias("embedding")
+    )
+
+
+_PLANTED_TOP1_SQL = (
+    "SELECT vec_id + 100000 AS query_id, vec_id AS corpus_id,"
+    " CAST(1.0 AS DOUBLE) AS cosine_sim, CAST(1 AS INT) AS rank"
+    " FROM embeddings WHERE vec_id % 25 = 0"
+)
+
+
+@query("ext_sim_lsh_planted", _PLANTED_TOP1_SQL)
+def ext_sim_lsh_planted(spark, sf_dir):
+    """Hyperplane-LSH ANN recall proof with a full oracle: for ×2-scaled
+    planted queries the twin's sign bucket is provably identical in every
+    table, so the twin is always a candidate and (max natural cosine ~0.51)
+    always rank 1 with cosine exactly 1.0. The rank-1 slice is therefore
+    deterministic and SQL-replayable even though deeper ranks depend on LSH
+    recall. Exercises the full production path: multi-table bucketing,
+    bucket join, exact rescore, two-phase ranking."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    out = SIM.topk_cosine_lsh(
+        _planted_queries(embs), embs, k=10, planes=4, num_tables=8
+    )
+    return out.where(F.col("rank") == 1).select(
+        "query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query("ext_sim_ivf_planted", _PLANTED_TOP1_SQL)
+def ext_sim_ivf_planted(spark, sf_dir):
+    """IVF ANN recall proof with a full oracle: a ×2-scaled query's cosine
+    to every centroid equals its twin's exactly, so it is assigned the
+    twin's partition, the probe list covers it, and the twin rescores to
+    rank 1 at cosine exactly 1.0 (same argument as ext_sim_lsh_planted)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    out = SIM.topk_cosine_ivf(
+        _planted_queries(embs), embs, k=10, n_centroids=16, n_probe=4
+    )
+    return out.where(F.col("rank") == 1).select(
+        "query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
 
 
 @query(
