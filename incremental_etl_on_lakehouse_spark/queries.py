@@ -40,6 +40,7 @@ from pyspark.sql.types import (
 )
 
 from incremental_etl_on_lakehouse_spark.lake import LakeStreamReader, LakeTable
+from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
 from incremental_etl_on_lakehouse_spark.operators import spread
 from incremental_etl_on_lakehouse_spark.operators import dedup as D
 from incremental_etl_on_lakehouse_spark.operators import multimodal as MM
@@ -386,6 +387,44 @@ def src_time_travel(spark, sf_dir):
     silver = _run_cdc_silver(spark, sf_dir)
     return silver.to_df(version=1).select(
         "user_id", "ts_ms", "event_type", "value_cents"
+    )
+
+
+@query(
+    "util_vacuum",
+    "SELECT CAST(count(*) AS BIGINT) AS live_rows,"
+    " CAST(true AS BOOLEAN) AS vacuumed_files_gone FROM nation",
+)
+def util_vacuum(spark, sf_dir):
+    """VACUUM: physically delete merge-rewritten files past retention while
+    the live snapshot stays fully readable. Builds a throwaway table from
+    ``nation``, rewrites it with a merge, vacuums at retention 0, and
+    returns (live row count, all-vacuumed-files-gone) — both assertable by
+    the oracle because vacuum must never change the logical table."""
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("name"),
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "vac"),
+        StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        ),
+    )
+    t.append(nat)
+    t.merge(
+        nat.select("id", F.initcap(F.col("name")).alias("name")),
+        "source.id = target.id",
+        [MergeClause("update", "source.name <> target.name", "*")],
+    )
+    deleted = t.vacuum(retention_ms=-1)
+    gone = bool(deleted) and all(
+        not os.path.isfile(t._abs(r)) for r in deleted
+    )
+    return t.to_df().groupBy().agg(
+        F.count("*").alias("live_rows"),
+        F.lit(gone).alias("vacuumed_files_gone"),
     )
 
 
