@@ -186,3 +186,65 @@ def test_unsupported_action_raises():
         parse_merge(
             "MERGE INTO t USING s ON s.id = t.id WHEN MATCHED THEN FROBNICATE"
         )
+
+
+# ------------------------------------------------ property: parser round-trip
+
+
+def test_parser_roundtrip_property():
+    """Generated MERGE statements over random aliases/conditions/assignment
+    orders parse to the canonical clause structure."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idents = st.text("abcdefgz_", min_size=1, max_size=8).filter(
+        lambda s: s.upper() not in {"ON", "AS", "USING", "WHEN", "MERGE", "SET"}
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        talias=idents,
+        salias=idents,
+        n_upd=st.integers(0, 3),
+        with_delete=st.booleans(),
+        insert_star=st.booleans(),
+    )
+    def run(talias, salias, n_upd, with_delete, insert_star):
+        if talias == salias:
+            return
+        clauses = []
+        if with_delete:
+            clauses.append(
+                f"WHEN MATCHED AND {salias}.op = 'D' THEN DELETE"
+            )
+        sets = ", ".join(
+            f"{talias}.c{i} = {salias}.c{i} + {i}" for i in range(n_upd)
+        )
+        if n_upd:
+            clauses.append(f"WHEN MATCHED THEN UPDATE SET {sets}")
+        if insert_star:
+            clauses.append("WHEN NOT MATCHED THEN INSERT *")
+        else:
+            clauses.append(
+                f"WHEN NOT MATCHED THEN INSERT (k, v) VALUES ({salias}.k, {salias}.v)"
+            )
+        sql = (
+            f"MERGE INTO tbl {talias} USING src {salias} "
+            f"ON {salias}.k = {talias}.k " + " ".join(clauses)
+        )
+        stmt = parse_merge(sql)
+        assert stmt.on_condition == "source.k = target.k"
+        kinds = [c.kind for c in stmt.clauses]
+        expected = (["delete"] if with_delete else []) + (
+            ["update"] if n_upd else []
+        ) + ["insert"]
+        assert kinds == expected
+        for c in stmt.clauses:
+            if c.kind == "update":
+                assert c.assignments == {
+                    f"c{i}": f"source.c{i} + {i}" for i in range(n_upd)
+                }
+            if c.kind == "insert" and not insert_star:
+                assert c.assignments == {"k": "source.k", "v": "source.v"}
+
+    run()
