@@ -643,17 +643,26 @@ class LakeTable:
             .persist()
         )
 
+        # ONE action over S yields both the touched-file list and every
+        # per-action row count (one fewer Spark job per merge; the result is
+        # O(actions x touched files) rows — driver-metadata scale).
         fire_actions = [f"{cl.kind}{i}" for i, cl in enumerate(matched_clauses)]
-        if matched_clauses and not target_empty:
-            touched = [
-                r["f"]
-                for r in s_joined.where(F.col("__action").isin(fire_actions))
-                .select(F.expr("target.`__file`").alias("f"))
-                .distinct()
-                .collect()
-            ]
-        else:
-            touched = []
+        plan_rows = (
+            s_joined.groupBy(
+                F.col("__action"), F.expr("target.`__file`").alias("__f")
+            )
+            .count()
+            .collect()
+        )
+        action_counts: dict[str, int] = {}
+        touched_set: set[str] = set()
+        for r in plan_rows:
+            action_counts[r["__action"]] = (
+                action_counts.get(r["__action"], 0) + r["count"]
+            )
+            if r["__action"] in fire_actions and r["__f"]:
+                touched_set.add(r["__f"])
+        touched = sorted(touched_set)
 
         # 2. Rewrite candidates: rows from touched files joined to the source
         #    (the only remaining target-side join; it reads ONLY the touched
@@ -728,11 +737,8 @@ class LakeTable:
                 for p in ins_parts[1:]:
                     inserts = inserts.unionByName(p)
 
-            # Every action count from ONE aggregation over the persisted S.
-            action_counts: dict[str, int] = {
-                r["__action"]: r["count"]
-                for r in s_joined.groupBy("__action").count().collect()
-            }
+            # Action counts were collected together with the touched-file
+            # probe (one job); just aggregate the clause families.
             n_ins = sum(
                 action_counts.get(f"insert{j}", 0) for j in range(len(insert_clauses))
             )

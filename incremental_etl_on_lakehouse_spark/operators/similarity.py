@@ -39,6 +39,13 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     instead of |corpus|. Results are identical to a one-shot window: the
     global top-k by (sim desc, corpus_id asc) is a subset of every
     partition-local top-k under the same ordering.
+
+    Spark >= 3.5 additionally applies InferWindowGroupLimit, planning a
+    map-side ``WindowGroupLimit ... Partial`` before EACH window exchange
+    (visible in the executed plan). The explicit phase keeps the
+    O(k * partitions) bound an engine-independent property of the operator
+    rather than an optimizer courtesy; the extra exchange it introduces
+    moves only the already-reduced row set.
     """
     w_local = Window.partitionBy("query_id", "__part").orderBy(
         F.col("cosine_sim").desc(), F.col("corpus_id").asc()
