@@ -54,6 +54,56 @@ def _json_safe(v):
     return None
 
 
+_ZORDER_SAMPLE_ROWS = 65_536
+# 64 range buckets per dimension: file-level pruning only needs about as
+# many distinct z-cells as output files, and 63 comparisons per column keeps
+# the bucket expression well inside one codegen method.
+_ZORDER_MAX_BITS = 6
+
+
+def _zvalue(df: DataFrame, cols: list[str], total_rows: int):
+    """Interleaved-bit z-value expression over ``cols``.
+
+    Each column is mapped to a range bucket (0..2^bits-1) against split
+    points taken from ONE bounded sample of the table — the same sampled
+    range-partitioning any orderable type supports (numbers, strings,
+    timestamps), so no per-type code. Buckets' bits are then interleaved:
+    bit ``i`` of column ``j`` lands at position ``i*len(cols)+j``, giving
+    the space-filling-curve locality that makes every clustered column
+    independently prunable by file min/max stats.
+
+    The bucketing expression is pure JVM (comparisons + shifts — stays in
+    whole-stage codegen); only the split-point sample is collected, capped
+    at ~64k rows whatever the table size. NULL sorts into bucket 0.
+    """
+    if len(cols) * _ZORDER_MAX_BITS > 63:
+        raise ValueError(f"too many zorder columns for a long z-value: {cols}")
+    frac = min(1.0, _ZORDER_SAMPLE_ROWS / max(total_rows, 1))
+    sample = df.select(*cols).sample(fraction=frac, seed=7).collect()
+    n_buckets = 1 << _ZORDER_MAX_BITS
+    buckets = []
+    for c in cols:
+        vals = sorted(r[c] for r in sample if r[c] is not None)
+        splits: list = []
+        for k in range(1, n_buckets):
+            if not vals:
+                break
+            v = vals[min(len(vals) - 1, (len(vals) * k) // n_buckets)]
+            if not splits or v > splits[-1]:
+                splits.append(v)
+        b = F.lit(0).cast("long")
+        for s in splits:
+            b = b + (F.col(c) >= F.lit(s)).cast("long")
+        buckets.append(F.coalesce(b, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for i in range(_ZORDER_MAX_BITS):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(buckets) + j
+            )
+    return z
+
+
 @dataclass
 class MergeClause:
     """One WHEN clause of a MERGE, in declaration order.
@@ -441,7 +491,10 @@ class LakeTable:
         return v
 
     def compact(
-        self, target_file_rows: int = 4_000_000, cluster_by: list[str] | None = None
+        self,
+        target_file_rows: int = 4_000_000,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current snapshot
         into ~``target_file_rows``-row files. Purely physical — no logical
@@ -450,10 +503,22 @@ class LakeTable:
         absorb the small files that micro-batch merges produce.
 
         ``cluster_by`` range-partitions and sorts the rewrite on the given
-        columns (Z-order-lite for one dimension): resulting files carry
-        tight, disjoint min/max stats, so ``files_matching``/merge pruning
-        skips all but the overlapping file(s).
+        columns: lexicographic clustering — files carry tight, disjoint
+        min/max stats on the FIRST column, so ``files_matching``/merge
+        pruning skips all but the overlapping file(s). Later columns only
+        tie-break and stay unprunable.
+
+        ``zorder_by`` is multi-dimensional clustering (Delta's OPTIMIZE
+        ZORDER BY): each column is bucketed by sampled range split points
+        and the bucket bits are interleaved into a single z-value the
+        rewrite is range-partitioned and sorted on. Every file then covers
+        a small hyper-rectangle of the clustered space, so min/max pruning
+        works on EVERY zorder column independently — the property
+        lexicographic sort cannot give. One extra sampling job (bounded
+        collect, ~64k rows regardless of table size) plans the buckets.
         """
+        if cluster_by and zorder_by:
+            raise ValueError("pass either cluster_by or zorder_by, not both")
         commits = self._commits()
         removed = lakelog.snapshot_files(commits)
         total_rows = sum(
@@ -461,7 +526,14 @@ class LakeTable:
         )
         n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
         df = self.to_df()
-        if cluster_by:
+        if zorder_by:
+            df = (
+                df.withColumn("__z", _zvalue(df, zorder_by, total_rows))
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             df = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )

@@ -429,6 +429,45 @@ def util_vacuum(spark, sf_dir):
 
 
 @query(
+    "util_optimize_zorder",
+    "SELECT CAST(c_custkey AS BIGINT) AS custkey,"
+    " CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal AS acctbal"
+    " FROM customer",
+)
+def util_optimize_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER BY: rewrite a multiply-appended table clustered on
+    the interleaved-bit z-value of (nationkey, acctbal) so file min/max
+    stats prune on BOTH dimensions. The oracle checks the rewrite is purely
+    physical (content identical to the source); the in-key assertions check
+    the clustering actually prunes — each dimension independently skips
+    files after OPTIMIZE where the interleaved appends could skip none."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "zopt"),
+        cust.schema,
+        properties={"statsColumns": "nationkey,acctbal"},
+    )
+    # four interleaved appends: every file spans ~all nations and balances
+    for part in range(4):
+        t.append(cust.where(F.col("custkey") % 4 == part).coalesce(1))
+    pre_n = len(t.files())
+    nat = (5, 7)
+    bal = (0.0, 500.0)
+    assert len(t.files_matching({"nationkey": nat})) == pre_n
+    t.compact(target_file_rows=max(1, cust.count() // 8), zorder_by=["nationkey", "acctbal"])
+    n = len(t.files())
+    assert n >= 4, f"expected a multi-file rewrite, got {n}"
+    assert len(t.files_matching({"nationkey": nat})) < n
+    assert len(t.files_matching({"acctbal": bal})) < n
+    return t.to_df()
+
+
+@query(
     "src_time_travel_ts",
     _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM s1",
 )
@@ -2774,7 +2813,7 @@ _PRIORITY_KEYS = [
 # the approximate family, the SQL MERGE interface, and the new lake ops.
 _SECOND_PRIORITY = [
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
-    "snk_merge_sql", "src_time_travel_ts", "util_vacuum",
+    "snk_merge_sql", "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
 ]
 

@@ -137,3 +137,72 @@ def test_clustered_compaction_tightens_stats(spark, tmp_path):
     assert t.to_df().count() == 300
     # disjoint ranges after clustering: narrow range hits exactly one file
     assert len(t.files_matching({"id": (10, 20)})) == 1
+
+
+XY_SCHEMA = StructType(
+    [
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+def _xy_table(spark, path, stats="x,y"):
+    """16x16 grid written as interleaved appends: every file spans the full
+    x AND y ranges, so no pruning is possible before clustering."""
+    t = LakeTable.create(
+        spark, str(path), XY_SCHEMA, properties={"statsColumns": stats}
+    )
+    rows = [(i % 16, i // 16, i) for i in range(256)]
+    for start in range(4):
+        t.append(spark.createDataFrame(rows[start::4], XY_SCHEMA).coalesce(1))
+    return t
+
+
+def test_zorder_compaction_prunes_every_dimension(spark, tmp_path):
+    t = _xy_table(spark, tmp_path / "z2d")
+    assert len(t.files_matching({"x": (3, 4)})) == 4  # nothing skippable
+    assert len(t.files_matching({"y": (3, 4)})) == 4
+    before = {(r["x"], r["y"], r["v"]) for r in t.to_df().collect()}
+
+    t.compact(target_file_rows=16, zorder_by=["x", "y"])
+
+    # purely physical: same logical table
+    assert {(r["x"], r["y"], r["v"]) for r in t.to_df().collect()} == before
+    n = len(t.files())
+    assert n >= 8
+    # a narrow slice in EITHER dimension now skips most files — the property
+    # lexicographic sort can't give for the second column
+    assert len(t.files_matching({"x": (3, 4)})) <= n // 2
+    assert len(t.files_matching({"y": (3, 4)})) <= n // 2
+    # point cell: a handful of files at most
+    assert len(t.files_matching({"x": (5, 5), "y": (5, 5)})) <= max(1, n // 4)
+
+
+def test_lexicographic_cluster_cannot_prune_second_column(spark, tmp_path):
+    t = _xy_table(spark, tmp_path / "lex")
+    t.compact(target_file_rows=16, cluster_by=["x", "y"])
+    n = len(t.files())
+    assert n >= 8
+    assert len(t.files_matching({"x": (3, 4)})) <= n // 2  # first col prunes
+    # second column spans ~the full range in every file: no skipping
+    assert len(t.files_matching({"y": (3, 4)})) == n
+
+
+def test_zorder_handles_strings_and_nulls(spark, tmp_path):
+    schema = StructType(
+        [StructField("s", StringType()), StructField("k", LongType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "zs"), schema, properties={"statsColumns": "s,k"}
+    )
+    rows = [(None if i % 50 == 0 else f"w{i % 40:03d}", i % 20) for i in range(200)]
+    t.append(spark.createDataFrame(rows, schema))
+    before = sorted(((r["s"] or ""), r["k"]) for r in t.to_df().collect())
+    t.compact(target_file_rows=25, zorder_by=["s", "k"])
+    assert sorted(((r["s"] or ""), r["k"]) for r in t.to_df().collect()) == before
+    n = len(t.files())
+    assert n >= 4
+    # string ranges prune too (sampled split points are type-agnostic)
+    assert len(t.files_matching({"s": ("w010", "w015")})) < n
