@@ -2762,6 +2762,124 @@ def q14_promo_revenue(spark, sf_dir):
         )
     )
 
+@query(
+    "q10_returned_items",
+    f"SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,"
+    f" CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
+    " c_acctbal, n_name"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE o_orderdate >= TIMESTAMP '1996-10-01'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01'"
+    " AND l_returnflag = 'R'"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+    f" ORDER BY sum({_DISC_PRICE_SQL}) DESC, c_custkey LIMIT 20",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): quarter-filtered orders
+    x returnflag-filtered lineitem, customer + nation dims broadcast,
+    grouped revenue, deterministic top-20. Scale: the only shuffle is
+    lineitem x orders on orderkey; both selective predicates reach the
+    parquet scans; top-20 is TakeOrdered, never a full sort."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .orderBy(F.desc("__rev"), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            "c_name",
+            F.col("__rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+_Q19_PREDS = [
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 16, 30, 10, 20),
+    ("Brand#3", 31, 50, 20, 30),
+]
+_Q19_SQL_WHERE = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1}"
+    f" AND l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in _Q19_PREDS
+)
+
+
+@query(
+    "q19_disjunctive",
+    f"SELECT CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
+    " CAST(count(*) AS BIGINT) AS n_items"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    f" WHERE {_Q19_SQL_WHERE}",
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive discounted revenue, adapted to the
+    fixture's part columns): an OR of brand x size x quantity conjunctions
+    spanning both join sides. Catalyst extracts the common single-side
+    conjuncts from the disjunction: the part scan is pre-filtered to the
+    three brands and the lineitem scan to the union quantity range BEFORE
+    the broadcast join, so the OR never forces full scans of either side —
+    the property this shape exists to regression-test."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    pred = None
+    for b, s0, s1, q0, q1 in _Q19_PREDS:
+        one = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        pred = one if pred is None else (pred | one)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(pred)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q22_SQL = (
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey,"
+    " CAST(count(*) AS BIGINT) AS n_custs,"
+    " CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal"
+    " FROM customer c"
+    " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)"
+    " AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_orderdate >= TIMESTAMP '2000-01-01')"
+    " GROUP BY c_nationkey"
+)
+
+
+@query("q22_dormant_customers", _Q22_SQL)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity, adapted: all fixture
+    customers have some order, so dormancy = no order since 2000):
+    uncorrelated scalar subquery + correlated NOT EXISTS. Catalyst plans
+    the scalar average as a one-row broadcast and decorrelates the NOT
+    EXISTS into a left-anti join on custkey against the date-filtered
+    orders scan — no per-row subquery re-execution. Same text on the
+    oracle."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

@@ -125,3 +125,36 @@ def test_topk_prereduces_before_global_rank(spark, sf_dir):
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
     # two window operators: partition-local pre-rank + global rank
     assert plan.count("Window") >= 2, plan
+
+
+def test_q19_disjunction_pushes_single_side_conjuncts(spark, sf_dir):
+    """The OR of (brand AND size AND quantity) conjunctions must not defeat
+    pushdown: Catalyst extracts the per-side common disjuncts, so the part
+    scan is pre-filtered on brand/size and the lineitem scan on quantity
+    BEFORE the join."""
+    df = QUERIES["q19_disjunctive"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.has_pushed_filters(df, "p_brand"), plan
+    assert plans.has_pushed_filters(df, "l_quantity"), plan
+    assert plans.uses_broadcast_join(df), plan
+
+
+def test_q22_decorrelates_to_anti_join(spark, sf_dir):
+    """NOT EXISTS must plan as one left-anti join (no per-row subquery) and
+    the scalar average as a reusable subquery, not a rescan per row."""
+    df = QUERIES["q22_dormant_customers"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    # the dormancy date filter reaches the orders scan inside the anti side
+    assert plans.has_pushed_filters(df, "o_orderdate"), plan
+
+
+def test_q10_single_fact_shuffle(spark, sf_dir):
+    """Q10: dims broadcast; the only exchanges are the lineitem x orders
+    co-shuffle and the final aggregation."""
+    df = QUERIES["q10_returned_items"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.has_pushed_filters(df, "l_returnflag"), plan
+    assert plans.has_pushed_filters(df, "o_orderdate"), plan
