@@ -558,6 +558,52 @@ class LakeTable:
         )
         return v
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF: roll the live snapshot back
+        to ``version`` as a NEW commit — history is preserved, so the bad
+        versions stay time-travelable and the rollback itself is auditable
+        (Delta's RESTORE). The commit records the file-level diff between
+        the current snapshot and the target snapshot: pure metadata, no
+        data rewrite, O(|files|) regardless of table size. The change feed
+        sees the rollback as whole-file deletes + re-inserts (synthesized,
+        like OVERWRITE). Restoring past files VACUUM already deleted is an
+        error, matching Delta."""
+        commits = self._commits()
+        snap_v = commits[-1].version
+        if not 0 <= version <= snap_v:
+            raise ValueError(f"cannot restore to v{version}: latest is v{snap_v}")
+        target_active = self._state(version)["active"]
+        current_active = self._state()["active"]
+        add = [
+            dict(a, path=rel)
+            for rel, a in target_active.items()
+            if rel not in current_active
+        ]
+        remove = sorted(rel for rel in current_active if rel not in target_active)
+        missing = [a["path"] for a in add if not os.path.isfile(self._abs(a["path"]))]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} data file(s) "
+                f"already vacuumed (e.g. {missing[0]})"
+            )
+        v = snap_v + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="RESTORE",
+                timestamp_ms=lakelog.now_ms(),
+                add=add,
+                remove=remove,
+                metrics={
+                    "restored_version": version,
+                    "num_restored_files": len(add),
+                    "num_removed_files": len(remove),
+                },
+            ),
+        )
+        return v
+
     def vacuum(
         self,
         retention_ms: int = 7 * 24 * 3600 * 1000,
@@ -921,11 +967,11 @@ class LakeTable:
                     "outside this range)"
                 )
             part = None
-            if c.operation in ("APPEND", "CREATE", "OVERWRITE") and c.add:
+            if c.operation in ("APPEND", "CREATE", "OVERWRITE", "RESTORE") and c.add:
                 files = [self._abs(a["path"]) for a in c.add]
                 part = self._read_files(files).withColumn(CHANGE_TYPE, F.lit("insert"))
-                # OVERWRITE also logically deletes the removed files' rows.
-            if c.operation == "OVERWRITE" and c.remove:
+                # OVERWRITE/RESTORE also logically delete the removed files' rows.
+            if c.operation in ("OVERWRITE", "RESTORE") and c.remove:
                 files = [self._abs(r) for r in c.remove]
                 removed = self._read_files(files).withColumn(
                     CHANGE_TYPE, F.lit("delete")

@@ -468,6 +468,36 @@ def util_optimize_zorder(spark, sf_dir):
 
 
 @query(
+    "util_restore",
+    "SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation",
+)
+def util_restore(spark, sf_dir):
+    """RESTORE TO VERSION AS OF: metadata-only rollback of a bad overwrite.
+    Loads nation, overwrites it with a corrupted variant, restores v1, and
+    returns the live content — which the oracle checks equals the original
+    (proving the rollback) while history keeps the bad version auditable."""
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("name"),
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "restore"),
+        StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        ),
+    )
+    t.append(nat)
+    t.overwrite(nat.select("id", F.upper(F.col("name")).alias("name")).limit(5))
+    v_bad = t.version()
+    t.restore(1)
+    assert t.version() == v_bad + 1
+    assert {h["version"]: h["operation"] for h in t.history()}[v_bad + 1] == "RESTORE"
+    assert t.to_df(version=v_bad).count() == 5  # bad snapshot still auditable
+    return t.to_df()
+
+
+@query(
     "src_time_travel_ts",
     _SQL_CDC + "SELECT user_id, ts_ms, event_type, value_cents FROM s1",
 )
@@ -2932,6 +2962,7 @@ _PRIORITY_KEYS = [
 _SECOND_PRIORITY = [
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "snk_merge_sql", "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
+    "util_restore",
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
 ]
 

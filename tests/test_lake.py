@@ -340,3 +340,75 @@ def test_vacuum_removes_only_expired_unreferenced_files(spark, tmp_path):
     assert got == {1: 99, 2: 20}
     # current version (within retention) still time-travels
     assert t.to_df(version=t.version()).count() == 2
+
+
+def test_merge_bounded_job_count(spark, tmp_path):
+    """The merge planner must stay O(1) Spark jobs regardless of clause
+    count: one action materializes the persisted source-sided join, one
+    groupBy(action, file) collect yields BOTH the touched-file list and
+    every per-action count, then the rewrite+insert write. A regression
+    that re-plans per clause or re-collects per metric shows up here as a
+    job-count jump."""
+    t = make_table(
+        spark, tmp_path, [(i, "c", i) for i in range(100)], cdf=False
+    )
+    src = spark.createDataFrame(
+        [(i, "c", 1000 + i) for i in range(50, 150)], SCHEMA
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("merge-count", "merge job budget")
+    try:
+        t.merge(
+            src,
+            "source.id = target.id",
+            [
+                MergeClause("update", "source.visitors <> target.visitors", "*"),
+                MergeClause("delete", "source.visitors < 0", None),
+                MergeClause("insert", None, "*"),
+            ],
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(tracker.getJobIdsForGroup("merge-count") or [])
+    # persist-materialize, plan-collect, and the snapshot write, plus AQE
+    # materializing shuffle stages as extra jobs; the invariant is the
+    # budget does NOT scale with clause count (3 clauses here), nor with
+    # metric count as it did before the fused planning probe
+    assert 1 <= jobs <= 8, f"merge ran {jobs} Spark jobs"
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    t.append(spark.createDataFrame([(3, "Scotland", 30)], SCHEMA))
+    t.merge(
+        spark.createDataFrame([(1, "England", 999)], SCHEMA),
+        "source.id = target.id",
+        [MergeClause("update", None, "*")],
+    )
+    v_bad = t.version()
+    v1_rows = {(r["id"], r["visitors"]) for r in t.to_df(version=1).collect()}
+    v = t.restore(1)
+    # rollback is a NEW commit on top, content equals the restored version
+    assert v == v_bad + 1 and t.version() == v
+    assert {(r["id"], r["visitors"]) for r in t.to_df().collect()} == v1_rows
+    # history preserved: the bad version still time-travels
+    assert {r["id"] for r in t.to_df(version=v_bad).collect()} == {1, 2, 3}
+    hist = {h["version"]: h["operation"] for h in t.history()}
+    assert hist[v] == "RESTORE"
+    # change feed sees the rollback as whole-file deletes + re-inserts
+    ch = t.read_changes(starting_version=v)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert "delete" in kinds
+    # restore FORWARD to the pre-rollback snapshot also works
+    t.restore(v_bad)
+    assert {r["visitors"] for r in t.to_df().where(F.col("id") == 1).collect()} == {999}
+
+
+def test_restore_refuses_vacuumed_versions(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10)], cdf=False)
+    t.overwrite(spark.createDataFrame([(2, "Wales", 20)], SCHEMA))
+    t.vacuum(retention_ms=-1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(1)
