@@ -665,6 +665,7 @@ class LakeTable:
         condition: str,
         clauses: list[MergeClause],
         stats_prune: dict[str, str] | None = None,
+        merge_schema: bool = False,
     ) -> dict:
         """Delta-style MERGE: join source vs target on ``condition``; apply the
         first matching WHEN clause per row. Rewrites only data files containing
@@ -675,10 +676,28 @@ class LakeTable:
         The caller must ensure at most one source row matches each target row
         (the reference guarantees this by deduping the batch first,
         ``notebooks/demo-notebook.py:262-267``).
+
+        ``merge_schema=True`` widens the target schema with source columns it
+        doesn't have yet (Delta's ``withSchemaEvolution()``): rows in
+        untouched files read the new columns as NULL (schema-on-read, no
+        rewrite), ``UPDATE/INSERT *`` assign them from the source, and CDF
+        pre-images carry NULL for them.
         """
         matched_clauses = [c for c in clauses if c.kind in ("delete", "update")]
         insert_clauses = [c for c in clauses if c.kind == "insert"]
-        tgt_cols = [f.name for f in self.schema().fields]
+        old_schema = self.schema()
+        old_cols = set(old_schema.fieldNames())
+        write_schema = old_schema
+        schema_json = None
+        if merge_schema:
+            new_fields = [
+                f for f in source.schema.fields if f.name not in old_cols
+            ]
+            if new_fields:
+                write_schema = StructType(old_schema.fields + new_fields)
+                schema_json = write_schema.json()
+        tgt_cols = [f.name for f in write_schema.fields]
+        tgt_types = {f.name: f.dataType for f in write_schema.fields}
         # Optimistic concurrency: capture the snapshot version the whole
         # operation reads from; committing as snapshot+1 makes any
         # intervening writer's commit collide (FileExistsError) instead of
@@ -809,20 +828,29 @@ class LakeTable:
                 if cl.assignments == "*" or cl.assignments is None:
                     src_cols = set(source.columns)
                     expr = (
-                        F.expr(f"source.`{col}`") if col in src_cols else F.expr(f"target.`{col}`")
+                        F.expr(f"source.`{col}`")
+                        if col in src_cols
+                        else target_or_null(col)
                     )
                 else:
                     expr = (
                         F.expr(cl.assignments[col])
                         if col in cl.assignments
-                        else F.expr(f"target.`{col}`")
+                        else target_or_null(col)
                     )
                 return F.when(F.col("__action") == f"update{i}", expr).otherwise(current)
+
+            def target_or_null(colname: str):
+                # evolved columns don't exist in the target scan yet:
+                # untouched rows carry NULL (schema-on-read)
+                if colname in old_cols:
+                    return F.expr(f"target.`{colname}`")
+                return F.lit(None).cast(tgt_types[colname])
 
             # Post-image values for kept/updated rows.
             out_cols = []
             for colname in tgt_cols:
-                val = F.expr(f"target.`{colname}`")
+                val = target_or_null(colname)
                 for i, cl in enumerate(matched_clauses):
                     if cl.kind == "update":
                         val = assignment_expr(cl, i, colname, val)
@@ -865,9 +893,9 @@ class LakeTable:
             n_del = sum(action_counts.get(a, 0) for a in del_actions)
             n_upd = sum(action_counts.get(a, 0) for a in upd_actions)
 
-            new_data = self._align(survivors)
+            new_data = self._align(survivors, write_schema)
             if inserts is not None:
-                new_data = new_data.unionByName(self._align(inserts))
+                new_data = new_data.unionByName(self._align(inserts, write_schema))
             adds, written_rows = ([], 0)
             if touched or n_ins:
                 adds, written_rows = self._stage_write(new_data)
@@ -875,31 +903,39 @@ class LakeTable:
             # 4. Change-data-feed rows for this commit (materialized: merges
             #    change a sparse subset, so synthesis-from-files can't express them).
             cdf_rel = None
-            pre_cols = [F.expr(f"target.`{c}`").alias(c) for c in tgt_cols]
+            pre_cols = [target_or_null(c).alias(c) for c in tgt_cols]
             cdf_parts = []
             if n_del:
                 d = s_joined.where(F.col("__action").isin(del_actions)).select(*pre_cols)
-                cdf_parts.append(self._align(d).withColumn(CHANGE_TYPE, F.lit("delete")))
+                cdf_parts.append(
+                    self._align(d, write_schema).withColumn(CHANGE_TYPE, F.lit("delete"))
+                )
             if n_upd:
                 upd_rows = s_joined.where(F.col("__action").isin(upd_actions))
                 pre = upd_rows.select(*pre_cols)
                 post_cols = []
                 for colname in tgt_cols:
-                    val = F.expr(f"target.`{colname}`")
+                    val = target_or_null(colname)
                     for i, cl in enumerate(matched_clauses):
                         if cl.kind == "update":
                             val = assignment_expr(cl, i, colname, val)
                     post_cols.append(val.alias(colname))
                 post = upd_rows.select(*post_cols)
                 cdf_parts.append(
-                    self._align(pre).withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+                    self._align(pre, write_schema).withColumn(
+                        CHANGE_TYPE, F.lit("update_preimage")
+                    )
                 )
                 cdf_parts.append(
-                    self._align(post).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+                    self._align(post, write_schema).withColumn(
+                        CHANGE_TYPE, F.lit("update_postimage")
+                    )
                 )
             if n_ins:
                 cdf_parts.append(
-                    self._align(inserts).withColumn(CHANGE_TYPE, F.lit("insert"))
+                    self._align(inserts, write_schema).withColumn(
+                        CHANGE_TYPE, F.lit("insert")
+                    )
                 )
             if self.cdf_enabled() and cdf_parts:
                 cdf_all = cdf_parts[0]
@@ -924,6 +960,7 @@ class LakeTable:
                     add=adds,
                     remove=[self._rel_of(f) for f in touched],
                     cdf_path=cdf_rel,
+                    schema_json=schema_json,
                     metrics=metrics,
                 ),
             )
