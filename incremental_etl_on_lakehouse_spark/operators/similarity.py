@@ -169,15 +169,37 @@ def topk_cosine_lsh(
 
 
 def _nearest_centroid(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n: int = 1) -> DataFrame:
-    """Assign each row its ``n`` nearest centroids (centroids broadcast)."""
-    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_similarity(F.col(vec_col), F.col("__cvec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+    """Assign each row its ``n`` nearest centroids.
+
+    Centroids are metadata-scale (k <= dozens), so they are collected and
+    inlined as literal arrays: the assignment is ONE narrow projection — a
+    per-row argmax over k inline cosine expressions, via ``sort_array`` on a
+    k-element array of ``struct(sim, -centroid_id)`` (descending struct
+    order = sim desc, centroid_id asc on ties). No crossJoin, no shuffle,
+    no window, no aggregate — the whole stage is codegen'd map work, which
+    is exactly the shape broadcast-centroid assignment should have at
+    100 TB. (The previous formulation cross-joined the corpus against the
+    centroid set and ranked with a per-id row_number window — a k× wider
+    shuffle plus a per-key sort, for the same answer.)
+
+    The ``.collect()`` here is k rows of dim-d floats — the same
+    metadata-scale the merge planner's touched-file list lives at.
+    """
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    entries = []
+    for r in rows:
+        cvec = F.array(*[F.lit(float(x)).cast("float") for x in r["__cvec"]])
+        sim = cosine_similarity(F.col(vec_col), cvec)
+        entries.append(
+            F.struct(
+                sim.alias("s"), F.lit(-int(r["centroid_id"])).alias("nc")
+            )
+        )
+    best = F.slice(F.sort_array(F.array(*entries), asc=False), 1, min(n, len(rows)))
     return (
-        joined.withColumn("__crank", F.row_number().over(w))
-        .where(F.col("__crank") <= n)
-        .drop("__cvec", "__sim", "__crank")
+        df.withColumn("__best", F.explode(best))
+        .withColumn("centroid_id", (-F.col("__best.nc")).cast("int"))
+        .drop("__best")
     )
 
 

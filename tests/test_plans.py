@@ -127,6 +127,26 @@ def test_topk_prereduces_before_global_rank(spark, sf_dir):
     assert plan.count("Window") >= 2, plan
 
 
+def test_ivf_assignment_is_narrow_projection(spark, sf_dir):
+    """Broadcast-centroid assignment must be a single narrow codegen'd
+    projection: centroids inline as literals, per-row argmax via sort_array
+    over a k-struct array — no WindowExec, no Exchange, no aggregate, no
+    cross join in the corpus-assignment stage."""
+    from incremental_etl_on_lakehouse_spark.operators.similarity import (
+        _nearest_centroid,
+        fit_ivf_centroids,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    cents = fit_ivf_centroids(embs, k=8, iterations=1)
+    df = _nearest_centroid(embs, cents, "vec_id", "embedding")
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert plans.shuffle_count(df) == 0, plan
+    assert "Aggregate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_q19_disjunction_pushes_single_side_conjuncts(spark, sf_dir):
     """The OR of (brand AND size AND quantity) conjunctions must not defeat
     pushdown: Catalyst extracts the per-side common disjuncts, so the part
