@@ -1299,6 +1299,51 @@ _FUZZY_PLANTED_NORM = (
 
 
 @query(
+    "ext_dedup_simhash_planted",
+    f"WITH base AS (SELECT doc_id, {_FUZZY_PLANTED_NORM} AS n FROM documents),"
+    " corpus AS (SELECT doc_id, n FROM base"
+    "  UNION ALL SELECT doc_id + 1000000, n FROM base WHERE doc_id % 20 = 0)"
+    " SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming"
+    " FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id AND a.n = b.n",
+)
+def ext_dedup_simhash_planted(spark, sf_dir):
+    """SimHash near-dup with PLANTED duplicates and a full oracle (the
+    same technique as ext_dedup_fuzzy_planted): every 20th document is
+    re-inserted verbatim under doc_id+1000000. Identical normalized text
+    gives an identical token sequence, hence an identical 64-bit SimHash —
+    Hamming distance exactly 0 — so the planted pair collides in every
+    16-bit pigeonhole block and always survives ``max_hamming=0``.
+
+    SimHash equality alone is not text equality (64-bit fingerprints can
+    collide across distinct documents), so candidates get an exact rescore:
+    normalized-text equality, which is precisely what the oracle replays in
+    SQL. Recall is exact at Hamming 0 — equal normalized text implies equal
+    signature implies a shared block — so the result set is deterministic:
+    all pairs of normalized-text-equal documents in the planted corpus.
+    Exercises the full production path (explode tokens, 64 bit-count
+    aggregates, block bucketing, XOR verify) end-to-end."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(planted)
+    pairs = D.simhash_pairs(corpus, max_hamming=0)
+    norm = corpus.select("doc_id", T.normalize_text(F.col("text")).alias("n"))
+    return (
+        pairs.join(
+            norm.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            norm.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .where(F.col("n_a") == F.col("n_b"))
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+@query(
     "ext_dedup_fuzzy_planted",
     f"WITH base AS (SELECT doc_id, {_FUZZY_PLANTED_NORM} AS n FROM documents),"
     " corpus AS (SELECT doc_id, n FROM base"
@@ -2581,6 +2626,47 @@ def ext_cluster_kmeans(spark, sf_dir):
     embs = load_table(spark, "embeddings", sf_dir)
     cents = fit_ivf_centroids(embs, k=8, iterations=2)
     assigned = _nearest_centroid(embs, cents, "vec_id", "embedding")
+    return assigned.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("cluster_id")
+    )
+
+
+@query(
+    "ext_cluster_kmeans_planted",
+    "SELECT vec_id, CAST(vec_id % 2 AS BIGINT) AS cluster_id FROM embeddings",
+)
+def ext_cluster_kmeans_planted(spark, sf_dir):
+    """K-means with a PLANTED two-blob fixture and a full hash oracle: each
+    vec_id is mapped to a synthetic vector in one of two antipodal blobs —
+    even ids point along +x (cosine ~ +1 to the blob mean), odd ids along
+    -x (cosine ~ -1), with a small y-jitter keeping vectors distinct. The
+    deterministic seeding (k smallest ids: vec_id 0 = blob 0, vec_id 1 =
+    blob 1) starts one centroid in each blob, Lloyd iterations keep them
+    there (the blobs are separated by ~180 degrees, jitter is <0.1 degrees),
+    so the final assignment is provably cluster_id = vec_id % 2 — a result
+    DuckDB replays in one expression. This closes the rows-only gap for the
+    iterative-clustering family: the exact production path (deterministic
+    seeds, Lloyd assign/mean iterations, inline-literal centroid
+    assignment) runs end-to-end and every output row is hash-verified."""
+    from incremental_etl_on_lakehouse_spark.operators.similarity import (
+        _nearest_centroid,
+        fit_ivf_centroids,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    sign = (F.lit(1) - F.lit(2) * (F.col("vec_id") % 2)).cast("double")
+    jitter = (F.col("vec_id") % 7).cast("double") / F.lit(100.0)
+    blobs = embs.select(
+        "vec_id",
+        F.array(
+            (sign * F.lit(10.0)).cast("float"),
+            jitter.cast("float"),
+            F.lit(0.0).cast("float"),
+            F.lit(0.0).cast("float"),
+        ).alias("embedding"),
+    )
+    cents = fit_ivf_centroids(blobs, k=2, iterations=2)
+    assigned = _nearest_centroid(blobs, cents, "vec_id", "embedding")
     return assigned.select(
         "vec_id", F.col("centroid_id").cast("long").alias("cluster_id")
     )
