@@ -196,6 +196,185 @@ def cdf_signed_deltas(
     )
 
 
+def incremental_minmax_update(
+    gold: LakeTable,
+    base: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    min_col: str = "min_value",
+    max_col: str = "max_value",
+    change_type_col: str = "_change_type",
+) -> None:
+    """One micro-batch of incremental MIN/MAX maintenance from a change feed.
+
+    SUM is subtractable, MIN/MAX are not (SURVEY.md §7 hard-part d, reference
+    rationale ``notebooks/demo-notebook.py:384-413``): a delete that removes
+    the current extremum cannot be undone algebraically. The maintenance
+    split is therefore:
+
+    - **Additions** (``insert``/``update_postimage``) tighten extremes
+      monotonically: ``new_min = least(cur_min, batch_min)`` — never a scan.
+    - **Removals** (``delete``/``update_preimage``) can only change a group
+      when the removed value *touches* the current extremum
+      (``removed_min <= cur_min`` or ``removed_max >= cur_max``); exactly
+      those groups are recomputed from ``base`` — the maintained table's
+      snapshot AS OF the batch's commit version (pass
+      ``table.to_df(version=v)``) — pruned to the touched groups with a
+      broadcast semi-join. Removals strictly inside the open interval
+      (cur_min, cur_max) are provably no-ops and never touch the base table.
+
+    At 100 TB the recompute cost is O(rows of touched groups), not O(table):
+    the group column belongs in ``statsColumns``/partitioning so the
+    semi-join scan file-prunes. Groups whose recompute comes back empty
+    (last row removed) are deleted from the aggregate table.
+    """
+    cur = gold.to_df().select(
+        *group_cols,
+        F.col(min_col).alias("__cur_min"),
+        F.col(max_col).alias("__cur_max"),
+    )
+    adds = (
+        changes.where(F.col(change_type_col).isin("insert", "update_postimage"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("__inc_min"),
+            F.max(value_col).alias("__inc_max"),
+        )
+    )
+    rems = (
+        changes.where(F.col(change_type_col).isin("delete", "update_preimage"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("__dec_min"),
+            F.max(value_col).alias("__dec_max"),
+        )
+    )
+    joined = adds.join(rems, group_cols, "full_outer").join(
+        cur, group_cols, "left"
+    )
+    has_rem = F.col("__dec_min").isNotNull()
+    need_recompute = has_rem & (
+        F.col("__cur_min").isNull()
+        | (F.col("__dec_min") <= F.col("__cur_min"))
+        | (F.col("__dec_max") >= F.col("__cur_max"))
+    )
+    recompute_groups = joined.where(need_recompute).select(*group_cols)
+    # monotone groups: additions only touch extremes outward; rows with no
+    # possible change are excluded so a no-op batch rewrites zero files
+    mono = joined.where(~need_recompute).where(
+        F.col("__inc_min").isNotNull()
+        & (
+            F.col("__cur_min").isNull()
+            | (F.col("__inc_min") < F.col("__cur_min"))
+            | (F.col("__inc_max") > F.col("__cur_max"))
+        )
+    ).select(
+        *group_cols,
+        F.least("__inc_min", "__cur_min").alias(min_col),
+        F.greatest("__inc_max", "__cur_max").alias(max_col),
+        F.lit("UPSERT").alias("__op"),
+    )
+    # Gate the base-table branch on an actual recompute being needed: the
+    # emptiness probe runs over micro-batch-scale aggregates only, and in
+    # the common all-monotone batch the base table is never scanned at all.
+    if recompute_groups.isEmpty():
+        source = mono
+    else:
+        recomputed = (
+            base.join(F.broadcast(recompute_groups), group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                F.min(value_col).alias(min_col),
+                F.max(value_col).alias(max_col),
+            )
+        )
+        vanished = recompute_groups.join(
+            recomputed, group_cols, "left_anti"
+        ).select(
+            *group_cols,
+            F.lit(None).cast(gold.schema()[min_col].dataType).alias(min_col),
+            F.lit(None).cast(gold.schema()[max_col].dataType).alias(max_col),
+            F.lit("DELETE").alias("__op"),
+        )
+        source = recomputed.withColumn("__op", F.lit("UPSERT")).unionByName(
+            vanished
+        ).unionByName(mono)
+    if source.isEmpty():
+        return  # nothing can change: no commit, no file writes
+    cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in group_cols)
+    assignments = {min_col: f"source.`{min_col}`", max_col: f"source.`{max_col}`"}
+    insert_assignments = {k: f"source.`{k}`" for k in group_cols}
+    insert_assignments.update(assignments)
+    clauses = [
+        MergeClause("delete", "source.`__op` = 'DELETE'"),
+        MergeClause("update", "source.`__op` = 'UPSERT'", assignments),
+        MergeClause("insert", "source.`__op` <> 'DELETE'", insert_assignments),
+    ]
+    gold.merge(source, cond, clauses)
+
+
+def cdf_multiset_deltas(
+    changes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Signed multiplicity deltas per (group, value) from a change feed —
+    the maintenance unit for incremental COUNT(DISTINCT): the distinct set
+    itself is not subtractable, but the per-value multiset count is."""
+    sign = F.when(
+        F.col(change_type_col).isin("update_preimage", "delete"), F.lit(-1)
+    ).when(F.col(change_type_col).isin("update_postimage", "insert"), F.lit(1))
+    return (
+        changes.withColumn("__d", sign)
+        .where(F.col("__d").isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum("__d").alias("delta_cnt"))
+        .where(F.col("delta_cnt") != 0)
+    )
+
+
+def merge_distinct_state(
+    state: LakeTable,
+    deltas: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    cnt_col: str = "cnt",
+    delta_col: str = "delta_cnt",
+) -> None:
+    """Fold multiset deltas into the per-group distinct-state table
+    ``(*group_cols, value, cnt)``. A value's row reaching cnt=0 is deleted,
+    so COUNT(DISTINCT) per group is exactly the state row count — see
+    :func:`distinct_counts`. State size is O(live distinct values), the
+    irreducible memory of exact incremental distinct counting; use
+    approx_count_distinct when an estimate suffices."""
+    cond = " AND ".join(
+        f"source.`{k}` = target.`{k}`" for k in [*group_cols, value_col]
+    )
+    insert_assignments = {k: f"source.`{k}`" for k in [*group_cols, value_col]}
+    insert_assignments[cnt_col] = f"source.`{delta_col}`"
+    clauses = [
+        MergeClause(
+            "delete", f"target.`{cnt_col}` + source.`{delta_col}` <= 0"
+        ),
+        MergeClause(
+            "update",
+            None,
+            {cnt_col: f"target.`{cnt_col}` + source.`{delta_col}`"},
+        ),
+        MergeClause("insert", f"source.`{delta_col}` > 0", insert_assignments),
+    ]
+    state.merge(deltas, cond, clauses)
+
+
+def distinct_counts(
+    state: LakeTable, group_cols: list[str], out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT) from the maintained state table."""
+    return state.to_df().groupBy(*group_cols).agg(F.count("*").alias(out_col))
+
+
 def merge_agg_delta(
     gold: LakeTable,
     deltas: DataFrame,

@@ -902,6 +902,110 @@ def agg_incremental_cdf(spark, sf_dir):
     return gold.to_df().where(F.col("sum_cents") != 0)
 
 
+MINMAX_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("min_cents", LongType()),
+        StructField("max_cents", LongType()),
+    ]
+)
+DSTATE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_CDC_MINMAX_CACHE: dict[tuple[int, str], tuple[LakeTable, LakeTable]] = {}
+
+
+@query(
+    "agg_incremental_minmax",
+    _SQL_CDC
+    + "SELECT event_type, CAST(min(value_cents) AS BIGINT) AS min_cents,"
+    " CAST(max(value_cents) AS BIGINT) AS max_cents,"
+    " CAST(count(DISTINCT value_cents % 101) AS BIGINT) AS n_buckets"
+    " FROM final GROUP BY event_type",
+)
+def agg_incremental_minmax(spark, sf_dir):
+    """Incremental aggregate maintenance BEYOND subtractable sums
+    (SURVEY.md §7 hard-part d; reference rationale demo-notebook.py:384-413
+    covers only SUM): MIN/MAX via monotone-tighten on inserts plus
+    recompute-touched-groups-on-delete (operators/cdc.py
+    incremental_minmax_update — a removal strictly inside the current
+    (min, max) interval provably never scans the base table), and exact
+    COUNT(DISTINCT) via a per-(group, value) multiset-count state table
+    (cdf_multiset_deltas + merge_distinct_state) whose row count per group
+    IS the distinct count. Both are driven purely from the change feed —
+    the Gold pattern generalized — and the final state equals the full
+    aggregate of the converged silver snapshot, which is what the oracle
+    replays. Deletes in batch 2 remove rows whose values sit at group
+    extremes (tests/test_cdc_pipeline.py pins a crafted case), so the
+    recompute path is exercised, not just reachable."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        cdf_multiset_deltas,
+        distinct_counts,
+        incremental_minmax_update,
+        merge_distinct_state,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    cached = _CDC_MINMAX_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached[0].path):
+        mm, dstate = cached
+    else:
+        root = _tmpdir()
+        silver = LakeTable.create(
+            spark,
+            os.path.join(root, "silver"),
+            SILVER_SCHEMA,
+            properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
+        )
+        mm = LakeTable.create(spark, os.path.join(root, "gold_mm"), MINMAX_SCHEMA)
+        dstate = LakeTable.create(spark, os.path.join(root, "dstate"), DSTATE_SCHEMA)
+        reader = LakeStreamReader(
+            silver, os.path.join(root, "mm_ck.json"), mode="cdf", starting_version=1
+        )
+
+        def update(changes: DataFrame, v: int) -> None:
+            incremental_minmax_update(
+                mm,
+                silver.to_df(version=v),
+                changes,
+                group_cols=["event_type"],
+                value_col="value_cents",
+                min_col="min_cents",
+                max_col="max_cents",
+            )
+            deltas = cdf_multiset_deltas(
+                changes.withColumn("bucket", F.col("value_cents") % 101),
+                group_cols=["event_type"],
+                value_col="bucket",
+            )
+            merge_distinct_state(
+                dstate, deltas, group_cols=["event_type"], value_col="bucket"
+            )
+
+        for batch in _cdc_batches(spark, sf_dir):
+            merge_cdc_batch(
+                silver,
+                batch.select(
+                    "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
+                    "cdc_operation", "ts", "event_id",
+                ),
+                key_cols=["user_id"],
+                order_cols=["ts"],
+                tiebreak_cols=["event_id"],
+                order_guard_col="ts_ms",
+            )
+            reader.process_available(update)
+        _CDC_MINMAX_CACHE[cache_key] = (mm, dstate)
+    return mm.to_df().join(
+        distinct_counts(dstate, ["event_type"], out_col="n_buckets"),
+        "event_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 window / §2.7 sorts
 # ---------------------------------------------------------------------------

@@ -1,0 +1,158 @@
+"""Incremental MIN/MAX + COUNT(DISTINCT) maintenance under extremum deletes.
+
+The crafted scenario makes every maintenance path observable: deletes that
+REMOVE the current group max/min (the case the subtractable-sum algebra
+cannot handle, forcing the recompute-touched-groups path), an interior
+delete that provably requires no recompute, a whole-group removal, and
+duplicate values exercising the multiset distinct state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeStreamReader, LakeTable
+from incremental_etl_on_lakehouse_spark.operators.cdc import (
+    cdf_multiset_deltas,
+    distinct_counts,
+    incremental_minmax_update,
+    merge_distinct_state,
+)
+
+ROWS = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("grp", StringType()),
+        StructField("val", LongType()),
+    ]
+)
+MM = StructType(
+    [
+        StructField("grp", StringType()),
+        StructField("min_value", LongType()),
+        StructField("max_value", LongType()),
+    ]
+)
+ST = StructType(
+    [
+        StructField("grp", StringType()),
+        StructField("val", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), ROWS,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    mm = LakeTable.create(spark, str(tmp_path / "mm"), MM)
+    state = LakeTable.create(spark, str(tmp_path / "st"), ST)
+    reader = LakeStreamReader(
+        t, str(tmp_path / "ck.json"), mode="cdf", starting_version=1
+    )
+
+    def sync():
+        def apply(changes, v):
+            incremental_minmax_update(
+                mm, t.to_df(version=v), changes, ["grp"], "val"
+            )
+            merge_distinct_state(
+                state, cdf_multiset_deltas(changes, ["grp"], "val"),
+                ["grp"], "val",
+            )
+
+        reader.process_available(apply)
+
+    return t, mm, state, sync
+
+
+def mm_state(mm):
+    return {
+        r["grp"]: (r["min_value"], r["max_value"])
+        for r in mm.to_df().collect()
+    }
+
+
+def dcounts(state):
+    return {
+        r["grp"]: r["n_distinct"]
+        for r in distinct_counts(state, ["grp"]).collect()
+    }
+
+
+def test_extremum_delete_forces_recompute(spark, tables):
+    t, mm, state, sync = tables
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 5), (3, "a", 10), (4, "b", 100)], ROWS
+        )
+    )
+    sync()
+    assert mm_state(mm) == {"a": (1, 10), "b": (100, 100)}
+    assert dcounts(state) == {"a": 3, "b": 1}
+
+    # delete the CURRENT MAX of group a — monotone greatest/least cannot
+    # produce this answer; only the recompute path can shrink the max to 5
+    t.delete("id = 3")
+    sync()
+    assert mm_state(mm) == {"a": (1, 5), "b": (100, 100)}
+    assert dcounts(state) == {"a": 2, "b": 1}
+
+    # delete the CURRENT MIN of group a
+    t.delete("id = 1")
+    sync()
+    assert mm_state(mm) == {"a": (5, 5), "b": (100, 100)}
+    assert dcounts(state) == {"a": 1, "b": 1}
+
+
+def test_interior_delete_is_noop_and_group_vanishes(spark, tables):
+    t, mm, state, sync = tables
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 5), (3, "a", 10), (4, "b", 100)], ROWS
+        )
+    )
+    sync()
+    v_before = mm.version()
+    # interior value: 1 < 5 < 10 — extremes provably unaffected, and the
+    # no-possible-change filter means the aggregate table commits nothing
+    t.delete("id = 2")
+    sync()
+    assert mm_state(mm)["a"] == (1, 10)
+    assert mm.version() == v_before, "interior delete must not rewrite gold"
+    assert dcounts(state)["a"] == 2
+
+    # removing the last row of b deletes its aggregate row entirely
+    t.delete("id = 4")
+    sync()
+    assert "b" not in mm_state(mm)
+    assert "b" not in dcounts(state)
+
+
+def test_duplicate_values_keep_distinct_exact(spark, tables):
+    t, mm, state, sync = tables
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 5), (3, "a", 7)], ROWS
+        )
+    )
+    sync()
+    assert dcounts(state) == {"a": 2}
+    assert mm_state(mm) == {"a": (5, 7)}
+
+    # removing ONE of the two val=5 rows must not drop 5 from the distinct
+    # set (multiset count 2 -> 1), and min stays 5
+    t.delete("id = 1")
+    sync()
+    assert dcounts(state) == {"a": 2}
+    assert mm_state(mm) == {"a": (5, 7)}
+
+    # removing the second one drops it (count 1 -> 0 -> row deleted)
+    t.delete("id = 2")
+    sync()
+    assert dcounts(state) == {"a": 1}
+    assert mm_state(mm) == {"a": (7, 7)}
