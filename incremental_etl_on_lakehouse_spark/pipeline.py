@@ -42,7 +42,10 @@ from incremental_etl_on_lakehouse_spark.operators.cdc import (
     merge_agg_delta,
     merge_cdc_batch,
 )
-from incremental_etl_on_lakehouse_spark.sources.json_source import read_json_stream
+from incremental_etl_on_lakehouse_spark.sources.json_source import (
+    SchemaTracker,
+    read_json_stream,
+)
 
 # Reference schemas: FIXTURES.md A1-A4; notebooks/demo-notebook.py:163-165,213-227,351-356
 # (built without fromDDL: that needs an active SparkSession at import time)
@@ -116,10 +119,17 @@ def silver_projection(bronze_batch: DataFrame) -> DataFrame:
 
 
 class MedallionPipeline:
-    def __init__(self, spark: SparkSession, root: str, landing_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        landing_path: str,
+        schema_evolution: bool = True,
+    ):
         self.spark = spark
         self.root = root
         self.landing_path = landing_path
+        self.schema_evolution = schema_evolution
         self.bronze_path = os.path.join(root, "bronze")
         self.silver_path = os.path.join(root, "silver")
         self.gold_path = os.path.join(root, "gold")
@@ -166,9 +176,27 @@ class MedallionPipeline:
         checkpoint for exactly-once file tracking
         (``notebooks/demo-notebook.py:158-173``). Malformed records are
         captured to the quarantine table instead of flowing on as all-null
-        rows (OSS analogue of Autoloader's rescued-data column)."""
+        rows (OSS analogue of Autoloader's rescued-data column).
+
+        With ``schema_evolution`` (default on), each call is a stream-start
+        boundary where drift is detected: the persisted schema at
+        ``_checkpoints/bronze_schema.json`` is widened with any new landing
+        columns (Autoloader ``schemaLocation``/``addNewColumns`` semantics,
+        ``notebooks/demo-notebook.py:163-166``) and the Bronze append runs
+        with ``merge_schema`` so the new columns land instead of vanishing.
+        Silver keeps its fixed DDL (the reference's contract) — evolved
+        columns stay Bronze-side until promoted explicitly."""
+        schema = CDC_LOG_SCHEMA
+        if self.schema_evolution:
+            tracker = SchemaTracker(
+                self.spark,
+                self.landing_path,
+                os.path.join(self.checkpoints, "bronze_schema.json"),
+                base_schema=CDC_LOG_SCHEMA,
+            )
+            schema, _new_cols = tracker.evolve()
         stream = read_json_stream(
-            self.spark, self.landing_path, CDC_LOG_SCHEMA, corrupt_col="_corrupt_record"
+            self.spark, self.landing_path, schema, corrupt_col="_corrupt_record"
         )
         bronze = self.bronze
         quarantine = self.quarantine
@@ -193,7 +221,9 @@ class MedallionPipeline:
                     "_corrupt_record"
                 )
                 if not good.isEmpty():
-                    bronze.append(augment_bronze(good))
+                    bronze.append(
+                        augment_bronze(good), merge_schema=self.schema_evolution
+                    )
             finally:
                 batch_df.unpersist()
 

@@ -20,6 +20,9 @@ unchanged, which is why this module only exposes schema/pacing knobs.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import DataStreamReader
 from pyspark.sql.types import StructType
@@ -67,6 +70,95 @@ def infer_schema_with_hints(
         else:
             fields.append(f)
     return StructType(fields)
+
+
+class SchemaTracker:
+    """Persisted-schema tracking with additive evolution — the OSS analogue
+    of Autoloader's ``cloudFiles.schemaLocation`` + ``addNewColumns``
+    (``notebooks/demo-notebook.py:163-166``).
+
+    The resolved schema is persisted as JSON at ``location`` so it survives
+    restarts and never loses columns even after the files that introduced
+    them are retired. :meth:`evolve` is called at stream (re)start
+    boundaries: it re-infers over the landing path, widens the persisted
+    schema with any NEW columns (existing columns keep their persisted
+    types — inference can never flap an established type; ``hints`` win
+    for brand-new columns), persists, and reports the drift. A column that
+    lands mid-burst is picked up at the next boundary — the same restart
+    semantics Autoloader has, minus the hard UnknownFieldException stop.
+
+    At 100 TB the re-inference must not scan the world: Autoloader samples
+    (first ~50 GB / 1000 files); callers with huge landing zones should
+    point ``sample_path`` at a bounded glob (e.g. the newest partition).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_path: str,
+        location: str,
+        base_schema: StructType | None = None,
+        hints: dict[str, str] | None = None,
+        multiline: bool = True,
+        timestamp_format: str = CDC_TIMESTAMP_FORMAT,
+        sample_path: str | None = None,
+    ):
+        self.spark = spark
+        self.landing_path = landing_path
+        self.location = location
+        self.base_schema = base_schema
+        self.hints = hints or {}
+        self.multiline = multiline
+        self.timestamp_format = timestamp_format
+        self.sample_path = sample_path or landing_path
+
+    def _persist(self, schema: StructType) -> None:
+        os.makedirs(os.path.dirname(self.location), exist_ok=True)
+        tmp = self.location + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(schema.jsonValue(), f)
+        os.replace(tmp, self.location)
+
+    def current(self) -> StructType:
+        """The schema to start the stream with: persisted if present, else
+        the declared base schema (persisted for next time), else inferred."""
+        if os.path.exists(self.location):
+            with open(self.location) as f:
+                return StructType.fromJson(json.load(f))
+        schema = self.base_schema
+        if schema is None:
+            schema = infer_schema_with_hints(
+                self.spark, self.sample_path, self.hints,
+                self.multiline, self.timestamp_format,
+            )
+        self._persist(schema)
+        return schema
+
+    def evolve(self) -> tuple[StructType, list[str]]:
+        """Detect drift at a stream-start boundary: returns the (possibly
+        widened) schema and the list of newly added column names."""
+        cur = self.current()
+        try:
+            inferred = read_json_batch(
+                self.spark, self.sample_path,
+                multiline=self.multiline,
+                timestamp_format=self.timestamp_format,
+            ).schema
+        except Exception:  # empty landing zone: nothing to infer from
+            return cur, []
+        known = set(cur.fieldNames())
+        new = []
+        for f in inferred.fields:
+            if f.name in known:
+                continue
+            if f.name in self.hints:
+                f = StructType.fromDDL(f"`{f.name}` {self.hints[f.name]}").fields[0]
+            new.append(f)
+        if not new:
+            return cur, []
+        widened = StructType(cur.fields + new)
+        self._persist(widened)
+        return widened, [f.name for f in new]
 
 
 def read_json_stream(

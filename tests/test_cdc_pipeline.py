@@ -176,3 +176,58 @@ def test_malformed_records_quarantined(pipeline):
     assert len(quarantined) == 1
     assert "not json" in quarantined[0]["_corrupt_record"]
     assert "broken.json" in quarantined[0]["file_name"]
+
+
+def test_schema_drift_new_column_lands_in_bronze(pipeline):
+    """Autoloader schemaLocation semantics: a NEW column appearing in a
+    mid-stream file must widen the persisted schema at the next stream-start
+    boundary and land in Bronze (via merge_schema) instead of vanishing."""
+    p, landing = pipeline
+
+    write_cdc_file(landing / "cdc_1.json", FILE1)
+    p.run_available()
+    assert "session_id" not in [f.name for f in p.bronze.schema().fields]
+
+    # drifted file: same business columns plus a brand-new session_id
+    rows = []
+    for (id_, country, district, visit_ts, visitors, op, cdc_ts) in FILE2:
+        rows.append(
+            {
+                "id": id_,
+                "country": country,
+                "district": district,
+                "visit_timestamp": visit_ts,
+                "num_visitors": visitors,
+                "cdc_operation": op,
+                "cdc_timestamp": cdc_ts,
+                "session_id": f"s-{id_}",
+            }
+        )
+    (landing / "cdc_2_drift.json").write_text(json.dumps(rows, indent=1))
+    p.run_available()
+
+    bronze_cols = [f.name for f in p.bronze.schema().fields]
+    assert "session_id" in bronze_cols, bronze_cols
+    got = {
+        r["id"]: r["session_id"]
+        for r in p.bronze.to_df()
+        .where("session_id is not null")
+        .select("id", "session_id")
+        .collect()
+    }
+    assert got == {100: "s-100", 7: "s-7", 298: "s-298"}
+    # pre-drift rows read the new column as NULL (schema-on-read)
+    assert (
+        p.bronze.to_df().where("session_id is null").count() == len(FILE1)
+    )
+    # pipeline results unaffected: silver keeps its fixed DDL
+    assert silver_state(p)[7] == 10934
+    assert gold_state(p)["Australia"] == 10000
+
+    # the widened schema is persisted: a fresh pipeline object (restart)
+    # starts from it without re-deriving
+    import os
+
+    assert os.path.exists(
+        os.path.join(str(p.checkpoints), "bronze_schema.json")
+    )
