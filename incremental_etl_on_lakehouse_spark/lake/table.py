@@ -228,6 +228,36 @@ class LakeTable:
     def files(self, version: int | None = None) -> list[str]:
         return [self._abs(r) for r in self._state(version)["active"]]
 
+    def generate_manifest(self, version: int | None = None) -> str:
+        """Write the external-reader escape hatch: a manifest of the live
+        snapshot's parquet file paths, one absolute path per line, at
+        ``_symlink_format_manifest/manifest`` — the same contract as Delta's
+        ``GENERATE symlink_format_manifest`` (the reference's storage layer
+        exposes this for Presto/Trino readers). Any engine that can read a
+        parquet file list can then read the snapshot without understanding
+        the commit log, e.g. DuckDB::
+
+            paths = [l.strip() for l in open(manifest) if l.strip()]
+            con.execute("SELECT * FROM read_parquet(?, union_by_name=true)",
+                        [paths])
+
+        ``union_by_name`` matters after additive schema evolution: files
+        written before a new column simply lack it and read as NULL.
+        The manifest is a point-in-time EXPORT of one snapshot, not a live
+        view — regenerate after commits (Delta's manifest has the same
+        staleness contract). Partitioned tables keep hive-style paths, so
+        ``hive_partitioning`` recovers partition columns.
+        """
+        manifest_dir = self._abs("_symlink_format_manifest")
+        os.makedirs(manifest_dir, exist_ok=True)
+        out = os.path.join(manifest_dir, "manifest")
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            for p in sorted(self.files(version)):
+                f.write(p + "\n")
+        os.replace(tmp, out)
+        return out
+
     def partition_columns(self) -> list[str]:
         cols = self.properties().get("partitionBy", "")
         return [c for c in cols.split(",") if c] if isinstance(cols, str) else list(cols)
