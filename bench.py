@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "ext_dedup_fuzzy",
     "merge_cdc_upsert",
     "agg_incremental_cdf",
+    # round-2 lake ops, tracked here before/while they hold driver sweep
+    # slots (r2 verdict #7): the SQL MERGE front-end and Z-order compaction
+    "snk_merge_sql",
+    "util_optimize_zorder",
 ]
 
 
@@ -86,6 +90,7 @@ def main() -> None:
 
         qmod._CDC_SILVER_CACHE.clear()
         qmod._CDC_GOLD_CACHE.clear()
+        qmod._CDC_MINMAX_CACHE.clear()
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
