@@ -456,14 +456,25 @@ def util_optimize_zorder(spark, sf_dir):
     for part in range(4):
         t.append(cust.where(F.col("custkey") % 4 == part).coalesce(1))
     pre_n = len(t.files())
-    nat = (5, 7)
-    bal = (0.0, 500.0)
-    assert len(t.files_matching({"nationkey": nat})) == pre_n
+    # pre-OPTIMIZE: interleaved appends -> NO range prunes on either dim
+    nat_q = [(0, 5), (6, 11), (12, 17), (18, 24)]
+    bal_q = [(-1000.0, 1750.0), (1750.0, 4500.0), (4500.0, 7250.0), (7250.0, 10000.0)]
+    assert all(
+        len(t.files_matching({"nationkey": r})) == pre_n for r in nat_q
+    )
     t.compact(target_file_rows=max(1, cust.count() // 8), zorder_by=["nationkey", "acctbal"])
     n = len(t.files())
     assert n >= 4, f"expected a multi-file rewrite, got {n}"
-    assert len(t.files_matching({"nationkey": nat})) < n
-    assert len(t.files_matching({"acctbal": bal})) < n
+    # post-OPTIMIZE: every clustered dimension prunes. Probing quartile
+    # ranges of each domain (instead of one fixed range) keeps the check
+    # scale-independent: z-range file boundaries land at arbitrary
+    # z-values, so any single range can straddle a boundary, but the
+    # quartile AGGREGATE must beat no-pruning and the best quartile must
+    # skip files, at every sf.
+    for col, ranges in (("nationkey", nat_q), ("acctbal", bal_q)):
+        counts = [len(t.files_matching({col: r})) for r in ranges]
+        assert min(counts) < n, (col, counts)
+        assert sum(counts) < len(ranges) * n, (col, counts)
     return t.to_df()
 
 
@@ -3098,6 +3109,140 @@ def q22_dormant_customers(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+@query(
+    "q7_volume_shipping",
+    f"SELECT supp_nation, cust_nation, l_year,"
+    f" CAST(sum(vol) AS DOUBLE) AS revenue FROM ("
+    f" SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    f"  CAST(year(l_shipdate) AS INT) AS l_year, {_DISC_PRICE_SQL} AS vol"
+    f" FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    f" JOIN orders ON o_orderkey = l_orderkey"
+    f" JOIN customer ON c_custkey = o_custkey"
+    f" JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    f" JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    f" WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    f"     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    f"   AND l_shipdate >= TIMESTAMP '1996-01-01'"
+    f"   AND l_shipdate < TIMESTAMP '1998-01-01')"
+    f" GROUP BY supp_nation, cust_nation, l_year",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the nation-pair disjunction spans
+    BOTH join sides — the classic plan trap. Both nation dims pre-filter to
+    the two nations of interest (each side's IN-list pushes to its
+    broadcast build), the pair predicate stays as the residual on the
+    joined row, and the date range reaches the lineitem scan. The only
+    shuffle is lineitem x orders on orderkey + the final group-by."""
+    both = ["NATION_1", "NATION_2"]
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir).where(F.col("n_name").isin(both))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"WITH revenue AS ("
+    f" SELECT l_suppkey AS supplier_no, sum({_DISC_PRICE_SQL}) AS total_rev"
+    f" FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    f"  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
+    f" SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue"
+    f" FROM supplier JOIN revenue ON s_suppkey = supplier_no"
+    f" WHERE total_rev = (SELECT max(total_rev) FROM revenue)",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): grouped revenue view consumed twice —
+    once as the rows, once reduced to a scalar max. Spark does not reuse
+    the identical aggregation subtrees here (measured: 2 lineitem scans,
+    no ReusedExchange even under AQE), so the view is pinned with
+    localCheckpoint — it is aggregate-scale (one row per supplier, the
+    same class as connected_components' frontier) and the fact table is
+    then scanned exactly ONCE however many consumers follow. The 1-row
+    max broadcasts into an equality filter (exact DECIMAL equality — no
+    float-tie risk). Ties all surface, per the TPC-H definition."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_rev")
+    ).localCheckpoint()
+    max1 = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max1), rev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    "WITH flt AS (SELECT l_partkey,"
+    "  CAST(l_quantity AS DECIMAL(12,2)) AS q,"
+    "  CAST(l_extendedprice AS DECIMAL(12,2)) AS ep"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE p_brand = 'Brand#13'),"
+    " agg AS (SELECT l_partkey, sum(q) AS sq, count(*) AS cnt"
+    "  FROM flt GROUP BY l_partkey)"
+    " SELECT round(CAST(sum(ep) AS DOUBLE) / 7.0, 6) AS avg_yearly"
+    " FROM flt JOIN agg USING (l_partkey)"
+    " WHERE q * 5 * cnt < sq",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)` is
+    decorrelated by hand into ONE per-part aggregate joined back — the
+    aggregate is computed once over the brand-filtered rows, never per
+    row. The threshold comparison is restated exactly in integers
+    (5 * q * cnt < sum_q, all DECIMAL) so the oracle can never flip on a
+    float summation-order tie. Both the rows side and the aggregate side
+    derive from the same brand-filtered join, hitting exchange reuse."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#13")
+    flt = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey",
+        F.col("l_quantity").cast(DEC).alias("q"),
+        F.col("l_extendedprice").cast(DEC).alias("ep"),
+    )
+    agg = flt.groupBy("l_partkey").agg(
+        F.sum("q").alias("sq"), F.count("*").alias("cnt")
+    )
+    return (
+        flt.join(F.broadcast(agg), "l_partkey")
+        .where(F.col("q") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(F.sum("ep").cast("double") / 7.0, 6).alias("avg_yearly")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,41 @@ def test_q22_decorrelates_to_anti_join(spark, sf_dir):
     assert plans.has_pushed_filters(df, "o_orderdate"), plan
 
 
+def test_q7_pushes_dates_and_broadcasts_dims(spark, sf_dir):
+    """Q7: the nation-pair disjunction must not widen the plan — both
+    nation sides broadcast pre-filtered, the date range reaches the
+    lineitem scan, and the only non-broadcast join is lineitem x orders."""
+    df = QUERIES["q7_volume_shipping"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df), plan
+    assert plans.has_pushed_filters(df, "l_shipdate"), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q15_scans_lineitem_once(spark, sf_dir):
+    """Q15: the revenue view feeds both the row side and the scalar max.
+    Spark plans no exchange reuse for the duplicated subtree, so the view
+    is localCheckpoint-pinned: the final plan must contain exactly ONE
+    parquet scan (supplier) — lineitem is read once, inside the checkpoint
+    job — with both consumers on the pinned RDD."""
+    df = QUERIES["q15_top_supplier"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "lineitem.parquet" not in plan, plan
+    assert "supplier.parquet" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q17_decorrelated_aggregate_not_per_row(spark, sf_dir):
+    """Q17: the per-part average must be ONE aggregate joined back (no
+    per-row subquery, no cartesian)."""
+    df = QUERIES["q17_small_qty_revenue"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plans.uses_broadcast_join(df), plan
+    assert plans.has_pushed_filters(df, "p_brand"), plan
+
+
 def test_q10_single_fact_shuffle(spark, sf_dir):
     """Q10: dims broadcast; the only exchanges are the lineitem x orders
     co-shuffle and the final aggregation."""
