@@ -270,6 +270,88 @@ def parse_merge(sql: str) -> MergeStatement:
     return stmt
 
 
+def _strip_alias(expr: str, names: list[str | None]) -> str:
+    """Remove ``<alias>.``/``<table>.`` qualifiers: UPDATE/DELETE conditions
+    refer to the single target table, whose columns are unqualified in the
+    engine's programmatic API."""
+    for name in names:
+        if name:
+            expr = re.sub(
+                rf"\b{re.escape(name)}\s*\.", "", expr, flags=re.IGNORECASE
+            )
+    return expr.strip()
+
+
+def parse_update(sql: str) -> tuple[str, dict[str, str], str | None]:
+    """``UPDATE <table> [AS] [alias] SET c = e [, ...] [WHERE cond]`` ->
+    (table, assignments, condition)."""
+    s = strip_comments(sql).strip()
+    m = re.match(
+        rf"UPDATE\s+(?P<t>{_IDENT})(?:\s+AS)?(?:\s+(?P<a>{_IDENT}))?\s+SET\s+",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m or (m.group("a") or "").upper() == "SET":
+        raise ValueError("not an UPDATE statement")
+    table, alias = m.group("t"), m.group("a")
+    rest = s[m.end():]
+    wm = re.search(r"\bWHERE\b", rest, re.IGNORECASE)
+    set_text, cond = (
+        (rest[: wm.start()], rest[wm.end():].strip()) if wm else (rest, None)
+    )
+    names = [alias, table]
+    assignments = {}
+    for part in split_top_level(set_text):
+        k, eq, v = part.partition("=")
+        if not eq:
+            raise ValueError(f"bad SET assignment: {part!r}")
+        col = k.strip().split(".")[-1].strip("` ")
+        assignments[col] = _strip_alias(v, names)
+    if not assignments:
+        raise ValueError("UPDATE with empty SET list")
+    return table, assignments, (_strip_alias(cond, names) if cond else None)
+
+
+def parse_delete(sql: str) -> tuple[str, str | None]:
+    """``DELETE FROM <table> [AS] [alias] [WHERE cond]`` ->
+    (table, condition)."""
+    s = strip_comments(sql).strip()
+    m = re.match(
+        rf"DELETE\s+FROM\s+(?P<t>{_IDENT})(?:\s+AS)?(?:\s+(?P<a>{_IDENT}))?"
+        rf"(?:\s+WHERE\s+(?P<c>.*))?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m or (m.group("a") or "").upper() == "WHERE":
+        raise ValueError("not a DELETE statement")
+    table, alias, cond = m.group("t"), m.group("a"), m.group("c")
+    return table, (_strip_alias(cond, [alias, table]) if cond else None)
+
+
+def _resolve(resolve, name: str) -> LakeTable:
+    if isinstance(resolve, LakeTable):
+        return resolve
+    if isinstance(resolve, dict):
+        return resolve[name]
+    return resolve(name)
+
+
+def execute_update(spark: SparkSession, sql: str, resolve) -> int:
+    """Parse + run an UPDATE statement against a lake table (Delta's SQL
+    UPDATE surface); returns the new version."""
+    table, assignments, cond = parse_update(sql)
+    return _resolve(resolve, table).update(assignments, cond)
+
+
+def execute_delete(spark: SparkSession, sql: str, resolve) -> int:
+    """Parse + run a DELETE FROM statement against a lake table; returns
+    the new version. DELETE with no WHERE truncates (all rows removed),
+    matching SQL semantics."""
+    table, cond = parse_delete(sql)
+    target = _resolve(resolve, table)
+    return target.delete(cond if cond is not None else "true")
+
+
 def execute_merge(
     spark: SparkSession,
     sql: str,

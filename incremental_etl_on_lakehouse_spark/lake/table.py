@@ -484,10 +484,16 @@ class LakeTable:
 
         Commits as (snapshot version at read time) + 1: a concurrent commit
         landing mid-operation collides instead of being silently built over.
+
+        The condition is null-coalesced to FALSE: a row where it evaluates
+        NULL (e.g. ``x > 5`` with ``x`` NULL) is *kept*, matching SQL
+        DELETE semantics. Without the coalesce such a row would fall out of
+        BOTH the kept (``NOT cond`` = NULL) and deleted (``cond`` = NULL)
+        sides of the file rewrite and silently vanish.
         """
         snapshot_version = self.version()
         target = self.to_df().withColumn("__file", F.input_file_name())
-        cond = F.expr(condition)
+        cond = F.coalesce(F.expr(condition), F.lit(False))
         touched = [
             r["__file"] for r in target.where(cond).select("__file").distinct().collect()
         ]
@@ -511,6 +517,74 @@ class LakeTable:
             Commit(
                 version=v,
                 operation="DELETE",
+                timestamp_ms=lakelog.now_ms(),
+                add=adds,
+                remove=[self._rel_of(f) for f in touched],
+                cdf_path=cdf_rel,
+                metrics={"num_touched_files": len(touched)},
+            ),
+        )
+        return v
+
+    def update(
+        self, assignments: dict[str, str], condition: str | None = None
+    ) -> int:
+        """UPDATE table SET col = expr, ... [WHERE condition] — rewrites
+        only touched files (Delta's UPDATE command).
+
+        ``assignments`` maps column name -> SQL expression over the current
+        row. Same snapshot-pinned commit and null-coalesced condition as
+        :meth:`delete` (a NULL-evaluating condition keeps the row
+        unmodified); CDF records update_preimage/update_postimage pairs.
+        """
+        unknown = set(assignments) - {f.name for f in self.schema().fields}
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+        snapshot_version = self.version()
+        target = self.to_df().withColumn("__file", F.input_file_name())
+        cond = (
+            F.coalesce(F.expr(condition), F.lit(False))
+            if condition is not None
+            else F.lit(True)
+        )
+        touched = [
+            r["__file"] for r in target.where(cond).select("__file").distinct().collect()
+        ]
+        if not touched:
+            v = snapshot_version + 1
+            lakelog.write_commit(
+                self.path,
+                Commit(version=v, operation="UPDATE", timestamp_ms=lakelog.now_ms()),
+            )
+            return v
+        touched_rows = target.where(F.col("__file").isin(touched))
+        schema = self.schema()
+        post_cols = [
+            (
+                F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                if f.name in assignments
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+        rewritten = touched_rows.select(*post_cols, "__file").drop("__file")
+        adds, _rows = self._stage_write(self._align(rewritten))
+        cdf_rel = None
+        if self.cdf_enabled():
+            pre = touched_rows.where(cond).drop("__file")
+            post_upd = touched_rows.where(cond).select(*post_cols, "__file").drop("__file")
+            cdf_rel = self._write_cdf(
+                pre.withColumn(CHANGE_TYPE, F.lit("update_preimage")).unionByName(
+                    post_upd.withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+                )
+            )
+        v = snapshot_version + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="UPDATE",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
                 remove=[self._rel_of(f) for f in touched],

@@ -599,6 +599,51 @@ def snk_merge_sql(spark, sf_dir):
 
 
 @query(
+    "snk_update_delete_sql",
+    "SELECT CAST(c_custkey AS BIGINT) AS id, c_mktsegment AS seg,"
+    " CAST(CASE WHEN c_mktsegment = 'BUILDING'"
+    "  THEN CAST(c_acctbal AS DECIMAL(12,2)) * 2 ELSE CAST(c_acctbal AS DECIMAL(12,2)) END"
+    "  AS DOUBLE) AS bal"
+    " FROM customer WHERE NOT (c_acctbal < 0)",
+)
+def snk_update_delete_sql(spark, sf_dir):
+    """SQL-text UPDATE and DELETE against a lake table (Delta's everyday
+    DML surface beyond MERGE): UPDATE doubles BUILDING balances, DELETE
+    drops negative ones — both as statement text through
+    ``lake.sql.execute_update/execute_delete`` (alias-qualified, with
+    comments), each rewriting only stat/file-touched files. The oracle
+    replays the post-state in plain SQL. Note the DELETE keeps NULL-
+    evaluating rows per SQL semantics (condition coalesced to FALSE)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_delete,
+        execute_update,
+    )
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast(DEC).alias("bal"),
+    )
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "dml"), cust.schema,
+        properties={"statsColumns": "id"},
+    )
+    t.append(cust)
+    execute_update(
+        spark,
+        "UPDATE dml AS t SET t.bal = t.bal * 2  -- double the segment\n"
+        " WHERE t.seg = 'BUILDING'",
+        resolve={"dml": t},
+    )
+    execute_delete(
+        spark,
+        "DELETE FROM dml t WHERE t.bal < 0",
+        resolve={"dml": t},
+    )
+    return t.to_df().select("id", "seg", F.col("bal").cast("double").alias("bal"))
+
+
+@query(
     "ddl_create_table",
     "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS country,"
     " CAST(NULL AS BIGINT) AS sum_visitors WHERE 1 = 0",
@@ -3282,15 +3327,14 @@ _PRIORITY_KEYS = [
     "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
     "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
     "ext_quality_score", "ext_fingerprint", "ext_multimodal_col",
-    "ext_approx_distinct",
     "ext_sample_hash", "ext_sample_stratified", "ext_pack_sequences",
     "ext_dedup_clusters",
     # planted-oracle proofs for the approximate family (r2 verdict #1/#2)
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    # round-2 lake features awaiting driver rows (r2 verdict #1)
-    "snk_merge_sql", "src_time_travel_ts", "util_vacuum",
-    "util_optimize_zorder", "util_restore",
+    # round-2/3 lake features awaiting driver rows (r2 verdict #1)
+    "snk_merge_sql", "snk_update_delete_sql", "src_time_travel_ts",
+    "util_vacuum", "util_optimize_zorder", "util_restore",
     # round-3 incremental-aggregate generalization (r2 verdict #3)
     "agg_incremental_minmax",
     # strongest §2.13 engine additions (r2 verdict #1 shortlist)
@@ -3309,7 +3353,7 @@ _SECOND_PRIORITY = [
     "filter_conj", "derive_withcolumn", "proj_alias", "join_right_outer",
     "win_row_number_dedup", "sort_multi_key", "sort_single",
     "fn_md5_concat", "fn_input_file_name", "fn_to_utc_timestamp", "fn_nvl",
-    "fn_case_when", "fn_arith", "fn_timestamp_parse",
+    "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
 ]
 

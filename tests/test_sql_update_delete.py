@@ -1,0 +1,105 @@
+"""UPDATE command + SQL UPDATE/DELETE front-end, and the delete-NULL fix.
+
+The regression test pins a real data-loss bug: a DELETE whose condition
+evaluates NULL for a row sharing a file with a matching row used to drop
+that row from BOTH the kept and deleted sides of the rewrite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake.sql import (
+    execute_delete,
+    execute_update,
+    parse_delete,
+    parse_update,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("grp", StringType()),
+        StructField("x", LongType()),
+    ]
+)
+
+
+def make(spark, tmp_path, rows, cdf=False, name="t"):
+    props = {"enableChangeDataFeed": "true"} if cdf else None
+    t = LakeTable.create(spark, str(tmp_path / name), SCHEMA, properties=props)
+    t.append(spark.createDataFrame(rows, SCHEMA).coalesce(1))
+    return t
+
+
+def content(t):
+    return sorted((r.id, r.grp, r.x) for r in t.to_df().collect())
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    t = make(spark, tmp_path, [(1, "a", 10), (2, "a", None), (3, "a", 2)])
+    t.delete("x > 5")
+    assert content(t) == [(2, "a", None), (3, "a", 2)]
+
+
+def test_update_rewrites_only_matching_rows(spark, tmp_path):
+    t = make(spark, tmp_path, [(1, "a", 10), (2, "b", None), (3, "a", 2)])
+    v = t.update({"x": "x * 100"}, "grp = 'a'")
+    assert content(t) == [(1, "a", 1000), (2, "b", None), (3, "a", 200)]
+    assert t.history()[-1]["operation"] == "UPDATE" or any(
+        h["operation"] == "UPDATE" and h["version"] == v for h in t.history()
+    )
+    # NULL-evaluating condition keeps the row unmodified
+    t.update({"x": "0"}, "x > 500")
+    assert content(t) == [(1, "a", 0), (2, "b", None), (3, "a", 200)]
+
+
+def test_update_unknown_column_rejected(spark, tmp_path):
+    t = make(spark, tmp_path, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update({"nope": "1"})
+
+
+def test_update_emits_cdf_pre_and_post(spark, tmp_path):
+    t = make(spark, tmp_path, [(1, "a", 10), (2, "b", 20)], cdf=True)
+    v = t.update({"x": "x + 1"}, "grp = 'a'")
+    ch = t.read_changes(starting_version=v).where(
+        F.col("_change_type").isin("update_preimage", "update_postimage")
+    )
+    got = sorted((r["_change_type"], r.id, r.x) for r in ch.collect())
+    assert got == [("update_postimage", 1, 11), ("update_preimage", 1, 10)]
+
+
+def test_sql_update_delete_roundtrip(spark, tmp_path):
+    t = make(spark, tmp_path, [(1, "a", 10), (2, "b", 5), (3, "a", 2)])
+    execute_update(
+        spark,
+        "UPDATE t AS u SET u.x = u.x * 10 -- scale\n WHERE u.grp = 'a'",
+        resolve={"t": t},
+    )
+    execute_delete(spark, "DELETE FROM t WHERE x >= 100", resolve={"t": t})
+    assert content(t) == [(2, "b", 5), (3, "a", 20)]
+    # DELETE without WHERE truncates
+    execute_delete(spark, "DELETE FROM t", resolve={"t": t})
+    assert content(t) == []
+
+
+def test_parsers():
+    tbl, assigns, cond = parse_update(
+        "UPDATE tgt AS t SET t.a = t.a + 1, b = 'x, y' WHERE t.a > 0"
+    )
+    assert tbl == "tgt"
+    assert assigns == {"a": "a + 1", "b": "'x, y'"}
+    assert cond == "a > 0"
+
+    tbl, cond = parse_delete("DELETE FROM tgt t WHERE t.a > 0 AND b = 1")
+    assert (tbl, cond) == ("tgt", "a > 0 AND b = 1")
+    tbl, cond = parse_delete("DELETE FROM tgt")
+    assert (tbl, cond) == ("tgt", None)
+    with pytest.raises(ValueError):
+        parse_update("DELETE FROM t")
+    with pytest.raises(ValueError):
+        parse_delete("UPDATE t SET x = 1")
