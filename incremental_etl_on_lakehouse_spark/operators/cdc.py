@@ -375,6 +375,29 @@ def distinct_counts(
     return state.to_df().groupBy(*group_cols).agg(F.count("*").alias(out_col))
 
 
+def merge_agg_deltas(
+    gold: LakeTable,
+    deltas: DataFrame,
+    group_cols: list[str],
+    agg_cols: dict[str, str],
+) -> dict:
+    """:func:`merge_agg_delta` generalized to multiple additive aggregates
+    per row — ``agg_cols`` maps gold column -> delta column. The canonical
+    use is (SUM, COUNT) maintained together, from which AVG derives at
+    read time: avg is not itself additive, but both its components are."""
+    cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in group_cols)
+    assignments = {
+        a: f"target.`{a}` + source.`{d}`" for a, d in agg_cols.items()
+    }
+    insert_assignments = {k: f"source.`{k}`" for k in group_cols}
+    insert_assignments.update({a: f"source.`{d}`" for a, d in agg_cols.items()})
+    clauses = [
+        MergeClause("update", None, assignments),
+        MergeClause("insert", None, insert_assignments),
+    ]
+    return gold.merge(deltas, cond, clauses)
+
+
 def merge_agg_delta(
     gold: LakeTable,
     deltas: DataFrame,

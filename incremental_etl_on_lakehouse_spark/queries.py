@@ -1062,6 +1062,97 @@ def agg_incremental_minmax(spark, sf_dir):
     )
 
 
+AVG_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("sum_cents", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+_CDC_AVG_CACHE: dict[tuple[int, str], LakeTable] = {}
+
+
+@query(
+    "agg_incremental_avg",
+    _SQL_CDC
+    + "SELECT event_type,"
+    " round(CAST(sum(value_cents) AS DOUBLE) / count(*), 6) AS avg_cents,"
+    " CAST(count(*) AS BIGINT) AS n_rows"
+    " FROM final GROUP BY event_type",
+)
+def agg_incremental_avg(spark, sf_dir):
+    """Incrementally-maintained AVG: not itself additive, but both its
+    components are — the gold table carries (SUM, COUNT), each maintained
+    by the same signed-delta algebra as agg_incremental_cdf in ONE merge
+    (operators/cdc.py merge_agg_deltas), and avg = sum/count derives at
+    read time. Integer-exact components mean the division is
+    order-independent, so the oracle (plain AVG over the converged state)
+    hash-matches."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import merge_agg_deltas
+
+    cache_key = (id(spark), sf_dir)
+    cached = _CDC_AVG_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.path):
+        gold = cached
+    else:
+        root = _tmpdir()
+        silver = LakeTable.create(
+            spark,
+            os.path.join(root, "silver"),
+            SILVER_SCHEMA,
+            properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
+        )
+        gold = LakeTable.create(spark, os.path.join(root, "gold_avg"), AVG_SCHEMA)
+        reader = LakeStreamReader(
+            silver, os.path.join(root, "avg_ck.json"), mode="cdf", starting_version=1
+        )
+
+        def update(changes: DataFrame, _v: int) -> None:
+            sign = F.when(
+                F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+            ).when(
+                F.col("_change_type").isin("update_postimage", "insert"), F.lit(1)
+            )
+            deltas = (
+                changes.withColumn("__s", sign)
+                .where(F.col("__s").isNotNull())
+                .groupBy("event_type")
+                .agg(
+                    F.sum(F.col("__s") * F.col("value_cents")).alias("d_sum"),
+                    F.sum("__s").alias("d_cnt"),
+                )
+                .where((F.col("d_sum") != 0) | (F.col("d_cnt") != 0))
+            )
+            merge_agg_deltas(
+                gold,
+                deltas,
+                group_cols=["event_type"],
+                agg_cols={"sum_cents": "d_sum", "n_rows": "d_cnt"},
+            )
+
+        for batch in _cdc_batches(spark, sf_dir):
+            merge_cdc_batch(
+                silver,
+                batch.select(
+                    "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
+                    "cdc_operation", "ts", "event_id",
+                ),
+                key_cols=["user_id"],
+                order_cols=["ts"],
+                tiebreak_cols=["event_id"],
+                order_guard_col="ts_ms",
+            )
+            reader.process_available(update)
+        _CDC_AVG_CACHE[cache_key] = gold
+    return gold.to_df().where(F.col("n_rows") > 0).select(
+        "event_type",
+        F.round(F.col("sum_cents").cast("double") / F.col("n_rows"), 6).alias(
+            "avg_cents"
+        ),
+        "n_rows",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 window / §2.7 sorts
 # ---------------------------------------------------------------------------
@@ -1933,12 +2024,16 @@ def join_semi(spark, sf_dir):
 @query(
     "join_anti",
     "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS"
-    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_orderstatus = 'F')",
 )
 def join_anti(spark, sf_dir):
-    """Left anti join: customers with no orders at all."""
+    """Left anti join: customers with no finished ('F') order. The status
+    filter makes the result non-empty at every sf — the original
+    no-orders-at-all phrasing returned 0 rows at all scales (every fixture
+    customer has an order), so the check was vacuous."""
     c = load_table(spark, "customer", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -3167,8 +3262,8 @@ def q22_dormant_customers(spark, sf_dir):
     f" JOIN customer ON c_custkey = o_custkey"
     f" JOIN nation n1 ON s_nationkey = n1.n_nationkey"
     f" JOIN nation n2 ON c_nationkey = n2.n_nationkey"
-    f" WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
-    f"     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    f" WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')"
+    f"     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))"
     f"   AND l_shipdate >= TIMESTAMP '1996-01-01'"
     f"   AND l_shipdate < TIMESTAMP '1998-01-01')"
     f" GROUP BY supp_nation, cust_nation, l_year",
@@ -3180,7 +3275,7 @@ def q7_volume_shipping(spark, sf_dir):
     broadcast build), the pair predicate stays as the residual on the
     joined row, and the date range reaches the lineitem scan. The only
     shuffle is lineitem x orders on orderkey + the final group-by."""
-    both = ["NATION_1", "NATION_2"]
+    both = ["NATION_18", "NATION_19"]
     li = load_table(spark, "lineitem", sf_dir).where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -3207,6 +3302,69 @@ def q7_volume_shipping(spark, sf_dir):
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    f"SELECT o_year,"
+    f" round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol"
+    f"  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+    f"  / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share FROM ("
+    f" SELECT CAST(year(o_orderdate) AS INT) AS o_year,"
+    f"  {_DISC_PRICE_SQL} AS vol, n2.n_name AS supp_nation"
+    f" FROM part JOIN lineitem ON p_partkey = l_partkey"
+    f" JOIN orders ON l_orderkey = o_orderkey"
+    f" JOIN customer ON o_custkey = c_custkey"
+    f" JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    f" JOIN region ON n1.n_regionkey = r_regionkey"
+    f" JOIN supplier ON l_suppkey = s_suppkey"
+    f" JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    f" WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'"
+    f"  AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    f"  AND o_orderdate < TIMESTAMP '1998-01-01')"
+    f" GROUP BY o_year",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): 8-table join where one
+    nation dim scopes the customer market (via region) and the other
+    labels the supplier side for the conditional-share ratio. Every dim
+    broadcasts; lineitem x orders on orderkey is the only co-shuffle; the
+    part-type and region filters prune their broadcast builds before the
+    fact scan joins. Share numerator/denominator are exact decimals,
+    divided once in double."""
+    p = load_table(spark, "part", sf_dir).where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    vol = _disc_price()
+    num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(num).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
     )
 
 
