@@ -22,6 +22,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import urllib.parse
 import uuid
@@ -102,6 +103,101 @@ def _zvalue(df: DataFrame, cols: list[str], total_rows: int):
                 F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(buckets) + j
             )
     return z
+
+
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a boolean SQL expression on its top-level ANDs (quote- and
+    paren-aware); OR anywhere at top level disables splitting entirely
+    (a disjunction gives no sound per-conjunct bounds)."""
+    parts, cur = [], []
+    depth, in_str, i, n = 0, False, 0, len(s)
+    up = s.upper()
+
+    def boundary(j: int) -> bool:
+        before_ok = j == 0 or not (s[j - 1].isalnum() or s[j - 1] == "_")
+        after = j + 3
+        after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
+        return before_ok and after_ok
+
+    while i < n:
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            in_str = c != "'"
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("OR", i) and (
+            (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 2 >= n or not (s[i + 2].isalnum() or s[i + 2] == "_"))
+        ):
+            return [s]  # top-level OR: treat as one opaque conjunct
+        if depth == 0 and up.startswith("AND", i) and boundary(i):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_CMP = re.compile(
+    r"^`?(?P<col>\w+)`?\s*(?P<op>==|=|<=|>=|<|>)\s*"
+    r"(?P<lit>-?\d+(?:\.\d+)?|'(?:[^']|'')*')$"
+)
+_CMP_REV = re.compile(
+    r"^(?P<lit>-?\d+(?:\.\d+)?|'(?:[^']|'')*')\s*(?P<op>==|=|<=|>=|<|>)\s*"
+    r"`?(?P<col>\w+)`?$"
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def condition_ranges(
+    condition: str, stats_cols: list[str]
+) -> dict[str, tuple]:
+    """Sound per-column (lo, hi) bounds implied by a DML condition.
+
+    Only ``col <cmp> literal`` (or reversed) top-level AND conjuncts over
+    stats columns contribute; every other shape is ignored, so the result
+    only ever *over*-approximates the matching file set. Strict bounds are
+    relaxed to inclusive — pruning must stay conservative.
+    """
+    out: dict[str, tuple] = {}
+    for conj in _split_conjuncts(condition):
+        m = _CMP.match(conj.strip())
+        if not m:
+            m = _CMP_REV.match(conj.strip())
+            if not m:
+                continue
+            op = _FLIP.get(m.group("op"), m.group("op"))
+        else:
+            op = m.group("op")
+        col = m.group("col")
+        if col not in stats_cols:
+            continue
+        lit = m.group("lit")
+        val: object
+        if lit.startswith("'"):
+            val = lit[1:-1].replace("''", "'")
+        else:
+            val = float(lit) if "." in lit else int(lit)
+        lo, hi = out.get(col, (None, None))
+        if op in ("=", "=="):
+            lo = val if lo is None else max(lo, val)
+            hi = val if hi is None else min(hi, val)
+        elif op in ("<", "<="):
+            hi = val if hi is None else min(hi, val)
+        else:  # > / >=
+            lo = val if lo is None else max(lo, val)
+        out[col] = (lo, hi)
+    return out
 
 
 @dataclass
@@ -416,6 +512,18 @@ class LakeTable:
                 out.append(self._abs(rel))
         return out
 
+    def _touched_candidates(self, condition: str | None) -> list[str]:
+        """Active files that could contain rows matching ``condition`` —
+        the automatic data-skipping DELETE/UPDATE probe (Delta derives the
+        same bounds from the command predicate). Sound per-column bounds
+        are extracted from the condition's top-level AND conjuncts; files
+        whose recorded min/max can't overlap are skipped without a scan."""
+        return self.files_matching(
+            condition_ranges(condition, self.stats_columns())
+            if condition
+            else None
+        )
+
     def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
         schema = schema or self.schema()
         present = set(df.columns)
@@ -490,13 +598,26 @@ class LakeTable:
         DELETE semantics. Without the coalesce such a row would fall out of
         BOTH the kept (``NOT cond`` = NULL) and deleted (``cond`` = NULL)
         sides of the file rewrite and silently vanish.
+
+        The touched-file probe is data-skipped: per-column bounds derived
+        from the condition (``condition_ranges``) prune the probe to
+        stat-overlapping files, so ``DELETE WHERE key = k`` on a clustered
+        100 TB table scans only the key's file(s), not the table.
         """
         snapshot_version = self.version()
-        target = self.to_df().withColumn("__file", F.input_file_name())
+        candidates = self._touched_candidates(condition)
+        target = self._read_files(candidates).withColumn(
+            "__file", F.input_file_name()
+        )
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        touched = [
-            r["__file"] for r in target.where(cond).select("__file").distinct().collect()
-        ]
+        touched = (
+            [
+                r["__file"]
+                for r in target.where(cond).select("__file").distinct().collect()
+            ]
+            if candidates
+            else []
+        )
         if not touched:
             v = snapshot_version + 1
             lakelog.write_commit(
@@ -541,15 +662,23 @@ class LakeTable:
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
         snapshot_version = self.version()
-        target = self.to_df().withColumn("__file", F.input_file_name())
+        candidates = self._touched_candidates(condition)
+        target = self._read_files(candidates).withColumn(
+            "__file", F.input_file_name()
+        )
         cond = (
             F.coalesce(F.expr(condition), F.lit(False))
             if condition is not None
             else F.lit(True)
         )
-        touched = [
-            r["__file"] for r in target.where(cond).select("__file").distinct().collect()
-        ]
+        touched = (
+            [
+                r["__file"]
+                for r in target.where(cond).select("__file").distinct().collect()
+            ]
+            if candidates
+            else []
+        )
         if not touched:
             v = snapshot_version + 1
             lakelog.write_commit(

@@ -103,3 +103,47 @@ def test_parsers():
         parse_update("DELETE FROM t")
     with pytest.raises(ValueError):
         parse_delete("UPDATE t SET x = 1")
+
+
+def test_condition_ranges_extraction():
+    from incremental_etl_on_lakehouse_spark.lake.table import condition_ranges
+
+    cr = condition_ranges("id = 5 AND x > 3 AND name = 'a''b'", ["id", "x", "name"])
+    assert cr == {"id": (5, 5), "x": (3, None), "name": ("a'b", "a'b")}
+    # reversed literal, <= bounds, non-stats columns ignored
+    assert condition_ranges("10 >= id AND y < 2", ["id"]) == {"id": (None, 10)}
+    # top-level OR gives no sound bounds
+    assert condition_ranges("id = 5 OR id = 9", ["id"]) == {}
+    # OR inside parens within an AND conjunct: the other conjunct still binds
+    assert condition_ranges("id <= 7 AND (a = 1 OR b = 2)", ["id"]) == {
+        "id": (None, 7)
+    }
+    # opaque shapes contribute nothing
+    assert condition_ranges("id % 2 = 0", ["id"]) == {}
+
+
+def test_delete_and_update_skip_files_by_stats(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, properties={"statsColumns": "id"}
+    )
+    # three disjoint-id files: [0..9], [10..19], [20..29]
+    for base in (0, 10, 20):
+        t.append(
+            spark.createDataFrame(
+                [(base + i, "g", base + i) for i in range(10)], SCHEMA
+            ).coalesce(1)
+        )
+    assert len(t.files()) == 3
+    before = set(t.files())
+
+    t.delete("id = 5")
+    hist = {h["version"]: h for h in t.history()}
+    assert hist[t.version()]["metrics"]["num_touched_files"] == 1
+    # the two non-overlapping files were never rewritten
+    assert len(before & set(t.files())) == 2
+    assert t.to_df().count() == 29
+
+    t.update({"x": "x + 1000"}, "id >= 20 AND id <= 24")
+    hist = {h["version"]: h for h in t.history()}
+    assert hist[t.version()]["metrics"]["num_touched_files"] == 1
+    assert t.to_df().where("x >= 1000").count() == 5
