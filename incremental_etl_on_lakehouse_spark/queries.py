@@ -2168,6 +2168,56 @@ def agg_filtered(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_watermark",
+    "SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): the landing files deliver every
+    event THREE times — twice in the first file (intra-batch) and once
+    re-delivered in a second file (inter-batch) — and the watermark
+    horizon (60 days) exceeds the fixture's whole event-time span, so
+    every duplicate arrives inside the state-retention window and the
+    streamed output is exactly one row per event_id: the full-oracle
+    distinct. At production scale the horizon is minutes and state stays
+    bounded — the semantics under test are identical."""
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        dedup_stream,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
+        "event_type",
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+    for i, batch in enumerate((ev.unionAll(ev), ev)):
+        d = os.path.join(land, f"f{i}")
+        batch.coalesce(1).write.mode("overwrite").json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{i}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        "event_id",
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        "event_type",
+    )
+    out = dedup_stream(stream, key_cols=["event_id"], ts_col="ts", watermark="60 days")
+    return run_to_memory(out, os.path.join(_tmpdir(), "ck")).select(
+        "event_id", "event_type", MS("ts").alias("ts_ms")
+    )
+
+
+@query(
     "stream_window_agg",
     # Files arrive in event-time order, so no rows are dropped as late; in
     # append mode a window emits only once the final watermark
