@@ -45,20 +45,28 @@ def asof_join(
     value_cols: list[str],
     how: str = "left",
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward, inclusive) join: attach to each left row the
-    ``value_cols`` of the latest right row with ``right_ts <= left_ts`` for
-    the same key.
+    """As-of join (inclusive): attach to each left row the ``value_cols``
+    of the matching right row for the same key, where the match is
 
-    Matches DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``.
+    - ``backward`` (default): latest right row with ``right_ts <= left_ts``
+      — DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``;
+    - ``forward``: earliest right row with ``right_ts >= left_ts`` —
+      DuckDB's ``l.ts <= r.ts`` spelling;
+    - ``nearest``: whichever of the two is closer in time (ties prefer
+      backward) — pandas ``merge_asof(direction='nearest')``.
+
     When several right rows share (key, ts), the one with the greatest
     ``tiebreak_col`` wins (callers that need strict determinism should pass
     one or pre-dedupe the right side).
 
     Plan shape: union the two inputs (right rows carry the payload, left
     rows carry nulls), shuffle ONCE on ``on``, sort each key group by
-    (ts, side), and propagate the last non-null payload forward. Right rows
-    order before left rows at equal timestamps, making the match inclusive.
+    (ts, side), and propagate the last non-null payload. Right rows order
+    before left rows at equal timestamps, making the match inclusive in
+    every direction. ``nearest`` adds a second sort over the SAME exchange
+    (two windows, one shuffle), comparing epoch distances per row.
     Skewed keys degrade to a single sorted partition per key — the same
     failure mode as any PARTITION BY window; AQE cannot split a window
     partition, so pathological keys should be pre-filtered or bucketed by a
@@ -66,6 +74,8 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
@@ -89,16 +99,50 @@ def asof_join(
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
 
     unioned = lt.unionByName(rt)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_LEFT_MARK).asc(), *order_tail)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.select(
-        *[c for c in left.columns if c not in value_cols],
-        F.col(_LEFT_MARK),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-    ).where(F.col(_LEFT_MARK) == 1).drop(_LEFT_MARK, _TS)
+
+    def frame(ts_order):
+        return (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.col(_LEFT_MARK).asc(), *order_tail)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    w_b = frame(F.col(_TS).asc())
+    w_f = frame(F.col(_TS).desc())
+    keep = [c for c in left.columns if c not in value_cols]
+    if direction in ("backward", "forward"):
+        w = w_b if direction == "backward" else w_f
+        matched = unioned.select(
+            *keep,
+            F.col(_LEFT_MARK),
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        )
+    else:
+        ts_type = dict(unioned.dtypes)[_TS]
+        if "timestamp" in ts_type:
+            # NTZ refuses a double cast; unix_micros over a TIMESTAMP cast
+            # is the identity under the engine's pinned-UTC session
+            epoch = F.unix_micros(F.col(_TS).cast("timestamp")).cast("double")
+        else:
+            epoch = F.col(_TS).cast("double")
+        r_ts = F.when(F.col(_LEFT_MARK) == 0, epoch)
+        bts = F.last(r_ts, ignorenulls=True).over(w_b)
+        fts = F.last(r_ts, ignorenulls=True).over(w_f)
+        here = epoch
+        use_b = F.when(fts.isNull(), F.lit(True)).when(
+            bts.isNull(), F.lit(False)
+        ).otherwise((here - bts) <= (fts - here))
+        matched = unioned.select(
+            *keep,
+            F.col(_LEFT_MARK),
+            *[
+                F.when(use_b, F.last(c, ignorenulls=True).over(w_b))
+                .otherwise(F.last(c, ignorenulls=True).over(w_f))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+    matched = matched.where(F.col(_LEFT_MARK) == 1).drop(_LEFT_MARK, _TS)
     if how == "inner":
         cond = None
         for c in value_cols:

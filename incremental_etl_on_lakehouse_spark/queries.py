@@ -2325,6 +2325,35 @@ def join_asof(spark, sf_dir):
     ).select("event_id", "user_id", "p_event_id", "p_cents")
 
 
+@query(
+    "join_asof_forward",
+    "WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+    " SELECT e.event_id, e.user_id, p.p_event_id"
+    " FROM events e ASOF LEFT JOIN p"
+    "   ON e.user_id = p.user_id AND e.ts <= p.ts",
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each event picks up the EARLIEST purchase
+    at-or-after it per user (the look-ahead direction — label joins in
+    training pipelines: 'next conversion after this impression'). Same
+    single-shuffle union+window plan as the backward direction, with the
+    per-key sort inverted; oracle is DuckDB's ASOF with the <= spelling."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    return asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id"], direction="forward",
+    ).select("event_id", "user_id", "p_event_id")
+
+
 _BANDS = [
     ("tiny", 0.0, 40000.0),
     ("mid", 40000.0, 180000.0),

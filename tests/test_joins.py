@@ -151,3 +151,70 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_asof_directions_small_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 40), (4, "z", 5)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 20, "a"), ("k", 30, "b"), ("z", 50, "c")],
+        "k string, t long, v string",
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], direction=direction,
+        )
+        return {r.id: r.v for r in out.collect()}
+
+    # backward: latest right at-or-before
+    assert run("backward") == {1: None, 2: "a", 3: "b", 4: None}
+    # forward: earliest right at-or-after
+    assert run("forward") == {1: "a", 2: "b", 3: None, 4: "c"}
+    # nearest: closer of the two; ties prefer backward
+    # id=2 (t=25): backward a at 20 (d=5) vs forward b at 30 (d=5) -> a
+    assert run("nearest") == {1: "a", 2: "a", 3: "b", 4: "c"}
+
+
+def test_asof_forward_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, "k", 20)], "id long, k string, t long")
+    right = spark.createDataFrame([("k", 20, "x")], "k string, t long, v string")
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        value_cols=["v"], direction="forward",
+    )
+    assert out.collect()[0].v == "x"
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    got = asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id"], direction="nearest",
+    )
+    ev.createOrReplaceTempView("l")
+    purch.createOrReplaceTempView("r")
+    want = spark.sql(
+        """
+        SELECT l.event_id, l.user_id,
+          max_by(r.p_event_id,
+                 struct(-abs(unix_micros(CAST(l.ts AS TIMESTAMP))
+                             - unix_micros(CAST(r.ts AS TIMESTAMP))),
+                        CASE WHEN r.ts <= l.ts THEN 1 ELSE 0 END,
+                        r.p_event_id)) AS p_event_id
+        FROM l LEFT JOIN r ON l.user_id = r.user_id
+        GROUP BY l.event_id, l.user_id
+        """
+    )
+    assert _rows(got, "event_id", "p_event_id") == _rows(
+        want, "event_id", "p_event_id"
+    )
