@@ -644,6 +644,40 @@ def snk_update_delete_sql(spark, sf_dir):
 
 
 @query(
+    "ddl_partitioned_table",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents"
+    " FROM events WHERE event_type = 'purchase' GROUP BY event_type",
+)
+def ddl_partitioned_table(spark, sf_dir):
+    """Partitioned table DDL + partition-pruned read (the 100 TB layout the
+    reference's unpartitioned demo tables skip — SURVEY §4 'partition
+    Silver by date'): events land hive-partitioned by event_type, and the
+    single-partition aggregate's scan must carry a PartitionFilter — whole
+    directories skipped at planning time, asserted in-key on the executed
+    plan."""
+    from incremental_etl_on_lakehouse_spark import plans
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "part_events"),
+        ev.schema,
+        partition_by=["event_type"],
+    )
+    t.append(ev)
+    one = t.to_df().where(F.col("event_type") == "purchase")
+    assert "PartitionFilters" in plans.formatted_plan(one)
+    return one.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+
+
+@query(
     "ddl_create_table",
     "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS country,"
     " CAST(NULL AS BIGINT) AS sum_visitors WHERE 1 = 0",
