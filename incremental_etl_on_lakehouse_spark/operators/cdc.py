@@ -26,8 +26,11 @@ delta aggregation is a partial-aggregated shuffle on the group key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
 
@@ -373,6 +376,206 @@ def distinct_counts(
 ) -> DataFrame:
     """Exact per-group COUNT(DISTINCT) from the maintained state table."""
     return state.to_df().groupBy(*group_cols).agg(F.count("*").alias(out_col))
+
+
+class IncrementalAggView:
+    """Materialized aggregate view maintained purely from a table's change
+    feed — the reference's Gold pattern (``notebooks/demo-notebook.py:
+    378-435``) as one reusable component covering the full aggregate
+    algebra, not just the demo's additive SUM:
+
+    - ``("sum", col)`` / ``("count", "*")`` — signed-delta additive merge;
+    - ``("avg", col)`` — derived from maintained (SUM, COUNT) components;
+    - ``("min", col)`` / ``("max", col)`` — monotone tighten on inserts,
+      recompute pruned to extremum-touched groups on deletes;
+    - ``("count_distinct", col)`` — exact, via per-(group, value) multiset
+      state.
+
+    Each family lives in its own lake table under ``root`` (additive +
+    avg components in one; one min/max table per clustered value column;
+    one state table per distinct column), so a delete-driven min/max
+    recompute can drop a group's extremes row without touching the
+    additive sums. ``refresh()`` folds all unprocessed CDF batches through
+    a checkpointed reader; ``to_df()`` assembles the current view —
+    groups whose row count reached zero disappear. Only CHANGES are ever
+    aggregated; the source table is scanned solely for extremum-touched
+    group recomputes.
+
+    Caveat: ``avg`` divides by the group ROW count (``count(*)``), i.e. it
+    assumes the averaged column is non-null — the demo data model's case.
+    Null-skipping AVG needs its own maintained non-null count; declare the
+    column's null contract instead of paying that state for every view.
+    """
+
+    def __init__(
+        self,
+        source: LakeTable,
+        root: str,
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ):
+        from incremental_etl_on_lakehouse_spark.lake.streaming import (
+            LakeStreamReader,
+        )
+
+        if not source.cdf_enabled():
+            raise ValueError("IncrementalAggView needs enableChangeDataFeed")
+        self.source = source
+        self.root = root
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        spark = source.spark
+        src_schema = {f.name: f.dataType for f in source.schema().fields}
+        group_fields = [
+            StructField(c, src_schema[c]) for c in self.group_cols
+        ]
+        add_fields = list(group_fields) + [StructField("__n", LongType())]
+        self._sum_cols: dict[str, str] = {}  # view name -> hidden sum col
+        self._avg_specs: dict[str, str] = {}  # view name -> hidden sum col
+        self._mm_cols: set[str] = set()  # value cols needing a minmax table
+        self._distinct_cols: dict[str, str] = {}  # view name -> value col
+        for name, (kind, col) in self.aggs.items():
+            if kind == "sum":
+                self._sum_cols[name] = f"__sum_{col}"
+            elif kind == "avg":
+                self._avg_specs[name] = f"__sum_{col}"
+            elif kind == "count":
+                pass  # __n is always maintained
+            elif kind in ("min", "max"):
+                self._mm_cols.add(col)
+            elif kind == "count_distinct":
+                self._distinct_cols[name] = col
+            else:
+                raise ValueError(f"unsupported aggregate kind: {kind!r}")
+        hidden_sums = sorted(set(self._sum_cols.values()) | set(self._avg_specs.values()))
+        for h in hidden_sums:
+            add_fields.append(StructField(h, src_schema[h[len("__sum_"):]]))
+        self._hidden_sums = hidden_sums
+        self.add_table = LakeTable.create(
+            spark,
+            os.path.join(root, "additive"),
+            StructType(add_fields),
+            if_not_exists=True,
+        )
+        self.mm_tables = {
+            col: LakeTable.create(
+                spark,
+                os.path.join(root, f"minmax_{col}"),
+                StructType(
+                    group_fields
+                    + [
+                        StructField("min_value", src_schema[col]),
+                        StructField("max_value", src_schema[col]),
+                    ]
+                ),
+                if_not_exists=True,
+            )
+            for col in sorted(self._mm_cols)
+        }
+        self.d_tables = {
+            name: LakeTable.create(
+                spark,
+                os.path.join(root, f"distinct_{name}"),
+                StructType(
+                    group_fields
+                    + [
+                        StructField("value", src_schema[col]),
+                        StructField("cnt", LongType()),
+                    ]
+                ),
+                if_not_exists=True,
+            )
+            for name, col in sorted(self._distinct_cols.items())
+        }
+        self._reader = LakeStreamReader(
+            source,
+            os.path.join(root, "checkpoint.json"),
+            mode="cdf",
+            starting_version=1,
+        )
+
+    def _apply(self, changes: DataFrame, version: int) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+        ).when(F.col("_change_type").isin("update_postimage", "insert"), F.lit(1))
+        signed = changes.withColumn("__s", sign).where(F.col("__s").isNotNull())
+        agg_exprs = [F.sum("__s").alias("d___n")]
+        for h in self._hidden_sums:
+            src_col = h[len("__sum_"):]
+            agg_exprs.append(F.sum(F.col("__s") * F.col(src_col)).alias(f"d_{h}"))
+        deltas = (
+            signed.groupBy(*self.group_cols)
+            .agg(*agg_exprs)
+            .where(
+                " OR ".join(
+                    f"`d_{c}` <> 0" for c in ["__n", *self._hidden_sums]
+                )
+            )
+        )
+        merge_agg_deltas(
+            self.add_table,
+            deltas,
+            group_cols=self.group_cols,
+            agg_cols={c: f"d_{c}" for c in ["__n", *self._hidden_sums]},
+        )
+        base = None
+        for col, mm in self.mm_tables.items():
+            if base is None:
+                base = self.source.to_df(version=version)
+            incremental_minmax_update(
+                mm, base, changes, self.group_cols, col,
+                min_col="min_value", max_col="max_value",
+            )
+        for name, col in self._distinct_cols.items():
+            merge_distinct_state(
+                self.d_tables[name],
+                cdf_multiset_deltas(
+                    changes.withColumnRenamed(col, "value"),
+                    self.group_cols,
+                    "value",
+                ),
+                self.group_cols,
+                "value",
+            )
+
+    def refresh(self) -> int:
+        """Fold all unprocessed source CDF batches; returns batches applied."""
+        return self._reader.process_available(self._apply)
+
+    def to_df(self) -> DataFrame:
+        out = self.add_table.to_df().where(F.col("__n") > 0)
+        for col, mm in self.mm_tables.items():
+            out = out.join(
+                mm.to_df().withColumnsRenamed(
+                    {"min_value": f"__min_{col}", "max_value": f"__max_{col}"}
+                ),
+                self.group_cols,
+            )
+        for name in self._distinct_cols:
+            out = out.join(
+                distinct_counts(self.d_tables[name], self.group_cols, out_col=f"__d_{name}"),
+                self.group_cols,
+            )
+        sel = [F.col(c) for c in self.group_cols]
+        for name, (kind, col) in self.aggs.items():
+            if kind == "sum":
+                sel.append(F.col(self._sum_cols[name]).alias(name))
+            elif kind == "count":
+                sel.append(F.col("__n").alias(name))
+            elif kind == "avg":
+                sel.append(
+                    (
+                        F.col(self._avg_specs[name]).cast("double")
+                        / F.col("__n")
+                    ).alias(name)
+                )
+            elif kind == "min":
+                sel.append(F.col(f"__min_{col}").alias(name))
+            elif kind == "max":
+                sel.append(F.col(f"__max_{col}").alias(name))
+            else:
+                sel.append(F.col(f"__d_{name}").alias(name))
+        return out.select(*sel)
 
 
 def merge_agg_deltas(
