@@ -3563,6 +3563,34 @@ def q8_market_share(spark, sf_dir):
 
 
 @query(
+    "q13_customer_distribution",
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+    " SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count"
+    " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+    "  AND o.o_orderpriority <> 'URGENT'"
+    " GROUP BY c.c_custkey)"
+    " GROUP BY c_count",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order distribution): LEFT OUTER join with
+    a non-key residual on the null-producing side, then a two-level
+    aggregation — per-customer order counts (zero-order customers kept by
+    the outer join) histogrammed by count. One co-shuffle on custkey; the
+    second aggregate moves O(distinct counts) rows."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") != "URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
     "q15_top_supplier",
     f"WITH revenue AS ("
     f" SELECT l_suppkey AS supplier_no, sum({_DISC_PRICE_SQL}) AS total_rev"
