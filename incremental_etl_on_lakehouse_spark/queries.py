@@ -644,6 +644,48 @@ def snk_update_delete_sql(spark, sf_dir):
 
 
 @query(
+    "util_history",
+    "SELECT * FROM (VALUES"
+    " (CAST(0 AS BIGINT), 'CREATE',    CAST(NULL AS BIGINT)),"
+    " (CAST(1 AS BIGINT), 'APPEND',    CAST(25 AS BIGINT)),"
+    " (CAST(2 AS BIGINT), 'APPEND',    CAST(25 AS BIGINT)),"
+    " (CAST(3 AS BIGINT), 'UPDATE',    CAST(NULL AS BIGINT)),"
+    " (CAST(4 AS BIGINT), 'DELETE',    CAST(NULL AS BIGINT)),"
+    " (CAST(5 AS BIGINT), 'COMPACT',   CAST(NULL AS BIGINT))"
+    ") t(version, operation, num_inserted_rows)",
+)
+def util_history(spark, sf_dir):
+    """DESCRIBE HISTORY (the reference's table-audit surface, Delta
+    `history()`): a deterministic command sequence — create, two appends,
+    UPDATE, DELETE, OPTIMIZE — whose audit log (version, operation,
+    insert metric) is exact and literally enumerable by the oracle.
+    History is driver-side commit metadata; no data scan."""
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("name"),
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "hist"),
+        StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        ),
+    )
+    t.append(nat)
+    t.append(nat.select((F.col("id") + 100).alias("id"), "name"))
+    t.update({"name": "upper(name)"}, "id < 3")
+    t.delete("id >= 120")
+    t.compact(target_file_rows=10)
+    rows = [
+        (h["version"], h["operation"], h["metrics"].get("num_inserted_rows"))
+        for h in t.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version long, operation string, num_inserted_rows long"
+    )
+
+
+@query(
     "ddl_partitioned_table",
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
     " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents"
