@@ -503,11 +503,17 @@ class LakeTable:
             for colname, (lo, hi) in (ranges or {}).items():
                 if colname in stats:
                     mn, mx = stats[colname]
-                    if (hi is not None and mn is not None and mn > hi) or (
-                        lo is not None and mx is not None and mx < lo
-                    ):
-                        keep = False
-                        break
+                    try:
+                        if (hi is not None and mn is not None and mn > hi) or (
+                            lo is not None and mx is not None and mx < lo
+                        ):
+                            keep = False
+                            break
+                    except TypeError:
+                        # bound type doesn't match the stats type (e.g. a
+                        # string literal probed against numeric min/max):
+                        # no sound skip — keep the file
+                        continue
             if keep:
                 out.append(self._abs(rel))
         return out

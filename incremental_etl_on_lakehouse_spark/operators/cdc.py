@@ -527,13 +527,16 @@ class IncrementalAggView:
                 min_col="min_value", max_col="max_value",
             )
         for name, col in self._distinct_cols.items():
+            # select (not rename): a source column already named "value"
+            # would otherwise collide with the state table's value column
+            narrowed = changes.select(
+                *self.group_cols,
+                F.col(col).alias("value"),
+                "_change_type",
+            )
             merge_distinct_state(
                 self.d_tables[name],
-                cdf_multiset_deltas(
-                    changes.withColumnRenamed(col, "value"),
-                    self.group_cols,
-                    "value",
-                ),
+                cdf_multiset_deltas(narrowed, self.group_cols, "value"),
                 self.group_cols,
                 "value",
             )

@@ -100,3 +100,31 @@ def test_view_requires_cdf(spark, tmp_path):
     source = LakeTable.create(spark, str(tmp_path / "nocdf"), SCHEMA)
     with pytest.raises(ValueError, match="ChangeDataFeed"):
         IncrementalAggView(source, str(tmp_path / "v"), ["grp"], {"n": ("count", "*")})
+
+
+def test_view_distinct_on_column_named_value(spark, tmp_path):
+    """The distinct state path must not collide when the source column is
+    itself named 'value'."""
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("grp", StringType()),
+            StructField("value", LongType()),
+        ]
+    )
+    source = LakeTable.create(
+        spark, str(tmp_path / "src"), schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    view = IncrementalAggView(
+        source, str(tmp_path / "v"), ["grp"],
+        {"n_vals": ("count_distinct", "value"), "n": ("count", "*")},
+    )
+    source.append(
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 5), (3, "a", 7)], schema
+        ).coalesce(1)
+    )
+    view.refresh()
+    got = {(r.grp, r.n_vals, r.n) for r in view.to_df().collect()}
+    assert got == {("a", 2, 3)}

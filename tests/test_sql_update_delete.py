@@ -147,3 +147,15 @@ def test_delete_and_update_skip_files_by_stats(spark, tmp_path):
     hist = {h["version"]: h for h in t.history()}
     assert hist[t.version()]["metrics"]["num_touched_files"] == 1
     assert t.to_df().where("x >= 1000").count() == 5
+
+
+def test_mismatched_literal_type_keeps_files(spark, tmp_path):
+    """A string literal probed against numeric stats must not crash the
+    skip — the file is conservatively kept and the row filter decides."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, properties={"statsColumns": "id"}
+    )
+    t.append(spark.createDataFrame([(1, "a", 1), (2, "a", 2)], SCHEMA).coalesce(1))
+    # id is BIGINT; '1' is a string bound -> type-mismatched stats probe
+    t.delete("id = '1'")
+    assert sorted(r.id for r in t.to_df().collect()) == [2]
