@@ -295,9 +295,19 @@ def parse_update(sql: str) -> tuple[str, dict[str, str], str | None]:
         raise ValueError("not an UPDATE statement")
     table, alias = m.group("t"), m.group("a")
     rest = s[m.end():]
-    wm = re.search(r"\bWHERE\b", rest, re.IGNORECASE)
+    # quote/paren-aware WHERE search: 'WHERE' inside a string literal or a
+    # subexpression must not terminate the SET list
+    depths = _depths(rest)
+    wpos = None
+    for km in re.finditer(r"\bWHERE\b", rest, re.IGNORECASE):
+        i = km.start()
+        if depths[i] == 0 and rest[:i].count("'") % 2 == 0:
+            wpos = km
+            break
     set_text, cond = (
-        (rest[: wm.start()], rest[wm.end():].strip()) if wm else (rest, None)
+        (rest[: wpos.start()], rest[wpos.end():].strip())
+        if wpos
+        else (rest, None)
     )
     names = [alias, table]
     assignments = {}

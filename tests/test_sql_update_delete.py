@@ -159,3 +159,14 @@ def test_mismatched_literal_type_keeps_files(spark, tmp_path):
     # id is BIGINT; '1' is a string bound -> type-mismatched stats probe
     t.delete("id = '1'")
     assert sorted(r.id for r in t.to_df().collect()) == [2]
+
+
+def test_parse_update_where_inside_string_literal():
+    tbl, assigns, cond = parse_update(
+        "UPDATE t SET note = 'no WHERE here', x = 1 WHERE x > 0"
+    )
+    assert assigns == {"note": "'no WHERE here'", "x": "1"}
+    assert cond == "x > 0"
+    tbl, assigns, cond = parse_update("UPDATE t SET note = 'WHERE'")
+    assert assigns == {"note": "'WHERE'"}
+    assert cond is None
