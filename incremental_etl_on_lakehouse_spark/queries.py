@@ -999,13 +999,12 @@ def agg_incremental_cdf(spark, sf_dir):
     cached = _CDC_GOLD_CACHE.get(cache_key)
     if cached is not None and os.path.isdir(cached.path):
         return cached.to_df().where(F.col("sum_cents") != 0)
+    # consume the SHARED memoized silver: its change feed replays
+    # per-version through the reader regardless of when it was built, so
+    # the incremental maintenance below behaves exactly as if it ran
+    # between the merges — without rebuilding silver per aggregate key
+    silver = _run_cdc_silver(spark, sf_dir)
     root = _tmpdir()
-    silver = LakeTable.create(
-        spark,
-        os.path.join(root, "silver"),
-        SILVER_SCHEMA,
-        properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
-    )
     gold = LakeTable.create(spark, os.path.join(root, "gold"), GOLD_SCHEMA)
     reader = LakeStreamReader(
         silver, os.path.join(root, "gold_ck.json"), mode="cdf", starting_version=1
@@ -1017,19 +1016,7 @@ def agg_incremental_cdf(spark, sf_dir):
         )
         merge_agg_delta(gold, deltas, group_cols=["event_type"], agg_col="sum_cents")
 
-    for batch in _cdc_batches(spark, sf_dir):
-        merge_cdc_batch(
-            silver,
-            batch.select(
-                "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
-                "cdc_operation", "ts", "event_id",
-            ),
-            key_cols=["user_id"],
-            order_cols=["ts"],
-            tiebreak_cols=["event_id"],
-            order_guard_col="ts_ms",
-        )
-        reader.process_available(update_gold)
+    reader.process_available(update_gold)
     _CDC_GOLD_CACHE[cache_key] = gold
     return gold.to_df().where(F.col("sum_cents") != 0)
 
@@ -1086,13 +1073,8 @@ def agg_incremental_minmax(spark, sf_dir):
     if cached is not None and os.path.isdir(cached[0].path):
         mm, dstate = cached
     else:
+        silver = _run_cdc_silver(spark, sf_dir)  # shared build, CDF replay
         root = _tmpdir()
-        silver = LakeTable.create(
-            spark,
-            os.path.join(root, "silver"),
-            SILVER_SCHEMA,
-            properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
-        )
         mm = LakeTable.create(spark, os.path.join(root, "gold_mm"), MINMAX_SCHEMA)
         dstate = LakeTable.create(spark, os.path.join(root, "dstate"), DSTATE_SCHEMA)
         reader = LakeStreamReader(
@@ -1118,19 +1100,7 @@ def agg_incremental_minmax(spark, sf_dir):
                 dstate, deltas, group_cols=["event_type"], value_col="bucket"
             )
 
-        for batch in _cdc_batches(spark, sf_dir):
-            merge_cdc_batch(
-                silver,
-                batch.select(
-                    "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
-                    "cdc_operation", "ts", "event_id",
-                ),
-                key_cols=["user_id"],
-                order_cols=["ts"],
-                tiebreak_cols=["event_id"],
-                order_guard_col="ts_ms",
-            )
-            reader.process_available(update)
+        reader.process_available(update)
         _CDC_MINMAX_CACHE[cache_key] = (mm, dstate)
     return mm.to_df().join(
         distinct_counts(dstate, ["event_type"], out_col="n_buckets"),
@@ -1246,13 +1216,8 @@ def agg_incremental_avg(spark, sf_dir):
     if cached is not None and os.path.isdir(cached.path):
         gold = cached
     else:
+        silver = _run_cdc_silver(spark, sf_dir)  # shared build, CDF replay
         root = _tmpdir()
-        silver = LakeTable.create(
-            spark,
-            os.path.join(root, "silver"),
-            SILVER_SCHEMA,
-            properties={"enableChangeDataFeed": "true", "statsColumns": "user_id"},
-        )
         gold = LakeTable.create(spark, os.path.join(root, "gold_avg"), AVG_SCHEMA)
         reader = LakeStreamReader(
             silver, os.path.join(root, "avg_ck.json"), mode="cdf", starting_version=1
@@ -1281,19 +1246,7 @@ def agg_incremental_avg(spark, sf_dir):
                 agg_cols={"sum_cents": "d_sum", "n_rows": "d_cnt"},
             )
 
-        for batch in _cdc_batches(spark, sf_dir):
-            merge_cdc_batch(
-                silver,
-                batch.select(
-                    "user_id", "ts_ms", "event_type", "value_cents", "data_hash",
-                    "cdc_operation", "ts", "event_id",
-                ),
-                key_cols=["user_id"],
-                order_cols=["ts"],
-                tiebreak_cols=["event_id"],
-                order_guard_col="ts_ms",
-            )
-            reader.process_available(update)
+        reader.process_available(update)
         _CDC_AVG_CACHE[cache_key] = gold
     return gold.to_df().where(F.col("n_rows") > 0).select(
         "event_type",
