@@ -78,17 +78,53 @@ def pack_sequences(
 
     shard = floor(cumsum_exclusive / budget) over the running total — the
     standard greedy sequential packing. With ``partition_cols`` the packing
-    (and its window) runs independently per partition — the scale path: a
-    global window is a single-reducer sort, a per-source window is an
-    ordinary keyed shuffle.
+    (and its window) runs independently per partition (an ordinary keyed
+    shuffle). WITHOUT partition_cols the global running total is computed
+    as a distributed prefix sum instead of a single-reducer global window:
+    range-partition on the order keys, run the cumulative window PER
+    partition (parallel), and add each partition's exclusive offset —
+    collected as one metadata-scale row per partition — so the global
+    packing scales like a sort, not like one reducer. Results are
+    identical to the global window whenever ``order_cols`` is a total
+    order (ties, as in any packing, are arbitrarily broken).
     """
-    w = Window.orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(*order_cols).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-    cum_incl = F.sum(F.col(size_col)).over(w)
-    cum_excl = cum_incl - F.col(size_col)
-    return df.withColumn(shard_col, F.floor(cum_excl / F.lit(budget)).cast("long"))
+        cum_excl = F.sum(F.col(size_col)).over(w) - F.col(size_col)
+        return df.withColumn(
+            shard_col, F.floor(cum_excl / F.lit(budget)).cast("long")
+        )
+    # localCheckpoint pins ONE materialized range partitioning: the range
+    # boundaries come from a per-execution sample, so without pinning the
+    # offsets job and the output job could disagree on row placement and
+    # silently mis-shard boundary rows. The materialization is the same
+    # order of cost as the sort's own shuffle files.
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in ranged.groupBy("__pid").agg(F.sum(size_col).alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t or 0
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )
+        offset = F.coalesce(omap[F.col("__pid")], F.lit(0))
+    else:
+        offset = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_excl = offset + F.sum(F.col(size_col)).over(w) - F.col(size_col)
+    return ranged.withColumn(
+        shard_col, F.floor(cum_excl / F.lit(budget)).cast("long")
+    ).drop("__pid")

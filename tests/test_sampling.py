@@ -64,3 +64,24 @@ def test_pack_sequences_invariants(spark, sf_dir):
         for r in rs:
             assert r["shard"] == cum // budget, (src, r)
             cum += r["n_tokens"]
+
+
+def test_global_pack_equals_single_reducer_reference(spark, sf_dir):
+    """The distributed prefix-sum global packing (range partition +
+    per-partition window + broadcast offsets) must equal the naive global
+    window bit-for-bit when order keys are unique."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.length("text").alias("n")
+    ).repartition(5)
+    got = pack_sequences(docs, "n", ["doc_id"], budget=2000)
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = docs.withColumn(
+        "shard", F.floor((F.sum("n").over(w) - F.col("n")) / 2000).cast("long")
+    )
+    a = sorted((r.doc_id, r.shard) for r in got.collect())
+    b = sorted((r.doc_id, r.shard) for r in want.collect())
+    assert a == b
