@@ -32,6 +32,39 @@ def _configure(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ship_package(spark)
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers via ``addPyFile``.
+
+    The Arrow-UDF paths (``mapInPandas`` multimodal decode, pandas_udf
+    escape hatch) deserialize closures that import this package on the
+    WORKER side. When the driver process was launched from a directory
+    where the package doesn't resolve (no PYTHONPATH, different cwd),
+    workers would raise ModuleNotFoundError even though the driver
+    imported fine via ``sys.path``. Shipping a zip once per SparkContext
+    makes the driver contract launch-directory-independent.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(
+        tempfile.gettempdir(), "incremental_etl_on_lakehouse_spark_pkg"
+    )
+    zpath = shutil.make_archive(
+        out, "zip", root_dir=repo, base_dir="incremental_etl_on_lakehouse_spark"
+    )
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 
 def entry(spark: SparkSession) -> DataFrame:
