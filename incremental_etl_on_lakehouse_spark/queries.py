@@ -3147,20 +3147,27 @@ def q18_big_orders(spark, sf_dir):
 
 @query(
     "agg_collect_list",
-    "SELECT user_id, list(event_type ORDER BY ts, event_id) AS event_seq"
+    "SELECT user_id, array_to_string("
+    "list(event_type ORDER BY ts, event_id), '|') AS event_seq"
     " FROM events GROUP BY user_id",
 )
 def agg_collect_list(spark, sf_dir):
     """Ordered event-sequence per user (session-path mining input):
     collect_list over a sort_array(struct) keeps the order deterministic —
-    Spark's collect_list alone has no ordering guarantee under shuffles."""
+    Spark's collect_list alone has no ordering guarantee under shuffles.
+    The sequence is emitted as a '|'-joined string rather than an array so
+    the cross-engine value hash is representation-independent (pandas
+    renders Spark arrays as lists but DuckDB LISTs as numpy arrays)."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
             ),
-            lambda s: s["event_type"],
+            "|",
         ).alias("event_seq")
     )
 
