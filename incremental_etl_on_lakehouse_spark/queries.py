@@ -1787,6 +1787,62 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_SHINGLES8 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS}) - 7, 1)),"
+    f" i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2], {_TOKS}[i+3],"
+    f" {_TOKS}[i+4], {_TOKS}[i+5], {_TOKS}[i+6], {_TOKS}[i+7])))"
+)
+
+
+@query(
+    "ext_decontaminate",
+    "WITH corpus AS (SELECT doc_id, text FROM documents"
+    " UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 7),"
+    f" bgrams AS (SELECT DISTINCT unnest({_SHINGLES8}) AS gram"
+    "  FROM documents WHERE doc_id % 50 = 7),"
+    f" cgrams AS (SELECT doc_id, unnest({_SHINGLES8}) AS gram FROM corpus)"
+    " SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hit_shingles"
+    " FROM cgrams JOIN bgrams USING (gram)"
+    " GROUP BY doc_id ORDER BY doc_id",
+)
+def ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token shingle with a held-out benchmark set (the training-data
+    hygiene step run before every model train). The scenario plants
+    verbatim copies of the benchmark docs at doc_id+100000, so the
+    expected hit set — every benchmark member (self-overlap) plus every
+    planted copy, with identical shingle counts — is fully deterministic
+    and hash-checked against the oracle.
+
+    Scale: benchmark suites are KB-to-MB against a 100 TB corpus, exactly
+    the asymmetry exploited here — the benchmark's distinct shingles
+    broadcast; the corpus side is one narrow explode (no all-pairs, no
+    corpus shuffle except the final per-doc count). Reference has no
+    equivalent; mandated by the LLM-pipeline extension contract
+    (BASELINE.json north star)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    planted = bench.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    bgrams = (
+        bench.select(F.explode(T.shingles(F.col("text"), 8)).alias("gram"))
+        .distinct()
+    )
+    # shingles() emits a DISTINCT array per doc, so no dedup shuffle is
+    # needed before counting: count == count-distinct here
+    cgrams = corpus.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 8)).alias("gram")
+    )
+    return (
+        cgrams.join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("gram").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "ext_dedup_embedding",
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
@@ -3669,6 +3725,375 @@ def q17_small_qty_revenue(spark, sf_dir):
         .agg(
             F.round(F.sum("ep").cast("double") / 7.0, 6).alias("avg_yearly")
         )
+    )
+
+
+@query(
+    "q12_late_priority",
+    "SELECT l_linestatus,"
+    " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+    " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+    "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY"
+    " AND l_shipdate >= TIMESTAMP '1997-01-01'"
+    " AND l_shipdate < TIMESTAMP '1998-01-01'"
+    " GROUP BY l_linestatus ORDER BY l_linestatus",
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority, adapted: the fixture has
+    no l_shipmode/commitdate, so late = shipped >90 days after order date
+    and the grouping column is l_linestatus): fact x fact join with a
+    join-crossing date predicate plus CASE-WHEN conditional counts.
+    Scale: the year filter reaches the lineitem scan; the late predicate
+    is evaluated post-join (it references both sides); one shuffle on
+    orderkey; conditional counts are a map-side partial aggregate over 2
+    groups. Reference ops: join demo-notebook.py:262, CASE semantics via
+    merge branches demo-notebook.py:268-276."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait"
+    " FROM supplier, lineitem l1, orders o"
+    " WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey"
+    " AND o.o_orderstatus = 'F'"
+    " AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY"
+    " AND EXISTS (SELECT 1 FROM lineitem l2"
+    "  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)"
+    " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+    "  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey"
+    "  AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+    " GROUP BY s_name ORDER BY numwait DESC, s_name",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted:
+    late = shipped >60 days after order date; no nation filter because the
+    sf0.001 fixture has only 10 suppliers across 25 nations). The classic
+    EXISTS + NOT EXISTS pair is decorrelated BY HAND into one per-order
+    aggregate: n_supp>1 <=> another supplier exists on the order, and
+    n_late_supp==1 (given this row is late) <=> no OTHER supplier was
+    late. The oracle runs the genuinely different correlated-subquery
+    formulation, so agreement is evidence the rewrite is semantics-
+    preserving. Scale: lineitem is shuffled on orderkey once for the
+    stats aggregate and once for the join back (AQE reuses the
+    partitioning); the correlated subqueries never re-execute per row —
+    the shape that kills naive engines at 100 TB."""
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        li.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    "WITH cost AS (SELECT l_partkey, l_suppkey,"
+    " min(l_extendedprice / l_quantity) AS unit_cost"
+    " FROM lineitem GROUP BY l_partkey, l_suppkey)"
+    " SELECT s_name, n_name, CAST(p_partkey AS BIGINT) AS partkey, p_name,"
+    " CAST(unit_cost AS DOUBLE) AS unit_cost"
+    " FROM part p JOIN cost c ON c.l_partkey = p.p_partkey"
+    " JOIN supplier s ON s.s_suppkey = c.l_suppkey"
+    " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+    " WHERE p.p_type = 'STANDARD' AND p.p_size < 10"
+    " AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2"
+    "  WHERE c2.l_partkey = p.p_partkey)"
+    " ORDER BY partkey, s_name",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier, adapted: the fixture has no
+    partsupp, so a supplier's unit cost for a part is its observed
+    min(extendedprice/quantity) over lineitem). The correlated scalar-min
+    subquery is decorrelated into one per-part aggregate joined back on
+    equality; the oracle keeps the correlated form. Division and min are
+    IEEE-deterministic and order-independent, so the double equality
+    cannot flip between engines. Scale: the wide (part,supplier) cost
+    aggregate shuffles lineitem once; the per-part min re-aggregates the
+    already-small cost relation; part/supplier/nation dims broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = (
+        load_table(spark, "part", sf_dir)
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+        .select("p_partkey", "p_name")
+    )
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        cost.join(F.broadcast(best), cost.l_partkey == F.col("__pk"))
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("partkey"),
+            "p_name",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy("partkey", "s_name")
+    )
+
+
+_Q9_PROFIT_SQL = (
+    f"{_DISC_PRICE_SQL} - CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+
+@query(
+    "q9_product_profit",
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+    f" CAST(sum({_Q9_PROFIT_SQL}) AS DOUBLE) AS sum_profit"
+    " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN part ON p_partkey = l_partkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation ON n_nationkey = s_nationkey"
+    " WHERE p_name LIKE 'red%'"
+    " GROUP BY n_name, year(o_orderdate)"
+    " ORDER BY nation, o_year",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, adapted: no partsupp, so
+    p_retailprice stands in for ps_supplycost as the per-unit cost).
+    Five-way join: lineitem x orders shuffle on orderkey; part (name-
+    filtered), supplier, and nation broadcast. All money arithmetic in
+    DECIMAL so the grouped sums are exact and engine-order-independent;
+    only the final result casts to double. Scale: the selective p_name
+    filter prunes the broadcast BEFORE the join, so non-matching lineitem
+    rows die at the first (cheapest) join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    profit = _disc_price() - F.col("p_retailprice").cast(DEC) * F.col(
+        "l_quantity"
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+_Q11_VAL_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+
+@query(
+    "q11_important_parts",
+    f"WITH v AS (SELECT l_partkey, sum({_Q11_VAL_SQL}) AS val"
+    " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation ON n_nationkey = s_nationkey"
+    " JOIN region ON r_regionkey = n_regionkey"
+    " WHERE r_name = 'EUROPE' GROUP BY l_partkey)"
+    " SELECT CAST(l_partkey AS BIGINT) AS partkey, CAST(val AS DOUBLE) AS value"
+    " FROM v WHERE val * (SELECT count(*) FROM v) > 2 * (SELECT sum(val) FROM v)"
+    " ORDER BY value DESC, partkey",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification, adapted: no
+    partsupp, so a part's 'inventory value' is its shipped
+    extendedprice*quantity via EUROPE suppliers). The HAVING-against-a-
+    global-scalar-subquery shape; TPC-H scales its fraction by 1/SF, here
+    the threshold is restated scale-free as val > 2x the mean, and in
+    EXACT integer/decimal arithmetic (val*count > 2*total) so no float
+    threshold tie can flip between engines. Scale: one shuffle for the
+    per-part aggregate; the two scalar totals are a second pass over the
+    tiny aggregated relation, broadcast back as a 1-row cross join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    r = (
+        load_table(spark, "region", sf_dir)
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+            ).alias("val")
+        )
+    )
+    totals = v.agg(
+        F.count("*").alias("__cnt"), F.sum("val").alias("__total")
+    )
+    return (
+        v.crossJoin(F.broadcast(totals))
+        .where(F.col("val") * F.col("__cnt") > 2 * F.col("__total"))
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,"
+    " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+    " FROM part JOIN lineitem ON l_partkey = p_partkey"
+    " WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'"
+    " AND p_size IN (1,5,9,13,17,21,25,29)"
+    " AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)"
+    " GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size",
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship, adapted: the
+    supplier-complaint exclusion is s_acctbal < 1000, and lineitem is the
+    part-supplier link in lieu of partsupp). NOT IN + COUNT DISTINCT:
+    the NOT IN subquery becomes a broadcast LEFT ANTI join (s_suppkey is
+    non-null so anti-join and NOT IN agree); the distinct count shuffles
+    on the group keys with partial distinct aggregation map-side.
+    Scale: the selective part filter broadcasts; the anti join adds no
+    shuffle; one exchange total."""
+    p = (
+        load_table(spark, "part", sf_dir)
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    "SELECT s_name, s_acctbal FROM supplier"
+    " WHERE s_suppkey IN ("
+    " SELECT l_suppkey FROM lineitem"
+    " WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')"
+    " AND l_shipdate >= TIMESTAMP '1997-01-01'"
+    " AND l_shipdate < TIMESTAMP '1998-01-01'"
+    " GROUP BY l_suppkey HAVING sum(l_quantity) > 300)"
+    " ORDER BY s_name",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion, adapted: no partsupp
+    availqty, so 'excess' = shipped more than 300 units of red parts in
+    1997). Nested IN subqueries: the inner part filter becomes a
+    broadcast semi-join into lineitem, the grouped HAVING produces the
+    qualifying supplier set, and the outer IN becomes a broadcast
+    LEFT SEMI join into supplier. Quantities are integral doubles, so
+    the HAVING sum is exact in either engine regardless of add order.
+    Scale: one shuffle (the per-supplier aggregate); everything else
+    broadcasts."""
+    red = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qual = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
 
 

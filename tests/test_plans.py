@@ -213,3 +213,68 @@ def test_q10_single_fact_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert plans.has_pushed_filters(df, "l_returnflag"), plan
     assert plans.has_pushed_filters(df, "o_orderdate"), plan
+
+
+def test_q12_pushes_year_filter_no_cross_product(spark, sf_dir):
+    """Q12: the ship-year range reaches the lineitem scan; the late
+    predicate (which references both join sides) evaluates post-join
+    without degrading the equi-join into a nested loop."""
+    df = QUERIES["q12_late_priority"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.has_pushed_filters(df, "l_shipdate"), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q21_decorrelated_no_subquery_rescan(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair is rewritten into ONE per-order
+    aggregate joined back: the plan must show no per-row subquery
+    machinery, broadcast the supplier dim, and push the order-status
+    filter to the orders scan."""
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert plans.has_pushed_filters(df, "o_orderstatus"), plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """Q16: NOT IN over a non-null key plans as a broadcast left-anti
+    join; the part predicates reach the scan."""
+    df = QUERIES["q16_supplier_count"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert plans.uses_broadcast_join(df), plan
+    assert plans.has_pushed_filters(df, "p_brand"), plan
+
+
+def test_q9_broadcasts_dims_and_pushes_name_prefix(spark, sf_dir):
+    """Q9: part/supplier/nation broadcast; the LIKE 'red%' prefix pushes
+    to the part scan as a StartsWith filter; the only non-broadcast join
+    is lineitem x orders."""
+    df = QUERIES["q9_product_profit"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df), plan
+    assert plans.has_pushed_filters(df, "p_name"), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
+    """Q20: both IN subqueries plan as (broadcast) semi joins with the
+    date range pushed to the lineitem scan — no subquery re-execution."""
+    df = QUERIES["q20_excess_suppliers"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert plans.has_pushed_filters(df, "l_shipdate"), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q2_correlated_min_is_single_aggregate(spark, sf_dir):
+    """Q2: the correlated scalar-min subquery is one per-part aggregate
+    joined back (broadcast, since it is dimension-sized after the part
+    filter) — never a per-row rescan of the cost relation."""
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert plans.has_pushed_filters(df, "p_type"), plan
