@@ -278,3 +278,13 @@ def test_q2_correlated_min_is_single_aggregate(spark, sf_dir):
     assert plans.uses_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
     assert plans.has_pushed_filters(df, "p_type"), plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination joins a tiny benchmark shingle set against the
+    whole corpus: the benchmark side must broadcast — a corpus-side
+    shuffle for this join would be the 100 TB bottleneck."""
+    df = QUERIES["ext_decontaminate"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
