@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     # slots (r2 verdict #7): the SQL MERGE front-end and Z-order compaction
     "snk_merge_sql",
     "util_optimize_zorder",
+    # round-3 additions tracked before their sweep rotation: the heaviest
+    # new TPC-H shape (Q21's decorrelated double-aggregate) and the
+    # benchmark-decontamination overlap join
+    "q21_waiting_suppliers",
+    "ext_decontaminate",
 ]
 
 

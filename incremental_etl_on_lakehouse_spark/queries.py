@@ -3800,10 +3800,14 @@ def q21_waiting_suppliers(spark, sf_dir):
     n_late_supp==1 (given this row is late) <=> no OTHER supplier was
     late. The oracle runs the genuinely different correlated-subquery
     formulation, so agreement is evidence the rewrite is semantics-
-    preserving. Scale: lineitem is shuffled on orderkey once for the
-    stats aggregate and once for the join back (AQE reuses the
-    partitioning); the correlated subqueries never re-execute per row —
-    the shape that kills naive engines at 100 TB."""
+    preserving. Scale: the flagged (orderkey, suppkey, late) projection
+    feeds BOTH the stats aggregate and the join back; Spark plans no
+    exchange reuse for the duplicated subtree (measured: 2 lineitem
+    scans, 0 ReusedExchange), so the narrow 3-column intermediate is
+    localCheckpoint-pinned — each base table is scanned and the
+    lineitem x orders join computed exactly once. The correlated
+    subqueries never re-execute per row — the shape that kills naive
+    engines at 100 TB."""
     o = (
         load_table(spark, "orders", sf_dir)
         .where(F.col("o_orderstatus") == "F")
@@ -3818,6 +3822,7 @@ def q21_waiting_suppliers(spark, sf_dir):
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         )
         .select("l_orderkey", "l_suppkey", "late")
+        .localCheckpoint(eager=True)
     )
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -3859,9 +3864,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     subquery is decorrelated into one per-part aggregate joined back on
     equality; the oracle keeps the correlated form. Division and min are
     IEEE-deterministic and order-independent, so the double equality
-    cannot flip between engines. Scale: the wide (part,supplier) cost
-    aggregate shuffles lineitem once; the per-part min re-aggregates the
-    already-small cost relation; part/supplier/nation dims broadcast."""
+    cannot flip between engines. Scale: the selective part filter is
+    pushed BELOW the wide (part,supplier) aggregate as a broadcast semi
+    join, so the shuffle carries only the qualifying parts' lineitem
+    rows (Catalyst won't hoist a join under an aggregate on its own);
+    the per-part min re-aggregates the already-small cost relation;
+    part/supplier/nation dims broadcast."""
     li = load_table(spark, "lineitem", sf_dir)
     p = (
         load_table(spark, "part", sf_dir)
@@ -3869,7 +3877,12 @@ def q2_min_cost_supplier(spark, sf_dir):
         .select("p_partkey", "p_name")
     )
     cost = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     )

@@ -228,14 +228,17 @@ def test_q12_pushes_year_filter_no_cross_product(spark, sf_dir):
 
 def test_q21_decorrelated_no_subquery_rescan(spark, sf_dir):
     """Q21's EXISTS + NOT EXISTS pair is rewritten into ONE per-order
-    aggregate joined back: the plan must show no per-row subquery
-    machinery, broadcast the supplier dim, and push the order-status
-    filter to the orders scan."""
+    aggregate joined back, and the flagged projection that feeds both
+    consumers is localCheckpoint-pinned (Spark plans no exchange reuse
+    for the duplicated subtree): the final plan must contain NO lineitem
+    or orders scan (both read once, inside the checkpoint job), no
+    per-row subquery machinery, and a broadcast supplier dim."""
     df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert plans.uses_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
-    assert plans.has_pushed_filters(df, "o_orderstatus"), plan
+    assert "lineitem.parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
