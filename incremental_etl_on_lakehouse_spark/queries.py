@@ -1793,6 +1793,103 @@ _SHINGLES8 = (
     f" {_TOKS}[i+4], {_TOKS}[i+5], {_TOKS}[i+6], {_TOKS}[i+7])))"
 )
 
+# PII patterns restricted to the Java-regex / RE2 common dialect (no
+# lookaround, no backrefs) so Spark and DuckDB redact byte-identically.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+_PII_PLANT_SQL = (
+    "SELECT doc_id + 200000 AS doc_id,"
+    " concat(text, ' contact ', 'user', CAST(doc_id AS VARCHAR),"
+    " '@example.com or 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),"
+    " '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', "
+    " CAST((doc_id * 7) % 256 AS VARCHAR)) AS text"
+    " FROM documents WHERE doc_id % 40 = 3"
+)
+
+
+@query(
+    "ext_pii_redact",
+    f"WITH corpus AS (SELECT doc_id, text FROM documents"
+    f" UNION ALL {_PII_PLANT_SQL}),"
+    " red AS (SELECT doc_id, text,"
+    f" regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{_PII_EMAIL}', '<EMAIL>', 'g'),"
+    f" '{_PII_IPV4}', '<IP>', 'g'),"
+    f" '{_PII_PHONE}', '<PHONE>', 'g') AS redacted FROM corpus)"
+    " SELECT doc_id,"
+    f" CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,"
+    f" CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,"
+    f" CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,"
+    " md5(redacted) AS redacted_md5"
+    " FROM red WHERE text <> redacted ORDER BY doc_id",
+)
+def ext_pii_redact(spark, sf_dir):
+    """PII redaction (training-data hygiene): replace emails, IPv4
+    addresses, and phone numbers with typed placeholder tokens and count
+    hits per document. The scenario plants documents carrying synthetic
+    PII derived from doc_id (corpus text itself contains none), so the
+    flagged set, the per-type counts, and the md5 of every redacted text
+    are deterministic and hash-checked cross-engine — the md5 proves the
+    REPLACEMENT matched byte-for-byte, not just the counts. Patterns use
+    the Java-regex / RE2 common dialect (no lookaround) so both engines
+    compile them identically.
+
+    Scale: a pure narrow projection (regexp_replace/regexp_count stay in
+    whole-stage codegen, no UDF, no shuffle except the final sort);
+    redaction throughput is scan-bound, the ideal shape for a 100 TB
+    pass. Reference has no equivalent; mandated by the LLM-pipeline
+    extension contract (BASELINE.json north star)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = docs.where(did % 40 == 3).select(
+        (did + 200000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    out = corpus.select(
+        "doc_id",
+        "text",
+        redacted.alias("redacted"),
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+    )
+    return (
+        out.where(F.col("text") != F.col("redacted"))
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
 
 @query(
     "ext_decontaminate",
