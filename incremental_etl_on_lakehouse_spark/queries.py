@@ -1810,6 +1810,92 @@ _PII_PLANT_SQL = (
 )
 
 
+_BOILER = "subscribe to our newsletter today"
+
+
+@query(
+    "ext_line_dedup",
+    "WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 25 = 1"
+    f" THEN text || chr(10) || '{_BOILER}' ELSE text END AS text FROM documents),"
+    " lin AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,"
+    "  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos"
+    "  FROM corpus),"
+    " cnt AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lin GROUP BY line),"
+    " kept AS (SELECT doc_id, pos, line FROM lin JOIN cnt USING (line)"
+    "  WHERE n_docs = 1),"
+    " agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
+    "  md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5"
+    "  FROM kept GROUP BY doc_id)"
+    " SELECT doc_id, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,"
+    " CAST(len(string_split(c.text, chr(10))) - COALESCE(n_kept, 0) AS BIGINT)"
+    "  AS n_dropped,"
+    " COALESCE(cleaned_md5, md5('')) AS cleaned_md5"
+    " FROM corpus c LEFT JOIN agg USING (doc_id) ORDER BY doc_id",
+)
+def ext_line_dedup(spark, sf_dir):
+    """C4-style cross-corpus line dedup (boilerplate removal): a line
+    occurring in MORE THAN ONE document is boilerplate (nav text, cookie
+    banners, license headers) and is stripped from every document; order
+    of the surviving lines is preserved and the cleaned text's md5 is
+    hash-checked, proving the reassembly byte-for-byte. The scenario
+    plants a shared newsletter line on every 25th doc, so the dropped
+    set is deterministic.
+
+    Scale: one shuffle groups lines for the cross-corpus occurrence
+    count, one joins the verdicts back, one regroups per doc for ordered
+    reassembly — all on uniformly-distributed keys. At 100 TB the count
+    join would key on xxhash64(line) so the wide shuffle carries 8-byte
+    keys instead of raw lines (not done here so the oracle join stays
+    textual). Reference has no equivalent; LLM-pipeline extension
+    contract (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 1,
+            F.concat(F.col("text"), F.lit("\n" + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    lines = corpus.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    counts = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = lines.join(counts, "line").where(F.col("n_docs") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        corpus.select(
+            "doc_id", F.size(F.split("text", "\n")).alias("__n_lines")
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias(
+                "cleaned_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "ext_pii_redact",
     f"WITH corpus AS (SELECT doc_id, text FROM documents"
