@@ -1861,10 +1861,14 @@ def ext_line_dedup(spark, sf_dir):
     lines = corpus.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
+    # the verdict only needs "one doc vs many": min(doc_id) == max(doc_id)
+    # is a plain aggregate planning as ONE shuffle on line, where
+    # countDistinct(doc_id) would expand to two (partial-distinct on
+    # (line, doc_id) first) — measured in the executed plan
     counts = lines.groupBy("line").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        (F.min("doc_id") == F.max("doc_id")).alias("unique_doc")
     )
-    kept = lines.join(counts, "line").where(F.col("n_docs") == 1)
+    kept = lines.join(counts, "line").where(F.col("unique_doc"))
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.md5(
