@@ -35,7 +35,7 @@ def _configure(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -48,23 +48,32 @@ def _ship_package(spark: SparkSession) -> None:
     workers would raise ModuleNotFoundError even though the driver
     imported fine via ``sys.path``. Shipping a zip once per SparkContext
     makes the driver contract launch-directory-independent.
+
+    The archive goes to a fresh per-call temp dir: a fixed path would let
+    two concurrent driver processes on one machine clobber each other's
+    zip while executors are still fetching it (addPyFile copies the file
+    into the app's own dir, so the original can be rebuilt freely by
+    LATER calls — only a mid-fetch overwrite races).  Shipped state is
+    keyed on ``applicationId``, which is unique per context, unlike
+    ``id(sc)`` which the allocator can reuse after GC.
     """
     import os
     import shutil
     import tempfile
 
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    if sc.applicationId in _SHIPPED:
         return
     repo = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(
-        tempfile.gettempdir(), "incremental_etl_on_lakehouse_spark_pkg"
+        tempfile.mkdtemp(prefix="etl_lakehouse_pkg_"),
+        "incremental_etl_on_lakehouse_spark_pkg",
     )
     zpath = shutil.make_archive(
         out, "zip", root_dir=repo, base_dir="incremental_etl_on_lakehouse_spark"
     )
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(sc.applicationId)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -270,16 +270,33 @@ def parse_merge(sql: str) -> MergeStatement:
     return stmt
 
 
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
 def _strip_alias(expr: str, names: list[str | None]) -> str:
     """Remove ``<alias>.``/``<table>.`` qualifiers: UPDATE/DELETE conditions
     refer to the single target table, whose columns are unqualified in the
-    engine's programmatic API."""
-    for name in names:
-        if name:
-            expr = re.sub(
-                rf"\b{re.escape(name)}\s*\.", "", expr, flags=re.IGNORECASE
-            )
-    return expr.strip()
+    engine's programmatic API.  Quote-aware: spans inside single-quoted
+    string literals pass through untouched (``SET note = 'see t.example'``
+    must keep its literal byte-for-byte)."""
+    pats = [
+        re.compile(rf"\b{re.escape(n)}\s*\.", re.IGNORECASE)
+        for n in names
+        if n
+    ]
+
+    def strip_segment(seg: str) -> str:
+        for pat in pats:
+            seg = pat.sub("", seg)
+        return seg
+
+    out, pos = [], 0
+    for lm in _LITERAL.finditer(expr):
+        out.append(strip_segment(expr[pos : lm.start()]))
+        out.append(lm.group(0))
+        pos = lm.end()
+    out.append(strip_segment(expr[pos:]))
+    return "".join(out).strip()
 
 
 def parse_update(sql: str) -> tuple[str, dict[str, str], str | None]:

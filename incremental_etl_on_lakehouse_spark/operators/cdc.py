@@ -325,13 +325,20 @@ def cdf_multiset_deltas(
 ) -> DataFrame:
     """Signed multiplicity deltas per (group, value) from a change feed —
     the maintenance unit for incremental COUNT(DISTINCT): the distinct set
-    itself is not subtractable, but the per-value multiset count is."""
+    itself is not subtractable, but the per-value multiset count is.
+
+    NULL values are excluded here — SQL ``COUNT(DISTINCT x)`` never counts
+    NULL, and a NULL row would also break the downstream MERGE whose
+    equality condition (``source.value = target.value``) cannot match a
+    NULL state row: every net-positive NULL delta would insert a fresh
+    row that no later decrement could ever find."""
     sign = F.when(
         F.col(change_type_col).isin("update_preimage", "delete"), F.lit(-1)
     ).when(F.col(change_type_col).isin("update_postimage", "insert"), F.lit(1))
     return (
         changes.withColumn("__d", sign)
         .where(F.col("__d").isNotNull())
+        .where(F.col(value_col).isNotNull())
         .groupBy(*group_cols, value_col)
         .agg(F.sum("__d").alias("delta_cnt"))
         .where(F.col("delta_cnt") != 0)
@@ -546,6 +553,13 @@ class IncrementalAggView:
         return self._reader.process_available(self._apply)
 
     def to_df(self) -> DataFrame:
+        # The additive table is the group roster; the mm/distinct state
+        # tables LEFT-join onto it because neither holds a row for a group
+        # whose value column is entirely NULL (the mono path requires a
+        # non-null extreme; NULLs never enter distinct state).  Batch
+        # semantics for such a group are MIN/MAX = NULL and
+        # COUNT(DISTINCT) = 0 — exactly what the left join + coalesce
+        # yield — while the group's SUM/COUNT stay visible.
         out = self.add_table.to_df().where(F.col("__n") > 0)
         for col, mm in self.mm_tables.items():
             out = out.join(
@@ -553,11 +567,13 @@ class IncrementalAggView:
                     {"min_value": f"__min_{col}", "max_value": f"__max_{col}"}
                 ),
                 self.group_cols,
+                "left",
             )
         for name in self._distinct_cols:
             out = out.join(
                 distinct_counts(self.d_tables[name], self.group_cols, out_col=f"__d_{name}"),
                 self.group_cols,
+                "left",
             )
         sel = [F.col(c) for c in self.group_cols]
         for name, (kind, col) in self.aggs.items():
@@ -577,7 +593,9 @@ class IncrementalAggView:
             elif kind == "max":
                 sel.append(F.col(f"__max_{col}").alias(name))
             else:
-                sel.append(F.col(f"__d_{name}").alias(name))
+                sel.append(
+                    F.coalesce(F.col(f"__d_{name}"), F.lit(0)).alias(name)
+                )
         return out.select(*sel)
 
 

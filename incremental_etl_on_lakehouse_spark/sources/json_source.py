@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import DataStreamReader
 from pyspark.sql.types import StructType
@@ -144,8 +145,14 @@ class SchemaTracker:
                 multiline=self.multiline,
                 timestamp_format=self.timestamp_format,
             ).schema
-        except Exception:  # empty landing zone: nothing to infer from
-            return cur, []
+        except AnalysisException as exc:
+            # Empty landing zone (no files yet) is the one legitimate
+            # nothing-to-infer case; any other analysis error — and all
+            # IO/permission errors, which raise other types — propagates.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+                return cur, []
+            raise
         known = set(cur.fieldNames())
         new = []
         for f in inferred.fields:

@@ -128,3 +128,70 @@ def test_view_distinct_on_column_named_value(spark, tmp_path):
     view.refresh()
     got = {(r.grp, r.n_vals, r.n) for r in view.to_df().collect()}
     assert got == {("a", 2, 3)}
+
+
+def test_view_all_null_minmax_group_survives(spark, tmp_path):
+    """A group whose min/max + distinct column is entirely NULL never gets
+    a state-table row (the mono path needs a non-null extreme; NULLs never
+    enter distinct state) — the view must still show the group with its
+    SUM/COUNT and batch-semantics MIN/MAX = NULL, COUNT(DISTINCT) = 0,
+    not silently drop it (r3 advisor finding, cdc.py to_df inner joins)."""
+    source = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    view = IncrementalAggView(
+        source,
+        str(tmp_path / "view"),
+        group_cols=["grp"],
+        aggs={
+            "total": ("sum", "val"),
+            "n": ("count", "*"),
+            "lo": ("min", "tag"),
+            "hi": ("max", "tag"),
+            "n_tags": ("count_distinct", "tag"),
+        },
+    )
+    source.append(
+        spark.createDataFrame(
+            # group a: mixed NULL/non-null tags; group c: tags all NULL
+            [(1, "a", 10, 7), (2, "a", 5, None), (3, "c", 1, None), (4, "c", 2, None)],
+            SCHEMA,
+        ).coalesce(1)
+    )
+    view.refresh()
+
+    def truth():
+        return {
+            tuple(r)
+            for r in source.to_df()
+            .groupBy("grp")
+            .agg(
+                F.sum("val").alias("total"),
+                F.count("*").alias("n"),
+                F.min("tag").alias("lo"),
+                F.max("tag").alias("hi"),
+                F.countDistinct("tag").alias("n_tags"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            tuple(r)
+            for r in view.to_df()
+            .select("grp", "total", "n", "lo", "hi", "n_tags")
+            .collect()
+        }
+
+    assert got() == truth()
+    assert ("c", 3, 2, None, None, 0) in got()
+
+    # deleting a NULL-tag row must not corrupt distinct state (a NULL state
+    # row would never match the MERGE equality condition) and group a's
+    # distinct count must stay exact
+    source.delete("id = 2")
+    view.refresh()
+    assert got() == truth()

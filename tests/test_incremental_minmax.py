@@ -156,3 +156,27 @@ def test_duplicate_values_keep_distinct_exact(spark, tables):
     sync()
     assert dcounts(state) == {"a": 1}
     assert mm_state(mm) == {"a": (7, 7)}
+
+
+def test_null_values_never_enter_distinct_state(spark, tables):
+    """COUNT(DISTINCT x) excludes NULL, and a NULL state row could never be
+    matched by the MERGE equality condition (source.val = target.val is
+    UNKNOWN for NULL) — so NULL deltas must be filtered out entirely
+    (r3 advisor finding, cdf_multiset_deltas)."""
+    t, mm, state, sync = tables
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "a", 5), (3, "b", None)], ROWS
+        )
+    )
+    sync()
+    # batch semantics: a has 1 distinct non-null value; b has 0 -> no row
+    assert dcounts(state) == {"a": 1}
+    assert all(r["val"] is not None for r in state.to_df().collect())
+
+    # repeated NULL-bearing batches must not accumulate unmatched rows
+    t.delete("id = 1")
+    t.append(spark.createDataFrame([(4, "a", None)], ROWS))
+    sync()
+    assert dcounts(state) == {"a": 1}
+    assert state.to_df().where("val IS NULL").count() == 0

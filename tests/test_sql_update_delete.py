@@ -170,3 +170,26 @@ def test_parse_update_where_inside_string_literal():
     tbl, assigns, cond = parse_update("UPDATE t SET note = 'WHERE'")
     assert assigns == {"note": "'WHERE'"}
     assert cond is None
+
+
+def test_strip_alias_preserves_string_literals():
+    """Alias stripping must not rewrite text INSIDE string literals:
+    ``'see t.example.com'`` once became ``'see example.com'`` because the
+    ``t.`` substitution ran over the whole expression (r3 advisor)."""
+    tbl, assigns, cond = parse_update(
+        "UPDATE t SET note = 'see t.example.com', x = t.x + 1 "
+        "WHERE t.grp = 'a.t. literal t.dot'"
+    )
+    assert assigns["note"] == "'see t.example.com'"
+    assert assigns["x"] == "x + 1"
+    assert cond == "grp = 'a.t. literal t.dot'"
+
+    # doubled-quote escape inside a literal stays one literal span
+    _, assigns2, _ = parse_update(
+        "UPDATE t SET note = 'it''s t.co', y = t.y WHERE t.y = 0"
+    )
+    assert assigns2["note"] == "'it''s t.co'"
+    assert assigns2["y"] == "y"
+
+    tbl, cond = parse_delete("DELETE FROM tgt t WHERE t.note = 'by t.me'")
+    assert cond == "note = 'by t.me'"
