@@ -86,7 +86,10 @@ def main() -> None:
     # 1.7x run-to-run variance on this box, and round-1 recorded a 26.6 s
     # ext_fingerprint sample that re-measured at 3.2 s. The min is the right
     # estimator for "what the plan costs" under one-sided contention noise.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Medians ride along (r3 verdict #6): with both estimators recorded, a
+    # cross-round 2x move on one of them can be classified as contention
+    # (min stable, median moved) vs a real plan change (both moved).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
     def reset_memoized_state() -> None:
         """Drop the CDC scenario memoization so every sample of the merge
@@ -98,6 +101,7 @@ def main() -> None:
         qmod._CDC_MINMAX_CACHE.clear()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -110,7 +114,12 @@ def main() -> None:
             runs.append(round(time.perf_counter() - start, 3))
         samples[name] = runs
         timings[name] = min(runs)
-        print(f"# {name}: min {timings[name]:.3f}s of {runs}", file=sys.stderr)
+        medians[name] = sorted(runs)[len(runs) // 2]
+        print(
+            f"# {name}: min {timings[name]:.3f}s median {medians[name]:.3f}s"
+            f" of {runs}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -120,6 +129,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "samples": samples,
                 "n": n_runs,
                 "sf": sf,
