@@ -60,6 +60,25 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
 
 
+def exchange_partitionings(df: DataFrame) -> list[str]:
+    """The partitioning argument of every Exchange in the physical plan
+    (e.g. ``hashpartitioning(__lh#25L, 32)``, ``RoundRobinPartitioning(32)``,
+    ``rangepartitioning(doc_id#0L ASC NULLS FIRST, 32)``) — lets tests pin
+    WHAT a shuffle is keyed on, not just how many there are."""
+    import re
+
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Exchange\b", line):
+            for j in range(i, min(i + 6, len(lines))):
+                if "Arguments:" in lines[j]:
+                    out.append(lines[j].split("Arguments:")[1].strip())
+                    break
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen subtrees (from the codegen explain —
     the AQE formatted plan hides codegen markers before execution)."""

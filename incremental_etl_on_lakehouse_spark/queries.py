@@ -1843,10 +1843,13 @@ def ext_line_dedup(spark, sf_dir):
 
     Scale: one shuffle groups lines for the cross-corpus occurrence
     count, one joins the verdicts back, one regroups per doc for ordered
-    reassembly — all on uniformly-distributed keys. At 100 TB the count
-    join would key on xxhash64(line) so the wide shuffle carries 8-byte
-    keys instead of raw lines (not done here so the oracle join stays
-    textual). Reference has no equivalent; LLM-pipeline extension
+    reassembly — all on uniformly-distributed keys. The count+verdict
+    shuffles key on ``xxhash64(line)``: the two wide exchanges carry
+    8-byte BIGINTs instead of raw line text (the 100 TB shape —
+    plan-guarded by test_plans.py), while the oracle's textual join
+    produces identical results absent a 64-bit collision (p ~ n^2/2^65;
+    a collision can only over-drop a uniquely-held line, never resurrect
+    boilerplate). Reference has no equivalent; LLM-pipeline extension
     contract (BASELINE.json)."""
     docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
     corpus = docs.select(
@@ -1860,15 +1863,17 @@ def ext_line_dedup(spark, sf_dir):
     )
     lines = corpus.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
-    )
+    ).withColumn("__lh", F.xxhash64("line"))
     # the verdict only needs "one doc vs many": min(doc_id) == max(doc_id)
-    # is a plain aggregate planning as ONE shuffle on line, where
+    # is a plain aggregate planning as ONE shuffle on line-hash, where
     # countDistinct(doc_id) would expand to two (partial-distinct on
     # (line, doc_id) first) — measured in the executed plan
-    counts = lines.groupBy("line").agg(
+    counts = lines.groupBy("__lh").agg(
         (F.min("doc_id") == F.max("doc_id")).alias("unique_doc")
     )
-    kept = lines.join(counts, "line").where(F.col("unique_doc"))
+    kept = (
+        lines.join(counts, "__lh").where(F.col("unique_doc")).drop("__lh")
+    )
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.md5(

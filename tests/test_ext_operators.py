@@ -244,3 +244,40 @@ def test_binary_file_source(spark, tmp_path):
     # stable ids from path hash
     again = {r["file_name"]: r["media_id"] for r in to_media_df(raw).collect()}
     assert {r["file_name"]: r["media_id"] for r in media.collect()} == again
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_image_decoder_decodes_png():
+    """When Pillow IS importable the real decode path must work end-to-end
+    (r3 verdict #7: keep it from being dead code on machines that have it):
+    encode a tiny 2x1 PNG, decode, check the 8-feature contract."""
+    import io
+
+    from PIL import Image
+
+    im = Image.new("RGB", (2, 1))
+    im.putdata([(255, 0, 0), (0, 0, 255)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    feats = multimodal.real_image_decoder(buf.getvalue())
+    assert len(feats) == 8
+    assert feats[0] == 2.0 and feats[1] == 1.0  # width, height
+    assert feats[2] == 3.0  # RGB bands
+    assert feats[6] == 255.0 and feats[7] == 0.0  # channel extremes
+    assert multimodal.default_image_decoder() is multimodal.real_image_decoder
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed")
+def test_real_image_decoder_raises_clearly_without_pillow():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.real_image_decoder(b"\x89PNG\r\n\x1a\n")
+    assert multimodal.default_image_decoder() is multimodal.fake_image_decoder

@@ -291,3 +291,30 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert plans.uses_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_line_dedup_wide_shuffles_are_hash_keyed(spark, sf_dir):
+    """The cross-corpus occurrence count + verdict join must shuffle on
+    xxhash64(line) BIGINTs, never on raw line text: at 100 TB the line
+    column IS the data, and a text-keyed exchange would move the corpus
+    twice. Allowed wide exchanges: one on __lh, one on doc_id (ordered
+    reassembly), one range partition for the final sort; RoundRobin
+    exchanges are spread()'s small-input parallelization and vanish on
+    pre-split inputs."""
+    df = QUERIES["ext_line_dedup"](spark, sf_dir)
+    parts = plans.exchange_partitionings(df)
+    hashed = [p for p in parts if p.startswith("hashpartitioning")]
+    assert not any("line" in p for p in hashed), parts
+    assert len(hashed) <= 2, parts
+    assert any("__lh" in p for p in hashed), parts
+    assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
+
+
+def test_pii_redact_no_wide_shuffle_before_sort(spark, sf_dir):
+    """Redaction is a pure narrow codegen projection: the plan must show
+    ZERO hash exchanges — only spread()'s RoundRobin input split and the
+    single range partition for the deterministic output sort."""
+    df = QUERIES["ext_pii_redact"](spark, sf_dir)
+    parts = plans.exchange_partitionings(df)
+    assert not any(p.startswith("hashpartitioning") for p in parts), parts
+    assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
