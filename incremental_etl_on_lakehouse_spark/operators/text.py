@@ -137,6 +137,130 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1; the same family RefinedWeb/C4 filter on): duplicate-line
+    fraction, duplicate-line character fraction, and top word-bigram
+    character fraction — plus the composite ``gopher_flagged`` verdict.
+
+    All outputs are integer-exact (counts, not ratios) and the thresholds
+    are restated in integer arithmetic (``10*dup > 3*n`` instead of
+    ``dup/n > 0.3``), so no float division can flip a verdict between
+    engines. One narrow codegen projection: zero shuffles, scan-bound —
+    the ideal 100 TB shape. The per-document work is O(distinct-lines x
+    lines) + O(distinct-bigrams x bigrams) inside higher-order functions;
+    for corpora with multi-megabyte documents, rewrite the line metrics
+    as ``posexplode -> groupBy(doc_id, xxhash64(line)) -> groupBy(doc_id)``
+    (two uniform-key shuffles) instead — same outputs, linear per doc.
+
+    The token arrays are let-bound via a single-element ``transform``
+    before any per-element lambda runs (see :func:`shingles` — unbound,
+    Catalyst re-inlines the split+filter once per element, measured ~30x).
+    """
+    t = F.col(text_col)
+    L = lambda c: c.cast("long")  # noqa: E731
+    ls = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    ws = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+
+    def line_metrics(bls: Column) -> Column:
+        per_distinct = F.transform(
+            F.array_distinct(bls),
+            lambda d: F.struct(
+                L(F.length(d)).alias("len"),
+                L(F.size(F.filter(bls, lambda x: x == d))).alias("cnt"),
+            ),
+        )
+        return F.struct(
+            L(F.size(bls)).alias("n_lines"),
+            L(F.size(bls) - F.size(F.array_distinct(bls))).alias("n_dup_lines"),
+            F.aggregate(
+                bls, F.lit(0).cast("long"), lambda a, x: a + L(F.length(x))
+            ).alias("total_line_chars"),
+            F.aggregate(
+                per_distinct,
+                F.lit(0).cast("long"),
+                lambda a, s: a
+                + F.when(s["cnt"] > 1, s["len"] * s["cnt"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("dup_line_chars"),
+        )
+
+    def bigram_top_chars(bws: Column) -> Column:
+        # word bigrams, 1-indexed like the oracle's ws[i] || ' ' || ws[i+1];
+        # chars per occurrence = length(g) - 1 (the two words, not the
+        # joining space). slice(_, 1, 0) is the empty-array literal for the
+        # under-2-words branch (codegen evaluates only the taken branch, so
+        # element_at(bws, 0) is never touched there).
+        grams_expr = F.when(
+            F.size(bws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(bws) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(bws, i), F.element_at(bws, i + 1)
+                ),
+            ),
+        ).otherwise(F.slice(bws, 1, 0))
+        # only REPEATED bigrams count (cnt >= 2): a single occurrence of a
+        # long bigram is not repetition, and in short documents it would
+        # trivially dominate the char fraction
+        return F.element_at(
+            F.transform(
+                F.array(grams_expr),
+                lambda grams: F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            F.transform(
+                                F.array_distinct(grams),
+                                lambda g: F.struct(
+                                    L(F.length(g) - 1).alias("chars"),
+                                    L(
+                                        F.size(F.filter(grams, lambda x: x == g))
+                                    ).alias("cnt"),
+                                ),
+                            ),
+                            lambda s: F.when(
+                                s["cnt"] >= 2, s["chars"] * s["cnt"]
+                            ).otherwise(F.lit(0).cast("long")),
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+            ),
+            1,
+        )
+
+    def metrics(b: Column) -> Column:
+        return F.struct(
+            line_metrics(b["ls"]).alias("lm"),
+            F.aggregate(
+                b["ws"], F.lit(0).cast("long"), lambda a, x: a + L(F.length(x))
+            ).alias("total_word_chars"),
+            bigram_top_chars(b["ws"]).alias("top_bigram_chars"),
+        )
+
+    bound = F.element_at(
+        F.transform(F.array(F.struct(ls.alias("ls"), ws.alias("ws"))), metrics), 1
+    )
+    out = df.select("doc_id", bound.alias("__m")).select(
+        "doc_id",
+        F.col("__m.lm.n_lines").alias("n_lines"),
+        F.col("__m.lm.n_dup_lines").alias("n_dup_lines"),
+        F.col("__m.lm.dup_line_chars").alias("dup_line_chars"),
+        F.col("__m.lm.total_line_chars").alias("total_line_chars"),
+        F.col("__m.top_bigram_chars").alias("top_bigram_chars"),
+        F.col("__m.total_word_chars").alias("total_word_chars"),
+    )
+    # Gopher thresholds (dup-line frac > 0.30, dup-line-char frac > 0.20,
+    # top-bigram-char frac > 0.20) in tie-unflippable integer arithmetic
+    return out.withColumn(
+        "gopher_flagged",
+        (10 * F.col("n_dup_lines") > 3 * F.col("n_lines"))
+        | (5 * F.col("dup_line_chars") > F.col("total_line_chars"))
+        | (5 * F.col("top_bigram_chars") > F.col("total_word_chars")),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic content fingerprint of normalized text (md5) — the
     generalization of the reference's ``data_hash`` content hashing

@@ -2250,6 +2250,68 @@ def ext_quality_score(spark, sf_dir):
     )
 
 
+_REP_LINE = "Subscribe to our newsletter today!"
+
+@query(
+    "ext_repetition_filter",
+    "WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 30 = 2"
+    f" THEN text || repeat(chr(10) || '{_REP_LINE}', 3) ELSE text END AS text"
+    " FROM documents),"
+    " base AS (SELECT doc_id,"
+    "  list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,"
+    "  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws"
+    "  FROM corpus),"
+    " m AS (SELECT doc_id,"
+    "  CAST(len(ls) AS BIGINT) AS n_lines,"
+    "  CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,"
+    "  CAST(coalesce(list_sum(list_transform(list_distinct(ls),"
+    "   d -> CASE WHEN len(list_filter(ls, x -> x = d)) > 1"
+    "    THEN length(d) * len(list_filter(ls, x -> x = d)) ELSE 0 END)), 0)"
+    "   AS BIGINT) AS dup_line_chars,"
+    "  CAST(coalesce(list_sum(list_transform(ls, x -> length(x))), 0)"
+    "   AS BIGINT) AS total_line_chars,"
+    "  CAST(CASE WHEN len(ws) >= 2 THEN list_max(list_transform("
+    "   list_distinct(list_transform(generate_series(1, len(ws) - 1),"
+    "    i -> ws[i] || ' ' || ws[i+1])),"
+    "   g -> CASE WHEN len(list_filter("
+    "    list_transform(generate_series(1, len(ws) - 1),"
+    "     i -> ws[i] || ' ' || ws[i+1]), x -> x = g)) >= 2"
+    "    THEN (length(g) - 1) * len(list_filter("
+    "     list_transform(generate_series(1, len(ws) - 1),"
+    "      i -> ws[i] || ' ' || ws[i+1]), x -> x = g))"
+    "    ELSE 0 END))"
+    "   ELSE 0 END AS BIGINT) AS top_bigram_chars,"
+    "  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)"
+    "   AS BIGINT) AS total_word_chars"
+    "  FROM base)"
+    " SELECT *, (10 * n_dup_lines > 3 * n_lines"
+    "  OR 5 * dup_line_chars > total_line_chars"
+    "  OR 5 * top_bigram_chars > total_word_chars) AS gopher_flagged"
+    " FROM m ORDER BY doc_id",
+)
+def ext_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter (training-data hygiene):
+    duplicate-line counts, duplicate-line characters, and the dominant
+    word-bigram's character mass per document, with the composite flag in
+    integer-exact arithmetic. The scenario plants a 3x-repeated
+    newsletter line on every 30th doc, so flagged docs provably exist and
+    the flag boundary is exercised cross-engine. Zero shuffles except
+    the deterministic output sort (same shape as ext_pii_redact).
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 30 == 2,
+            F.concat(F.col("text"), F.repeat(F.lit("\n" + _REP_LINE), 3)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return T.repetition_metrics(corpus).orderBy("doc_id")
+
+
 @query(
     "ext_fingerprint",
     f"SELECT doc_id, md5({_NORM.format(c='text')}) AS fingerprint FROM documents",

@@ -281,3 +281,39 @@ def test_real_image_decoder_raises_clearly_without_pillow():
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal.real_image_decoder(b"\x89PNG\r\n\x1a\n")
     assert multimodal.default_image_decoder() is multimodal.fake_image_decoder
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher repetition signals on hand-computable fixtures."""
+    rows = [
+        # 'a b c' twice + 'x y': 1 dup line (10 of 13 line chars), bigram
+        # 'a b' and 'b c' both twice (4 chars) over 8 word chars
+        (1, "a b c\na b c\nx y"),
+        (2, "unique one\ntwo lines"),          # nothing repeats
+        (3, "w w w w w w"),                     # one line, bigram 'w w' x5
+        (4, ""),                                # degenerate: empty text
+        (5, "solo"),                            # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from incremental_etl_on_lakehouse_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_lines": 3, "n_dup_lines": 1,
+        "dup_line_chars": 10, "total_line_chars": 13,
+        "top_bigram_chars": 4, "total_word_chars": 8,
+        # dup-line frac 1/3 > 0.3 and bigram frac 4/8 > 0.2
+        "gopher_flagged": True,
+    }
+    assert got[2]["gopher_flagged"] is False
+    assert got[2]["n_dup_lines"] == 0 and got[2]["dup_line_chars"] == 0
+    # 'w w' occurs 5 times, 2 chars each = 10 over 6 word chars -> flagged
+    assert got[3]["top_bigram_chars"] == 10 and got[3]["gopher_flagged"] is True
+    assert got[4] == {
+        "doc_id": 4, "n_lines": 0, "n_dup_lines": 0, "dup_line_chars": 0,
+        "total_line_chars": 0, "top_bigram_chars": 0, "total_word_chars": 0,
+        "gopher_flagged": False,
+    }
+    assert got[5]["top_bigram_chars"] == 0 and got[5]["gopher_flagged"] is False

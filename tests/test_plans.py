@@ -318,3 +318,13 @@ def test_pii_redact_no_wide_shuffle_before_sort(spark, sf_dir):
     parts = plans.exchange_partitionings(df)
     assert not any(p.startswith("hashpartitioning") for p in parts), parts
     assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
+
+
+def test_repetition_filter_no_wide_shuffle_before_sort(spark, sf_dir):
+    """The Gopher repetition metrics are higher-order-function expressions
+    over per-row token arrays — like pii_redact, the plan must show zero
+    hash exchanges, only spread()'s RoundRobin and the final sort."""
+    df = QUERIES["ext_repetition_filter"](spark, sf_dir)
+    parts = plans.exchange_partitionings(df)
+    assert not any(p.startswith("hashpartitioning") for p in parts), parts
+    assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
