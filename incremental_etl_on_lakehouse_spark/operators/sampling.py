@@ -128,3 +128,56 @@ def pack_sequences(
     return ranged.withColumn(
         shard_col, F.floor(cum_excl / F.lit(budget)).cast("long")
     ).drop("__pid")
+
+
+def budget_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    size_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Budget-driven mixture sampling: keep a deterministic hash-sample of
+    each stratum sized (in ``size_col`` units, e.g. tokens or chars) to
+    approximately its budget — the way practitioners actually specify a
+    training mixture ("20 B tokens of wiki, 5 B of crawl"), rather than
+    the fractions :func:`stratified_hash_sample` takes as inputs.
+
+    A row is kept iff ``bucket(key) * stratum_total < budget * BUCKETS`` —
+    the per-stratum rate ``min(1, budget/total)`` restated in exact
+    decimal arithmetic (19,0 operands -> 38,0 product), so no float
+    division can flip a row's
+    verdict between engines (and a budget >= the stratum total keeps the
+    whole stratum). Strata without a budget are dropped.
+
+    Scale: one metadata-size aggregate (per-stratum totals; map-side
+    combined, one tiny shuffle) broadcast back into a scan-bound filter —
+    the corpus itself never shuffles. The product stays exactly
+    representable: bucket < 2^32 and a 100 TB corpus total < 2^50,
+    so bucket * total < 2^82 << 10^38.
+    """
+    for stratum, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"negative budget for {stratum!r}: {b}")
+    totals = df.groupBy(stratum_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("__stratum_total")
+    )
+    expr = None
+    for stratum, b in budgets.items():
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(b)).cast("decimal(19,0)")
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    budget = (
+        expr.otherwise(F.lit(None).cast("decimal(19,0)"))
+        if expr is not None
+        else F.lit(None).cast("decimal(19,0)")
+    )
+    keep = (
+        _hash_bucket(F.col(key_col)).cast("decimal(19,0)")
+        * F.col("__stratum_total").cast("decimal(19,0)")
+    ) < budget * F.lit(_BUCKETS).cast("decimal(19,0)")
+    return (
+        df.join(F.broadcast(totals), stratum_col)
+        .where(keep)
+        .drop("__stratum_total")
+    )

@@ -3257,6 +3257,37 @@ def ext_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "ext_mix_budget",
+    "WITH tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t"
+    " FROM documents GROUP BY source)"
+    " SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars"
+    " FROM documents JOIN tot USING (source)"
+    f" WHERE CAST({_HB.format(k='doc_id')} AS HUGEINT) * t <"
+    " CAST(CASE source WHEN 'src0' THEN 100000 WHEN 'src1' THEN 4000"
+    "  WHEN 'src2' THEN 2000 WHEN 'src3' THEN 0 ELSE NULL END AS HUGEINT)"
+    " * 4294967296",
+)
+def ext_mix_budget(spark, sf_dir):
+    """Budget-driven training-mixture sampling: per-source size budgets (in
+    chars here; tokens in production) derive each stratum's keep-rate from
+    its actual total — src0's budget exceeds its total (whole stratum
+    kept), src1/src2 sample to ~47%/~26%, src3 gets budget 0 and absent
+    sources drop. Verdicts are exact integer/decimal arithmetic on the
+    md5 bucket — no float division — so the kept set is deterministic on
+    any engine, cluster layout, or retry (operators/sampling.py:
+    budget_mix_sample)."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        budget_mix_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    budgets = {"src0": 100000, "src1": 4000, "src2": 2000, "src3": 0}
+    return budget_mix_sample(docs, "doc_id", "source", "n_chars", budgets).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@query(
     "ext_udf_vectorized",
     "SELECT vec_id,"
     " round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)"

@@ -85,3 +85,50 @@ def test_global_pack_equals_single_reducer_reference(spark, sf_dir):
     a = sorted((r.doc_id, r.shard) for r in got.collect())
     b = sorted((r.doc_id, r.shard) for r in want.collect())
     assert a == b
+
+
+def test_budget_mix_sample_regimes(spark, sf_dir):
+    """Budget-driven mixing: budget >= stratum total keeps the whole
+    stratum, zero budget and absent strata drop entirely, partial budgets
+    select a hash-stable subset, and the verdict is repartition-invariant."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        budget_mix_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    budgets = {"src0": 10**9, "src1": 4000, "src2": 0}
+    out = budget_mix_sample(docs, "doc_id", "source", "n_chars", budgets)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    assert by_src.get("src0") == n_src0          # budget >= total: all kept
+    assert 0 < by_src.get("src1", 0) < docs.where(
+        F.col("source") == "src1"
+    ).count()                                     # partial budget: strict subset
+    assert "src2" not in by_src                   # zero budget
+    assert set(by_src) == {"src0", "src1"}        # absent strata dropped
+
+    # deterministic under re-partitioning (the point of hash sampling)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in budget_mix_sample(
+            docs.repartition(7), "doc_id", "source", "n_chars", budgets
+        ).collect()
+    )
+    assert a == b
+
+    # kept size is in the budget's neighborhood for the partial stratum
+    kept_chars = (
+        out.where(F.col("source") == "src1")
+        .agg(F.sum("n_chars").alias("s"))
+        .collect()[0]["s"]
+    )
+    total_chars = (
+        docs.where(F.col("source") == "src1")
+        .agg(F.sum("n_chars").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert kept_chars < total_chars
