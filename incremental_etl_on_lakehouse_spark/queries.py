@@ -2353,15 +2353,22 @@ def ext_multimodal_col(spark, sf_dir):
     " true AS approx_within_5pct FROM events",
 )
 def ext_approx_distinct(spark, sf_dir):
-    """HLL approximate distinct-count for profiling; sanity-bounded vs exact."""
+    """HLL approximate distinct-count for profiling; sanity-bounded vs exact.
+
+    The tolerance verdict is a pure column expression (20*|approx-exact|
+    <= exact, i.e. within 5%, in integer arithmetic with a floor of 1) —
+    no driver-side collect, so the swept artifact is the distributed
+    computation itself, not a rewrapped local bool."""
     ev = load_table(spark, "events", sf_dir)
-    row = ev.agg(
-        F.countDistinct("user_id").alias("exact"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
-    ).collect()[0]
-    ok = abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 1)
-    return spark.createDataFrame(
-        [(row["exact"], bool(ok))], "exact_distinct long, approx_within_5pct boolean"
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    ).select(
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            20 * F.abs(F.col("__approx") - F.col("exact_distinct"))
+            <= F.greatest(F.col("exact_distinct"), F.lit(20))
+        ).alias("approx_within_5pct"),
     )
 
 # ---------------------------------------------------------------------------
