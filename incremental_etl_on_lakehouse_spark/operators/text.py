@@ -289,3 +289,110 @@ def shingles(col: Column, k: int = 3) -> Column:
         )
 
     return F.element_at(F.transform(F.array(ws_tokens(col)), build), 1)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window token chunking for training-sequence preparation.
+
+    Splits each document into overlapping ``window``-token chunks advancing
+    by ``stride`` tokens (overlap = window - stride), the standard prep step
+    before packing fixed-length training sequences. Documents shorter than
+    one window yield exactly one (possibly short) chunk, so no text is ever
+    dropped; the last chunk of a long document is allowed to run short
+    rather than re-reading the tail twice.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens), one row per chunk.
+
+    Scale shape: a narrow per-row projection + ``explode`` — zero shuffles.
+    The token array is materialized once per row and each chunk is an
+    ``F.slice`` of it, so the cost is O(n_tokens * window/stride) per
+    document regardless of corpus size; output rows inherit the input
+    partitioning. Complements :func:`...sampling.pack_sequences`
+    (chunk first, then pack chunks to the model context length).
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json).
+    """
+    if not (0 < stride <= window):
+        raise ValueError("require 0 < stride <= window")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    # ceil((n - window) / stride) + 1 for n > window, else 1 chunk.
+    n_chunks = (
+        F.when(n <= window, F.lit(1).cast("long"))
+        .otherwise(
+            F.floor((n - F.lit(window) + F.lit(stride) - 1) / F.lit(stride)).cast(
+                "long"
+            )
+            + 1
+        )
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"), n_chunks.alias("__nc")
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1)).alias(
+        "chunk_idx"
+    )
+    exploded = base.select(id_col, idx, "__toks", "__n")
+    start = F.col("chunk_idx") * stride
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("__toks"), (start + 1).cast("int"), F.lit(window)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(window).cast("long"), F.col("__n") - start).alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/distinctiveness
+    signal used for corpus exploration and quality auditing.
+
+    tf = raw term count within the document; idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style) where df counts documents containing the term.
+    Scores are rounded to 6 decimals BEFORE ranking so the (score desc,
+    term asc) tiebreak is deterministic cross-engine.
+
+    Scale shape: explode -> two hash aggregations (doc_id+term, then term)
+    -> a shuffle join on term (one row per distinct term on the build side;
+    left to AQE rather than force-broadcast because a web-scale vocabulary
+    can exceed broadcast limits) -> per-document top-k window. All keys
+    hash uniformly; the corpus-size scalar N joins in as a broadcast 1-row
+    crossJoin, not a driver-side collect. Reference has no equivalent;
+    LLM-pipeline extension contract (BASELINE.json).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    words = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("__N"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(ndocs))
+    tfidf = F.round(
+        F.col("tf")
+        * (F.log((F.col("__N") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + 1),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -3295,6 +3295,67 @@ def ext_mix_budget(spark, sf_dir):
 
 
 @query(
+    "ext_chunk_docs",
+    "WITH base AS (SELECT doc_id,"
+    " list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks"
+    " FROM documents),"
+    " sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM base),"
+    " c AS (SELECT doc_id, toks, n, CASE WHEN n <= 32 THEN 1"
+    "  ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1 END AS nc FROM sized),"
+    " e AS (SELECT doc_id, toks, n,"
+    "  unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)"
+    " SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,"
+    " array_to_string(list_slice(toks, CAST(chunk_idx * 24 + 1 AS BIGINT),"
+    "  CAST(chunk_idx * 24 + 32 AS BIGINT)), ' ') AS chunk_text,"
+    " CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens"
+    " FROM e ORDER BY doc_id, chunk_idx",
+)
+def ext_chunk_docs(spark, sf_dir):
+    """Sliding-window token chunking (window=32, stride=24, overlap 8) —
+    the training-sequence prep step between corpus hygiene and
+    ext_pack_sequences. Every document yields >= 1 chunk (short docs are
+    never dropped); long docs overlap so no context is lost at chunk
+    boundaries. Narrow projection + explode, zero shuffles before the
+    deterministic output sort (operators/text.py: chunk_documents).
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    return T.chunk_documents(docs, window=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
+    "ext_tfidf_topk",
+    "WITH toksrc AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+    "  AS term FROM documents),"
+    " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+    "  FROM toksrc GROUP BY doc_id, term),"
+    " dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),"
+    " nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),"
+    " scored AS (SELECT doc_id, term, tf, df,"
+    "  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 6) AS tfidf"
+    "  FROM tf JOIN dfq USING (term) CROSS JOIN nd),"
+    " ranked AS (SELECT doc_id, term, tf, df, tfidf,"
+    "  CAST(row_number() OVER (PARTITION BY doc_id"
+    "   ORDER BY tfidf DESC, term ASC) AS INT) AS rank FROM scored)"
+    " SELECT doc_id, term, tf, df, tfidf, rank FROM ranked"
+    " WHERE rank <= 3 ORDER BY doc_id, rank",
+)
+def ext_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1))+1,
+    scores rounded to 6 decimals before the (score desc, term asc) rank so
+    the tiebreak is engine-independent). Two uniform hash aggregations, a
+    term-keyed shuffle join sized by AQE, a broadcast 1-row corpus-count
+    crossJoin, and a per-doc top-k window (operators/text.py: tfidf_topk).
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    return T.tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+@query(
     "ext_udf_vectorized",
     "SELECT vec_id,"
     " round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)"

@@ -317,3 +317,60 @@ def test_repetition_metrics_hand_computed(spark):
         "gopher_flagged": False,
     }
     assert got[5]["top_bigram_chars"] == 0 and got[5]["gopher_flagged"] is False
+
+
+def test_chunk_documents_hand_computed(spark):
+    """Sliding-window chunking on hand-computable fixtures: boundary
+    placement, short-doc passthrough, and lossless stride reassembly."""
+    rows = [
+        (1, "t0 t1 t2 t3 t4 t5 t6"),   # 7 tokens, w=4 s=3 -> 2 chunks
+        (2, "a b"),                     # shorter than a window -> 1 chunk
+        (3, "x0 x1 x2 x3"),             # exactly one window -> 1 chunk
+        (4, "y0 y1 y2 y3 y4"),          # 5 tokens -> 2 chunks, tail short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.chunk_documents(df, window=4, stride=3)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(2, 0)] == ("a b", 2)
+    assert (3, 1) not in got and got[(3, 0)] == ("x0 x1 x2 x3", 4)
+    assert got[(4, 0)] == ("y0 y1 y2 y3", 4)
+    assert got[(4, 1)] == ("y3 y4", 2)
+    # lossless: first `stride` tokens of each chunk + the last chunk's tail
+    # reassemble the original token stream
+    for doc_id, txt in rows:
+        chunks = [
+            got[(doc_id, i)][0].split()
+            for i in range(max(ci for d, ci in got if d == doc_id) + 1)
+        ]
+        rebuilt = [t for c in chunks[:-1] for t in c[:3]] + chunks[-1]
+        assert rebuilt == txt.split(), doc_id
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """The corpus-wide stopword ranks below the document-distinctive term."""
+    rows = [
+        (1, "common common rare1"),
+        (2, "common rare2 rare2 rare2"),
+        (3, "common other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.tfidf_topk(df, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all 3 docs -> idf = ln(4/4)+1 = 1
+    d1 = {r["term"]: r for r in by_doc[1]}
+    assert d1["common"]["tf"] == 2 and d1["common"]["df"] == 3
+    assert d1["common"]["tfidf"] == pytest.approx(2.0)
+    assert d1["rare1"]["tfidf"] == pytest.approx(1 * (math.log(4 / 2) + 1), abs=1e-6)
+    # rank 1 in doc 2 is the tripled rare term, not the stopword
+    assert sorted(by_doc[2], key=lambda r: r["rank"])[0]["term"] == "rare2"
+    # every doc emits at most k rows and ranks are 1..n contiguous
+    for doc_id, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3

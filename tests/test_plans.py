@@ -328,3 +328,12 @@ def test_repetition_filter_no_wide_shuffle_before_sort(spark, sf_dir):
     parts = plans.exchange_partitionings(df)
     assert not any(p.startswith("hashpartitioning") for p in parts), parts
     assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
+
+
+def test_chunk_docs_no_wide_shuffle_before_sort(spark, sf_dir):
+    """Chunking is projection + explode: zero hash exchanges — only
+    spread()'s RoundRobin input split and the deterministic output sort."""
+    df = QUERIES["ext_chunk_docs"](spark, sf_dir)
+    parts = plans.exchange_partitionings(df)
+    assert not any(p.startswith("hashpartitioning") for p in parts), parts
+    assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
