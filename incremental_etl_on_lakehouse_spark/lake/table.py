@@ -39,6 +39,24 @@ CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
 COMMIT_TIMESTAMP = "_commit_timestamp"
 
+# Table-property key prefix under which CHECK constraints are recorded
+# (mirrors Delta's ``delta.constraints.<name>`` property convention). An
+# empty value is a tombstone: table_state merges properties forward across
+# commits, so DROP CONSTRAINT records ``constraint.<name> = ""``.
+CONSTRAINT_PREFIX = "constraint."
+
+
+class ConstraintViolationError(ValueError):
+    """A write produced rows that violate a table CHECK constraint; the
+    staged files were discarded and no commit was made."""
+
+
+def _row_satisfies(row, spark, schema, expr: str) -> bool:
+    """Evaluate a CHECK expression against one already-fetched row (error
+    path only — names which constraint(s) a violating row fired)."""
+    df = spark.createDataFrame([row], schema)
+    return bool(df.where(F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect())
+
 
 def _json_safe(v):
     """Restrict file stats to JSON-comparable scalars; anything else is
@@ -263,6 +281,61 @@ class LakeTable:
         )
         return t
 
+    def clone(self, dest_path: str, shallow: bool = True) -> "LakeTable":
+        """CLONE (Delta's ``CREATE TABLE ... [SHALLOW|DEEP] CLONE src``).
+
+        Shallow: the clone's version-0 commit references the source
+        snapshot's data files BY PATH (zero bytes copied — metadata-only,
+        O(files) regardless of table size). The clone then evolves
+        independently: appends/merges write into the clone's own data dir,
+        and VACUUM on the clone never walks the source directory, so it
+        cannot delete source files. The standard shallow-clone hazard is
+        inherited from Delta: VACUUM on the SOURCE can remove files a
+        shallow clone still references.
+
+        Deep: data files are byte-copied into the clone (an independent
+        table; source vacuum-safe). On an object store the copy is a
+        server-side per-file copy — still O(files) driver work.
+
+        Schema, table properties (including CHECK constraints and CDF
+        enablement), and per-file stats carry over; history does not (the
+        clone starts at version 0, like Delta).
+        """
+        dest = os.path.abspath(dest_path)
+        if lakelog.read_log(dest):
+            raise ValueError(f"lake table already exists at {dest}")
+        state = self._state()
+        os.makedirs(dest, exist_ok=True)
+        adds = []
+        for rel, add in state["active"].items():
+            entry = dict(add)
+            src_file = self._abs(rel)
+            if shallow:
+                entry["path"] = os.path.relpath(src_file, dest)
+            else:
+                rel_dest = os.path.join(DATA_DIR, "clone0", rel.replace(os.sep, "_"))
+                full_dest = os.path.join(dest, rel_dest)
+                os.makedirs(os.path.dirname(full_dest), exist_ok=True)
+                shutil.copyfile(src_file, full_dest)
+                entry["path"] = rel_dest
+            adds.append(entry)
+        props = dict(state["properties"])
+        props["clonedFrom"] = self.path
+        props["cloneShallow"] = "true" if shallow else "false"
+        lakelog.write_commit(
+            dest,
+            Commit(
+                version=0,
+                operation="CLONE",
+                timestamp_ms=lakelog.now_ms(),
+                add=adds,
+                schema_json=state["schema_json"],
+                properties=props,
+                metrics={"num_files": len(adds), "shallow": shallow},
+            ),
+        )
+        return LakeTable(self.spark, dest)
+
     @staticmethod
     def exists(path: str) -> bool:
         return bool(lakelog.read_log(os.path.abspath(path)))
@@ -304,6 +377,76 @@ class LakeTable:
 
     def cdf_enabled(self) -> bool:
         return str(self.properties().get("enableChangeDataFeed", "false")).lower() == "true"
+
+    # ---------------------------------------------------------- constraints
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints as {name: sql_expr}. Empty-valued
+        property entries are DROP tombstones and excluded."""
+        return {
+            k[len(CONSTRAINT_PREFIX):]: v
+            for k, v in self.properties().items()
+            if k.startswith(CONSTRAINT_PREFIX) and v
+        }
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr).
+
+        Existing rows are validated first (one pushdown-friendly probe over
+        the current snapshot — Delta does the same full-table check), so a
+        constraint can never be added that the table already violates.
+        Returns the new version. SQL CHECK semantics: only rows where the
+        expression is FALSE violate; NULL passes.
+        """
+        if name in self.constraints():
+            raise ValueError(f"constraint already exists: {name}")
+        snapshot_version = self.version()
+        if self.files():
+            bad = (
+                self.to_df()
+                .where(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"existing rows violate CHECK ({expr}): {bad[0]}"
+                )
+        v = snapshot_version + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="ADD CONSTRAINT",
+                timestamp_ms=lakelog.now_ms(),
+                properties={CONSTRAINT_PREFIX + name: expr},
+                metrics={"name": name},
+            ),
+        )
+        return v
+
+    def add_not_null(self, col: str) -> int:
+        """NOT NULL column invariant, recorded as CHECK (col IS NOT NULL)."""
+        if col not in self.schema().fieldNames():
+            raise ValueError(f"no such column: {col}")
+        return self.add_constraint(f"nn_{col}", f"`{col}` IS NOT NULL")
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT name (tombstones the property)."""
+        if name not in self.constraints():
+            raise ValueError(f"no such constraint: {name}")
+        v = self.version() + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="DROP CONSTRAINT",
+                timestamp_ms=lakelog.now_ms(),
+                properties={CONSTRAINT_PREFIX + name: ""},
+                metrics={"name": name},
+            ),
+        )
+        return v
 
     def history(self) -> list[dict]:
         return [
@@ -378,10 +521,19 @@ class LakeTable:
             # data/<uuid>/ root, so group files by that root and union.
             groups: dict[str, list[str]] = {}
             for f in files:
-                parts = os.path.relpath(f, self.path).split(os.sep)
+                # The stage root is the data/<uuid>/ ancestor — located by
+                # path segment so files referenced ACROSS table roots (a
+                # shallow clone's pointers into its source) group under the
+                # source's stage dir, keeping basePath an ancestor.
+                segs = f.split(os.sep)
+                idx = None
+                for i in range(len(segs) - 2, -1, -1):
+                    if segs[i] == DATA_DIR:
+                        idx = i
+                        break
                 root = (
-                    os.path.join(self.path, *parts[:2])
-                    if parts[0] == DATA_DIR and len(parts) > 2
+                    os.sep.join(segs[: idx + 2])
+                    if idx is not None and idx + 2 < len(segs)
                     else self.path
                 )
                 groups.setdefault(root, []).append(f)
@@ -448,6 +600,32 @@ class LakeTable:
         if self.partition_columns():
             writer = writer.partitionBy(*self.partition_columns())
         writer.parquet(out)
+        # CHECK-constraint gate: validate the STAGED files (one cheap
+        # columnar re-read of just-written rows — never a recompute of the
+        # possibly-expensive input plan), then either let the caller commit
+        # them or discard the stage and raise. Uniform across every write
+        # path (append/overwrite/update/merge rewrite/compact); rewrites of
+        # already-valid rows pass trivially. SQL semantics: a row violates
+        # only when the expression is FALSE — NULL passes.
+        cons = self.constraints()
+        if cons:
+            staged = self.spark.read.parquet(out)
+            viol = None
+            for name, expr in cons.items():
+                v = ~F.coalesce(F.expr(expr), F.lit(True))
+                viol = v if viol is None else (viol | v)
+            bad = staged.where(viol).limit(1).collect()
+            if bad:
+                shutil.rmtree(out, ignore_errors=True)
+                fired = [
+                    n
+                    for n, e in cons.items()
+                    if not _row_satisfies(bad[0], self.spark, staged.schema, e)
+                ]
+                raise ConstraintViolationError(
+                    f"write violates CHECK constraint(s) {fired or list(cons)}: "
+                    f"{bad[0]}"
+                )
         adds, total = [], 0
         import pyarrow.parquet as pq
 
@@ -871,7 +1049,14 @@ class LakeTable:
         victims = sorted(
             f
             for f, t in removed_at.items()
-            if f not in active and t < horizon and os.path.isfile(self._abs(f))
+            if f not in active
+            and t < horizon
+            and os.path.isfile(self._abs(f))
+            # Never delete outside the table root: a shallow clone's
+            # references into its source table (relative paths that escape
+            # via "..") are dropped from the clone's snapshot but the bytes
+            # belong to the source — Delta's VACUUM has the same rule.
+            and not os.path.relpath(self._abs(f), self.path).startswith("..")
         )
         if not dry_run:
             for f in victims:

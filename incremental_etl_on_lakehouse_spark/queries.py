@@ -744,6 +744,117 @@ def ddl_create_table(spark, sf_dir):
 
 
 @query(
+    "ddl_constraints",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+    " 2 AS n_rejected, true AS log_ok FROM nation"
+    " UNION ALL SELECT 99, 'zephyr', 4, 2, true"
+    " ORDER BY n_nationkey",
+)
+def ddl_constraints(spark, sf_dir):
+    """CHECK / NOT NULL constraints (Delta's ALTER TABLE ADD CONSTRAINT /
+    column invariants, lake/table.py: add_constraint): two constraints are
+    added, a valid batch lands, two violating batches are rejected at the
+    staged-file gate WITHOUT advancing the version, one constraint is
+    dropped (property tombstone) and a previously-blocked row then lands.
+    The oracle pins the exact surviving rows plus the rejection count and
+    the commit-version bookkeeping, so enforcement, atomicity of the
+    rejected writes, and the drop are all hash-attested."""
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+    )
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "cons"), schema)
+    t.add_constraint("region_range", "n_regionkey BETWEEN 0 AND 4")
+    t.add_not_null("n_name")
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    t.append(nat)
+    v_after_good = t.version()
+    rejected = 0
+    for bad in [(98, "outlaw", 7), (99, None, 4)]:
+        try:
+            t.append(spark.createDataFrame([bad], schema))
+        except ConstraintViolationError:
+            rejected += 1
+    atomic = t.version() == v_after_good
+    t.drop_constraint("region_range")
+    t.append(spark.createDataFrame([(99, "zephyr", 4)], schema))
+    ops = [h["operation"] for h in t.history()]
+    log_ok = (
+        atomic
+        and ops.count("APPEND") == 2
+        and "ADD CONSTRAINT" in ops
+        and "DROP CONSTRAINT" in ops
+        and "region_range" not in t.constraints()
+        and "nn_n_name" in t.constraints()
+    )
+    return t.to_df().select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit(rejected).alias("n_rejected"),
+        F.lit(bool(log_ok)).alias("log_ok"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "ddl_clone_shallow",
+    "SELECT * FROM (SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,"
+    " r_name, 'source' AS side, true AS zero_copy FROM region"
+    " UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name, 'clone', true"
+    " FROM region"
+    " UNION ALL SELECT 9, 'new-in-clone', 'clone', true)"
+    " ORDER BY side, r_regionkey",
+)
+def ddl_clone_shallow(spark, sf_dir):
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE,
+    lake/table.py: clone): the clone's v0 commit references the source
+    snapshot's files by path — zero bytes copied (attested by the
+    zero_copy column: every clone v0 file resolves inside the source dir)
+    — then evolves independently (an appended row shows up only on the
+    clone side). Source rows re-read AFTER the clone append prove
+    isolation in both directions."""
+    src_path = os.path.join(_tmpdir(), "clsrc")
+    schema = StructType(
+        [StructField("r_regionkey", LongType()), StructField("r_name", StringType())]
+    )
+    t = LakeTable.create(spark, src_path, schema)
+    t.append(
+        load_table(spark, "region", sf_dir).select(
+            F.col("r_regionkey").cast("long"), "r_name"
+        )
+    )
+    clone = t.clone(os.path.join(_tmpdir(), "clone"), shallow=True)
+    zero_copy = bool(clone.files()) and all(
+        os.path.realpath(f).startswith(os.path.realpath(t.path))
+        for f in clone.files()
+    )
+    clone.append(spark.createDataFrame([(9, "new-in-clone")], schema))
+    src_df = t.to_df().select(
+        "r_regionkey", "r_name", F.lit("source").alias("side")
+    )
+    clone_df = clone.to_df().select(
+        "r_regionkey", "r_name", F.lit("clone").alias("side")
+    )
+    return (
+        src_df.unionByName(clone_df)
+        .withColumn("zero_copy", F.lit(bool(zero_copy)))
+        .orderBy("side", "r_regionkey")
+    )
+
+
+@query(
     "ddl_drop",
     "SELECT true AS existed_before, false AS exists_after",
 )

@@ -412,3 +412,106 @@ def test_restore_refuses_vacuumed_versions(spark, tmp_path):
     t.vacuum(retention_ms=-1)
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(1)
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+    )
+
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    t.add_constraint("pos_visitors", "visitors >= 0")
+    t.add_not_null("country")
+    assert set(t.constraints()) == {"pos_visitors", "nn_country"}
+    v = t.version()
+
+    # valid append passes; NULL in a non-constrained column passes
+    t.append(spark.createDataFrame([(3, "Scotland", 0)], SCHEMA))
+    assert t.version() == v + 1
+
+    # violating append: rejected, version unchanged, no stray staged files
+    with pytest.raises(ConstraintViolationError, match="pos_visitors"):
+        t.append(spark.createDataFrame([(4, "Eire", -5)], SCHEMA))
+    with pytest.raises(ConstraintViolationError, match="nn_country"):
+        t.append(spark.createDataFrame([(4, None, 5)], SCHEMA))
+    assert t.version() == v + 1
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3]
+
+    # UPDATE through the rewrite path is gated too
+    with pytest.raises(ConstraintViolationError):
+        t.update({"visitors": "-1"}, "id = 1")
+    assert t.to_df().where("id = 1").collect()[0]["visitors"] == 10
+
+    # merge: violating UPDATE/INSERT rows abort before any commit
+    src = spark.createDataFrame([(1, "England", -99), (9, "Norway", 1)], SCHEMA)
+    with pytest.raises(ConstraintViolationError):
+        t.merge(
+            src,
+            "source.id = target.id",
+            [
+                MergeClause("update", None, "*"),
+                MergeClause("insert", None, "*"),
+            ],
+        )
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3]
+
+    # adding a constraint the existing data violates is refused
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("small", "visitors < 15")
+    assert "small" not in t.constraints()
+
+    # dropped constraint stops gating; audit trail in history
+    t.drop_constraint("pos_visitors")
+    t.append(spark.createDataFrame([(4, "Eire", -5)], SCHEMA))
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3, 4]
+    ops = [h["operation"] for h in t.history()]
+    assert "ADD CONSTRAINT" in ops and "DROP CONSTRAINT" in ops
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, tmp_path):
+    import os
+
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    clone = t.clone(str(tmp_path / "clone"), shallow=True)
+
+    # zero copy: every referenced file resolves inside the SOURCE dir
+    assert clone.files() and all(
+        os.path.realpath(f).startswith(os.path.realpath(t.path))
+        for f in clone.files()
+    )
+    assert sorted(r["id"] for r in clone.to_df().collect()) == [1, 2]
+
+    # independent evolution: clone append is invisible to the source
+    clone.append(spark.createDataFrame([(3, "Scotland", 30)], SCHEMA))
+    assert sorted(r["id"] for r in clone.to_df().collect()) == [1, 2, 3]
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
+
+    # a clone-side rewrite drops source references from the clone snapshot,
+    # but VACUUM on the clone must never unlink source bytes
+    clone.delete("id = 1")
+    deleted = clone.vacuum(retention_ms=-1)
+    assert deleted == [] or all(".." not in d for d in deleted)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
+
+    # deep clone carries its own bytes
+    deep = t.clone(str(tmp_path / "deep"), shallow=False)
+    assert all(
+        os.path.realpath(f).startswith(os.path.realpath(deep.path))
+        for f in deep.files()
+    )
+    assert sorted(r["id"] for r in deep.to_df().collect()) == [1, 2]
+
+
+def test_shallow_clone_partitioned_reads_and_prunes(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "ptbl"), SCHEMA, partition_by=["country"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "England", 10), (2, "Wales", 20), (3, "England", 30)], SCHEMA
+        )
+    )
+    clone = t.clone(str(tmp_path / "pclone"), shallow=True)
+    got = sorted((r["id"], r["country"]) for r in clone.to_df().collect())
+    assert got == [(1, "England"), (2, "Wales"), (3, "England")]
+    assert clone.to_df().where("country = 'Wales'").count() == 1
