@@ -406,3 +406,42 @@ def execute_merge(
         else:
             source_df = spark.table(stmt.source_text)
     return target.merge(source_df, stmt.on_condition, stmt.clauses, stats_prune=stats_prune)
+
+
+def parse_alter_constraint(sql: str) -> tuple[str, str, str, str | None]:
+    """``ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)`` or
+    ``ALTER TABLE <t> DROP CONSTRAINT [IF EXISTS] <name>`` ->
+    (table, action, name, expr|None). Delta's constraint DDL surface."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+ADD\s+CONSTRAINT\s+"
+        rf"(?P<n>{_IDENT})\s+CHECK\s*\((?P<e>.*)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return m.group("t"), "add", m.group("n"), m.group("e").strip()
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+DROP\s+CONSTRAINT\s+"
+        rf"(?:IF\s+EXISTS\s+)?(?P<n>{_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return m.group("t"), "drop", m.group("n"), None
+    raise ValueError("not an ALTER TABLE ... CONSTRAINT statement")
+
+
+def execute_alter_constraint(spark: SparkSession, sql: str, resolve) -> int:
+    """Parse + run constraint DDL against a lake table; returns the new
+    version. DROP CONSTRAINT IF EXISTS on a missing name is a no-op
+    returning the current version."""
+    table, action, name, expr = parse_alter_constraint(sql)
+    target = _resolve(resolve, table)
+    if action == "add":
+        return target.add_constraint(name, expr)
+    if name not in target.constraints() and re.search(
+        r"IF\s+EXISTS", sql, re.IGNORECASE
+    ):
+        return target.version()
+    return target.drop_constraint(name)

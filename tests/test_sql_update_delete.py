@@ -193,3 +193,45 @@ def test_strip_alias_preserves_string_literals():
 
     tbl, cond = parse_delete("DELETE FROM tgt t WHERE t.note = 'by t.me'")
     assert cond == "note = 'by t.me'"
+
+
+def test_sql_alter_table_constraint_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_alter_constraint,
+        parse_alter_constraint,
+    )
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+    )
+
+    assert parse_alter_constraint(
+        "ALTER TABLE t ADD CONSTRAINT c CHECK (x > 0 AND (y < 2))"
+    ) == ("t", "add", "c", "x > 0 AND (y < 2)")
+    assert parse_alter_constraint(
+        "alter table t drop constraint if exists c;"
+    ) == ("t", "drop", "c", None)
+
+    schema = StructType([StructField("x", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    execute_alter_constraint(
+        spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (x > 0)", {"t": t}
+    )
+    assert t.constraints() == {"pos": "x > 0"}
+    import pytest as _pytest
+
+    with _pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(-1,)], schema))
+    execute_alter_constraint(spark, "ALTER TABLE t DROP CONSTRAINT pos", {"t": t})
+    # IF EXISTS no-op on missing
+    v = t.version()
+    assert (
+        execute_alter_constraint(
+            spark, "ALTER TABLE t DROP CONSTRAINT IF EXISTS pos", {"t": t}
+        )
+        == v
+    )
+    t.append(spark.createDataFrame([(-1,)], schema))
+    assert t.to_df().count() == 1
