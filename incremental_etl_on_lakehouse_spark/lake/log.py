@@ -32,6 +32,11 @@ class Commit:
     properties: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
     cdf_path: str | None = None  # relative dir of materialized change rows
+    # Deletion-vector reassignments: {data_rel_path: dv_rel_path | ""}.
+    # A non-empty value REPLACES the file's current DV (the new DV carries
+    # the cumulative deleted-row set); "" clears it (e.g. RESTORE to a
+    # pre-delete version). Removing a data file implicitly drops its DV.
+    dv: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -45,6 +50,7 @@ class Commit:
                 "properties": self.properties,
                 "metrics": self.metrics,
                 "cdf_path": self.cdf_path,
+                "dv": self.dv,
             }
         )
 
@@ -61,6 +67,7 @@ class Commit:
             properties=d.get("properties", {}),
             metrics=d.get("metrics", {}),
             cdf_path=d.get("cdf_path"),
+            dv=d.get("dv", {}),
         )
 
 
@@ -162,11 +169,18 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
     if not commit_vs:
         return None
     target = version if version is not None else commit_vs[-1]
-    state = {"version": -1, "active": {}, "schema_json": None, "properties": {}}
+    state = {
+        "version": -1,
+        "active": {},
+        "schema_json": None,
+        "properties": {},
+        "dv": {},
+    }
     usable = [v for v in ckpt_vs if v <= target]
     if usable:
         with open(_checkpoint_file(table_path, usable[-1])) as f:
             state = json.load(f)
+        state.setdefault("dv", {})  # checkpoints written before DV support
     for v in commit_vs:
         if v <= state["version"] or v > target:
             continue
@@ -175,6 +189,12 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
             state["active"][a["path"]] = a
         for r in c.remove:
             state["active"].pop(r, None)
+            state["dv"].pop(r, None)
+        for f_rel, dv_rel in c.dv.items():
+            if dv_rel:
+                state["dv"][f_rel] = dv_rel
+            else:
+                state["dv"].pop(f_rel, None)
         if c.schema_json:
             state["schema_json"] = c.schema_json
         state["properties"].update(c.properties)

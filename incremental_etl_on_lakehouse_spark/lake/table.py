@@ -45,6 +45,10 @@ COMMIT_TIMESTAMP = "_commit_timestamp"
 # commits, so DROP CONSTRAINT records ``constraint.<name> = ""``.
 CONSTRAINT_PREFIX = "constraint."
 
+# Deletion-vector sidecars live here (parquet of (file_name, row_index)
+# markers). Never part of the active data-file set.
+DV_DIR = "_dv"
+
 
 class ConstraintViolationError(ValueError):
     """A write produced rows that violate a table CHECK constraint; the
@@ -378,6 +382,14 @@ class LakeTable:
     def cdf_enabled(self) -> bool:
         return str(self.properties().get("enableChangeDataFeed", "false")).lower() == "true"
 
+    def dv_enabled(self) -> bool:
+        """Deletion vectors (Delta's ``enableDeletionVectors``): DELETE and
+        UPDATE mark rows in a sidecar instead of rewriting data files."""
+        return (
+            str(self.properties().get("enableDeletionVectors", "false")).lower()
+            == "true"
+        )
+
     # ---------------------------------------------------------- constraints
 
     def constraints(self) -> dict[str, str]:
@@ -487,6 +499,15 @@ class LakeTable:
         staleness contract). Partitioned tables keep hive-style paths, so
         ``hive_partitioning`` recovers partition columns.
         """
+        if self._state(version).get("dv"):
+            # a file-list manifest cannot express row-level deletion
+            # vectors; external readers would resurrect deleted rows
+            # (Delta's symlink manifest has the same DV incompatibility,
+            # surfaced as an error there too)
+            raise ValueError(
+                "cannot generate a symlink manifest for a snapshot with "
+                "deletion vectors: run compact() first to materialize them"
+            )
         manifest_dir = self._abs("_symlink_format_manifest")
         os.makedirs(manifest_dir, exist_ok=True)
         out = os.path.join(manifest_dir, "manifest")
@@ -501,17 +522,88 @@ class LakeTable:
         cols = self.properties().get("partitionBy", "")
         return [c for c in cols.split(",") if c] if isinstance(cols, str) else list(cols)
 
-    def _read_files(self, files: list[str]) -> DataFrame:
+    def _dv_rows(self, dv_map: dict, files: list[str]) -> DataFrame | None:
+        """Deleted-row markers (file_name, row_index) covering ``files``,
+        or None when no DV applies. A DV parquet may also carry rows for a
+        file whose pointer has since been superseded; those are a subset of
+        the file's current cumulative DV, so reading them is harmless."""
+        if not dv_map:
+            return None
+        names = {os.path.basename(f) for f in files}
+        rels = sorted(
+            {dv for rel, dv in dv_map.items() if os.path.basename(rel) in names}
+        )
+        if not rels:
+            return None
+        df = self.spark.read.parquet(*[self._abs(r) for r in rels])
+        return df.where(F.col("file_name").isin(sorted(names)))
+
+    @staticmethod
+    def _lineage_cols() -> list:
+        """Per-row physical identity: containing file's basename + row
+        position within the file (``_metadata.row_index``) — the key a
+        deletion vector marks rows by."""
+        return [
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__fname"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+
+    def _read_files(
+        self,
+        files: list[str],
+        dv_map: dict | None = None,
+        with_lineage: bool = False,
+        with_file: bool = False,
+    ) -> DataFrame:
         """Read a set of data files with the table schema.
 
         For partitioned tables the partition values live in the directory
         names (hive layout); reading with ``basePath`` recovers them as
         columns AND keeps Catalyst's partition pruning working — a filter on
         a partition column skips whole directories at planning time.
+
+        ``dv_map`` ({data_rel: dv_rel}) subtracts deletion-vector-marked
+        rows via a broadcast anti-join on (file basename, row position) —
+        the read-side half of Delta's deletion vectors. Zero plan overhead
+        when no DV covers the requested files. ``with_lineage=True`` keeps
+        the ``__fname``/``__pos`` identity columns for callers that write
+        new DVs; ``with_file=True`` keeps a ``__file`` source-URI column
+        (``input_file_name`` must be captured BEFORE the DV anti-join —
+        after it the plan has two file sources and the expression is
+        rejected).
         """
         schema = self.schema()
+        dvr = self._dv_rows(dv_map or {}, files) if files else None
+        need_lineage = with_lineage or dvr is not None
         if not files:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if with_lineage:
+                out = out.withColumn("__fname", F.lit(None).cast("string")).withColumn(
+                    "__pos", F.lit(None).cast("long")
+                )
+            if with_file:
+                out = out.withColumn("__file", F.lit(None).cast("string"))
+            return out
+        def extras() -> list:
+            cols = []
+            if with_file:
+                cols.append(F.input_file_name().alias("__file"))
+            if need_lineage:
+                cols.extend(self._lineage_cols())
+            return cols
+
+        def finish(df: DataFrame) -> DataFrame:
+            if dvr is not None:
+                df = df.join(
+                    F.broadcast(dvr),
+                    (df["__fname"] == dvr["file_name"])
+                    & (df["__pos"] == dvr["row_index"]),
+                    "left_anti",
+                )
+            if need_lineage and not with_lineage:
+                df = df.drop("__fname", "__pos")
+            return df
+
         if self.partition_columns():
             data_fields = StructType(
                 [f for f in schema.fields if f.name not in self.partition_columns()]
@@ -539,14 +631,26 @@ class LakeTable:
                 groups.setdefault(root, []).append(f)
             out = None
             for root, fs in groups.items():
-                df = self._align(
+                raw = (
                     self.spark.read.schema(data_fields)
                     .option("basePath", root)
                     .parquet(*fs)
                 )
+                present = set(raw.columns)
+                cols = [
+                    (F.col(f.name) if f.name in present else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+                df = raw.select(*cols, *extras())
                 out = df if out is None else out.unionByName(df)
-            return out
-        return self.spark.read.schema(schema).parquet(*files)
+            return finish(out)
+        raw = self.spark.read.schema(schema).parquet(*files)
+        ex = extras()
+        if ex:
+            raw = raw.select("*", *ex)
+        return finish(raw)
 
     def version_at_timestamp(self, timestamp_ms: int) -> int:
         """Latest version committed at or before ``timestamp_ms`` — the
@@ -577,7 +681,11 @@ class LakeTable:
             if version is not None:
                 raise ValueError("pass version OR timestamp_ms, not both")
             version = self.version_at_timestamp(timestamp_ms)
-        return self._read_files(self.files(version))
+        state = self._state(version)
+        return self._read_files(
+            [self._abs(r) for r in state["active"]],
+            dv_map=state.get("dv") or None,
+        )
 
     # ---------------------------------------------------------------- writes
 
@@ -756,6 +864,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> int:
         commits = self._commits()
         removed = lakelog.snapshot_files(commits)
+        dvmap = self._state().get("dv") or {}
         adds, rows = self._stage_write(self._align(df))
         v = commits[-1].version + 1
         lakelog.write_commit(
@@ -765,7 +874,7 @@ class LakeTable:
                 operation="OVERWRITE",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
-                remove=removed,
+                remove=removed + self._dv_release(removed, dvmap),
                 metrics={"num_inserted_rows": rows},
             ),
         )
@@ -789,9 +898,12 @@ class LakeTable:
         100 TB table scans only the key's file(s), not the table.
         """
         snapshot_version = self.version()
+        state = self._state()
+        dvmap = state.get("dv") or {}
+        dv_on = self.dv_enabled()
         candidates = self._touched_candidates(condition)
-        target = self._read_files(candidates).withColumn(
-            "__file", F.input_file_name()
+        target = self._read_files(
+            candidates, dv_map=dvmap, with_lineage=dv_on, with_file=True
         )
         cond = F.coalesce(F.expr(condition), F.lit(False))
         touched = (
@@ -810,6 +922,39 @@ class LakeTable:
             )
             return v
         touched_rows = target.where(F.col("__file").isin(touched))
+        if dv_on:
+            # Deletion-vector path: mark the doomed rows in a sidecar; zero
+            # data-file rewrite (the Delta DV DELETE). Read-side anti-join
+            # subtracts them everywhere (_read_files).
+            doomed = touched_rows.where(cond).persist()
+            commit_dv, removable = self._write_dv(doomed, touched, dvmap)
+            n_del = doomed.count()
+            cdf_rel = None
+            if self.cdf_enabled():
+                cdf_rel = self._write_cdf(
+                    doomed.drop("__file", "__fname", "__pos").withColumn(
+                        CHANGE_TYPE, F.lit("delete")
+                    )
+                )
+            doomed.unpersist()
+            v = snapshot_version + 1
+            lakelog.write_commit(
+                self.path,
+                Commit(
+                    version=v,
+                    operation="DELETE",
+                    timestamp_ms=lakelog.now_ms(),
+                    remove=removable,
+                    cdf_path=cdf_rel,
+                    dv=commit_dv,
+                    metrics={
+                        "num_deleted_rows": n_del,
+                        "num_touched_files": len(touched),
+                        "deletion_vector": True,
+                    },
+                ),
+            )
+            return v
         kept = touched_rows.where(~cond).drop("__file")
         deleted = touched_rows.where(cond).drop("__file")
         adds, kept_rows = self._stage_write(self._align(kept)) if kept.limit(1).count() else ([], 0)
@@ -817,6 +962,7 @@ class LakeTable:
         if self.cdf_enabled():
             cdf_rel = self._write_cdf(deleted.withColumn(CHANGE_TYPE, F.lit("delete")))
         v = snapshot_version + 1
+        touched_rel = [self._rel_of(f) for f in touched]
         lakelog.write_commit(
             self.path,
             Commit(
@@ -824,7 +970,7 @@ class LakeTable:
                 operation="DELETE",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
-                remove=[self._rel_of(f) for f in touched],
+                remove=touched_rel + self._dv_release(touched_rel, dvmap),
                 cdf_path=cdf_rel,
                 metrics={"num_touched_files": len(touched)},
             ),
@@ -846,9 +992,12 @@ class LakeTable:
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
         snapshot_version = self.version()
+        state = self._state()
+        dvmap = state.get("dv") or {}
+        dv_on = self.dv_enabled()
         candidates = self._touched_candidates(condition)
-        target = self._read_files(candidates).withColumn(
-            "__file", F.input_file_name()
+        target = self._read_files(
+            candidates, dv_map=dvmap, with_lineage=dv_on, with_file=True
         )
         cond = (
             F.coalesce(F.expr(condition), F.lit(False))
@@ -881,6 +1030,44 @@ class LakeTable:
             ).alias(f.name)
             for f in schema.fields
         ]
+        if dv_on:
+            # DV UPDATE (Delta's DV-enabled UPDATE): mark the old versions
+            # of updated rows in a sidecar and stage ONLY the updated rows
+            # as new data — untouched rows in the file are never rewritten.
+            affected = touched_rows.where(cond).persist()
+            commit_dv, removable = self._write_dv(affected, touched, dvmap)
+            post_upd = affected.select(*post_cols)
+            adds, n_rows = self._stage_write(self._align(post_upd))
+            cdf_rel = None
+            if self.cdf_enabled():
+                pre = affected.drop("__file", "__fname", "__pos")
+                cdf_rel = self._write_cdf(
+                    pre.withColumn(
+                        CHANGE_TYPE, F.lit("update_preimage")
+                    ).unionByName(
+                        post_upd.withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+                    )
+                )
+            affected.unpersist()
+            v = snapshot_version + 1
+            lakelog.write_commit(
+                self.path,
+                Commit(
+                    version=v,
+                    operation="UPDATE",
+                    timestamp_ms=lakelog.now_ms(),
+                    add=adds,
+                    remove=removable,
+                    cdf_path=cdf_rel,
+                    dv=commit_dv,
+                    metrics={
+                        "num_updated_rows": n_rows,
+                        "num_touched_files": len(touched),
+                        "deletion_vector": True,
+                    },
+                ),
+            )
+            return v
         rewritten = touched_rows.select(*post_cols, "__file").drop("__file")
         adds, _rows = self._stage_write(self._align(rewritten))
         cdf_rel = None
@@ -893,6 +1080,7 @@ class LakeTable:
                 )
             )
         v = snapshot_version + 1
+        touched_rel = [self._rel_of(f) for f in touched]
         lakelog.write_commit(
             self.path,
             Commit(
@@ -900,7 +1088,7 @@ class LakeTable:
                 operation="UPDATE",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
-                remove=[self._rel_of(f) for f in touched],
+                remove=touched_rel + self._dv_release(touched_rel, dvmap),
                 cdf_path=cdf_rel,
                 metrics={"num_touched_files": len(touched)},
             ),
@@ -958,6 +1146,7 @@ class LakeTable:
             df = df.coalesce(n_files)
         adds, rows = self._stage_write(self._align(df))
         v = commits[-1].version + 1
+        dvmap = self._state().get("dv") or {}
         lakelog.write_commit(
             self.path,
             Commit(
@@ -965,7 +1154,9 @@ class LakeTable:
                 operation="COMPACT",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
-                remove=removed,
+                # compaction physically applies DVs (to_df reads through
+                # them), so the rewritten files' sidecars are released
+                remove=removed + self._dv_release(removed, dvmap),
                 metrics={
                     "num_files_before": len(removed),
                     "num_files_after": len(adds),
@@ -989,8 +1180,12 @@ class LakeTable:
         snap_v = commits[-1].version
         if not 0 <= version <= snap_v:
             raise ValueError(f"cannot restore to v{version}: latest is v{snap_v}")
-        target_active = self._state(version)["active"]
-        current_active = self._state()["active"]
+        target_state = self._state(version)
+        current_state = self._state()
+        target_active = target_state["active"]
+        current_active = current_state["active"]
+        target_dv = target_state.get("dv") or {}
+        current_dv = current_state.get("dv") or {}
         add = [
             dict(a, path=rel)
             for rel, a in target_active.items()
@@ -998,11 +1193,27 @@ class LakeTable:
         ]
         remove = sorted(rel for rel in current_active if rel not in target_active)
         missing = [a["path"] for a in add if not os.path.isfile(self._abs(a["path"]))]
+        # DV reconciliation: every surviving/restored file must end up with
+        # exactly its v<version> deletion vector — a fresh pointer where it
+        # had one, a tombstone where it has since gained one.
+        dv_patch: dict = {}
+        for rel in target_active:
+            want = target_dv.get(rel)
+            have = current_dv.get(rel) if rel in current_active else None
+            if want != have:
+                dv_patch[rel] = want or ""
+        missing += [
+            dv for dv in sorted(set(target_dv.values()))
+            if not os.path.isdir(self._abs(dv)) and not os.path.isfile(self._abs(dv))
+        ]
         if missing:
             raise ValueError(
                 f"cannot restore to v{version}: {len(missing)} data file(s) "
                 f"already vacuumed (e.g. {missing[0]})"
             )
+        released = sorted(
+            set(current_dv.values()) - set(target_dv.values())
+        )
         v = snap_v + 1
         lakelog.write_commit(
             self.path,
@@ -1011,7 +1222,8 @@ class LakeTable:
                 operation="RESTORE",
                 timestamp_ms=lakelog.now_ms(),
                 add=add,
-                remove=remove,
+                remove=remove + released,
+                dv=dv_patch,
                 metrics={
                     "restored_version": version,
                     "num_restored_files": len(add),
@@ -1041,7 +1253,10 @@ class LakeTable:
         """
         horizon = lakelog.now_ms() - retention_ms
         commits = self._commits()
-        active = set(self._state()["active"])
+        state = self._state()
+        # protect referenced DV sidecars too: RESTORE can re-point a file
+        # at a sidecar an intermediate commit had released
+        active = set(state["active"]) | set((state.get("dv") or {}).values())
         removed_at: dict[str, int] = {}
         for c in commits:
             for r in c.remove:
@@ -1051,7 +1266,9 @@ class LakeTable:
             for f, t in removed_at.items()
             if f not in active
             and t < horizon
-            and os.path.isfile(self._abs(f))
+            # data files are parquet files; released DV sidecars are
+            # parquet directories
+            and (os.path.isfile(self._abs(f)) or os.path.isdir(self._abs(f)))
             # Never delete outside the table root: a shallow clone's
             # references into its source table (relative paths that escape
             # via "..") are dropped from the clone's snapshot but the bytes
@@ -1060,7 +1277,11 @@ class LakeTable:
         )
         if not dry_run:
             for f in victims:
-                os.unlink(self._abs(f))
+                p = self._abs(f)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.unlink(p)
         return victims
 
     def _rel_of(self, abs_or_uri: str) -> str:
@@ -1075,6 +1296,43 @@ class LakeTable:
             parsed = urllib.parse.urlparse(p)
             p = urllib.parse.unquote(parsed.path)
         return os.path.relpath(p, self.path)
+
+    def _write_dv(
+        self, marked: DataFrame, touched: list[str], dv_map: dict
+    ) -> tuple[dict, list[str]]:
+        """Write one cumulative deletion-vector parquet for ``touched``
+        files: newly ``marked`` rows (must carry __fname/__pos lineage)
+        unioned with the files' existing DV rows. Returns (commit_dv,
+        removable_old_dv_paths). An old DV file is removable only when no
+        UNtouched file still points at it (shared-sidecar refcount)."""
+        touched_rel = [self._rel_of(f) for f in touched]
+        new_rows = marked.select(
+            F.col("__fname").alias("file_name"), F.col("__pos").alias("row_index")
+        )
+        old = self._dv_rows(
+            {r: dv_map[r] for r in touched_rel if r in dv_map}, touched
+        )
+        if old is not None:
+            new_rows = new_rows.unionByName(old)
+        dv_rel = os.path.join(DV_DIR, uuid.uuid4().hex)
+        # one small sidecar per commit: DV rows are the operation's deleted
+        # markers (micro-op scale); a delete big enough to produce a huge DV
+        # should use the rewrite path instead
+        new_rows.coalesce(1).write.mode("overwrite").parquet(self._abs(dv_rel))
+        removable = self._dv_release(touched_rel, dv_map)
+        return {r: dv_rel for r in touched_rel}, removable
+
+    @staticmethod
+    def _dv_release(removed_rels: list[str], dv_map: dict) -> list[str]:
+        """DV sidecar files freed when ``removed_rels`` data files leave the
+        snapshot (or get fresh DVs): an old sidecar is released only when no
+        surviving dv pointer still references it. Released paths go into
+        the commit's remove list so VACUUM reclaims them after retention."""
+        removed = set(removed_rels)
+        refs_after = {dv for f, dv in dv_map.items() if f not in removed}
+        return sorted(
+            {dv_map[r] for r in removed if r in dv_map} - refs_after
+        )
 
     def _write_cdf(self, df: DataFrame) -> str:
         rel = os.path.join(CDF_DIR, uuid.uuid4().hex)
@@ -1161,10 +1419,19 @@ class LakeTable:
                 )
                 for tcol, scol in prune_map.items()
             }
-            target_df = self._read_files(self.files_matching(ranges))
+            target_df = self._read_files(
+                self.files_matching(ranges),
+                dv_map=self._state().get("dv") or None,
+                with_file=True,
+            )
         if target_df is None:
-            target_df = self.to_df()
-        target = target_df.withColumn("__file", F.input_file_name()).alias("target")
+            state = self._state()
+            target_df = self._read_files(
+                [self._abs(r) for r in state["active"]],
+                dv_map=state.get("dv") or None,
+                with_file=True,
+            )
+        target = target_df.alias("target")
 
         # 1. ONE source-sided outer join drives every planning decision.
         #    S = source LEFT OUTER target is O(|source batch|) rows — tiny
@@ -1375,6 +1642,8 @@ class LakeTable:
                 "num_written_rows": written_rows,
             }
             v = snapshot_version + 1
+            touched_rel = [self._rel_of(f) for f in touched]
+            dvmap = self._state().get("dv") or {}
             lakelog.write_commit(
                 self.path,
                 Commit(
@@ -1382,7 +1651,7 @@ class LakeTable:
                     operation="MERGE",
                     timestamp_ms=lakelog.now_ms(),
                     add=adds,
-                    remove=[self._rel_of(f) for f in touched],
+                    remove=touched_rel + self._dv_release(touched_rel, dvmap),
                     cdf_path=cdf_rel,
                     schema_json=schema_json,
                     metrics=metrics,
@@ -1430,14 +1699,31 @@ class LakeTable:
             part = None
             if c.operation in ("APPEND", "CREATE", "OVERWRITE", "RESTORE") and c.add:
                 files = [self._abs(a["path"]) for a in c.add]
-                part = self._read_files(files).withColumn(CHANGE_TYPE, F.lit("insert"))
+                # RESTORE re-adds files whose restored deletion vector may
+                # mask rows: read through the post-commit DV state so
+                # DV-deleted rows don't resurface as inserts.
+                dv_after = lakelog.table_state(self.path, c.version).get("dv") or {}
+                part = self._read_files(files, dv_map=dv_after or None).withColumn(
+                    CHANGE_TYPE, F.lit("insert")
+                )
                 # OVERWRITE/RESTORE also logically delete the removed files' rows.
             if c.operation in ("OVERWRITE", "RESTORE") and c.remove:
-                files = [self._abs(r) for r in c.remove]
-                removed = self._read_files(files).withColumn(
-                    CHANGE_TYPE, F.lit("delete")
-                )
-                part = removed if part is None else part.unionByName(removed)
+                # remove entries may include released DV sidecars — they are
+                # bookkeeping for VACUUM, not data; and removed DATA files
+                # are read through the PRE-commit DV state (already-deleted
+                # rows must not be re-reported as deletes).
+                data_rels = [r for r in c.remove if not r.startswith(DV_DIR + os.sep)]
+                if data_rels:
+                    dv_before = (
+                        lakelog.table_state(self.path, c.version - 1).get("dv")
+                        if c.version > 0
+                        else {}
+                    ) or {}
+                    removed = self._read_files(
+                        [self._abs(r) for r in data_rels],
+                        dv_map=dv_before or None,
+                    ).withColumn(CHANGE_TYPE, F.lit("delete"))
+                    part = removed if part is None else part.unionByName(removed)
             if c.cdf_path:
                 cdf = self.spark.read.parquet(self._abs(c.cdf_path))
                 part = cdf if part is None else part.unionByName(cdf)

@@ -515,3 +515,151 @@ def test_shallow_clone_partitioned_reads_and_prunes(spark, tmp_path):
     got = sorted((r["id"], r["country"]) for r in clone.to_df().collect())
     assert got == [(1, "England"), (2, "Wales"), (3, "England")]
     assert clone.to_df().where("country = 'Wales'").count() == 1
+
+
+def make_dv_table(spark, tmp_path, rows, name="dvt"):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        SCHEMA,
+        properties={
+            "enableChangeDataFeed": "true",
+            "enableDeletionVectors": "true",
+        },
+    )
+    if rows:
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_dv_delete_marks_rows_without_rewriting_files(spark, tmp_path):
+    rows = [(i, "England" if i % 2 else "Wales", i * 10) for i in range(1, 9)]
+    t = make_dv_table(spark, tmp_path, rows)
+    files_before = sorted(t.files())
+    v = t.delete("country = 'Wales'")
+    # zero data-file churn: same active files, rows masked by the sidecar
+    assert sorted(t.files()) == files_before
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 3, 5, 7]
+    # the DV commit reports row-accurate metrics
+    h = {c["version"]: c for c in t.history()}
+    assert h[v]["metrics"]["deletion_vector"] is True
+    assert h[v]["metrics"]["num_deleted_rows"] == 4
+    # time travel reads pre-delete state (no DV at that version)
+    assert t.to_df(version=v - 1).count() == 8
+    # CDF reports the deletes
+    ch = t.read_changes(starting_version=v, ending_version=v).collect()
+    assert sorted(r["id"] for r in ch) == [2, 4, 6, 8]
+    assert all(r["_change_type"] == "delete" for r in ch)
+
+
+def test_dv_cumulative_deletes_and_compact_materializes(spark, tmp_path):
+    rows = [(i, "C", i) for i in range(1, 11)]
+    t = make_dv_table(spark, tmp_path, rows)
+    files_before = sorted(t.files())
+    t.delete("id <= 3")
+    t.delete("id >= 9")  # second DV on the same file must be cumulative
+    assert sorted(r["id"] for r in t.to_df().collect()) == [4, 5, 6, 7, 8]
+    assert sorted(t.files()) == files_before
+    # delete of already-DV'd rows is a no-op commit (they're invisible)
+    v = t.delete("id = 2")
+    assert t.to_df().count() == 5
+    h = {c["version"]: c for c in t.history()}
+    assert h[v]["metrics"] == {}
+    # compact applies the DVs physically and releases the sidecars
+    t.compact()
+    assert t._state()["dv"] == {}
+    assert sorted(r["id"] for r in t.to_df().collect()) == [4, 5, 6, 7, 8]
+    # released sidecars become vacuumable
+    victims = t.vacuum(retention_ms=-1)
+    assert any(v.startswith("_dv") for v in victims)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [4, 5, 6, 7, 8]
+
+
+def test_dv_update_stages_only_updated_rows(spark, tmp_path):
+    rows = [(i, "C", i * 10) for i in range(1, 9)]
+    t = make_dv_table(spark, tmp_path, rows)
+    files_before = set(t.files())
+    v = t.update({"visitors": "visitors + 1"}, "id IN (2, 5)")
+    # old files all still active, plus a small new file with the 2 rows
+    assert files_before <= set(t.files())
+    new_files = set(t.files()) - files_before
+    assert len(new_files) >= 1
+    got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 21, 3: 30, 4: 40, 5: 51, 6: 60, 7: 70, 8: 80}
+    # CDF pre/post pairs
+    ch = t.read_changes(starting_version=v, ending_version=v).collect()
+    kinds = sorted((r["id"], r["_change_type"]) for r in ch)
+    assert kinds == [
+        (2, "update_postimage"), (2, "update_preimage"),
+        (5, "update_postimage"), (5, "update_preimage"),
+    ]
+
+
+def test_dv_merge_reads_through_vectors_and_rewrites_clean(spark, tmp_path):
+    rows = [(1, "A", 10), (2, "B", 20), (3, "C", 30)]
+    t = make_dv_table(spark, tmp_path, rows)
+    t.delete("id = 2")
+    # a merge keyed on a DV-deleted row must treat it as absent (insert)
+    src = spark.createDataFrame([(2, "B2", 99), (3, "C2", 33)], SCHEMA)
+    t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    got = {r["id"]: (r["country"], r["visitors"]) for r in t.to_df().collect()}
+    assert got == {1: ("A", 10), 2: ("B2", 99), 3: ("C2", 33)}
+    # the file holding the DV-deleted old id=2 row was NOT matched by any
+    # clause, so it keeps its vector; a rewritten file would have dropped
+    # its pointer. Compaction materializes everything and clears the map.
+    t.compact()
+    assert t._state()["dv"] == {}
+    got2 = {r["id"]: (r["country"], r["visitors"]) for r in t.to_df().collect()}
+    assert got2 == got
+
+
+def test_dv_restore_reinstates_vector_state(spark, tmp_path):
+    rows = [(i, "C", i) for i in range(1, 6)]
+    t = make_dv_table(spark, tmp_path, rows)
+    v_full = t.version()
+    t.delete("id = 2")
+    v_dv1 = t.version()
+    t.delete("id = 4")
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 3, 5]
+    # restore to the single-delete version: DV state must roll back with it
+    t.restore(v_dv1)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 3, 4, 5]
+    # restore to the pre-delete version: DV tombstoned entirely
+    t.restore(v_full)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3, 4, 5]
+    assert t._state()["dv"] == {}
+
+
+def test_dv_partitioned_table(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "pdv"),
+        SCHEMA,
+        properties={"enableDeletionVectors": "true"},
+        partition_by=["country"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A", 10), (2, "A", 20), (3, "B", 30), (4, "B", 40)], SCHEMA
+        )
+    )
+    files_before = sorted(t.files())
+    t.delete("visitors = 20")
+    assert sorted(t.files()) == files_before
+    got = sorted((r["id"], r["country"]) for r in t.to_df().collect())
+    assert got == [(1, "A"), (3, "B"), (4, "B")]
+    # partition pruning still works through the DV anti-join
+    assert t.to_df().where("country = 'A'").count() == 1
+
+
+def test_dv_manifest_refuses_then_compact_allows(spark, tmp_path):
+    t = make_dv_table(spark, tmp_path, [(1, "A", 1), (2, "B", 2)])
+    t.delete("id = 1")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.generate_manifest()
+    t.compact()
+    assert t.generate_manifest()
