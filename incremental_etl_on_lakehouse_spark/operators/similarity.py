@@ -320,3 +320,55 @@ def normalize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             F.transform(F.col(vec_col), lambda x: (x.cast("double") / norm).cast("float")),
         ).otherwise(F.col(vec_col)),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding corpus, then inside
+    each cluster drop every vector that has a LOWER-id neighbor with cosine
+    >= ``threshold``. The greedy smallest-id-wins rule makes the kept set a
+    pure function of the data — no RNG, no iteration-order dependence — so
+    the operator is retry/replan deterministic.
+
+    Returns (id_col, kept boolean) for every input row.
+
+    Scale shape: the pairwise comparison is quadratic ONLY within a
+    cluster (the SemDeDup design point — k is chosen so clusters fit the
+    pair budget, ~n/k rows each); globally it is one broadcast-centroid
+    assignment (narrow projection), one self-join shuffled on cluster_id,
+    and one anti-join. No corpus-wide all-pairs comparison exists in the
+    plan. At 100 TB: fit centroids on a sample, raise k so n/k stays
+    bounded, and salt any mega-cluster the same way skewed join keys are
+    salted.
+    """
+    cents = fit_ivf_centroids(corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
+    assigned = _nearest_centroid(
+        corpus.select(id_col, vec_col), cents, id_col, vec_col
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "centroid_id")
+    left = assigned.select(
+        F.col("__id").alias("__id_a"), F.col("__v").alias("__va"), "centroid_id"
+    )
+    right = assigned.select(
+        F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"), "centroid_id"
+    )
+    dup_pairs = (
+        left.join(right, "centroid_id")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(
+            dup_pairs, F.col(id_col) == F.col("__dup_id"), "left_outer"
+        )
+        .select(id_col, F.col("__dup_id").isNull().alias("kept"))
+    )

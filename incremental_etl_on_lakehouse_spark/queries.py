@@ -855,6 +855,58 @@ def ddl_clone_shallow(spark, sf_dir):
 
 
 @query(
+    "util_deletion_vectors",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
+    " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+    " true AS delete_rewrote_nothing, true AS update_staged_only_updates"
+    " FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey",
+)
+def util_deletion_vectors(spark, sf_dir):
+    """Deletion vectors (Delta's enableDeletionVectors, lake/table.py:
+    _read_files DV anti-join + delete/update DV branches): DELETE marks
+    rows in a sidecar — the active data-file set is PROVABLY unchanged
+    (delete_rewrote_nothing compares the file lists) — and UPDATE stages
+    only the updated rows while DV-masking their old versions
+    (update_staged_only_updates verifies every pre-update file is still
+    active). The oracle pins the exact post-delete+update row set, so the
+    read-side anti-join, cumulative marking, and update staging are all
+    hash-attested."""
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "dv"),
+        schema,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("n_regionkey").cast("long"),
+        )
+    )
+    files_before = set(t.files())
+    t.delete("n_regionkey = 2")
+    delete_rewrote_nothing = set(t.files()) == files_before
+    t.update({"n_name": "upper(n_name)"}, "n_regionkey = 0")
+    update_staged_only_updates = files_before <= set(t.files())
+    return t.to_df().select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit(bool(delete_rewrote_nothing)).alias("delete_rewrote_nothing"),
+        F.lit(bool(update_staged_only_updates)).alias("update_staged_only_updates"),
+    ).orderBy("n_nationkey")
+
+
+@query(
     "ddl_drop",
     "SELECT true AS existed_before, false AS exists_after",
 )
@@ -3634,6 +3686,60 @@ def ext_cluster_kmeans_planted(spark, sf_dir):
     return assigned.select(
         "vec_id", F.col("centroid_id").cast("long").alias("cluster_id")
     )
+
+
+@query("ext_semdedup")  # kmeans partition is iterative: rows-only check
+def ext_semdedup(spark, sf_dir):
+    """SemDeDup semantic deduplication over the real embedding corpus
+    (similarity.py: semantic_dedup): k-means partition, within-cluster
+    cosine pairs >= 0.95, greedy smallest-id-wins keep rule. Rows-only here
+    (the kmeans partition defeats a SQL oracle); ext_semdedup_planted runs
+    the IDENTICAL code path on a provable fixture with a full hash oracle.
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    from incremental_etl_on_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    return semantic_dedup(embs, k=8, threshold=0.95).orderBy("vec_id")
+
+
+@query(
+    "ext_semdedup_planted",
+    "SELECT vec_id, vec_id < 4 AS kept FROM embeddings ORDER BY vec_id",
+)
+def ext_semdedup_planted(spark, sf_dir):
+    """SemDeDup with a PLANTED fixture and a full hash oracle: the
+    two-antipodal-blob construction of ext_cluster_kmeans_planted (blob =
+    vec_id % 2, provably the kmeans partition) is extended with a FAMILY
+    axis — ids with (vec_id // 2) % 2 == 1 get a z-component as large as
+    the blob axis. Within a blob, same-family cosines are ~0.9998 (>= the
+    0.95 threshold; only jitter differs) while cross-family cosines are
+    ~0.707 (provably below it), so each blob holds exactly two duplicate
+    families and the greedy smallest-id rule keeps exactly the 4 ids
+    {0,1,2,3} — one per (blob, family). The identical semantic_dedup code
+    path (deterministic kmeans seeds -> inline-literal assignment ->
+    within-cluster pair join -> anti-join) runs end-to-end, every row
+    hash-verified by DuckDB."""
+    from incremental_etl_on_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    sign = (F.lit(1) - F.lit(2) * (F.col("vec_id") % 2)).cast("double")
+    family = ((F.col("vec_id") / 2).cast("long") % 2).cast("double")
+    jitter = (F.col("vec_id") % 7).cast("double") / F.lit(100.0)
+    blobs = embs.select(
+        "vec_id",
+        F.array(
+            (sign * F.lit(10.0)).cast("float"),
+            jitter.cast("float"),
+            (family * F.lit(10.0)).cast("float"),
+            F.lit(0.0).cast("float"),
+        ).alias("embedding"),
+    )
+    return semantic_dedup(blobs, k=2, threshold=0.95).orderBy("vec_id")
 
 
 @query(

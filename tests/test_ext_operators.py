@@ -374,3 +374,30 @@ def test_tfidf_topk_hand_computed(spark):
     for doc_id, rs in by_doc.items():
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """Greedy smallest-id SemDeDup on a hand-checkable fixture: two exact
+    duplicate groups plus a singleton, one kmeans cluster (k=1)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.001]),   # ~dup of 0 (cosine ~ 1)
+        (2, [0.0, 1.0]),     # orthogonal singleton
+        (3, [0.0, 1.001]),   # ~dup of 2
+        (4, [1.0, 0.002]),   # ~dup of 0 and 1
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in similarity.semantic_dedup(
+        df, k=1, threshold=0.99
+    ).collect()}
+    assert out == {0: True, 1: False, 2: True, 3: False, 4: False}
+
+
+def test_semantic_dedup_real_embeddings_shape(spark, embs):
+    out = similarity.semantic_dedup(embs, k=8, threshold=0.95)
+    assert out.count() == embs.count()
+    kept = out.where("kept").count()
+    assert 0 < kept <= embs.count()
