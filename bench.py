@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     # benchmark-decontamination overlap join
     "q21_waiting_suppliers",
     "ext_decontaminate",
+    # round-4: deletion-vector DELETE+UPDATE end-to-end (create, append,
+    # DV delete, DV update, masked read) — tracks the sidecar read path
+    "util_deletion_vectors",
 ]
 
 

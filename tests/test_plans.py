@@ -337,3 +337,28 @@ def test_chunk_docs_no_wide_shuffle_before_sort(spark, sf_dir):
     parts = plans.exchange_partitionings(df)
     assert not any(p.startswith("hashpartitioning") for p in parts), parts
     assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
+
+
+def test_dv_read_is_broadcast_antijoin_no_shuffle(spark, tmp_path):
+    """A DV-masked snapshot read must stay one scan + a BROADCAST anti-join
+    — zero shuffle exchanges. If the DV subtract ever degrades to a
+    shuffled join, every read of a DV table pays a corpus-wide exchange."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dvplan"),
+        schema,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(spark.createDataFrame([(i, "x") for i in range(100)], schema))
+    t.delete("id % 10 = 0")
+    df = t.to_df()
+    assert df.count() == 90
+    assert plans.uses_broadcast_join(df)
+    assert plans.shuffle_count(df) == 0
