@@ -880,6 +880,87 @@ class LakeTable:
         )
         return v
 
+    def overwrite_where(self, df: DataFrame, condition: str) -> int:
+        """Selective overwrite (Delta's ``option("replaceWhere", cond)``):
+        atomically replace exactly the rows matching ``condition`` with
+        ``df`` — one commit, so readers never see the in-between state.
+
+        Every incoming row must itself satisfy ``condition`` (Delta enforces
+        the same: a replaceWhere write may not smuggle rows outside the
+        replaced region). Files with no matching rows are untouched; files
+        that mix matching and non-matching rows are rewritten keeping their
+        non-matching remainder. The touched-file probe is stats-pruned via
+        ``condition_ranges`` like DELETE, so replacing one partition's worth
+        of a clustered 100 TB table scans only the overlapping files.
+        """
+        bad = (
+            df.where(~F.coalesce(F.expr(condition), F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"replaceWhere: incoming row violates the predicate "
+                f"({condition}): {bad[0]}"
+            )
+        snapshot_version = self.version()
+        state = self._state()
+        dvmap = state.get("dv") or {}
+        candidates = self._touched_candidates(condition)
+        target = self._read_files(candidates, dv_map=dvmap, with_file=True)
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        touched = (
+            [
+                r["__file"]
+                for r in target.where(cond).select("__file").distinct().collect()
+            ]
+            if candidates
+            else []
+        )
+        kept = (
+            target.where(F.col("__file").isin(touched)).where(~cond).drop("__file")
+            if touched
+            else None
+        )
+        new_data = self._align(df)
+        if kept is not None:
+            new_data = self._align(kept).unionByName(new_data)
+        adds, rows = self._stage_write(new_data)
+        cdf_rel = None
+        if self.cdf_enabled():
+            replaced = target.where(F.col("__file").isin(touched)).where(cond).drop(
+                "__file"
+            ) if touched else None
+            parts = self._align(df).withColumn(CHANGE_TYPE, F.lit("insert"))
+            if replaced is not None:
+                parts = parts.unionByName(
+                    replaced.withColumn(CHANGE_TYPE, F.lit("delete"))
+                )
+            cdf_rel = self._write_cdf(parts)
+        v = snapshot_version + 1
+        touched_rel = [self._rel_of(f) for f in touched]
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                # distinct op name: OVERWRITE's change feed is synthesized
+                # from the whole file lists, which would double-count (and
+                # mis-classify rewritten kept rows) for a partial replace —
+                # REPLACE materializes its exact row-level changes instead
+                operation="REPLACE",
+                timestamp_ms=lakelog.now_ms(),
+                add=adds,
+                remove=touched_rel + self._dv_release(touched_rel, dvmap),
+                cdf_path=cdf_rel,
+                metrics={
+                    "num_touched_files": len(touched),
+                    "num_written_rows": rows,
+                    "replace_where": condition,
+                },
+            ),
+        )
+        return v
+
     def delete(self, condition: str) -> int:
         """DELETE FROM table WHERE condition — rewrites only touched files.
 
@@ -1686,9 +1767,9 @@ class LakeTable:
             # (inserts visible, updates/deletes missing) — same contract as
             # Delta's table_changes on a non-CDF table.
             if (
-                c.operation in ("MERGE", "DELETE")
+                c.operation in ("MERGE", "DELETE", "REPLACE", "UPDATE")
                 and c.cdf_path is None
-                and (c.add or c.remove)
+                and (c.add or c.remove or c.dv)
             ):
                 raise ValueError(
                     f"change feed incomplete: commit v{c.version} is a "

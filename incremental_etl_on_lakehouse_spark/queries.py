@@ -855,6 +855,50 @@ def ddl_clone_shallow(spark, sf_dir):
 
 
 @query(
+    "snk_replace_where",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey, 1 AS commits"
+    " FROM nation WHERE n_regionkey <> 1"
+    " UNION ALL SELECT 90, 'atlantis', 1, 1"
+    " UNION ALL SELECT 91, 'lemuria', 1, 1"
+    " ORDER BY n_nationkey",
+)
+def snk_replace_where(spark, sf_dir):
+    """Selective overwrite (Delta's ``replaceWhere``, lake/table.py:
+    overwrite_where): atomically swap exactly the n_regionkey=1 slice of
+    nation for two new rows in ONE commit (`commits` attests the single
+    version bump), leaving every other file's rows untouched; rows outside
+    the predicate are rejected up front. The oracle pins the exact
+    post-replace row set."""
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "rw"), schema)
+    t.append(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("n_regionkey").cast("long"),
+        )
+    )
+    v0 = t.version()
+    v1 = t.overwrite_where(
+        spark.createDataFrame([(90, "atlantis", 1), (91, "lemuria", 1)], schema),
+        "n_regionkey = 1",
+    )
+    return t.to_df().select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit(int(v1 - v0)).alias("commits"),
+    ).orderBy("n_nationkey")
+
+
+@query(
     "util_deletion_vectors",
     "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
     " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"

@@ -663,3 +663,58 @@ def test_dv_manifest_refuses_then_compact_allows(spark, tmp_path):
         t.generate_manifest()
     t.compact()
     assert t.generate_manifest()
+
+
+def test_replace_where_atomic_partial_overwrite(spark, tmp_path):
+    t = make_table(
+        spark,
+        tmp_path,
+        [(1, "England", 10), (2, "Wales", 20), (3, "England", 30)],
+    )
+    v0 = t.version()
+    # rows outside the predicate are rejected up front
+    with pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(
+            spark.createDataFrame([(9, "Eire", 90)], SCHEMA),
+            "country = 'England'",
+        )
+    assert t.version() == v0
+    v = t.overwrite_where(
+        spark.createDataFrame(
+            [(7, "England", 70), (8, "England", 80)], SCHEMA
+        ),
+        "country = 'England'",
+    )
+    got = sorted((r["id"], r["country"]) for r in t.to_df().collect())
+    assert got == [(2, "Wales"), (7, "England"), (8, "England")]
+    assert v == v0 + 1  # one atomic commit
+    # change feed: replaced rows as deletes, new rows as inserts, the kept
+    # Wales row absent
+    ch = sorted(
+        (r["id"], r["_change_type"])
+        for r in t.read_changes(starting_version=v, ending_version=v).collect()
+    )
+    assert ch == [(1, "delete"), (3, "delete"), (7, "insert"), (8, "insert")]
+    # time travel still sees the pre-replace snapshot
+    assert sorted(r["id"] for r in t.to_df(version=v0).collect()) == [1, 2, 3]
+
+
+def test_replace_where_untouched_files_not_rewritten(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "rw"), SCHEMA, partition_by=["country"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "A", 10), (2, "B", 20), (3, "B", 30)], SCHEMA
+        )
+    )
+    before = set(t.files())
+    t.overwrite_where(
+        spark.createDataFrame([(9, "A", 90)], SCHEMA), "country = 'A'"
+    )
+    after = set(t.files())
+    # the B-partition file survives untouched
+    b_files = {f for f in before if "country=B" in f}
+    assert b_files <= after
+    got = sorted((r["id"], r["country"]) for r in t.to_df().collect())
+    assert got == [(2, "B"), (3, "B"), (9, "A")]
