@@ -396,3 +396,51 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM cross-entropy scoring — the CCNet-style quality signal
+    (documents whose token distribution diverges from the corpus LM score
+    high and get filtered/bucketed before training).
+
+    The LM is fit on the corpus itself: add-1-smoothed unigram
+    probabilities p(t) = (count(t) + 1) / (T + V) over total token count T
+    and vocabulary size V. Each document scores avg(-ln p(t)) over its
+    tokens (cross-entropy; perplexity = exp of it). Scores are rounded to
+    6 decimals for engine-independent comparison.
+
+    Scale shape: one explode, one uniform (term) hash aggregation for the
+    LM, a term-keyed AQE join back to the token stream, a broadcast 1-row
+    (T, V) crossJoin, and a per-doc aggregation. Identical shuffle
+    discipline to tfidf_topk; no driver-side state — the "model" is a
+    DataFrame. At 100 TB, fit the LM on a hash-sample and broadcast it if
+    the vocabulary fits; the corpus-side scan is unchanged either way.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with tfidf_topk imports)
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    words = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    counts = words.groupBy("term").agg(F.count("*").alias("c"))
+    totals = words.agg(
+        F.count("*").cast("double").alias("__T"),
+        F.countDistinct("term").cast("double").alias("__V"),
+    )
+    scored = (
+        words.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (-F.log((F.col("c") + F.lit(1.0)) / (F.col("__T") + F.col("__V")))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("cross_entropy"),
+        F.round(F.exp(F.avg("__lp")), 2).alias("perplexity"),
+    )

@@ -3563,6 +3563,34 @@ def ext_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "ext_lm_perplexity",
+    "WITH toksrc AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+    "  AS term FROM documents),"
+    " tc AS (SELECT term, count(*) AS c FROM toksrc GROUP BY term),"
+    " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t,"
+    "  CAST(count(DISTINCT term) AS DOUBLE) AS v FROM toksrc),"
+    " scored AS (SELECT doc_id, -ln((c + 1.0) / (t + v)) AS lp"
+    "  FROM toksrc JOIN tc USING (term) CROSS JOIN tot)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    " round(avg(lp), 6) AS cross_entropy,"
+    " round(exp(avg(lp)), 2) AS perplexity"
+    " FROM scored GROUP BY doc_id ORDER BY doc_id",
+)
+def ext_lm_perplexity(spark, sf_dir):
+    """Unigram-LM cross-entropy / perplexity scoring (the CCNet-style
+    quality bucket signal): the LM is add-1-smoothed unigram counts fit on
+    the corpus itself, each document scored by avg(-ln p(token)). One
+    explode, one uniform term aggregation, a term-keyed AQE join, a
+    broadcast 1-row (T, V) crossJoin, and a per-doc agg — same shuffle
+    discipline as ext_tfidf_topk (operators/text.py: unigram_lm_score).
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    return T.unigram_lm_score(docs).orderBy("doc_id")
+
+
+@query(
     "ext_udf_vectorized",
     "SELECT vec_id,"
     " round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)"

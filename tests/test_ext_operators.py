@@ -401,3 +401,22 @@ def test_semantic_dedup_real_embeddings_shape(spark, embs):
     assert out.count() == embs.count()
     kept = out.where("kept").count()
     assert 0 < kept <= embs.count()
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    """Cross-entropy on a 2-doc corpus small enough to compute by hand."""
+    rows = [(1, "a a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.unigram_lm_score(df).collect()}
+    # corpus: T=5 tokens, V=3 vocab; p(a)=(3+1)/8, p(b)=(1+1)/8, p(c)=(1+1)/8
+    import math as m
+
+    lp = lambda c: -m.log((c + 1) / 8.0)  # noqa: E731
+    d1 = (lp(3) + lp(3) + lp(1)) / 3
+    d2 = (lp(3) + lp(1)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["cross_entropy"] == pytest.approx(round(d1, 6), abs=2e-6)
+    assert out[2]["cross_entropy"] == pytest.approx(round(d2, 6), abs=2e-6)
+    # rarer-token doc is higher-entropy
+    assert out[2]["cross_entropy"] > out[1]["cross_entropy"]
+    assert out[1]["perplexity"] == pytest.approx(round(m.exp(d1), 2), abs=0.01)
