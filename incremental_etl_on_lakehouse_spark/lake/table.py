@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake import log as lakelog
 from incremental_etl_on_lakehouse_spark.lake.log import CDF_DIR, DATA_DIR, Commit
@@ -522,6 +522,95 @@ class LakeTable:
         cols = self.properties().get("partitionBy", "")
         return [c for c in cols.split(",") if c] if isinstance(cols, str) else list(cols)
 
+    # ------------------------------------------------------- column mapping
+
+    @staticmethod
+    def _physical_name(field) -> str:
+        """Physical (on-disk) column name: original creation-time name,
+        carried in field metadata once the logical name diverges via
+        RENAME COLUMN (Delta's column-mapping ``physicalName``)."""
+        return (field.metadata or {}).get("physical", field.name)
+
+    def _physical_schema(self, schema: StructType) -> StructType:
+        return StructType(
+            [
+                StructField(self._physical_name(f), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    def _to_logical(self, df: DataFrame, schema: StructType, extra: list[str] = ()):
+        """Rename a physically-named frame to logical names, preserving any
+        extra (non-schema) columns by name."""
+        cols = [
+            F.col(self._physical_name(f)).alias(f.name) for f in schema.fields
+        ]
+        return df.select(*cols, *[F.col(c) for c in extra])
+
+    def _to_physical(self, df: DataFrame, schema: StructType) -> DataFrame:
+        present = set(df.columns)
+        cols = [
+            (F.col(f.name) if f.name in present else F.lit(None))
+            .cast(f.dataType)
+            .alias(self._physical_name(f))
+            for f in schema.fields
+        ]
+        extras = [c for c in df.columns if c not in {f.name for f in schema.fields}]
+        return df.select(*cols, *[F.col(c) for c in extras])
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN old TO new — metadata-only (no data
+        rewrite): the field keeps its physical name and gains the new
+        logical one, exactly Delta's column-mapping rename. Restrictions
+        (same as Delta): partition columns and columns referenced by CHECK
+        constraints or statsColumns cannot be renamed without first
+        dropping the dependent object.
+        """
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        if old in self.partition_columns():
+            raise ValueError(
+                f"cannot rename partition column {old} (hive directory names "
+                "are physical)"
+            )
+        for cname, expr in self.constraints().items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"cannot rename {old}: referenced by CHECK constraint "
+                    f"{cname} ({expr}) — drop the constraint first"
+                )
+        if old in self.stats_columns():
+            raise ValueError(
+                f"cannot rename {old}: listed in statsColumns — update the "
+                "property first"
+            )
+        new_fields = []
+        for f in schema.fields:
+            if f.name == old:
+                meta = dict(f.metadata or {})
+                meta.setdefault("physical", f.name)
+                new_fields.append(
+                    StructField(new, f.dataType, f.nullable, metadata=meta)
+                )
+            else:
+                new_fields.append(f)
+        v = self.version() + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="RENAME COLUMN",
+                timestamp_ms=lakelog.now_ms(),
+                schema_json=StructType(new_fields).json(),
+                metrics={"from": old, "to": new},
+            ),
+        )
+        return v
+
     def _dv_rows(self, dv_map: dict, files: list[str]) -> DataFrame | None:
         """Deleted-row markers (file_name, row_index) covering ``files``,
         or None when no DV applies. A DV parquet may also carry rows for a
@@ -605,8 +694,14 @@ class LakeTable:
             return df
 
         if self.partition_columns():
-            data_fields = StructType(
-                [f for f in schema.fields if f.name not in self.partition_columns()]
+            data_fields = self._physical_schema(
+                StructType(
+                    [
+                        f
+                        for f in schema.fields
+                        if f.name not in self.partition_columns()
+                    ]
+                )
             )
             # Partition discovery requires one consistent non-partition
             # prefix per read; each commit stages under its own
@@ -638,7 +733,11 @@ class LakeTable:
                 )
                 present = set(raw.columns)
                 cols = [
-                    (F.col(f.name) if f.name in present else F.lit(None))
+                    (
+                        F.col(self._physical_name(f))
+                        if self._physical_name(f) in present
+                        else F.lit(None)
+                    )
                     .cast(f.dataType)
                     .alias(f.name)
                     for f in schema.fields
@@ -646,10 +745,12 @@ class LakeTable:
                 df = raw.select(*cols, *extras())
                 out = df if out is None else out.unionByName(df)
             return finish(out)
-        raw = self.spark.read.schema(schema).parquet(*files)
+        raw = self.spark.read.schema(self._physical_schema(schema)).parquet(*files)
         ex = extras()
         if ex:
             raw = raw.select("*", *ex)
+        keep = [c for c in ("__file", "__fname", "__pos") if c in raw.columns]
+        raw = self._to_logical(raw, schema, extra=keep)
         return finish(raw)
 
     def version_at_timestamp(self, timestamp_ms: int) -> int:
@@ -704,7 +805,15 @@ class LakeTable:
         footers (no data scan) and recorded in the add entries."""
         rel_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
         out = self._abs(rel_dir)
-        writer = df.write.mode("overwrite")
+        cur_schema = self.schema()
+        phys2log = {
+            self._physical_name(f): f.name
+            for f in cur_schema.fields
+            if self._physical_name(f) != f.name
+        }
+        # column mapping: files always carry PHYSICAL names, so a renamed
+        # column's old files stay readable without rewrite
+        writer = self._to_physical(df, cur_schema).write.mode("overwrite")
         if self.partition_columns():
             writer = writer.partitionBy(*self.partition_columns())
         writer.parquet(out)
@@ -718,6 +827,8 @@ class LakeTable:
         cons = self.constraints()
         if cons:
             staged = self.spark.read.parquet(out)
+            if phys2log:
+                staged = staged.withColumnsRenamed(phys2log)
             viol = None
             for name, expr in cons.items():
                 v = ~F.coalesce(F.expr(expr), F.lit(True))
@@ -755,6 +866,10 @@ class LakeTable:
                             for ci in range(group.num_columns):
                                 col = group.column(ci)
                                 cname = schema_names[ci] if ci < len(schema_names) else col.path_in_schema
+                                # footers carry physical names; stats are
+                                # recorded under the write-time LOGICAL name
+                                # (skipping probes match on logical)
+                                cname = phys2log.get(cname, cname)
                                 if cname in stat_cols and col.statistics is not None:
                                     s = col.statistics
                                     if s.has_min_max:
@@ -1417,7 +1532,12 @@ class LakeTable:
 
     def _write_cdf(self, df: DataFrame) -> str:
         rel = os.path.join(CDF_DIR, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(self._abs(rel))
+        # physical names on disk (column mapping): a later rename must not
+        # orphan historical change rows — read side re-aliases to the
+        # current logical names
+        self._to_physical(df, self.schema()).write.mode("overwrite").parquet(
+            self._abs(rel)
+        )
         return rel
 
     # ---------------------------------------------------------------- MERGE
@@ -1807,6 +1927,14 @@ class LakeTable:
                     part = removed if part is None else part.unionByName(removed)
             if c.cdf_path:
                 cdf = self.spark.read.parquet(self._abs(c.cdf_path))
+                ren = {
+                    self._physical_name(f): f.name
+                    for f in schema.fields
+                    if self._physical_name(f) != f.name
+                    and self._physical_name(f) in cdf.columns
+                }
+                if ren:
+                    cdf = cdf.withColumnsRenamed(ren)
                 part = cdf if part is None else part.unionByName(cdf)
             if part is not None:
                 parts.append(

@@ -855,6 +855,54 @@ def ddl_clone_shallow(spark, sf_dir):
 
 
 @query(
+    "ddl_rename_column",
+    "SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name,"
+    " CAST(n_regionkey AS BIGINT) AS region_key, true AS zero_rewrite"
+    " FROM nation"
+    " UNION ALL SELECT 99, 'zephyr', 0, true ORDER BY nation_key",
+)
+def ddl_rename_column(spark, sf_dir):
+    """ALTER TABLE RENAME COLUMN via column mapping (lake/table.py:
+    rename_column): two renames are metadata-only commits — the data-file
+    set is provably unchanged (zero_rewrite) and the files keep their
+    physical column names — then an append lands under the NEW logical
+    names into the SAME physical columns, so old and new files union
+    transparently. The oracle pins the full post-rename row set under the
+    renamed columns."""
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "ren"), schema)
+    t.append(
+        load_table(spark, "nation", sf_dir).select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("n_regionkey").cast("long"),
+        )
+    )
+    files_before = sorted(t.files())
+    t.rename_column("n_nationkey", "nation_key")
+    t.rename_column("n_regionkey", "region_key")
+    zero_rewrite = sorted(t.files()) == files_before
+    t.append(
+        spark.createDataFrame(
+            [(99, "zephyr", 0)],
+            "nation_key long, n_name string, region_key long",
+        )
+    )
+    return t.to_df().select(
+        "nation_key",
+        "n_name",
+        "region_key",
+        F.lit(bool(zero_rewrite)).alias("zero_rewrite"),
+    ).orderBy("nation_key")
+
+
+@query(
     "snk_replace_where",
     "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
     " CAST(n_regionkey AS BIGINT) AS n_regionkey, 1 AS commits"

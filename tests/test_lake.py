@@ -718,3 +718,76 @@ def test_replace_where_untouched_files_not_rewritten(spark, tmp_path):
     assert b_files <= after
     got = sorted((r["id"], r["country"]) for r in t.to_df().collect())
     assert got == [(2, "B"), (3, "B"), (9, "A")]
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    files_before = sorted(t.files())
+    v = t.rename_column("visitors", "visit_count")
+    # metadata-only: same data files, new logical name
+    assert sorted(t.files()) == files_before
+    assert [f.name for f in t.schema().fields] == ["id", "country", "visit_count"]
+    got = {r["id"]: r["visit_count"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 20}
+    # writes after the rename use the new logical name and land in the
+    # same physical column, so old and new files union cleanly
+    t.append(spark.createDataFrame([(3, "Scotland", 30)],
+             "id long, country string, visit_count long"))
+    got = {r["id"]: r["visit_count"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # predicates/updates on the new name work across old+new files
+    t.update({"visit_count": "visit_count + 1"}, "id = 1")
+    assert t.to_df().where("visit_count = 11").count() == 1
+    # CDF written before AND after the rename reads under the current name
+    ch = t.read_changes(starting_version=1)
+    assert "visit_count" in ch.columns and "visitors" not in ch.columns
+    assert ch.count() > 0
+    # audit trail
+    ops = [h["operation"] for h in t.history()]
+    assert "RENAME COLUMN" in ops
+    assert v == 2
+
+
+def test_rename_column_restrictions(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "rp"), SCHEMA, partition_by=["country"],
+        properties={"statsColumns": "id"},
+    )
+    t.append(spark.createDataFrame([(1, "A", 10)], SCHEMA))
+    with pytest.raises(ValueError, match="partition"):
+        t.rename_column("country", "nation")
+    with pytest.raises(ValueError, match="statsColumns"):
+        t.rename_column("id", "ident")
+    t2 = make_table(spark, tmp_path, [(1, "A", 10)], cdf=False)
+    t2.add_constraint("pos", "visitors >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t2.rename_column("visitors", "v2")
+    with pytest.raises(ValueError, match="no such column"):
+        t2.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t2.rename_column("id", "country")
+
+
+def test_rename_column_merge_and_second_rename(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "England", 10)], cdf=False)
+    t.rename_column("visitors", "v2")
+    src = spark.createDataFrame(
+        [(1, "England", 99), (2, "Wales", 20)],
+        "id long, country string, v2 long",
+    )
+    t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    got = {r["id"]: r["v2"] for r in t.to_df().collect()}
+    assert got == {1: 99, 2: 20}
+    # rename a second time: physical anchor stays the ORIGINAL name
+    t.rename_column("v2", "v3")
+    got = {r["id"]: r["v3"] for r in t.to_df().collect()}
+    assert got == {1: 99, 2: 20}
+    phys = {
+        f.name: (f.metadata or {}).get("physical", f.name)
+        for f in t.schema().fields
+    }
+    assert phys["v3"] == "visitors"
