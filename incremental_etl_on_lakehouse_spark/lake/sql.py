@@ -445,3 +445,23 @@ def execute_alter_constraint(spark: SparkSession, sql: str, resolve) -> int:
     ):
         return target.version()
     return target.drop_constraint(name)
+
+
+def parse_alter_rename_column(sql: str) -> tuple[str, str, str]:
+    """``ALTER TABLE <t> RENAME COLUMN <old> TO <new>`` ->
+    (table, old, new)."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+RENAME\s+COLUMN\s+"
+        rf"(?P<o>{_IDENT})\s+TO\s+(?P<n>{_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError("not an ALTER TABLE ... RENAME COLUMN statement")
+    return m.group("t"), m.group("o").strip("`"), m.group("n").strip("`")
+
+
+def execute_alter_rename_column(spark: SparkSession, sql: str, resolve) -> int:
+    table, old, new = parse_alter_rename_column(sql)
+    return _resolve(resolve, table).rename_column(old, new)

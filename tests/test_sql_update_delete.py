@@ -235,3 +235,24 @@ def test_sql_alter_table_constraint_roundtrip(spark, tmp_path):
     )
     t.append(spark.createDataFrame([(-1,)], schema))
     assert t.to_df().count() == 1
+
+
+def test_sql_alter_table_rename_column(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_alter_rename_column,
+        parse_alter_rename_column,
+    )
+
+    assert parse_alter_rename_column(
+        "ALTER TABLE t RENAME COLUMN a TO b;"
+    ) == ("t", "a", "b")
+    schema = StructType([StructField("x", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(5,)], schema))
+    execute_alter_rename_column(
+        spark, "ALTER TABLE t RENAME COLUMN x TO y", {"t": t}
+    )
+    assert [r["y"] for r in t.to_df().collect()] == [5]
