@@ -49,6 +49,12 @@ CONSTRAINT_PREFIX = "constraint."
 # markers). Never part of the active data-file set.
 DV_DIR = "_dv"
 
+# Bloom-filter file index: per-file membership bitmaps for the columns in
+# the ``bloomFilterColumns`` property (Delta's bloom filter index). Fixed
+# seed family; the bitmap length is recorded implicitly by its size, so a
+# later ``bloomFilterBits`` change never mis-probes old files.
+BLOOM_SEEDS = (0x51ED0, 0x51ED1, 0x51ED2)
+
 
 class ConstraintViolationError(ValueError):
     """A write produced rows that violate a table CHECK constraint; the
@@ -790,6 +796,16 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
 
+    def bloom_columns(self) -> list[str]:
+        """Columns with a per-file bloom-filter index (``bloomFilterColumns``
+        property) — point-predicate file skipping for high-cardinality,
+        unclustered keys where min/max stats can't prune."""
+        raw = self.properties().get("bloomFilterColumns", "")
+        return [c.strip() for c in str(raw).split(",") if c.strip()]
+
+    def bloom_bits(self) -> int:
+        return int(self.properties().get("bloomFilterBits", "65536"))
+
     def stats_columns(self) -> list[str]:
         """Columns whose per-file min/max go into the commit log (for data
         skipping). Set via the ``statsColumns`` table property, e.g. the
@@ -845,6 +861,44 @@ class LakeTable:
                     f"write violates CHECK constraint(s) {fired or list(cons)}: "
                     f"{bad[0]}"
                 )
+        # Bloom-filter index build (opt-in): one aggregation pass over the
+        # STAGED files computing per-(file, column, seed) bit-position sets
+        # — cost tracks the write size, like the constraint gate. Collected
+        # volume is bounded by m bits per (file, column), not by row count.
+        blooms: dict[str, dict[str, str]] = {}
+        bcols = [
+            c
+            for c in self.bloom_columns()
+            if c in {f.name for f in cur_schema.fields}
+        ]
+        if bcols:
+            import base64
+
+            m_bits = self.bloom_bits()
+            st = self.spark.read.parquet(out)
+            if phys2log:
+                st = st.withColumnsRenamed(phys2log)
+            fname = F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+            aggs = []
+            for c in bcols:
+                for si, seed in enumerate(BLOOM_SEEDS):
+                    aggs.append(
+                        F.collect_set(
+                            F.pmod(
+                                F.xxhash64(F.col(c), F.lit(seed)), F.lit(m_bits)
+                            )
+                        ).alias(f"__b_{c}_{si}")
+                    )
+            for r in st.select(fname, *bcols).groupBy("__f").agg(*aggs).collect():
+                per = {}
+                for c in bcols:
+                    bits = bytearray(m_bits // 8)
+                    for si in range(len(BLOOM_SEEDS)):
+                        for p in r[f"__b_{c}_{si}"] or []:
+                            bits[p // 8] |= 1 << (p % 8)
+                    per[c] = base64.b64encode(bytes(bits)).decode()
+                blooms[r["__f"]] = per
+
         adds, total = [], 0
         import pyarrow.parquet as pq
 
@@ -858,6 +912,8 @@ class LakeTable:
                         "path": os.path.relpath(full, self.path),
                         "rows": meta.num_rows,
                     }
+                    if blooms.get(name):
+                        add["bloom"] = blooms[name]
                     if stat_cols:
                         stats: dict[str, list] = {}
                         schema_names = meta.schema.names
@@ -897,9 +953,55 @@ class LakeTable:
         turns a 100 TB merge probe into a scan of just the key-overlapping
         files."""
         active = self._state(version)["active"]
+        # point-predicate bloom probe: for equality bounds (lo == hi) on an
+        # indexed column, compute the probe's full 64-bit hashes ONCE (one
+        # 1-row jvm eval — the literal is cast to the column's type so the
+        # hash matches the build side), then test each file's bitmap at
+        # (hash mod that file's own m) — the bitmap length carries m, so a
+        # bloomFilterBits change never mis-probes old files.
+        probe_hashes: dict[str, list[int]] = {}
+        eq = {
+            c: lo
+            for c, (lo, hi) in (ranges or {}).items()
+            if lo is not None and lo == hi
+        }
+        if eq and any((a.get("bloom") or {}) for a in active.values()):
+            fields = {f.name: f for f in self.schema().fields}
+            exprs = []
+            for c, v in eq.items():
+                if c not in fields:
+                    continue
+                for si, seed in enumerate(BLOOM_SEEDS):
+                    exprs.append(
+                        F.xxhash64(
+                            F.lit(v).cast(fields[c].dataType), F.lit(seed)
+                        ).alias(f"{c}__{si}")
+                    )
+            if exprs:
+                row = self.spark.range(1).select(*exprs).collect()[0]
+                for c in eq:
+                    if f"{c}__0" in row.asDict():
+                        probe_hashes[c] = [
+                            row[f"{c}__{si}"] for si in range(len(BLOOM_SEEDS))
+                        ]
+        import base64
+
         out = []
         for rel, add in active.items():
             keep = True
+            bloom = add.get("bloom") or {}
+            for colname, hashes in probe_hashes.items():
+                if colname in bloom:
+                    bits = base64.b64decode(bloom[colname])
+                    m_file = len(bits) * 8
+                    if not all(
+                        bits[(h % m_file) // 8] >> ((h % m_file) % 8) & 1
+                        for h in hashes
+                    ):
+                        keep = False
+                        break
+            if not keep:
+                continue
             stats = add.get("stats") or {}
             for colname, (lo, hi) in (ranges or {}).items():
                 if colname in stats:
@@ -926,7 +1028,10 @@ class LakeTable:
         are extracted from the condition's top-level AND conjuncts; files
         whose recorded min/max can't overlap are skipped without a scan."""
         return self.files_matching(
-            condition_ranges(condition, self.stats_columns())
+            condition_ranges(
+                condition,
+                sorted(set(self.stats_columns()) | set(self.bloom_columns())),
+            )
             if condition
             else None
         )

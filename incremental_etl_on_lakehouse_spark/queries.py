@@ -947,6 +947,55 @@ def snk_replace_where(spark, sf_dir):
 
 
 @query(
+    "util_bloom_skipping",
+    "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,"
+    " CAST(c_nationkey AS BIGINT) AS c_nationkey, true AS probe_pruned"
+    " FROM customer WHERE c_name <> concat('Customer#', lpad(CAST(7 AS VARCHAR), 9, '0'))"
+    " ORDER BY c_custkey",
+)
+def util_bloom_skipping(spark, sf_dir):
+    """Bloom-filter file index (Delta's bloom filter index, lake/table.py:
+    _stage_write build + files_matching probe): customer is appended as
+    four separate files with a bloom index on c_name (high-cardinality,
+    unclustered — min/max stats barely prune names), then a point DELETE
+    on one name probes the blooms. probe_pruned attests the probe kept
+    strictly fewer files than the table holds (bloom false positives can
+    retain an extra file but never all), and the oracle pins the exact
+    surviving rows — a lost file would drop rows, a false skip would keep
+    the deleted one."""
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "bloom"),
+        schema,
+        properties={"bloomFilterColumns": "c_name", "bloomFilterBits": "65536"},
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").cast("long"),
+        "c_name",
+        F.col("c_nationkey").cast("long"),
+    )
+    for bucket in range(4):
+        t.append(cust.where(F.col("c_custkey") % 4 == bucket).coalesce(1))
+    target_name = "Customer#%09d" % 7
+    probed = t._touched_candidates(f"c_name = '{target_name}'")
+    probe_pruned = 0 < len(probed) < len(t.files())
+    t.delete(f"c_name = '{target_name}'")
+    return t.to_df().select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(bool(probe_pruned)).alias("probe_pruned"),
+    ).orderBy("c_custkey")
+
+
+@query(
     "util_deletion_vectors",
     "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
     " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"

@@ -791,3 +791,48 @@ def test_rename_column_merge_and_second_rename(spark, tmp_path):
         for f in t.schema().fields
     }
     assert phys["v3"] == "visitors"
+
+
+def test_bloom_filter_index_skips_point_lookups(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "bf"),
+        SCHEMA,
+        properties={"bloomFilterColumns": "country", "bloomFilterBits": "8192"},
+    )
+    # three appends -> three files with disjoint country sets
+    t.append(spark.createDataFrame([(1, "Albania", 1), (2, "Belgium", 2)], SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([(3, "Croatia", 3), (4, "Denmark", 4)], SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([(5, "Estonia", 5), (6, "Finland", 6)], SCHEMA).coalesce(1))
+    assert len(t.files()) == 3
+    # the probe prunes to (almost certainly) the single containing file
+    probed = t._touched_candidates("country = 'Croatia'")
+    assert len(probed) <= 2  # bloom fp could retain one extra, never all
+    assert any("data" in p for p in probed)
+    # and NEVER loses the containing file: the delete is correct
+    v = t.delete("country = 'Croatia'")
+    got = sorted(r["country"] for r in t.to_df().collect())
+    assert got == ["Albania", "Belgium", "Denmark", "Estonia", "Finland"]
+    h = {c["version"]: c for c in t.history()}
+    assert h[v]["metrics"]["num_touched_files"] == 1
+    # probe for an absent key touches nothing
+    assert t._touched_candidates("country = 'Wakanda'") == [] or len(
+        t._touched_candidates("country = 'Wakanda'")
+    ) <= 1
+    v2 = t.delete("country = 'Wakanda'")
+    assert h != {} and t.to_df().count() == 5
+    # integer point probes hash with the column's type (long), not the
+    # python literal's: id = 5 must find Estonia's file
+    probed_id = t._touched_candidates("id = 5")
+    assert len(probed_id) == 3  # id is NOT bloom-indexed: all files kept
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "bf2"),
+        SCHEMA,
+        properties={"bloomFilterColumns": "id"},
+    )
+    t2.append(spark.createDataFrame([(10, "x", 1)], SCHEMA).coalesce(1))
+    t2.append(spark.createDataFrame([(20, "y", 2)], SCHEMA).coalesce(1))
+    assert len(t2._touched_candidates("id = 20")) <= 1
+    t2.delete("id = 20")
+    assert [r["id"] for r in t2.to_df().collect()] == [10]
