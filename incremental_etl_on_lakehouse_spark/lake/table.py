@@ -278,6 +278,19 @@ class LakeTable:
             if missing:
                 raise ValueError(f"partition columns not in schema: {missing}")
             props["partitionBy"] = ",".join(partition_by)
+        # Generated columns (Delta's GENERATED ALWAYS AS, creation-time
+        # only): each ``generated.<col>`` property implies a null-safe
+        # equality CHECK, so a writer that PROVIDES the column is held to
+        # the generation expression by the ordinary staged-file gate, while
+        # _align computes it when absent.
+        for k, expr in list(props.items()):
+            if k.startswith("generated."):
+                gcol = k[len("generated."):]
+                if gcol not in schema.fieldNames():
+                    raise ValueError(f"generated column not in schema: {gcol}")
+                props.setdefault(
+                    CONSTRAINT_PREFIX + f"gen_{gcol}", f"`{gcol}` <=> ({expr})"
+                )
         os.makedirs(t.path, exist_ok=True)
         lakelog.write_commit(
             t.path,
@@ -513,6 +526,14 @@ class LakeTable:
             raise ValueError(
                 "cannot generate a symlink manifest for a snapshot with "
                 "deletion vectors: run compact() first to materialize them"
+            )
+        if any(self._physical_name(f) != f.name for f in self.schema().fields):
+            # external readers see the files' PHYSICAL column names; a
+            # renamed table would silently surface stale names (Delta
+            # blocks symlink manifests under column mapping the same way)
+            raise ValueError(
+                "cannot generate a symlink manifest for a column-mapped "
+                "(renamed) table: external readers would see physical names"
             )
         manifest_dir = self._abs("_symlink_format_manifest")
         os.makedirs(manifest_dir, exist_ok=True)
@@ -1036,11 +1057,26 @@ class LakeTable:
             else None
         )
 
+    def generated_columns(self) -> dict[str, str]:
+        """{column: generation_expr} from ``generated.<col>`` properties."""
+        return {
+            k[len("generated."):]: v
+            for k, v in self.properties().items()
+            if k.startswith("generated.") and v
+        }
+
     def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
         schema = schema or self.schema()
         present = set(df.columns)
+        gen = self.generated_columns() if present else {}
         cols = [
-            (F.col(f.name) if f.name in present else F.lit(None))
+            (
+                F.col(f.name)
+                if f.name in present
+                else (
+                    F.expr(gen[f.name]) if f.name in gen else F.lit(None)
+                )
+            )
             .cast(f.dataType)
             .alias(f.name)
             for f in schema.fields

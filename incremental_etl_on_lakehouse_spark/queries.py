@@ -947,6 +947,60 @@ def snk_replace_where(spark, sf_dir):
 
 
 @query(
+    "ddl_generated_columns",
+    "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+    " CAST(o_custkey AS BIGINT) AS o_custkey,"
+    " CAST(o_custkey % 100 AS BIGINT) AS cust_bucket, 1 AS n_rejected"
+    " FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+)
+def ddl_generated_columns(spark, sf_dir):
+    """Generated columns (Delta's GENERATED ALWAYS AS, lake/table.py:
+    create + _align): cust_bucket is declared generated as
+    o_custkey % 100. The first append OMITS the column (auto-computed by
+    _align), a second append providing a WRONG value is rejected by the
+    implicit null-safe-equality CHECK at the staged-file gate (n_rejected
+    attests the atomic rejection), and the oracle pins the exact computed
+    values for every row."""
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("cust_bucket", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "gencol"),
+        schema,
+        properties={"generated.cust_bucket": "o_custkey % 100"},
+    )
+    base = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderkey") <= 100)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_custkey").cast("long"),
+        )
+    )
+    t.append(base)  # cust_bucket absent -> computed
+    rejected = 0
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+    )
+
+    try:
+        t.append(spark.createDataFrame([(999999, 1, 55)], schema))
+    except ConstraintViolationError:
+        rejected += 1
+    return t.to_df().select(
+        "o_orderkey",
+        "o_custkey",
+        "cust_bucket",
+        F.lit(rejected).alias("n_rejected"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "util_bloom_skipping",
     "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,"
     " CAST(c_nationkey AS BIGINT) AS c_nationkey, true AS probe_pruned"

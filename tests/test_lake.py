@@ -836,3 +836,46 @@ def test_bloom_filter_index_skips_point_lookups(spark, tmp_path):
     assert len(t2._touched_candidates("id = 20")) <= 1
     t2.delete("id = 20")
     assert [r["id"] for r in t2.to_df().collect()] == [10]
+
+
+def test_manifest_refuses_renamed_table(spark, tmp_path):
+    t = make_table(spark, tmp_path, [(1, "A", 1)], cdf=False)
+    assert t.generate_manifest()
+    t.rename_column("visitors", "v2")
+    with pytest.raises(ValueError, match="column-mapped"):
+        t.generate_manifest()
+
+
+def test_generated_columns_compute_and_enforce(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+    )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "gen"),
+        SCHEMA,
+        properties={"generated.visitors": "id * 10"},
+    )
+    # absent column -> computed from the expression
+    t.append(
+        spark.createDataFrame([(1, "A"), (2, "B")], "id long, country string")
+    )
+    got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 20}
+    # provided-and-consistent passes
+    t.append(spark.createDataFrame([(3, "C", 30)], SCHEMA))
+    # provided-but-wrong is rejected at the gate, atomically
+    v = t.version()
+    with pytest.raises(ConstraintViolationError, match="gen_visitors"):
+        t.append(spark.createDataFrame([(4, "D", 5)], SCHEMA))
+    assert t.version() == v
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3]
+    # creation-time validation
+    with pytest.raises(ValueError, match="generated column not in schema"):
+        LakeTable.create(
+            spark,
+            str(tmp_path / "gen2"),
+            SCHEMA,
+            properties={"generated.nope": "id"},
+        )
