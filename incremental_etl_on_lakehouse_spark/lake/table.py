@@ -291,6 +291,27 @@ class LakeTable:
                 props.setdefault(
                     CONSTRAINT_PREFIX + f"gen_{gcol}", f"`{gcol}` <=> ({expr})"
                 )
+        # Identity columns (Delta's GENERATED ALWAYS AS IDENTITY):
+        # ``identity.<col>`` = "start,step". The column is auto-listed in
+        # statsColumns so the high-water mark after each append comes FREE
+        # from the parquet footer stats — no extra job.
+        id_cols = [
+            k[len("identity."):] for k in props if k.startswith("identity.")
+        ]
+        for icol in id_cols:
+            if icol not in schema.fieldNames():
+                raise ValueError(f"identity column not in schema: {icol}")
+            if f"generated.{icol}" in props:
+                raise ValueError(f"{icol} cannot be both generated and identity")
+        if id_cols:
+            existing = [
+                c.strip()
+                for c in str(props.get("statsColumns", "")).split(",")
+                if c.strip()
+            ]
+            props["statsColumns"] = ",".join(
+                existing + [c for c in id_cols if c not in existing]
+            )
         os.makedirs(t.path, exist_ok=True)
         lakelog.write_commit(
             t.path,
@@ -1057,6 +1078,17 @@ class LakeTable:
             else None
         )
 
+    def identity_columns(self) -> dict[str, tuple[int, int]]:
+        """{column: (start, step)} from ``identity.<col>`` properties."""
+        out = {}
+        for k, v in self.properties().items():
+            if k.startswith("identity."):
+                start, step = (int(x) for x in str(v).split(","))
+                if step == 0:
+                    raise ValueError("identity step must be nonzero")
+                out[k[len("identity."):]] = (start, step)
+        return out
+
     def generated_columns(self) -> dict[str, str]:
         """{column: generation_expr} from ``generated.<col>`` properties."""
         return {
@@ -1102,7 +1134,49 @@ class LakeTable:
             if new_fields:
                 write_schema = StructType(write_schema.fields + new_fields)
                 schema_json = write_schema.json()
+        # Identity assignment (GENERATED ALWAYS AS IDENTITY): the column
+        # may not be written explicitly; values are hwm + step * (1 + a
+        # per-row unique id). monotonically_increasing_id leaves gaps —
+        # exactly Delta's identity contract (unique and advancing, never
+        # contiguous) — so no global ordering shuffle is ever needed.
+        idcols = self.identity_columns()
+        props_after: dict = {}
+        if idcols:
+            provided = set(df.columns)
+            for icol in idcols:
+                if icol in provided:
+                    raise ValueError(
+                        f"{icol} is GENERATED ALWAYS AS IDENTITY — values "
+                        "cannot be supplied explicitly"
+                    )
+            props = self.properties()
+            for icol, (start, step) in idcols.items():
+                hwm = props.get(f"identityHighWater.{icol}")
+                base = int(hwm) if hwm is not None else start - step
+                df = df.withColumn(
+                    icol,
+                    (
+                        F.lit(base)
+                        + F.lit(step) * (F.monotonically_increasing_id() + 1)
+                    ).cast("long"),
+                )
         adds, rows = self._stage_write(self._align(df, write_schema))
+        if idcols and rows:
+            # new high-water marks come free from the footer stats the
+            # identity columns were auto-enrolled in at creation
+            for icol, (start, step) in idcols.items():
+                vals = [
+                    (a.get("stats") or {}).get(icol)
+                    for a in adds
+                    if (a.get("stats") or {}).get(icol)
+                ]
+                if vals:
+                    extreme = (
+                        max(v[1] for v in vals)
+                        if step > 0
+                        else min(v[0] for v in vals)
+                    )
+                    props_after[f"identityHighWater.{icol}"] = int(extreme)
         v = snapshot_version + 1
         lakelog.write_commit(
             self.path,
@@ -1112,6 +1186,7 @@ class LakeTable:
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
                 schema_json=schema_json,
+                properties=props_after,
                 metrics={"num_inserted_rows": rows},
             ),
         )

@@ -947,6 +947,66 @@ def snk_replace_where(spark, sf_dir):
 
 
 @query(
+    "ddl_identity_columns",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS unique_ok,"
+    " true AS min_ok, true AS step_ok, true AS advancing_ok"
+    " FROM nation",
+)
+def ddl_identity_columns(spark, sf_dir):
+    """Identity columns (Delta's GENERATED ALWAYS AS IDENTITY,
+    lake/table.py: create + append): two appends of the nation halves get
+    auto-assigned ids (start 1000, step 3) with NO global ordering shuffle
+    — uniqueness and advancement come from per-row unique ids plus the
+    footer-stats high-water mark, gaps allowed exactly as Delta specifies.
+    The attestation booleans verify uniqueness, the start bound, step
+    divisibility, and that batch 2's ids all exceed batch 1's high-water
+    mark; explicit id writes are rejected (GENERATED ALWAYS)."""
+    schema = StructType(
+        [
+            StructField("row_id", LongType()),
+            StructField("n_name", StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "ident"),
+        schema,
+        properties={"identity.row_id": "1000,3"},
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_name", F.col("n_nationkey").cast("long").alias("nk")
+    )
+    t.append(nat.where(F.col("nk") % 2 == 0).select("n_name"))
+    hwm1 = int(t.properties()["identityHighWater.row_id"])
+    t.append(nat.where(F.col("nk") % 2 == 1).select("n_name"))
+    rows = t.to_df().select("row_id").collect()
+    ids = [r["row_id"] for r in rows]
+    batch2 = [
+        r["row_id"]
+        for r in t.read_changes(
+            starting_version=t.version(), ending_version=t.version()
+        ).collect()
+    ]
+    unique_ok = len(ids) == len(set(ids))
+    min_ok = all(v >= 1000 for v in ids)
+    step_ok = all((v - 1000) % 3 == 0 for v in ids)
+    advancing_ok = bool(batch2) and min(batch2) > hwm1
+    return spark.createDataFrame(
+        [
+            (
+                len(ids),
+                bool(unique_ok),
+                bool(min_ok),
+                bool(step_ok),
+                bool(advancing_ok),
+            )
+        ],
+        "n_rows long, unique_ok boolean, min_ok boolean, step_ok boolean,"
+        " advancing_ok boolean",
+    )
+
+
+@query(
     "ddl_generated_columns",
     "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
     " CAST(o_custkey AS BIGINT) AS o_custkey,"

@@ -879,3 +879,38 @@ def test_generated_columns_compute_and_enforce(spark, tmp_path):
             SCHEMA,
             properties={"generated.nope": "id"},
         )
+
+
+def test_identity_columns_assign_unique_advancing(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        SCHEMA,
+        properties={"identity.id": "100,5"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [("A", 1), ("B", 2), ("C", 3)], "country string, visitors long"
+        ).repartition(2)
+    )
+    first = sorted(r["id"] for r in t.to_df().collect())
+    assert len(set(first)) == 3
+    assert all(v >= 100 and (v - 100) % 5 == 0 for v in first)
+    hwm1 = int(t.properties()["identityHighWater.id"])
+    assert hwm1 == max(first)
+    # second append never collides and advances past the first batch
+    t.append(
+        spark.createDataFrame([("D", 4), ("E", 5)], "country string, visitors long")
+    )
+    allids = [r["id"] for r in t.to_df().collect()]
+    assert len(set(allids)) == 5
+    second = sorted(set(allids) - set(first))
+    assert min(second) > hwm1
+    # GENERATED ALWAYS: explicit values are rejected
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        t.append(spark.createDataFrame([(999, "F", 6)], SCHEMA))
+    # invalid declarations
+    with pytest.raises(ValueError, match="identity column not in schema"):
+        LakeTable.create(
+            spark, str(tmp_path / "i2"), SCHEMA, properties={"identity.zz": "1,1"}
+        )
