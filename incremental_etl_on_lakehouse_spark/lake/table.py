@@ -399,6 +399,28 @@ class LakeTable:
         return commits
 
     def _state(self, version: int | None = None) -> dict:
+        """Table state (active files, schema, properties, dv). The returned
+        dict is shared via a version-keyed cache — treat it as READ-ONLY.
+
+        One write operation consults state many times (schema, partition
+        columns, constraints, bloom/stats columns, dv map...); without the
+        cache each consult re-parses the whole commit tail. The cache key
+        is the latest commit version (one directory listing), so any
+        commit — ours or a concurrent writer's — invalidates it.
+        """
+        if version is None:
+            commit_vs, _ = lakelog.list_versions(self.path)
+            if not commit_vs:
+                raise ValueError(f"not a lake table: {self.path}")
+            latest = commit_vs[-1]
+            cached = getattr(self, "_state_memo", None)
+            if cached is not None and cached[0] == latest:
+                return cached[1]
+            state = lakelog.table_state(self.path, latest)
+            if state is None:
+                raise ValueError(f"not a lake table: {self.path}")
+            self._state_memo = (latest, state)
+            return state
         state = lakelog.table_state(self.path, version)
         if state is None:
             raise ValueError(f"not a lake table: {self.path}")
@@ -1100,7 +1122,10 @@ class LakeTable:
     def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
         schema = schema or self.schema()
         present = set(df.columns)
-        gen = self.generated_columns() if present else {}
+        missing = [f.name for f in schema.fields if f.name not in present]
+        # property lookup (a log read) only when a column actually needs
+        # filling — the common all-columns-present call costs nothing extra
+        gen = self.generated_columns() if missing else {}
         cols = [
             (
                 F.col(f.name)
