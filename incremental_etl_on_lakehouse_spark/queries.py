@@ -3774,6 +3774,48 @@ def ext_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "ext_corpus_pipeline",
+    "WITH dedup AS (SELECT doc_id, text FROM ("
+    "  SELECT doc_id, text, row_number() OVER ("
+    "   PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents)"
+    "  WHERE rn = 1),"
+    " kept AS (SELECT doc_id, text FROM dedup WHERE"
+    "  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) >= 20),"
+    " base AS (SELECT doc_id,"
+    "  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks"
+    "  FROM kept),"
+    " sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM base),"
+    " c AS (SELECT doc_id, toks, n, CASE WHEN n <= 32 THEN 1"
+    "  ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1 END AS nc FROM sized),"
+    " e AS (SELECT doc_id, toks, n,"
+    "  unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)"
+    " SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,"
+    " array_to_string(list_slice(toks, CAST(chunk_idx * 24 + 1 AS BIGINT),"
+    "  CAST(chunk_idx * 24 + 32 AS BIGINT)), ' ') AS chunk_text,"
+    " CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens"
+    " FROM e ORDER BY doc_id, chunk_idx",
+)
+def ext_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus preparation, composed from the
+    engine's own operators: exact dedup (min-id representative per content
+    hash, operators/dedup.py:dedup_exact) -> minimum-length quality filter
+    (token_count_ws >= 20) -> sliding-window chunking (window 32, stride
+    24, text.py:chunk_documents). One shuffle total (the dedup hash
+    groupBy); the filter and chunker are narrow scan-bound projections, so
+    the whole pipeline reads the corpus twice (dedup probe + rewrite side
+    of the semi-join) regardless of scale. The oracle replays every stage
+    in SQL, so the composition — not just the pieces — is hash-verified.
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    deduped = D.dedup_exact(docs, ["text"], id_col="doc_id")
+    kept = deduped.where(T.token_count_ws(F.col("text")) >= 20)
+    return T.chunk_documents(kept, window=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
     "ext_lm_perplexity",
     "WITH toksrc AS (SELECT doc_id,"
     " unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
