@@ -465,3 +465,98 @@ def parse_alter_rename_column(sql: str) -> tuple[str, str, str]:
 def execute_alter_rename_column(spark: SparkSession, sql: str, resolve) -> int:
     table, old, new = parse_alter_rename_column(sql)
     return _resolve(resolve, table).rename_column(old, new)
+
+
+def parse_utility(sql: str) -> tuple[str, str, dict]:
+    """Utility DDL/maintenance statements -> (kind, table, params):
+
+    - ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``
+    - ``VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]``
+    - ``RESTORE TABLE <t> TO VERSION AS OF <v>``
+    - ``CREATE TABLE <c> [SHALLOW|DEEP] CLONE <t>``
+    """
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"OPTIMIZE\s+(?P<t>{_IDENT})"
+        rf"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]+)\))?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        cols = (
+            [c.strip().strip("`") for c in m.group("z").split(",")]
+            if m.group("z")
+            else []
+        )
+        return "optimize", m.group("t"), {"zorder_by": cols}
+    m = re.match(
+        rf"VACUUM\s+(?P<t>{_IDENT})"
+        rf"(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?(?:\s+(?P<d>DRY\s+RUN))?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return "vacuum", m.group("t"), {
+            "retain_hours": int(m.group("h")) if m.group("h") else None,
+            "dry_run": bool(m.group("d")),
+        }
+    m = re.match(
+        rf"RESTORE\s+TABLE\s+(?P<t>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+        rf"(?P<v>\d+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return "restore", m.group("t"), {"version": int(m.group("v"))}
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?P<c>{_IDENT})\s+(?:(?P<k>SHALLOW|DEEP)\s+)?CLONE\s+"
+        rf"(?P<t>{_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return "clone", m.group("t"), {
+            "dest": m.group("c"),
+            "shallow": (m.group("k") or "SHALLOW").upper() == "SHALLOW",
+        }
+    raise ValueError("not a supported utility statement")
+
+
+def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
+    """Run OPTIMIZE / VACUUM / RESTORE / CLONE SQL against lake tables.
+    ``dest_path``: filesystem path for CLONE's new table (the stand-in for
+    a catalog's name->location mapping)."""
+    kind, table, p = parse_utility(sql)
+    target = _resolve(resolve, table)
+    if kind == "optimize":
+        return target.compact(zorder_by=p["zorder_by"] or None)
+    if kind == "vacuum":
+        kwargs = {"dry_run": p["dry_run"]}
+        if p["retain_hours"] is not None:
+            kwargs["retention_ms"] = p["retain_hours"] * 3600 * 1000
+        return target.vacuum(**kwargs)
+    if kind == "restore":
+        return target.restore(p["version"])
+    if dest_path is None:
+        raise ValueError("CLONE requires dest_path for the new table")
+    return target.clone(dest_path, shallow=p["shallow"])
+
+
+def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
+    """One front door for every supported statement kind: MERGE INTO,
+    UPDATE, DELETE FROM, ALTER TABLE (constraints, rename), OPTIMIZE,
+    VACUUM, RESTORE, CREATE TABLE ... CLONE."""
+    s = strip_comments(sql).lstrip()
+    head = s.split(None, 1)[0].upper() if s.split() else ""
+    if head == "MERGE":
+        return execute_merge(spark, sql, resolve, **kw)
+    if head == "UPDATE":
+        return execute_update(spark, sql, resolve)
+    if head == "DELETE":
+        return execute_delete(spark, sql, resolve)
+    if head == "ALTER":
+        try:
+            return execute_alter_constraint(spark, sql, resolve)
+        except ValueError:
+            return execute_alter_rename_column(spark, sql, resolve)
+    return execute_utility(spark, sql, resolve, **kw)

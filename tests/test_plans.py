@@ -362,3 +362,32 @@ def test_dv_read_is_broadcast_antijoin_no_shuffle(spark, tmp_path):
     assert df.count() == 90
     assert plans.uses_broadcast_join(df)
     assert plans.shuffle_count(df) == 0
+
+
+def test_tfidf_no_cartesian_and_uniform_shuffles(spark, sf_dir):
+    """TF-IDF: the tf x df join must be a planned equi-join (broadcast or
+    shuffled-hash/sort-merge — never a cartesian product), and the 1-row
+    corpus-count join must be a broadcast nested loop, not an exchange."""
+    df = QUERIES["ext_tfidf_topk"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N crossJoin
+
+
+def test_lm_perplexity_no_cartesian(spark, sf_dir):
+    df = QUERIES["ext_lm_perplexity"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast (T, V) scalars
+
+
+def test_corpus_pipeline_single_wide_shuffle(spark, sf_dir):
+    """Dedup's hash groupBy is the pipeline's ONLY wide shuffle; the
+    length filter and chunker must stay narrow (hash exchanges beyond the
+    dedup pair + the output range sort would mean a stage leaked)."""
+    df = QUERIES["ext_corpus_pipeline"](spark, sf_dir)
+    parts = plans.exchange_partitionings(df)
+    hashes = [p for p in parts if p.startswith("hashpartitioning")]
+    # groupBy(__h) + the semi-join's two sides = bounded, small set
+    assert 1 <= len(hashes) <= 3, parts
+    assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts

@@ -256,3 +256,47 @@ def test_sql_alter_table_rename_column(spark, tmp_path):
         spark, "ALTER TABLE t RENAME COLUMN x TO y", {"t": t}
     )
     assert [r["y"] for r in t.to_df().collect()] == [5]
+
+
+def test_sql_utility_statements(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_statement,
+        parse_utility,
+    )
+
+    assert parse_utility("OPTIMIZE t ZORDER BY (a, b)") == (
+        "optimize", "t", {"zorder_by": ["a", "b"]},
+    )
+    assert parse_utility("VACUUM t RETAIN 0 HOURS DRY RUN") == (
+        "vacuum", "t", {"retain_hours": 0, "dry_run": True},
+    )
+    assert parse_utility("RESTORE TABLE t TO VERSION AS OF 2") == (
+        "restore", "t", {"version": 2},
+    )
+    assert parse_utility("CREATE TABLE c SHALLOW CLONE t") == (
+        "clone", "t", {"dest": "c", "shallow": True},
+    )
+
+    schema = StructType([StructField("x", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    v = execute_statement(spark, "OPTIMIZE t", {"t": t})
+    assert len(t.files()) == 1 and t.to_df().count() == 3
+    execute_statement(spark, "RESTORE TABLE t TO VERSION AS OF 2", {"t": t})
+    assert t.to_df().count() == 2
+    deleted = execute_statement(spark, "VACUUM t RETAIN 0 HOURS", {"t": t})
+    assert isinstance(deleted, list)
+    clone = execute_statement(
+        spark,
+        "CREATE TABLE c SHALLOW CLONE t",
+        {"t": t},
+        dest_path=str(tmp_path / "c"),
+    )
+    assert clone.to_df().count() == 2
+    # dispatcher routes DML too
+    execute_statement(spark, "DELETE FROM t WHERE x = 0", {"t": t})
+    assert t.to_df().count() == 1
