@@ -2108,13 +2108,29 @@ class LakeTable:
     # ------------------------------------------------------------- change feed
 
     def read_changes(
-        self, starting_version: int = 0, ending_version: int | None = None
+        self,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+        starting_timestamp_ms: int | None = None,
+        ending_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Row-level change feed with ``_change_type``, ``_commit_version``,
         ``_commit_timestamp`` — the reference's ``table_changes('tbl', 1)``
         (``notebooks/demo-notebook.py:363-373``) and CDF streaming source
-        (``:428-431``).
+        (``:428-431``). Timestamp bounds mirror ``table_changes``'s
+        startingTimestamp/endingTimestamp: a starting timestamp resolves to
+        the first commit AT OR AFTER it, an ending timestamp to the last
+        commit at or before it.
         """
+        if starting_timestamp_ms is not None:
+            commits_all = self._commits()
+            later = [
+                c.version for c in commits_all
+                if c.timestamp_ms >= starting_timestamp_ms
+            ]
+            starting_version = later[0] if later else commits_all[-1].version + 1
+        if ending_timestamp_ms is not None:
+            ending_version = self.version_at_timestamp(ending_timestamp_ms)
         schema = self.schema()
         parts: list[DataFrame] = []
         for c in self._commits():

@@ -914,3 +914,20 @@ def test_identity_columns_assign_unique_advancing(spark, tmp_path):
         LakeTable.create(
             spark, str(tmp_path / "i2"), SCHEMA, properties={"identity.zz": "1,1"}
         )
+
+
+def test_read_changes_timestamp_bounds(spark, tmp_path):
+    import time as _time
+
+    t = make_table(spark, tmp_path, [(1, "A", 1)])
+    ts_after_v1 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "B", 2)], SCHEMA))
+    # starting at a timestamp between v1 and v2 yields only v2's insert
+    ch = t.read_changes(starting_timestamp_ms=ts_after_v1 + 1).collect()
+    assert sorted(r["id"] for r in ch) == [2]
+    # ending at that timestamp yields only v1's
+    ch = t.read_changes(ending_timestamp_ms=ts_after_v1).collect()
+    assert sorted(r["id"] for r in ch) == [1]
+    # a starting timestamp after every commit yields an empty feed
+    assert t.read_changes(starting_timestamp_ms=int(_time.time() * 1000) + 10_000).count() == 0
