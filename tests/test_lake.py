@@ -931,3 +931,36 @@ def test_read_changes_timestamp_bounds(spark, tmp_path):
     assert sorted(r["id"] for r in ch) == [1]
     # a starting timestamp after every commit yields an empty feed
     assert t.read_changes(starting_timestamp_ms=int(_time.time() * 1000) + 10_000).count() == 0
+
+
+def test_stream_modes_over_dv_table(spark, tmp_path):
+    """Streaming over a DV table: append-mode sees only ADDED files (a DV
+    delete adds none — Delta's ignoreDeletes; a DV update re-delivers just
+    the small updated-rows file — ignoreChanges); cdf-mode reports the
+    exact row-level deletes and update pairs."""
+    t = make_dv_table(spark, tmp_path, [(i, "C", i * 10) for i in range(1, 5)])
+    t.delete("id = 2")
+    t.update({"visitors": "visitors + 1"}, "id = 3")
+    batches = []
+    reader = LakeStreamReader(
+        t, str(tmp_path / "ck.json"), mode="append", starting_version=1
+    )
+    reader.process_available(
+        lambda df, v: batches.append((v, sorted(r["id"] for r in df.collect())))
+    )
+    # v1 = initial 4 rows; v2 (DV delete) adds no files; v3 (DV update)
+    # re-delivers only the updated row
+    assert batches == [(1, [1, 2, 3, 4]), (3, [3])]
+    cdf_batches = []
+    r2 = LakeStreamReader(
+        t, str(tmp_path / "ck2.json"), mode="cdf", starting_version=2
+    )
+    r2.process_available(
+        lambda df, v: cdf_batches.append(
+            (v, sorted((r["id"], r["_change_type"]) for r in df.collect()))
+        )
+    )
+    assert cdf_batches == [
+        (2, [(2, "delete")]),
+        (3, [(3, "update_postimage"), (3, "update_preimage")]),
+    ]
