@@ -454,3 +454,66 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def substring_dup_stats(
+    df: DataFrame, k: int = 12, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicate-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data" signal, at token-k-gram granularity):
+    for each document, count its distinct k-token grams that also occur in
+    ANOTHER document. Verbatim shared passages — licenses, templates,
+    syndicated text — light up here even when whole-line or whole-doc
+    dedup misses them.
+
+    Output: (id, n_grams, n_dup_grams, flagged).
+
+    Scale shape: grams are distinct-per-doc BEFORE the shuffle, so the
+    occurrence count per gram equals its document frequency with ONE
+    count(*) aggregation (no count-distinct double shuffle). The gram
+    shuffle keys on xxhash64(gram) — 8-byte keys instead of ~100-byte
+    strings (same discipline as the line-dedup operator); the doc-level
+    rollup is a second uniform shuffle. Quadratic nowhere.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+                )
+            )
+        )
+
+    grams = df.select(
+        F.col(id_col),
+        F.element_at(F.transform(F.array(toks), build), 1).alias("__gs"),
+    )
+    exploded = grams.select(
+        id_col, F.explode(F.transform("__gs", lambda g: F.xxhash64(g))).alias("__gh")
+    )
+    dup = (
+        exploded.groupBy("__gh")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__gh")
+    )
+    per_doc = (
+        exploded.join(dup, "__gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return (
+        grams.join(per_doc, id_col, "left_outer")
+        .select(
+            id_col,
+            F.size("__gs").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            (F.coalesce(F.col("n_dup_grams"), F.lit(0)) > 0).alias("flagged"),
+        )
+    )

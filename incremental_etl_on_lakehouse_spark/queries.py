@@ -3773,6 +3773,56 @@ def ext_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
 
 
+_SHARED_PASSAGE = (
+    "this software is provided as is without warranty of any kind either"
+    " express or implied"
+)
+
+
+@query(
+    "ext_substring_dedup",
+    "WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 40 = 3"
+    f" THEN text || ' ' || '{_SHARED_PASSAGE}' ELSE text END AS text"
+    " FROM documents),"
+    " base AS (SELECT doc_id,"
+    "  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks"
+    "  FROM corpus),"
+    " grams AS (SELECT doc_id, list_distinct(list_transform("
+    "  generate_series(1, greatest(len(toks) - 11, 0)),"
+    "  i -> array_to_string(list_slice(toks, i, i + 11), ' '))) AS gs FROM base),"
+    " e AS (SELECT doc_id, unnest(gs) AS g FROM grams),"
+    " dup AS (SELECT g FROM e GROUP BY g HAVING count(*) >= 2),"
+    " cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup"
+    "  FROM e JOIN dup USING (g) GROUP BY doc_id)"
+    " SELECT g2.doc_id, CAST(len(g2.gs) AS BIGINT) AS n_grams,"
+    " CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_grams,"
+    " coalesce(c.n_dup, 0) > 0 AS flagged"
+    " FROM grams g2 LEFT JOIN cnt c USING (doc_id) ORDER BY g2.doc_id",
+)
+def ext_substring_dedup(spark, sf_dir):
+    """Cross-document duplicate-substring detection at 12-token-gram
+    granularity (operators/dedup.py: substring_dup_stats) — the Lee et al.
+    2022 signal that catches verbatim shared passages (licenses,
+    templates) that line- and document-level dedup miss. The scenario
+    plants a shared legal-boilerplate passage on every 40th doc, so
+    flagged docs provably exist, and the gram-overlap counts are
+    hash-verified exactly. Gram shuffles key on xxhash64(gram) (8-byte
+    keys); distinct-per-doc grams make document frequency a single
+    count(*) aggregation. Reference has no equivalent; LLM-pipeline
+    extension contract (BASELINE.json)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 3,
+            F.concat(F.col("text"), F.lit(" " + _SHARED_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.substring_dup_stats(corpus, k=12).orderBy("doc_id")
+
+
 @query(
     "ext_corpus_pipeline",
     "WITH dedup AS (SELECT doc_id, text FROM ("

@@ -420,3 +420,19 @@ def test_unigram_lm_score_hand_computed(spark):
     # rarer-token doc is higher-entropy
     assert out[2]["cross_entropy"] > out[1]["cross_entropy"]
     assert out[1]["perplexity"] == pytest.approx(round(m.exp(d1), 2), abs=0.01)
+
+
+def test_substring_dup_stats_hand_computed(spark):
+    """12-gram cross-doc dup detection with k=3 grams on a tiny corpus."""
+    rows = [
+        (1, "a b c d e"),       # grams: abc bcd cde
+        (2, "x y z a b c"),     # grams: xyz yza zab abc -> shares 'a b c'
+        (3, "p q r s"),          # grams: pqr qrs — unique
+        (4, "a b"),              # shorter than k: zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in dedup.substring_dup_stats(df, k=3).collect()}
+    assert out[1] == {"doc_id": 1, "n_grams": 3, "n_dup_grams": 1, "flagged": True}
+    assert out[2]["n_dup_grams"] == 1 and out[2]["flagged"] is True
+    assert out[3] == {"doc_id": 3, "n_grams": 2, "n_dup_grams": 0, "flagged": False}
+    assert out[4] == {"doc_id": 4, "n_grams": 0, "n_dup_grams": 0, "flagged": False}
