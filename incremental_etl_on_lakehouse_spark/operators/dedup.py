@@ -109,6 +109,82 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, sig, band, bucket): one bucket hash per signature
+    band, exploded. Narrow (no shuffle); the bucket hash is what every LSH
+    consumer shuffles or joins on."""
+    rows_per_band = num_hashes // bands
+    return (
+        sig.select(
+            "id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "id",
+            "sig",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The PERSISTED form of a corpus's LSH state: (id, band, bucket) rows
+    — what an incremental pipeline appends to its signature store so the
+    next batch can dedup against all of history WITHOUT re-scanning or
+    re-hashing the historical text. Signatures are dropped: candidate
+    verification re-reads only the candidate pair's text (point lookups),
+    keeping the store at 8-byte bucket keys x bands per document."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return _band_buckets(sig, num_hashes, bands).select("id", "band", "bucket")
+
+
+def incremental_dedup_candidates(
+    new_buckets: DataFrame, store: DataFrame
+) -> DataFrame:
+    """(new_id, old_id) candidate pairs: new batch's band table joined
+    against the persisted store on (band, bucket). The join shuffles on
+    uniform 8-byte bucket hashes and touches only colliding buckets of the
+    historical store — the increment never re-reads historical text."""
+    n = new_buckets.select(
+        F.col("id").alias("new_id"), "band", "bucket"
+    )
+    s = store.select(F.col("id").alias("old_id"), "band", "bucket")
+    return (
+        n.join(s, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -124,29 +200,8 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b. The band groupBy is
     the only wide operation; the pair join happens inside buckets.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(sig, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -3771,6 +3772,95 @@ def ext_tfidf_topk(spark, sf_dir):
     (BASELINE.json)."""
     docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
     return T.tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+@query(
+    "ext_dedup_incremental",
+    "WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),"
+    " inc AS (SELECT d.doc_id,"
+    "  CASE WHEN d.doc_id % 10 = 0 THEN n.text ELSE d.text END AS text"
+    "  FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1"
+    "  WHERE d.doc_id % 5 = 0)"
+    " SELECT i.doc_id AS new_id, h.doc_id AS old_id, true AS store_ok"
+    f" FROM inc i JOIN hist h ON md5({_NORM.format(c='i.text')})"
+    f"  = md5({_NORM.format(c='h.text')})"
+    " ORDER BY new_id, old_id",
+)
+def ext_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup detection — the fusion of this engine's two
+    pillars: the historical corpus's LSH state lives in a lake table of
+    (id, band, bucket) rows (operators/dedup.py: minhash_band_table), and
+    a new batch dedups against ALL of history by joining its own band
+    table against the store (incremental_dedup_candidates) — history is
+    never re-scanned or re-hashed. Candidates are verified by exact
+    normalized-content equality, and the increment's buckets are appended
+    back so the store stays current (store_ok attests the append-only
+    maintenance arithmetic). Every 10th doc in the increment is a planted
+    verbatim copy of a historical doc — identical signatures collide in
+    every band, so the oracle's md5-equality join is exactly the
+    guaranteed-recall subset the verifier keeps. Scale: the store is
+    O(bands) 8-byte keys per historical doc; each batch costs its own
+    hashing plus a bucket-keyed join, independent of corpus text size.
+    Generalizes the reference's incremental 'process only the new data'
+    doctrine (notebooks/demo-notebook.py:329-331) to corpus hygiene."""
+    from incremental_etl_on_lakehouse_spark.operators.dedup import (
+        incremental_dedup_candidates,
+        minhash_band_table,
+    )
+    from incremental_etl_on_lakehouse_spark.operators.text import normalize_text
+
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__nt")
+    )
+    inc = (
+        docs.join(nxt, "doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.col("__nt"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    store = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "sigstore"),
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("band", IntegerType()),
+                StructField("bucket", LongType()),
+            ]
+        ),
+    )
+    v1 = store.append(minhash_band_table(hist))
+    cand = incremental_dedup_candidates(minhash_band_table(inc), store.to_df())
+    newh = inc.select(
+        F.col("doc_id").alias("new_id"),
+        F.md5(normalize_text(F.col("text"))).alias("__hn"),
+    )
+    oldh = hist.select(
+        F.col("doc_id").alias("old_id"),
+        F.md5(normalize_text(F.col("text"))).alias("__ho"),
+    )
+    matches = (
+        cand.join(newh, "new_id")
+        .join(oldh, "old_id")
+        .where(F.col("__hn") == F.col("__ho"))
+        .select("new_id", "old_id")
+    )
+    v2 = store.append(minhash_band_table(inc))
+    inserted = sum(
+        h["metrics"].get("num_inserted_rows", 0)
+        for h in store.history()
+        if h["version"] in (v1, v2)
+    )
+    store_ok = inserted == store.to_df().count() and v2 == v1 + 1
+    return matches.select(
+        "new_id", "old_id", F.lit(bool(store_ok)).alias("store_ok")
+    ).orderBy("new_id", "old_id")
 
 
 _SHARED_PASSAGE = (
