@@ -1140,7 +1140,19 @@ class LakeTable:
         ]
         return df.select(*cols)
 
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def txn_version(self, app_id: str) -> int | None:
+        """Last committed writer-transaction version for ``app_id``
+        (Delta's SetTransaction action), or None."""
+        v = self.properties().get(f"txn.{app_id}")
+        return int(v) if v is not None else None
+
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """Transactional append; returns the new version.
 
         ``merge_schema=True`` widens the table schema with columns present in
@@ -1148,7 +1160,24 @@ class LakeTable:
         equivalent of the reference's Autoloader schema hints/evolution,
         ``notebooks/demo-notebook.py:163-166``; SURVEY.md §4). Older files
         simply read the new columns as NULL (schema-on-read).
+
+        ``txn_app_id`` + ``txn_version`` make the append IDEMPOTENT
+        (Delta's ``txnAppId``/``txnVersion`` writer options): the commit
+        records the writer's transaction version, and a replay with a
+        version <= the recorded one is a NO-OP returning the current table
+        version. This is the exactly-once contract for restarted streaming
+        ``foreachBatch`` sinks — the epoch id is the txn version, so a
+        re-delivered micro-batch after a crash can never double-append.
+        The guard composes with optimistic concurrency: a racing writer's
+        commit makes this one collide and retry, at which point the
+        re-read txn property reflects the winner.
         """
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version must be set together")
+        if txn_app_id is not None:
+            last = self.txn_version(txn_app_id)
+            if last is not None and txn_version <= last:
+                return self.version()  # replayed batch: no-op
         schema_json = None
         snapshot_version = self.version()
         write_schema = self.schema()
@@ -1159,6 +1188,7 @@ class LakeTable:
             if new_fields:
                 write_schema = StructType(write_schema.fields + new_fields)
                 schema_json = write_schema.json()
+        # (txn guard is evaluated in append(); see idempotent-writes below)
         # Identity assignment (GENERATED ALWAYS AS IDENTITY): the column
         # may not be written explicitly; values are hwm + step * (1 + a
         # per-row unique id). monotonically_increasing_id leaves gaps —
@@ -1202,6 +1232,8 @@ class LakeTable:
                         else min(v[0] for v in vals)
                     )
                     props_after[f"identityHighWater.{icol}"] = int(extreme)
+        if txn_app_id is not None:
+            props_after[f"txn.{txn_app_id}"] = str(txn_version)
         v = snapshot_version + 1
         lakelog.write_commit(
             self.path,

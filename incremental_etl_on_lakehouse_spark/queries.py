@@ -3775,6 +3775,55 @@ def ext_tfidf_topk(spark, sf_dir):
 
 
 @query(
+    "stream_exactly_once",
+    "SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, true AS exactly_once"
+    " FROM events WHERE event_id < 200 ORDER BY event_id",
+)
+def stream_exactly_once(spark, sf_dir):
+    """Exactly-once streaming sink via idempotent txn-versioned appends
+    (Delta's txnAppId/txnVersion, lake/table.py: append): a foreachBatch
+    consumer lands each micro-batch with txn_version = source commit
+    version, then the CHECKPOINT IS LOST (fresh reader from version 1 —
+    the classic crash-recovery double-delivery) and every batch replays.
+    The sink's txn guard turns every replay into a no-op, so the oracle's
+    exactly-once row set holds and `exactly_once` attests the sink
+    version did not advance during the replay."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", MS("ts").alias("ts_ms")
+    ).where(F.col("event_id") < 200)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+    src = LakeTable.create(spark, os.path.join(_tmpdir(), "xsrc"), schema)
+    src.append(ev.where(F.col("event_id") < 100))
+    src.append(ev.where(F.col("event_id") >= 100))
+    sink = LakeTable.create(spark, os.path.join(_tmpdir(), "xsink"), schema)
+
+    def land(df, version):
+        sink.append(df, txn_app_id="gold-job", txn_version=version)
+
+    ck = os.path.join(_tmpdir(), "ck.json")
+    LakeStreamReader(src, ck, mode="append", starting_version=1).process_available(
+        land
+    )
+    v_done = sink.version()
+    n_done = sink.to_df().count()
+    # checkpoint loss: a fresh reader re-delivers EVERY batch
+    ck2 = os.path.join(_tmpdir(), "ck2.json")
+    LakeStreamReader(src, ck2, mode="append", starting_version=1).process_available(
+        land
+    )
+    exactly_once = sink.version() == v_done and sink.to_df().count() == n_done
+    return sink.to_df().select(
+        "event_id", "user_id", "ts_ms", F.lit(bool(exactly_once)).alias("exactly_once")
+    ).orderBy("event_id")
+
+
+@query(
     "ext_dedup_incremental",
     "WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),"
     " inc AS (SELECT d.doc_id,"

@@ -964,3 +964,29 @@ def test_stream_modes_over_dv_table(spark, tmp_path):
         (2, [(2, "delete")]),
         (3, [(3, "update_postimage"), (3, "update_preimage")]),
     ]
+
+
+def test_idempotent_append_txn_versioning(spark, tmp_path):
+    """Delta-style txnAppId/txnVersion: a replayed micro-batch append is a
+    no-op; newer versions land; independent app ids don't interfere."""
+    t = make_table(spark, tmp_path, [], cdf=False)
+    b1 = spark.createDataFrame([(1, "A", 1)], SCHEMA)
+    v = t.append(b1, txn_app_id="job1", txn_version=1)
+    assert t.to_df().count() == 1 and t.txn_version("job1") == 1
+    # exact replay (crash-recovery re-delivery): no-op, version unchanged
+    assert t.append(b1, txn_app_id="job1", txn_version=1) == v
+    assert t.to_df().count() == 1
+    # stale replay (older epoch) also a no-op
+    assert t.append(b1, txn_app_id="job1", txn_version=0) == v
+    # next epoch lands
+    t.append(spark.createDataFrame([(2, "B", 2)], SCHEMA),
+             txn_app_id="job1", txn_version=2)
+    assert t.to_df().count() == 2 and t.txn_version("job1") == 2
+    # a different app id has its own sequence
+    t.append(spark.createDataFrame([(3, "C", 3)], SCHEMA),
+             txn_app_id="job2", txn_version=1)
+    assert t.to_df().count() == 3
+    assert t.txn_version("job1") == 2 and t.txn_version("job2") == 1
+    # guard: mismatched arguments
+    with pytest.raises(ValueError, match="together"):
+        t.append(b1, txn_app_id="job1")
