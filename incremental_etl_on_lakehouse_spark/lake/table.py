@@ -1569,12 +1569,20 @@ class LakeTable:
         target_file_rows: int = 4_000_000,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        max_input_file_rows: int | None = None,
     ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current snapshot
         into ~``target_file_rows``-row files. Purely physical — no logical
         change, so no CDF rows are emitted (the COMPACT op is invisible to
         ``read_changes``). At scale this runs per partition on a schedule to
         absorb the small files that micro-batch merges produce.
+
+        ``max_input_file_rows`` switches to INCREMENTAL OPTIMIZE: only
+        files at or below the threshold (plus any deletion-vector-carrying
+        file, whose vector gets materialized) are rewritten; right-sized
+        files are untouched, so steady-state maintenance costs
+        O(small files since last OPTIMIZE), not O(table) — how OPTIMIZE is
+        actually scheduled on a 100 TB table.
 
         ``cluster_by`` range-partitions and sorts the rewrite on the given
         columns: lexicographic clustering — files carry tight, disjoint
@@ -1594,12 +1602,40 @@ class LakeTable:
         if cluster_by and zorder_by:
             raise ValueError("pass either cluster_by or zorder_by, not both")
         commits = self._commits()
-        removed = lakelog.snapshot_files(commits)
-        total_rows = sum(
-            a.get("rows", 0) for c in commits for a in c.add if a["path"] in set(removed)
-        )
+        state = self._state()
+        active = state["active"]
+        dvmap = state.get("dv") or {}
+        if max_input_file_rows is not None:
+            # incremental OPTIMIZE: rewrite only under-sized files (plus any
+            # DV-carrying file, whose vector gets materialized) — the
+            # steady-state maintenance cost is O(small files since last
+            # OPTIMIZE), not O(table)
+            selected = {
+                rel: a
+                for rel, a in active.items()
+                if a.get("rows", 0) <= max_input_file_rows or rel in dvmap
+            }
+        else:
+            selected = dict(active)
+        if not selected:
+            v = commits[-1].version + 1
+            lakelog.write_commit(
+                self.path,
+                Commit(
+                    version=v,
+                    operation="COMPACT",
+                    timestamp_ms=lakelog.now_ms(),
+                    metrics={"num_files_before": 0, "num_files_after": 0},
+                ),
+            )
+            return v
+        removed = sorted(selected)
+        total_rows = sum(a.get("rows", 0) for a in selected.values())
         n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
-        df = self.to_df()
+        df = self._read_files(
+            [self._abs(r) for r in removed],
+            dv_map={r: dvmap[r] for r in removed if r in dvmap} or None,
+        )
         if zorder_by:
             df = (
                 df.withColumn("__z", _zvalue(df, zorder_by, total_rows))

@@ -990,3 +990,31 @@ def test_idempotent_append_txn_versioning(spark, tmp_path):
     # guard: mismatched arguments
     with pytest.raises(ValueError, match="together"):
         t.append(b1, txn_app_id="job1")
+
+
+def test_incremental_optimize_touches_only_small_files(spark, tmp_path):
+    t = make_table(spark, tmp_path, [], cdf=False)
+    # one big file, three small ones
+    t.append(spark.createDataFrame([(i, "c", i) for i in range(100)], SCHEMA).coalesce(1))
+    for i in range(3):
+        t.append(spark.createDataFrame([(1000 + i, "c", i)], SCHEMA).coalesce(1))
+    files = {f: True for f in t.files()}
+    assert len(files) == 4
+    big = [f for f in t.files() if "part-" in f][0]  # resolved below by rows
+    state = t._state()
+    big_rel = [r for r, a in state["active"].items() if a["rows"] == 100][0]
+    t.compact(max_input_file_rows=10)
+    after = t.files()
+    # the big file survives untouched; the three small ones merged
+    assert any(f.endswith(big_rel.split("/")[-1]) for f in after)
+    assert len(after) == 2
+    assert t.to_df().count() == 103
+    # nothing small left: incremental OPTIMIZE now no-ops (empty commit)
+    v = t.compact(max_input_file_rows=0)
+    assert len(t.files()) == 2 and t.version() == v
+    # a DV-carrying file IS selected even if large (vector materialized)
+    t2 = make_dv_table(spark, tmp_path, [(i, "c", i) for i in range(50)], name="dvopt")
+    t2.delete("id < 5")
+    t2.compact(max_input_file_rows=1)
+    assert t2._state()["dv"] == {}
+    assert t2.to_df().count() == 45
