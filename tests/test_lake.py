@@ -1018,3 +1018,24 @@ def test_incremental_optimize_touches_only_small_files(spark, tmp_path):
     t2.compact(max_input_file_rows=1)
     assert t2._state()["dv"] == {}
     assert t2.to_df().count() == 45
+
+
+def test_incremental_vs_full_optimize_same_content(spark, tmp_path):
+    """Fork the table with a shallow clone, run FULL compaction on one and
+    INCREMENTAL on the other: logical content must be identical, and the
+    incremental side must keep its pre-sized big file."""
+    t = make_table(spark, tmp_path, [], cdf=False)
+    t.append(spark.createDataFrame([(i, "c", i) for i in range(200)], SCHEMA).coalesce(1))
+    for i in range(4):
+        t.append(spark.createDataFrame([(1000 + i, "d", i)], SCHEMA).coalesce(1))
+    t.delete("id % 50 = 1")
+    clone = t.clone(str(tmp_path / "full"), shallow=True)
+    big_rel = [r for r, a in t._state()["active"].items() if a["rows"] >= 100]
+    t.compact(max_input_file_rows=10)
+    clone.compact()
+    a = sorted(tuple(r) for r in t.to_df().collect())
+    b = sorted(tuple(r) for r in clone.to_df().collect())
+    assert a == b and len(a) == 199  # 204 appended - 5 deleted (1,51,101,151,1001)
+    # incremental kept the big file; full rewrote everything
+    assert any(f.endswith(big_rel[0].split("/")[-1]) for f in t.files())
+    assert not any(f.endswith(big_rel[0].split("/")[-1]) for f in clone.files())
