@@ -1039,3 +1039,30 @@ def test_incremental_vs_full_optimize_same_content(spark, tmp_path):
     # incremental kept the big file; full rewrote everything
     assert any(f.endswith(big_rel[0].split("/")[-1]) for f in t.files())
     assert not any(f.endswith(big_rel[0].split("/")[-1]) for f in clone.files())
+
+
+def test_rename_then_schema_evolution_append(spark, tmp_path):
+    """A rename's physical-name metadata must survive a later additive
+    schema evolution (the evolved schema_json rewrites the full field
+    list), and the evolved column reads back across pre/post files."""
+    t = make_table(spark, tmp_path, [(1, "A", 10)], cdf=False)
+    t.rename_column("visitors", "visit_count")
+    t.append(
+        spark.createDataFrame(
+            [(2, "B", 20, "x")],
+            "id long, country string, visit_count long, note string",
+        ),
+        merge_schema=True,
+    )
+    got = {
+        r["id"]: (r["visit_count"], r["note"]) for r in t.to_df().collect()
+    }
+    assert got == {1: (10, None), 2: (20, "x")}
+    phys = {
+        f.name: (f.metadata or {}).get("physical", f.name)
+        for f in t.schema().fields
+    }
+    assert phys["visit_count"] == "visitors" and phys["note"] == "note"
+    # and a THIRD write after evolution still lands in the right physical
+    t.update({"visit_count": "visit_count * 2"}, "id = 1")
+    assert t.to_df().where("id = 1").collect()[0]["visit_count"] == 20
