@@ -97,3 +97,28 @@ def test_manifest_is_point_in_time(spark, tmp_path):
     assert duck_rows(manifest) == before
     t.generate_manifest()
     assert duck_rows(manifest) == spark_rows(t.to_df())
+
+
+def test_manifest_after_dv_lifecycle(spark, tmp_path):
+    """Deletion vectors block the manifest (external readers can't subtract
+    rows); after compaction materializes them, DuckDB reads the exact
+    post-delete snapshot."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dvio"),
+        SCHEMA,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "g", i * 10) for i in range(10)], SCHEMA
+        )
+    )
+    t.delete("id % 3 = 0")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.generate_manifest()
+    t.compact()
+    manifest = t.generate_manifest()
+    duck = duck_rows(manifest)
+    ours = spark_rows(t.to_df())
+    assert duck == ours and len(duck) == 6
