@@ -4141,6 +4141,93 @@ def ext_dedup_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "ext_dedup_survivors",
+    f"""WITH RECURSIVE
+sh AS (SELECT doc_id, list_distinct({_TOKS}) AS sh FROM documents),
+adj AS (SELECT a.doc_id AS s, b.doc_id AS d FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+edges AS (SELECT s, d FROM adj UNION SELECT d, s FROM adj),
+reach (src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s
+)
+SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS component,
+ src = min(node) AS kept FROM reach GROUP BY src ORDER BY doc_id""",
+)
+def ext_dedup_survivors(spark, sf_dir):
+    """Dedup SURVIVOR selection — the step that turns near-dup clusters
+    into the actual filtered corpus: one representative (the min-id
+    member) is kept per connected component, every other member dropped.
+    Same clustering path as ext_dedup_clusters (iterative min-label
+    propagation); kept = (doc_id == component) is a pure projection on the
+    labels, so survivorship costs nothing beyond the clustering itself.
+    The oracle replays the closure and the keep rule exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", F.array_distinct(T.ws_tokens(F.col("text"))).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    )
+    adj = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(jac >= 0.7)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    labels = D.connected_components(adj)
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.id, "left_outer")
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            (F.col("doc_id") == comp).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ext_quality_buckets",
+    "WITH toksrc AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+    "  AS term FROM documents),"
+    " tc AS (SELECT term, count(*) AS c FROM toksrc GROUP BY term),"
+    " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t,"
+    "  CAST(count(DISTINCT term) AS DOUBLE) AS v FROM toksrc),"
+    " scored AS (SELECT doc_id, round(avg(-ln((c + 1.0) / (t + v))), 6)"
+    "  AS cross_entropy FROM toksrc JOIN tc USING (term) CROSS JOIN tot"
+    "  GROUP BY doc_id)"
+    " SELECT doc_id, cross_entropy,"
+    " CAST(ntile(3) OVER (ORDER BY cross_entropy, doc_id) AS INT) AS ppl_bucket"
+    " FROM scored ORDER BY doc_id",
+)
+def ext_quality_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: corpus split into head/middle/tail
+    thirds by unigram-LM cross-entropy (head = most in-distribution; the
+    buckets drive mixture weights in training pipelines). Scores are
+    rounded before the (score, doc_id) rank so the split is
+    engine-deterministic. The exact ntile here is a global window over
+    (doc_id, score) SCALARS; the 100 TB variant broadcasts
+    approx-percentile thresholds instead (one aggregate, no global sort) —
+    same buckets up to the approximation, as in CCNet itself
+    (operators/text.py: unigram_lm_score)."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    scored = T.unigram_lm_score(docs).select("doc_id", "cross_entropy")
+    w = Window.orderBy(F.col("cross_entropy").asc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "cross_entropy", F.ntile(3).over(w).alias("ppl_bucket")
+    ).orderBy("doc_id")
+
+
 @query("ext_cluster_kmeans")  # iterative (Lloyd) algorithm: rows-only check
 def ext_cluster_kmeans(spark, sf_dir):
     """K-means clustering of the embedding corpus (deterministic seeds, 2
