@@ -1611,6 +1611,98 @@ AVG_SCHEMA = StructType(
 )
 _CDC_AVG_CACHE: dict[tuple[int, str], LakeTable] = {}
 
+VAR_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("sum_cents", LongType()),
+        StructField("sum2_cents", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+_CDC_VAR_CACHE: dict[tuple[int, str], LakeTable] = {}
+
+
+@query(
+    "agg_incremental_var",
+    _SQL_CDC
+    + "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,"
+    " round((CAST(sum(value_cents * value_cents) AS DOUBLE)"
+    "  - CAST(sum(value_cents) AS DOUBLE) * CAST(sum(value_cents) AS DOUBLE)"
+    "   / count(*)) / (count(*) - 1), 6) AS var_cents"
+    " FROM final GROUP BY event_type HAVING count(*) > 1",
+)
+def agg_incremental_var(spark, sf_dir):
+    """Incrementally-maintained VARIANCE: var_samp is not additive, but
+    its three components (COUNT, SUM, SUM of squares) all are — the gold
+    table carries (n, sum, sum2), each maintained from the change feed by
+    the same signed-delta algebra as agg_incremental_cdf in ONE merge
+    (operators/cdc.py merge_agg_deltas), and
+    var = (sum2 - sum^2/n) / (n-1) derives at read. Components are
+    INTEGER-exact, so the floating-point derivation happens once, in a
+    fixed operation order mirrored by the oracle — no summation-order
+    nondeterminism can flip the hash (the textbook one-pass formula's
+    cancellation hazard does not bite: the values are integer cents and
+    the double mantissa carries the full magnitudes here; at scales where
+    it would, maintain shifted moments the same way)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import merge_agg_deltas
+
+    cache_key = (id(spark), sf_dir)
+    cached = _CDC_VAR_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.path):
+        gold = cached
+    else:
+        silver = _run_cdc_silver(spark, sf_dir)  # shared build, CDF replay
+        root = _tmpdir()
+        gold = LakeTable.create(spark, os.path.join(root, "gold_var"), VAR_SCHEMA)
+        reader = LakeStreamReader(
+            silver, os.path.join(root, "var_ck.json"), mode="cdf", starting_version=1
+        )
+
+        def update(changes: DataFrame, _v: int) -> None:
+            sign = F.when(
+                F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+            ).when(
+                F.col("_change_type").isin("update_postimage", "insert"), F.lit(1)
+            )
+            deltas = (
+                changes.withColumn("__s", sign)
+                .where(F.col("__s").isNotNull())
+                .groupBy("event_type")
+                .agg(
+                    F.sum(F.col("__s") * F.col("value_cents")).alias("d_sum"),
+                    F.sum(
+                        F.col("__s") * F.col("value_cents") * F.col("value_cents")
+                    ).alias("d_sum2"),
+                    F.sum("__s").alias("d_cnt"),
+                )
+                .where(
+                    (F.col("d_sum") != 0)
+                    | (F.col("d_sum2") != 0)
+                    | (F.col("d_cnt") != 0)
+                )
+            )
+            merge_agg_deltas(
+                gold,
+                deltas,
+                group_cols=["event_type"],
+                agg_cols={
+                    "sum_cents": "d_sum",
+                    "sum2_cents": "d_sum2",
+                    "n_rows": "d_cnt",
+                },
+            )
+
+        reader.process_available(update)
+        _CDC_VAR_CACHE[cache_key] = gold
+    n = F.col("n_rows").cast("double")
+    s = F.col("sum_cents").cast("double")
+    s2 = F.col("sum2_cents").cast("double")
+    return gold.to_df().where(F.col("n_rows") > 1).select(
+        "event_type",
+        "n_rows",
+        F.round((s2 - s * s / n) / (n - F.lit(1.0)), 6).alias("var_cents"),
+    )
+
 
 @query(
     "agg_incremental_avg",
