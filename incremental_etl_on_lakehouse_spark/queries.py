@@ -4125,6 +4125,63 @@ def ext_lm_perplexity(spark, sf_dir):
 
 
 @query(
+    "ext_embedding_quantize",
+    "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    " s AS (SELECT vec_id, v,"
+    "  list_max(list_transform(v, x -> abs(x))) AS mx FROM d),"
+    " sc AS (SELECT vec_id, v,"
+    "  CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM s)"
+    " SELECT vec_id,"
+    " array_to_string(list_transform(v,"
+    "  x -> CAST(CAST(floor(x * scale + 0.5) AS INT) AS VARCHAR)), ',') AS q,"
+    " round(scale, 6) AS scale_r,"
+    " round(CASE WHEN scale > 0 THEN list_max(list_transform(v,"
+    "  x -> abs(x - floor(x * scale + 0.5) / scale))) ELSE 0.0 END, 9)"
+    "  AS max_err"
+    " FROM sc ORDER BY vec_id",
+)
+def ext_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding corpus — the standard
+    4x storage/bandwidth compression applied before ANN indexing at
+    100 TB vector scale: per-vector scale = 127/max|x|, q = round(x*scale)
+    in [-127, 127], with the max reconstruction error reported per vector.
+    Rounding is floor(x+0.5) — an exact IEEE operation identical across
+    engines (banker's-vs-half-up round() differences can't flip a code) —
+    so the quantized codes are bit-deterministic and fully hash-verified.
+    Pure narrow codegen projection: zero shuffles before the output sort.
+    Reference has no equivalent; LLM-pipeline extension contract
+    (BASELINE.json)."""
+    embs = spread(load_table(spark, "embeddings", sf_dir))
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embs.select("vec_id", dvec.alias("v"))
+    mx = F.array_max(F.transform(F.col("v"), F.abs))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    sc = base.select("vec_id", "v", scale.alias("scale"))
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int").cast("string"),
+    )
+    err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.transform(
+                F.col("v"),
+                lambda x: F.abs(
+                    x
+                    - F.floor(x * F.col("scale") + F.lit(0.5)) / F.col("scale")
+                ),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return sc.select(
+        "vec_id",
+        F.array_join(q, ",").alias("q"),
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.round(err, 9).alias("max_err"),
+    ).orderBy("vec_id")
+
+
+@query(
     "ext_udf_vectorized",
     "SELECT vec_id,"
     " round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)"
