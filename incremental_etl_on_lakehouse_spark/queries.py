@@ -4125,6 +4125,82 @@ def ext_lm_perplexity(spark, sf_dir):
 
 
 @query(
+    "ext_export_shards",
+    "SELECT source, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard,"
+    " CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT)"
+    " AS sum_tokens, true AS roundtrip_ok FROM ("
+    " SELECT doc_id, source, n_tokens, sum(n_tokens) OVER ("
+    "  PARTITION BY source ORDER BY doc_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+    " FROM (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN 0"
+    "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens"
+    "  FROM documents))"
+    " GROUP BY source, shard ORDER BY source, shard",
+)
+def ext_export_shards(spark, sf_dir):
+    """Training-data DELIVERY: the packed corpus exported as JSONL shard
+    directories (`.../source=X/shard=N/*.json`) — the handoff format data
+    loaders actually consume — then READ BACK and verified document-exact
+    (roundtrip_ok compares xxhash64(text) multisets per shard between the
+    export and the re-read). The shard assignment is ext_pack_sequences'
+    running-total plan; the write is one hive-partitioned JSON sink, so
+    at 100 TB each (source, shard) directory lands as its own file set
+    with no extra shuffle beyond the packing window. The oracle pins the
+    per-shard manifest exactly."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", "source", T.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        sized, "n_tokens", ["doc_id"], budget=4096, partition_cols=["source"]
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    out = os.path.join(_tmpdir(), "shards")
+    packed.select("doc_id", "text", "n_tokens", "source", "shard").write.partitionBy(
+        "source", "shard"
+    ).mode("overwrite").json(out)
+    back = spark.read.json(out).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("source").cast("string").alias("source"),
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+    def sig(df):
+        return df.groupBy("source", "shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            # xor-fold (order-independent, overflow-free) content signature
+            F.bit_xor(F.xxhash64("doc_id", "text")).alias("__sig"),
+        )
+
+    a, b = sig(packed).alias("a"), sig(back).alias("b")
+    mismatches = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.n_docs") == F.col("b.n_docs"))
+            & (F.col("a.sum_tokens") == F.col("b.sum_tokens"))
+            & (F.col("a.__sig") == F.col("b.__sig")),
+            "left_anti",
+        ).count()
+        + sig(back).count()
+        - sig(packed).count()
+    )
+    ok = mismatches == 0
+    return sig(packed).select(
+        F.col("source"),
+        F.col("shard"),
+        F.col("n_docs"),
+        F.col("sum_tokens"),
+        F.lit(bool(ok)).alias("roundtrip_ok"),
+    ).orderBy("source", "shard")
+
+
+@query(
     "ext_embedding_quantize",
     "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
     " s AS (SELECT vec_id, v,"
