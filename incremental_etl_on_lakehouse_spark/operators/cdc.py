@@ -170,6 +170,91 @@ def live_view(table: LakeTable, tombstone_col: str = "_deleted") -> DataFrame:
     return table.to_df().where(~F.col(tombstone_col)).drop(tombstone_col)
 
 
+def scd2_merge(
+    table: LakeTable,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    hash_col: str = "data_hash",
+    tiebreak_cols: list[str] | None = None,
+    start_col: str = "__start_ts",
+    end_col: str = "__end_ts",
+    current_col: str = "__is_current",
+) -> dict:
+    """SCD Type-2 history merge: close out changed rows, version-insert new ones.
+
+    Where ``merge_cdc_batch`` keeps only the *current* state per key
+    (reference ``notebooks/demo-notebook.py:244-280``), this keeps the full
+    attribute history: the dimension table carries one row per (key, version
+    interval) with ``start_col`` / ``end_col`` effective-time bounds and a
+    ``current_col`` flag. Applying a batch:
+
+    - a key whose ``hash_col`` differs from its current row CLOSES that row
+      (``end_col`` = batch ts, ``current_col`` = false) and INSERTS a new
+      current row;
+    - a brand-new key INSERTS its first current row;
+    - an unchanged key is a no-op (no file rewrite — the same inter-batch
+      no-op-update elimination the reference's hash guard provides).
+
+    Implemented as the standard lakehouse staged-union single MERGE: each
+    changed key stages TWO source rows — one carrying ``__merge_key = key``
+    (matches the open row -> UPDATE close-out) and one with ``__merge_key =
+    NULL`` (never matches -> INSERT the new version); brand-new keys stage
+    one ``__merge_key = key`` row that finds no match -> INSERT. One shuffle
+    join against current rows to classify, then one MERGE; the MERGE's
+    file-level pruning still applies, so only files holding changed keys are
+    rewritten — O(changed keys), not O(history).
+
+    The batch is deduped to latest-per-key first (one version step per
+    batch; replaying finer-grained history = one call per step). Idempotent:
+    re-delivering an applied batch stages zero rows.
+    """
+    deduped = dedup_latest(batch, key_cols, [ts_col], tiebreak_cols)
+    data_cols = [c for c in deduped.columns]
+    current = table.to_df().where(F.col(current_col)).select(
+        *[F.col(k).alias(f"__t_{k}") for k in key_cols],
+        F.col(hash_col).alias("__t_hash"),
+    )
+    join_cond = deduped[key_cols[0]] == current[f"__t_{key_cols[0]}"]
+    for k in key_cols[1:]:
+        join_cond = join_cond & (deduped[k] == current[f"__t_{k}"])
+    joined = deduped.join(current, on=join_cond, how="left")
+    changed = joined.where(
+        F.col("__t_hash").isNotNull() & (F.col(hash_col) != F.col("__t_hash"))
+    ).select(*data_cols)
+    brand_new = joined.where(F.col("__t_hash").isNull()).select(*data_cols)
+    mk = lambda df, key: df.select(  # noqa: E731
+        *data_cols,
+        *(
+            [F.col(k).alias(f"__merge_{k}") for k in key_cols]
+            if key
+            else [F.lit(None).cast(df.schema[k].dataType).alias(f"__merge_{k}") for k in key_cols]
+        ),
+    )
+    staged = mk(changed, True).unionByName(mk(changed, False)).unionByName(
+        mk(brand_new, True)
+    )
+    cond = " AND ".join(
+        f"source.`__merge_{k}` = target.`{k}`" for k in key_cols
+    ) + f" AND target.`{current_col}`"
+    insert_assignments = {c: f"source.`{c}`" for c in data_cols}
+    insert_assignments[start_col] = f"source.`{ts_col}`"
+    insert_assignments[end_col] = "NULL"
+    insert_assignments[current_col] = "true"
+    clauses = [
+        MergeClause(
+            "update",
+            None,
+            {end_col: f"source.`{ts_col}`", current_col: "false"},
+        ),
+        MergeClause("insert", None, insert_assignments),
+    ]
+    return table.merge(
+        staged, cond, clauses,
+        stats_prune={k: f"__merge_{k}" for k in key_cols},
+    )
+
+
 def cdf_signed_deltas(
     changes: DataFrame,
     group_cols: list[str],

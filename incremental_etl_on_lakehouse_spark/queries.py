@@ -5506,6 +5506,119 @@ def q20_excess_suppliers(spark, sf_dir):
     )
 
 
+_SQL_SCD2 = f"""
+WITH cdc AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         md5(concat_ws('|', event_type,
+                       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))) AS h,
+         event_id, ts
+  FROM events
+),
+l1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+    FROM cdc WHERE ts < TIMESTAMP '{TS_SPLIT}') WHERE rn = 1
+),
+l2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+    FROM cdc WHERE ts >= TIMESTAMP '{TS_SPLIT}') WHERE rn = 1
+),
+changed AS (
+  SELECT l2.* FROM l2 JOIN l1 USING (user_id) WHERE l2.h <> l1.h
+),
+new2 AS (
+  SELECT l2.* FROM l2 ANTI JOIN l1 USING (user_id)
+),
+hist AS (
+  SELECT l1.user_id, l1.event_type, l1.value_cents,
+         l1.ts_ms AS start_ts, c.ts_ms AS end_ts, false AS is_current
+  FROM l1 JOIN changed c USING (user_id)
+  UNION ALL
+  SELECT l1.user_id, l1.event_type, l1.value_cents, l1.ts_ms, NULL, true
+  FROM l1 ANTI JOIN changed USING (user_id)
+  UNION ALL
+  SELECT user_id, event_type, value_cents, ts_ms, NULL, true FROM changed
+  UNION ALL
+  SELECT user_id, event_type, value_cents, ts_ms, NULL, true FROM new2
+)
+SELECT user_id, event_type, value_cents, start_ts, end_ts, is_current
+FROM hist ORDER BY user_id, start_ts
+"""
+
+
+@query("merge_scd2", _SQL_SCD2)
+def merge_scd2_key(spark, sf_dir):
+    """SCD Type-2 dimension history via staged-union MERGE (operators/
+    cdc.py: scd2_merge). The reference's Silver merge keeps only current
+    state per key (notebooks/demo-notebook.py:244-280); this is the
+    history-keeping variant every warehouse dimension needs: changed keys
+    get their open row closed (end_ts stamped, is_current=false) and a new
+    current row inserted, unchanged keys are no-ops (hash guard — the same
+    inter-batch no-op elimination as the reference's merge, :276), brand-new
+    keys insert their first version. Two CDC batches are applied in event-
+    time order and the full history table is returned.
+
+    Scale: one classify join per batch (broadcast at micro-batch sizes) +
+    one MERGE whose file pruning rewrites only files holding changed keys
+    — O(changed keys) per batch, never O(history)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    b1, b2 = _cdc_batches(spark, sf_dir)
+
+    def prep(b: DataFrame) -> DataFrame:
+        return b.select(
+            "user_id",
+            "ts_ms",
+            "event_type",
+            "value_cents",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("event_type"), F.col("value_cents").cast("string")
+                )
+            ).alias("data_hash"),
+            "event_id",
+        )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value_cents", LongType()),
+            StructField("data_hash", StringType()),
+            StructField("event_id", LongType()),
+            StructField("__start_ts", LongType()),
+            StructField("__end_ts", LongType()),
+            StructField("__is_current", BooleanType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "scd2_dim"),
+        schema,
+        properties={"statsColumns": "user_id"},
+    )
+    for b in (b1, b2):
+        scd2_merge(
+            table, prep(b), key_cols=["user_id"], ts_col="ts_ms",
+            tiebreak_cols=["event_id"],
+        )
+    return (
+        table.to_df()
+        .select(
+            "user_id",
+            "event_type",
+            "value_cents",
+            F.col("__start_ts").alias("start_ts"),
+            F.col("__end_ts").alias("end_ts"),
+            F.col("__is_current").alias("is_current"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

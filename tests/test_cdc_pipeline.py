@@ -231,3 +231,66 @@ def test_schema_drift_new_column_lands_in_bronze(pipeline):
     assert os.path.exists(
         os.path.join(str(p.checkpoints), "bronze_schema.json")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history merge (operators/cdc.py: scd2_merge)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_merge_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("attr", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("data_hash", StringType()),
+            StructField("__start_ts", LongType()),
+            StructField("__end_ts", LongType()),
+            StructField("__is_current", BooleanType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "dim"), schema)
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "id long, attr string, ts_ms long")
+        return df.withColumn("data_hash", F.md5(F.col("attr")))
+
+    # batch 1: keys 1, 2 (intra-batch dup on key 1 -> latest wins)
+    scd2_merge(t, batch([(1, "a", 100), (1, "b", 200), (2, "x", 100)]),
+               ["id"], "ts_ms")
+    hist = {(r.id, r.attr): (r["__start_ts"], r["__end_ts"], r["__is_current"])
+            for r in t.to_df().collect()}
+    assert hist == {(1, "b"): (200, None, True), (2, "x"): (100, None, True)}
+
+    # batch 2: key 1 changes (close + new version), key 2 unchanged (no-op),
+    # key 3 brand new
+    b2 = batch([(1, "c", 300), (2, "x", 300), (3, "z", 300)])
+    scd2_merge(t, b2, ["id"], "ts_ms")
+    hist = {(r.id, r.attr): (r["__start_ts"], r["__end_ts"], r["__is_current"])
+            for r in t.to_df().collect()}
+    assert hist == {
+        (1, "b"): (200, 300, False),
+        (1, "c"): (300, None, True),
+        (2, "x"): (100, None, True),
+        (3, "z"): (300, None, True),
+    }
+
+    # idempotence: replaying batch 2 stages nothing (hashes all match)
+    v = t.version()
+    scd2_merge(t, b2, ["id"], "ts_ms")
+    assert {(r.id, r.attr, r["__is_current"]) for r in t.to_df().collect()} == {
+        (1, "b", False), (1, "c", True), (2, "x", True), (3, "z", True)
+    }
