@@ -5619,6 +5619,260 @@ def merge_scd2_key(spark, sf_dir):
     )
 
 
+@query(
+    "win_ntile",
+    "SELECT event_id, event_type,"
+    " CAST(ntile(4) OVER w AS BIGINT) AS quartile,"
+    " round(percent_rank() OVER w, 6) AS pct_rank,"
+    " round(cume_dist() OVER w, 6) AS cume"
+    " FROM events WINDOW w AS"
+    " (PARTITION BY event_type ORDER BY value, event_id)"
+    " ORDER BY event_id",
+)
+def win_ntile(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    the quantile-bucketing shape used for per-group score banding. One
+    shuffle on the partition key; the within-group sort is the window
+    sort, deterministic via the event_id tiebreak."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_regexp_extract",
+    "SELECT doc_id,"
+    " regexp_extract(text, '^([a-z]+)', 1) AS first_word,"
+    " CAST(length(text) - length(regexp_replace(text, 'data', '', 'g'))"
+    "   AS BIGINT) / 4 AS n_data,"
+    " regexp_extract(text, '(join|merge|sort)', 1) AS first_verb"
+    " FROM documents ORDER BY doc_id",
+)
+def fn_regexp_extract(spark, sf_dir):
+    """Regex scalar functions (extract + replace); patterns kept in the
+    RE2-compatible subset so Java (Spark) and RE2 (DuckDB) agree. Narrow
+    codegen projection — scan-bound, no shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "data", "")))
+            / 4
+        ).cast("long").alias("n_data"),
+        F.regexp_extract("text", "(join|merge|sort)", 1).alias("first_verb"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_array_ops",
+    "SELECT vec_id,"
+    " CAST(len(embedding) AS BIGINT) AS dim,"
+    " round(list_aggregate(list_transform(embedding,"
+    "   x -> abs(CAST(x AS DOUBLE))), 'sum'), 6) AS l1,"
+    " CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,"
+    " round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS mx"
+    " FROM embeddings ORDER BY vec_id",
+)
+def fn_array_ops(spark, sf_dir):
+    """Higher-order array functions (transform / filter / aggregate) over
+    the embedding column — the building blocks of the JVM-side vector
+    math used by the similarity operators. Sequential left-fold sum over
+    the list in both engines (same order -> bit-identical doubles).
+    Scan-bound narrow projection."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l1"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("mx"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "src_orc_batch",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM events GROUP BY event_type ORDER BY event_type",
+)
+def src_orc_batch(spark, sf_dir):
+    """ORC round-trip: the second columnar format Spark reads natively
+    (the reference is parquet-in-Delta only). Events are written to ORC
+    scratch and read back; the aggregate proves values survive the format
+    conversion. Predicate/column pushdown works the same as parquet
+    (ORC reader supports both)."""
+    out = os.path.join(_tmpdir(), "events_orc")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "join_full_outer",
+    "WITH lhs AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100),"
+    " rhs AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders"
+    "   FROM orders WHERE o_custkey BETWEEN 50 AND 150 GROUP BY o_custkey)"
+    " SELECT c_custkey, c_name, o_custkey, n_orders"
+    " FROM lhs FULL OUTER JOIN rhs ON c_custkey = o_custkey"
+    " ORDER BY coalesce(c_custkey, o_custkey), c_custkey NULLS FIRST",
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join with unmatched rows surviving on BOTH sides (the
+    ranges only partially overlap by construction). Full outer cannot
+    broadcast — it shuffles both sides on the key; keys here are unique
+    per side so there is no skew."""
+    lhs = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    rhs = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_custkey").between(50, 150))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        lhs.join(rhs, lhs.c_custkey == rhs.o_custkey, "full_outer")
+        .select("c_custkey", "c_name", "o_custkey", "n_orders")
+        .orderBy(
+            F.coalesce("c_custkey", "o_custkey"),
+            F.col("c_custkey").asc_nulls_first(),
+        )
+    )
+
+
+_URL_NORM_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+           CASE WHEN doc_id % 3 = 0 THEN concat('WWW.', source, '.Example.COM')
+                ELSE concat(source, '.example.com') END,
+           '/', lang, '/page', CAST(doc_id % 50 AS VARCHAR),
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 2 = 0
+                THEN concat('?utm_source=feed&id=', CAST(doc_id % 20 AS VARCHAR),
+                            '&utm_campaign=mail')
+                ELSE concat('?id=', CAST(doc_id % 20 AS VARCHAR)) END,
+           CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END
+         ) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               concat(
+                 lower(regexp_extract(s2, '^[a-zA-Z]+://[^/?#]+')),
+                 substr(s2, length(regexp_extract(s2, '^[a-zA-Z]+://[^/?#]+')) + 1)
+               ),
+               '://www\\.', '://'),
+             'utm_[a-z]+=[a-z]+&?', '', 'g'),
+           '[?&]$', '') AS canonical
+  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS s2 FROM urls)
+),
+final AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(canonical, '/[?]', '?'), '/$', '')
+           AS canonical
+  FROM canon
+)
+SELECT regexp_extract(canonical, '://([^/?#]+)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_urls
+FROM final GROUP BY host ORDER BY host
+"""
+
+
+@query("ext_url_normalize", _URL_NORM_SQL)
+def ext_url_normalize(spark, sf_dir):
+    """URL canonicalization for web-corpus hygiene (the CommonCrawl-style
+    dedup key): lowercase scheme+host, strip ``www.``, drop fragments,
+    remove ``utm_*`` tracking params, strip trailing slashes, then count
+    docs and distinct canonical URLs per host. The URL column is planted
+    deterministically from doc_id (the fixture tables carry no URLs), with
+    every normalization hazard present: mixed case, www-prefix, tracking
+    params before AND after kept params, trailing slash, fragments.
+
+    Scale: the whole canonicalization is a chained regexp_replace codegen
+    projection (scan-bound, zero exchanges — same shape as ext_pii_redact);
+    the per-host rollup is one partial-aggregated shuffle on host."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")),
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit("&utm_campaign=mail"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?id="), (F.col("doc_id") % 20).cast("string"))
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    s2 = F.regexp_replace(url, "#.*$", "")
+    prefix = F.regexp_extract(s2, "^[a-zA-Z]+://[^/?#]+", 0)
+    lowered = F.concat(F.lower(prefix), F.substr(s2, F.length(prefix) + 1))
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lowered, r"://www\.", "://"),
+            "utm_[a-z]+=[a-z]+&?",
+            "",
+        ),
+        "[?&]$",
+        "",
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(canonical, "/[?]", "?"), "/$", ""
+    )
+    return (
+        d.select(canonical.alias("canonical"))
+        .groupBy(F.regexp_extract("canonical", "://([^/?#]+)", 1).alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canonical").alias("n_urls"),
+        )
+        .orderBy("host")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #
