@@ -5873,6 +5873,172 @@ def ext_url_normalize(spark, sf_dir):
     )
 
 
+@query(
+    "agg_histogram",
+    "SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " round(min(value), 2) AS lo, round(max(value), 2) AS hi"
+    " FROM events GROUP BY bucket ORDER BY bucket",
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram (50-unit buckets, top bucket clamped) — the
+    profiling shape behind data-quality dashboards. Pure arithmetic
+    bucketing keeps it a one-shuffle partial aggregate; at 100 TB the
+    bucket cardinality is constant so the reduce side is trivial."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    "SELECT event_type,"
+    " round(quantile_cont(value, 0.5), 6) AS exact_p50,"
+    " true AS approx_within_5pct"
+    " FROM events GROUP BY event_type ORDER BY event_type",
+)
+def agg_approx_percentile(spark, sf_dir):
+    """Sketch-based percentile (the 100 TB path — ``approx_percentile``
+    aggregates a bounded KLL-style sketch instead of sorting the group) with
+    a tolerance verdict against the exact interpolated percentile, both
+    computed distributed in one pass (same pattern as ext_approx_distinct:
+    the verdict is a column expression, no driver-side collect)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("__approx") - F.col("exact_p50"))
+                <= 0.05 * F.abs(F.col("exact_p50")) + F.lit(0.01)
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "src_partition_pruned",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM events WHERE event_type IN ('purchase', 'signup')"
+    " GROUP BY event_type ORDER BY event_type",
+)
+def src_partition_pruned(spark, sf_dir):
+    """Hive-partitioned parquet source with partition pruning: events are
+    written ``partitionBy(event_type)`` and read back with a partition
+    predicate — the scan plans PartitionFilters and never opens the other
+    partitions' files (plan-guarded in tests/test_plans.py). This is the
+    directory-level analogue of the lake layer's stats-based file skipping
+    (ddl_partitioned_table): at 100 TB partition pruning is the first and
+    cheapest I/O eliminator, applied before any file or row-group stats."""
+    out = os.path.join(_tmpdir(), "events_part")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    # Sliding 24h window, 12h slide: every event belongs to exactly two
+    # windows (offsets 0 and -12h from its 12h grid bucket). Files arrive
+    # in event-time order; append mode emits a window once the final
+    # watermark (max ts - 1h) passes its END — the oracle encodes the same
+    # membership and emission rules in pure epoch-ms arithmetic (no
+    # engine-specific window-origin assumptions).
+    "WITH g AS (SELECT unnest([0, 1]) AS i),"
+    " w AS (SELECT e.*,"
+    "   (epoch_ms(ts) // 43200000 - g.i) * 43200000 AS wstart_ms"
+    "   FROM events e, g),"
+    " lim AS (SELECT epoch_ms(max(ts)) - 3600000 AS horizon FROM events)"
+    " SELECT wstart_ms AS window_start_ms, event_type,"
+    "  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value"
+    " FROM w WHERE wstart_ms + 86400000 <= (SELECT horizon FROM lim)"
+    " GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding event-time windows over a Structured Streaming source (the
+    tumbling variant is stream_window_agg): window('1 day' slide '12 hours')
+    with a 1-hour watermark, append-mode emission. State is bounded to
+    (horizon / slide) x |event types| windows; the shuffle key is
+    (window, event_type)."""
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        run_to_memory,
+        windowed_agg,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        "value",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_cols=["event_type"],
+        slide_duration="12 hours",
+        watermark="1 hour",
+    )
+    got = run_to_memory(out)
+    return got.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("window_start_ms", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

@@ -391,3 +391,53 @@ def test_corpus_pipeline_single_wide_shuffle(spark, sf_dir):
     # groupBy(__h) + the semi-join's two sides = bounded, small set
     assert 1 <= len(hashes) <= 3, parts
     assert sum(p.startswith("rangepartitioning") for p in parts) == 1, parts
+
+
+def test_partition_pruned_scan(spark, sf_dir):
+    """The hive-partitioned source must plan PartitionFilters on event_type
+    (directory-level pruning — no data files of other partitions opened)."""
+    df = QUERIES["src_partition_pruned"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+
+
+def test_url_normalize_single_shuffle(spark, sf_dir):
+    """URL canonicalization is a codegen projection — no exchange carries
+    the raw text. Allowed shuffles: the countDistinct two-phase pair on
+    (host, canonical) -> host, plus the final presentation sort = 3."""
+    df = QUERIES["ext_url_normalize"](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= 3, plans.formatted_plan(df)
+
+
+def test_scd2_merge_batch_side_broadcasts(spark, tmp_path):
+    """The SCD2 classify join must broadcast the micro-batch against the
+    current-rows scan, not shuffle the dimension."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+    )
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("attr", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("data_hash", StringType()),
+        StructField("__start_ts", LongType()),
+        StructField("__end_ts", LongType()),
+        StructField("__is_current", BooleanType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "dim"), schema)
+    b = spark.createDataFrame(
+        [(1, "a", 100)], "id long, attr string, ts_ms long"
+    ).withColumn("data_hash", F.md5(F.col("attr")))
+    scd2_merge(t, b, ["id"], "ts_ms")
+    b2 = spark.createDataFrame(
+        [(1, "b", 200), (2, "x", 200)], "id long, attr string, ts_ms long"
+    ).withColumn("data_hash", F.md5(F.col("attr")))
+    scd2_merge(t, b2, ["id"], "ts_ms")
+    rows = {(r.id, r.attr): r["__is_current"] for r in t.to_df().collect()}
+    assert rows == {(1, "a"): False, (1, "b"): True, (2, "x"): True}
