@@ -6039,6 +6039,95 @@ def stream_sliding_window(spark, sf_dir):
     ).orderBy("window_start_ms", "event_type")
 
 
+@query(
+    "join_bucketed",
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " GROUP BY c_nationkey ORDER BY c_nationkey",
+)
+def join_bucketed(spark, sf_dir):
+    """Bucketed co-located join: both sides written ``bucketBy(8, custkey)``
+    + ``sortBy``, so the fact-fact join plans with ZERO exchanges on either
+    join input — the bucket layout IS the shuffle, paid once at write time
+    and amortized over every subsequent join (plan-guarded in
+    tests/test_plans.py). This is the standard 100 TB answer for a join
+    executed repeatedly on the same key: pre-partition the storage, never
+    re-shuffle the big tables at query time."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    base = _tmpdir()
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cname, oname = f"cust_b_{tag}", f"ord_b_{tag}"
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", os.path.join(base, "cust")).saveAsTable(cname))
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", os.path.join(base, "ord")).saveAsTable(oname))
+    c = spark.table(cname)
+    o = spark.table(oname)
+    # At the fixture's scale Catalyst would broadcast the (tiny) customer
+    # side; the MERGE hint pins the sort-merge strategy this key exists to
+    # demonstrate — the fact-fact shape where, at 100 TB, Catalyst picks
+    # SMJ itself and the bucket layout removes both exchanges.
+    return (
+        c.hint("merge").join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "snk_dynamic_partition_overwrite",
+    # post-state oracle: the 'purchase' partition is replaced by the
+    # doubled rows; every other partition keeps its original rows.
+    "WITH base AS (SELECT event_id, event_type,"
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(cents) AS BIGINT) AS cents FROM ("
+    "  SELECT event_id, event_type, cents * 2 AS cents FROM base"
+    "   WHERE event_type = 'purchase'"
+    "  UNION ALL SELECT * FROM base WHERE event_type <> 'purchase')"
+    " GROUP BY event_type ORDER BY event_type",
+)
+def snk_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics): a second write in ``dynamic`` mode replaces ONLY the
+    partitions present in the incoming frame — here the 'purchase'
+    partition is rewritten with doubled amounts while every other
+    partition's files are untouched. In ``static`` mode (the default) the
+    same write would wipe the whole table: the mode is the difference
+    between an O(changed partitions) daily re-load and an O(table) one at
+    100 TB."""
+    out = os.path.join(_tmpdir(), "events_dpo")
+    base = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base.write.partitionBy("event_type").parquet(out)
+    fix = (
+        base.where(F.col("event_type") == "purchase")
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

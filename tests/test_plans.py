@@ -441,3 +441,22 @@ def test_scd2_merge_batch_side_broadcasts(spark, tmp_path):
     scd2_merge(t, b2, ["id"], "ts_ms")
     rows = {(r.id, r.attr): r["__is_current"] for r in t.to_df().collect()}
     assert rows == {(1, "a"): False, (1, "b"): True, (2, "x"): True}
+
+
+def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
+    """Both join inputs are bucketed on the key with equal bucket counts:
+    the sort-merge join must consume the bucket layout directly — zero
+    Exchange operators below the join (the only shuffles are the final
+    aggregate + presentation sort)."""
+    df = QUERIES["join_bucketed"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # walk the numbered operator tree: no Exchange may appear at a line
+    # more indented than (i.e. below) the SortMergeJoin node
+    lines = plan.splitlines()
+    smj = next(l for l in lines if "SortMergeJoin" in l and ("+-" in l or ":-" in l))
+    depth = smj.index("SortMergeJoin")
+    for l in lines:
+        if "Exchange" in l and ("+-" in l or ":-" in l):
+            assert l.index("Exchange") < depth, plan
