@@ -355,6 +355,71 @@ def parse_delete(sql: str) -> tuple[str, str | None]:
     return table, (_strip_alias(cond, [alias, table]) if cond else None)
 
 
+def parse_insert(sql: str) -> tuple[str, list[str] | None, str, str]:
+    """``INSERT INTO|OVERWRITE [TABLE] <t> [(col, ...)] VALUES ...|SELECT ...``
+    -> (table, column_list_or_None, mode 'into'|'overwrite', query_text).
+
+    The source query is handed to ``spark.sql`` verbatim, so any Spark
+    SELECT (over temp views) or VALUES list works. The SELECT must not be
+    wrapped in parentheses (write ``INSERT INTO t SELECT ...``)."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>{_IDENT})\s*"
+        rf"(?:\((?P<cols>[^)]*)\)\s*)?(?P<q>(?:VALUES|SELECT)\b.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparseable INSERT statement: {sql!r}")
+    cols = (
+        [c.strip().strip("`") for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else None
+    )
+    return (
+        m.group("t"),
+        cols,
+        "into" if m.group("mode").upper() == "INTO" else "overwrite",
+        m.group("q"),
+    )
+
+
+def execute_insert(spark: SparkSession, sql: str, resolve) -> int:
+    """Run ``INSERT INTO`` (append) / ``INSERT OVERWRITE`` (replace) against
+    a lake table. Without a column list the source is positional and must
+    supply every writable column (identity columns are auto-generated and
+    may not be supplied — Delta's contract); with a column list, absent
+    columns fill as NULL or their generated-column expression (``_align``).
+    Returns the new table version."""
+    table, cols, mode, q = parse_insert(sql)
+    target = _resolve(resolve, table)
+    df = spark.sql(q)
+    schema = target.schema()
+    identity = set(target.identity_columns())
+    if cols is None:
+        writable = [f.name for f in schema.fields if f.name not in identity]
+        if len(df.columns) != len(writable):
+            raise ValueError(
+                f"INSERT without column list must supply all {len(writable)} "
+                f"columns of {table}, got {len(df.columns)}"
+            )
+        df = df.toDF(*writable)
+    else:
+        known = {f.name for f in schema.fields}
+        bad = [c for c in cols if c not in known]
+        if bad:
+            raise ValueError(f"unknown columns in INSERT list: {bad}")
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT column list has {len(cols)} names but the source "
+                f"query produces {len(df.columns)} columns"
+            )
+        df = df.toDF(*cols)
+    if mode == "into":
+        return target.append(df)
+    return target.overwrite(df)  # overwrite aligns internally
+
+
 def _resolve(resolve, name: str) -> LakeTable:
     if isinstance(resolve, LakeTable):
         return resolve
@@ -544,12 +609,14 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
 
 def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
     """One front door for every supported statement kind: MERGE INTO,
-    UPDATE, DELETE FROM, ALTER TABLE (constraints, rename), OPTIMIZE,
-    VACUUM, RESTORE, CREATE TABLE ... CLONE."""
+    INSERT INTO/OVERWRITE, UPDATE, DELETE FROM, ALTER TABLE (constraints,
+    rename), OPTIMIZE, VACUUM, RESTORE, CREATE TABLE ... CLONE."""
     s = strip_comments(sql).lstrip()
     head = s.split(None, 1)[0].upper() if s.split() else ""
     if head == "MERGE":
         return execute_merge(spark, sql, resolve, **kw)
+    if head == "INSERT":
+        return execute_insert(spark, sql, resolve)
     if head == "UPDATE":
         return execute_update(spark, sql, resolve)
     if head == "DELETE":

@@ -6128,6 +6128,74 @@ def snk_dynamic_partition_overwrite(spark, sf_dir):
     )
 
 
+@query(
+    "snk_insert_sql",
+    # phase 'pre' = 2 VALUES rows + the column-subset row (NULL cents) +
+    # the SELECT-appended signup events; phase 'post' = the OVERWRITE
+    # replacement — both table states verified via time travel.
+    "WITH pre AS ("
+    "  SELECT CAST(1 AS BIGINT) AS user_id, 'a' AS event_type,"
+    "   CAST(10 AS BIGINT) AS cents"
+    "  UNION ALL SELECT 2, 'b', 20"
+    "  UNION ALL SELECT 3, 'c', NULL"
+    "  UNION ALL SELECT user_id, event_type,"
+    "   CAST(round(value * 100) AS BIGINT)"
+    "   FROM events WHERE event_type = 'signup'),"
+    " post AS (SELECT CAST(100 AS BIGINT) AS user_id, 'final' AS event_type,"
+    "   CAST(1 AS BIGINT) AS cents"
+    "  UNION ALL SELECT 200, 'final', 2)"
+    " SELECT 'pre' AS phase, * FROM pre"
+    " UNION ALL SELECT 'post', * FROM post"
+    " ORDER BY phase, user_id, cents",
+)
+def snk_insert_sql(spark, sf_dir):
+    """SQL-text INSERT statements through the one-door dispatcher
+    (lake/sql.py: execute_insert): INSERT INTO ... VALUES, INSERT INTO with
+    an explicit column subset (absent column -> NULL via _align), INSERT
+    INTO ... SELECT over a temp view, then INSERT OVERWRITE ... VALUES
+    replacing the whole content. Both table states are verified — the
+    pre-overwrite version via time travel, the post-state from the head.
+    Each statement is one transactional commit; OVERWRITE is a metadata
+    swap of the file set, never an in-place mutation."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "ins"), schema)
+    resolve = {"tgt": t}
+    execute_statement(
+        spark, "INSERT INTO tgt VALUES (1, 'a', 10), (2, 'b', 20)", resolve
+    )
+    execute_statement(
+        spark, "INSERT INTO tgt (user_id, event_type) VALUES (3, 'c')", resolve
+    )
+    ev = load_table(spark, "events", sf_dir)
+    ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("signup_src")
+    execute_statement(
+        spark,
+        "INSERT INTO tgt SELECT user_id, event_type, cents FROM signup_src",
+        resolve,
+    )
+    v_pre = t.version()
+    execute_statement(
+        spark,
+        "INSERT OVERWRITE tgt VALUES (100, 'final', 1), (200, 'final', 2)",
+        resolve,
+    )
+    pre = t.to_df(version=v_pre).select(F.lit("pre").alias("phase"), "*")
+    post = t.to_df().select(F.lit("post").alias("phase"), "*")
+    return pre.unionByName(post).orderBy("phase", "user_id", "cents")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

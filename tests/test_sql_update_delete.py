@@ -300,3 +300,52 @@ def test_sql_utility_statements(spark, tmp_path):
     # dispatcher routes DML too
     execute_statement(spark, "DELETE FROM t WHERE x = 0", {"t": t})
     assert t.to_df().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# INSERT INTO / INSERT OVERWRITE statements
+# ---------------------------------------------------------------------------
+
+
+def test_insert_statements(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_statement,
+        parse_insert,
+    )
+
+    assert parse_insert("INSERT INTO t VALUES (1, 'x')") == (
+        "t", None, "into", "VALUES (1, 'x')")
+    assert parse_insert("INSERT OVERWRITE TABLE t (a, b) SELECT 1, 2") == (
+        "t", ["a", "b"], "overwrite", "SELECT 1, 2")
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("n", LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "ins"), schema)
+    r = {"t": t}
+    execute_statement(spark, "INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20)", r)
+    assert t.to_df().count() == 2
+    # column subset: n fills as NULL
+    execute_statement(spark, "INSERT INTO t (id, name) VALUES (3, 'c')", r)
+    assert {(x.id, x.n) for x in t.to_df().collect()} == {
+        (1, 10), (2, 20), (3, None)}
+    # SELECT source over a temp view
+    spark.createDataFrame([(4, "d", 40)], schema).createOrReplaceTempView("src_v")
+    execute_statement(spark, "INSERT INTO t SELECT * FROM src_v", r)
+    assert t.to_df().count() == 4
+    # OVERWRITE replaces everything in one commit; history preserved
+    v = execute_statement(spark, "INSERT OVERWRITE t VALUES (9, 'z', 90)", r)
+    assert [(x.id, x.name, x.n) for x in t.to_df().collect()] == [(9, "z", 90)]
+    assert t.to_df(version=v - 1).count() == 4
+
+    # errors: wrong arity without a column list; unknown column with one
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="all 3 columns"):
+        execute_statement(spark, "INSERT INTO t VALUES (1, 'x')", r)
+    with _pytest.raises(ValueError, match="unknown columns"):
+        execute_statement(spark, "INSERT INTO t (id, bogus) VALUES (1, 2)", r)
