@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     # round-4: deletion-vector DELETE+UPDATE end-to-end (create, append,
     # DV delete, DV update, masked read) — tracks the sidecar read path
     "util_deletion_vectors",
+    # round-4: SCD2 history merge — two classify-join + staged-union MERGE
+    # rounds over the CDC batches (tracks the new multi-clause merge path)
+    "merge_scd2",
 ]
 
 
