@@ -6196,6 +6196,81 @@ def snk_insert_sql(spark, sf_dir):
     return pre.unionByName(post).orderBy("phase", "user_id", "cents")
 
 
+@query(
+    "fn_datetime",
+    "SELECT event_id,"
+    " epoch_ms(date_trunc('day', ts)) AS day_ms,"
+    " CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,"  # DuckDB dow 0=Sun; Spark 1=Sun
+    " CAST(hour(ts) AS BIGINT) AS hr,"
+    " CAST(quarter(ts) AS BIGINT) AS qtr,"
+    " epoch_ms(ts + INTERVAL 1 MONTH) AS plus_month_ms,"
+    " epoch_ms(CAST(last_day(ts) AS TIMESTAMP)) AS month_end_ms,"
+    " CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    "  AS days_since"
+    " FROM events ORDER BY event_id",
+)
+def fn_datetime(spark, sf_dir):
+    """Calendar/datetime scalar surface: truncation, day-of-week, hour,
+    quarter, interval arithmetic (end-of-month clamping included),
+    last_day, day difference from an anchor. All outputs epoch-ms bigints
+    or ints so the cross-engine compare is exact; session tz pinned UTC on
+    both sides. Narrow codegen projection, scan-bound."""
+    ev = load_table(spark, "events", sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.date_trunc("day", ts)).alias("day_ms"),
+        F.dayofweek(ts).cast("long").alias("dow"),
+        F.hour(ts).cast("long").alias("hr"),
+        F.quarter(ts).cast("long").alias("qtr"),
+        F.unix_millis(ts + F.expr("INTERVAL 1 MONTH")).alias("plus_month_ms"),
+        F.unix_millis(F.last_day(ts).cast("timestamp")).alias("month_end_ms"),
+        F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_map_ops",
+    # the map {'cents': x, 'user': y} exploded to (key, value) rows; the
+    # zipped unnest reproduces entry order, and element_at/keys are probed
+    # as scalar columns
+    "SELECT event_id,"
+    " unnest(['cents', 'user']) AS k,"
+    " unnest([CAST(round(value * 100) AS BIGINT), user_id]) AS v,"
+    " CAST(round(value * 100) AS BIGINT) AS cents_probe,"
+    " 'cents,user' AS keys_sorted"
+    " FROM events ORDER BY event_id, k",
+)
+def fn_map_ops(spark, sf_dir):
+    """MapType surface: map_from_arrays construction, element_at probe,
+    sorted map_keys, and explode back to rows (the only engine-portable
+    way to value-compare a map). Maps stay JVM-side expressions — no UDF;
+    explode is a narrow operator."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = F.map_from_arrays(
+        F.array(F.lit("cents"), F.lit("user")),
+        F.array(cents, F.col("user_id")),
+    )
+    return (
+        ev.select(
+            "event_id",
+            m.alias("m"),
+            F.element_at(m, "cents").alias("cents_probe"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        )
+        .select(
+            "event_id",
+            F.explode("m").alias("k", "v"),
+            "cents_probe",
+            "keys_sorted",
+        )
+        .orderBy("event_id", "k")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #
