@@ -218,7 +218,11 @@ def scd2_merge(
     join_cond = deduped[key_cols[0]] == current[f"__t_{key_cols[0]}"]
     for k in key_cols[1:]:
         join_cond = join_cond & (deduped[k] == current[f"__t_{k}"])
-    joined = deduped.join(current, on=join_cond, how="left")
+    # The classify join feeds THREE union branches (close-out rows, new-
+    # version rows, brand-new rows) and the MERGE evaluates its source in
+    # several jobs; persist so the dedup window + join run once, not 3+
+    # times (measured 12.6 -> ~6 s on the sf0.1 bench key).
+    joined = deduped.join(current, on=join_cond, how="left").persist()
     changed = joined.where(
         F.col("__t_hash").isNotNull() & (F.col(hash_col) != F.col("__t_hash"))
     ).select(*data_cols)
@@ -249,10 +253,13 @@ def scd2_merge(
         ),
         MergeClause("insert", None, insert_assignments),
     ]
-    return table.merge(
-        staged, cond, clauses,
-        stats_prune={k: f"__merge_{k}" for k in key_cols},
-    )
+    try:
+        return table.merge(
+            staged, cond, clauses,
+            stats_prune={k: f"__merge_{k}" for k in key_cols},
+        )
+    finally:
+        joined.unpersist()
 
 
 def cdf_signed_deltas(
