@@ -30,6 +30,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
 
@@ -420,6 +421,147 @@ def execute_insert(spark: SparkSession, sql: str, resolve) -> int:
     return target.overwrite(df)  # overwrite aligns internally
 
 
+def parse_create_table(sql: str) -> dict:
+    """``CREATE TABLE [IF NOT EXISTS] <t> [(coldefs)] [USING <fmt>]
+    [PARTITIONED BY (c, ...)] [TBLPROPERTIES (k = v, ...)] [AS SELECT ...]``
+
+    Returns {table, if_not_exists, columns: [(name, type_ddl)], not_null:
+    [col], generated: {col: expr}, identity: {col: (start, step)},
+    partition_by: [col], properties: {k: v}, select: str|None}.
+
+    Accepts the reference's DDL verbatim (``notebooks/demo-notebook.py:
+    213-227``): the ``delta.`` property prefix is stripped (this engine's
+    lake layer uses the bare names), and Delta's column clauses NOT NULL /
+    GENERATED ALWAYS AS (expr) / GENERATED ALWAYS AS IDENTITY
+    [(START WITH s INCREMENT BY i)] are recognized.
+    """
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<t>{_IDENT})\s*"
+        rf"(?P<rest>.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparseable CREATE TABLE statement: {sql!r}")
+    out: dict = {
+        "table": m.group("t"),
+        "if_not_exists": bool(m.group("ine")),
+        "columns": [],
+        "not_null": [],
+        "generated": {},
+        "identity": {},
+        "partition_by": [],
+        "properties": {},
+        "select": None,
+    }
+    rest = m.group("rest").strip()
+    if rest.startswith("("):
+        depth = 0
+        for i, c in enumerate(rest):
+            depth += c == "("
+            depth -= c == ")"
+            if depth == 0:
+                break
+        coldefs, rest = rest[1:i], rest[i + 1 :].strip()
+        for cd in split_top_level(coldefs):
+            im = re.search(
+                r"\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+"
+                r"(-?\d+)\s*\))?\s*$",
+                cd,
+                re.IGNORECASE,
+            )
+            ident = None
+            if im:
+                ident = (int(im.group(1) or 1), int(im.group(2) or 1))
+                cd = cd[: im.start()]
+            gm = re.search(
+                r"\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*$",
+                cd,
+                re.IGNORECASE | re.DOTALL,
+            )
+            gen = None
+            if gm:
+                gen = gm.group(1).strip()
+                cd = cd[: gm.start()]
+            nn = re.search(r"\s+NOT\s+NULL\s*$", cd, re.IGNORECASE)
+            if nn:
+                cd = cd[: nn.start()]
+            cm = re.match(r"`?([\w]+)`?\s+(.+)$", cd.strip(), re.DOTALL)
+            if not cm:
+                raise ValueError(f"unparseable column definition: {cd!r}")
+            name, typ = cm.group(1), " ".join(cm.group(2).split())
+            out["columns"].append((name, typ))
+            if nn:
+                out["not_null"].append(name)
+            if gen:
+                out["generated"][name] = gen
+            if ident:
+                out["identity"][name] = ident
+    pm = re.search(
+        r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.IGNORECASE
+    )
+    if pm:
+        out["partition_by"] = [
+            c.strip().strip("`") for c in pm.group(1).split(",")
+        ]
+    tm = re.search(
+        r"TBLPROPERTIES\s*\((.*?)\)\s*(AS\b|$)", rest, re.IGNORECASE | re.DOTALL
+    )
+    if tm:
+        for kv in split_top_level(tm.group(1)):
+            k, _, v = kv.partition("=")
+            k = k.strip().strip("'\"`")
+            if k.lower().startswith("delta."):
+                k = k[len("delta."):]
+            out["properties"][k] = v.strip().strip("'\"")
+    am = re.search(r"\bAS\s+(SELECT\b.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if am:
+        out["select"] = am.group(1)
+    if not out["columns"] and not out["select"]:
+        raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+    return out
+
+
+def execute_create_table(
+    spark: SparkSession, sql: str, resolve=None, dest_path: str | None = None
+) -> LakeTable:
+    """Run CREATE TABLE [...] / CREATE TABLE ... AS SELECT against the lake
+    layer. ``dest_path`` is the filesystem location for the new table (the
+    stand-in for a catalog's name->location mapping, as with CLONE)."""
+    p = parse_create_table(sql)
+    if dest_path is None:
+        raise ValueError("CREATE TABLE requires dest_path for the new table")
+    props = dict(p["properties"])
+    for col, expr in p["generated"].items():
+        props[f"generated.{col}"] = expr
+    for col, (start, step) in p["identity"].items():
+        props[f"identity.{col}"] = f"{start},{step}"
+    if p["columns"]:
+        schema = StructType.fromDDL(
+            ", ".join(f"{n} {t}" for n, t in p["columns"])
+        )
+    else:
+        schema = spark.sql(p["select"]).schema
+    existed = bool(LakeTable.exists(dest_path)) and p["if_not_exists"]
+    t = LakeTable.create(
+        spark,
+        dest_path,
+        schema,
+        properties=props,
+        if_not_exists=p["if_not_exists"],
+        partition_by=p["partition_by"] or None,
+    )
+    if existed:
+        return t  # IF NOT EXISTS no-op: leave constraints/content untouched
+    for col in p["not_null"]:
+        t.add_not_null(col)
+    if p["select"]:
+        t.append(spark.sql(p["select"]))
+    return t
+
+
 def _resolve(resolve, name: str) -> LakeTable:
     if isinstance(resolve, LakeTable):
         return resolve
@@ -610,13 +752,19 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
 def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
     """One front door for every supported statement kind: MERGE INTO,
     INSERT INTO/OVERWRITE, UPDATE, DELETE FROM, ALTER TABLE (constraints,
-    rename), OPTIMIZE, VACUUM, RESTORE, CREATE TABLE ... CLONE."""
+    rename), OPTIMIZE, VACUUM, RESTORE, CREATE TABLE (column DDL with
+    NOT NULL / generated / identity clauses, AS SELECT, or ... CLONE)."""
     s = strip_comments(sql).lstrip()
     head = s.split(None, 1)[0].upper() if s.split() else ""
     if head == "MERGE":
         return execute_merge(spark, sql, resolve, **kw)
     if head == "INSERT":
         return execute_insert(spark, sql, resolve)
+    if head == "CREATE":
+        try:
+            return execute_utility(spark, sql, resolve, **kw)  # ... CLONE
+        except ValueError:
+            return execute_create_table(spark, sql, resolve, **kw)
     if head == "UPDATE":
         return execute_update(spark, sql, resolve)
     if head == "DELETE":

@@ -6271,6 +6271,59 @@ def fn_map_ops(spark, sf_dir):
     )
 
 
+@query(
+    "ddl_create_sql",
+    "SELECT * FROM (VALUES"
+    " (CAST(1 AS BIGINT), 'England', CAST(934 AS BIGINT), 'big', true, true),"
+    " (CAST(2 AS BIGINT), 'Wales', CAST(500 AS BIGINT), 'big', true, true),"
+    " (CAST(3 AS BIGINT), 'Scotland', CAST(20 AS BIGINT), 'small', true, true))"
+    " t(id, country, num_visitors, bucket, cdf_on, create_idempotent)"
+    " ORDER BY id",
+)
+def ddl_create_sql(spark, sf_dir):
+    """CREATE TABLE through the SQL front door (lake/sql.py:
+    parse_create_table) with the reference's DDL shape verbatim
+    (notebooks/demo-notebook.py:213-227): IF NOT EXISTS, column list with
+    NOT NULL, a GENERATED ALWAYS AS column, PARTITIONED BY, and the
+    ``delta.enableChangeDataFeed`` property (prefix mapped to the lake
+    layer's bare name). Rows arrive via SQL INSERT with a column subset —
+    the generated column computes itself. The in-key booleans attest CDF
+    enabled and that re-running the same CREATE IF NOT EXISTS is a no-op
+    (version unchanged)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ddl = (
+        "CREATE TABLE IF NOT EXISTS visits ("
+        " id BIGINT NOT NULL, country STRING, num_visitors BIGINT,"
+        " bucket STRING GENERATED ALWAYS AS"
+        "  (CASE WHEN num_visitors >= 500 THEN 'big' ELSE 'small' END)"
+        ") PARTITIONED BY (country)"
+        " TBLPROPERTIES (delta.enableChangeDataFeed = true)"
+    )
+    path = os.path.join(_tmpdir(), "visits")
+    t = execute_statement(spark, ddl, {}, dest_path=path)
+    execute_statement(
+        spark,
+        "INSERT INTO visits (id, country, num_visitors) VALUES"
+        " (1, 'England', 934), (2, 'Wales', 500), (3, 'Scotland', 20)",
+        {"visits": t},
+    )
+    v = t.version()
+    again = execute_statement(spark, ddl, {}, dest_path=path)
+    return (
+        t.to_df()
+        .select(
+            "id",
+            "country",
+            "num_visitors",
+            "bucket",
+            F.lit(t.cdf_enabled()).alias("cdf_on"),
+            F.lit(again.version() == v).alias("create_idempotent"),
+        )
+        .orderBy("id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

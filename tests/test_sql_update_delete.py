@@ -349,3 +349,64 @@ def test_insert_statements(spark, tmp_path):
         execute_statement(spark, "INSERT INTO t VALUES (1, 'x')", r)
     with _pytest.raises(ValueError, match="unknown columns"):
         execute_statement(spark, "INSERT INTO t (id, bogus) VALUES (1, 2)", r)
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE statements (column DDL + CTAS)
+# ---------------------------------------------------------------------------
+
+
+def test_create_table_statement(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_statement,
+        parse_create_table,
+    )
+
+    p = parse_create_table(
+        "CREATE TABLE IF NOT EXISTS cat.db.t (\n"
+        "  id BIGINT NOT NULL,\n"
+        "  country STRING,\n"
+        "  visit_timestamp TIMESTAMP,\n"
+        "  day STRING GENERATED ALWAYS AS (substring(country, 1, 2)),\n"
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5)\n"
+        ") PARTITIONED BY (country)\n"
+        "TBLPROPERTIES (delta.enableChangeDataFeed = true)"
+    )
+    assert p["table"] == "cat.db.t" and p["if_not_exists"]
+    assert p["columns"][0] == ("id", "BIGINT") and p["not_null"] == ["id"]
+    assert p["generated"] == {"day": "substring(country, 1, 2)"}
+    assert p["identity"] == {"rid": (10, 5)}
+    assert p["partition_by"] == ["country"]
+    assert p["properties"] == {"enableChangeDataFeed": "true"}
+
+    # column-DDL create, then exercise the constraint + identity + CDF
+    t = execute_statement(
+        spark,
+        "CREATE TABLE t (id BIGINT NOT NULL, name STRING,"
+        " rid BIGINT GENERATED ALWAYS AS IDENTITY)"
+        " TBLPROPERTIES (delta.enableChangeDataFeed = true)",
+        {},
+        dest_path=str(tmp_path / "t1"),
+    )
+    assert t.cdf_enabled()
+    execute_statement(spark, "INSERT INTO t (id, name) VALUES (1, 'a')", {"t": t})
+    assert [r.rid for r in t.to_df().collect()] == [1]
+    import pytest as _pytest
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+    )
+    with _pytest.raises(ConstraintViolationError):
+        execute_statement(
+            spark, "INSERT INTO t (id, name) VALUES (NULL, 'b')", {"t": t}
+        )
+
+    # CTAS
+    spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string"
+        ).createOrReplaceTempView("ctas_src")
+    t2 = execute_statement(
+        spark,
+        "CREATE TABLE t2 AS SELECT k, upper(v) AS v FROM ctas_src",
+        {},
+        dest_path=str(tmp_path / "t2"),
+    )
+    assert {(r.k, r.v) for r in t2.to_df().collect()} == {(1, "X"), (2, "Y")}
