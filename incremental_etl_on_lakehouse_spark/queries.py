@@ -6324,6 +6324,32 @@ def ddl_create_sql(spark, sf_dir):
     )
 
 
+@query(
+    "fn_variant_json",
+    "SELECT event_id,"
+    " CAST(json_extract(props, '$.k') AS BIGINT) AS k,"
+    " CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_null,"
+    " CAST(json_valid(props) AS BOOLEAN) AS is_valid"
+    " FROM events ORDER BY event_id",
+)
+def fn_variant_json(spark, sf_dir):
+    """VARIANT semi-structured access (Spark 4 native type): parse_json
+    once into a variant column, then typed path extraction with
+    try_variant_get — missing paths yield NULL, never an error. VARIANT
+    keeps a binary-encoded tree (no re-parse per extraction), the
+    shredded-at-scan answer to JSON-heavy event tables; at 100 TB this
+    replaces the per-access get_json_object string re-parse (that older
+    surface is fn_json_extract). Narrow codegen projection."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_null"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

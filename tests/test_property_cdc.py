@@ -155,3 +155,84 @@ def test_tombstone_merge_converges_any_order(spark, tmp_path_factory, records, p
         r["id"]: (r["ts"], r["value"]) for r in live_view(table).collect()
     }
     assert got == expected_state(records)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history merge vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("attr", LongType()),
+        StructField("ord", LongType()),
+        StructField("data_hash", StringType()),
+        StructField("__start_ts", LongType()),
+        StructField("__end_ts", LongType()),
+        StructField("__is_current", BooleanType()),
+    ]
+)
+
+
+def scd2_expected(batches):
+    """batches: lists of (key, ord, attr) applied in order, each batch
+    already deduped to latest-per-key. Returns the full history set."""
+    closed, current = [], {}  # current: key -> (attr, start)
+    for batch in batches:
+        latest = {}
+        for k, o, a in batch:
+            if k not in latest or o > latest[k][0]:
+                latest[k] = (o, a)
+        for k, (o, a) in sorted(latest.items()):
+            cur = current.get(k)
+            if cur is None:
+                current[k] = (a, o)
+            elif cur[0] != a:
+                closed.append((k, cur[0], cur[1], o, False))
+                current[k] = (a, o)
+    return set(closed) | {
+        (k, a, s, None, True) for k, (a, s) in current.items()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.integers(min_value=0, max_value=50),  # ts
+            st.integers(min_value=0, max_value=3),   # attr (small: real no-ops)
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_batches=st.integers(1, 3),
+)
+def test_scd2_merge_matches_model(spark, tmp_path_factory, records, n_batches):
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    path = str(tmp_path_factory.mktemp("prop") / uuid.uuid4().hex)
+    table = LakeTable.create(spark, path, SCD2_SCHEMA)
+    # in-order delivery: sort by (ts, seq), split contiguously; ord encodes
+    # the total order so later batches carry strictly larger stamps
+    ordered = sorted(enumerate(records), key=lambda p: (p[1][1], p[0]))
+    chunk = max(1, len(ordered) // n_batches)
+    chunks = [ordered[i : i + chunk] for i in range(0, len(ordered), chunk)]
+    model_batches = []
+    for batch in chunks:
+        rows = [
+            (k, a, ts * 1000000 + seq, f"h-{a}")
+            for seq, (k, ts, a) in batch
+        ]
+        df = spark.createDataFrame(rows, "id long, attr long, ord long, data_hash string")
+        scd2_merge(table, df, key_cols=["id"], ts_col="ord")
+        model_batches.append([(k, ts * 1000000 + seq, a) for seq, (k, ts, a) in batch])
+    got = {
+        (r["id"], r["attr"], r["__start_ts"], r["__end_ts"], r["__is_current"])
+        for r in table.to_df().collect()
+    }
+    assert got == scd2_expected(model_batches)
