@@ -6350,6 +6350,61 @@ def fn_variant_json(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@query(
+    "ext_resample_ffill",
+    "WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, max(ts) AS mx"
+    "  FROM events),"
+    " grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS g"
+    "  FROM b),"
+    " users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0),"
+    " pts AS (SELECT user_id, ts,"
+    "   max(CAST(round(value * 100) AS BIGINT)) AS cents"
+    "  FROM events WHERE user_id % 20 = 0 GROUP BY user_id, ts)"
+    " SELECT u.user_id AS user_id, epoch_ms(grid.g) AS grid_ms,"
+    "  p.cents AS cents_ffill"
+    " FROM users u CROSS JOIN grid"
+    " ASOF LEFT JOIN pts p ON p.user_id = u.user_id AND p.ts <= grid.g"
+    " ORDER BY u.user_id, grid_ms",
+)
+def ext_resample_ffill(spark, sf_dir):
+    """Time-series resampling with forward-fill: every (user, 6-hour grid
+    point) carries the user's last observed value at-or-before that point
+    (NULL before the first observation) — the gap-fill step feeding
+    downstream feature pipelines. Composed from engine primitives: the
+    grid is a `sequence()` explode off a broadcast 1-row bounds aggregate
+    (no driver collect), and the fill is the as-of join (one keyed shuffle,
+    no range cross product — operators/joins.py: asof_join).
+
+    Scale: |users| x |grid| rows materialize; at 100 TB you bound the grid
+    (resample window) per query and the shuffle key is the user id —
+    uniform. The user sample here (1-in-20) keeps the fixture output
+    compact; the plan shape is identical unsampled."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") % 20 == 0)
+    bounds = load_table(spark, "events", sf_dir).agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 6 hours)")).alias("g"),
+    )
+    pts = ev.groupBy("user_id", "ts").agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    out = asof_join(
+        grid, pts, on=["user_id"], left_ts="g", right_ts="ts",
+        value_cols=["cents"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("g").alias("grid_ms"),
+        F.col("cents").alias("cents_ffill"),
+    ).orderBy("user_id", "grid_ms")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #
