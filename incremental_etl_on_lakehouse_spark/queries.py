@@ -6405,6 +6405,98 @@ def ext_resample_ffill(spark, sf_dir):
     ).orderBy("user_id", "grid_ms")
 
 
+@query("stream_scd2", _SQL_SCD2)
+def stream_scd2(spark, sf_dir):
+    """Streaming SCD Type-2: the history-keeping dimension maintained from
+    a real file stream — ``foreachBatch`` applies ``scd2_merge`` per
+    micro-batch (1 landing file per trigger, the reference's Autoloader
+    pacing, notebooks/demo-notebook.py:161). Proves the SCD2 operator
+    composes with Structured Streaming's at-least-once delivery: the hash
+    guard makes re-applied batches no-ops, so the streamed history equals
+    the batch-applied history (same oracle as merge_scd2).
+
+    Scale: per micro-batch cost is the scd2_merge cost model (O(changed
+    keys)); checkpointed offsets + idempotent merges give effectively-once
+    history maintenance."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    b1, b2 = _cdc_batches(spark, sf_dir)
+
+    def prep(b: DataFrame) -> DataFrame:
+        return b.select(
+            "user_id",
+            "ts_ms",
+            "event_type",
+            "value_cents",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("event_type"), F.col("value_cents").cast("string")
+                )
+            ).alias("data_hash"),
+            "event_id",
+        )
+
+    land = _tmpdir()
+    flat = _tmpdir()
+    for i, b in enumerate((b1, b2)):
+        d = os.path.join(land, f"f{i}")
+        prep(b).coalesce(1).write.mode("overwrite").json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{i}.json"))
+    stream_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value_cents", LongType()),
+            StructField("data_hash", StringType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    table_schema = StructType(
+        stream_schema.fields
+        + [
+            StructField("__start_ts", LongType()),
+            StructField("__end_ts", LongType()),
+            StructField("__is_current", BooleanType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "scd2_stream_dim"),
+        table_schema,
+        properties={"statsColumns": "user_id"},
+    )
+    stream = read_json_stream(spark, flat, stream_schema, multiline=False)
+
+    def apply_batch(df: DataFrame, _epoch: int) -> None:
+        scd2_merge(
+            table, df, key_cols=["user_id"], ts_col="ts_ms",
+            tiebreak_cols=["event_id"],
+        )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        table.to_df()
+        .select(
+            "user_id",
+            "event_type",
+            "value_cents",
+            F.col("__start_ts").alias("start_ts"),
+            F.col("__end_ts").alias("end_ts"),
+            F.col("__is_current").alias("is_current"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #
