@@ -187,3 +187,82 @@ def sample_video_frames(
             F.transform(idx, lambda i: F.substring(c, i * every_nth_byte + 1, 16))
         ).alias("frame_index", "frame_bytes"),
     )
+
+
+def fake_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
+    """Deterministic fake resize: a width*height "thumbnail" of evenly
+    strided byte samples. Same signature/shape as :func:`real_resize`, so
+    pipelines swap decoders without schema changes."""
+    n = width * height
+    stride = max(1, len(buf) // n)
+    last = max(len(buf) - 1, 0)
+    return [buf[min(i * stride, last)] if buf else 0 for i in range(n)]
+
+
+def real_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
+    """Pillow-backed thumbnail: decode, LANCZOS-resize to (width, height),
+    return the grayscale pixel grid row-major. Raises with a clear message
+    when Pillow is absent (this container ships none)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "real resize needs Pillow, not installed here; pass "
+            "resizer=fake_resize or install Pillow"
+        ) from exc
+    with Image.open(io.BytesIO(buf)) as im:
+        im = im.convert("L").resize((width, height))
+        return [int(p) for p in im.getdata()]
+
+
+def default_resizer() -> Callable[[bytes], list[int]]:
+    """Pillow-backed resize when available, deterministic fake otherwise."""
+    try:  # pragma: no cover - depends on environment
+        from PIL import Image  # noqa: F401  # type: ignore[import-not-found]
+
+        return real_resize
+    except ImportError:
+        return fake_resize
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixels", ArrayType(IntegerType())),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    resizer: Callable[[bytes], list[int]] = fake_resize,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Batch image resize via mapInPandas (Arrow): the shape-changing step
+    between decode and feature extraction. Partitioning preserved — no
+    shuffle; the Python cost is per-cell, amortized by Arrow batch
+    transfer. At 100 TB this is the scan-bound media-prep pattern: bytes
+    in, fixed-size thumbnail arrays out, one pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "out_w": width,
+                    "out_h": height,
+                    "pixels": [
+                        resizer(bytes(b), width, height)
+                        for b in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

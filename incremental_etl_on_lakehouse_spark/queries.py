@@ -6497,6 +6497,42 @@ def stream_scd2(spark, sf_dir):
     )
 
 
+@query(
+    "ext_multimodal_resize",
+    "SELECT * FROM (VALUES"
+    " (CAST(1 AS BIGINT), 4, 4, 16, CAST(1690 AS BIGINT)),"
+    " (CAST(2 AS BIGINT), 4, 4, 16, CAST(1805 AS BIGINT)),"
+    " (CAST(3 AS BIGINT), 4, 4, 16, CAST(1682 AS BIGINT)))"
+    " t(media_id, out_w, out_h, n_pixels, pix_sum) ORDER BY media_id",
+)
+def ext_multimodal_resize(spark, sf_dir):
+    """Media resize plumbing (the decode->resize->featurize middle step):
+    mapInPandas Arrow batches turn binary media into fixed-size 4x4
+    thumbnail arrays. The deterministic fake resizer (strided byte samples
+    — multimodal.py: fake_resize) runs here since the container has no
+    Pillow; real_resize is the drop-in Pillow path with the identical
+    schema (exercised by a guarded test when Pillow is importable). The
+    oracle pins the exact pixel sums of the planted fixture."""
+    rows = [
+        (1, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"fakepngdata" * 100),
+        (2, "image", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"fakejpgdata" * 50),
+        (3, "audio", b"RIFF" + b"fakewav" * 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    out = MM.resize_images(df, width=4, height=4)
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pix_sum"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

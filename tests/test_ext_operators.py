@@ -436,3 +436,37 @@ def test_substring_dup_stats_hand_computed(spark):
     assert out[2]["n_dup_grams"] == 1 and out[2]["flagged"] is True
     assert out[3] == {"doc_id": 3, "n_grams": 2, "n_dup_grams": 0, "flagged": False}
     assert out[4] == {"doc_id": 4, "n_grams": 0, "n_dup_grams": 0, "flagged": False}
+
+
+def test_resize_images_fake(spark):
+    """resize_images deterministic fake path: strided byte thumbnail."""
+    from incremental_etl_on_lakehouse_spark.operators import multimodal as MM
+
+    buf = bytes([0x89, 0x50, 0x4E, 0x47]) + b"fakepngdata" * 100
+    df = spark.createDataFrame([(1, buf)], "media_id long, content binary")
+    row = MM.resize_images(df, width=4, height=4).collect()[0]
+    assert (row.out_w, row.out_h, len(row.pixels)) == (4, 4, 16)
+    assert row.pixels == MM.fake_resize(buf, 4, 4)
+
+
+def test_resize_images_real_when_pillow(spark):
+    """Pillow-real resize path (skipped when Pillow is absent), proving the
+    real resizer is not dead code on machines that have it."""
+    from incremental_etl_on_lakehouse_spark.operators import multimodal as MM
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("Pillow not installed")
+    img = Image.new("RGB", (32, 32), (200, 10, 10))
+    b = io.BytesIO()
+    img.save(b, format="PNG")
+    df2 = spark.createDataFrame([(2, b.getvalue())], "media_id long, content binary")
+    row2 = MM.resize_images(
+        df2, width=4, height=4, resizer=MM.real_resize
+    ).collect()[0]
+    assert len(row2.pixels) == 16 and all(0 <= p <= 255 for p in row2.pixels)
