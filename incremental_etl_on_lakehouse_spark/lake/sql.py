@@ -674,6 +674,47 @@ def execute_alter_rename_column(spark: SparkSession, sql: str, resolve) -> int:
     return _resolve(resolve, table).rename_column(old, new)
 
 
+def parse_alter_columns(sql: str) -> tuple[str, str, object]:
+    """``ALTER TABLE <t> ADD COLUMNS (c1 TYPE, c2 TYPE, ...)`` or
+    ``ALTER TABLE <t> DROP COLUMN <c>`` -> (kind, table, payload)."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+ADD\s+COLUMNS?\s*"
+        rf"\((?P<cols>.+)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        cols = []
+        for cd in split_top_level(m.group("cols")):
+            cm = re.match(r"`?([\w]+)`?\s+(.+)$", cd.strip(), re.DOTALL)
+            if not cm:
+                raise ValueError(f"unparseable column definition: {cd!r}")
+            cols.append((cm.group(1), " ".join(cm.group(2).split())))
+        return "add_columns", m.group("t"), cols
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+DROP\s+COLUMN\s+"
+        rf"`?(?P<c>[\w]+)`?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return "drop_column", m.group("t"), m.group("c")
+    raise ValueError(f"not an ADD/DROP COLUMN statement: {sql!r}")
+
+
+def execute_alter_columns(spark: SparkSession, sql: str, resolve) -> int:
+    kind, table, payload = parse_alter_columns(sql)
+    target = _resolve(resolve, table)
+    if kind == "add_columns":
+        typed = [
+            (n, StructType.fromDDL(f"x {t}").fields[0].dataType)
+            for n, t in payload
+        ]
+        return target.add_columns(typed)
+    return target.drop_column(payload)
+
+
 def parse_utility(sql: str) -> tuple[str, str, dict]:
     """Utility DDL/maintenance statements -> (kind, table, params):
 
@@ -770,8 +811,20 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
     if head == "DELETE":
         return execute_delete(spark, sql, resolve)
     if head == "ALTER":
-        try:
-            return execute_alter_constraint(spark, sql, resolve)
-        except ValueError:
-            return execute_alter_rename_column(spark, sql, resolve)
+        # route on which grammar PARSES; executor errors (missing column,
+        # dependent constraint, ...) propagate instead of being mistaken
+        # for "try the next statement kind"
+        last = None
+        for parser, runner in (
+            (parse_alter_constraint, execute_alter_constraint),
+            (parse_alter_rename_column, execute_alter_rename_column),
+            (parse_alter_columns, execute_alter_columns),
+        ):
+            try:
+                parser(sql)
+            except ValueError as exc:
+                last = exc
+                continue
+            return runner(spark, sql, resolve)
+        raise last
     return execute_utility(spark, sql, resolve, **kw)

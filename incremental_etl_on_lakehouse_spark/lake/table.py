@@ -681,6 +681,78 @@ class LakeTable:
         )
         return v
 
+    def add_columns(self, cols: list[tuple[str, "DataType"]]) -> int:
+        """ALTER TABLE ADD COLUMNS — metadata-only schema widening (no data
+        rewrite): existing files read the new columns as NULL
+        (schema-on-read), exactly the additive-evolution path
+        ``append(merge_schema=True)`` already uses; this is the explicit
+        DDL spelling. New columns are nullable by definition (old rows
+        cannot have values)."""
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        for name, _ in cols:
+            if name in names:
+                raise ValueError(f"column already exists: {name}")
+        new_fields = schema.fields + [
+            StructField(name, dtype, True) for name, dtype in cols
+        ]
+        v = self.version() + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="ADD COLUMNS",
+                timestamp_ms=lakelog.now_ms(),
+                schema_json=StructType(new_fields).json(),
+                metrics={"added": [n for n, _ in cols]},
+            ),
+        )
+        return v
+
+    def drop_column(self, col: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only logical removal (Delta's
+        column-mapping drop): the physical data stays in the files, reads
+        simply stop projecting it. Same dependency restrictions as rename:
+        partition columns, constraint-referenced columns, statsColumns,
+        and generated/identity columns must have their dependents dropped
+        first."""
+        schema = self.schema()
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"no such column: {col}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if col in self.partition_columns():
+            raise ValueError(f"cannot drop partition column {col}")
+        for cname, expr in self.constraints().items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"cannot drop {col}: referenced by CHECK constraint "
+                    f"{cname} ({expr}) — drop the constraint first"
+                )
+        if col in self.stats_columns():
+            raise ValueError(
+                f"cannot drop {col}: listed in statsColumns — update the "
+                "property first"
+            )
+        if col in self.generated_columns() or col in self.identity_columns():
+            raise ValueError(
+                f"cannot drop {col}: it is a generated/identity column — "
+                "remove the property first"
+            )
+        new_fields = [f for f in schema.fields if f.name != col]
+        v = self.version() + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="DROP COLUMN",
+                timestamp_ms=lakelog.now_ms(),
+                schema_json=StructType(new_fields).json(),
+                metrics={"dropped": col},
+            ),
+        )
+        return v
+
     def _dv_rows(self, dv_map: dict, files: list[str]) -> DataFrame | None:
         """Deleted-row markers (file_name, row_index) covering ``files``,
         or None when no DV applies. A DV parquet may also carry rows for a
@@ -713,6 +785,7 @@ class LakeTable:
         dv_map: dict | None = None,
         with_lineage: bool = False,
         with_file: bool = False,
+        schema: StructType | None = None,
     ) -> DataFrame:
         """Read a set of data files with the table schema.
 
@@ -731,7 +804,10 @@ class LakeTable:
         after it the plan has two file sources and the expression is
         rejected).
         """
-        schema = self.schema()
+        # ``schema``: the snapshot's schema for time-travel reads (a DROP/
+        # ADD COLUMN later must not change what an old version projects);
+        # defaults to the head schema.
+        schema = schema or self.schema()
         dvr = self._dv_rows(dv_map or {}, files) if files else None
         need_lineage = with_lineage or dvr is not None
         if not files:
@@ -853,9 +929,15 @@ class LakeTable:
                 raise ValueError("pass version OR timestamp_ms, not both")
             version = self.version_at_timestamp(timestamp_ms)
         state = self._state(version)
+        schema = None
+        if version is not None and state.get("schema_json"):
+            schema = StructType.fromJson(
+                __import__("json").loads(state["schema_json"])
+            )
         return self._read_files(
             [self._abs(r) for r in state["active"]],
             dv_map=state.get("dv") or None,
+            schema=schema,
         )
 
     # ---------------------------------------------------------------- writes

@@ -6533,6 +6533,62 @@ def ext_multimodal_resize(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@query(
+    "ddl_add_drop_column",
+    # phase 'widened': old rows read the added column as NULL, new rows
+    # carry values; phase 'dropped': the note column is logically gone
+    # while rows and remaining values survive untouched.
+    "WITH widened AS ("
+    "  SELECT CAST(1 AS BIGINT) AS id, 'a' AS name, CAST(NULL AS BIGINT) AS score"
+    "  UNION ALL SELECT 2, 'b', NULL"
+    "  UNION ALL SELECT 3, 'c', 30),"
+    " dropped AS (SELECT id, name FROM widened)"
+    " SELECT 'widened' AS phase, id, name, score FROM widened"
+    " UNION ALL SELECT 'dropped', id, name, NULL FROM dropped"
+    " ORDER BY phase DESC, id",
+)
+def ddl_add_drop_column(spark, sf_dir):
+    """ALTER TABLE ADD COLUMNS / DROP COLUMN through the SQL front door —
+    both metadata-only commits (lake/table.py: add_columns/drop_column).
+    ADD widens the schema; files written before it read the new column as
+    NULL (schema-on-read, no rewrite — the explicit-DDL spelling of the
+    merge_schema evolution path). DROP is Delta's column-mapping logical
+    removal: physical bytes stay, reads stop projecting. The key widens a
+    2-column table, appends a row carrying the new column, snapshots via
+    time travel, then drops an unrelated column and returns both phases."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "addcol"), schema)
+    r = {"t": t}
+    execute_statement(
+        spark, "INSERT INTO t VALUES (1, 'a', 'n1'), (2, 'b', 'n2')", r
+    )
+    execute_statement(spark, "ALTER TABLE t ADD COLUMNS (score BIGINT)", r)
+    execute_statement(
+        spark, "INSERT INTO t (id, name, score) VALUES (3, 'c', 30)", r
+    )
+    v_wide = t.version()
+    execute_statement(spark, "ALTER TABLE t DROP COLUMN note", r)
+    execute_statement(spark, "ALTER TABLE t DROP COLUMN score", r)
+    widened = t.to_df(version=v_wide).select(
+        F.lit("widened").alias("phase"), "id", "name", "score"
+    )
+    dropped = t.to_df().select(
+        F.lit("dropped").alias("phase"),
+        "id",
+        "name",
+        F.lit(None).cast("long").alias("score"),
+    )
+    return widened.unionByName(dropped).orderBy(F.desc("phase"), "id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

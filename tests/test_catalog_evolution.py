@@ -53,3 +53,53 @@ def test_schema_evolution_append(spark, tmp_path):
     df3 = t.to_df()
     assert "unknown_col" not in df3.columns
     assert {r["id"] for r in df3.collect()} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ADD COLUMNS / DROP COLUMN (metadata-only)
+# ---------------------------------------------------------------------------
+
+
+def test_add_drop_column(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    r = {"t": t}
+    execute_statement(spark, "INSERT INTO t VALUES (1, 'a')", r)
+    n_files_before = len(t.files())
+
+    execute_statement(spark, "ALTER TABLE t ADD COLUMNS (score BIGINT, tag STRING)", r)
+    # metadata-only: no data files touched
+    assert len(t.files()) == n_files_before
+    assert t.schema().fieldNames() == ["id", "name", "score", "tag"]
+    # pre-widening rows read NULL for the new columns
+    assert t.to_df().where("score IS NULL AND tag IS NULL").count() == 1
+    execute_statement(spark, "INSERT INTO t VALUES (2, 'b', 20, 'x')", r)
+    assert {(x.id, x.score) for x in t.to_df().collect()} == {(1, None), (2, 20)}
+
+    execute_statement(spark, "ALTER TABLE t DROP COLUMN tag", r)
+    assert t.schema().fieldNames() == ["id", "name", "score"]
+    assert len(t.files()) == n_files_before + 1  # still no rewrite
+    # time travel still sees the wide schema
+    assert "tag" in t.to_df(version=t.version() - 1).columns
+
+    # dependency guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_columns([("score", LongType())])
+    with _pytest.raises(ValueError, match="no such column"):
+        t.drop_column("bogus")
+    t.add_constraint("score_pos", "score IS NULL OR score > 0")
+    with _pytest.raises(ValueError, match="constraint"):
+        t.drop_column("score")
+    # executor errors must propagate through the ALTER dispatch, not be
+    # mistaken for "try the next grammar"
+    with _pytest.raises(ValueError, match="constraint"):
+        execute_statement(spark, "ALTER TABLE t DROP COLUMN score", r)
