@@ -103,3 +103,84 @@ def test_add_drop_column(spark, tmp_path):
     # mistaken for "try the next grammar"
     with _pytest.raises(ValueError, match="constraint"):
         execute_statement(spark, "ALTER TABLE t DROP COLUMN score", r)
+
+
+# ---------------------------------------------------------------------------
+# Property: random ADD/DROP/RENAME/append sequences vs a Python model
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_random_sequences(spark, tmp_path):
+    """Deterministic pseudo-random walks over the schema-evolution ops.
+    A Python model tracks, per version, the expected (schema, rows); every
+    few steps the head AND one historical version are checked against it —
+    guarding the versioned-schema time-travel contract."""
+    import random
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    rng = random.Random(42)
+    for trial in range(3):
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"evo{trial}"),
+            StructType([StructField("id", LongType()), StructField("c0", LongType())]),
+        )
+        cols = ["id", "c0"]          # model: current schema
+        rows = {}                    # model: id -> {col: value}
+        history = {t.version(): (list(cols), {})}
+        next_col = 1
+        next_id = 0
+        for step in range(8):
+            op = rng.choice(["append", "append", "add", "drop", "rename"])
+            if op == "append":
+                vals = {c: rng.randrange(100) for c in cols if c != "id"}
+                vals["id"] = next_id
+                df = spark.createDataFrame(
+                    [tuple(vals[c] for c in cols)],
+                    ", ".join(f"{c} long" for c in cols),
+                )
+                t.append(df)
+                rows[next_id] = dict(vals)
+                next_id += 1
+            elif op == "add":
+                name = f"c{next_col}"
+                next_col += 1
+                t.add_columns([(name, LongType())])
+                cols.append(name)
+            elif op == "drop" and len(cols) > 2:
+                victim = rng.choice([c for c in cols if c != "id"])
+                t.drop_column(victim)
+                cols.remove(victim)
+            elif op == "rename" and len(cols) > 2:
+                victim = rng.choice([c for c in cols if c != "id"])
+                new = f"r{next_col}"
+                next_col += 1
+                t.rename_column(victim, new)
+                cols[cols.index(victim)] = new
+                for r in rows.values():
+                    if victim in r:
+                        r[new] = r.pop(victim)
+            else:
+                continue
+            history[t.version()] = (
+                list(cols),
+                {i: dict(r) for i, r in rows.items()},
+            )
+
+        def check(version, expect_cols, expect_rows):
+            df = t.to_df(version=version)
+            assert df.columns == expect_cols, (version, df.columns, expect_cols)
+            got = {r["id"]: r.asDict() for r in df.collect()}
+            assert set(got) == set(expect_rows)
+            for i, r in got.items():
+                for c in expect_cols:
+                    assert r[c] == expect_rows[i].get(c), (version, i, c)
+
+        # head + two random historical versions
+        head_v = max(history)
+        check(None if False else head_v, *history[head_v])
+        for v in rng.sample(sorted(history), min(2, len(history))):
+            check(v, *history[v])
