@@ -715,6 +715,27 @@ def execute_alter_columns(spark: SparkSession, sql: str, resolve) -> int:
     return target.drop_column(payload)
 
 
+def parse_copy_into(sql: str) -> tuple[str, str, str, str]:
+    """``COPY INTO <t> FROM '<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>']``
+    -> (table, source_path, format, pattern)."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"COPY\s+INTO\s+(?P<t>{_IDENT})\s+FROM\s+'(?P<p>[^']+)'\s+"
+        rf"FILEFORMAT\s*=\s*(?P<f>\w+)"
+        rf"(?:\s+PATTERN\s*=\s*'(?P<g>[^']+)')?\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"unparseable COPY INTO statement: {sql!r}")
+    return m.group("t"), m.group("p"), m.group("f"), m.group("g") or "*"
+
+
+def execute_copy_into(spark: SparkSession, sql: str, resolve) -> dict:
+    table, path, fmt, pattern = parse_copy_into(sql)
+    return _resolve(resolve, table).copy_into(path, fmt, pattern)
+
+
 def parse_utility(sql: str) -> tuple[str, str, dict]:
     """Utility DDL/maintenance statements -> (kind, table, params):
 
@@ -801,6 +822,8 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
         return execute_merge(spark, sql, resolve, **kw)
     if head == "INSERT":
         return execute_insert(spark, sql, resolve)
+    if head == "COPY":
+        return execute_copy_into(spark, sql, resolve)
     if head == "CREATE":
         try:
             return execute_utility(spark, sql, resolve, **kw)  # ... CLONE

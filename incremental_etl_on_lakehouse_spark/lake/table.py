@@ -753,6 +753,73 @@ class LakeTable:
         )
         return v
 
+    def copied_files(self) -> set[str]:
+        """Source files already ingested by ``copy_into`` (absolute paths),
+        reconstructed from the commit history's COPY INTO entries. An
+        audit-path read (O(commits), like ``history()``)."""
+        loaded: set[str] = set()
+        for c in self._commits():
+            if c.operation == "COPY INTO":
+                loaded.update(c.metrics.get("source_files", []))
+        return loaded
+
+    def copy_into(
+        self,
+        source_path: str,
+        file_format: str = "parquet",
+        pattern: str = "*",
+    ) -> dict:
+        """``COPY INTO`` — idempotent batch file ingestion (Databricks'
+        batch counterpart of Autoloader, and the load-side of the
+        reference's incremental-ingest doctrine): each call lists
+        ``source_path``, diffs against the files already ingested by
+        PREVIOUS copy_into commits, and appends only the NEW files' rows.
+        Re-running after a crash (or on a scheduler's at-least-once cron)
+        loads nothing — exactly-once ingestion without a streaming
+        checkpoint.
+
+        Scale: the listing is directory metadata; the diff is a set
+        difference over file names (O(files), driver-side like every
+        commit-planning step); the data read touches only new files —
+        O(new data), never O(table) or O(landing zone history).
+        """
+        import glob as _glob
+
+        fmt = file_format.lower()
+        if fmt not in ("parquet", "json", "csv", "orc"):
+            raise ValueError(f"unsupported COPY INTO format: {file_format}")
+        candidates = {
+            os.path.abspath(f)
+            for f in _glob.glob(os.path.join(source_path, pattern))
+            if os.path.isfile(f) and not f.endswith((".crc", "_SUCCESS"))
+        }
+        new_files = sorted(candidates - self.copied_files())
+        if not new_files:
+            return {"num_files": 0, "num_rows": 0, "version": self.version()}
+        # external landing files carry the LOGICAL column names (they are
+        # written by producers against the table's user-facing schema);
+        # _align in append() maps/casts into the table schema either way
+        schema = self.schema()
+        reader = self.spark.read
+        if fmt == "json":
+            df = reader.schema(schema).json(new_files)
+        elif fmt == "csv":
+            df = reader.schema(schema).option("header", "true").csv(new_files)
+        elif fmt == "orc":
+            df = reader.orc(*new_files)
+        else:
+            df = reader.parquet(*new_files)
+        n = df.count()
+        # ONE atomic commit carries both the data and the ingested-file
+        # list — a crash between "load" and "record" is impossible, which
+        # is what makes the re-run idempotent.
+        v = self.append(
+            df,
+            operation="COPY INTO",
+            extra_metrics={"source_files": new_files},
+        )
+        return {"num_files": len(new_files), "num_rows": n, "version": v}
+
     def _dv_rows(self, dv_map: dict, files: list[str]) -> DataFrame | None:
         """Deleted-row markers (file_name, row_index) covering ``files``,
         or None when no DV applies. A DV parquet may also carry rows for a
@@ -1234,6 +1301,8 @@ class LakeTable:
         merge_schema: bool = False,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        operation: str = "APPEND",
+        extra_metrics: dict | None = None,
     ) -> int:
         """Transactional append; returns the new version.
 
@@ -1321,12 +1390,12 @@ class LakeTable:
             self.path,
             Commit(
                 version=v,
-                operation="APPEND",
+                operation=operation,
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
                 schema_json=schema_json,
                 properties=props_after,
-                metrics={"num_inserted_rows": rows},
+                metrics={"num_inserted_rows": rows, **(extra_metrics or {})},
             ),
         )
         return v

@@ -6589,6 +6589,71 @@ def ddl_add_drop_column(spark, sf_dir):
     return widened.unionByName(dropped).orderBy(F.desc("phase"), "id")
 
 
+@query(
+    "snk_copy_into",
+    # landing files hold the signup/purchase halves; the third file lands
+    # between the 2nd and 3rd COPY INTO. Booleans attest idempotence: the
+    # re-run ingested 0 files, the late file exactly 1.
+    "SELECT event_id, event_type,"
+    " CAST(round(value * 100) AS BIGINT) AS cents,"
+    " true AS rerun_noop, true AS late_file_incremental"
+    " FROM events WHERE event_type IN ('signup', 'purchase', 'error')"
+    " ORDER BY event_id",
+)
+def snk_copy_into(spark, sf_dir):
+    """COPY INTO — idempotent batch file ingestion (the batch counterpart
+    of the reference's Autoloader stream, and its exactly-once doctrine in
+    load form): each run diffs the landing zone against the files already
+    ingested by previous COPY INTO commits and loads ONLY the new ones.
+    The scenario: land 2 parquet files -> COPY INTO (2 loaded) -> re-run
+    (0 loaded — crash/cron-safe) -> land a 3rd file -> COPY INTO (exactly
+    1 loaded). One atomic commit carries both data and the ingested-file
+    list, so there is no window where rows are loaded but unrecorded."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+
+    def land_one(tag: str, etype: str) -> None:
+        d = os.path.join(land, tag)
+        ev.where(F.col("event_type") == etype).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{tag}.parquet"))
+
+    land_one("f0", "signup")
+    land_one("f1", "purchase")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "copy_tgt"), schema)
+    r = {"tgt": t}
+    stmt = f"COPY INTO tgt FROM '{flat}' FILEFORMAT = PARQUET"
+    first = execute_statement(spark, stmt, r)
+    rerun = execute_statement(spark, stmt, r)
+    land_one("f2", "error")
+    third = execute_statement(spark, stmt, r)
+    assert first["num_files"] == 2, first
+    return t.to_df().select(
+        "event_id",
+        "event_type",
+        F.col("cents"),
+        F.lit(rerun["num_files"] == 0).alias("rerun_noop"),
+        F.lit(third["num_files"] == 1).alias("late_file_incremental"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

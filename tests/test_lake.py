@@ -1066,3 +1066,43 @@ def test_rename_then_schema_evolution_append(spark, tmp_path):
     # and a THIRD write after evolution still lands in the right physical
     t.update({"visit_count": "visit_count * 2"}, "id = 1")
     assert t.to_df().where("id = 1").collect()[0]["visit_count"] == 20
+
+
+# ---------------------------------------------------------------------------
+# COPY INTO — idempotent batch file ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_copy_into_idempotent(spark, tmp_path):
+    import pandas as pd
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    land = tmp_path / "land"
+    land.mkdir()
+    pd.DataFrame({"id": [1, 2], "v": ["a", "b"]}).to_parquet(land / "f0.parquet")
+    pd.DataFrame({"id": [3], "v": ["c"]}).to_parquet(land / "f1.parquet")
+
+    schema = StructType([StructField("id", LongType()), StructField("v", StringType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+
+    r1 = t.copy_into(str(land))
+    assert r1["num_files"] == 2 and r1["num_rows"] == 3
+    assert t.to_df().count() == 3
+    # idempotent re-run: nothing ingested, no version advance
+    v = t.version()
+    r2 = t.copy_into(str(land))
+    assert r2 == {"num_files": 0, "num_rows": 0, "version": v}
+    # a late file is ingested exactly once
+    pd.DataFrame({"id": [4], "v": ["d"]}).to_parquet(land / "f2.parquet")
+    r3 = t.copy_into(str(land))
+    assert r3["num_files"] == 1 and t.to_df().count() == 4
+    assert sorted(x.id for x in t.to_df().collect()) == [1, 2, 3, 4]
+    # ingested-file bookkeeping survives unrelated commits
+    t.append(spark.createDataFrame([(9, "z")], schema))
+    assert t.copy_into(str(land))["num_files"] == 0
+    # format gate
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        t.copy_into(str(land), file_format="avro")
