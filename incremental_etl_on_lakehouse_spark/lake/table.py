@@ -2374,7 +2374,9 @@ class LakeTable:
                     "outside this range)"
                 )
             part = None
-            if c.operation in ("APPEND", "CREATE", "OVERWRITE", "RESTORE") and c.add:
+            if c.operation in (
+                "APPEND", "COPY INTO", "CREATE", "OVERWRITE", "RESTORE"
+            ) and c.add:
                 files = [self._abs(a["path"]) for a in c.add]
                 # RESTORE re-adds files whose restored deletion vector may
                 # mask rows: read through the post-commit DV state so

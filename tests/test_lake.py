@@ -1106,3 +1106,22 @@ def test_copy_into_idempotent(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported"):
         t.copy_into(str(land), file_format="avro")
+
+
+def test_copy_into_feeds_change_feed(spark, tmp_path):
+    import pandas as pd
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    land = tmp_path / "land"
+    land.mkdir()
+    pd.DataFrame({"id": [1, 2], "v": ["a", "b"]}).to_parquet(land / "f0.parquet")
+    schema = StructType([StructField("id", LongType()), StructField("v", StringType())])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.copy_into(str(land))
+    ch = t.read_changes(starting_version=1).collect()
+    assert {(r.id, r["_change_type"]) for r in ch} == {(1, "insert"), (2, "insert")}
