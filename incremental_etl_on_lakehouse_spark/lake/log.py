@@ -197,7 +197,12 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
                 state["dv"].pop(f_rel, None)
         if c.schema_json:
             state["schema_json"] = c.schema_json
-        state["properties"].update(c.properties)
+        # a property committed as None is an UNSET (removal marker)
+        for pk, pv in c.properties.items():
+            if pv is None:
+                state["properties"].pop(pk, None)
+            else:
+                state["properties"][pk] = pv
         state["version"] = v
     return state
 

@@ -715,6 +715,50 @@ def execute_alter_columns(spark: SparkSession, sql: str, resolve) -> int:
     return target.drop_column(payload)
 
 
+def parse_alter_properties(sql: str) -> tuple[str, str, object]:
+    """``ALTER TABLE <t> SET TBLPROPERTIES (k = v, ...)`` or
+    ``ALTER TABLE <t> UNSET TBLPROPERTIES (k, ...)``."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+        rf"\((?P<kv>.+)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        props = {}
+        for kv in split_top_level(m.group("kv")):
+            k, _, v = kv.partition("=")
+            k = k.strip().strip("'\"`")
+            if k.lower().startswith("delta."):
+                k = k[len("delta."):]
+            props[k] = v.strip().strip("'\"")
+        return "set", m.group("t"), props
+    m = re.match(
+        rf"ALTER\s+TABLE\s+(?P<t>{_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+        rf"\((?P<ks>.+)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        keys = []
+        for k in split_top_level(m.group("ks")):
+            k = k.strip().strip("'\"`")
+            if k.lower().startswith("delta."):
+                k = k[len("delta."):]
+            keys.append(k)
+        return "unset", m.group("t"), keys
+    raise ValueError(f"not a SET/UNSET TBLPROPERTIES statement: {sql!r}")
+
+
+def execute_alter_properties(spark: SparkSession, sql: str, resolve) -> int:
+    kind, table, payload = parse_alter_properties(sql)
+    target = _resolve(resolve, table)
+    if kind == "set":
+        return target.set_properties(payload)
+    return target.unset_properties(payload)
+
+
 def parse_copy_into(sql: str) -> tuple[str, str, str, str]:
     """``COPY INTO <t> FROM '<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>']``
     -> (table, source_path, format, pattern)."""
@@ -842,6 +886,7 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
             (parse_alter_constraint, execute_alter_constraint),
             (parse_alter_rename_column, execute_alter_rename_column),
             (parse_alter_columns, execute_alter_columns),
+            (parse_alter_properties, execute_alter_properties),
         ):
             try:
                 parser(sql)

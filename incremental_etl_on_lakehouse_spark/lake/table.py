@@ -753,6 +753,47 @@ class LakeTable:
         )
         return v
 
+    _STRUCTURAL_PROPS = ("partitionBy",)
+
+    def set_properties(self, props: dict) -> int:
+        """ALTER TABLE SET TBLPROPERTIES — a metadata commit merging the
+        given properties into the table's (e.g. enabling the change feed or
+        statsColumns later in a table's life). Structural properties that
+        reads depend on for file layout (``partitionBy``) and identity
+        bookkeeping cannot be changed after creation."""
+        for k in props:
+            if k in self._STRUCTURAL_PROPS or k.startswith("identity."):
+                raise ValueError(f"property {k} is fixed at table creation")
+        v = self.version() + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="SET TBLPROPERTIES",
+                timestamp_ms=lakelog.now_ms(),
+                properties={k: str(val) for k, val in props.items()},
+            ),
+        )
+        return v
+
+    def unset_properties(self, keys: list[str]) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES — removes properties via None
+        markers in the commit (same restrictions as set_properties)."""
+        for k in keys:
+            if k in self._STRUCTURAL_PROPS or k.startswith("identity."):
+                raise ValueError(f"property {k} is fixed at table creation")
+        v = self.version() + 1
+        lakelog.write_commit(
+            self.path,
+            Commit(
+                version=v,
+                operation="UNSET TBLPROPERTIES",
+                timestamp_ms=lakelog.now_ms(),
+                properties={k: None for k in keys},
+            ),
+        )
+        return v
+
     def copied_files(self) -> set[str]:
         """Source files already ingested by ``copy_into`` (absolute paths),
         reconstructed from the commit history's COPY INTO entries. An

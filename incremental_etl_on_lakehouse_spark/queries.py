@@ -6654,6 +6654,49 @@ def snk_copy_into(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@query(
+    "ddl_tblproperties",
+    # booleans attest: CDF off at creation -> first append invisible to the
+    # feed; SET enables it -> the next append's rows ARE in the feed; UNSET
+    # round-trips the custom property.
+    "SELECT CAST(2 AS BIGINT) AS n_cdf_rows, true AS cdf_was_off,"
+    " true AS custom_prop_roundtrip",
+)
+def ddl_tblproperties(spark, sf_dir):
+    """ALTER TABLE SET / UNSET TBLPROPERTIES — metadata commits that merge
+    or remove table properties mid-life (Delta's late `delta.
+    enableChangeDataFeed = true` pattern, exactly the property the
+    reference sets at creation, notebooks/demo-notebook.py:225-227). The
+    key enables CDF on an existing table and proves the feed starts at the
+    enabling version: the pre-SET append is invisible, the post-SET
+    append's 2 rows stream."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "props"), schema)
+    r = {"t": t}
+    execute_statement(spark, "INSERT INTO t VALUES (1, 'pre')", r)
+    cdf_was_off = not t.cdf_enabled()
+    execute_statement(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES"
+        " (delta.enableChangeDataFeed = true, team = 'core')",
+        r,
+    )
+    v_on = t.version()
+    execute_statement(spark, "INSERT INTO t VALUES (2, 'post'), (3, 'post')", r)
+    n_cdf = t.read_changes(starting_version=v_on).count()
+    had = t.properties().get("team") == "core"
+    execute_statement(spark, "ALTER TABLE t UNSET TBLPROPERTIES (team)", r)
+    gone = "team" not in t.properties()
+    return spark.createDataFrame(
+        [(n_cdf, cdf_was_off, had and gone and t.cdf_enabled())],
+        "n_cdf_rows long, cdf_was_off boolean, custom_prop_roundtrip boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

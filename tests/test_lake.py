@@ -1125,3 +1125,29 @@ def test_copy_into_feeds_change_feed(spark, tmp_path):
     t.copy_into(str(land))
     ch = t.read_changes(starting_version=1).collect()
     assert {(r.id, r["_change_type"]) for r in ch} == {(1, "insert"), (2, "insert")}
+
+
+def test_set_unset_tblproperties(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"),
+        StructType([StructField("id", LongType())]),
+        properties={"keep": "1"},
+    )
+    t.set_properties({"a": "x", "statsColumns": "id"})
+    assert t.properties()["a"] == "x" and t.stats_columns() == ["id"]
+    t.unset_properties(["a"])
+    props = t.properties()
+    assert "a" not in props and props["keep"] == "1"
+    # unset survives a checkpoint rollup (25 commits > checkpoint cadence)
+    df = spark.createDataFrame([(1,)], "id long")
+    for _ in range(25):
+        t.append(df)
+    assert "a" not in t.properties()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fixed at table creation"):
+        t.set_properties({"partitionBy": "id"})
+    with _pytest.raises(ValueError, match="fixed at table creation"):
+        t.unset_properties(["identity.id"])
