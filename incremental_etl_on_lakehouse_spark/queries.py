@@ -6697,6 +6697,155 @@ def ddl_tblproperties(spark, sf_dir):
     )
 
 
+_URL_DEDUP_SQL = """
+WITH urls AS (
+  SELECT doc_id, n_chars,
+         concat('https://', source, '.example.com/page',
+                CAST(doc_id % 10 AS VARCHAR)) AS canonical
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, canonical, n_chars,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY canonical) AS n_dups
+  FROM urls
+)
+SELECT doc_id, canonical, CAST(n_dups AS BIGINT) AS n_dups
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+@query("ext_dedup_url", _URL_DEDUP_SQL)
+def ext_dedup_url(spark, sf_dir):
+    """URL-keyed dedup — the first dedup stage of every web-crawl pipeline
+    (CommonCrawl/C4 dedup by canonical URL before any content hashing):
+    group documents by canonical URL and keep the best fetch per URL
+    (longest text wins, doc_id breaks ties deterministically). URLs are
+    planted from doc_id (the fixture carries none); canonicalization
+    itself is exercised by ext_url_normalize.
+
+    Scale: one hash shuffle on the canonical-URL key feeding a window
+    (row_number + count over the same partitioning — Catalyst plans both
+    over ONE exchange). URL keys are near-unique in a real crawl, so
+    partitions stay balanced; survivor selection never materializes
+    pairs. 100 TB: identical shape; the shuffle carries (url, n_chars,
+    doc_id), not document bodies — project before the exchange."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    w = Window.partitionBy("canonical")
+    ranked = (
+        d.select("doc_id", "n_chars", url.alias("canonical"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("n_dups", F.count("*").over(w))
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select("doc_id", "canonical", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+_DOC_SHUFFLE_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(concat('shuffle-seed-42|', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, h, ascii(substr(h, 1, 1)) % 8 AS shard
+  FROM hashed
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM sharded ORDER BY shard, pos
+"""
+
+
+@query("ext_doc_shuffle", _DOC_SHUFFLE_SQL)
+def ext_doc_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding — the "global shuffle"
+    every pre-training data pipeline ends with: each document gets a
+    seeded pseudo-random rank (md5 of seed|doc_id), is routed to a shard
+    by that rank, and receives a deterministic position within its shard.
+    Re-running with the same seed reproduces the exact training order;
+    changing the seed is a fresh epoch permutation.
+
+    Scale: this is the Spark-first alternative to a single global sort —
+    a global row_number() would serialize through ONE partition. Instead
+    the order is (shard, pos): documents hash-route to shards (narrow,
+    no skew — md5 is uniform), and positions are per-shard window ranks,
+    so the only wide op is one exchange on the shard key and every shard
+    ranks in parallel. Trainers read shards in index order, giving a
+    reproducible global order without any single-partition bottleneck.
+    100 TB: n_shards scales with the cluster (one output file each)."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("shuffle-seed-42|"), F.col("doc_id").cast("string")))
+    shard = (F.ascii(F.substring(F.col("h"), 1, 1)) % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_BLOCKLIST_SQL = """
+WITH urls AS (
+  SELECT doc_id, lang, n_chars,
+         concat(source, '.example.com') AS host
+  FROM documents
+)
+SELECT u.doc_id, u.host
+FROM urls u
+WHERE u.host NOT IN (
+  SELECT concat(b.src, '.example.com')
+  FROM (VALUES ('src3'), ('src7'), ('src12'), ('src18')) AS b(src)
+)
+ORDER BY u.doc_id
+"""
+
+
+@query("ext_domain_blocklist", _BLOCKLIST_SQL)
+def ext_domain_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering — drop every document whose host appears
+    on a curated blocklist (spam/adult/SEO domains), the standard first
+    quality gate in web-corpus curation. The blocklist arrives as a TABLE
+    (tens of thousands of rows in production, 4 here), not a literal
+    IN-list, so the filter is an anti-join.
+
+    Scale: the blocklist side is kilobytes-to-megabytes — broadcast it
+    (explicit ``F.broadcast``) and the anti-join runs map-side with ZERO
+    shuffle of the corpus; the plan is BroadcastHashJoin LeftAnti over
+    the scan. Never flip the build side: shuffling 100 TB of documents
+    to anti-join a 1 MB list is the canonical join-order mistake."""
+    d = load_table(spark, "documents", sf_dir)
+    block = spark.createDataFrame(
+        [("src3",), ("src7",), ("src12",), ("src18",)], "src string"
+    ).select(F.concat("src", F.lit(".example.com")).alias("host"))
+    urls = d.select(
+        "doc_id", F.concat("source", F.lit(".example.com")).alias("host")
+    )
+    return (
+        urls.join(F.broadcast(block), "host", "left_anti")
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #
