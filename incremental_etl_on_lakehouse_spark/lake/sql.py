@@ -154,6 +154,7 @@ class MergeStatement:
     source_alias: str | None
     on_condition: str
     clauses: list[MergeClause] = field(default_factory=list)
+    schema_evolution: bool = False
 
 
 def _canonicalize(expr: str, stmt: MergeStatement) -> str:
@@ -209,13 +210,15 @@ def _parse_action(action: str, matched: bool, cond: str | None) -> MergeClause:
 def parse_merge(sql: str) -> MergeStatement:
     s = strip_comments(sql)
     m = re.match(
-        rf"\s*MERGE\s+INTO\s+(?P<target>{_IDENT})"
+        rf"\s*MERGE\s+(?P<evo>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+        rf"INTO\s+(?P<target>{_IDENT})"
         rf"(?:\s+AS)?(?:\s+(?P<talias>{_IDENT}))?\s+USING\b",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError("not a MERGE INTO statement")
+    schema_evolution = m.group("evo") is not None
     target, talias = m.group("target"), m.group("talias")
     pos = m.end()
     while pos < len(s) and s[pos].isspace():
@@ -253,6 +256,7 @@ def parse_merge(sql: str) -> MergeStatement:
         source_alias=salias,
         on_condition=s[pos : pos + wm.start()].strip(),
         clauses=[],
+        schema_evolution=schema_evolution,
     )
     clause_re = re.compile(
         r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
@@ -612,7 +616,13 @@ def execute_merge(
             source_df = spark.sql(rewrite_qualify(stmt.source_text))
         else:
             source_df = spark.table(stmt.source_text)
-    return target.merge(source_df, stmt.on_condition, stmt.clauses, stats_prune=stats_prune)
+    return target.merge(
+        source_df,
+        stmt.on_condition,
+        stmt.clauses,
+        stats_prune=stats_prune,
+        merge_schema=stmt.schema_evolution,
+    )
 
 
 def parse_alter_constraint(sql: str) -> tuple[str, str, str, str | None]:
@@ -855,11 +865,32 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
     return target.clone(dest_path, shallow=p["shallow"])
 
 
+def execute_analyze(spark: SparkSession, sql: str, resolve) -> dict:
+    """``ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS a, b, ...]`` —
+    routes to :meth:`LakeTable.analyze` (approximate NDV; the scalable
+    default)."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"ANALYZE\s+TABLE\s+(?P<t>{_IDENT})\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>.+))?\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("not an ANALYZE TABLE statement")
+    target = _resolve(resolve, m.group("t"))
+    cols = None
+    if m.group("cols"):
+        cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+    return target.analyze(columns=cols)
+
+
 def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
     """One front door for every supported statement kind: MERGE INTO,
     INSERT INTO/OVERWRITE, UPDATE, DELETE FROM, ALTER TABLE (constraints,
-    rename), OPTIMIZE, VACUUM, RESTORE, CREATE TABLE (column DDL with
-    NOT NULL / generated / identity clauses, AS SELECT, or ... CLONE)."""
+    rename), OPTIMIZE, VACUUM, RESTORE, ANALYZE TABLE, CREATE TABLE
+    (column DDL with NOT NULL / generated / identity clauses, AS SELECT,
+    or ... CLONE)."""
     s = strip_comments(sql).lstrip()
     head = s.split(None, 1)[0].upper() if s.split() else ""
     if head == "MERGE":
@@ -877,6 +908,8 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
         return execute_update(spark, sql, resolve)
     if head == "DELETE":
         return execute_delete(spark, sql, resolve)
+    if head == "ANALYZE":
+        return execute_analyze(spark, sql, resolve)
     if head == "ALTER":
         # route on which grammar PARSES; executor errors (missing column,
         # dependent constraint, ...) propagate instead of being mistaken

@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -793,6 +794,67 @@ class LakeTable:
             ),
         )
         return v
+
+    def analyze(
+        self, columns: list[str] | None = None, exact_ndv: bool = False
+    ) -> dict:
+        """ANALYZE TABLE COMPUTE STATISTICS [FOR COLUMNS ...] — one full
+        scan computing the table row count plus per-column non-null count,
+        NDV, and min/max, persisted as a ``stats.json`` table property in a
+        metadata commit so later sessions (and the SQL front-end's join
+        planning) read them without rescanning.
+
+        ``exact_ndv=False`` (default) uses ``approx_count_distinct`` — an
+        HLL sketch that partial-aggregates map-side, so the scan stays one
+        pass with a metadata-size shuffle regardless of cardinality. Exact
+        NDV (``countDistinct``) over k columns plans an Expand that
+        multiplies scan rows by k before the shuffle — fine at test scale
+        and for oracle checks, the wrong default at 100 TB.
+
+        Stand-in for ``ANALYZE TABLE ... COMPUTE STATISTICS``, the stats
+        source Spark's CBO and Delta's data skipping consult."""
+        schema = self.schema()
+        names = (
+            list(columns)
+            if columns is not None
+            else [f.name for f in schema.fields]
+        )
+        known = set(schema.fieldNames())
+        bad = [c for c in names if c not in known]
+        if bad:
+            raise ValueError(f"ANALYZE columns not in schema: {bad}")
+        ndv = F.countDistinct if exact_ndv else F.approx_count_distinct
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in names:
+            aggs += [
+                F.count(F.col(c)).alias(f"__nn_{c}"),
+                ndv(F.col(c)).alias(f"__ndv_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            ]
+        row = self.to_df().agg(*aggs).collect()[0]
+        fresh = {
+            c: {
+                "nonNull": row[f"__nn_{c}"],
+                "ndv": row[f"__ndv_{c}"],
+                "min": row[f"__mn_{c}"],
+                "max": row[f"__mx_{c}"],
+            }
+            for c in names
+        }
+        # FOR COLUMNS augments: merge into previously analyzed columns
+        # (re-analyzed ones refresh) instead of discarding them
+        prior = self.table_stats() or {}
+        columns = {**prior.get("columns", {}), **fresh}
+        columns = {c: s for c, s in columns.items() if c in known}
+        stats = {"numRows": row["__rows"], "columns": columns}
+        self.set_properties({"stats.json": json.dumps(stats, sort_keys=True)})
+        return stats
+
+    def table_stats(self) -> dict | None:
+        """The last ANALYZE result recorded on this table, or None."""
+        raw = self.properties().get("stats.json")
+        return json.loads(raw) if raw else None
 
     def copied_files(self) -> set[str]:
         """Source files already ingested by ``copy_into`` (absolute paths),

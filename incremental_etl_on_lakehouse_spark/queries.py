@@ -6846,6 +6846,218 @@ def ext_domain_blocklist(spark, sf_dir):
     )
 
 
+_HIGHER_ORDER_SQL = """
+WITH milli AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS m
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(list_filter(m, x -> x > 0)) AS INT) AS n_pos,
+       CAST(list_sum(m) AS BIGINT) AS sum_milli,
+       CAST(list_max(m) AS BIGINT) AS max_milli,
+       len(list_filter(m, x -> abs(x) > 1500)) > 0 AS has_big
+FROM milli ORDER BY vec_id
+"""
+
+
+@query("fn_higher_order", _HIGHER_ORDER_SQL)
+def fn_higher_order(spark, sf_dir):
+    """Higher-order array lambdas — transform / filter / aggregate / exists
+    over the embedding vectors, all evaluated inside the JVM with zero
+    Python involvement. Elements are quantized to integer millis FIRST
+    (round(x*1000)) so every downstream reduction is exact integer math —
+    float summation order never reaches the oracle hash.
+
+    Scale: lambda expressions run per-row inside whole-stage codegen, so
+    this is a pure narrow projection over the scan — no shuffle, no UDF,
+    no Arrow transfer. At 100 TB this is the pattern that replaces a
+    Pandas UDF for elementwise vector math."""
+    e = load_table(spark, "embeddings", sf_dir)
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    return (
+        e.select("vec_id", m.alias("m"))
+        .select(
+            "vec_id",
+            F.size(F.filter("m", lambda x: x > 0)).alias("n_pos"),
+            F.aggregate(
+                "m", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("sum_milli"),
+            F.array_max("m").alias("max_milli"),
+            F.exists("m", lambda x: F.abs(x) > 1500).alias("has_big"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_MERGE_EVO_SQL = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'signup'
+),
+batch AS (
+  SELECT event_id, CAST(round(value * 100) * 2 AS BIGINT) AS cents,
+         upper(event_type) AS tier
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND event_id % 2 = 0
+)
+SELECT coalesce(b.event_id, s.event_id) AS event_id,
+       coalesce(s.cents, b.cents) AS cents,
+       s.tier AS tier,
+       true AS schema_evolved
+FROM base b FULL OUTER JOIN batch s ON b.event_id = s.event_id
+ORDER BY event_id
+"""
+
+
+@query("merge_schema_evolution", _MERGE_EVO_SQL)
+def merge_schema_evolution(spark, sf_dir):
+    """MERGE WITH SCHEMA EVOLUTION — the upsert variant of schema drift
+    (Delta's ``withSchemaEvolution()`` / ``MERGE WITH SCHEMA EVOLUTION``
+    statement): the source batch carries a column the target has never
+    seen (`tier`); the merge widens the target schema in the SAME atomic
+    commit, UPDATE/INSERT * assign the new column, and every pre-existing
+    row in files the merge didn't touch reads it back as NULL without any
+    rewrite (schema-on-read).
+
+    Scale: evolution adds zero data movement on top of the merge itself —
+    the schema widening is a metadata-only change in the commit; untouched
+    files are never opened. The merge keeps the single source-sided
+    planning join of the base path.
+    Reference: notebooks/demo-notebook.py:244-280 (MERGE), with drift
+    handled as in :186 (Autoloader mergeSchema) but inside MERGE."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_merge
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.where(F.col("event_type") == "signup").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("cents", LongType())]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "evo_tgt"), schema)
+    t.append(base)
+    batch = ev.where(
+        F.col("event_type").isin("signup", "purchase")
+        & (F.col("event_id") % 2 == 0)
+    ).select(
+        "event_id",
+        (F.round(F.col("value") * 100) * 2).cast("long").alias("cents"),
+        F.upper("event_type").alias("tier"),
+    )
+    batch.createOrReplaceTempView("evo_batch")
+    execute_merge(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO tgt t USING evo_batch s"
+        " ON s.event_id = t.event_id"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        {"tgt": t},
+        stats_prune={"event_id": "event_id"},
+    )
+    evolved = "tier" in t.schema().fieldNames()
+    return t.to_df().select(
+        "event_id", "cents", "tier", F.lit(evolved).alias("schema_evolved")
+    ).orderBy("event_id")
+
+
+_ANALYZE_SQL = """
+WITH s AS (SELECT * FROM events WHERE event_type <> 'error')
+SELECT col, n_nonnull, ndv, min_str, max_str, true AS persisted
+FROM (
+  SELECT 'event_id' AS col, CAST(count(event_id) AS BIGINT) AS n_nonnull,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+         CAST(min(event_id) AS VARCHAR) AS min_str,
+         CAST(max(event_id) AS VARCHAR) AS max_str FROM s
+  UNION ALL
+  SELECT 'event_type', CAST(count(event_type) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT),
+         CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+  FROM s
+  UNION ALL
+  SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM s
+) ORDER BY col
+"""
+
+
+@query("util_analyze_stats", _ANALYZE_SQL)
+def util_analyze_stats(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS — the stats source a
+    cost-based optimizer consults for join sizing/broadcast decisions and
+    data skipping: one scan computes row count + per-column non-null
+    count, NDV, min, max; the result persists as a ``stats.json`` table
+    property (a metadata commit) and reads back via ``table_stats()``
+    without rescanning. This key uses exact NDV so the numbers are
+    oracle-checkable; the production default is approx_count_distinct
+    (HLL partial-aggregates map-side — see LakeTable.analyze docstring
+    for why exact NDV doesn't scale).
+
+    Scale: one full scan, one agg; HLL NDV keeps it a single pass with a
+    metadata-size shuffle. The persisted stats make every LATER query
+    cheaper (broadcast decisions, file skipping) — the canonical
+    scan-once-decide-many pattern."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") != "error"
+    ).select("event_id", "event_type", "user_id")
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "an_tgt"), ev.schema
+    )
+    t.append(ev)
+    t.analyze(
+        columns=["event_id", "event_type", "user_id"], exact_ndv=True
+    )
+    # the SQL front door parses the same statement (approx path) — run it
+    # to attest the route, then read the persisted exact stats back
+    execute_statement(
+        spark,
+        "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS event_id",
+        {"t": t},
+    )
+    stats = t.table_stats()
+    persisted = stats is not None and stats["numRows"] == ev.count()
+    rows = [
+        (
+            c,
+            int(st["nonNull"]),
+            int(st["ndv"]),
+            st["min"],
+            st["max"],
+            bool(persisted),
+        )
+        for c, st in sorted(stats["columns"].items())
+        if c != "event_id"  # overwritten by the approx front-door run
+    ]
+    # recompute event_id exactly for the comparison slice (the SQL route
+    # above replaced it with the HLL estimate, by design)
+    ex = t.analyze(columns=["event_id"], exact_ndv=True)["columns"]["event_id"]
+    rows.insert(
+        0,
+        (
+            "event_id",
+            int(ex["nonNull"]),
+            int(ex["ndv"]),
+            ex["min"],
+            ex["max"],
+            bool(persisted),
+        ),
+    )
+    return spark.createDataFrame(
+        rows,
+        "col string, n_nonnull long, ndv long, min_str string,"
+        " max_str string, persisted boolean",
+    ).orderBy("col")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

@@ -1151,3 +1151,50 @@ def test_set_unset_tblproperties(spark, tmp_path):
         t.set_properties({"partitionBy": "id"})
     with _pytest.raises(ValueError, match="fixed at table creation"):
         t.unset_properties(["identity.id"])
+
+
+def test_analyze_table_stats(spark, tmp_path):
+    """ANALYZE computes row/column stats in one pass, persists them as a
+    stats.json property, merges FOR COLUMNS runs instead of clobbering,
+    and the SQL front door routes the statement."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "an"),
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("grp", StringType()),
+                StructField("v", LongType()),
+            ]
+        ),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", None), (3, "b", 30), (4, None, 40)],
+            "id long, grp string, v long",
+        )
+    )
+    s1 = t.analyze(columns=["id", "grp"], exact_ndv=True)
+    assert s1["numRows"] == 4
+    assert s1["columns"]["grp"] == {
+        "nonNull": 3, "ndv": 2, "min": "a", "max": "b",
+    }
+    # FOR COLUMNS v merges; id/grp stats survive
+    s2 = execute_statement(
+        spark, "ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS v", {"an": t}
+    )
+    merged = t.table_stats()
+    assert set(merged["columns"]) == {"id", "grp", "v"}
+    assert merged["columns"]["v"]["nonNull"] == 3
+    assert merged["columns"]["grp"]["ndv"] == 2
+    # stats survive a fresh handle (they live in the commit log)
+    t2 = LakeTable(spark, str(tmp_path / "an"))
+    assert t2.table_stats() == merged
+    # unknown column is an error
+    with pytest.raises(ValueError, match="nope"):
+        t.analyze(columns=["nope"])
+    # full-table ANALYZE without FOR COLUMNS covers every column
+    execute_statement(spark, "ANALYZE TABLE an COMPUTE STATISTICS", {"an": t})
+    assert set(t.table_stats()["columns"]) == {"id", "grp", "v"}

@@ -248,3 +248,51 @@ def test_parser_roundtrip_property():
                 assert c.assignments == {"k": "source.k", "v": "source.v"}
 
     run()
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """``MERGE WITH SCHEMA EVOLUTION INTO`` widens the target with source
+    columns it lacks: UPDATE/INSERT * assign them, rows in untouched files
+    read NULL (schema-on-read, no rewrite), and a plain MERGE of the same
+    wide source silently drops the extra column (Delta's default)."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "evo"),
+        StructType([StructField("k", LongType()), StructField("v", LongType())]),
+    )
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    wide = spark.createDataFrame(
+        [(2, 200, "gold"), (9, 900, "new")], "k long, v long, tier string"
+    )
+    wide.createOrReplaceTempView("wide_src")
+
+    metrics = execute_merge(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO tbl t USING wide_src s ON s.k = t.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": t},
+    )
+    assert metrics["num_updated_rows"] == 1 and metrics["num_inserted_rows"] == 1
+    assert "tier" in t.schema().fieldNames()
+    got = {r["k"]: (r["v"], r["tier"]) for r in t.to_df().collect()}
+    assert got == {1: (10, None), 2: (200, "gold"), 3: (30, None), 9: (900, "new")}
+    # the untouched file (k=3 alone in its file) was NOT rewritten
+    assert metrics["num_touched_files"] == 1
+
+    # plain MERGE (no evolution clause): extra source columns are ignored
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "plain"),
+        StructType([StructField("k", LongType()), StructField("v", LongType())]),
+    )
+    t2.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    execute_merge(
+        spark,
+        "MERGE INTO tbl t USING wide_src s ON s.k = t.k"
+        " WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": t2},
+    )
+    assert "tier" not in t2.schema().fieldNames()
+    assert {r["k"] for r in t2.to_df().collect()} == {1, 2, 9}
