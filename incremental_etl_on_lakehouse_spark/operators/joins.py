@@ -233,3 +233,67 @@ def salted_join(
     )
     joined = ls.join(rs, on + [_SALT], how)
     return joined.drop(_SALT)
+
+
+def stats_driven_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | Column | str,
+    left_stats: dict | None,
+    right_stats: dict | None,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 10 * 1024 * 1024,
+) -> tuple[DataFrame, str]:
+    """Equi-join whose physical strategy is chosen from ANALYZE stats
+    (``LakeTable.table_stats()``) — the cost-based decision Spark's CBO
+    makes from catalog statistics, reproduced for lake tables that live
+    outside a metastore.
+
+    Size estimate = numRows x a schema-derived row width (fixed widths
+    for numeric/date types, the stats' observed max length for strings).
+    The smaller side gets an explicit ``F.broadcast`` when its estimate
+    is under the threshold (Spark's own
+    ``spark.sql.autoBroadcastJoinThreshold`` default of 10 MB); otherwise
+    the join is left to the shuffle path (where AQE may still convert it
+    at runtime from EXACT sizes). Returns (joined, decision) with
+    decision one of ``broadcast_left`` / ``broadcast_right`` /
+    ``shuffle``.
+
+    Scale: the decision is metadata-only (no scan at plan time — the
+    scan happened once at ANALYZE). Stats-driven broadcasting matters
+    most when the small side is a filtered view of a big table: file
+    sizes overstate it, stats after ANALYZE don't.
+    """
+    _WIDTHS = {
+        "long": 8, "int": 4, "integer": 4, "short": 2, "byte": 1,
+        "double": 8, "float": 4, "boolean": 1, "date": 4,
+        "timestamp": 8, "timestamp_ntz": 8,
+    }
+
+    def estimate(df: DataFrame, stats: dict | None) -> int | None:
+        if not stats or "numRows" not in stats:
+            return None
+        width = 0
+        cols = stats.get("columns", {})
+        for f in df.schema.fields:
+            t = f.dataType.typeName()
+            if t in _WIDTHS:
+                width += _WIDTHS[t]
+            elif t == "string":
+                mx = (cols.get(f.name) or {}).get("max")
+                width += 20 + (len(mx) if isinstance(mx, str) else 20)
+            else:
+                width += 48  # arrays/structs/binary: coarse default
+        return int(stats["numRows"]) * max(width, 1)
+
+    lsize, rsize = estimate(left, left_stats), estimate(right, right_stats)
+    decision = "shuffle"
+    if (
+        rsize is not None
+        and rsize <= broadcast_threshold_bytes
+        and (lsize is None or rsize <= lsize)
+    ):
+        right, decision = F.broadcast(right), "broadcast_right"
+    elif lsize is not None and lsize <= broadcast_threshold_bytes:
+        left, decision = F.broadcast(left), "broadcast_left"
+    return left.join(right, on, how), decision

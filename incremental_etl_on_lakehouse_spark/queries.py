@@ -7058,6 +7058,63 @@ def util_analyze_stats(spark, sf_dir):
     ).orderBy("col")
 
 
+_STATS_JOIN_SQL = """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+       true AS broadcast_chosen
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
+@query("join_stats_driven", _STATS_JOIN_SQL)
+def join_stats_driven(spark, sf_dir):
+    """Cost-based join strategy from ANALYZE statistics — the engine-side
+    use of `util_analyze_stats`: both join inputs are lake tables with
+    persisted stats; the planner estimates each side's bytes (numRows x
+    schema-derived row width) and broadcasts the smaller side when it
+    fits under the 10 MB autoBroadcast threshold. No scan happens at
+    plan time — the decision reads metadata written once by ANALYZE.
+
+    Scale: this is what a metastore-backed CBO does with catalog stats;
+    for lake tables outside a metastore the stats ride in the commit
+    log. The case that matters at 100 TB: a dimension that is a small
+    FILTERED slice of a big table — file size overstates it, post-filter
+    stats don't, and the wrong call shuffles the fact table."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import (
+        stats_driven_join,
+    )
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    tc = LakeTable.create(spark, os.path.join(_tmpdir(), "sj_c"), cust.schema)
+    tc.append(cust)
+    tn = LakeTable.create(spark, os.path.join(_tmpdir(), "sj_n"), nat.schema)
+    tn.append(nat)
+    tc.analyze()
+    tn.analyze()
+    joined, decision = stats_driven_join(
+        tc.to_df(),
+        tn.to_df(),
+        F.expr("c_nationkey = n_nationkey"),
+        tc.table_stats(),
+        tn.table_stats(),
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .withColumn("broadcast_chosen", F.lit(decision == "broadcast_right"))
+        .orderBy("nation")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

@@ -218,3 +218,36 @@ def test_asof_nearest_matches_bruteforce(spark, sf_dir):
     assert _rows(got, "event_id", "p_event_id") == _rows(
         want, "event_id", "p_event_id"
     )
+
+
+def test_stats_driven_join_decisions(spark):
+    from incremental_etl_on_lakehouse_spark.operators.joins import (
+        stats_driven_join,
+    )
+
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    small = spark.range(10).withColumnRenamed("id", "k2")
+    big_stats = {"numRows": 50_000_000, "columns": {}}
+    small_stats = {"numRows": 10, "columns": {}}
+
+    _, d = stats_driven_join(
+        big, small, big.k == small.k2, big_stats, small_stats
+    )
+    assert d == "broadcast_right"
+    _, d = stats_driven_join(
+        small, big, small.k2 == big.k, small_stats, big_stats
+    )
+    assert d == "broadcast_left"
+    big2 = spark.range(1000).withColumnRenamed("id", "k2")
+    _, d = stats_driven_join(
+        big, big2, big.k == big2.k2, big_stats, big_stats
+    )
+    assert d == "shuffle"
+    # missing stats on both sides: never guess a broadcast
+    _, d = stats_driven_join(big, small, big.k == small.k2, None, None)
+    assert d == "shuffle"
+    # result correctness: equals the plain join
+    joined, _ = stats_driven_join(
+        big, small, big.k == small.k2, big_stats, small_stats
+    )
+    assert joined.count() == 10

@@ -497,3 +497,11 @@ def test_dedup_url_single_window_exchange(spark, sf_dir):
     (same window partitioning); plus the presentation sort = 2 total."""
     df = QUERIES["ext_dedup_url"](spark, sf_dir)
     assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
+
+
+def test_stats_driven_join_broadcasts_small_side(spark, sf_dir):
+    """The stats-based decision must put the nation side in a broadcast
+    exchange (no stats -> it would shuffle both sides)."""
+    df = QUERIES["join_stats_driven"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
