@@ -885,6 +885,29 @@ def execute_analyze(spark: SparkSession, sql: str, resolve) -> dict:
     return target.analyze(columns=cols)
 
 
+def execute_describe(spark: SparkSession, sql: str, resolve):
+    """``DESCRIBE HISTORY <t>`` -> commit list, ``DESCRIBE DETAIL <t>`` ->
+    snapshot-summary dict, ``SHOW TBLPROPERTIES <t>`` -> properties dict.
+    All metadata-only (commit log + file stats, no data scan)."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"(?:DESCRIBE|DESC)\s+(?P<kind>HISTORY|DETAIL)\s+(?P<t>{_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        target = _resolve(resolve, m.group("t"))
+        if m.group("kind").upper() == "HISTORY":
+            return target.history()
+        return target.detail()
+    m = re.match(
+        rf"SHOW\s+TBLPROPERTIES\s+(?P<t>{_IDENT})\s*$", s, re.IGNORECASE
+    )
+    if m:
+        return _resolve(resolve, m.group("t")).properties()
+    raise ValueError("not a DESCRIBE HISTORY/DETAIL or SHOW TBLPROPERTIES")
+
+
 def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
     """One front door for every supported statement kind: MERGE INTO,
     INSERT INTO/OVERWRITE, UPDATE, DELETE FROM, ALTER TABLE (constraints,
@@ -910,6 +933,8 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
         return execute_delete(spark, sql, resolve)
     if head == "ANALYZE":
         return execute_analyze(spark, sql, resolve)
+    if head in ("DESCRIBE", "DESC", "SHOW"):
+        return execute_describe(spark, sql, resolve)
     if head == "ALTER":
         # route on which grammar PARSES; executor errors (missing column,
         # dependent constraint, ...) propagate instead of being mistaken

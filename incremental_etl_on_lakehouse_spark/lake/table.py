@@ -534,6 +534,33 @@ class LakeTable:
             for c in self._commits()
         ]
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL — one metadata row summarizing the live
+        snapshot: location, file count/bytes, partition columns,
+        properties, created/last-modified commit times, current version.
+        Reads only the commit log and file metadata (no data scan)."""
+        commits = self._commits()
+        state = self._state()
+        files = [self._abs(r) for r in state["active"]]
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(f)
+            except OSError:
+                pass
+        props = self.properties()
+        return {
+            "format": "lake-parquet",
+            "location": self.path,
+            "numFiles": len(files),
+            "sizeInBytes": size,
+            "partitionColumns": self.partition_columns(),
+            "properties": props,
+            "createdAt_ms": commits[0].timestamp_ms if commits else None,
+            "lastModified_ms": commits[-1].timestamp_ms if commits else None,
+            "version": self.version(),
+        }
+
     # ---------------------------------------------------------------- reads
 
     def _abs(self, rel: str) -> str:

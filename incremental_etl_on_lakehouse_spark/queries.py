@@ -7115,6 +7115,152 @@ def join_stats_driven(spark, sf_dir):
     )
 
 
+_DATASET_SPLIT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+),
+assigned AS (
+  SELECT doc_id,
+         md5(text) AS cluster_id,
+         CASE
+           WHEN ascii(substr(md5(concat('split-seed|', md5(text))), 1, 1))
+                % 10 < 8 THEN 'train'
+           WHEN ascii(substr(md5(concat('split-seed|', md5(text))), 1, 1))
+                % 10 = 8 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM corpus
+),
+leak AS (
+  SELECT max(n_splits) = 1 AS leakage_free
+  FROM (SELECT cluster_id, count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY cluster_id)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       (SELECT leakage_free FROM leak) AS leakage_free
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+@query("ext_dataset_split", _DATASET_SPLIT_SQL)
+def ext_dataset_split(spark, sf_dir):
+    """Leakage-safe train/val/test split — the assignment is keyed on the
+    DUPLICATE-CLUSTER id (here md5 of the exact text; in production the
+    MinHash cluster label), not the doc id, so every near-duplicate of a
+    training document lands in the SAME split and the eval sets stay
+    uncontaminated. Duplicates are planted (every 7th doc mirrored under
+    a new id) to make the guarantee observable; the key also re-verifies
+    it (max distinct splits per cluster == 1).
+
+    Scale: split assignment is a narrow hash projection — no shuffle, no
+    state, reproducible across engines and epochs (seeded md5). The
+    leakage audit is one groupBy on the cluster id; at 100 TB run it as
+    a sampled or periodic check, the assignment itself never needs it.
+    80/10/10 comes from hash-bucket ranges, the same mechanism as
+    ext_sample_hash."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    cluster = F.md5("text")
+    bucket = F.ascii(
+        F.substring(F.md5(F.concat(F.lit("split-seed|"), cluster)), 1, 1)
+    ) % 10
+    assigned = corpus.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg((F.max("n_splits") == 1).alias("leakage_free"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
+_DESCRIBE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'CREATE',            true, true, true),
+  (CAST(1 AS BIGINT), 'APPEND',            true, true, true),
+  (CAST(2 AS BIGINT), 'APPEND',            true, true, true),
+  (CAST(3 AS BIGINT), 'SET TBLPROPERTIES', true, true, true),
+  (CAST(4 AS BIGINT), 'DELETE',            true, true, true)
+) AS h(version, operation, detail_consistent, props_visible, files_counted)
+ORDER BY version
+"""
+
+
+@query("util_describe_detail", _DESCRIBE_SQL)
+def util_describe_detail(spark, sf_dir):
+    """DESCRIBE HISTORY / DESCRIBE DETAIL / SHOW TBLPROPERTIES through the
+    SQL front door — the audit surface the reference reads with
+    ``DESCRIBE HISTORY`` (notebooks/demo-notebook.py, time-travel cells):
+    per-commit operation log, one-row snapshot summary (location, file
+    count/bytes, partition columns, version), and the properties view.
+    All three are metadata-only — commit log + file stats, no data scan.
+
+    The key drives a 5-commit lifecycle (create, 2 appends, property
+    set, delete) and attests: history returns exactly the operations in
+    order; DETAIL's version/file-count agree with the log and the live
+    file list; the property set at v3 is visible in SHOW TBLPROPERTIES."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "desc_tgt"), ev.schema
+    )
+    t.append(ev.where(F.col("event_id") % 2 == 0).repartition(1))
+    t.append(ev.where(F.col("event_id") % 2 == 1).repartition(1))
+    r = {"t": t}
+    execute_statement(
+        spark, "ALTER TABLE t SET TBLPROPERTIES (owner = 'curation')", r
+    )
+    execute_statement(spark, "DELETE FROM t WHERE cents < 0", r)
+
+    hist = execute_statement(spark, "DESCRIBE HISTORY t", r)
+    detail = execute_statement(spark, "DESCRIBE DETAIL t", r)
+    props = execute_statement(spark, "SHOW TBLPROPERTIES t", r)
+
+    detail_ok = (
+        detail["version"] == max(h["version"] for h in hist)
+        and detail["numFiles"] == len(t.files())
+        and detail["location"] == t.path
+        and detail["partitionColumns"] == []
+        and detail["sizeInBytes"] > 0
+    )
+    props_ok = props.get("owner") == "curation"
+    files_ok = detail["numFiles"] >= 2  # two appends; DELETE may rewrite
+    rows = [
+        (int(h["version"]), h["operation"], detail_ok, props_ok, files_ok)
+        for h in hist
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, detail_consistent boolean,"
+        " props_visible boolean, files_counted boolean",
+    ).orderBy("version")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #

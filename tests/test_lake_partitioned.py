@@ -206,3 +206,32 @@ def test_zorder_handles_strings_and_nulls(spark, tmp_path):
     assert n >= 4
     # string ranges prune too (sampled split points are type-agnostic)
     assert len(t.files_matching({"s": ("w010", "w015")})) < n
+
+
+def test_describe_detail_partitioned(spark, tmp_path):
+    """DESCRIBE DETAIL reports partition columns and live file count on a
+    partitioned table; SHOW TBLPROPERTIES round-trips via the front door."""
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "pd"),
+        StructType(
+            [StructField("id", LongType()), StructField("grp", StringType())]
+        ),
+        partition_by=["grp"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id long, grp string"
+        )
+    )
+    d = execute_statement(spark, "DESCRIBE DETAIL pd", {"pd": t})
+    assert d["partitionColumns"] == ["grp"]
+    assert d["numFiles"] == len(t.files()) and d["numFiles"] >= 2
+    assert d["version"] == 1 and d["format"] == "lake-parquet"
+    assert execute_statement(spark, "SHOW TBLPROPERTIES pd", {"pd": t}) == t.properties()
