@@ -7261,6 +7261,112 @@ def util_describe_detail(spark, sf_dir):
     ).orderBy("version")
 
 
+_TEXT_LINES_SQL = (
+    "SELECT replace(replace(text, chr(10), ' '), chr(13), ' ') AS line,"
+    " CAST(length(text) AS BIGINT) AS line_len"
+    " FROM documents ORDER BY line"
+)
+
+
+@query("src_text_lines", _TEXT_LINES_SQL)
+def src_text_lines(spark, sf_dir):
+    """Plain-text line source (``spark.read.text``) — the raw-corpus
+    ingestion format LLM pipelines start from (one document per line, as
+    in C4/RefinedWeb dumps). Round-trips `documents.text` through a .txt
+    landing zone and reads it back line-by-line; newline/CR characters
+    are sanitized before the write so one logical document stays one
+    physical line (the write would otherwise split it). Scan is
+    line-splittable and parallel at scale — no shuffle; the final sort
+    exists only for the deterministic oracle comparison."""
+    d = load_table(spark, "documents", sf_dir)
+    out = os.path.join(_tmpdir(), "corpus_txt")
+    lines = d.select(
+        F.translate("text", "\n\r", "  ").alias("value"),
+        F.length("text").cast("long").alias("line_len"),
+    )
+    lines.select("value").write.mode("overwrite").text(out)
+    read_back = spark.read.text(out)
+    # re-attach per-line stats computed FROM the read-back bytes, proving
+    # the round trip: length survives because the sanitizer is
+    # length-preserving (1 char -> 1 char)
+    return read_back.select(
+        F.col("value").alias("line"),
+        F.length("value").cast("long").alias("line_len"),
+    ).orderBy("line")
+
+
+_RANGE_FRAME_SQL = (
+    "SELECT event_id, event_type, value_cents,"
+    " CAST(sum(value_cents) OVER w AS BIGINT) AS near_sum,"
+    " CAST(count(*) OVER w AS BIGINT) AS near_n"
+    " FROM (SELECT event_id, event_type,"
+    "   CAST(round(value * 100) AS BIGINT) AS value_cents FROM events)"
+    " WINDOW w AS (PARTITION BY event_type ORDER BY value_cents"
+    "   RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)"
+    " ORDER BY event_id"
+)
+
+
+@query("win_range_frame", _RANGE_FRAME_SQL)
+def win_range_frame(spark, sf_dir):
+    """RANGE-frame window: for each event, the sum/count of all events of
+    the same type whose value lies within 5.00 currency units below it —
+    the value-proximity band shape (outlier scoring, local densities)
+    that ROWS frames cannot express. RANGE frames are deterministic under
+    order-by ties (peers share one frame), so no tiebreak column is
+    needed. One shuffle on the partition key; integer cents avoid
+    accumulation-order float drift between engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_cents")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        F.sum("value_cents").over(w).cast("long").alias("near_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("near_n"),
+    ).orderBy("event_id")
+
+
+_STR_DIST_SQL = (
+    "SELECT n_name,"
+    " CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS lev_us,"
+    " CAST(levenshtein(lower(n_name), reverse(lower(n_name)))"
+    "   AS BIGINT) AS lev_pal,"
+    " lpad(n_name, 16, '.') AS padded,"
+    " translate(n_name, 'AEIOU', 'aeiou') AS folded"
+    " FROM nation ORDER BY n_name"
+)
+
+
+@query("fn_string_distance", _STR_DIST_SQL)
+def fn_string_distance(spark, sf_dir):
+    """String-distance and shaping scalars: levenshtein (the edit-distance
+    primitive behind fuzzy key matching / OCR cleanup in curation
+    pipelines), lpad, translate. All narrow codegen projections —
+    scan-bound, no shuffle; levenshtein is O(len^2) per row JVM-side,
+    never a Python UDF."""
+    n = load_table(spark, "nation", sf_dir)
+    return n.select(
+        "n_name",
+        F.levenshtein("n_name", F.lit("UNITED STATES"))
+        .cast("long")
+        .alias("lev_us"),
+        F.levenshtein(F.lower("n_name"), F.reverse(F.lower("n_name")))
+        .cast("long")
+        .alias("lev_pal"),
+        F.lpad("n_name", 16, ".").alias("padded"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("folded"),
+    ).orderBy("n_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification priority order.
 #
