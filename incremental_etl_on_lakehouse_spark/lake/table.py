@@ -1515,20 +1515,51 @@ class LakeTable:
                     props_after[f"identityHighWater.{icol}"] = int(extreme)
         if txn_app_id is not None:
             props_after[f"txn.{txn_app_id}"] = str(txn_version)
-        v = snapshot_version + 1
-        lakelog.write_commit(
-            self.path,
-            Commit(
-                version=v,
-                operation=operation,
-                timestamp_ms=lakelog.now_ms(),
-                add=adds,
-                schema_json=schema_json,
-                properties=props_after,
-                metrics={"num_inserted_rows": rows, **(extra_metrics or {})},
-            ),
+        # Commit with APPEND auto-rebase (Delta's blind-append rule): two
+        # appends logically commute — neither reads table data — so on a
+        # version collision the loser re-reads the log and re-publishes the
+        # SAME staged files at the fresh version. No data is rewritten and
+        # no job re-runs; the retry is one log read + one commit write.
+        # Rebase is disabled (collision surfaces to the caller) when this
+        # commit carries state that a racing winner could invalidate:
+        # identity high-water marks (values already baked into the staged
+        # parquet would collide with the winner's) or a schema evolution
+        # (the winner may have evolved incompatibly). The idempotent-txn
+        # guard is re-evaluated per attempt: if the racing winner was a
+        # replay of this very transaction, the rebase becomes a no-op.
+        can_rebase = schema_json is None and not any(
+            k.startswith("identityHighWater.") for k in props_after
         )
-        return v
+        v = snapshot_version + 1
+        for _ in range(20):
+            try:
+                lakelog.write_commit(
+                    self.path,
+                    Commit(
+                        version=v,
+                        operation=operation,
+                        timestamp_ms=lakelog.now_ms(),
+                        add=adds,
+                        schema_json=schema_json,
+                        properties=props_after,
+                        metrics={
+                            "num_inserted_rows": rows,
+                            **(extra_metrics or {}),
+                        },
+                    ),
+                )
+                return v
+            except FileExistsError:
+                if not can_rebase:
+                    raise
+                if txn_app_id is not None:
+                    last = self.txn_version(txn_app_id)
+                    if last is not None and txn_version <= last:
+                        return self.version()  # winner was our own replay
+                v = self.version() + 1
+        raise FileExistsError(
+            f"append to {self.path} lost {20} consecutive commit races"
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         commits = self._commits()

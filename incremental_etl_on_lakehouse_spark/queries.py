@@ -7261,6 +7261,68 @@ def util_describe_detail(spark, sf_dir):
     ).orderBy("version")
 
 
+_CONCURRENT_APPEND_SQL = (
+    "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,"
+    " 2 AS n_writers, TRUE AS versions_contiguous"
+    " FROM events WHERE event_id % 20 < 2 ORDER BY event_id"
+)
+
+
+@query("util_concurrent_append", _CONCURRENT_APPEND_SQL)
+def util_concurrent_append(spark, sf_dir):
+    """Optimistic concurrency with blind-append auto-rebase (Delta's
+    multi-writer contract): two independent writer handles race the same
+    table version through a thread barrier; appends commute, so the loser
+    republishes its already-staged files at the winner's version + 1 —
+    both succeed with NO caller-side retry, no lost update, and a
+    contiguous version chain. At 100 TB this is what lets N concurrent
+    micro-batch ingest jobs share one table: a collision costs one log
+    re-read + one commit write, never a data rewrite or job re-run
+    (lake/table.py append commit loop; conflict detection:
+    tests/test_lake.py write-skew + forced-collision tests)."""
+    import threading
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 20 == 0)
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "conc_tgt"), base.schema
+    )
+    t.append(base)
+    v0 = t.version()
+    slice_b = ev.where(F.col("event_id") % 20 == 1)
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+
+    def writer(name: str, df: DataFrame) -> None:
+        handle = LakeTable(spark, t.path)  # independent snapshot per writer
+        barrier.wait()
+        results[name] = handle.append(df)
+
+    # each racer appends half of slice_b; both must land
+    ths = [
+        threading.Thread(
+            target=writer,
+            args=(f"w{i}", slice_b.where(F.col("event_id") % 40 == m)),
+        )
+        for i, m in enumerate((1, 21))
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    versions = sorted(results.values())
+    contiguous = versions == [v0 + 1, v0 + 2] and t.version() == v0 + 2
+    return t.to_df().select(
+        "event_id",
+        "cents",
+        F.lit(len(results)).cast("int").alias("n_writers"),
+        F.lit(bool(contiguous)).alias("versions_contiguous"),
+    ).orderBy("event_id")
+
+
 _TEXT_LINES_SQL = (
     "SELECT replace(replace(text, chr(10), ' '), chr(13), ' ') AS line,"
     " CAST(length(text) AS BIGINT) AS line_len"

@@ -174,9 +174,10 @@ def test_log_checkpointing(spark, tmp_path):
 # ------------------------------------------------ optimistic concurrency
 
 
-def test_concurrent_appends_one_winner_clean_retry(spark, tmp_path):
-    """Two writers race the same version: exactly one v+1 lands, the loser
-    gets FileExistsError and succeeds on retry against the fresh snapshot."""
+def test_concurrent_appends_both_land_via_rebase(spark, tmp_path):
+    """Two writers race the same version: appends commute (blind writes),
+    so the loser auto-rebases its already-staged files onto the winner's
+    version — BOTH succeed with no caller-side retry and no lost update."""
     import threading
 
     t = make_table(spark, tmp_path, [(1, "England", 10)])
@@ -187,24 +188,79 @@ def test_concurrent_appends_one_winner_clean_retry(spark, tmp_path):
         handle = LakeTable(spark, t.path)  # independent snapshot per writer
         df = spark.createDataFrame(rows, SCHEMA)
         barrier.wait()
-        try:
-            results[name] = handle.append(df)
-        except FileExistsError:
-            results[name] = "lost"
+        results[name] = handle.append(df)
 
     th1 = threading.Thread(target=writer, args=("a", [(10, "Japan", 1)]))
     th2 = threading.Thread(target=writer, args=("b", [(20, "Chile", 2)]))
     th1.start(); th2.start(); th1.join(); th2.join()
-    outcomes = sorted(results.values(), key=str)
-    # one clean winner at v2; with unlucky timing both may serialize and win
-    assert outcomes in ([2, "lost"], [2, 3]), outcomes
-    if "lost" in outcomes:
-        loser = next(k for k, v in results.items() if v == "lost")
-        rows = [(10, "Japan", 1)] if loser == "a" else [(20, "Chile", 2)]
-        retry = LakeTable(spark, t.path)  # re-read snapshot, then retry
-        assert retry.append(spark.createDataFrame(rows, SCHEMA)) == 3
-    # no lost updates: every surviving writer's rows are present
+    assert sorted(results.values()) == [2, 3], results
+    # no lost updates: every writer's rows are present
     assert t.to_df().count() == 3
+
+
+def test_append_rebase_forced_collision(spark, tmp_path):
+    """Deterministic rebase: an interloper commits between this append's
+    snapshot read and its commit; the append republishes the same staged
+    files at the fresh version instead of raising."""
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    fired = {}
+    orig_stage = LakeTable._stage_write
+
+    def stage_with_interloper(self, df):
+        if not fired:
+            fired["v"] = None
+            fired["v"] = LakeTable(self.spark, self.path).append(
+                self.spark.createDataFrame([(7, "Peru", 7)], SCHEMA)
+            )
+        return orig_stage(self, df)
+
+    LakeTable._stage_write = stage_with_interloper
+    try:
+        v = t.append(spark.createDataFrame([(10, "Japan", 1)], SCHEMA))
+    finally:
+        LakeTable._stage_write = orig_stage
+    assert fired["v"] == 2 and v == 3, (fired, v)
+    assert t.to_df().count() == 3  # both the interloper's and our row
+
+
+def test_append_rebase_disabled_for_identity_tables(spark, tmp_path):
+    """Identity-column appends bake high-water-derived values into the
+    staged parquet, so a racing winner invalidates them: the collision must
+    surface (FileExistsError), never silently rebase into duplicate ids."""
+    path = str(tmp_path / "id_tbl")
+    t = LakeTable.create(
+        spark,
+        path,
+        StructType(
+            [StructField("name", StringType()), StructField("rid", LongType())]
+        ),
+        properties={"identity.rid": "1,1"},
+    )
+    orig_stage = LakeTable._stage_write
+    fired = {}
+
+    def stage_with_interloper(self, df):
+        if not fired:
+            fired["v"] = None
+            fired["v"] = LakeTable(self.spark, self.path).append(
+                self.spark.createDataFrame([("racer",)], "name string")
+            )
+        return orig_stage(self, df)
+
+    LakeTable._stage_write = stage_with_interloper
+    try:
+        with pytest.raises(FileExistsError):
+            t.append(spark.createDataFrame([("loser",)], "name string"))
+    finally:
+        LakeTable._stage_write = orig_stage
+    # caller-side retry against a fresh snapshot succeeds with unique ids
+    LakeTable(spark, t.path).append(
+        spark.createDataFrame([("retried",)], "name string")
+    )
+    # the loser's staged rows were never committed: racer + retried only
+    rids = [r["rid"] for r in t.to_df().collect()]
+    assert len(rids) == len(set(rids)) == 2, rids
+    assert {r["name"] for r in t.to_df().collect()} == {"racer", "retried"}
 
 
 def test_merge_write_skew_detected(spark, tmp_path):
