@@ -505,3 +505,22 @@ def test_stats_driven_join_broadcasts_small_side(spark, sf_dir):
     df = QUERIES["join_stats_driven"](spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_string_distance_scan_bound(spark, sf_dir):
+    """levenshtein/lpad/translate are narrow codegen expressions: zero
+    hash exchanges, no Python evals — only the presentation sort."""
+    df = QUERIES["fn_string_distance"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    parts = plans.exchange_partitionings(df)
+    assert not any(p.startswith("hashpartitioning") for p in parts), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_range_frame_single_window_exchange(spark, sf_dir):
+    """Both RANGE-frame aggregates share ONE window exchange on the
+    partition key (same spec); plus the presentation sort = 2 total."""
+    df = QUERIES["win_range_frame"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 2, plan
+    assert plan.count("Window") <= 2, plan  # one Window exec (+header text)
