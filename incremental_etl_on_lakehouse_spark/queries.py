@@ -7261,6 +7261,61 @@ def util_describe_detail(spark, sf_dir):
     ).orderBy("version")
 
 
+_OPT_INC_SQL = (
+    "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,"
+    " TRUE AS big_file_untouched, TRUE AS small_files_merged,"
+    " TRUE AS rows_preserved"
+    " FROM events WHERE event_id % 5 = 0 ORDER BY event_id"
+)
+
+
+@query("util_optimize_incremental", _OPT_INC_SQL)
+def util_optimize_incremental(spark, sf_dir):
+    """Incremental OPTIMIZE (`compact(max_input_file_rows=...)`): the
+    scheduled-maintenance form that absorbs micro-batch small files
+    WITHOUT rewriting right-sized ones. One large append then five small
+    appends; compaction with a threshold between the two sizes must (a)
+    leave the large file physically untouched — same relative path still
+    active, (b) merge the five small files into one, (c) preserve every
+    row. At 100 TB this is the difference between O(small files since
+    last OPTIMIZE) maintenance and an O(table) rewrite storm
+    (lake/table.py: compact; unit-tested in tests/test_lake.py)."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_id") % 5 == 0
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    big = ev.where(F.col("event_id") % 25 != 0)
+    small = ev.where(F.col("event_id") % 25 == 0)
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "optinc_tgt"), ev.schema
+    )
+    t.append(big.repartition(1))
+    big_files = set(t.files())  # the one right-sized file
+    small_counts = []
+    for b in range(5):
+        part = small.where((F.col("event_id") / 25).cast("long") % 5 == b)
+        small_counts.append(part.count())
+        t.append(part.repartition(1))
+    n_before = len(t.files())
+    # threshold sits strictly between the small and large file sizes
+    t.compact(
+        target_file_rows=10_000_000,
+        max_input_file_rows=max(small_counts),
+    )
+    after = set(t.files())
+    big_untouched = big_files <= after
+    merged = len(after) == len(big_files) + 1 and n_before == len(big_files) + 5
+    return t.to_df().select(
+        "event_id",
+        "cents",
+        F.lit(bool(big_untouched)).alias("big_file_untouched"),
+        F.lit(bool(merged)).alias("small_files_merged"),
+        F.lit(True).alias("rows_preserved"),  # row parity is the oracle's check
+    ).orderBy("event_id")
+
+
 _CONCURRENT_APPEND_SQL = (
     "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,"
     " 2 AS n_writers, TRUE AS versions_contiguous"
