@@ -7261,6 +7261,39 @@ def util_describe_detail(spark, sf_dir):
     ).orderBy("version")
 
 
+_FRAMES_SQL = (
+    "SELECT doc_id AS media_id, gs.i AS frame_index,"
+    " substring(text, CAST(gs.i AS INT) * 64 + 1, 16) AS frame_str"
+    " FROM documents, LATERAL (SELECT unnest(generate_series(0,"
+    "   least(greatest(length(text) // 64 - 1, 0), 7))) AS i) gs"
+    " ORDER BY media_id, frame_index"
+)
+
+
+@query("ext_multimodal_frames", _FRAMES_SQL)
+def ext_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (operators/multimodal.py:
+    sample_video_frames): every-Nth-byte strided slices of a binary
+    content column explode to one row per sampled frame with a frame
+    index — the exact explode/slice shape an ffmpeg-backed sampler
+    produces, with only the decode faked (no media libs in container).
+    The binary content derives from `documents.text` (ASCII, verified
+    char==byte) so the oracle can recompute every slice exactly. Narrow
+    generator — sequence+posexplode inside codegen, no shuffle before
+    the presentation sort, no Python; at 100 TB frame explosion is
+    embarrassingly parallel per input row."""
+    d = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    frames = MM.sample_video_frames(d, every_nth_byte=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.decode("frame_bytes", "UTF-8").alias("frame_str"),
+    ).orderBy("media_id", "frame_index")
+
+
 _OPT_INC_SQL = (
     "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,"
     " TRUE AS big_file_untouched, TRUE AS small_files_merged,"
