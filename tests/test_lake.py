@@ -1254,3 +1254,43 @@ def test_analyze_table_stats(spark, tmp_path):
     # full-table ANALYZE without FOR COLUMNS covers every column
     execute_statement(spark, "ANALYZE TABLE an COMPUTE STATISTICS", {"an": t})
     assert set(t.table_stats()["columns"]) == {"id", "grp", "v"}
+
+
+def test_many_concurrent_appenders_all_land(spark, tmp_path):
+    """4 writers x 3 appends each through a start barrier: every commit
+    lands (auto-rebase absorbs every collision), the version chain is
+    contiguous 1..13, and no rows are lost or duplicated."""
+    import threading
+
+    t = make_table(spark, tmp_path, [(0, "Base", 0)])
+    barrier = threading.Barrier(4)
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            handle = LakeTable(spark, t.path)
+            barrier.wait()
+            for j in range(3):
+                handle.append(
+                    spark.createDataFrame(
+                        [(wid * 100 + j, f"W{wid}", wid)], SCHEMA
+                    )
+                )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append(ex)
+
+    ths = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errors, errors
+    assert t.version() == 13  # create + base append + 12 raced appends
+    ids = [r["id"] for r in t.to_df().collect()]
+    assert sorted(ids) == sorted(
+        [0] + [w * 100 + j for w in range(4) for j in range(3)]
+    )
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+
+    versions = [c.version for c in lakelog.read_log(t.path)]
+    assert versions == list(range(14)), versions
