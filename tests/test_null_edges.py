@@ -1,0 +1,236 @@
+"""NULL-semantics edge cases vs DuckDB.
+
+The driver's testdata tables contain ZERO nulls (verified across every
+column at sf0.01), so the oracle sweep structurally cannot catch
+NULL-handling bugs — exactly the class the round-3 advisory flagged twice
+(merge_distinct_state NULL accumulation; IncrementalAggView inner-join
+dropping all-NULL min/max groups, both since fixed). These tests feed
+synthetic NULL-bearing batches through the operator APIs and compare
+against DuckDB running the equivalent ANSI SQL on the same rows.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from incremental_etl_on_lakehouse_spark.operators.cdc import dedup_latest
+from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+
+@pytest.fixture()
+def ddb():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    yield con
+    con.close()
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def _compare(sdf, con, sql):
+    sc, sr = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = con.execute(sql)
+    oc = [d[0] for d in res.description]
+    oc, orr = _norm(oc, res.fetchall())
+    assert sc == oc, (sc, oc)
+    assert sr == orr, (sr[:5], orr[:5])
+
+
+def _register(con, name, rows, cols):
+    import pandas as pd
+
+    con.register(name, pd.DataFrame(rows, columns=cols).convert_dtypes())
+
+
+def test_groupby_null_keys_and_values(spark, ddb):
+    """NULL group keys form their own group (Spark & SQL agree); SUM/AVG
+    skip NULL values; COUNT(col) excludes NULLs; COUNT(*) includes them."""
+    rows = [
+        ("a", 1), ("a", None), (None, 5), (None, None), ("b", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("k", StringType()), StructField("v", LongType())]
+        ),
+    )
+    out = df.groupBy("k").agg(
+        F.sum("v").alias("s"),
+        F.count("v").alias("nv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    _register(ddb, "t", rows, ["k", "v"])
+    _compare(
+        out,
+        ddb,
+        "SELECT k, CAST(sum(v) AS BIGINT) AS s, count(v) AS nv,"
+        " count(*) AS n FROM t GROUP BY k",
+    )
+
+
+def test_count_distinct_excludes_nulls(spark, ddb):
+    """COUNT(DISTINCT v) must exclude NULLs — the advisory's
+    merge_distinct_state contract, checked at the batch-aggregation level."""
+    rows = [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("k", StringType()), StructField("v", LongType())]
+        ),
+    )
+    out = df.groupBy("k").agg(F.countDistinct("v").alias("nd"))
+    _register(ddb, "t", rows, ["k", "v"])
+    _compare(out, ddb, "SELECT k, count(DISTINCT v) AS nd FROM t GROUP BY k")
+
+
+def test_min_max_all_null_group_survives(spark, ddb):
+    """A group whose min/max column is entirely NULL must still appear,
+    with NULL min/max — the advisory's IncrementalAggView regression shape
+    at the batch level."""
+    rows = [("a", 1), ("a", 3), ("b", None), ("b", None)]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("k", StringType()), StructField("v", LongType())]
+        ),
+    )
+    out = df.groupBy("k").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    _register(ddb, "t", rows, ["k", "v"])
+    _compare(
+        out,
+        ddb,
+        "SELECT k, min(v) AS mn, max(v) AS mx, count(*) AS n"
+        " FROM t GROUP BY k",
+    )
+
+
+def test_dedup_latest_null_order_and_tiebreak(spark, ddb):
+    """row_number over DESC ordering: Spark sorts NULL timestamps LAST in
+    descending order (nulls last), same as SQL ORDER BY v DESC NULLS LAST
+    — a NULL-ts record never shadows a real one, and an all-NULL key still
+    yields exactly one row."""
+    rows = [
+        (1, 10, 100), (1, None, 999), (1, 10, 99),   # ts tie -> tiebreak
+        (2, None, 5),                                 # all-NULL ts key
+        (3, 7, None), (3, 7, 8),                      # NULL tiebreak loses
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("ts", LongType()),
+                StructField("tb", LongType()),
+            ]
+        ),
+    )
+    out = dedup_latest(df, ["k"], ["ts"], ["tb"])
+    _register(ddb, "t", rows, ["k", "ts", "tb"])
+    _compare(
+        out,
+        ddb,
+        "SELECT k, ts, tb FROM (SELECT *, row_number() OVER ("
+        " PARTITION BY k ORDER BY ts DESC NULLS LAST, tb DESC NULLS LAST"
+        ") AS rn FROM t) WHERE rn = 1",
+    )
+
+
+def test_asof_join_null_ts_rows_never_match(spark, ddb):
+    """Left rows with NULL timestamps get NULL payloads (no time to match
+    at); right rows with NULL timestamps are never candidates. DuckDB's
+    ASOF JOIN has the same contract (NULL fails every inequality)."""
+    left_rows = [(1, 100), (1, None), (2, 50)]
+    right_rows = [(1, 90, "x"), (1, None, "poison"), (2, 60, "y")]
+    left = spark.createDataFrame(
+        left_rows,
+        StructType(
+            [StructField("k", LongType()), StructField("ts", LongType())]
+        ),
+    )
+    right = spark.createDataFrame(
+        right_rows,
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("rts", LongType()),
+                StructField("val", StringType()),
+            ]
+        ),
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["val"],
+    ).select("k", "ts", "val")
+    _register(ddb, "l", left_rows, ["k", "ts"])
+    _register(ddb, "r", right_rows, ["k", "rts", "val"])
+    _compare(
+        out,
+        ddb,
+        "SELECT l.k, l.ts, r.val FROM l ASOF LEFT JOIN r"
+        " ON l.k = r.k AND l.ts >= r.rts",
+    )
+
+
+def test_exact_dedup_null_text_forms_one_group(spark):
+    """NULL content rows: a hash-of-NULL must not silently collide with
+    hash-of-empty-string; all NULL rows dedup to one survivor per the
+    null-safe grouping, and empty-string rows stay distinct from them."""
+    rows = [(1, None), (2, None), (3, ""), (4, ""), (5, "x")]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    # groupBy on the raw column is null-safe (NULL is its own group)
+    survivors = (
+        df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    )
+    got = {(r["text"], r["doc_id"]) for r in survivors.collect()}
+    assert got == {(None, 1), ("", 3), ("x", 5)}
+
+
+def test_merge_null_key_source_rows_insert_not_match(spark, tmp_path):
+    """MERGE ON source.k = target.k: a NULL source key matches nothing
+    (SQL equality), so it must take the INSERT branch — and two successive
+    NULL-key batches must not accumulate matched updates against each
+    other's inserted NULL rows (NULL never equals NULL)."""
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "nullmerge"), schema)
+    t.append(spark.createDataFrame([(1, 10)], schema))
+    for v in (100, 200):
+        t.merge(
+            spark.createDataFrame([(None, v)], schema),
+            "source.k = target.k",
+            [
+                MergeClause("update", None, "*"),
+                MergeClause("insert", None, "*"),
+            ],
+        )
+    rows = sorted(
+        ((r["k"], r["v"]) for r in t.to_df().collect()),
+        key=lambda x: (str(x[0]), x[1]),
+    )
+    # both NULL-key rows inserted; neither "updated" the other
+    assert rows == [(1, 10), (None, 100), (None, 200)], rows
