@@ -2092,12 +2092,25 @@ class LakeTable:
             # belong to the source — Delta's VACUUM has the same rule.
             and not os.path.relpath(self._abs(f), self.path).startswith("..")
         )
+        # Crashed-writer residue: a process killed between staging a commit
+        # tmp file and linking/unlinking it leaves `*.tmp-<uuid>` in the log
+        # dir forever. They are invisible to readers (read_log matches only
+        # `<version>.json`) but accumulate; sweep the ones past retention.
+        ldir = lakelog.log_dir(self.path)
+        for name in os.listdir(ldir) if os.path.isdir(ldir) else []:
+            if ".tmp-" in name:
+                p = os.path.join(ldir, name)
+                try:
+                    if os.path.getmtime(p) * 1000 < horizon:
+                        victims.append(os.path.relpath(p, self.path))
+                except OSError:
+                    pass  # raced another vacuum; nothing to clean
         if not dry_run:
             for f in victims:
                 p = self._abs(f)
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
-                else:
+                elif os.path.isfile(p):
                     os.unlink(p)
         return victims
 

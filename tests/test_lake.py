@@ -1294,3 +1294,32 @@ def test_many_concurrent_appenders_all_land(spark, tmp_path):
 
     versions = [c.version for c in lakelog.read_log(t.path)]
     assert versions == list(range(14)), versions
+
+
+def test_vacuum_sweeps_crashed_writer_tmp_files(spark, tmp_path):
+    """A writer killed between staging and linking its commit leaves a
+    `*.json.tmp-<uuid>` in the log dir: invisible to read_log, but VACUUM
+    past retention must sweep it (and must NOT touch a fresh one)."""
+    import os
+    import time
+
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    ldir = lakelog.log_dir(t.path)
+    stale = os.path.join(ldir, f"{2:020d}.json.tmp-deadbeef")
+    fresh = os.path.join(ldir, f"{3:020d}.json.tmp-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 8 * 24 * 3600
+    os.utime(stale, (old, old))
+    # readers ignore residue entirely
+    assert t.version() == 1 and t.to_df().count() == 1
+    swept = t.vacuum()  # default 7-day retention
+    assert any("tmp-deadbeef" in s for s in swept), swept
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # within retention: kept
+    # the table still reads and commits normally afterwards
+    t.append(spark.createDataFrame([(2, "Wales", 20)], SCHEMA))
+    assert t.to_df().count() == 2
