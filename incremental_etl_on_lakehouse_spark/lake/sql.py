@@ -923,10 +923,16 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
     if head == "COPY":
         return execute_copy_into(spark, sql, resolve)
     if head == "CREATE":
+        # route on which grammar PARSES (same rule as the ALTER branch):
+        # only a parse failure falls through to CREATE TABLE — executor
+        # errors from a real CLONE (dest already exists, missing
+        # dest_path) must propagate, not be re-reported as CREATE TABLE
+        # syntax errors
         try:
-            return execute_utility(spark, sql, resolve, **kw)  # ... CLONE
+            parse_utility(sql)
         except ValueError:
             return execute_create_table(spark, sql, resolve, **kw)
+        return execute_utility(spark, sql, resolve, **kw)  # ... CLONE
     if head == "UPDATE":
         return execute_update(spark, sql, resolve)
     if head == "DELETE":

@@ -790,7 +790,16 @@ class LakeTable:
         reads depend on for file layout (``partitionBy``) and identity
         bookkeeping cannot be changed after creation."""
         for k in props:
-            if k in self._STRUCTURAL_PROPS or k.startswith("identity."):
+            if (
+                k in self._STRUCTURAL_PROPS
+                or k.startswith("identity.")
+                or k.startswith("generated.")
+            ):
+                # generated.* is creation-time-only too: create() installs
+                # the implicit CHECK that holds writers to the generation
+                # expression; a post-hoc SET would yield a half-enforced
+                # column (computed when absent, never gate-checked when
+                # supplied)
                 raise ValueError(f"property {k} is fixed at table creation")
         v = self.version() + 1
         lakelog.write_commit(
@@ -808,7 +817,11 @@ class LakeTable:
         """ALTER TABLE UNSET TBLPROPERTIES — removes properties via None
         markers in the commit (same restrictions as set_properties)."""
         for k in keys:
-            if k in self._STRUCTURAL_PROPS or k.startswith("identity."):
+            if (
+                k in self._STRUCTURAL_PROPS
+                or k.startswith("identity.")
+                or k.startswith("generated.")
+            ):
                 raise ValueError(f"property {k} is fixed at table creation")
         v = self.version() + 1
         lakelog.write_commit(
@@ -1398,6 +1411,64 @@ class LakeTable:
             if k.startswith("generated.") and v
         }
 
+    def _assign_identity(
+        self, df: DataFrame, idcols: dict[str, tuple[int, int]]
+    ) -> DataFrame:
+        """Generate values for GENERATED ALWAYS AS IDENTITY columns:
+        hwm + step * (1 + per-row unique id). monotonically_increasing_id
+        leaves gaps — exactly Delta's identity contract (unique and
+        advancing, never contiguous) — so no global ordering shuffle is
+        ever needed. Raises if the writer supplies the column explicitly
+        (GENERATED ALWAYS). Shared by every insert-producing write path
+        (append / overwrite / replaceWhere / MERGE inserts), closing the
+        hole where non-append writes silently stored NULL identities."""
+        provided = set(df.columns)
+        for icol in idcols:
+            if icol in provided:
+                raise ValueError(
+                    f"{icol} is GENERATED ALWAYS AS IDENTITY — values "
+                    "cannot be supplied explicitly"
+                )
+        props = self.properties()
+        for icol, (start, step) in idcols.items():
+            hwm = props.get(f"identityHighWater.{icol}")
+            base = int(hwm) if hwm is not None else start - step
+            df = df.withColumn(
+                icol,
+                (
+                    F.lit(base)
+                    + F.lit(step) * (F.monotonically_increasing_id() + 1)
+                ).cast("long"),
+            )
+        return df
+
+    def _identity_hwm_props(
+        self, adds: list[dict], idcols: dict[str, tuple[int, int]]
+    ) -> dict:
+        """New high-water marks, free from the parquet footer stats the
+        identity columns were auto-enrolled in at creation. Monotone:
+        never moves the mark backwards (an overwrite that replaced the
+        highest rows must not recycle their ids)."""
+        props = self.properties()
+        out: dict = {}
+        for icol, (start, step) in idcols.items():
+            vals = [
+                (a.get("stats") or {}).get(icol)
+                for a in adds
+                if (a.get("stats") or {}).get(icol)
+            ]
+            if vals:
+                extreme = (
+                    max(v[1] for v in vals) if step > 0 else min(v[0] for v in vals)
+                )
+                hwm = props.get(f"identityHighWater.{icol}")
+                if hwm is not None:
+                    extreme = (
+                        max(int(hwm), extreme) if step > 0 else min(int(hwm), extreme)
+                    )
+                out[f"identityHighWater.{icol}"] = int(extreme)
+        return out
+
     def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
         schema = schema or self.schema()
         present = set(df.columns)
@@ -1469,50 +1540,19 @@ class LakeTable:
             if new_fields:
                 write_schema = StructType(write_schema.fields + new_fields)
                 schema_json = write_schema.json()
-        # (txn guard is evaluated in append(); see idempotent-writes below)
-        # Identity assignment (GENERATED ALWAYS AS IDENTITY): the column
-        # may not be written explicitly; values are hwm + step * (1 + a
-        # per-row unique id). monotonically_increasing_id leaves gaps —
-        # exactly Delta's identity contract (unique and advancing, never
-        # contiguous) — so no global ordering shuffle is ever needed.
         idcols = self.identity_columns()
         props_after: dict = {}
         if idcols:
-            provided = set(df.columns)
-            for icol in idcols:
-                if icol in provided:
-                    raise ValueError(
-                        f"{icol} is GENERATED ALWAYS AS IDENTITY — values "
-                        "cannot be supplied explicitly"
-                    )
-            props = self.properties()
-            for icol, (start, step) in idcols.items():
-                hwm = props.get(f"identityHighWater.{icol}")
-                base = int(hwm) if hwm is not None else start - step
-                df = df.withColumn(
-                    icol,
-                    (
-                        F.lit(base)
-                        + F.lit(step) * (F.monotonically_increasing_id() + 1)
-                    ).cast("long"),
-                )
+            df = self._assign_identity(df, idcols)
+        # metadata fingerprint BEFORE staging: _stage_write validates the
+        # staged rows against the constraint set as of this read, so a
+        # collision retry comparing against anything later could rebase
+        # rows a concurrently added constraint never checked
+        schema_at_stage = write_schema.json()
+        cons_at_stage = self.constraints()
         adds, rows = self._stage_write(self._align(df, write_schema))
         if idcols and rows:
-            # new high-water marks come free from the footer stats the
-            # identity columns were auto-enrolled in at creation
-            for icol, (start, step) in idcols.items():
-                vals = [
-                    (a.get("stats") or {}).get(icol)
-                    for a in adds
-                    if (a.get("stats") or {}).get(icol)
-                ]
-                if vals:
-                    extreme = (
-                        max(v[1] for v in vals)
-                        if step > 0
-                        else min(v[0] for v in vals)
-                    )
-                    props_after[f"identityHighWater.{icol}"] = int(extreme)
+            props_after.update(self._identity_hwm_props(adds, idcols))
         if txn_app_id is not None:
             props_after[f"txn.{txn_app_id}"] = str(txn_version)
         # Commit with APPEND auto-rebase (Delta's blind-append rule): two
@@ -1524,12 +1564,24 @@ class LakeTable:
         # commit carries state that a racing winner could invalidate:
         # identity high-water marks (values already baked into the staged
         # parquet would collide with the winner's) or a schema evolution
-        # (the winner may have evolved incompatibly). The idempotent-txn
-        # guard is re-evaluated per attempt: if the racing winner was a
-        # replay of this very transaction, the rebase becomes a no-op.
+        # (the winner may have evolved incompatibly). Each retry also
+        # re-checks the table METADATA: if the winner changed the schema
+        # or the CHECK-constraint set (e.g. a concurrent ADD CONSTRAINT
+        # the staged rows were never validated against), the collision
+        # surfaces so the caller re-stages against the fresh contract —
+        # the same metadata-conflict rule Delta applies to blind appends.
+        # The idempotent-txn guard is re-evaluated per attempt: if the
+        # racing winner was a replay of this very transaction, the rebase
+        # becomes a no-op (and the orphaned stage is cleaned up).
         can_rebase = schema_json is None and not any(
             k.startswith("identityHighWater.") for k in props_after
         )
+
+        def _discard_stage() -> None:
+            roots = {os.sep.join(a["path"].split(os.sep)[:2]) for a in adds}
+            for r in roots:
+                shutil.rmtree(self._abs(r), ignore_errors=True)
+
         v = snapshot_version + 1
         for _ in range(20):
             try:
@@ -1555,7 +1607,13 @@ class LakeTable:
                 if txn_app_id is not None:
                     last = self.txn_version(txn_app_id)
                     if last is not None and txn_version <= last:
-                        return self.version()  # winner was our own replay
+                        _discard_stage()  # winner was our own replay
+                        return self.version()
+                if (
+                    self.schema().json() != schema_at_stage
+                    or self.constraints() != cons_at_stage
+                ):
+                    raise  # metadata conflict: staged rows are unvalidated
                 v = self.version() + 1
         raise FileExistsError(
             f"append to {self.path} lost {20} consecutive commit races"
@@ -1565,7 +1623,16 @@ class LakeTable:
         commits = self._commits()
         removed = lakelog.snapshot_files(commits)
         dvmap = self._state().get("dv") or {}
+        idcols = self.identity_columns()
+        if idcols:
+            # identity generation applies to EVERY insert-producing write,
+            # not just append — and the high-water mark never rewinds, so
+            # replaced rows' ids are not recycled
+            df = self._assign_identity(df, idcols)
         adds, rows = self._stage_write(self._align(df))
+        props_after = (
+            self._identity_hwm_props(adds, idcols) if idcols and rows else {}
+        )
         v = commits[-1].version + 1
         lakelog.write_commit(
             self.path,
@@ -1575,6 +1642,7 @@ class LakeTable:
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
                 remove=removed + self._dv_release(removed, dvmap),
+                properties=props_after,
                 metrics={"num_inserted_rows": rows},
             ),
         )
@@ -1604,6 +1672,14 @@ class LakeTable:
                 f"({condition}): {bad[0]}"
             )
         snapshot_version = self.version()
+        idcols = self.identity_columns()
+        if idcols:
+            # localCheckpoint pins the generated ids: the staged write and
+            # the materialized CDF are separate actions, and re-evaluating
+            # monotonically_increasing_id across them could assign
+            # different ids to the same rows (replaceWhere batches are
+            # micro-batch scale, so the materialization is cheap)
+            df = self._assign_identity(df, idcols).localCheckpoint()
         state = self._state()
         dvmap = state.get("dv") or {}
         candidates = self._touched_candidates(condition)
@@ -1652,6 +1728,11 @@ class LakeTable:
                 add=adds,
                 remove=touched_rel + self._dv_release(touched_rel, dvmap),
                 cdf_path=cdf_rel,
+                properties=(
+                    self._identity_hwm_props(adds, idcols)
+                    if idcols and rows
+                    else {}
+                ),
                 metrics={
                     "num_touched_files": len(touched),
                     "num_written_rows": rows,
@@ -1991,7 +2072,8 @@ class LakeTable:
         the current snapshot and the target snapshot: pure metadata, no
         data rewrite, O(|files|) regardless of table size. The change feed
         sees the rollback as whole-file deletes + re-inserts (synthesized,
-        like OVERWRITE). Restoring past files VACUUM already deleted is an
+        like OVERWRITE), plus row-level insert/delete diffs for surviving
+        files whose deletion vector the rollback re-pointed. Restoring past files VACUUM already deleted is an
         error, matching Delta."""
         commits = self._commits()
         snap_v = commits[-1].version
@@ -2409,6 +2491,37 @@ class LakeTable:
                 for p in ins_parts[1:]:
                     inserts = inserts.unionByName(p)
 
+            # GENERATED ALWAYS AS IDENTITY under MERGE: inserts generate
+            # fresh values (the projection above filled them with NULL);
+            # supplying one — via an explicit assignment, an INSERT * whose
+            # source carries the column, or an UPDATE SET — is rejected,
+            # matching the append/overwrite contract. localCheckpoint pins
+            # the generated ids across the staged write and the CDF
+            # materialization (two actions; micro-batch scale).
+            idcols = self.identity_columns()
+            if idcols:
+                src_cols_all = set(source.columns)
+                for icol in idcols:
+                    for cl in clauses:
+                        explicit = (
+                            isinstance(cl.assignments, dict)
+                            and icol in cl.assignments
+                        )
+                        star_supplied = (
+                            cl.kind in ("insert", "update")
+                            and (cl.assignments == "*" or cl.assignments is None)
+                            and icol in src_cols_all
+                        )
+                        if explicit or star_supplied:
+                            raise ValueError(
+                                f"{icol} is GENERATED ALWAYS AS IDENTITY — "
+                                "MERGE may not assign it"
+                            )
+                if inserts is not None:
+                    inserts = self._assign_identity(
+                        inserts.drop(*idcols), idcols
+                    ).localCheckpoint()
+
             # Action counts were collected together with the touched-file
             # probe (one job); just aggregate the clause families.
             n_ins = sum(
@@ -2489,6 +2602,11 @@ class LakeTable:
                     remove=touched_rel + self._dv_release(touched_rel, dvmap),
                     cdf_path=cdf_rel,
                     schema_json=schema_json,
+                    properties=(
+                        self._identity_hwm_props(adds, self.identity_columns())
+                        if adds and self.identity_columns()
+                        else {}
+                    ),
                     metrics=metrics,
                 ),
             )
@@ -2526,7 +2644,21 @@ class LakeTable:
             ending_version = self.version_at_timestamp(ending_timestamp_ms)
         schema = self.schema()
         parts: list[DataFrame] = []
+        # Deletion-vector state folded incrementally along the SAME commit
+        # walk (the fold table_state performs) — one dict update per commit
+        # instead of a full checkpoint-load + tail-replay per emitted
+        # commit, keeping the feed's metadata cost O(commits).
+        dv_state: dict = {}
         for c in self._commits():
+            dv_before = dict(dv_state)
+            for r in c.remove:
+                dv_state.pop(r, None)
+            for f_rel, dv_rel in c.dv.items():
+                if dv_rel:
+                    dv_state[f_rel] = dv_rel
+                else:
+                    dv_state.pop(f_rel, None)
+            dv_after = dict(dv_state)
             if c.version < starting_version:
                 continue
             if ending_version is not None and c.version > ending_version:
@@ -2555,7 +2687,6 @@ class LakeTable:
                 # RESTORE re-adds files whose restored deletion vector may
                 # mask rows: read through the post-commit DV state so
                 # DV-deleted rows don't resurface as inserts.
-                dv_after = lakelog.table_state(self.path, c.version).get("dv") or {}
                 part = self._read_files(files, dv_map=dv_after or None).withColumn(
                     CHANGE_TYPE, F.lit("insert")
                 )
@@ -2567,16 +2698,41 @@ class LakeTable:
                 # rows must not be re-reported as deletes).
                 data_rels = [r for r in c.remove if not r.startswith(DV_DIR + os.sep)]
                 if data_rels:
-                    dv_before = (
-                        lakelog.table_state(self.path, c.version - 1).get("dv")
-                        if c.version > 0
-                        else {}
-                    ) or {}
                     removed = self._read_files(
                         [self._abs(r) for r in data_rels],
                         dv_map=dv_before or None,
                     ).withColumn(CHANGE_TYPE, F.lit("delete"))
                     part = removed if part is None else part.unionByName(removed)
+            if c.operation == "RESTORE" and c.dv:
+                # A restore can change ONLY a surviving file's deletion
+                # vector (file in both snapshots, no add/remove entry):
+                # rows the rollback unmasks are row-level INSERTs, rows it
+                # re-masks are DELETEs. Without this branch those changes
+                # were silently absent from the feed and CDF consumers
+                # diverged from table state. Multiset diff per patched
+                # file; RESTOREs are rare, and the cost is O(patched
+                # files' rows), not O(table).
+                added_paths = {a["path"] for a in c.add}
+                removed_paths = set(c.remove)
+                for rel in sorted(c.dv):
+                    if rel in added_paths or rel in removed_paths:
+                        continue  # already synthesized above
+                    before_rows = self._read_files(
+                        [self._abs(rel)],
+                        dv_map={rel: dv_before[rel]} if rel in dv_before else None,
+                    )
+                    after_rows = self._read_files(
+                        [self._abs(rel)],
+                        dv_map={rel: dv_after[rel]} if rel in dv_after else None,
+                    )
+                    resurrected = after_rows.exceptAll(before_rows).withColumn(
+                        CHANGE_TYPE, F.lit("insert")
+                    )
+                    remasked = before_rows.exceptAll(after_rows).withColumn(
+                        CHANGE_TYPE, F.lit("delete")
+                    )
+                    diff = resurrected.unionByName(remasked)
+                    part = diff if part is None else part.unionByName(diff)
             if c.cdf_path:
                 cdf = self.spark.read.parquet(self._abs(c.cdf_path))
                 ren = {

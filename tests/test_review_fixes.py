@@ -1,0 +1,252 @@
+"""Regression tests for the round-4 self-review findings: identity
+generation on every insert-producing write path, append-rebase metadata
+conflicts, txn-replay stage cleanup, DV-only RESTORE change feed, CLONE
+error routing, and creation-time-only generated columns."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+ID_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("rid", LongType()),
+    ]
+)
+
+
+def make_identity_table(spark, tmp_path, name="idt"):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        ID_SCHEMA,
+        properties={"identity.rid": "100,5"},
+    )
+
+
+def rids(t):
+    return [r["rid"] for r in t.to_df().collect()]
+
+
+def test_overwrite_generates_identity(spark, tmp_path):
+    """overwrite() must generate identity values (not silently NULL) and
+    must never recycle replaced rows' ids (monotone high-water mark)."""
+    t = make_identity_table(spark, tmp_path)
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    hwm1 = int(t.properties()["identityHighWater.rid"])
+    t.overwrite(spark.createDataFrame([("c",)], "name string"))
+    vals = rids(t)
+    assert vals and all(v is not None for v in vals), vals
+    assert all(v > hwm1 for v in vals), (vals, hwm1)
+    assert int(t.properties()["identityHighWater.rid"]) >= hwm1
+    # GENERATED ALWAYS: supplying the column explicitly is rejected
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.overwrite(spark.createDataFrame([("x", 1)], ID_SCHEMA))
+
+
+def test_replace_where_generates_identity(spark, tmp_path):
+    t = make_identity_table(spark, tmp_path)
+    t.append(spark.createDataFrame([("keep",), ("swap",)], "name string"))
+    before = {r["name"]: r["rid"] for r in t.to_df().collect()}
+    t.overwrite_where(
+        spark.createDataFrame([("swap",)], "name string"), "name = 'swap'"
+    )
+    after = {r["name"]: r["rid"] for r in t.to_df().collect()}
+    assert after["keep"] == before["keep"]  # untouched row keeps its id
+    assert after["swap"] is not None and after["swap"] != before["swap"]
+    assert len(set(after.values())) == 2
+
+
+def test_merge_insert_generates_identity(spark, tmp_path):
+    t = make_identity_table(spark, tmp_path)
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    src = spark.createDataFrame([("a",), ("new",)], "name string")
+    t.merge(
+        src,
+        "source.name = target.name",
+        [MergeClause("insert", None, {"name": "source.name"})],
+    )
+    got = {r["name"]: r["rid"] for r in t.to_df().collect()}
+    assert set(got) == {"a", "new"}
+    assert got["new"] is not None and got["new"] != got["a"]
+    assert len(set(got.values())) == 2
+    assert int(t.properties()["identityHighWater.rid"]) == max(got.values())
+
+
+def test_merge_may_not_assign_identity(spark, tmp_path):
+    t = make_identity_table(spark, tmp_path)
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    # explicit assignment
+    with pytest.raises(ValueError, match="MERGE may not assign"):
+        t.merge(
+            spark.createDataFrame([("b",)], "name string"),
+            "source.name = target.name",
+            [MergeClause("insert", None, {"name": "source.name", "rid": "7"})],
+        )
+    # INSERT * with the source carrying the column
+    with pytest.raises(ValueError, match="MERGE may not assign"):
+        t.merge(
+            spark.createDataFrame([("b", 7)], ID_SCHEMA),
+            "source.name = target.name",
+            [MergeClause("insert", None, "*")],
+        )
+
+
+def test_insert_overwrite_sql_generates_identity(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    t = make_identity_table(spark, tmp_path)
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    execute_statement(
+        spark, "INSERT OVERWRITE t VALUES ('x'), ('y')", {"t": t}
+    )
+    vals = rids(t)
+    assert len(vals) == 2 and all(v is not None for v in vals), vals
+    assert len(set(vals)) == 2
+
+
+def test_rebase_aborts_on_concurrent_constraint(spark, tmp_path):
+    """A commit-race loser whose staged rows were never validated against
+    a constraint the winner added must surface the collision, not rebase."""
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "consrace"), schema)
+    t.append(spark.createDataFrame([(1, 1)], schema))
+    fired = {}
+    orig_stage = LakeTable._stage_write
+
+    def stage_with_constraint(self, df):
+        out = orig_stage(self, df)
+        if not fired:
+            fired["v"] = None
+            # interloper commits ADD CONSTRAINT after the loser staged
+            fired["v"] = LakeTable(self.spark, self.path).add_constraint(
+                "small", "v < 5"
+            )
+        return out
+
+    LakeTable._stage_write = stage_with_constraint
+    try:
+        with pytest.raises(FileExistsError):
+            t.append(spark.createDataFrame([(2, 99)], schema))
+    finally:
+        LakeTable._stage_write = orig_stage
+    assert fired["v"] is not None
+    # the violating rows never landed
+    assert [r["v"] for r in t.to_df().collect()] == [1]
+
+
+def test_txn_replay_race_cleans_staged_files(spark, tmp_path):
+    """Two replays of the same (app, version) race: the loser detects the
+    winner was its own transaction, no-ops, and removes its orphaned
+    staged files instead of leaking them forever."""
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "txnrace"), schema)
+    fired = {}
+    orig_stage = LakeTable._stage_write
+
+    def stage_with_replay(self, df):
+        out = orig_stage(self, df)
+        if not fired:
+            fired["v"] = None
+            fired["v"] = LakeTable(self.spark, self.path).append(
+                self.spark.createDataFrame([(1,)], schema),
+                txn_app_id="app",
+                txn_version=7,
+            )
+        return out
+
+    LakeTable._stage_write = stage_with_replay
+    try:
+        v = t.append(
+            spark.createDataFrame([(1,)], schema),
+            txn_app_id="app",
+            txn_version=7,
+        )
+    finally:
+        LakeTable._stage_write = orig_stage
+    assert v == fired["v"] == 1  # no-op returned the winner's version
+    assert t.to_df().count() == 1  # no double append
+    # no orphaned stage dirs: every data dir is referenced by a commit
+    active_dirs = {
+        os.path.dirname(a["path"])
+        for c in lakelog.read_log(t.path)
+        for a in c.add
+    }
+    on_disk = {
+        os.path.join("data", d)
+        for d in os.listdir(os.path.join(t.path, "data"))
+    }
+    assert on_disk == active_dirs, (on_disk, active_dirs)
+
+
+def test_restore_dv_only_patch_reaches_change_feed(spark, tmp_path):
+    """RESTORE whose only effect is re-pointing a surviving file's
+    deletion vector must emit row-level inserts for the resurrected rows
+    (previously silently absent from the feed)."""
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dvrestore"),
+        schema,
+        properties={
+            "enableChangeDataFeed": "true",
+            "enableDeletionVectors": "true",
+        },
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(10)], schema))  # v1
+    t.delete("k >= 7")  # v2: DV masks 3 rows of the surviving file
+    v3 = t.restore(1)  # v3: only a dv patch — file survives both snapshots
+    assert t.to_df().count() == 10
+    changes = t.read_changes(starting_version=v3).collect()
+    got = sorted(
+        (r["_change_type"], r["k"]) for r in changes
+    )
+    assert got == [("insert", 7), ("insert", 8), ("insert", 9)], got
+    # and restoring forward again (re-masking) emits deletes
+    v4 = t.restore(2)
+    changes4 = t.read_changes(starting_version=v4).collect()
+    got4 = sorted((r["_change_type"], r["k"]) for r in changes4)
+    assert got4 == [("delete", 7), ("delete", 8), ("delete", 9)], got4
+
+
+def test_clone_conflict_error_propagates(spark, tmp_path):
+    """CREATE TABLE ... CLONE onto an existing table must report the real
+    conflict, not a CREATE TABLE parse error."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType([StructField("k", LongType())])
+    src = LakeTable.create(spark, str(tmp_path / "src"), schema)
+    dest = str(tmp_path / "dest")
+    LakeTable.create(spark, dest, schema)  # occupy the destination
+    with pytest.raises(ValueError, match="already exists"):
+        execute_statement(
+            spark,
+            "CREATE TABLE c SHALLOW CLONE src",
+            {"src": src},
+            dest_path=dest,
+        )
+    # and a missing dest_path reports the CLONE contract, not parse noise
+    with pytest.raises(ValueError, match="dest_path"):
+        execute_statement(
+            spark, "CREATE TABLE c SHALLOW CLONE src", {"src": src}
+        )
+
+
+def test_generated_property_fixed_at_creation(spark, tmp_path):
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "gen"), schema)
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        t.set_properties({"generated.b": "a % 10"})
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        t.unset_properties(["generated.b"])
