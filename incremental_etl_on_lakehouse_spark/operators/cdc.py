@@ -30,7 +30,17 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
 
@@ -345,8 +355,33 @@ def incremental_minmax_update(
             F.max(value_col).alias("__dec_max"),
         )
     )
-    joined = adds.join(rems, group_cols, "full_outer").join(
-        cur, group_cols, "left"
+    # NULL-SAFE joins throughout: a NULL group key is a legal GROUP BY
+    # group, and name-based (USING) joins match with plain equality — the
+    # NULL group's current state would never attach, making every batch
+    # look like that group's first (overwriting its true extremes).
+    def _ns(left: DataFrame, right: DataFrame, prefix: str):
+        ren = {c: f"{prefix}{c}" for c in group_cols}
+        r = right.withColumnsRenamed(ren)
+        cond = None
+        for c in group_cols:
+            e = left[c].eqNullSafe(r[f"{prefix}{c}"])
+            cond = e if cond is None else cond & e
+        return r, cond
+
+    rems_r, ar_cond = _ns(adds, rems, "__r_")
+    ar = adds.join(rems_r, ar_cond, "full_outer").select(
+        *[
+            F.coalesce(adds[c], rems_r[f"__r_{c}"]).alias(c)
+            for c in group_cols
+        ],
+        "__inc_min",
+        "__inc_max",
+        "__dec_min",
+        "__dec_max",
+    )
+    cur_r, cur_cond = _ns(ar, cur, "__c_")
+    joined = ar.join(cur_r, cur_cond, "left").drop(
+        *[f"__c_{c}" for c in group_cols]
     )
     has_rem = F.col("__dec_min").isNotNull()
     need_recompute = has_rem & (
@@ -376,16 +411,18 @@ def incremental_minmax_update(
     if recompute_groups.isEmpty():
         source = mono
     else:
+        rg_r, rg_cond = _ns(base, recompute_groups, "__rg_")
         recomputed = (
-            base.join(F.broadcast(recompute_groups), group_cols, "left_semi")
+            base.join(F.broadcast(rg_r), rg_cond, "left_semi")
             .groupBy(*group_cols)
             .agg(
                 F.min(value_col).alias(min_col),
                 F.max(value_col).alias(max_col),
             )
         )
+        rc_r, rc_cond = _ns(recompute_groups, recomputed, "__rc_")
         vanished = recompute_groups.join(
-            recomputed, group_cols, "left_anti"
+            rc_r, rc_cond, "left_anti"
         ).select(
             *group_cols,
             F.lit(None).cast(gold.schema()[min_col].dataType).alias(min_col),
@@ -397,7 +434,10 @@ def incremental_minmax_update(
         ).unionByName(mono)
     if source.isEmpty():
         return  # nothing can change: no commit, no file writes
-    cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in group_cols)
+    # null-safe equality: a NULL group key is a legal GROUP BY group; with
+    # plain `=` its state row would never match and every refresh would
+    # insert a duplicate partial row
+    cond = " AND ".join(f"source.`{k}` <=> target.`{k}`" for k in group_cols)
     assignments = {min_col: f"source.`{min_col}`", max_col: f"source.`{max_col}`"}
     insert_assignments = {k: f"source.`{k}`" for k in group_cols}
     insert_assignments.update(assignments)
@@ -451,8 +491,11 @@ def merge_distinct_state(
     :func:`distinct_counts`. State size is O(live distinct values), the
     irreducible memory of exact incremental distinct counting; use
     approx_count_distinct when an estimate suffices."""
+    # null-safe on group keys (NULL groups are legal); the value column is
+    # guaranteed non-null by cdf_multiset_deltas, where `<=>` degenerates
+    # to `=`
     cond = " AND ".join(
-        f"source.`{k}` = target.`{k}`" for k in [*group_cols, value_col]
+        f"source.`{k}` <=> target.`{k}`" for k in [*group_cols, value_col]
     )
     insert_assignments = {k: f"source.`{k}`" for k in [*group_cols, value_col]}
     insert_assignments[cnt_col] = f"source.`{delta_col}`"
@@ -500,10 +543,13 @@ class IncrementalAggView:
     aggregated; the source table is scanned solely for extremum-touched
     group recomputes.
 
-    Caveat: ``avg`` divides by the group ROW count (``count(*)``), i.e. it
-    assumes the averaged column is non-null — the demo data model's case.
-    Null-skipping AVG needs its own maintained non-null count; declare the
-    column's null contract instead of paying that state for every view.
+    NULL semantics match batch SQL exactly: every summed/averaged column
+    carries a maintained signed NON-NULL count (``__nn_<col>``), so SUM
+    and AVG skip NULL values, an all-NULL group reports NULL (never 0 or
+    a poisoned running sum), AVG divides by the non-null count, and NULL
+    group keys fold into one state row via null-safe (`<=>`) merge keys.
+    Running-sum state is always wide (long/double/decimal38) so the
+    cumulative total cannot wrap a narrow source type.
     """
 
     def __init__(
@@ -547,8 +593,29 @@ class IncrementalAggView:
             else:
                 raise ValueError(f"unsupported aggregate kind: {kind!r}")
         hidden_sums = sorted(set(self._sum_cols.values()) | set(self._avg_specs.values()))
+
+        def _widen(dt):
+            """Running-sum state type: always wide enough that the
+            CUMULATIVE sum cannot wrap, whatever the source column's type
+            (a ('sum', int_col) view would otherwise silently overflow
+            once the total exceeds 2^31)."""
+            if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+                return LongType()
+            if isinstance(dt, (FloatType, DoubleType)):
+                return DoubleType()
+            if isinstance(dt, DecimalType):
+                return DecimalType(38, dt.scale)
+            return dt
+
         for h in hidden_sums:
-            add_fields.append(StructField(h, src_schema[h[len("__sum_"):]]))
+            add_fields.append(
+                StructField(h, _widen(src_schema[h[len("__sum_"):]]))
+            )
+            # signed count of NON-NULL values per summed column: SUM/AVG
+            # skip NULLs, so the view needs to know when a group's values
+            # are entirely NULL (sum -> NULL, not 0) and what AVG's true
+            # denominator is (non-null count, not COUNT(*))
+            add_fields.append(StructField(f"__nn{h[len('__sum'):]}", LongType()))
         self._hidden_sums = hidden_sums
         self.add_table = LakeTable.create(
             spark,
@@ -599,23 +666,34 @@ class IncrementalAggView:
         ).when(F.col("_change_type").isin("update_postimage", "insert"), F.lit(1))
         signed = changes.withColumn("__s", sign).where(F.col("__s").isNotNull())
         agg_exprs = [F.sum("__s").alias("d___n")]
+        delta_cols = ["__n"]
         for h in self._hidden_sums:
             src_col = h[len("__sum_"):]
-            agg_exprs.append(F.sum(F.col("__s") * F.col(src_col)).alias(f"d_{h}"))
+            nn = f"__nn_{src_col}"
+            # coalesce: SUM skips NULL values, so a batch whose changed
+            # rows for a group are ALL NULL-valued yields a NULL delta —
+            # which would poison the running sum (state + NULL = NULL)
+            agg_exprs.append(
+                F.coalesce(
+                    F.sum(F.col("__s") * F.col(src_col)), F.lit(0)
+                ).alias(f"d_{h}")
+            )
+            agg_exprs.append(
+                F.sum(
+                    F.when(F.col(src_col).isNotNull(), F.col("__s")).otherwise(0)
+                ).alias(f"d_{nn}")
+            )
+            delta_cols += [h, nn]
         deltas = (
             signed.groupBy(*self.group_cols)
             .agg(*agg_exprs)
-            .where(
-                " OR ".join(
-                    f"`d_{c}` <> 0" for c in ["__n", *self._hidden_sums]
-                )
-            )
+            .where(" OR ".join(f"`d_{c}` <> 0" for c in delta_cols))
         )
         merge_agg_deltas(
             self.add_table,
             deltas,
             group_cols=self.group_cols,
-            agg_cols={c: f"d_{c}" for c in ["__n", *self._hidden_sums]},
+            agg_cols={c: f"d_{c}" for c in delta_cols},
         )
         base = None
         for col, mm in self.mm_tables.items():
@@ -653,31 +731,58 @@ class IncrementalAggView:
         # COUNT(DISTINCT) = 0 — exactly what the left join + coalesce
         # yield — while the group's SUM/COUNT stay visible.
         out = self.add_table.to_df().where(F.col("__n") > 0)
+
+        def _nullsafe_left(acc: DataFrame, state: DataFrame) -> DataFrame:
+            """Left-join a state table on the group keys NULL-SAFELY: a
+            name-based join uses plain equality, so the NULL group's state
+            row would never attach (its min/max/distinct would read NULL
+            even when maintained)."""
+            ren = {c: f"__g_{c}" for c in self.group_cols}
+            state = state.withColumnsRenamed(ren)
+            cond = None
+            for c in self.group_cols:
+                e = acc[c].eqNullSafe(state[f"__g_{c}"])
+                cond = e if cond is None else cond & e
+            return acc.join(state, cond, "left").drop(
+                *[f"__g_{c}" for c in self.group_cols]
+            )
+
         for col, mm in self.mm_tables.items():
-            out = out.join(
+            out = _nullsafe_left(
+                out,
                 mm.to_df().withColumnsRenamed(
                     {"min_value": f"__min_{col}", "max_value": f"__max_{col}"}
                 ),
-                self.group_cols,
-                "left",
             )
         for name in self._distinct_cols:
-            out = out.join(
-                distinct_counts(self.d_tables[name], self.group_cols, out_col=f"__d_{name}"),
-                self.group_cols,
-                "left",
+            out = _nullsafe_left(
+                out,
+                distinct_counts(
+                    self.d_tables[name], self.group_cols, out_col=f"__d_{name}"
+                ),
             )
         sel = [F.col(c) for c in self.group_cols]
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
-                sel.append(F.col(self._sum_cols[name]).alias(name))
+                # SUM of an all-NULL group is NULL, not 0: gate on the
+                # maintained non-null count
+                nn = f"__nn_{col}"
+                sel.append(
+                    F.when(
+                        F.col(nn) > 0, F.col(self._sum_cols[name])
+                    ).alias(name)
+                )
             elif kind == "count":
                 sel.append(F.col("__n").alias(name))
             elif kind == "avg":
+                # AVG skips NULLs: the denominator is the non-null count,
+                # not COUNT(*) — and an all-NULL group averages to NULL
+                nn = f"__nn_{col}"
                 sel.append(
-                    (
+                    F.when(
+                        F.col(nn) > 0,
                         F.col(self._avg_specs[name]).cast("double")
-                        / F.col("__n")
+                        / F.col(nn),
                     ).alias(name)
                 )
             elif kind == "min":
@@ -700,8 +805,10 @@ def merge_agg_deltas(
     """:func:`merge_agg_delta` generalized to multiple additive aggregates
     per row — ``agg_cols`` maps gold column -> delta column. The canonical
     use is (SUM, COUNT) maintained together, from which AVG derives at
-    read time: avg is not itself additive, but both its components are."""
-    cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in group_cols)
+    read time: avg is not itself additive, but both its components are.
+    Group keys match null-safely (`<=>`): the NULL group maintains one
+    state row like any other."""
+    cond = " AND ".join(f"source.`{k}` <=> target.`{k}`" for k in group_cols)
     assignments = {
         a: f"target.`{a}` + source.`{d}`" for a, d in agg_cols.items()
     }
@@ -726,8 +833,11 @@ def merge_agg_delta(
     Reference (``notebooks/demo-notebook.py:419-424``):
     WHEN MATCHED -> UPDATE SET agg = agg + delta;
     WHEN NOT MATCHED -> INSERT (group, delta).
+
+    Group keys match null-safely (`<=>`), so a NULL group folds into one
+    state row instead of inserting a fresh partial row per refresh.
     """
-    cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in group_cols)
+    cond = " AND ".join(f"source.`{k}` <=> target.`{k}`" for k in group_cols)
     assignments = {agg_col: f"target.`{agg_col}` + source.`{delta_col}`"}
     insert_assignments = {k: f"source.`{k}`" for k in group_cols}
     insert_assignments[agg_col] = f"source.`{delta_col}`"

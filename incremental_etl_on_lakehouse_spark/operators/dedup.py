@@ -434,7 +434,28 @@ def embedding_dup_pairs(
     keyed = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    probe = keyed
+    if probe_flips > 0:
+        # multi-probe: ONE side additionally probes the buckets reachable
+        # by flipping each of the first `probe_flips` sign bits — pairs
+        # straddling a hyperplane boundary land in adjacent buckets, and
+        # single-bit flips recover them at probe_flips x extra candidate
+        # volume (the other side stays exact, so no duplicate pairs beyond
+        # the distinct-bucket dedup below)
+        def _flip(col, j):
+            head = F.substring(col, 1, j)
+            bit = F.when(F.substring(col, j + 1, 1) == "1", "0").otherwise("1")
+            tail = F.substring(col, j + 2, planes)
+            return F.concat(head, bit, tail)
+
+        variants = F.array(
+            F.col("bucket"),
+            *[_flip(F.col("bucket"), j) for j in range(min(probe_flips, planes))],
+        )
+        probe = keyed.select(
+            "id", "v", F.explode(variants).alias("bucket")
+        )
+    a, b = probe.alias("a"), keyed.alias("b")
     sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
@@ -447,6 +468,7 @@ def embedding_dup_pairs(
             F.round(sim, 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= cosine_threshold)
+        .distinct()
     )
 
 
@@ -508,6 +530,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting the budget without a fixpoint means the labels are
+        # WRONG (one true component reported as several) — surface it
+        # rather than silently under-deduplicating; near-dup graphs have
+        # tiny diameters, so hitting this means max_iterations is
+        # mis-sized for the graph, not a normal outcome
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (diameter exceeds the budget)"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 _LEFT_MARK = "__asof_is_left"
 _TS = "__asof_ts"
+_MATCH = "__asof_match"
 _BIN = "__range_bin"
 _SALT = "__join_salt"
 
@@ -87,6 +88,9 @@ def asof_join(
     lt = left.withColumn(_LEFT_MARK, F.lit(1)).withColumn(_TS, F.col(left_ts))
     for c in value_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    # match marker: propagated exactly like a payload column, so "a match
+    # exists" is never conflated with "the matched payload is NULL"
+    lt = lt.withColumn(_MATCH, F.lit(None).cast("int"))
     rt = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(_TS),
@@ -97,6 +101,7 @@ def asof_join(
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    rt = rt.withColumn(_MATCH, F.lit(1))
 
     unioned = lt.unionByName(rt)
 
@@ -110,12 +115,13 @@ def asof_join(
     w_b = frame(F.col(_TS).asc())
     w_f = frame(F.col(_TS).desc())
     keep = [c for c in left.columns if c not in value_cols]
+    prop_cols = [*value_cols, _MATCH]
     if direction in ("backward", "forward"):
         w = w_b if direction == "backward" else w_f
         matched = unioned.select(
             *keep,
             F.col(_LEFT_MARK),
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in prop_cols],
         )
     else:
         ts_type = dict(unioned.dtypes)[_TS]
@@ -139,17 +145,15 @@ def asof_join(
                 F.when(use_b, F.last(c, ignorenulls=True).over(w_b))
                 .otherwise(F.last(c, ignorenulls=True).over(w_f))
                 .alias(c)
-                for c in value_cols
+                for c in prop_cols
             ],
         )
     matched = matched.where(F.col(_LEFT_MARK) == 1).drop(_LEFT_MARK, _TS)
     if how == "inner":
-        cond = None
-        for c in value_cols:
-            p = F.col(c).isNotNull()
-            cond = p if cond is None else (cond | p)
-        matched = matched.where(cond)
-    return matched
+        # the propagated marker, not payload nullability: a matched right
+        # row whose payload columns are all NULL is still a match
+        matched = matched.where(F.col(_MATCH).isNotNull())
+    return matched.drop(_MATCH)
 
 
 def range_join_binned(
@@ -224,8 +228,19 @@ def salted_join(
     key's many *distinct* rows spread evenly. The right side is replicated
     ``n_salts`` times (keep it the smaller input). The join key becomes
     (key, salt): the hot key's rows now land on ``n_salts`` reducers.
-    Result is exactly the plain equi-join.
+    Result is exactly the plain equi-join for the SUPPORTED join types:
+    inner / left / left_semi / left_anti. Right and full outer joins are
+    rejected — the replicated right side would emit each unmatched right
+    row once per salt copy (n_salts duplicates); salt the other input
+    instead (swap the arguments) or pre-aggregate.
     """
+    h = how.replace("_", "").lower()
+    if h not in ("inner", "left", "leftouter", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            "replicated per salt, so right/full outer joins would return "
+            "unmatched right rows n_salts times"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     ls = left.withColumn(_SALT, salt)
     rs = right.withColumn(
@@ -287,13 +302,24 @@ def stats_driven_join(
         return int(stats["numRows"]) * max(width, 1)
 
     lsize, rsize = estimate(left, left_stats), estimate(right, right_stats)
+    # Spark cannot broadcast the outer-preserved side: a hint there is
+    # silently dropped and the returned decision would misdescribe the
+    # actual plan. Restrict candidates by join type first.
+    h = how.replace("_", "").lower()
+    can_bc_right = h in ("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+    can_bc_left = h in ("inner", "cross", "right", "rightouter")
     decision = "shuffle"
     if (
-        rsize is not None
+        can_bc_right
+        and rsize is not None
         and rsize <= broadcast_threshold_bytes
-        and (lsize is None or rsize <= lsize)
+        and (lsize is None or rsize <= lsize or not can_bc_left)
     ):
         right, decision = F.broadcast(right), "broadcast_right"
-    elif lsize is not None and lsize <= broadcast_threshold_bytes:
+    elif (
+        can_bc_left
+        and lsize is not None
+        and lsize <= broadcast_threshold_bytes
+    ):
         left, decision = F.broadcast(left), "broadcast_left"
     return left.join(right, on, how), decision

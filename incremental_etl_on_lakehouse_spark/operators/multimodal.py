@@ -156,7 +156,12 @@ def extract_features(
                 {
                     "media_id": pdf[id_col],
                     "media_type": pdf[type_col],
-                    "features": [decoder(bytes(b)) for b in pdf[content_col]],
+                    # NULL content cells arrive as None: decode as empty
+                    # bytes instead of crashing the task (bytes(None) raises)
+                    "features": [
+                        decoder(bytes(b) if b is not None else b"")
+                        for b in pdf[content_col]
+                    ],
                 }
             )
 
@@ -259,7 +264,7 @@ def resize_images(
                     "out_w": width,
                     "out_h": height,
                     "pixels": [
-                        resizer(bytes(b), width, height)
+                        resizer(bytes(b) if b is not None else b"", width, height)
                         for b in pdf[content_col]
                     ],
                 }

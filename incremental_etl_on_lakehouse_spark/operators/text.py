@@ -71,7 +71,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     Signals (all codegen-able):
     - length score: saturating ramp on character count,
     - alpha ratio: alphabetic chars / all non-space chars,
-    - stopword ratio: fraction of tokens that are common stopwords
+    - stopword count: tokens that are common stopwords (occurrences)
       (natural text has some; keyword spam has none),
     - repetition: distinct-token ratio (boilerplate repeats tokens).
     """
@@ -79,7 +79,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = ws_tokens(t)
     n_tok = F.greatest(F.size(toks), F.lit(1))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    # occurrences, not distinct types: 'the the the spam' has 3 stopword
+    # tokens — array_intersect would dedupe to 1 and score repetitive
+    # boilerplate the same as a single-stopword doc
+    n_stop = F.size(F.filter(toks, lambda tk: F.array_contains(stop_arr, tk)))
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
     nonspace = F.regexp_replace(t, r"\s", "")
     alpha_ratio = F.when(F.length(nonspace) == 0, 0.0).otherwise(

@@ -2742,7 +2742,7 @@ def ext_lang_id(spark, sf_dir):
  round(CASE WHEN length(nonspace) = 0 THEN 0.0
    ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(nonspace) END, 6) AS alpha_ratio,
  round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS distinct_token_ratio,
- CAST(len(list_intersect(toks, {T.STOPWORDS!r})) AS INT) AS n_stopwords
+ CAST(len(list_filter(toks, t -> list_contains({T.STOPWORDS!r}, t))) AS INT) AS n_stopwords
  FROM (SELECT doc_id, text, {_TOKS} AS toks,
    regexp_replace(text, '\\s', '', 'g') AS nonspace FROM documents)""".replace(
         "'the', 'a', 'an'", "'the', 'a', 'an'"

@@ -195,3 +195,82 @@ def test_view_all_null_minmax_group_survives(spark, tmp_path):
     source.delete("id = 2")
     view.refresh()
     assert got() == truth()
+
+
+def sql_truth(source):
+    """True batch SQL semantics: AVG/SUM skip NULLs, all-NULL groups are
+    NULL, NULL group keys form one group."""
+    return {
+        tuple(r)
+        for r in source.to_df()
+        .groupBy("grp")
+        .agg(
+            F.sum("val").alias("total"),
+            F.count("*").alias("n"),
+            F.avg("val").alias("mean"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+            F.countDistinct("tag").alias("n_tags"),
+        )
+        .collect()
+    }
+
+
+def test_view_null_values_and_null_group_keys(spark, tmp_path):
+    """NULL-bearing data: NULL values must not poison running sums, AVG
+    must divide by the non-null count, all-NULL groups report NULL, and a
+    NULL group key folds into ONE state row across refreshes."""
+    source = LakeTable.create(
+        spark,
+        str(tmp_path / "nsrc"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    view = IncrementalAggView(
+        source,
+        str(tmp_path / "nview"),
+        group_cols=["grp"],
+        aggs={
+            "total": ("sum", "val"),
+            "n": ("count", "*"),
+            "mean": ("avg", "val"),
+            "lo": ("min", "val"),
+            "hi": ("max", "val"),
+            "n_tags": ("count_distinct", "tag"),
+        },
+    )
+    source.append(
+        spark.createDataFrame(
+            [
+                (1, "a", 10, 7),
+                (2, "a", None, 7),     # NULL value in a live group
+                (3, None, 5, 3),       # NULL group key
+                (4, "nul", None, None)  # all-NULL group
+            ],
+            SCHEMA,
+        ).coalesce(1)
+    )
+    view.refresh()
+    assert view_rows(view) == sql_truth(source)
+
+    # second refresh touches the NULL-keyed group again: must UPDATE its
+    # one state row (null-safe merge keys), never insert a second one
+    source.append(
+        spark.createDataFrame([(5, None, 7, 3), (6, "a", None, 8)], SCHEMA)
+    )
+    view.refresh()
+    assert view_rows(view) == sql_truth(source)
+    null_rows = [
+        r for r in view.to_df().collect() if r["grp"] is None
+    ]
+    assert len(null_rows) == 1, null_rows
+
+    # deleting the only non-null value of a group flips its SUM/AVG back
+    # to NULL (not 0), via the maintained non-null count
+    source.delete("id = 1")
+    source.delete("id = 6")
+    view.refresh()
+    assert view_rows(view) == sql_truth(source)
+    a_row = [r for r in view.to_df().collect() if r["grp"] == "a"][0]
+    assert a_row["total"] is None and a_row["mean"] is None
+    assert a_row["n"] == 1  # only the NULL-valued id=2 row remains

@@ -470,3 +470,39 @@ def test_resize_images_real_when_pillow(spark):
         df2, width=4, height=4, resizer=MM.real_resize
     ).collect()[0]
     assert len(row2.pixels) == 16 and all(0 <= p <= 255 for p in row2.pixels)
+
+
+def test_embedding_multiprobe_superset_no_duplicates(spark, sf_dir):
+    """Multi-probe (probe_flips>0) must return a SUPERSET of single-probe
+    pairs (extra buckets only add candidates) with no duplicate pairs."""
+    from incremental_etl_on_lakehouse_spark.operators import dedup as D
+    from incremental_etl_on_lakehouse_spark.tables import load_table
+
+    embs = load_table(spark, "embeddings", sf_dir).limit(200)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dup_pairs(
+            embs, cosine_threshold=0.5, planes=8
+        ).collect()
+    }
+    probed_rows = D.embedding_dup_pairs(
+        embs, cosine_threshold=0.5, planes=8, probe_flips=3
+    ).collect()
+    probed = [(r["id_a"], r["id_b"]) for r in probed_rows]
+    assert len(probed) == len(set(probed))  # no duplicate pairs
+    assert base <= set(probed), (len(base), len(probed))
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """A path graph deeper than the iteration budget must raise, never
+    silently return fragmented components."""
+    from incremental_etl_on_lakehouse_spark.operators import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iterations=2)
+    # with budget it converges to a single component
+    comps = D.connected_components(chain, max_iterations=10).collect()
+    assert {r["component"] for r in comps} == {0}

@@ -234,3 +234,51 @@ def test_merge_null_key_source_rows_insert_not_match(spark, tmp_path):
     )
     # both NULL-key rows inserted; neither "updated" the other
     assert rows == [(1, 10), (None, 100), (None, 200)], rows
+
+
+def test_multimodal_null_content_does_not_crash(spark):
+    """A NULL binary content cell must decode as empty bytes, not kill the
+    task with bytes(None)."""
+    from incremental_etl_on_lakehouse_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "image", b"\x89PNGdata"), (2, "image", None)],
+        "media_id long, media_type string, content binary",
+    )
+    feats = {r["media_id"]: r["features"] for r in MM.extract_features(df).collect()}
+    assert feats[2] == [0.0] * 8  # empty-bytes fake decode
+    assert feats[1][0] > 0
+    thumbs = MM.resize_images(df).collect()
+    assert len(thumbs) == 2
+
+
+def test_asof_inner_keeps_match_with_null_payload(spark):
+    """An inner as-of join must keep a matched left row even when the
+    matched right row's payload is NULL — match-exists and payload-null
+    are different things."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100), (2, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, None)], "k long, rts long, val string"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["val"], how="inner",
+    ).collect()
+    # k=1 matched (payload NULL); k=2 has no right row at all
+    assert [(r["k"], r["val"]) for r in out] == [(1, None)]
+    # empty value_cols must not crash the inner filter
+    out2 = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols=[], how="inner",
+    ).collect()
+    assert sorted(r["k"] for r in out2) == [1]
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from incremental_etl_on_lakehouse_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(df, df, on=["k"], how="full")
