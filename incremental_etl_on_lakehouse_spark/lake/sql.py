@@ -158,7 +158,10 @@ class MergeStatement:
 
 
 def _canonicalize(expr: str, stmt: MergeStatement) -> str:
-    """Rewrite ``<alias>.`` qualifiers to the engine's ``source.``/``target.``."""
+    """Rewrite ``<alias>.`` qualifiers to the engine's ``source.``/``target.``.
+    Quote-aware like :func:`_strip_alias`: spans inside single-quoted
+    string literals pass through untouched (``VALUES (s.id, 's. note')``
+    must keep its literal byte-for-byte)."""
     pairs = []
     if stmt.target_alias:
         pairs.append((stmt.target_alias, "target"))
@@ -167,12 +170,25 @@ def _canonicalize(expr: str, stmt: MergeStatement) -> str:
         pairs.append((stmt.source_alias, "source"))
     if not stmt.source_is_subquery:
         pairs.append((stmt.source_text, "source"))
-    for name, canon in pairs:
-        if name and name != canon:
-            expr = re.sub(
-                rf"\b{re.escape(name)}\s*\.", canon + ".", expr, flags=re.IGNORECASE
+    pairs = [(n, c) for n, c in pairs if n and n != c]
+
+    def seg(segment: str) -> str:
+        for name, canon in pairs:
+            segment = re.sub(
+                rf"\b{re.escape(name)}\s*\.",
+                canon + ".",
+                segment,
+                flags=re.IGNORECASE,
             )
-    return expr.strip()
+        return segment
+
+    out, pos = [], 0
+    for lm in _LITERAL.finditer(expr):
+        out.append(seg(expr[pos : lm.start()]))
+        out.append(lm.group(0))
+        pos = lm.end()
+    out.append(seg(expr[pos:]))
+    return "".join(out).strip()
 
 
 def _parse_action(action: str, matched: bool, cond: str | None) -> MergeClause:
@@ -208,7 +224,7 @@ def _parse_action(action: str, matched: bool, cond: str | None) -> MergeClause:
 
 
 def parse_merge(sql: str) -> MergeStatement:
-    s = strip_comments(sql)
+    s = strip_comments(sql).rstrip().rstrip(";")
     m = re.match(
         rf"\s*MERGE\s+(?P<evo>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
         rf"INTO\s+(?P<target>{_IDENT})"
@@ -307,7 +323,7 @@ def _strip_alias(expr: str, names: list[str | None]) -> str:
 def parse_update(sql: str) -> tuple[str, dict[str, str], str | None]:
     """``UPDATE <table> [AS] [alias] SET c = e [, ...] [WHERE cond]`` ->
     (table, assignments, condition)."""
-    s = strip_comments(sql).strip()
+    s = strip_comments(sql).strip().rstrip(";")
     m = re.match(
         rf"UPDATE\s+(?P<t>{_IDENT})(?:\s+AS)?(?:\s+(?P<a>{_IDENT}))?\s+SET\s+",
         s,
@@ -347,7 +363,7 @@ def parse_update(sql: str) -> tuple[str, dict[str, str], str | None]:
 def parse_delete(sql: str) -> tuple[str, str | None]:
     """``DELETE FROM <table> [AS] [alias] [WHERE cond]`` ->
     (table, condition)."""
-    s = strip_comments(sql).strip()
+    s = strip_comments(sql).strip().rstrip(";")
     m = re.match(
         rf"DELETE\s+FROM\s+(?P<t>{_IDENT})(?:\s+AS)?(?:\s+(?P<a>{_IDENT}))?"
         rf"(?:\s+WHERE\s+(?P<c>.*))?\s*$",
@@ -510,11 +526,19 @@ def parse_create_table(sql: str) -> dict:
         out["partition_by"] = [
             c.strip().strip("`") for c in pm.group(1).split(",")
         ]
-    tm = re.search(
-        r"TBLPROPERTIES\s*\((.*?)\)\s*(AS\b|$)", rest, re.IGNORECASE | re.DOTALL
-    )
+    tm = re.search(r"TBLPROPERTIES\s*\(", rest, re.IGNORECASE)
     if tm:
-        for kv in split_top_level(tm.group(1)):
+        # paren-depth scan to the MATCHING close paren: a lazy regex up to
+        # ')\s*(AS|$)' backtracks past any later clause (e.g. PARTITIONED
+        # BY after TBLPROPERTIES), silently corrupting property values
+        depths = _depths(rest)
+        open_idx = tm.end() - 1
+        close_idx = next(
+            i
+            for i in range(open_idx + 1, len(rest))
+            if rest[i] == ")" and depths[i] == depths[open_idx] - 1
+        )
+        for kv in split_top_level(rest[tm.end():close_idx]):
             k, _, v = kv.partition("=")
             k = k.strip().strip("'\"`")
             if k.lower().startswith("delta."):

@@ -68,35 +68,62 @@ class LakeStreamReader:
 
     def _batch_for(self, version: int) -> DataFrame | None:
         commits = {c.version: c for c in self.table._commits()}
-        c = commits.get(version)
-        if c is None:
-            return None
+        return self._batch_for_range(commits, version, version)
+
+    def _batch_for_range(
+        self, commits: dict, lo: int, hi: int
+    ) -> DataFrame | None:
         if self.mode == "cdf":
-            df = self.table.read_changes(version, version)
+            df = self.table.read_changes(lo, hi)
             return df if df.limit(1).count() else None
-        if c.operation == "COMPACT" or not c.add:
-            # compaction is physical-only: no new rows for append streams
+        parts: list[DataFrame] = []
+        for v in range(lo, hi + 1):
+            c = commits.get(v)
+            if c is None or c.operation == "COMPACT" or not c.add:
+                # compaction is physical-only: no new rows for append streams
+                continue
+            files, dvm = [], {}
+            for a in c.add:
+                files.append(self.table._abs(a["path"]))
+                # a commit that re-adds a file can also point it at a
+                # deletion vector (RESTORE's dv patch): read through it so
+                # DV-deleted rows are never delivered to the stream
+                sidecar = (c.dv or {}).get(a["path"])
+                if sidecar:
+                    dvm[a["path"]] = sidecar
+            parts.append(self.table._read_files(files, dv_map=dvm or None))
+        if not parts:
             return None
-        files = [self.table._abs(a["path"]) for a in c.add]
-        return self.table._read_files(files)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def process_available(
         self, fn: Callable[[DataFrame, int], None]
     ) -> int:
-        """Run ``fn(batch_df, version)`` for every unprocessed commit, one
+        """Run ``fn(batch_df, version)`` for every unprocessed commit window.
+        With the default ``max_versions_per_trigger=1`` that is one
         micro-batch per commit (the reference's ``maxFilesPerTrigger=1``
-        pacing, ``notebooks/demo-notebook.py:161``). Returns #batches run.
-        Equivalent to ``trigger(availableNow=True)`` + ``foreachBatch(fn)``.
+        pacing, ``notebooks/demo-notebook.py:161``); larger values coalesce
+        up to N commits per batch (``maxFilesPerTrigger=N`` catch-up
+        semantics) and ``fn`` receives the window's LAST version — the
+        offset the checkpoint records. Returns #batches run. Equivalent to
+        ``trigger(availableNow=True)`` + ``foreachBatch(fn)``.
         """
         last = self.checkpoint.read()
         next_version = (last + 1) if last is not None else self.starting_version
         latest = self.table.version()
+        # one log read for the whole catch-up, not one per version
+        commits = {c.version: c for c in self.table._commits()}
+        step = max(1, int(self.max_versions_per_trigger))
         n = 0
         while next_version <= latest:
-            batch = self._batch_for(next_version)
+            hi = min(next_version + step - 1, latest)
+            batch = self._batch_for_range(commits, next_version, hi)
             if batch is not None:
-                fn(batch, next_version)
+                fn(batch, hi)
                 n += 1
-            self.checkpoint.write(next_version)
-            next_version += 1
+            self.checkpoint.write(hi)
+            next_version = hi + 1
         return n

@@ -393,10 +393,24 @@ class LakeTable:
 
     def _commits(self) -> list[Commit]:
         """Full commit history — audit paths only (history/change feed);
-        state reconstruction goes through the checkpointed ``_state``."""
+        state reconstruction goes through the checkpointed ``_state``.
+
+        Memoized on the latest version (one directory listing), like
+        ``_state``: a streaming catch-up calls the audit paths once per
+        processed commit, and re-parsing the whole log each time made
+        catch-up O(commits²) file reads. Treat the returned list as
+        READ-ONLY."""
+        commit_vs, _ = lakelog.list_versions(self.path)
+        if not commit_vs:
+            raise ValueError(f"not a lake table: {self.path}")
+        latest = commit_vs[-1]
+        cached = getattr(self, "_commits_memo", None)
+        if cached is not None and cached[0] == latest:
+            return cached[1]
         commits = lakelog.read_log(self.path)
         if not commits:
             raise ValueError(f"not a lake table: {self.path}")
+        self._commits_memo = (latest, commits)
         return commits
 
     def _state(self, version: int | None = None) -> dict:

@@ -53,7 +53,6 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (training-mixture weighting).
     Strata absent from ``fractions`` are dropped (fraction 0)."""
-    thresh = F.lit(None).cast("long")
     expr = None
     for stratum, frac in fractions.items():
         cond = F.col(stratum_col) == stratum

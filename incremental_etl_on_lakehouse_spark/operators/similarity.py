@@ -9,9 +9,12 @@ Two paths, same contract:
   join never shuffles the corpus.
 - ``topk_cosine_lsh`` — the scale path: sign-bucket both sides with
   deterministic random hyperplanes (same family as
-  :func:`...dedup.embedding_dup_pairs`), multi-probe by flipping bucket bits,
-  and only score candidates sharing a probe bucket. Trades recall for a
-  candidate set ~buckets-fraction of the corpus.
+  :func:`...dedup.embedding_dup_pairs`), MULTI-TABLE probing — L
+  independent hyperplane tables, a candidate needs to collide in any one —
+  and only score candidates sharing a bucket. Trades recall for a
+  candidate set ~buckets-fraction of the corpus. (The complementary
+  bit-flip multi-probe variant lives in ``dedup.embedding_dup_pairs``'s
+  ``probe_flips``.)
 
 Per-partition top-k before the global window keeps the shuffle tiny: each
 partition emits at most k rows per query, so the final rank sees

@@ -76,7 +76,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     - repetition: distinct-token ratio (boilerplate repeats tokens).
     """
     t = F.col(text_col)
-    toks = ws_tokens(t)
+    # drop the empty token F.split yields for empty/whitespace-only text:
+    # without it an empty doc scores n_tokens=1 and a perfect
+    # distinct-token ratio (matches the oracle's list_filter(x <> ''))
+    toks = F.filter(ws_tokens(t), lambda x: x != "")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     # occurrences, not distinct types: 'the the the spam' has 3 stopword
@@ -129,7 +132,6 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     scored = df.select("doc_id", *scores)
     langs = list(LANG_PROFILES)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    guess = F.lit(None)
     # argmax with deterministic first-wins tie-break
     expr = None
     for lang in langs:

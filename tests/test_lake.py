@@ -1323,3 +1323,53 @@ def test_vacuum_sweeps_crashed_writer_tmp_files(spark, tmp_path):
     # the table still reads and commits normally afterwards
     t.append(spark.createDataFrame([(2, "Wales", 20)], SCHEMA))
     assert t.to_df().count() == 2
+
+
+def test_append_stream_reads_through_restore_dv(spark, tmp_path):
+    """An append-mode stream over a RESTORE commit must read the re-added
+    files through the commit's deletion-vector patch — never delivering
+    rows that are DV-deleted in the restored snapshot."""
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dvstream"),
+        schema,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(6)], schema))  # v1
+    t.delete("k >= 4")  # v2: DV on the file
+    t.overwrite(spark.createDataFrame([(99,)], schema))  # v3: drops the file
+    v4 = t.restore(2)  # v4: re-adds the file WITH its v2 deletion vector
+    seen = {}
+    reader = LakeStreamReader(
+        t, str(tmp_path / "ck.json"), mode="append", starting_version=v4
+    )
+    reader.process_available(
+        lambda df, v: seen.setdefault(v, sorted(r["k"] for r in df.collect()))
+    )
+    assert seen == {v4: [0, 1, 2, 3]}, seen  # 4,5 are DV-deleted
+
+
+def test_stream_max_versions_per_trigger_coalesces(spark, tmp_path):
+    """max_versions_per_trigger=N delivers up to N commits per batch, with
+    fn receiving the window's last version (the checkpointed offset)."""
+    t = make_table(spark, tmp_path, [], cdf=False)
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, "c", i)], SCHEMA).coalesce(1))
+    seen = []
+    reader = LakeStreamReader(
+        t,
+        str(tmp_path / "ckN.json"),
+        mode="append",
+        starting_version=1,
+        max_versions_per_trigger=2,
+    )
+    n = reader.process_available(
+        lambda df, v: seen.append((v, sorted(r["id"] for r in df.collect())))
+    )
+    assert n == 3
+    assert seen == [(2, [0, 1]), (4, [2, 3]), (5, [4])], seen
+    # resume is a no-op from the recorded offset
+    assert reader.process_available(lambda df, v: seen.append((v, None))) == 0

@@ -296,3 +296,41 @@ def test_merge_with_schema_evolution(spark, tmp_path):
     )
     assert "tier" not in t2.schema().fieldNames()
     assert {r["k"] for r in t2.to_df().collect()} == {1, 2, 9}
+
+
+def test_merge_literal_with_alias_dot_survives(spark, tmp_path):
+    """A string literal containing '<alias>.' in an INSERT VALUES list must
+    be written byte-for-byte, not rewritten by alias canonicalization."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_merge
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("note", StringType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "lit"), schema)
+    src = spark.createDataFrame([(1,)], "id long")
+    execute_merge(
+        spark,
+        "MERGE INTO tgt USING src s ON tgt.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, note) VALUES (s.id, 's. means source');",
+        {"tgt": t},
+        source_df=src,
+    )
+    assert [r["note"] for r in t.to_df().collect()] == ["s. means source"]
+
+
+def test_create_table_tblproperties_before_partitioned_by(spark, tmp_path):
+    """Clause order must not corrupt property values: TBLPROPERTIES
+    followed by PARTITIONED BY once swallowed the rest of the statement
+    into the property value (lazy regex backtracking)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    t = execute_statement(
+        spark,
+        "CREATE TABLE t (a INT, b STRING) USING delta "
+        "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true') "
+        "PARTITIONED BY (b);",
+        {},
+        dest_path=str(tmp_path / "ordered"),
+    )
+    assert t.cdf_enabled()
+    assert t.partition_columns() == ["b"]
