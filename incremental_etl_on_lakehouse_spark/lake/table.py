@@ -350,20 +350,53 @@ class LakeTable:
         if lakelog.read_log(dest):
             raise ValueError(f"lake table already exists at {dest}")
         state = self._state()
+        src_dv = state.get("dv") or {}
         os.makedirs(dest, exist_ok=True)
         adds = []
+        clone_dv: dict = {}
+        copied_dv: dict = {}  # source dv rel -> clone dv rel (deep)
         for rel, add in state["active"].items():
             entry = dict(add)
             src_file = self._abs(rel)
             if shallow:
                 entry["path"] = os.path.relpath(src_file, dest)
             else:
-                rel_dest = os.path.join(DATA_DIR, "clone0", rel.replace(os.sep, "_"))
+                # preserve the path BELOW the data/ segment (uuid dir +
+                # hive partition dirs): flattening it into one filename
+                # would lose the partition directories, so every partition
+                # column in the deep clone would read back NULL — and the
+                # preserved suffix keeps the files' deletion-vector keys
+                # (_dv_key) identical to the source's sidecar rows
+                rel_dest = os.path.join(
+                    DATA_DIR, "clone0", DATA_DIR, self._dv_key(rel)
+                )
                 full_dest = os.path.join(dest, rel_dest)
                 os.makedirs(os.path.dirname(full_dest), exist_ok=True)
                 shutil.copyfile(src_file, full_dest)
                 entry["path"] = rel_dest
             adds.append(entry)
+            # deletion vectors are part of the snapshot: a clone without
+            # them would resurrect every DV-deleted row
+            if rel in src_dv:
+                src_sidecar = src_dv[rel]
+                if shallow:
+                    clone_dv[entry["path"]] = os.path.relpath(
+                        self._abs(src_sidecar), dest
+                    )
+                else:
+                    if src_sidecar not in copied_dv:
+                        dv_dest_rel = os.path.join(
+                            DV_DIR, "clone0", os.path.basename(src_sidecar)
+                        )
+                        dv_dest = os.path.join(dest, dv_dest_rel)
+                        src_abs = self._abs(src_sidecar)
+                        if os.path.isdir(src_abs):
+                            shutil.copytree(src_abs, dv_dest)
+                        else:
+                            os.makedirs(os.path.dirname(dv_dest), exist_ok=True)
+                            shutil.copyfile(src_abs, dv_dest)
+                        copied_dv[src_sidecar] = dv_dest_rel
+                    clone_dv[entry["path"]] = copied_dv[src_sidecar]
         props = dict(state["properties"])
         props["clonedFrom"] = self.path
         props["cloneShallow"] = "true" if shallow else "false"
@@ -374,6 +407,7 @@ class LakeTable:
                 operation="CLONE",
                 timestamp_ms=lakelog.now_ms(),
                 add=adds,
+                dv=clone_dv,
                 schema_json=state["schema_json"],
                 properties=props,
                 metrics={"num_files": len(adds), "shallow": shallow},
@@ -958,15 +992,24 @@ class LakeTable:
         # _align in append() maps/casts into the table schema either way
         schema = self.schema()
         reader = self.spark.read
+        # identity columns are GENERATED, never supplied: forcing them into
+        # the read schema would make append() reject every COPY INTO on an
+        # identity table (the schema-forced read "provides" the column)
+        idcols = self.identity_columns()
+        read_schema = StructType(
+            [f for f in schema.fields if f.name not in idcols]
+        )
         if fmt == "json":
-            df = reader.schema(schema).json(new_files)
+            df = reader.schema(read_schema).json(new_files)
         elif fmt == "csv":
-            df = reader.schema(schema).option("header", "true").csv(new_files)
+            df = reader.schema(read_schema).option("header", "true").csv(new_files)
         elif fmt == "orc":
             df = reader.orc(*new_files)
         else:
             df = reader.parquet(*new_files)
-        n = df.count()
+        # (self-describing formats — parquet/orc — keep a genuinely present
+        # identity column, so append's GENERATED ALWAYS guard still rejects
+        # sources that explicitly supply values)
         # ONE atomic commit carries both the data and the ingested-file
         # list — a crash between "load" and "record" is impossible, which
         # is what makes the re-run idempotent.
@@ -975,7 +1018,27 @@ class LakeTable:
             operation="COPY INTO",
             extra_metrics={"source_files": new_files},
         )
+        # row count comes from the commit the append just wrote (parquet
+        # footer totals) — a df.count() here would re-scan every new file
+        n = lakelog.read_commit(self.path, v).metrics.get("num_inserted_rows", 0)
         return {"num_files": len(new_files), "num_rows": n, "version": v}
+
+    @staticmethod
+    def _dv_key(path: str) -> str:
+        """Row-identity key of a data file for deletion vectors: the path
+        suffix below the LAST ``data/`` segment (``<uuid>/[part=.../]name``).
+        Unique per file — every staged write gets its own uuid dir —
+        unlike the bare basename, which Spark REUSES across partition
+        directories within one job (``dt=1/part-00000-x`` and
+        ``dt=2/part-00000-x``): a basename key would silently apply one
+        partition's deletion vector to its siblings."""
+        segs = path.split(os.sep)
+        idx = None
+        for i in range(len(segs) - 1, -1, -1):
+            if segs[i] == DATA_DIR:
+                idx = i
+                break
+        return os.sep.join(segs[idx + 1:]) if idx is not None else segs[-1]
 
     def _dv_rows(self, dv_map: dict, files: list[str]) -> DataFrame | None:
         """Deleted-row markers (file_name, row_index) covering ``files``,
@@ -984,9 +1047,9 @@ class LakeTable:
         the file's current cumulative DV, so reading them is harmless."""
         if not dv_map:
             return None
-        names = {os.path.basename(f) for f in files}
+        names = {self._dv_key(f) for f in files}
         rels = sorted(
-            {dv for rel, dv in dv_map.items() if os.path.basename(rel) in names}
+            {dv for rel, dv in dv_map.items() if self._dv_key(rel) in names}
         )
         if not rels:
             return None
@@ -995,11 +1058,15 @@ class LakeTable:
 
     @staticmethod
     def _lineage_cols() -> list:
-        """Per-row physical identity: containing file's basename + row
-        position within the file (``_metadata.row_index``) — the key a
-        deletion vector marks rows by."""
+        """Per-row physical identity: the containing file's ``_dv_key``
+        (path suffix below the last ``data/`` segment — see there for why
+        a bare basename would corrupt partitioned tables) + row position
+        within the file (``_metadata.row_index``) — the key a deletion
+        vector marks rows by."""
         return [
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__fname"),
+            F.substring_index(
+                F.input_file_name(), "/" + DATA_DIR + "/", -1
+            ).alias("__fname"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
 
@@ -1617,6 +1684,7 @@ class LakeTable:
                 return v
             except FileExistsError:
                 if not can_rebase:
+                    _discard_stage()  # this stage can never be published
                     raise
                 if txn_app_id is not None:
                     last = self.txn_version(txn_app_id)
@@ -1627,8 +1695,11 @@ class LakeTable:
                     self.schema().json() != schema_at_stage
                     or self.constraints() != cons_at_stage
                 ):
-                    raise  # metadata conflict: staged rows are unvalidated
+                    # metadata conflict: staged rows are unvalidated
+                    _discard_stage()
+                    raise
                 v = self.version() + 1
+        _discard_stage()
         raise FileExistsError(
             f"append to {self.path} lost {20} consecutive commit races"
         )
@@ -1867,6 +1938,15 @@ class LakeTable:
         unknown = set(assignments) - {f.name for f in self.schema().fields}
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+        # GENERATED ALWAYS AS IDENTITY values are immutable: an UPDATE that
+        # overwrote one would bypass the high-water bookkeeping and let a
+        # later append mint a duplicate id
+        bad_id = set(assignments) & set(self.identity_columns())
+        if bad_id:
+            raise ValueError(
+                f"{sorted(bad_id)} are GENERATED ALWAYS AS IDENTITY — "
+                "UPDATE may not assign them"
+            )
         snapshot_version = self.version()
         state = self._state()
         dvmap = state.get("dv") or {}
@@ -2188,6 +2268,40 @@ class LakeTable:
             # belong to the source — Delta's VACUUM has the same rule.
             and not os.path.relpath(self._abs(f), self.path).startswith("..")
         )
+        # Orphaned stage directories: a writer that staged files but never
+        # published its commit — a crash after _stage_write, or a
+        # merge/delete/update losing its optimistic commit — leaves
+        # data/<uuid>/ (or a _cdf//_dv/ sidecar) referenced by NO commit.
+        # Such entries appear in no remove list, so the reference-based
+        # pass above can never reclaim them; sweep anything unreferenced by
+        # the ENTIRE history once it ages past retention (an in-flight
+        # writer's fresh stage is protected by its mtime).
+        referenced: dict[str, set] = {DATA_DIR: set(), CDF_DIR: set(), DV_DIR: set()}
+        for c in commits:
+            for a in c.add:
+                segs = a["path"].split(os.sep)
+                if segs[0] in referenced and len(segs) > 1:
+                    referenced[segs[0]].add(segs[1])
+            if c.cdf_path:
+                segs = c.cdf_path.split(os.sep)
+                if segs[0] in referenced and len(segs) > 1:
+                    referenced[segs[0]].add(segs[1])
+            for dv_rel in c.dv.values():
+                if dv_rel:
+                    segs = dv_rel.split(os.sep)
+                    if segs[0] in referenced and len(segs) > 1:
+                        referenced[segs[0]].add(segs[1])
+        for top, names in referenced.items():
+            d = os.path.join(self.path, top)
+            for name in os.listdir(d) if os.path.isdir(d) else []:
+                if name in names:
+                    continue
+                p = os.path.join(d, name)
+                try:
+                    if os.path.getmtime(p) * 1000 < horizon:
+                        victims.append(os.path.relpath(p, self.path))
+                except OSError:
+                    pass  # raced another vacuum
         # Crashed-writer residue: a process killed between staging a commit
         # tmp file and linking/unlinking it leaves `*.tmp-<uuid>` in the log
         # dir forever. They are invisible to readers (read_log matches only
@@ -2695,7 +2809,8 @@ class LakeTable:
                 )
             part = None
             if c.operation in (
-                "APPEND", "COPY INTO", "CREATE", "OVERWRITE", "RESTORE"
+                "APPEND", "COPY INTO", "CREATE", "OVERWRITE", "RESTORE",
+                "CLONE",
             ) and c.add:
                 files = [self._abs(a["path"]) for a in c.add]
                 # RESTORE re-adds files whose restored deletion vector may
@@ -2757,6 +2872,21 @@ class LakeTable:
                 }
                 if ren:
                     cdf = cdf.withColumnsRenamed(ren)
+                # project onto the HEAD schema (Delta CDF semantics): a
+                # change row materialized before an ADD COLUMN lacks the
+                # new column (read NULL), one from before a DROP carries a
+                # stale column (dropped) — without this the union across a
+                # schema change throws and the whole feed is unreadable
+                present = set(cdf.columns)
+                cdf = cdf.select(
+                    *[
+                        (F.col(f.name) if f.name in present else F.lit(None))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.col(CHANGE_TYPE),
+                )
                 part = cdf if part is None else part.unionByName(cdf)
             if part is not None:
                 parts.append(

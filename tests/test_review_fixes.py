@@ -250,3 +250,146 @@ def test_generated_property_fixed_at_creation(spark, tmp_path):
         t.set_properties({"generated.b": "a % 10"})
     with pytest.raises(ValueError, match="fixed at table creation"):
         t.unset_properties(["generated.b"])
+
+
+SCHEMA_KV = StructType(
+    [
+        StructField("dt", StringType()),
+        StructField("k", LongType()),
+    ]
+)
+
+
+def test_partitioned_dv_delete_does_not_leak_across_partitions(spark, tmp_path):
+    """One job writes the same part-file basename into every partition dir;
+    a DV delete in one partition must not mask same-position rows in the
+    siblings (row identity keys on the data/-suffix path, not basename)."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "pdv"),
+        SCHEMA_KV,
+        partition_by=["dt"],
+        properties={"enableDeletionVectors": "true"},
+    )
+    rows = [("a", i) for i in range(4)] + [("b", i) for i in range(4)]
+    # single writer task -> identical basenames under dt=a/ and dt=b/
+    t.append(spark.createDataFrame(rows, SCHEMA_KV).coalesce(1))
+    t.delete("dt = 'a' AND k < 2")
+    got = sorted((r["dt"], r["k"]) for r in t.to_df().collect())
+    assert got == sorted(
+        [("a", 2), ("a", 3)] + [("b", i) for i in range(4)]
+    ), got
+
+
+def test_clone_preserves_deletion_vectors(spark, tmp_path):
+    """Shallow AND deep clones must carry the source's deletion vectors —
+    a clone that resurrects DV-deleted rows diverges from the snapshot."""
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        schema,
+        properties={"enableDeletionVectors": "true"},
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(6)], schema))
+    t.delete("k >= 4")
+    for shallow in (True, False):
+        c = t.clone(str(tmp_path / f"clone_{shallow}"), shallow=shallow)
+        got = sorted(r["k"] for r in c.to_df().collect())
+        assert got == [0, 1, 2, 3], (shallow, got)
+
+
+def test_deep_clone_preserves_partition_columns(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "psrc"), SCHEMA_KV, partition_by=["dt"]
+    )
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA_KV))
+    c = t.clone(str(tmp_path / "pdeep"), shallow=False)
+    got = sorted((r["dt"], r["k"]) for r in c.to_df().collect())
+    assert got == [("a", 1), ("b", 2)], got
+
+
+def test_change_feed_survives_schema_evolution(spark, tmp_path):
+    """A feed range spanning ADD COLUMNS must read: pre-evolution
+    materialized CDF rows project onto the head schema with NULL for the
+    new column."""
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "evo"),
+        schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame([(1, 10)], schema))        # v1
+    t.update({"v": "20"}, "k = 1")                             # v2: CDF parquet
+    t.add_columns([("x", LongType())])                         # v3
+    t.append(                                                  # v4
+        spark.createDataFrame([(2, 30, 7)], "k long, v long, x long")
+    )
+    changes = t.read_changes(starting_version=1).collect()
+    kinds = sorted((r["_change_type"], r["k"], r["x"]) for r in changes)
+    assert ("update_postimage", 1, None) in kinds
+    assert ("insert", 2, 7) in kinds
+
+
+def test_clone_base_snapshot_in_change_feed(spark, tmp_path):
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "cfsrc"), schema)
+    t.append(spark.createDataFrame([(1,), (2,)], schema))
+    c = t.clone(str(tmp_path / "cfclone"))
+    changes = c.read_changes(starting_version=0).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in changes) == [
+        ("insert", 1),
+        ("insert", 2),
+    ]
+
+
+def test_update_may_not_assign_identity(spark, tmp_path):
+    t = make_identity_table(spark, tmp_path, "updid")
+    t.append(spark.createDataFrame([("a",)], "name string"))
+    with pytest.raises(ValueError, match="UPDATE may not assign"):
+        t.update({"rid": "999"}, "name = 'a'")
+
+
+def test_copy_into_identity_table_generates_ids(spark, tmp_path):
+    import json as _json
+
+    t = make_identity_table(spark, tmp_path, "cpid")
+    land = tmp_path / "land"
+    land.mkdir()
+    with open(land / "f1.json", "w") as f:
+        f.write(_json.dumps({"name": "a"}) + "\n" + _json.dumps({"name": "b"}))
+    res = t.copy_into(str(land), "json")
+    assert res["num_rows"] == 2
+    vals = rids(t)
+    assert len(vals) == 2 and all(v is not None for v in vals), vals
+    # idempotent re-run ingests nothing new
+    assert t.copy_into(str(land), "json")["num_rows"] == 0
+
+
+def test_vacuum_sweeps_orphaned_stage_dirs(spark, tmp_path):
+    """A staged-but-never-committed data/<uuid> dir (crashed writer) must
+    be reclaimed by VACUUM once past retention — it appears in no commit,
+    so the remove-list pass alone can never find it."""
+    import os
+    import time
+
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "orph"), schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    # simulate a crash: stage files without publishing a commit
+    orphan = os.path.join(t.path, "data", "deadbeefcafe")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    fresh = os.path.join(t.path, "data", "freshstage")
+    os.makedirs(fresh)
+    old = time.time() - 8 * 24 * 3600
+    os.utime(orphan, (old, old))
+    swept = t.vacuum()
+    assert any("deadbeefcafe" in v for v in swept), swept
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)  # fresh stage (in-flight writer) kept
+    assert t.to_df().count() == 1  # committed data untouched
