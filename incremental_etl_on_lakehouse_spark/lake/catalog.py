@@ -23,6 +23,7 @@ class LakeCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = os.path.abspath(root)
+        self._view_owners: dict[str, tuple[str, str]] = {}
         os.makedirs(self.root, exist_ok=True)
 
     # ------------------------------------------------------------ databases
@@ -99,6 +100,15 @@ class LakeCatalog:
         ``spark.sql`` queries can address them (the OSS stand-in for the
         reference's ``${db.x}`` SQL parameterization, ref :85-89)."""
         for name in self.tables(db):
-            self.table(db, name).to_df(version).createOrReplaceTempView(
-                f"{db}_{name}"
-            )
+            view = f"{db}_{name}"
+            owner = self._view_owners.setdefault(view, (db, name))
+            if owner != (db, name):
+                # '_' is ambiguous: db 'raw' + table 'events_2024' and db
+                # 'raw_events' + table '2024' both map to 'raw_events_2024'
+                # — replacing silently would point queries at the wrong
+                # table with no error
+                raise ValueError(
+                    f"temp view name collision: {view!r} already registered "
+                    f"for {owner[0]}.{owner[1]}"
+                )
+            self.table(db, name).to_df(version).createOrReplaceTempView(view)

@@ -2393,10 +2393,20 @@ class LakeTable:
         clauses: list[MergeClause],
         stats_prune: dict[str, str] | None = None,
         merge_schema: bool = False,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """Delta-style MERGE: join source vs target on ``condition``; apply the
         first matching WHEN clause per row. Rewrites only data files containing
         matched rows; returns operation metrics.
+
+        ``txn_app_id`` + ``txn_version`` make the merge IDEMPOTENT under
+        replay, exactly like :meth:`append`'s SetTransaction guard: a
+        re-delivered micro-batch whose (app, version) the table already
+        recorded no-ops BEFORE any data work. This is what makes additive
+        aggregate sinks replay-safe — a hash guard cannot protect
+        ``SET total = total + delta`` from re-applying the same delta after
+        a crash between the merge commit and the reader's offset write.
 
         Semantics mirror ``MERGE INTO`` at ``notebooks/demo-notebook.py:
         244-280`` (CDC upsert) and ``:393-425`` (additive aggregate merge).
@@ -2410,6 +2420,20 @@ class LakeTable:
         rewrite), ``UPDATE/INSERT *`` assign them from the source, and CDF
         pre-images carry NULL for them.
         """
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version must be set together")
+        if txn_app_id is not None:
+            last = self.txn_version(txn_app_id)
+            if last is not None and txn_version <= last:
+                return {  # replayed batch: no-op before any data work
+                    "num_touched_files": 0,
+                    "num_deleted_rows": 0,
+                    "num_updated_rows": 0,
+                    "num_inserted_rows": 0,
+                    "num_written_rows": 0,
+                    "version": self.version(),
+                    "replayed_txn": True,
+                }
         matched_clauses = [c for c in clauses if c.kind in ("delete", "update")]
         insert_clauses = [c for c in clauses if c.kind == "insert"]
         old_schema = self.schema()
@@ -2730,11 +2754,20 @@ class LakeTable:
                     remove=touched_rel + self._dv_release(touched_rel, dvmap),
                     cdf_path=cdf_rel,
                     schema_json=schema_json,
-                    properties=(
-                        self._identity_hwm_props(adds, self.identity_columns())
-                        if adds and self.identity_columns()
-                        else {}
-                    ),
+                    properties={
+                        **(
+                            self._identity_hwm_props(
+                                adds, self.identity_columns()
+                            )
+                            if adds and self.identity_columns()
+                            else {}
+                        ),
+                        **(
+                            {f"txn.{txn_app_id}": str(txn_version)}
+                            if txn_app_id is not None
+                            else {}
+                        ),
+                    },
                     metrics=metrics,
                 ),
             )

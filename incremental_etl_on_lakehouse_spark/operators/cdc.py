@@ -827,6 +827,8 @@ def merge_agg_delta(
     group_cols: list[str],
     agg_col: str,
     delta_col: str = "delta_value",
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """Additively merge grouped deltas into the running aggregate table.
 
@@ -845,4 +847,9 @@ def merge_agg_delta(
         MergeClause("update", None, assignments),
         MergeClause("insert", None, insert_assignments),
     ]
-    return gold.merge(deltas, cond, clauses)
+    # txn guard (optional): additive merges re-apply their deltas under
+    # at-least-once replay; keying on the source batch/version makes the
+    # replay a no-op (Delta's SetTransaction pattern for agg sinks)
+    return gold.merge(
+        deltas, cond, clauses, txn_app_id=txn_app_id, txn_version=txn_version
+    )

@@ -68,7 +68,16 @@ CDC_LOG_SCHEMA = _fields(
 )
 BRONZE_SCHEMA = _fields(
     [(f.name, f.dataType) for f in CDC_LOG_SCHEMA.fields]
-    + [("data_hash", _S), ("file_name", _S), ("insert_timestamp", _T)]
+    + [
+        ("data_hash", _S),
+        ("file_name", _S),
+        ("insert_timestamp", _T),
+        # per-row ingest sequence: insert_timestamp is query-constant per
+        # append (current_timestamp evaluates once), so it cannot break
+        # intra-batch cdc_timestamp ties — record_seq can, making Silver
+        # deterministic given the Bronze bytes
+        ("record_seq", _L),
+    ]
 )
 SILVER_SCHEMA = _fields(
     [
@@ -98,7 +107,9 @@ def augment_bronze(df: DataFrame) -> DataFrame:
     out = df.withColumn("data_hash", data_hash(*BUSINESS_COLS))
     if "file_name" not in out.columns:
         out = out.withColumn("file_name", F.input_file_name())
-    return out.withColumn("insert_timestamp", F.current_timestamp())
+    return out.withColumn(
+        "insert_timestamp", F.current_timestamp()
+    ).withColumn("record_seq", F.monotonically_increasing_id())
 
 
 def silver_projection(bronze_batch: DataFrame) -> DataFrame:
@@ -115,6 +126,9 @@ def silver_projection(bronze_batch: DataFrame) -> DataFrame:
         "cdc_operation",
         "cdc_timestamp",
         "insert_timestamp",
+        # dedup tiebreaker only — not a Silver column (MERGE ignores
+        # source columns absent from the target schema)
+        "record_seq",
     )
 
 
@@ -210,19 +224,28 @@ class MedallionPipeline:
             try:
                 bad = batch_df.where(F.col("_corrupt_record").isNotNull())
                 if not bad.isEmpty():
+                    # txn guard: a crash between this append and Spark's
+                    # streaming-checkpoint commit re-delivers the batch —
+                    # the recorded (app, batch_id) makes the replay a no-op
+                    # instead of permanent duplicate rows
                     quarantine.append(
                         bad.select(
                             "_corrupt_record",
                             "file_name",
                             F.current_timestamp().alias("insert_timestamp"),
-                        )
+                        ),
+                        txn_app_id="pipeline_quarantine",
+                        txn_version=int(_batch_id),
                     )
                 good = batch_df.where(F.col("_corrupt_record").isNull()).drop(
                     "_corrupt_record"
                 )
                 if not good.isEmpty():
                     bronze.append(
-                        augment_bronze(good), merge_schema=self.schema_evolution
+                        augment_bronze(good),
+                        merge_schema=self.schema_evolution,
+                        txn_app_id="pipeline_bronze",
+                        txn_version=int(_batch_id),
                     )
             finally:
                 batch_df.unpersist()
@@ -246,13 +269,17 @@ class MedallionPipeline:
             starting_version=0,
         )
 
-        def apply(batch: DataFrame, _version: int) -> None:
+        def apply(batch: DataFrame, version: int) -> None:
+            # order guard: a LATE re-delivered older batch (cross-batch
+            # reordering) must never regress Silver to stale values — the
+            # hash guard alone only absorbs identical re-delivery
             merge_cdc_batch(
                 silver,
                 silver_projection(batch),
                 key_cols=["id"],
                 order_cols=["cdc_timestamp"],
-                tiebreak_cols=["insert_timestamp"],
+                tiebreak_cols=["insert_timestamp", "record_seq"],
+                order_guard_col="cdc_timestamp",
             )
 
         return reader.process_available(apply)
@@ -268,16 +295,21 @@ class MedallionPipeline:
             starting_version=1,
         )
 
-        def apply(changes: DataFrame, _version: int) -> None:
+        def apply(changes: DataFrame, version: int) -> None:
             deltas = cdf_signed_deltas(
                 changes, group_cols=["country"], value_col="num_visitors"
             ).withColumnRenamed("delta_value", "delta_visitors")
+            # txn guard keyed on the source CDF version: additive merges
+            # are NOT naturally idempotent (total += delta re-applies on
+            # replay after a crash before the reader's offset write)
             merge_agg_delta(
                 gold,
                 deltas,
                 group_cols=["country"],
                 agg_col="sum_visitors",
                 delta_col="delta_visitors",
+                txn_app_id="pipeline_gold",
+                txn_version=version,
             )
 
         return reader.process_available(apply)

@@ -37,7 +37,22 @@ def read_schema_columns(df: DataFrame) -> list[str]:
         if "ReadSchema:" in line:
             schema = line.split("ReadSchema:")[1].strip()
             inner = schema[schema.find("<") + 1 : schema.rfind(">")]
-            for part in inner.split(","):
+            # split only at TOP-LEVEL commas: decimal(p,s) and nested
+            # struct<...>/map<...> types carry commas of their own, which
+            # a naive split turns into phantom column names ('2)')
+            depth = 0
+            part_start = 0
+            parts: list[str] = []
+            for i, ch in enumerate(inner):
+                if ch in "(<":
+                    depth += 1
+                elif ch in ")>":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(inner[part_start:i])
+                    part_start = i + 1
+            parts.append(inner[part_start:])
+            for part in parts:
                 name = part.split(":")[0].strip()
                 if name:
                     cols.append(name)
@@ -45,7 +60,8 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)  # format once: explainString is a JVM call
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def shuffle_count(df: DataFrame) -> int:

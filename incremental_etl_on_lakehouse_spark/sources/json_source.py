@@ -114,7 +114,7 @@ class SchemaTracker:
         self.sample_path = sample_path or landing_path
 
     def _persist(self, schema: StructType) -> None:
-        os.makedirs(os.path.dirname(self.location), exist_ok=True)
+        os.makedirs(os.path.dirname(self.location) or ".", exist_ok=True)
         tmp = self.location + ".tmp"
         with open(tmp, "w") as f:
             json.dump(schema.jsonValue(), f)

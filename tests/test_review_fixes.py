@@ -393,3 +393,90 @@ def test_vacuum_sweeps_orphaned_stage_dirs(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert os.path.exists(fresh)  # fresh stage (in-flight writer) kept
     assert t.to_df().count() == 1  # committed data untouched
+
+
+def test_gold_additive_merge_replay_is_noop(spark, tmp_path):
+    """Replaying an applied CDF window through the txn-guarded additive
+    merge must not re-apply its deltas (crash between merge commit and
+    reader offset write)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import merge_agg_delta
+
+    gold = LakeTable.create(
+        spark,
+        str(tmp_path / "gold"),
+        StructType(
+            [StructField("g", StringType()), StructField("total", LongType())]
+        ),
+    )
+    deltas = spark.createDataFrame([("a", 5)], "g string, delta_value long")
+    merge_agg_delta(
+        gold, deltas, ["g"], "total", txn_app_id="gold", txn_version=1
+    )
+    # replay of the same window: no-op
+    m = merge_agg_delta(
+        gold, deltas, ["g"], "total", txn_app_id="gold", txn_version=1
+    )
+    assert m.get("replayed_txn") is True
+    assert [r["total"] for r in gold.to_df().collect()] == [5]
+    # the NEXT window applies normally
+    merge_agg_delta(
+        gold, deltas, ["g"], "total", txn_app_id="gold", txn_version=2
+    )
+    assert [r["total"] for r in gold.to_df().collect()] == [10]
+
+
+def test_pipeline_cross_batch_stale_update_rejected(spark, tmp_path):
+    """A late-arriving file carrying an OLDER cdc_timestamp for an already
+    merged key must not regress Silver (order guard)."""
+    import json as _json
+
+    from incremental_etl_on_lakehouse_spark.pipeline import MedallionPipeline
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = MedallionPipeline(spark, str(tmp_path / "lake"), str(landing))
+
+    def drop(name, ts, visitors):
+        (landing / name).write_text(
+            _json.dumps(
+                [
+                    {
+                        "id": 1,
+                        "country": "X",
+                        "district": "d",
+                        "visit_timestamp": "2024-01-01 00:00:00",
+                        "num_visitors": visitors,
+                        "cdc_operation": "UPDATE",
+                        "cdc_timestamp": ts,
+                    }
+                ],
+                indent=1,
+            )
+        )
+
+    drop("f1.json", "2024-01-02 00:00:00.000", 100)  # newer arrives first
+    p.run_available()
+    drop("f2.json", "2024-01-01 12:00:00.000", 7)  # late, older event
+    p.run_available()
+    rows = p.silver.to_df().collect()
+    assert len(rows) == 1 and rows[0]["num_visitors"] == 100, rows
+
+
+def test_read_schema_columns_handles_decimals():
+    from incremental_etl_on_lakehouse_spark import plans
+
+    class FakeDF:  # duck-typed: only formatted_plan(df) is exercised
+        pass
+
+    plan = (
+        "(1) Scan parquet\n"
+        "ReadSchema: struct<l_quantity:decimal(12,2),l_tax:decimal(12,2),"
+        "meta:struct<a:int,b:int>>\n"
+    )
+    orig = plans.formatted_plan
+    plans.formatted_plan = lambda df: plan
+    try:
+        cols = plans.read_schema_columns(FakeDF())
+    finally:
+        plans.formatted_plan = orig
+    assert cols == ["l_quantity", "l_tax", "meta"], cols
