@@ -1251,11 +1251,56 @@ class LakeTable:
         cols = self.properties().get("statsColumns", "")
         return [c for c in cols.split(",") if c] if isinstance(cols, str) else list(cols)
 
-    def _stage_write(self, df: DataFrame) -> tuple[list[dict], int]:
+    def _touched_rows_upper_bound(self, touched: list[str]) -> int:
+        """Sum of the log-recorded row counts of ``touched`` (absolute-path)
+        files — an upper bound on any rewrite of them (DV-masked rows are
+        counted as live), used only to size optimized writes."""
+        active = self._state()["active"]
+        return sum(
+            (active.get(self._rel_of(f)) or {}).get("rows", 0) for f in touched
+        )
+
+    def _optimized_write_partitions(self, expected_rows: int) -> int:
+        """File-count target for an optimized write of ~``expected_rows``
+        rows: ceil(rows / optimizedWrite.targetFileRows), clamped. The
+        default matches :meth:`compact`'s sizing so rewrites land at the
+        same file granularity OPTIMIZE would produce."""
+        per_file = int(
+            self.properties().get("optimizedWrite.targetFileRows", 4_000_000)
+        )
+        return max(1, min((expected_rows + per_file - 1) // per_file, 10_000))
+
+    def _stage_write(
+        self, df: DataFrame, expected_rows: int | None = None
+    ) -> tuple[list[dict], int]:
         """Write df as parquet under data/<uuid>/ (hive-partitioned when the
         table declares partition columns), return (adds, rows). Per-file
         min/max stats for ``stats_columns()`` are read from the parquet
-        footers (no data scan) and recorded in the add entries."""
+        footers (no data scan) and recorded in the add entries.
+
+        ``expected_rows`` (when the caller knows the output size — rewrite
+        paths read it from the commit log's per-file row counts) enables
+        Delta-style OPTIMIZED WRITES: a repartition to
+        ceil(expected/targetFileRows) tasks before the write, so a MERGE
+        touching 2 files emits 1 right-sized file instead of one shard per
+        shuffle partition. Without it a 1k-row rewrite under
+        shuffle.partitions=200 writes 200 ~KB files, and every later read,
+        probe, and CDF scan pays 200 file opens — the small-file problem
+        that OPTIMIZE exists to undo; sizing at write time avoids creating
+        it. Disable with TBLPROPERTIES optimizedWrite.enabled = false.
+        An overestimate (e.g. DV-masked rows counted as live) only raises
+        the file-count ceiling, never correctness."""
+        if (
+            expected_rows is not None
+            and self.properties().get("optimizedWrite.enabled", "true")
+            != "false"
+        ):
+            n = self._optimized_write_partitions(expected_rows)
+            pcols = self.partition_columns()
+            # partitioned tables hash on the partition columns so each
+            # hive dir receives whole tasks (contiguous files), not a
+            # shard from every task
+            df = df.repartition(n, *pcols) if pcols else df.repartition(n)
         rel_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
         out = self._abs(rel_dir)
         cur_schema = self.schema()
@@ -1904,7 +1949,14 @@ class LakeTable:
             return v
         kept = touched_rows.where(~cond).drop("__file")
         deleted = touched_rows.where(cond).drop("__file")
-        adds, kept_rows = self._stage_write(self._align(kept)) if kept.limit(1).count() else ([], 0)
+        adds, kept_rows = (
+            self._stage_write(
+                self._align(kept),
+                expected_rows=self._touched_rows_upper_bound(touched),
+            )
+            if kept.limit(1).count()
+            else ([], 0)
+        )
         cdf_rel = None
         if self.cdf_enabled():
             cdf_rel = self._write_cdf(deleted.withColumn(CHANGE_TYPE, F.lit("delete")))
@@ -1993,7 +2045,10 @@ class LakeTable:
             affected = touched_rows.where(cond).persist()
             commit_dv, removable = self._write_dv(affected, touched, dvmap)
             post_upd = affected.select(*post_cols)
-            adds, n_rows = self._stage_write(self._align(post_upd))
+            adds, n_rows = self._stage_write(
+                self._align(post_upd),
+                expected_rows=self._touched_rows_upper_bound(touched),
+            )
             cdf_rel = None
             if self.cdf_enabled():
                 pre = affected.drop("__file", "__fname", "__pos")
@@ -2025,7 +2080,10 @@ class LakeTable:
             )
             return v
         rewritten = touched_rows.select(*post_cols, "__file").drop("__file")
-        adds, _rows = self._stage_write(self._align(rewritten))
+        adds, _rows = self._stage_write(
+            self._align(rewritten),
+            expected_rows=self._touched_rows_upper_bound(touched),
+        )
         cdf_rel = None
         if self.cdf_enabled():
             pre = touched_rows.where(cond).drop("__file")
@@ -2374,14 +2432,22 @@ class LakeTable:
             {dv_map[r] for r in removed if r in dv_map} - refs_after
         )
 
-    def _write_cdf(self, df: DataFrame) -> str:
+    def _write_cdf(self, df: DataFrame, expected_rows: int | None = None) -> str:
         rel = os.path.join(CDF_DIR, uuid.uuid4().hex)
         # physical names on disk (column mapping): a later rename must not
         # orphan historical change rows — read side re-aliases to the
         # current logical names
-        self._to_physical(df, self.schema()).write.mode("overwrite").parquet(
-            self._abs(rel)
-        )
+        out = self._to_physical(df, self.schema())
+        if (
+            expected_rows is not None
+            and self.properties().get("optimizedWrite.enabled", "true")
+            != "false"
+        ):
+            # same optimized-write sizing as _stage_write: change feeds are
+            # sparse, and a per-shuffle-partition shard explosion here makes
+            # every downstream CDF reader pay the file opens
+            out = out.repartition(self._optimized_write_partitions(expected_rows))
+        out.write.mode("overwrite").parquet(self._abs(rel))
         return rel
 
     # ---------------------------------------------------------------- MERGE
@@ -2689,7 +2755,19 @@ class LakeTable:
                 new_data = new_data.unionByName(self._align(inserts, write_schema))
             adds, written_rows = ([], 0)
             if touched or n_ins:
-                adds, written_rows = self._stage_write(new_data)
+                # optimized write: output size is known exactly from the
+                # log's per-file row counts — survivors = touched - deletes,
+                # plus the inserts counted by the planning join
+                active_rows = {
+                    rel: a.get("rows", 0)
+                    for rel, a in self._state()["active"].items()
+                }
+                touched_total = sum(
+                    active_rows.get(self._rel_of(f), 0) for f in touched
+                )
+                adds, written_rows = self._stage_write(
+                    new_data, expected_rows=touched_total - n_del + n_ins
+                )
 
             # 4. Change-data-feed rows for this commit (materialized: merges
             #    change a sparse subset, so synthesis-from-files can't express them).
@@ -2732,7 +2810,9 @@ class LakeTable:
                 cdf_all = cdf_parts[0]
                 for p in cdf_parts[1:]:
                     cdf_all = cdf_all.unionByName(p)
-                cdf_rel = self._write_cdf(cdf_all)
+                cdf_rel = self._write_cdf(
+                    cdf_all, expected_rows=n_del + 2 * n_upd + n_ins
+                )
 
             metrics = {
                 "num_touched_files": len(touched),

@@ -206,13 +206,13 @@ def test_append_rebase_forced_collision(spark, tmp_path):
     fired = {}
     orig_stage = LakeTable._stage_write
 
-    def stage_with_interloper(self, df):
+    def stage_with_interloper(self, df, **kw):
         if not fired:
             fired["v"] = None
             fired["v"] = LakeTable(self.spark, self.path).append(
                 self.spark.createDataFrame([(7, "Peru", 7)], SCHEMA)
             )
-        return orig_stage(self, df)
+        return orig_stage(self, df, **kw)
 
     LakeTable._stage_write = stage_with_interloper
     try:
@@ -239,13 +239,13 @@ def test_append_rebase_disabled_for_identity_tables(spark, tmp_path):
     orig_stage = LakeTable._stage_write
     fired = {}
 
-    def stage_with_interloper(self, df):
+    def stage_with_interloper(self, df, **kw):
         if not fired:
             fired["v"] = None
             fired["v"] = LakeTable(self.spark, self.path).append(
                 self.spark.createDataFrame([("racer",)], "name string")
             )
-        return orig_stage(self, df)
+        return orig_stage(self, df, **kw)
 
     LakeTable._stage_write = stage_with_interloper
     try:
@@ -271,7 +271,7 @@ def test_merge_write_skew_detected(spark, tmp_path):
     interloper_done = {}
     orig_stage = LakeTable._stage_write
 
-    def stage_with_interloper(self, df):
+    def stage_with_interloper(self, df, **kw):
         # first _stage_write of the merge: sneak in a concurrent append
         # through a second handle before the merge can commit (guard set
         # eagerly — the interloper's own append re-enters this hook)
@@ -280,7 +280,7 @@ def test_merge_write_skew_detected(spark, tmp_path):
             interloper_done["v"] = LakeTable(self.spark, self.path).append(
                 self.spark.createDataFrame([(7, "Peru", 7)], SCHEMA)
             )
-        return orig_stage(self, df)
+        return orig_stage(self, df, **kw)
 
     src = spark.createDataFrame([(1, "England", 99, "UPDATE")],
         StructType(SCHEMA.fields + [StructField("op", StringType())]))
@@ -1373,3 +1373,53 @@ def test_stream_max_versions_per_trigger_coalesces(spark, tmp_path):
     assert seen == [(2, [0, 1]), (4, [2, 3]), (5, [4])], seen
     # resume is a no-op from the recorded offset
     assert reader.process_available(lambda df, v: seen.append((v, None))) == 0
+
+
+def test_optimized_write_sizes_merge_rewrites(spark, tmp_path):
+    """A MERGE rewrite sizes its output from the log's per-file row counts
+    (ceil(rows / optimizedWrite.targetFileRows)) instead of emitting one
+    shard per shuffle partition — the Delta optimized-writes behaviour that
+    keeps rewrites from manufacturing the small-file problem."""
+    t = LakeTable.create(spark, str(tmp_path / "ow"), SCHEMA)
+    t.append(
+        spark.createDataFrame(
+            [(i, "England", i) for i in range(1, 201)], SCHEMA
+        ).coalesce(1)
+    )
+    assert len(t._state()["active"]) == 1
+    src = spark.createDataFrame([(i, "Wales", 0) for i in range(1, 51)], SCHEMA)
+    t.merge(
+        src,
+        "target.id = source.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    # 200 survivors << targetFileRows: the rewrite must land as ONE file,
+    # not one per shuffle partition (4 in tests) of the planning join
+    assert len(t._state()["active"]) == 1
+    got = {r["id"]: r["country"] for r in t.to_df().collect()}
+    assert got[1] == "Wales" and got[200] == "England" and len(got) == 200
+
+
+def test_optimized_write_disable_property(spark, tmp_path):
+    """TBLPROPERTIES optimizedWrite.enabled=false turns the rewrite
+    repartition off: the merge output lands with the join's natural
+    partitioning (whatever AQE leaves), and results stay identical."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "owoff"),
+        SCHEMA,
+        properties={"optimizedWrite.enabled": "false"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "England", i) for i in range(1, 201)], SCHEMA
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame([(i, "Wales", 0) for i in range(1, 51)], SCHEMA)
+    t.merge(
+        src,
+        "target.id = source.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    got = {r["id"]: r["country"] for r in t.to_df().collect()}
+    assert got[1] == "Wales" and got[200] == "England" and len(got) == 200

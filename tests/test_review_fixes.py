@@ -123,8 +123,8 @@ def test_rebase_aborts_on_concurrent_constraint(spark, tmp_path):
     fired = {}
     orig_stage = LakeTable._stage_write
 
-    def stage_with_constraint(self, df):
-        out = orig_stage(self, df)
+    def stage_with_constraint(self, df, **kw):
+        out = orig_stage(self, df, **kw)
         if not fired:
             fired["v"] = None
             # interloper commits ADD CONSTRAINT after the loser staged
@@ -153,8 +153,8 @@ def test_txn_replay_race_cleans_staged_files(spark, tmp_path):
     fired = {}
     orig_stage = LakeTable._stage_write
 
-    def stage_with_replay(self, df):
-        out = orig_stage(self, df)
+    def stage_with_replay(self, df, **kw):
+        out = orig_stage(self, df, **kw)
         if not fired:
             fired["v"] = None
             fired["v"] = LakeTable(self.spark, self.path).append(
