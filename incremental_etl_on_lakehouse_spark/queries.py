@@ -1163,6 +1163,74 @@ def util_deletion_vectors(spark, sf_dir):
 
 
 @query(
+    "util_optimized_writes",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
+    " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+    " true AS rewrite_sized_from_log, true AS respects_target_file_rows"
+    " FROM nation ORDER BY n_nationkey",
+)
+def util_optimized_writes(spark, sf_dir):
+    """Optimized writes (Delta's optimizeWrite, lake/table.py: _stage_write
+    expected_rows branch): rewrite paths repartition to
+    ceil(log-recorded rows / optimizedWrite.targetFileRows) before staging,
+    so a MERGE touching one 25-row file lands ONE file, not one shard per
+    shuffle partition (rewrite_sized_from_log), and shrinking
+    targetFileRows to 10 makes the same rewrite land ceil(25/10) = 3 files
+    (respects_target_file_rows) — the sizing really is driven by the log's
+    row counts, not an AQE accident. The oracle pins the merged row set, so
+    the attested rewrites are also value-exact."""
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    upd = nat.where(F.col("n_regionkey") == 0).withColumn(
+        "n_name", F.upper("n_name")
+    )
+
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "ow"), schema)
+    t.append(nat.coalesce(1))
+    t.merge(
+        upd,
+        "target.n_nationkey = source.n_nationkey",
+        [MergeClause("update", None, "*")],
+    )
+    rewrite_sized_from_log = len(t.files()) == 1
+
+    t2 = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "ow10"),
+        schema,
+        properties={"optimizedWrite.targetFileRows": "10"},
+    )
+    t2.append(nat.coalesce(1))
+    t2.merge(
+        upd,
+        "target.n_nationkey = source.n_nationkey",
+        [MergeClause("update", None, "*")],
+    )
+    respects_target_file_rows = len(t2.files()) == 3
+
+    return t.to_df().select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit(bool(rewrite_sized_from_log)).alias("rewrite_sized_from_log"),
+        F.lit(bool(respects_target_file_rows)).alias(
+            "respects_target_file_rows"
+        ),
+    ).orderBy("n_nationkey")
+
+
+@query(
     "ddl_drop",
     "SELECT true AS existed_before, false AS exists_after",
 )
