@@ -449,3 +449,86 @@ def unigram_lm_score(
         F.round(F.avg("__lp"), 6).alias("cross_entropy"),
         F.round(F.exp(F.avg("__lp")), 2).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Bloom filter over a key column — the decontamination scale
+# path when the benchmark shingle set outgrows the broadcast threshold.
+# --------------------------------------------------------------------------
+
+BLOOM_DECON_SEEDS = (0xB100F1, 0xB100F2, 0xB100F3)
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    col: str,
+    m_bits: int = 1 << 17,
+    seeds: tuple[int, ...] = BLOOM_DECON_SEEDS,
+) -> DataFrame:
+    """Aggregate a key column into a single-row Bloom bitmap DataFrame.
+
+    Entirely JVM-side: each key explodes into ``len(seeds)`` bit positions
+    (``pmod(xxhash64(key, seed), m_bits)``), positions group-by their
+    64-bit word index with a ``bit_or`` combine (map-side partial — the
+    shuffle carries at most ``m_bits/64`` rows per partition), and one
+    final row assembles the dense ``array<bigint>`` bitmap via an O(1)
+    ``try_element_at`` fill over the word sequence.  The result is
+    metadata-scale (m_bits/8 bytes) no matter how many keys went in, so it
+    broadcasts even when the key set itself never could.
+    """
+    n_words = m_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
+                for s in seeds
+            ]
+        )
+    ).alias("__p")
+    words = keys.select(pos).select(
+        (F.col("__p") / 64).cast("long").alias("__w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias(
+            "__m"
+        ),
+    )
+    return (
+        words.groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__b"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__w", "__b"))
+            ).alias("__mp")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+                lambda i: F.coalesce(
+                    F.try_element_at(F.col("__mp"), i),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bf")
+        )
+    )
+
+
+def bloom_probe(
+    col: str,
+    bf_col: str = "bf",
+    m_bits: int = 1 << 17,
+    seeds: tuple[int, ...] = BLOOM_DECON_SEEDS,
+) -> Column:
+    """Membership-test predicate against a :func:`bloom_bitmap` array.
+
+    Pure column expression — per row, ``len(seeds)`` hash evaluations and
+    O(1) array lookups (``element_at`` on ``array<bigint>``, never a map
+    scan). False positives possible (callers exact-verify survivors),
+    false negatives impossible.
+    """
+    tests = []
+    for s in seeds:
+        p = f"pmod(xxhash64({col}, {s}), {m_bits})"
+        tests.append(
+            f"((shiftright(element_at({bf_col}, CAST({p} div 64 AS INT) + 1),"
+            f" CAST(pmod({p}, 64) AS INT))) & 1) = 1"
+        )
+    return F.expr(" AND ".join(tests))

@@ -2615,6 +2615,65 @@ def ext_decontaminate(spark, sf_dir):
 
 
 @query(
+    "ext_decontaminate_bloom",
+    "WITH corpus AS (SELECT doc_id, text FROM documents"
+    " UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 7),"
+    f" bgrams AS (SELECT DISTINCT unnest({_SHINGLES8}) AS gram"
+    "  FROM documents WHERE doc_id % 50 = 7),"
+    f" cgrams AS (SELECT doc_id, unnest({_SHINGLES8}) AS gram FROM corpus)"
+    " SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hit_shingles"
+    " FROM cgrams JOIN bgrams USING (gram)"
+    " GROUP BY doc_id ORDER BY doc_id",
+)
+def ext_decontaminate_bloom(spark, sf_dir):
+    """Benchmark decontamination, Bloom-prefiltered — the 100 TB scale path
+    for when the benchmark suite's distinct shingle set outgrows the
+    broadcast-hash-join threshold (hundreds of eval sets -> billions of
+    grams). Same planted scenario and byte-identical result contract as
+    ext_decontaminate (the oracle is the same exact SQL), different plan:
+
+    1. the benchmark grams aggregate into a 128 Kbit Bloom bitmap
+       (operators/text.py: bloom_bitmap) — a single array<bigint> row of
+       fixed 16 KB, metadata-scale REGARDLESS of gram count, built with one
+       map-side-combined bit_or shuffle capped at 2048 rows/partition;
+    2. the bitmap broadcasts (1-row BroadcastNestedLoopJoin) and every
+       corpus shingle probes it with three xxhash64 + O(1) element_at bit
+       tests, all inside whole-stage codegen (operators/text.py:
+       bloom_probe) — the corpus scan stays narrow and prunes ~all clean
+       grams before any join;
+    3. only Bloom survivors exact-verify against the true gram set via a
+       SHUFFLE hash join (hint pins it — the premise is that this side
+       cannot broadcast), whose left side is now tiny, false positives
+       dropping out here so the result stays exact.
+
+    False negatives are impossible (every benchmark gram is in the
+    filter), so Bloom+exact-verify == the plain exact join, which is what
+    the shared oracle attests."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 7)
+    planted = bench.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    bgrams = (
+        bench.select(F.explode(T.shingles(F.col("text"), 8)).alias("gram"))
+        .distinct()
+    )
+    cgrams = corpus.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 8)).alias("gram")
+    )
+    candidates = cgrams.crossJoin(F.broadcast(T.bloom_bitmap(bgrams, "gram"))).where(
+        T.bloom_probe("gram")
+    )
+    return (
+        candidates.join(bgrams.hint("shuffle_hash"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("gram").alias("n_hit_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "ext_dedup_embedding",
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
     "  FROM embeddings),"

@@ -293,6 +293,19 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_decontaminate_bloom_probe_is_prebroadcast(spark, sf_dir):
+    """The Bloom variant's contract: the 16 KB bitmap broadcasts as ONE row
+    (BroadcastNestedLoopJoin), the exact-verify join is the pinned SHUFFLE
+    hash join (its premise is a benchmark side too big to broadcast), and
+    no gram-keyed broadcast-hash join sneaks back in."""
+    df = QUERIES["ext_decontaminate_bloom"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_line_dedup_wide_shuffles_are_hash_keyed(spark, sf_dir):
     """The cross-corpus occurrence count + verdict join must shuffle on
     xxhash64(line) BIGINTs, never on raw line text: at 100 TB the line
