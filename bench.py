@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     # round-4: SCD2 history merge — two classify-join + staged-union MERGE
     # rounds over the CDC batches (tracks the new multi-clause merge path)
     "merge_scd2",
+    # round-4: Bloom-prefiltered decontamination — measured next to
+    # ext_decontaminate so the exact-vs-bloom cost gap stays visible
+    "ext_decontaminate_bloom",
 ]
 
 

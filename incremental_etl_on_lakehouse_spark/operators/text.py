@@ -471,10 +471,12 @@ def bloom_bitmap(
     (``pmod(xxhash64(key, seed), m_bits)``), positions group-by their
     64-bit word index with a ``bit_or`` combine (map-side partial — the
     shuffle carries at most ``m_bits/64`` rows per partition), and one
-    final row assembles the dense ``array<bigint>`` bitmap via an O(1)
-    ``try_element_at`` fill over the word sequence.  The result is
-    metadata-scale (m_bits/8 bytes) no matter how many keys went in, so it
-    broadcasts even when the key set itself never could.
+    final row assembles the dense ``array<bigint>`` bitmap by sorting the
+    collected (word, bits) structs — O(n log n); an earlier map-keyed fill
+    was O(n^2) because Spark map lookups scan linearly.  Gap words are
+    guaranteed present by unioning an all-zero word range before the
+    combine.  The result is metadata-scale (m_bits/8 bytes) no matter how
+    many keys went in, so it broadcasts even when the key set never could.
     """
     n_words = m_bits // 64
     pos = F.explode(
@@ -491,21 +493,17 @@ def bloom_bitmap(
             "__m"
         ),
     )
+    zeros = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("__w"), F.lit(0).cast("long").alias("__m")
+    )
     return (
-        words.groupBy("__w")
+        words.unionByName(zeros)
+        .groupBy("__w")
         .agg(F.expr("bit_or(__m)").alias("__b"))
         .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("__w", "__b"))
-            ).alias("__mp")
-        )
-        .select(
             F.transform(
-                F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-                lambda i: F.coalesce(
-                    F.try_element_at(F.col("__mp"), i),
-                    F.lit(0).cast("long"),
-                ),
+                F.array_sort(F.collect_list(F.struct("__w", "__b"))),
+                lambda x: x["__b"],
             ).alias("bf")
         )
     )

@@ -2662,9 +2662,14 @@ def ext_decontaminate_bloom(spark, sf_dir):
     cgrams = corpus.select(
         "doc_id", F.explode(T.shingles(F.col("text"), 8)).alias("gram")
     )
-    candidates = cgrams.crossJoin(F.broadcast(T.bloom_bitmap(bgrams, "gram"))).where(
-        T.bloom_probe("gram")
-    )
+    # 1 Mbit ≈ 20 bits/gram at sf0.1 (fp < 1e-3); still a 128 KB broadcast.
+    # Sizing rule at scale: m ≈ 10·n keeps (1-e^{-3n/m})^3 under 1% — an
+    # under-sized filter stays CORRECT (exact verify drops fps) but stops
+    # pruning, which is a perf cliff, not a wrong answer.
+    m_bits = 1 << 20
+    candidates = cgrams.crossJoin(
+        F.broadcast(T.bloom_bitmap(bgrams, "gram", m_bits=m_bits))
+    ).where(T.bloom_probe("gram", m_bits=m_bits))
     return (
         candidates.join(bgrams.hint("shuffle_hash"), "gram")
         .groupBy("doc_id")
