@@ -506,3 +506,33 @@ def test_connected_components_raises_without_convergence(spark):
     # with budget it converges to a single component
     comps = D.connected_components(chain, max_iterations=10).collect()
     assert {r["component"] for r in comps} == {0}
+
+
+def test_bloom_bitmap_no_false_negatives_and_low_fp(spark):
+    """Every inserted key must probe true (Bloom guarantees zero false
+    negatives); disjoint keys may false-positive but at 1 Mbit / 2k keys
+    (~0.006 bits-set density) the measured fp count over 10k probes must
+    stay far under the exact-verify join's noise floor."""
+    m = 1 << 20
+    members = spark.range(2000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+    bf = F.broadcast(text.bloom_bitmap(members, "k", m_bits=m))
+    hits = (
+        members.crossJoin(bf)
+        .where(text.bloom_probe("k", m_bits=m))
+        .count()
+    )
+    assert hits == 2000  # no false negatives, ever
+
+    outsiders = spark.range(10000).select(
+        F.concat(F.lit("outsider-"), F.col("id")).alias("k")
+    )
+    fps = (
+        outsiders.crossJoin(bf)
+        .where(text.bloom_probe("k", m_bits=m))
+        .count()
+    )
+    # (1 - e^{-3*2000/2^20})^3 ~ 1.8e-7 -> expect 0; allow slack for hash
+    # clustering without letting a broken probe (fp ~ 10000) pass
+    assert fps <= 5, fps
