@@ -131,21 +131,33 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "medians": medians,
-                "median_total": round(sum(medians.values()), 3),
-                "samples": samples,
-                "n": n_runs,
-                "sf": sf,
-            }
-        )
+    # stdout carries ONLY the compact contract line: the driver tail-captures
+    # ~2000 chars of stdout, and round 4's line (per-key medians + 5-sample
+    # arrays riding along) overflowed it, recording "parsed": null. The full
+    # diagnostics (medians, samples, n) go to stderr and a sidecar file.
+    compact = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"bench stdout line too long: {len(line)}"
+    print(line)
+    diagnostics = dict(
+        compact,
+        medians=medians,
+        median_total=round(sum(medians.values()), 3),
+        samples=samples,
+        n=n_runs,
     )
+    print(json.dumps(diagnostics), file=sys.stderr)
+    try:
+        with open("bench_detail.json", "w") as fh:
+            json.dump(diagnostics, fh, indent=1)
+    except OSError:
+        pass
     spark.stop()
 
 
