@@ -7668,46 +7668,74 @@ def fn_string_distance(spark, sf_dir):
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-4 ROTATION (see ROTATION.md): every r1-r3 driver-green key
-    # rotated out to _SECOND_PRIORITY; the 50 slots hold exactly the
-    # full-oracle keys that have NEVER had a driver sweep row (r3 verdict
-    # item 1).  51 such keys exist; `sql_interface` defers to round 5
-    # because its code path already has driver evidence through
-    # snk_merge_sql / snk_update_delete_sql (both r3-green).
+    # ROUND-5 ROTATION (see ROTATION.md): the 50 slots hold exactly the
+    # full-oracle keys that have NEVER had a driver sweep row — the 64
+    # keys registered in round 4 behind the 50-slot cap plus
+    # `sql_interface` (deferred from round 4).  65 candidates for 50
+    # slots: the 15 near-tautological scalar/window/simple keys defer to
+    # positions 51-65 (_SECOND_PRIORITY head) so any sweep-budget
+    # overflow reaches them first; their local hash parity
+    # (tests/test_oracle_parity.py, every run) is strong evidence already.
     #
-    # TPC-H completion set (17 shapes without driver rows)
+    # lake features: DDL / table-utility / merge surface (19)
+    "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
+    "snk_replace_where", "ddl_rename_column", "util_bloom_skipping",
+    "ddl_generated_columns", "ddl_identity_columns", "merge_scd2",
+    "merge_schema_evolution", "util_analyze_stats", "util_describe_detail",
+    "util_concurrent_append", "util_optimize_incremental",
+    "util_optimized_writes", "ddl_add_drop_column", "ddl_tblproperties",
+    "ddl_create_sql", "snk_copy_into",
+    # sinks / sources / SQL front door (5)
+    "sql_interface", "snk_dynamic_partition_overwrite", "snk_insert_sql",
+    "src_orc_batch", "src_partition_pruned",
+    # streaming (3)
+    "stream_exactly_once", "stream_scd2", "stream_sliding_window",
+    # joins (2)
+    "join_bucketed", "join_stats_driven",
+    # LLM-pipeline corpus operators (20)
+    "ext_repetition_filter", "ext_mix_budget", "ext_chunk_docs",
+    "ext_tfidf_topk", "ext_semdedup_planted", "ext_lm_perplexity",
+    "ext_corpus_pipeline", "ext_substring_dedup", "ext_dedup_incremental",
+    "ext_dedup_survivors", "ext_quality_buckets", "ext_embedding_quantize",
+    "ext_export_shards", "ext_url_normalize", "ext_dedup_url",
+    "ext_domain_blocklist", "ext_dataset_split", "ext_multimodal_resize",
+    "ext_multimodal_frames", "ext_decontaminate_bloom",
+    # incremental aggregate completion (1)
+    "agg_incremental_var",
+]
+
+# Rotated-out keys directly behind the cap line: positions 51-65 are the
+# 15 never-swept round-4 keys deferred by the 50-slot cap (near-
+# tautological scalar functions, simple windows/aggs, and trivially-
+# shaped sources — scheduled for round 6); everything after has
+# driver-green rows from rounds 1-4 (ROTATION.md) and stays locally
+# hash-verified by tests/test_oracle_parity.py every run.
+_SECOND_PRIORITY = [
+    # deferred round-5 overflow (never swept; round-6 head of queue)
+    "fn_datetime", "fn_map_ops", "fn_regexp_extract", "fn_array_ops",
+    "fn_higher_order", "fn_string_distance", "fn_variant_json",
+    "win_ntile", "win_range_frame", "join_full_outer",
+    "agg_histogram", "agg_approx_percentile", "src_text_lines",
+    "ext_doc_shuffle", "ext_resample_ffill",
+    # r4-green keys (rotated out)
     "q2_min_cost_supplier", "q4_order_exists", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q12_late_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
     "q20_excess_suppliers", "q21_waiting_suppliers",
-    # round-3 LLM-pipeline hygiene operators (full oracles, never swept)
     "ext_line_dedup", "ext_pii_redact", "ext_decontaminate",
-    # incremental-aggregate family completion + round-3 residue
     "agg_incremental_avg", "stream_dedup_watermark", "join_asof_forward",
     "ddl_partitioned_table", "util_history",
-    # §2.13 utility backfill — joins / windows / aggregates
     "join_semi", "join_anti", "join_range", "join_skew_salted",
     "win_lag", "win_running_sum", "win_rank_dense",
     "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_filtered",
     "agg_minmax_by", "agg_collect_list",
-    # §2.13 utility backfill — set ops / reshaping / functions / sources
     "setop_union", "setop_intersect", "setop_except",
     "pivot_wide", "unpivot_long", "explode_tokens",
     "fn_json_extract", "src_csv_batch",
-    # §2.13 utility backfill — streaming + EXT escape hatches
     "stream_window_agg", "ext_ngram_topk", "ext_embedding_cosine",
     "ext_udf_vectorized",
-]
-
-# Rotated-out keys directly behind the cap line: every one of these has
-# driver-green rows from rounds 1-3 (ROTATION.md) and stays locally
-# hash-verified by tests/test_oracle_parity.py every run.  Ordered so the
-# round-5 remainder (sql_interface — full oracle, never swept) sits
-# first, directly at position 51.
-_SECOND_PRIORITY = [
-    "sql_interface",
     # r3-green feature keys
     "snk_merge_sql", "snk_update_delete_sql", "src_time_travel_ts",
     "util_vacuum", "util_optimize_zorder", "util_restore",
