@@ -45,6 +45,24 @@ from pyspark.sql.types import (
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
 
 
+def lex_greater_sql(cols: list[str]) -> str:
+    """``source.(cols) > target.(cols)`` lexicographically, as merge-clause SQL.
+
+    For ``[a, b]``: ``(source.a > target.a OR (source.a = target.a AND
+    source.b > target.b))``. Strict on the final column, so an exactly-equal
+    tuple (identical redelivery) never fires a matched clause.
+    """
+    assert cols
+    terms = []
+    for i, c in enumerate(cols):
+        eqs = " AND ".join(
+            f"source.`{p}` = target.`{p}`" for p in cols[:i]
+        )
+        gt = f"source.`{c}` > target.`{c}`"
+        terms.append(f"({eqs} AND {gt})" if eqs else gt)
+    return "(" + " OR ".join(terms) + ")"
+
+
 def dedup_latest(
     df: DataFrame,
     key_cols: list[str],
@@ -79,6 +97,7 @@ def merge_cdc_batch(
     update_op: str = "UPDATE",
     tiebreak_cols: list[str] | None = None,
     order_guard_col: str | None = None,
+    order_guard_cols: list[str] | None = None,
 ) -> dict:
     """Dedup a CDC micro-batch and MERGE it into the snapshot table.
 
@@ -90,23 +109,27 @@ def merge_cdc_batch(
     Engine extensions over the reference:
     - the ``NOT MATCHED AND op <> DELETE`` guard (the reference would insert
       a DELETE-op row that never matched; its data never exercises this);
-    - ``order_guard_col``: a column present in BOTH source and target (e.g.
-      an event-time epoch) added as ``source.col > target.col`` to the
-      matched clauses, so a *late* re-delivered batch can never regress the
-      snapshot to older values. The reference only handles the
-      identical-redelivery case via the hash guard; with an order guard the
-      "latest cdc_timestamp wins" semantic holds under arbitrary reordering.
+    - ``order_guard_cols``: columns present in BOTH source and target (e.g.
+      an event-time epoch plus an ingest-time tiebreaker) compared
+      lexicographically-strictly-greater in the matched clauses, so a *late*
+      re-delivered batch can never regress the snapshot to older values. The
+      reference only handles the identical-redelivery case via the hash
+      guard; with an order guard the "latest (order cols) wins" semantic
+      holds under arbitrary reordering. A SINGLE event-time guard column is
+      a footgun: two changes to one key within one timestamp tick, split
+      across micro-batches, would be dropped by the strict ``>`` — pass a
+      stored tiebreaker (ingest timestamp, commit version) as the second
+      guard column so equal-event-time changes still apply while replayed
+      older batches (whose tiebreaker is older, since it is immutable under
+      replay) stay blocked. ``order_guard_col`` is the single-column form.
 
     Idempotence under at-least-once replay: a re-delivered batch fires zero
     clauses -> zero files rewritten (file pruning includes clause conditions).
     """
     deduped = dedup_latest(batch, key_cols, order_cols, tiebreak_cols)
     cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in key_cols)
-    guard = (
-        f" AND source.`{order_guard_col}` > target.`{order_guard_col}`"
-        if order_guard_col
-        else ""
-    )
+    guard_cols = list(order_guard_cols or ([order_guard_col] if order_guard_col else []))
+    guard = f" AND {lex_greater_sql(guard_cols)}" if guard_cols else ""
     clauses = [
         MergeClause("delete", f"source.`{op_col}` = '{delete_op}'" + guard),
         MergeClause(

@@ -272,14 +272,21 @@ class MedallionPipeline:
         def apply(batch: DataFrame, version: int) -> None:
             # order guard: a LATE re-delivered older batch (cross-batch
             # reordering) must never regress Silver to stale values — the
-            # hash guard alone only absorbs identical re-delivery
+            # hash guard alone only absorbs identical re-delivery.
+            # insert_timestamp rides as the second (lexicographic) guard
+            # column: it is the Bronze ingest time, immutable under replay
+            # and strictly later for later-ingested batches, so a change
+            # whose cdc_timestamp EQUALS the stored row's (two changes to
+            # one key inside one timestamp tick, split across batches)
+            # still applies, while replayed older batches stay blocked —
+            # a single strict cdc_timestamp guard would drop it forever.
             merge_cdc_batch(
                 silver,
                 silver_projection(batch),
                 key_cols=["id"],
                 order_cols=["cdc_timestamp"],
                 tiebreak_cols=["insert_timestamp", "record_seq"],
-                order_guard_col="cdc_timestamp",
+                order_guard_cols=["cdc_timestamp", "insert_timestamp"],
             )
 
         return reader.process_available(apply)

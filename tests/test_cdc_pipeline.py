@@ -233,6 +233,63 @@ def test_schema_drift_new_column_lands_in_bronze(pipeline):
     )
 
 
+def test_equal_timestamp_change_across_batches_applies(pipeline):
+    """Two changes to one key inside one cdc_timestamp tick, split across
+    micro-batches: the second must still apply.
+
+    A single strict ``cdc_timestamp > target.cdc_timestamp`` order guard
+    silently dropped it forever (the hash guard alone used to apply it);
+    the lexicographic (cdc_timestamp, insert_timestamp) guard restores it
+    because the second batch's Bronze ingest time is strictly later.
+    """
+    p, landing = pipeline
+    ts = "2023-01-01 10:00:00"
+    write_cdc_file(
+        landing / "cdc_1.json",
+        [(1, "England", "D1", ts, 100, "INSERT", ts + ".000")],
+    )
+    p.run_available()
+    assert silver_state(p) == {1: 100}
+
+    # same key, same cdc_timestamp, different content — a later batch
+    write_cdc_file(
+        landing / "cdc_2.json",
+        [(1, "England", "D1", ts, 250, "UPDATE", ts + ".000")],
+    )
+    p.run_available()
+    assert silver_state(p) == {1: 250}
+    assert gold_state(p) == {"England": 250}
+
+    # identical redelivery of the equal-ts update (hash equal, ingest later)
+    # must still be a no-op: the update clause's hash guard absorbs it
+    sv = p.silver.version()
+    write_cdc_file(
+        landing / "cdc_3.json",
+        [(1, "England", "D1", ts, 250, "UPDATE", ts + ".000")],
+    )
+    p.run_available()
+    assert silver_state(p) == {1: 250}
+    hist = {h["version"]: h for h in p.silver.history()}
+    merges_after = [
+        h for v, h in hist.items() if v > sv and h["operation"] == "MERGE"
+    ]
+    assert all(
+        h["metrics"]["num_updated_rows"] == 0
+        and h["metrics"]["num_deleted_rows"] == 0
+        for h in merges_after
+    )
+
+
+def test_lex_greater_sql_shapes():
+    from incremental_etl_on_lakehouse_spark.operators.cdc import lex_greater_sql
+
+    assert lex_greater_sql(["a"]) == "(source.`a` > target.`a`)"
+    assert lex_greater_sql(["a", "b"]) == (
+        "(source.`a` > target.`a` OR "
+        "(source.`a` = target.`a` AND source.`b` > target.`b`))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD Type-2 history merge (operators/cdc.py: scd2_merge)
 # ---------------------------------------------------------------------------
