@@ -99,16 +99,27 @@ class LakeCatalog:
         """Expose every table of ``db`` as ``<db>_<table>`` temp views so
         ``spark.sql`` queries can address them (the OSS stand-in for the
         reference's ``${db.x}`` SQL parameterization, ref :85-89)."""
+        # Ownership is derived from CURRENT catalog contents at register
+        # time, not a grow-only instance dict: a dict would keep a dropped
+        # table's claim forever (recreating a differently-owned table that
+        # maps to the same view name would raise in that instance), while a
+        # fresh catalog instance would bypass the check entirely.
+        owners: dict[str, tuple[str, str]] = {}
+        for d in self.databases():
+            for t in self.tables(d):
+                view = f"{d}_{t}"
+                if view in owners and owners[view] != (d, t):
+                    # '_' is ambiguous: db 'raw' + table 'events_2024' and
+                    # db 'raw_events' + table '2024' both map to
+                    # 'raw_events_2024' — replacing silently would point
+                    # queries at the wrong table with no error
+                    other = owners[view]
+                    raise ValueError(
+                        f"temp view name collision: {view!r} maps to both "
+                        f"{other[0]}.{other[1]} and {d}.{t}"
+                    )
+                owners[view] = (d, t)
+        self._view_owners = owners
         for name in self.tables(db):
             view = f"{db}_{name}"
-            owner = self._view_owners.setdefault(view, (db, name))
-            if owner != (db, name):
-                # '_' is ambiguous: db 'raw' + table 'events_2024' and db
-                # 'raw_events' + table '2024' both map to 'raw_events_2024'
-                # — replacing silently would point queries at the wrong
-                # table with no error
-                raise ValueError(
-                    f"temp view name collision: {view!r} already registered "
-                    f"for {owner[0]}.{owner[1]}"
-                )
             self.table(db, name).to_df(version).createOrReplaceTempView(view)

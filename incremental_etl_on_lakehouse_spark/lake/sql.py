@@ -534,10 +534,17 @@ def parse_create_table(sql: str) -> dict:
         depths = _depths(rest)
         open_idx = tm.end() - 1
         close_idx = next(
-            i
-            for i in range(open_idx + 1, len(rest))
-            if rest[i] == ")" and depths[i] == depths[open_idx] - 1
+            (
+                i
+                for i in range(open_idx + 1, len(rest))
+                if rest[i] == ")" and depths[i] == depths[open_idx] - 1
+            ),
+            None,
         )
+        if close_idx is None:
+            # callers treat ValueError as "parse failure"; a bare
+            # StopIteration from next() would escape as the wrong kind
+            raise ValueError("unbalanced TBLPROPERTIES parentheses")
         for kv in split_top_level(rest[tm.end():close_idx]):
             k, _, v = kv.partition("=")
             k = k.strip().strip("'\"`")

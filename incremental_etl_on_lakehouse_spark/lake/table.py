@@ -1002,7 +1002,40 @@ class LakeTable:
         if fmt == "json":
             df = reader.schema(read_schema).json(new_files)
         elif fmt == "csv":
-            df = reader.schema(read_schema).option("header", "true").csv(new_files)
+            # CSV is NOT self-describing: Spark applies a user schema
+            # positionally (enforceSchema), so a landing file whose header
+            # doesn't match the expected columns would silently shift every
+            # value sideways instead of erroring. Validate each header
+            # against the table schema by NAME (cheap: one line per file,
+            # and the file list is already driver-side), then read with a
+            # schema ordered like the header.
+            import csv as _csv
+
+            headers = {}
+            for fpath in new_files:
+                with open(fpath, newline="") as fh:
+                    headers[fpath] = next(_csv.reader(fh), [])
+            expected = {f.name for f in read_schema.fields}
+            by_name = {f.name: f for f in schema.fields}
+            header = headers[new_files[0]]
+            for fpath, h in headers.items():
+                if set(h) & set(idcols):
+                    raise ValueError(
+                        f"COPY INTO: {fpath} supplies GENERATED ALWAYS "
+                        f"identity column(s) {sorted(set(h) & set(idcols))}"
+                    )
+                if set(h) != expected:
+                    raise ValueError(
+                        f"COPY INTO: {fpath} header {h} does not match "
+                        f"table columns {sorted(expected)}"
+                    )
+                if h != header:
+                    raise ValueError(
+                        "COPY INTO: landing CSV files disagree on column "
+                        f"order: {fpath} has {h}, {new_files[0]} has {header}"
+                    )
+            header_schema = StructType([by_name[c] for c in header])
+            df = reader.schema(header_schema).option("header", "true").csv(new_files)
         elif fmt == "orc":
             df = reader.orc(*new_files)
         else:
@@ -2284,10 +2317,22 @@ class LakeTable:
         )
         return v
 
+    # Minimum age for the mtime-based sweeps below (orphaned stage dirs,
+    # crashed-writer tmp commit files). Unlike the reference-counted pass —
+    # whose victims come from PUBLISHED commits and are safe at any
+    # retention — these target paths a CONCURRENT writer may have staged
+    # but not yet committed; vacuum(retention_ms≈0) racing such a writer
+    # would delete its stage, and the writer's subsequent commit would then
+    # reference missing data. Delta guards the analogous hazard with
+    # retentionDurationCheck; here anything younger than this floor is
+    # skipped regardless of retention_ms unless force=True.
+    ORPHAN_SAFETY_MS = 3600 * 1000
+
     def vacuum(
         self,
         retention_ms: int = 7 * 24 * 3600 * 1000,
         dry_run: bool = False,
+        force: bool = False,
     ) -> list[str]:
         """Physically delete data files no longer referenced by the current
         snapshot whose removal commit is older than ``retention_ms`` —
@@ -2300,9 +2345,16 @@ class LakeTable:
         retention horizon. Time travel to versions within retention keeps
         working; versions older than retention may no longer be readable —
         the same contract as Delta. Returns the deleted relative paths
-        (``dry_run=True`` only reports).
+        (``dry_run=True`` only reports). ``force=True`` lifts the
+        ``ORPHAN_SAFETY_MS`` floor on the unreferenced-path sweeps (tests /
+        known-quiesced tables only).
         """
         horizon = lakelog.now_ms() - retention_ms
+        orphan_horizon = (
+            horizon
+            if force
+            else min(horizon, lakelog.now_ms() - self.ORPHAN_SAFETY_MS)
+        )
         commits = self._commits()
         state = self._state()
         # protect referenced DV sidecars too: RESTORE can re-point a file
@@ -2356,7 +2408,7 @@ class LakeTable:
                     continue
                 p = os.path.join(d, name)
                 try:
-                    if os.path.getmtime(p) * 1000 < horizon:
+                    if os.path.getmtime(p) * 1000 < orphan_horizon:
                         victims.append(os.path.relpath(p, self.path))
                 except OSError:
                     pass  # raced another vacuum
@@ -2369,7 +2421,7 @@ class LakeTable:
             if ".tmp-" in name:
                 p = os.path.join(ldir, name)
                 try:
-                    if os.path.getmtime(p) * 1000 < horizon:
+                    if os.path.getmtime(p) * 1000 < orphan_horizon:
                         victims.append(os.path.relpath(p, self.path))
                 except OSError:
                     pass  # raced another vacuum; nothing to clean

@@ -480,3 +480,96 @@ def test_read_schema_columns_handles_decimals():
     finally:
         plans.formatted_plan = orig
     assert cols == ["l_quantity", "l_tax", "meta"], cols
+
+
+# ---------------------------------------------------------------------------
+# round-5 advisor findings
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_orphan_sweep_has_safety_floor(spark, tmp_path):
+    """vacuum(retention_ms≈0) must NOT delete a fresh unreferenced stage
+    dir (a concurrent writer's staged-but-uncommitted files) — the
+    mtime-based sweeps keep an ORPHAN_SAFETY_MS floor regardless of
+    retention, lifted only by force=True."""
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "floor"), schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    inflight = os.path.join(t.path, "data", "inflightstage")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"staged")
+    swept = t.vacuum(retention_ms=-1)
+    assert os.path.exists(inflight), swept
+    # force lifts the floor (quiesced-table escape hatch)
+    swept = t.vacuum(retention_ms=-1, force=True)
+    assert not os.path.exists(inflight)
+    assert any("inflightstage" in v for v in swept)
+
+
+def test_copy_into_csv_rejects_shifted_header(spark, tmp_path):
+    """A landing CSV whose header doesn't match the table columns must be
+    rejected by name, not silently applied positionally (which shifts
+    every value sideways); one carrying a GENERATED ALWAYS identity column
+    must name that column."""
+    t = make_identity_table(spark, tmp_path, "csvcopy")
+    land = tmp_path / "land"
+    land.mkdir()
+    # good file: logical columns only, any header order
+    (land / "a.csv").write_text("name\nx\ny\n")
+    res = t.copy_into(str(land), pattern="a.csv", file_format="csv")
+    assert res["num_rows"] == 2
+    assert sorted(rids(t)) == [100, 105]
+    # file explicitly supplying the identity column
+    (land / "b.csv").write_text("name,rid\nz,999\n")
+    with pytest.raises(ValueError, match="rid"):
+        t.copy_into(str(land), pattern="b.csv", file_format="csv")
+    # file with a wrong/unknown column
+    (land / "c.csv").write_text("nome\nw\n")
+    with pytest.raises(ValueError, match="does not match"):
+        t.copy_into(str(land), pattern="c.csv", file_format="csv")
+    # table state unchanged by the rejected files
+    assert sorted(rids(t)) == [100, 105]
+
+
+def test_copy_into_csv_header_order_independent(spark, tmp_path):
+    """CSV columns in a different order than the table schema must land by
+    NAME (header-driven schema), not by position."""
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", StringType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "csvord"), schema)
+    land = tmp_path / "land2"
+    land.mkdir()
+    (land / "r.csv").write_text("b,a\nhello,7\n")
+    t.copy_into(str(land), pattern="r.csv", file_format="csv")
+    row = t.to_df().collect()[0]
+    assert (row["a"], row["b"]) == (7, "hello")
+
+
+def test_catalog_view_claim_released_on_drop(spark, tmp_path):
+    """Dropping a table must release its view-name claim: recreating a
+    differently-owned table mapping to the same view name registers fine,
+    while a LIVE ambiguity still raises."""
+    from incremental_etl_on_lakehouse_spark.lake.catalog import LakeCatalog
+
+    schema = StructType([StructField("id", LongType())])
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("raw", "events_2024", schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    cat.register_views("raw")
+    cat.drop_table("raw", "events_2024")
+    # same view name, different owner — must NOT raise after the drop
+    t2 = cat.create_table("raw_events", "2024", schema)
+    t2.append(spark.createDataFrame([(2,)], schema))
+    cat.register_views("raw_events")
+    assert spark.sql("SELECT id FROM raw_events_2024").collect()[0]["id"] == 2
+    # live ambiguity: both owners exist concurrently
+    t3 = cat.create_table("raw", "events_2024", schema)
+    t3.append(spark.createDataFrame([(3,)], schema))
+    with pytest.raises(ValueError, match="collision"):
+        cat.register_views("raw")
+    # a FRESH instance sees the same live ambiguity (ownership is derived
+    # from catalog contents, not per-instance memory)
+    with pytest.raises(ValueError, match="collision"):
+        LakeCatalog(spark, str(tmp_path / "cat")).register_views("raw")

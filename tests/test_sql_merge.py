@@ -334,3 +334,18 @@ def test_create_table_tblproperties_before_partitioned_by(spark, tmp_path):
     )
     assert t.cdf_enabled()
     assert t.partition_columns() == ["b"]
+
+
+def test_create_table_unbalanced_tblproperties_raises_valueerror(spark, tmp_path):
+    """Malformed DDL with an unbalanced TBLPROPERTIES '(' must surface as
+    ValueError (what callers catch as a parse failure), not a bare
+    StopIteration escaping from next()."""
+    import pytest
+
+    from incremental_etl_on_lakehouse_spark.lake.sql import parse_create_table
+
+    with pytest.raises(ValueError, match="TBLPROPERTIES"):
+        parse_create_table(
+            "CREATE TABLE t (a INT) USING delta "
+            "TBLPROPERTIES ('k' = 'v'"
+        )
