@@ -1630,6 +1630,13 @@ class LakeTable:
 
     def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
         schema = schema or self.schema()
+        # fast path: already aligned (same names, order, types) — skip
+        # building per-column cast expressions (dozens of py4j round-trips
+        # per call; merge calls this on every staged frame)
+        if [(f.name, f.dataType) for f in df.schema.fields] == [
+            (f.name, f.dataType) for f in schema.fields
+        ]:
+            return df
         present = set(df.columns)
         missing = [f.name for f in schema.fields if f.name not in present]
         # property lookup (a log read) only when a column actually needs
@@ -2765,9 +2772,10 @@ class LakeTable:
             # fresh values (the projection above filled them with NULL);
             # supplying one — via an explicit assignment, an INSERT * whose
             # source carries the column, or an UPDATE SET — is rejected,
-            # matching the append/overwrite contract. localCheckpoint pins
-            # the generated ids across the staged write and the CDF
-            # materialization (two actions; micro-batch scale).
+            # matching the append/overwrite contract. The generated ids are
+            # evaluated by exactly ONE action (the insert stage write; the
+            # change feed synthesizes inserts from the staged files), so no
+            # checkpoint is needed to pin them.
             idcols = self.identity_columns()
             if idcols:
                 src_cols_all = set(source.columns)
@@ -2790,7 +2798,7 @@ class LakeTable:
                 if inserts is not None:
                     inserts = self._assign_identity(
                         inserts.drop(*idcols), idcols
-                    ).localCheckpoint()
+                    )
 
             # Action counts were collected together with the touched-file
             # probe (one job); just aggregate the clause families.
@@ -2802,14 +2810,21 @@ class LakeTable:
             n_del = sum(action_counts.get(a, 0) for a in del_actions)
             n_upd = sum(action_counts.get(a, 0) for a in upd_actions)
 
-            new_data = self._align(survivors, write_schema)
-            if inserts is not None:
-                new_data = new_data.unionByName(self._align(inserts, write_schema))
+            # On a CDF-enabled table, survivors and inserts are staged
+            # SEPARATELY: insert rows then live in files of their own,
+            # flagged "ins" in the commit's add entries, and read_changes
+            # synthesizes their change rows from those files — so the CDF
+            # materialization below carries only the update/delete images
+            # (O(changed rows)), never a second copy of every inserted row.
+            # An insert-only merge (the initial CDC load) writes its data
+            # exactly once and skips the CDF job entirely. Without CDF the
+            # split buys nothing, so both parts ride one staged write.
+            split_inserts = self.cdf_enabled() and n_ins > 0
             adds, written_rows = ([], 0)
-            if touched or n_ins:
+            touched_total = 0
+            if touched:
                 # optimized write: output size is known exactly from the
-                # log's per-file row counts — survivors = touched - deletes,
-                # plus the inserts counted by the planning join
+                # log's per-file row counts — survivors = touched - deletes
                 active_rows = {
                     rel: a.get("rows", 0)
                     for rel, a in self._state()["active"].items()
@@ -2817,12 +2832,33 @@ class LakeTable:
                 touched_total = sum(
                     active_rows.get(self._rel_of(f), 0) for f in touched
                 )
+            if split_inserts:
+                if touched:
+                    adds, written_rows = self._stage_write(
+                        self._align(survivors, write_schema),
+                        expected_rows=touched_total - n_del,
+                    )
+                ins_adds, ins_rows = self._stage_write(
+                    self._align(inserts, write_schema), expected_rows=n_ins
+                )
+                for a in ins_adds:
+                    a["ins"] = True
+                adds = adds + ins_adds
+                written_rows += ins_rows
+            elif touched or n_ins:
+                new_data = self._align(survivors, write_schema)
+                if inserts is not None:
+                    new_data = new_data.unionByName(
+                        self._align(inserts, write_schema)
+                    )
                 adds, written_rows = self._stage_write(
                     new_data, expected_rows=touched_total - n_del + n_ins
                 )
 
-            # 4. Change-data-feed rows for this commit (materialized: merges
-            #    change a sparse subset, so synthesis-from-files can't express them).
+            # 4. Change-data-feed rows for this commit (materialized:
+            #    update/delete images touch a sparse subset, so
+            #    synthesis-from-files can't express them; inserts are
+            #    synthesized from the flagged files instead).
             cdf_rel = None
             pre_cols = [target_or_null(c).alias(c) for c in tgt_cols]
             cdf_parts = []
@@ -2852,18 +2888,12 @@ class LakeTable:
                         CHANGE_TYPE, F.lit("update_postimage")
                     )
                 )
-            if n_ins:
-                cdf_parts.append(
-                    self._align(inserts, write_schema).withColumn(
-                        CHANGE_TYPE, F.lit("insert")
-                    )
-                )
             if self.cdf_enabled() and cdf_parts:
                 cdf_all = cdf_parts[0]
                 for p in cdf_parts[1:]:
                     cdf_all = cdf_all.unionByName(p)
                 cdf_rel = self._write_cdf(
-                    cdf_all, expected_rows=n_del + 2 * n_upd + n_ins
+                    cdf_all, expected_rows=n_del + 2 * n_upd
                 )
 
             metrics = {
@@ -2958,13 +2988,26 @@ class LakeTable:
                 break
             # APPEND/OVERWRITE changes are synthesized from the commit's file
             # list, but MERGE/DELETE row-level changes exist only if CDF was
-            # enabled at commit time. Erroring beats a silently partial feed
-            # (inserts visible, updates/deletes missing) — same contract as
-            # Delta's table_changes on a non-CDF table.
+            # enabled at commit time. A MERGE's insert rows live in files of
+            # their own (add entries flagged "ins") and are synthesized like
+            # an append; only update/delete images need the materialized
+            # rows. Erroring beats a silently partial feed (inserts visible,
+            # updates/deletes missing) — same contract as Delta's
+            # table_changes on a non-CDF table.
+            merge_ins_adds = (
+                [a for a in c.add if a.get("ins")]
+                if c.operation == "MERGE"
+                else []
+            )
             if (
                 c.operation in ("MERGE", "DELETE", "REPLACE", "UPDATE")
                 and c.cdf_path is None
-                and (c.add or c.remove or c.dv)
+                and (
+                    [a for a in c.add if not a.get("ins")]
+                    or c.remove
+                    or c.dv
+                    or (c.operation != "MERGE" and c.add)
+                )
             ):
                 raise ValueError(
                     f"change feed incomplete: commit v{c.version} is a "
@@ -2973,6 +3016,11 @@ class LakeTable:
                     "outside this range)"
                 )
             part = None
+            if merge_ins_adds:
+                files = [self._abs(a["path"]) for a in merge_ins_adds]
+                part = self._read_files(files, dv_map=dv_after or None).withColumn(
+                    CHANGE_TYPE, F.lit("insert")
+                )
             if c.operation in (
                 "APPEND", "COPY INTO", "CREATE", "OVERWRITE", "RESTORE",
                 "CLONE",

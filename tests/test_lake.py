@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake import LakeTable, LakeStreamReader
+from incremental_etl_on_lakehouse_spark.lake import log as lakelog
 from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
 
 SCHEMA = StructType(
@@ -1423,3 +1424,61 @@ def test_optimized_write_disable_property(spark, tmp_path):
     )
     got = {r["id"]: r["country"] for r in t.to_df().collect()}
     assert got[1] == "Wales" and got[200] == "England" and len(got) == 200
+
+
+def test_merge_insert_cdf_synthesized_from_flagged_files(spark, tmp_path):
+    """A CDF-enabled merge stages insert rows into files of their own
+    (add entries flagged "ins") and the change feed synthesizes their
+    insert rows from those files — the materialized change rows carry only
+    the update/delete images, never a second copy of every insert."""
+    t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    src = spark.createDataFrame(
+        [(2, "Wales", 99), (3, "Scotland", 30), (4, "Ulster", 40)], SCHEMA
+    )
+    t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("update", "source.visitors <> target.visitors", "*"),
+            MergeClause("insert", None, "*"),
+        ],
+    )
+    v = t.version()
+    commit = lakelog.read_commit(t.path, v)
+    ins_adds = [a for a in commit.add if a.get("ins")]
+    plain_adds = [a for a in commit.add if not a.get("ins")]
+    assert ins_adds and plain_adds
+    assert sum(a["rows"] for a in ins_adds) == 2  # the two new keys
+    # materialized change rows = pre+post images of the ONE update only
+    cdf_rows = spark.read.parquet(t._abs(commit.cdf_path)).count()
+    assert cdf_rows == 2
+    # the full feed still reports every change
+    ch = t.read_changes(starting_version=v, ending_version=v)
+    got = {
+        (r["id"], r["_change_type"]): r["visitors"] for r in ch.collect()
+    }
+    assert got == {
+        (2, "update_preimage"): 20,
+        (2, "update_postimage"): 99,
+        (3, "insert"): 30,
+        (4, "insert"): 40,
+    }
+
+
+def test_merge_insert_only_skips_cdf_materialization(spark, tmp_path):
+    """An insert-only merge (initial CDC load) writes its data exactly
+    once: no materialized change rows at all, feed synthesized from the
+    flagged files."""
+    t = make_table(spark, tmp_path, [])
+    src = spark.createDataFrame([(1, "England", 10), (2, "Wales", 20)], SCHEMA)
+    t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    commit = lakelog.read_commit(t.path, t.version())
+    assert commit.cdf_path is None
+    assert all(a.get("ins") for a in commit.add)
+    ch = t.read_changes(starting_version=t.version())
+    got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(1, "insert"), (2, "insert")}
