@@ -1,0 +1,838 @@
+"""Set operations, additional relational coverage, specialized joins, second extension batch.
+
+Split from the original single-module ``queries.py`` (round-5 refactor);
+shares the registry, helpers, and imports of ``._core`` — registration
+order (and therefore ``ordered_keys()``) is fixed by the import order in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+from incremental_etl_on_lakehouse_spark.queries._core import *  # noqa: F401,F403
+from incremental_etl_on_lakehouse_spark.queries._s3_ext import (  # noqa: E402
+    _SHINGLES3, _TOKS,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations (absent from the reference; engine-native via df API)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union",
+    "SELECT c_nationkey AS nationkey FROM customer"
+    " UNION ALL SELECT s_nationkey FROM supplier",
+)
+def setop_union(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "setop_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer"
+    " INTERSECT SELECT s_nationkey FROM supplier",
+)
+def setop_intersect(spark, sf_dir):
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    "SELECT n_nationkey AS nationkey FROM nation"
+    " EXCEPT SELECT s_nationkey FROM supplier",
+)
+def setop_except(spark, sf_dir):
+    n = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    # subtract == EXCEPT (distinct) — exceptAll would keep multiplicity
+    return n.subtract(s)
+
+
+@query("ext_sim_ivf")  # approximate (centroid-dependent); rows-only check
+def ext_sim_ivf(spark, sf_dir):
+    """IVF approximate top-k: deterministic mini-kmeans bucketing + probe."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    queries = embs.where("vec_id < 5")
+    return SIM.topk_cosine_ivf(queries, embs, k=10, n_centroids=8, n_probe=3)
+
+# ---------------------------------------------------------------------------
+# Additional relational coverage: semi/anti joins, rollup, analytic windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+)
+def join_semi(spark, sf_dir):
+    """Left semi join: customers having at least one big order."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS"
+    " (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_orderstatus = 'F')",
+)
+def join_anti(spark, sf_dir):
+    """Left anti join: customers with no finished ('F') order. The status
+    filter makes the result non-empty at every sf — the original
+    no-orders-at-all phrasing returned 0 rows at all scales (every fixture
+    customer has an order), so the check was vacuous."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "agg_rollup",
+    "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers"
+    " FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY ROLLUP (r_name, n_name)",
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (region -> nation -> grand total)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "win_lag",
+    "SELECT event_id, user_id,"
+    " CAST(round(value * 100) AS BIGINT) - lag(CAST(round(value * 100) AS BIGINT), 1, NULL)"
+    "  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents"
+    " FROM events",
+)
+def win_lag(spark, sf_dir):
+    """Analytic lag: per-user delta vs the previous event (exact cents)."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (cents - F.lag(cents, 1).over(w)).alias("delta_cents"),
+    )
+
+
+@query(
+    "win_running_sum",
+    "SELECT event_id, user_id,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents"
+    " FROM events",
+)
+def win_running_sum(spark, sf_dir):
+    """Frame-spec window: per-user running total (rowsBetween)."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("running_cents")
+    )
+
+
+@query(
+    "fn_json_extract",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value FROM events",
+)
+def fn_json_extract(spark, sf_dir):
+    """JSON scalar extraction from a string column (engine extension: the
+    reference only parses JSON at the source reader; semi-structured props
+    columns need in-query extraction)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@query(
+    "sql_interface",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type",
+)
+def sql_interface(spark, sf_dir):
+    """Plain-SQL entry point over registered views (the reference's %sql
+    cells with ${db.x} parameterization, notebooks/demo-notebook.py:184-195).
+    """
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )
+
+
+@query(
+    "agg_percentile",
+    "SELECT event_type,"
+    " round(quantile_cont(value, 0.5), 6) AS p50,"
+    " round(quantile_cont(value, 0.95), 6) AS p95"
+    " FROM events GROUP BY event_type",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (profiling staple)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+@query(
+    "agg_filtered",
+    "SELECT user_id,"
+    " CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,"
+    " CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS BIGINT)"
+    "  AS purchase_cents"
+    " FROM events GROUP BY user_id",
+)
+def agg_filtered(spark, sf_dir):
+    """FILTER-clause aggregates: several conditional metrics in one pass."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("purchase_cents"),
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    "SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): the landing files deliver every
+    event THREE times — twice in the first file (intra-batch) and once
+    re-delivered in a second file (inter-batch) — and the watermark
+    horizon (60 days) exceeds the fixture's whole event-time span, so
+    every duplicate arrives inside the state-retention window and the
+    streamed output is exactly one row per event_id: the full-oracle
+    distinct. At production scale the horizon is minutes and state stays
+    bounded — the semantics under test are identical."""
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        dedup_stream,
+        run_to_memory,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_str"),
+        "event_type",
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+    for i, batch in enumerate((ev.unionAll(ev), ev)):
+        d = os.path.join(land, f"f{i}")
+        batch.coalesce(1).write.mode("overwrite").json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{i}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        "event_id",
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+        "event_type",
+    )
+    out = dedup_stream(stream, key_cols=["event_id"], ts_col="ts", watermark="60 days")
+    return run_to_memory(out, os.path.join(_tmpdir(), "ck")).select(
+        "event_id", "event_type", MS("ts").alias("ts_ms")
+    )
+
+
+@query(
+    "stream_window_agg",
+    # Files arrive in event-time order, so no rows are dropped as late; in
+    # append mode a window emits only once the final watermark
+    # (max event time - 1 hour) passes its end — the oracle encodes exactly
+    # that emission rule, so the streamed result is fully value-checked.
+    "SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,"
+    " CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value"
+    " FROM events"
+    " WHERE date_trunc('day', ts) + INTERVAL 1 DAY <="
+    "  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)"
+    " GROUP BY 1, 2",
+)
+def stream_window_agg(spark, sf_dir):
+    """Event-time tumbling-window aggregation with watermark over a real
+    Structured Streaming source (engine extension beyond the reference's
+    foreachBatch-only streaming; see streaming/__init__.py)."""
+    from incremental_etl_on_lakehouse_spark.streaming import run_to_memory, windowed_agg
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        "value",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    for half in (0, 1):
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(land, f"f{half}"))
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_cols=["event_type"],
+        watermark="1 hour",
+    )
+    got = run_to_memory(out, os.path.join(_tmpdir(), "ck"))
+    return got.select(
+        MS("window_start").alias("window_start_ms"), "event_type", "n", "sum_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Specialized joins (as-of / range / salted-skew), sessionization, reshaping,
+# multi-dimensional aggregates, stateful streaming — engine extensions with
+# explicit 100 TB plan shapes (operators/joins.py docstrings).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    "WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,"
+    "  max(CAST(round(value * 100) AS BIGINT)) AS p_cents"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+    " SELECT e.event_id, e.user_id, p.p_event_id, p.p_cents"
+    " FROM events e ASOF LEFT JOIN p"
+    "   ON e.user_id = p.user_id AND e.ts >= p.ts",
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each event picks up the latest purchase at-or-before it
+    for the same user. Union + ordered window — one shuffle, no range cross
+    product (operators/joins.py:asof_join)."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("p_cents"),
+        )
+    )
+    return asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id", "p_cents"],
+    ).select("event_id", "user_id", "p_event_id", "p_cents")
+
+
+@query(
+    "join_asof_forward",
+    "WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+    " SELECT e.event_id, e.user_id, p.p_event_id"
+    " FROM events e ASOF LEFT JOIN p"
+    "   ON e.user_id = p.user_id AND e.ts <= p.ts",
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each event picks up the EARLIEST purchase
+    at-or-after it per user (the look-ahead direction — label joins in
+    training pipelines: 'next conversion after this impression'). Same
+    single-shuffle union+window plan as the backward direction, with the
+    per-key sort inverted; oracle is DuckDB's ASOF with the <= spelling."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    return asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id"], direction="forward",
+    ).select("event_id", "user_id", "p_event_id")
+
+
+_BANDS = [
+    ("tiny", 0.0, 40000.0),
+    ("mid", 40000.0, 180000.0),
+    ("big", 180000.0, 1000000000.0),
+]
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@query(
+    "join_range",
+    f"SELECT o.o_orderkey, b.band FROM orders o"
+    f" JOIN (VALUES {_BANDS_SQL}) b(band, lo, hi)"
+    f" ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi",
+)
+def join_range(spark, sf_dir):
+    """Point-in-interval range join as a binned equi-join: intervals explode
+    to overlapped bins, points hash to one bin, residual predicate filters —
+    no nested-loop cross product (operators/joins.py:range_join_binned)."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import range_join_binned
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return range_join_binned(
+        o, bands, "o_totalprice", "lo", "hi", bin_width=50000.0
+    ).select("o_orderkey", "band")
+
+
+@query(
+    "join_skew_salted",
+    "SELECT e.event_id, e.user_id, d.n_total FROM events e JOIN"
+    " (SELECT user_id, CAST(count(*) AS BIGINT) AS n_total FROM events"
+    "  GROUP BY user_id) d ON e.user_id = d.user_id",
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-resistant equi-join: deterministic row salt on the fact side ×
+    replicated dim side spreads hot keys over n_salts reducers; result equals
+    the plain join (operators/joins.py:salted_join)."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+    )
+    return salted_join(ev, dim, on=["user_id"], n_salts=8).select(
+        "event_id", "user_id", "n_total"
+    )
+
+
+@query(
+    "win_session",
+    "WITH g AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,"
+    "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s FROM events),"
+    " s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)"
+    " SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,"
+    "  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents"
+    " FROM s GROUP BY user_id, sid",
+)
+def win_session(spark, sf_dir):
+    """Sessionization: gap-based (30 min, inclusive) session windows per user
+    via F.session_window in batch mode — one shuffle on the key; the oracle
+    is the classic gaps-and-islands SQL."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    return out.select(
+        "user_id", MS("first_ts").alias("session_start_ms"), "n_events", "sum_cents"
+    )
+
+
+@query(
+    "agg_cube",
+    "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers"
+    " FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " JOIN region r ON n.n_regionkey = r.r_regionkey"
+    " GROUP BY CUBE (r_name, n_name)",
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping combinations (region×nation, region, nation, total)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_GSETS_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total"
+    " FROM orders GROUP BY GROUPING SETS"
+    " ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+)
+
+
+@query("agg_grouping_sets", _GSETS_SQL)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS through the engine's SQL interface (same text
+    runs on Spark and the oracle — ANSI surface parity)."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_wide",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def pivot_wide(spark, sf_dir):
+    """PIVOT: one column per event type with per-user counts. The explicit
+    value list avoids the distinct-values discovery job; the plan is a
+    partial-agg shuffle on (user, type) plus a pivotfirst shuffle over the
+    already-reduced groups."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "unpivot_long",
+    " UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS metric,"
+        f" CAST({m} AS DOUBLE) AS amount FROM lineitem"
+        for m in _UNPIVOT_METRICS
+    ),
+)
+def unpivot_long(spark, sf_dir):
+    """UNPIVOT/melt: wide metric columns to (metric, amount) rows — narrow
+    map-side transform, no shuffle."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_METRICS],
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], _UNPIVOT_METRICS, "metric", "amount"
+    )
+
+
+@query(
+    "explode_tokens",
+    f"SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS token"
+    f" FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 500)",
+)
+def explode_tokens(spark, sf_dir):
+    """Lateral explode with position: one row per (doc, token index) — the
+    tokenization fan-out primitive for n-gram/statistics pipelines."""
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id", F.posexplode(T.ws_tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
+    "ext_ngram_topk",
+    f"SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM"
+    f" (SELECT unnest({_SHINGLES3}) AS gram FROM documents)"
+    f" GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20",
+)
+def ext_ngram_topk(spark, sf_dir):
+    """Corpus-level n-gram statistics: top-20 3-grams by document frequency
+    (explode distinct shingles → count → TakeOrdered top-k, no full sort)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(T.shingles(F.col("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@query(
+    "src_csv_batch",
+    "SELECT * FROM nation",
+)
+def src_csv_batch(spark, sf_dir):
+    """Batch CSV source: header + explicit schema round-trip of `nation`
+    (engine source-format coverage beyond the reference's JSON-only input)."""
+    out = os.path.join(_tmpdir(), "nation_csv")
+    load_table(spark, "nation", sf_dir).coalesce(1).write.option(
+        "header", True
+    ).mode("overwrite").csv(out)
+    return spark.read.option("header", True).schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).csv(out)
+
+
+@query(
+    "stream_stateful",
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event counts maintained in the state store across micro-batches;
+    the converged totals equal the batch GROUP BY."""
+    from incremental_etl_on_lakehouse_spark.streaming import stateful_running_counts
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    for half in (0, 1):
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(os.path.join(land, f"f{half}"))
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("user_id", LongType())]
+    )
+    stream = read_json_stream(
+        spark, flat, schema, max_files_per_trigger=1, multiline=False
+    )
+    counted = stateful_running_counts(stream, key_col="user_id")
+    batches: list[list] = []
+    (
+        counted.writeStream.foreachBatch(lambda df, _b: batches.append(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final: dict[int, int] = {}
+    for batch in batches:
+        for r in batch:
+            final[r["user_id"]] = r["n_events"]
+    return spark.createDataFrame(
+        sorted(final.items()), "user_id long, n_events long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second extension batch: stream-stream join, subqueries, arg-extremes,
+# ranking windows, oracle-checked embedding cosine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_stream_join",
+    "SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id"
+    " FROM events c JOIN events p ON c.user_id = p.user_id"
+    " AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"
+    " WHERE c.event_type = 'click' AND p.event_type = 'purchase'",
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (clicks × purchases within
+    1 h, per user) over two live file streams; equals the batch interval
+    join once all data is processed (streaming/stream_stream_interval_join).
+    """
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    dirs = {}
+    for etype in ("click", "purchase"):
+        land = os.path.join(_tmpdir(), etype)
+        ev.where(F.col("event_type") == etype).coalesce(1).write.mode(
+            "overwrite"
+        ).json(land)
+        dirs[etype] = land
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_str", StringType()),
+        ]
+    )
+
+    def as_stream(etype, prefix):
+        return read_json_stream(spark, dirs[etype], schema, multiline=False).select(
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("user_id").alias("user_id" if prefix == "c" else "r_user_id"),
+            F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"{prefix}_ts"),
+        )
+
+    clicks = as_stream("click", "c")
+    purchases = as_stream("purchase", "p").withColumnRenamed("r_user_id", "user_id")
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="p_ts",
+        max_delay="1 HOUR",
+    )
+    out = joined.select(
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    return run_to_memory(out, os.path.join(_tmpdir(), "ck"))
+
+
+@query(
+    "filter_subquery",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    " AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)",
+)
+def filter_subquery(spark, sf_dir):
+    """Scalar + IN subqueries through the SQL interface — Catalyst rewrites
+    the scalar subquery to a broadcast value and the IN to a left-semi join
+    (decorrelation is free; no per-row re-execution)."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+        " AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)"
+    )
+
+
+@query(
+    "agg_minmax_by",
+    "SELECT user_id,"
+    " arg_max(event_id, ts ORDER BY ts, event_id) AS last_event_id,"
+    " arg_min(event_id, ts ORDER BY ts, event_id) AS first_event_id"
+    " FROM events GROUP BY user_id",
+)
+def agg_minmax_by(spark, sf_dir):
+    """Argument-extremes: the event id at each user's max/min timestamp in a
+    single hash aggregate (max_by/min_by), no ranking window needed.
+    Deterministic under timestamp ties via a composite (ts, event_id) key."""
+    ev = load_table(spark, "events", sf_dir)
+    pair = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", pair).alias("last_event_id"),
+        F.min_by("event_id", pair).alias("first_event_id"),
+    )
+
+
+@query(
+    "win_rank_dense",
+    "SELECT s_suppkey, s_nationkey,"
+    " CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_rank,"
+    " CAST(dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_dense_rank,"
+    " CAST(ntile(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_quartile"
+    " FROM supplier",
+)
+def win_rank_dense(spark, sf_dir):
+    """Ranking-window family (rank / dense_rank / ntile) in one window pass."""
+    s = load_table(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@query(
+    "ext_embedding_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    " round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim"
+    " FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1",
+)
+def ext_embedding_cosine(spark, sf_dir):
+    """Exact cosine similarity for adjacent vector pairs — the oracle-checked
+    slice of the embedding kernel used by ext_dedup_embedding/ext_sim_* (all
+    JVM-side: zip_with products + aggregate sums, no UDF)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    joined = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    da = F.expr("CAST(transform(ea, x -> CAST(x AS DOUBLE)) AS ARRAY<DOUBLE>)")
+    db = F.expr("CAST(transform(eb, x -> CAST(x AS DOUBLE)) AS ARRAY<DOUBLE>)")
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda e: F.sqrt(
+        F.aggregate(e, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(dot / (norm(da) * norm(db)), 6).alias("cosine_sim"),
+    )
+
+

@@ -1,0 +1,2905 @@
+"""TPC-H query shapes + round-4 coverage keys.
+
+Split from the original single-module ``queries.py`` (round-5 refactor);
+shares the registry, helpers, and imports of ``._core`` — registration
+order (and therefore ``ordered_keys()``) is fixed by the import order in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+from incremental_etl_on_lakehouse_spark.queries._core import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes (multi-join / subquery / conditional-agg families).
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) *"
+    " (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _disc_price() -> F.Column:
+    """extendedprice * (1 - discount), in exact decimal on both engines."""
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4)
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"SELECT l_orderkey, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
+    " epoch_ms(o_orderdate) AS o_orderdate_ms"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    " AND o_orderdate < TIMESTAMP '1998-01-01'"
+    " AND l_shipdate > TIMESTAMP '1998-01-01'"
+    " GROUP BY l_orderkey, o_orderdate"
+    f" ORDER BY sum({_DISC_PRICE_SQL}) DESC, l_orderkey LIMIT 10",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    into a fact-fact join, grouped revenue, deterministic top-10 (full
+    tiebreak on the key so LIMIT picks the same set on any engine). Scale:
+    customer filter broadcasts; orders/lineitem co-shuffle on orderkey and
+    both date predicates reach the parquet scans."""
+    c = load_table(spark, "customer", sf_dir).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .orderBy(F.desc("__rev"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            MS("o_orderdate").alias("o_orderdate_ms"),
+        )
+    )
+
+
+_Q4_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders"
+    " WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+    " AND o_orderdate < TIMESTAMP '1997-04-01'"
+    " AND EXISTS (SELECT 1 FROM lineitem"
+    "  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)"
+    " GROUP BY o_orderpriority"
+)
+
+
+@query("q4_order_exists", _Q4_SQL)
+def q4_order_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS subquery. Catalyst decorrelates it
+    into a left-semi join on orderkey (one shuffle, no per-row re-execution)
+    — same SQL text runs on the oracle."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+@query(
+    "q5_local_supplier",
+    f"SELECT n_name, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01'"
+    " GROUP BY n_name",
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): 6-table join with a
+    non-key residual (customer and supplier in the same nation). All dims
+    broadcast; the only shuffle is lineitem x orders on orderkey; the
+    region filter prunes nations before the fact join."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .select("n_name", F.col("__rev").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"SELECT round(100.0 *"
+    f" CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL} ELSE 0 END)"
+    f"  AS DOUBLE) / CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE), 6) AS promo_pct"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1997-09-01'"
+    " AND l_shipdate < TIMESTAMP '1997-10-01'",
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional aggregate ratio.
+    Part broadcasts into the filtered lineitem scan; both sums are exact
+    decimals and the division happens once in double at the end."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, "part", sf_dir)
+    dp = _disc_price()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(F.lit(0))).alias(
+                "__promo"
+            ),
+            F.sum(dp).alias("__total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.col("__promo").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+@query(
+    "q10_returned_items",
+    f"SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,"
+    f" CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
+    " c_acctbal, n_name"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE o_orderdate >= TIMESTAMP '1996-10-01'"
+    " AND o_orderdate < TIMESTAMP '1997-01-01'"
+    " AND l_returnflag = 'R'"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+    f" ORDER BY sum({_DISC_PRICE_SQL}) DESC, c_custkey LIMIT 20",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): quarter-filtered orders
+    x returnflag-filtered lineitem, customer + nation dims broadcast,
+    grouped revenue, deterministic top-20. Scale: the only shuffle is
+    lineitem x orders on orderkey; both selective predicates reach the
+    parquet scans; top-20 is TakeOrdered, never a full sort."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+        .orderBy(F.desc("__rev"), "c_custkey")
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            "c_name",
+            F.col("__rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+_Q19_PREDS = [
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 16, 30, 10, 20),
+    ("Brand#3", 31, 50, 20, 30),
+]
+_Q19_SQL_WHERE = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1}"
+    f" AND l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in _Q19_PREDS
+)
+
+
+@query(
+    "q19_disjunctive",
+    f"SELECT CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
+    " CAST(count(*) AS BIGINT) AS n_items"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    f" WHERE {_Q19_SQL_WHERE}",
+)
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive discounted revenue, adapted to the
+    fixture's part columns): an OR of brand x size x quantity conjunctions
+    spanning both join sides. Catalyst extracts the common single-side
+    conjuncts from the disjunction: the part scan is pre-filtered to the
+    three brands and the lineitem scan to the union quantity range BEFORE
+    the broadcast join, so the OR never forces full scans of either side —
+    the property this shape exists to regression-test."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    pred = None
+    for b, s0, s1, q0, q1 in _Q19_PREDS:
+        one = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        pred = one if pred is None else (pred | one)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(pred)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q22_SQL = (
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey,"
+    " CAST(count(*) AS BIGINT) AS n_custs,"
+    " CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal"
+    " FROM customer c"
+    " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)"
+    " AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    "  AND o.o_orderdate >= TIMESTAMP '2000-01-01')"
+    " GROUP BY c_nationkey"
+)
+
+
+@query("q22_dormant_customers", _Q22_SQL)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity, adapted: all fixture
+    customers have some order, so dormancy = no order since 2000):
+    uncorrelated scalar subquery + correlated NOT EXISTS. Catalyst plans
+    the scalar average as a one-row broadcast and decorrelates the NOT
+    EXISTS into a left-anti join on custkey against the date-filtered
+    orders scan — no per-row subquery re-execution. Same text on the
+    oracle."""
+    from incremental_etl_on_lakehouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+@query(
+    "q7_volume_shipping",
+    f"SELECT supp_nation, cust_nation, l_year,"
+    f" CAST(sum(vol) AS DOUBLE) AS revenue FROM ("
+    f" SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    f"  CAST(year(l_shipdate) AS INT) AS l_year, {_DISC_PRICE_SQL} AS vol"
+    f" FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    f" JOIN orders ON o_orderkey = l_orderkey"
+    f" JOIN customer ON c_custkey = o_custkey"
+    f" JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    f" JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    f" WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')"
+    f"     OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))"
+    f"   AND l_shipdate >= TIMESTAMP '1996-01-01'"
+    f"   AND l_shipdate < TIMESTAMP '1998-01-01')"
+    f" GROUP BY supp_nation, cust_nation, l_year",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the nation-pair disjunction spans
+    BOTH join sides — the classic plan trap. Both nation dims pre-filter to
+    the two nations of interest (each side's IN-list pushes to its
+    broadcast build), the pair predicate stays as the residual on the
+    joined row, and the date range reaches the lineitem scan. The only
+    shuffle is lineitem x orders on orderkey + the final group-by."""
+    both = ["NATION_18", "NATION_19"]
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir).where(F.col("n_name").isin(both))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    f"SELECT o_year,"
+    f" round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol"
+    f"  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)"
+    f"  / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share FROM ("
+    f" SELECT CAST(year(o_orderdate) AS INT) AS o_year,"
+    f"  {_DISC_PRICE_SQL} AS vol, n2.n_name AS supp_nation"
+    f" FROM part JOIN lineitem ON p_partkey = l_partkey"
+    f" JOIN orders ON l_orderkey = o_orderkey"
+    f" JOIN customer ON o_custkey = c_custkey"
+    f" JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    f" JOIN region ON n1.n_regionkey = r_regionkey"
+    f" JOIN supplier ON l_suppkey = s_suppkey"
+    f" JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    f" WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'"
+    f"  AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    f"  AND o_orderdate < TIMESTAMP '1998-01-01')"
+    f" GROUP BY o_year",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): 8-table join where one
+    nation dim scopes the customer market (via region) and the other
+    labels the supplier side for the conditional-share ratio. Every dim
+    broadcasts; lineitem x orders on orderkey is the only co-shuffle; the
+    part-type and region filters prune their broadcast builds before the
+    fact scan joins. Share numerator/denominator are exact decimals,
+    divided once in double."""
+    p = load_table(spark, "part", sf_dir).where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    vol = _disc_price()
+    num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(num).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+    " SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count"
+    " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+    "  AND o.o_orderpriority <> 'URGENT'"
+    " GROUP BY c.c_custkey)"
+    " GROUP BY c_count",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order distribution): LEFT OUTER join with
+    a non-key residual on the null-producing side, then a two-level
+    aggregation — per-customer order counts (zero-order customers kept by
+    the outer join) histogrammed by count. One co-shuffle on custkey; the
+    second aggregate moves O(distinct counts) rows."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") != "URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"WITH revenue AS ("
+    f" SELECT l_suppkey AS supplier_no, sum({_DISC_PRICE_SQL}) AS total_rev"
+    f" FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    f"  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
+    f" SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue"
+    f" FROM supplier JOIN revenue ON s_suppkey = supplier_no"
+    f" WHERE total_rev = (SELECT max(total_rev) FROM revenue)",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): grouped revenue view consumed twice —
+    once as the rows, once reduced to a scalar max. Spark does not reuse
+    the identical aggregation subtrees here (measured: 2 lineitem scans,
+    no ReusedExchange even under AQE), so the view is pinned with
+    localCheckpoint — it is aggregate-scale (one row per supplier, the
+    same class as connected_components' frontier) and the fact table is
+    then scanned exactly ONCE however many consumers follow. The 1-row
+    max broadcasts into an equality filter (exact DECIMAL equality — no
+    float-tie risk). Ties all surface, per the TPC-H definition."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_rev")
+    ).localCheckpoint()
+    max1 = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max1), rev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    "WITH flt AS (SELECT l_partkey,"
+    "  CAST(l_quantity AS DECIMAL(12,2)) AS q,"
+    "  CAST(l_extendedprice AS DECIMAL(12,2)) AS ep"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE p_brand = 'Brand#13'),"
+    " agg AS (SELECT l_partkey, sum(q) AS sq, count(*) AS cnt"
+    "  FROM flt GROUP BY l_partkey)"
+    " SELECT round(CAST(sum(ep) AS DOUBLE) / 7.0, 6) AS avg_yearly"
+    " FROM flt JOIN agg USING (l_partkey)"
+    " WHERE q * 5 * cnt < sq",
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(l_quantity per part)` is
+    decorrelated by hand into ONE per-part aggregate joined back — the
+    aggregate is computed once over the brand-filtered rows, never per
+    row. The threshold comparison is restated exactly in integers
+    (5 * q * cnt < sum_q, all DECIMAL) so the oracle can never flip on a
+    float summation-order tie. Both the rows side and the aggregate side
+    derive from the same brand-filtered join, hitting exchange reuse."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_brand") == "Brand#13")
+    flt = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey",
+        F.col("l_quantity").cast(DEC).alias("q"),
+        F.col("l_extendedprice").cast(DEC).alias("ep"),
+    )
+    agg = flt.groupBy("l_partkey").agg(
+        F.sum("q").alias("sq"), F.count("*").alias("cnt")
+    )
+    return (
+        flt.join(F.broadcast(agg), "l_partkey")
+        .where(F.col("q") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(F.sum("ep").cast("double") / 7.0, 6).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q12_late_priority",
+    "SELECT l_linestatus,"
+    " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+    " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+    "  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+    " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY"
+    " AND l_shipdate >= TIMESTAMP '1997-01-01'"
+    " AND l_shipdate < TIMESTAMP '1998-01-01'"
+    " GROUP BY l_linestatus ORDER BY l_linestatus",
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority, adapted: the fixture has
+    no l_shipmode/commitdate, so late = shipped >90 days after order date
+    and the grouping column is l_linestatus): fact x fact join with a
+    join-crossing date predicate plus CASE-WHEN conditional counts.
+    Scale: the year filter reaches the lineitem scan; the late predicate
+    is evaluated post-join (it references both sides); one shuffle on
+    orderkey; conditional counts are a map-side partial aggregate over 2
+    groups. Reference ops: join demo-notebook.py:262, CASE semantics via
+    merge branches demo-notebook.py:268-276."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait"
+    " FROM supplier, lineitem l1, orders o"
+    " WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey"
+    " AND o.o_orderstatus = 'F'"
+    " AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY"
+    " AND EXISTS (SELECT 1 FROM lineitem l2"
+    "  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)"
+    " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+    "  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey"
+    "  AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+    " GROUP BY s_name ORDER BY numwait DESC, s_name",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted:
+    late = shipped >60 days after order date; no nation filter because the
+    sf0.001 fixture has only 10 suppliers across 25 nations). The classic
+    EXISTS + NOT EXISTS pair is decorrelated BY HAND into one per-order
+    aggregate: n_supp>1 <=> another supplier exists on the order, and
+    n_late_supp==1 (given this row is late) <=> no OTHER supplier was
+    late. The oracle runs the genuinely different correlated-subquery
+    formulation, so agreement is evidence the rewrite is semantics-
+    preserving. Scale: the flagged (orderkey, suppkey, late) projection
+    feeds BOTH the stats aggregate and the join back; Spark plans no
+    exchange reuse for the duplicated subtree (measured: 2 lineitem
+    scans, 0 ReusedExchange), so the narrow 3-column intermediate is
+    localCheckpoint-pinned — each base table is scanned and the
+    lineitem x orders join computed exactly once. The correlated
+    subqueries never re-execute per row — the shape that kills naive
+    engines at 100 TB."""
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+        .localCheckpoint(eager=True)
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        li.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    "WITH cost AS (SELECT l_partkey, l_suppkey,"
+    " min(l_extendedprice / l_quantity) AS unit_cost"
+    " FROM lineitem GROUP BY l_partkey, l_suppkey)"
+    " SELECT s_name, n_name, CAST(p_partkey AS BIGINT) AS partkey, p_name,"
+    " CAST(unit_cost AS DOUBLE) AS unit_cost"
+    " FROM part p JOIN cost c ON c.l_partkey = p.p_partkey"
+    " JOIN supplier s ON s.s_suppkey = c.l_suppkey"
+    " JOIN nation n ON n.n_nationkey = s.s_nationkey"
+    " WHERE p.p_type = 'STANDARD' AND p.p_size < 10"
+    " AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2"
+    "  WHERE c2.l_partkey = p.p_partkey)"
+    " ORDER BY partkey, s_name",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier, adapted: the fixture has no
+    partsupp, so a supplier's unit cost for a part is its observed
+    min(extendedprice/quantity) over lineitem). The correlated scalar-min
+    subquery is decorrelated into one per-part aggregate joined back on
+    equality; the oracle keeps the correlated form. Division and min are
+    IEEE-deterministic and order-independent, so the double equality
+    cannot flip between engines. Scale: the selective part filter is
+    pushed BELOW the wide (part,supplier) aggregate as a broadcast semi
+    join, so the shuffle carries only the qualifying parts' lineitem
+    rows (Catalyst won't hoist a join under an aggregate on its own);
+    the per-part min re-aggregates the already-small cost relation;
+    part/supplier/nation dims broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = (
+        load_table(spark, "part", sf_dir)
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+        .select("p_partkey", "p_name")
+    )
+    cost = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        cost.join(F.broadcast(best), cost.l_partkey == F.col("__pk"))
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("partkey"),
+            "p_name",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy("partkey", "s_name")
+    )
+
+
+_Q9_PROFIT_SQL = (
+    f"{_DISC_PRICE_SQL} - CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+
+@query(
+    "q9_product_profit",
+    "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+    f" CAST(sum({_Q9_PROFIT_SQL}) AS DOUBLE) AS sum_profit"
+    " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN part ON p_partkey = l_partkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation ON n_nationkey = s_nationkey"
+    " WHERE p_name LIKE 'red%'"
+    " GROUP BY n_name, year(o_orderdate)"
+    " ORDER BY nation, o_year",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, adapted: no partsupp, so
+    p_retailprice stands in for ps_supplycost as the per-unit cost).
+    Five-way join: lineitem x orders shuffle on orderkey; part (name-
+    filtered), supplier, and nation broadcast. All money arithmetic in
+    DECIMAL so the grouped sums are exact and engine-order-independent;
+    only the final result casts to double. Scale: the selective p_name
+    filter prunes the broadcast BEFORE the join, so non-matching lineitem
+    rows die at the first (cheapest) join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    profit = _disc_price() - F.col("p_retailprice").cast(DEC) * F.col(
+        "l_quantity"
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+_Q11_VAL_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+
+@query(
+    "q11_important_parts",
+    f"WITH v AS (SELECT l_partkey, sum({_Q11_VAL_SQL}) AS val"
+    " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN nation ON n_nationkey = s_nationkey"
+    " JOIN region ON r_regionkey = n_regionkey"
+    " WHERE r_name = 'EUROPE' GROUP BY l_partkey)"
+    " SELECT CAST(l_partkey AS BIGINT) AS partkey, CAST(val AS DOUBLE) AS value"
+    " FROM v WHERE val * (SELECT count(*) FROM v) > 2 * (SELECT sum(val) FROM v)"
+    " ORDER BY value DESC, partkey",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification, adapted: no
+    partsupp, so a part's 'inventory value' is its shipped
+    extendedprice*quantity via EUROPE suppliers). The HAVING-against-a-
+    global-scalar-subquery shape; TPC-H scales its fraction by 1/SF, here
+    the threshold is restated scale-free as val > 2x the mean, and in
+    EXACT integer/decimal arithmetic (val*count > 2*total) so no float
+    threshold tie can flip between engines. Scale: one shuffle for the
+    per-part aggregate; the two scalar totals are a second pass over the
+    tiny aggregated relation, broadcast back as a 1-row cross join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    r = (
+        load_table(spark, "region", sf_dir)
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+            ).alias("val")
+        )
+    )
+    totals = v.agg(
+        F.count("*").alias("__cnt"), F.sum("val").alias("__total")
+    )
+    return (
+        v.crossJoin(F.broadcast(totals))
+        .where(F.col("val") * F.col("__cnt") > 2 * F.col("__total"))
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,"
+    " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+    " FROM part JOIN lineitem ON l_partkey = p_partkey"
+    " WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'"
+    " AND p_size IN (1,5,9,13,17,21,25,29)"
+    " AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)"
+    " GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size",
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship, adapted: the
+    supplier-complaint exclusion is s_acctbal < 1000, and lineitem is the
+    part-supplier link in lieu of partsupp). NOT IN + COUNT DISTINCT:
+    the NOT IN subquery becomes a broadcast LEFT ANTI join (s_suppkey is
+    non-null so anti-join and NOT IN agree); the distinct count shuffles
+    on the group keys with partial distinct aggregation map-side.
+    Scale: the selective part filter broadcasts; the anti join adds no
+    shuffle; one exchange total."""
+    p = (
+        load_table(spark, "part", sf_dir)
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    "SELECT s_name, s_acctbal FROM supplier"
+    " WHERE s_suppkey IN ("
+    " SELECT l_suppkey FROM lineitem"
+    " WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')"
+    " AND l_shipdate >= TIMESTAMP '1997-01-01'"
+    " AND l_shipdate < TIMESTAMP '1998-01-01'"
+    " GROUP BY l_suppkey HAVING sum(l_quantity) > 300)"
+    " ORDER BY s_name",
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion, adapted: no partsupp
+    availqty, so 'excess' = shipped more than 300 units of red parts in
+    1997). Nested IN subqueries: the inner part filter becomes a
+    broadcast semi-join into lineitem, the grouped HAVING produces the
+    qualifying supplier set, and the outer IN becomes a broadcast
+    LEFT SEMI join into supplier. Quantities are integral doubles, so
+    the HAVING sum is exact in either engine regardless of add order.
+    Scale: one shuffle (the per-supplier aggregate); everything else
+    broadcasts."""
+    red = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qual = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_SQL_SCD2 = f"""
+WITH cdc AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         md5(concat_ws('|', event_type,
+                       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))) AS h,
+         event_id, ts
+  FROM events
+),
+l1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+    FROM cdc WHERE ts < TIMESTAMP '{TS_SPLIT}') WHERE rn = 1
+),
+l2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+    FROM cdc WHERE ts >= TIMESTAMP '{TS_SPLIT}') WHERE rn = 1
+),
+changed AS (
+  SELECT l2.* FROM l2 JOIN l1 USING (user_id) WHERE l2.h <> l1.h
+),
+new2 AS (
+  SELECT l2.* FROM l2 ANTI JOIN l1 USING (user_id)
+),
+hist AS (
+  SELECT l1.user_id, l1.event_type, l1.value_cents,
+         l1.ts_ms AS start_ts, c.ts_ms AS end_ts, false AS is_current
+  FROM l1 JOIN changed c USING (user_id)
+  UNION ALL
+  SELECT l1.user_id, l1.event_type, l1.value_cents, l1.ts_ms, NULL, true
+  FROM l1 ANTI JOIN changed USING (user_id)
+  UNION ALL
+  SELECT user_id, event_type, value_cents, ts_ms, NULL, true FROM changed
+  UNION ALL
+  SELECT user_id, event_type, value_cents, ts_ms, NULL, true FROM new2
+)
+SELECT user_id, event_type, value_cents, start_ts, end_ts, is_current
+FROM hist ORDER BY user_id, start_ts
+"""
+
+
+@query("merge_scd2", _SQL_SCD2)
+def merge_scd2_key(spark, sf_dir):
+    """SCD Type-2 dimension history via staged-union MERGE (operators/
+    cdc.py: scd2_merge). The reference's Silver merge keeps only current
+    state per key (notebooks/demo-notebook.py:244-280); this is the
+    history-keeping variant every warehouse dimension needs: changed keys
+    get their open row closed (end_ts stamped, is_current=false) and a new
+    current row inserted, unchanged keys are no-ops (hash guard — the same
+    inter-batch no-op elimination as the reference's merge, :276), brand-new
+    keys insert their first version. Two CDC batches are applied in event-
+    time order and the full history table is returned.
+
+    Scale: one classify join per batch (broadcast at micro-batch sizes) +
+    one MERGE whose file pruning rewrites only files holding changed keys
+    — O(changed keys) per batch, never O(history)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    b1, b2 = _cdc_batches(spark, sf_dir)
+
+    def prep(b: DataFrame) -> DataFrame:
+        return b.select(
+            "user_id",
+            "ts_ms",
+            "event_type",
+            "value_cents",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("event_type"), F.col("value_cents").cast("string")
+                )
+            ).alias("data_hash"),
+            "event_id",
+        )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value_cents", LongType()),
+            StructField("data_hash", StringType()),
+            StructField("event_id", LongType()),
+            StructField("__start_ts", LongType()),
+            StructField("__end_ts", LongType()),
+            StructField("__is_current", BooleanType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "scd2_dim"),
+        schema,
+        properties={"statsColumns": "user_id"},
+    )
+    for b in (b1, b2):
+        scd2_merge(
+            table, prep(b), key_cols=["user_id"], ts_col="ts_ms",
+            tiebreak_cols=["event_id"],
+        )
+    return (
+        table.to_df()
+        .select(
+            "user_id",
+            "event_type",
+            "value_cents",
+            F.col("__start_ts").alias("start_ts"),
+            F.col("__end_ts").alias("end_ts"),
+            F.col("__is_current").alias("is_current"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+@query(
+    "win_ntile",
+    "SELECT event_id, event_type,"
+    " CAST(ntile(4) OVER w AS BIGINT) AS quartile,"
+    " round(percent_rank() OVER w, 6) AS pct_rank,"
+    " round(cume_dist() OVER w, 6) AS cume"
+    " FROM events WINDOW w AS"
+    " (PARTITION BY event_type ORDER BY value, event_id)"
+    " ORDER BY event_id",
+)
+def win_ntile(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    the quantile-bucketing shape used for per-group score banding. One
+    shuffle on the partition key; the within-group sort is the window
+    sort, deterministic via the event_id tiebreak."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_regexp_extract",
+    "SELECT doc_id,"
+    " regexp_extract(text, '^([a-z]+)', 1) AS first_word,"
+    " CAST(length(text) - length(regexp_replace(text, 'data', '', 'g'))"
+    "   AS BIGINT) / 4 AS n_data,"
+    " regexp_extract(text, '(join|merge|sort)', 1) AS first_verb"
+    " FROM documents ORDER BY doc_id",
+)
+def fn_regexp_extract(spark, sf_dir):
+    """Regex scalar functions (extract + replace); patterns kept in the
+    RE2-compatible subset so Java (Spark) and RE2 (DuckDB) agree. Narrow
+    codegen projection — scan-bound, no shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "data", "")))
+            / 4
+        ).cast("long").alias("n_data"),
+        F.regexp_extract("text", "(join|merge|sort)", 1).alias("first_verb"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "fn_array_ops",
+    "SELECT vec_id,"
+    " CAST(len(embedding) AS BIGINT) AS dim,"
+    " round(list_aggregate(list_transform(embedding,"
+    "   x -> abs(CAST(x AS DOUBLE))), 'sum'), 6) AS l1,"
+    " CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,"
+    " round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS mx"
+    " FROM embeddings ORDER BY vec_id",
+)
+def fn_array_ops(spark, sf_dir):
+    """Higher-order array functions (transform / filter / aggregate) over
+    the embedding column — the building blocks of the JVM-side vector
+    math used by the similarity operators. Sequential left-fold sum over
+    the list in both engines (same order -> bit-identical doubles).
+    Scan-bound narrow projection."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("l1"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("mx"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "src_orc_batch",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM events GROUP BY event_type ORDER BY event_type",
+)
+def src_orc_batch(spark, sf_dir):
+    """ORC round-trip: the second columnar format Spark reads natively
+    (the reference is parquet-in-Delta only). Events are written to ORC
+    scratch and read back; the aggregate proves values survive the format
+    conversion. Predicate/column pushdown works the same as parquet
+    (ORC reader supports both)."""
+    out = os.path.join(_tmpdir(), "events_orc")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "join_full_outer",
+    "WITH lhs AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100),"
+    " rhs AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders"
+    "   FROM orders WHERE o_custkey BETWEEN 50 AND 150 GROUP BY o_custkey)"
+    " SELECT c_custkey, c_name, o_custkey, n_orders"
+    " FROM lhs FULL OUTER JOIN rhs ON c_custkey = o_custkey"
+    " ORDER BY coalesce(c_custkey, o_custkey), c_custkey NULLS FIRST",
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join with unmatched rows surviving on BOTH sides (the
+    ranges only partially overlap by construction). Full outer cannot
+    broadcast — it shuffles both sides on the key; keys here are unique
+    per side so there is no skew."""
+    lhs = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    rhs = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_custkey").between(50, 150))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        lhs.join(rhs, lhs.c_custkey == rhs.o_custkey, "full_outer")
+        .select("c_custkey", "c_name", "o_custkey", "n_orders")
+        .orderBy(
+            F.coalesce("c_custkey", "o_custkey"),
+            F.col("c_custkey").asc_nulls_first(),
+        )
+    )
+
+
+_URL_NORM_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+           CASE WHEN doc_id % 3 = 0 THEN concat('WWW.', source, '.Example.COM')
+                ELSE concat(source, '.example.com') END,
+           '/', lang, '/page', CAST(doc_id % 50 AS VARCHAR),
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 2 = 0
+                THEN concat('?utm_source=feed&id=', CAST(doc_id % 20 AS VARCHAR),
+                            '&utm_campaign=mail')
+                ELSE concat('?id=', CAST(doc_id % 20 AS VARCHAR)) END,
+           CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END
+         ) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               concat(
+                 lower(regexp_extract(s2, '^[a-zA-Z]+://[^/?#]+')),
+                 substr(s2, length(regexp_extract(s2, '^[a-zA-Z]+://[^/?#]+')) + 1)
+               ),
+               '://www\\.', '://'),
+             'utm_[a-z]+=[a-z]+&?', '', 'g'),
+           '[?&]$', '') AS canonical
+  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS s2 FROM urls)
+),
+final AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(canonical, '/[?]', '?'), '/$', '')
+           AS canonical
+  FROM canon
+)
+SELECT regexp_extract(canonical, '://([^/?#]+)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_urls
+FROM final GROUP BY host ORDER BY host
+"""
+
+
+@query("ext_url_normalize", _URL_NORM_SQL)
+def ext_url_normalize(spark, sf_dir):
+    """URL canonicalization for web-corpus hygiene (the CommonCrawl-style
+    dedup key): lowercase scheme+host, strip ``www.``, drop fragments,
+    remove ``utm_*`` tracking params, strip trailing slashes, then count
+    docs and distinct canonical URLs per host. The URL column is planted
+    deterministically from doc_id (the fixture tables carry no URLs), with
+    every normalization hazard present: mixed case, www-prefix, tracking
+    params before AND after kept params, trailing slash, fragments.
+
+    Scale: the whole canonicalization is a chained regexp_replace codegen
+    projection (scan-bound, zero exchanges — same shape as ext_pii_redact);
+    the per-host rollup is one partial-aggregated shuffle on host."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")),
+        ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit("&utm_campaign=mail"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?id="), (F.col("doc_id") % 20).cast("string"))
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    s2 = F.regexp_replace(url, "#.*$", "")
+    prefix = F.regexp_extract(s2, "^[a-zA-Z]+://[^/?#]+", 0)
+    lowered = F.concat(F.lower(prefix), F.substr(s2, F.length(prefix) + 1))
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lowered, r"://www\.", "://"),
+            "utm_[a-z]+=[a-z]+&?",
+            "",
+        ),
+        "[?&]$",
+        "",
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(canonical, "/[?]", "?"), "/$", ""
+    )
+    return (
+        d.select(canonical.alias("canonical"))
+        .groupBy(F.regexp_extract("canonical", "://([^/?#]+)", 1).alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canonical").alias("n_urls"),
+        )
+        .orderBy("host")
+    )
+
+
+@query(
+    "agg_histogram",
+    "SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " round(min(value), 2) AS lo, round(max(value), 2) AS hi"
+    " FROM events GROUP BY bucket ORDER BY bucket",
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram (50-unit buckets, top bucket clamped) — the
+    profiling shape behind data-quality dashboards. Pure arithmetic
+    bucketing keeps it a one-shuffle partial aggregate; at 100 TB the
+    bucket cardinality is constant so the reduce side is trivial."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    "SELECT event_type,"
+    " round(quantile_cont(value, 0.5), 6) AS exact_p50,"
+    " true AS approx_within_5pct"
+    " FROM events GROUP BY event_type ORDER BY event_type",
+)
+def agg_approx_percentile(spark, sf_dir):
+    """Sketch-based percentile (the 100 TB path — ``approx_percentile``
+    aggregates a bounded KLL-style sketch instead of sorting the group) with
+    a tolerance verdict against the exact interpolated percentile, both
+    computed distributed in one pass (same pattern as ext_approx_distinct:
+    the verdict is a column expression, no driver-side collect)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("__approx") - F.col("exact_p50"))
+                <= 0.05 * F.abs(F.col("exact_p50")) + F.lit(0.01)
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "src_partition_pruned",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM events WHERE event_type IN ('purchase', 'signup')"
+    " GROUP BY event_type ORDER BY event_type",
+)
+def src_partition_pruned(spark, sf_dir):
+    """Hive-partitioned parquet source with partition pruning: events are
+    written ``partitionBy(event_type)`` and read back with a partition
+    predicate — the scan plans PartitionFilters and never opens the other
+    partitions' files (plan-guarded in tests/test_plans.py). This is the
+    directory-level analogue of the lake layer's stats-based file skipping
+    (ddl_partitioned_table): at 100 TB partition pruning is the first and
+    cheapest I/O eliminator, applied before any file or row-group stats."""
+    out = os.path.join(_tmpdir(), "events_part")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    # Sliding 24h window, 12h slide: every event belongs to exactly two
+    # windows (offsets 0 and -12h from its 12h grid bucket). Files arrive
+    # in event-time order; append mode emits a window once the final
+    # watermark (max ts - 1h) passes its END — the oracle encodes the same
+    # membership and emission rules in pure epoch-ms arithmetic (no
+    # engine-specific window-origin assumptions).
+    "WITH g AS (SELECT unnest([0, 1]) AS i),"
+    " w AS (SELECT e.*,"
+    "   (epoch_ms(ts) // 43200000 - g.i) * 43200000 AS wstart_ms"
+    "   FROM events e, g),"
+    " lim AS (SELECT epoch_ms(max(ts)) - 3600000 AS horizon FROM events)"
+    " SELECT wstart_ms AS window_start_ms, event_type,"
+    "  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value"
+    " FROM w WHERE wstart_ms + 86400000 <= (SELECT horizon FROM lim)"
+    " GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding event-time windows over a Structured Streaming source (the
+    tumbling variant is stream_window_agg): window('1 day' slide '12 hours')
+    with a 1-hour watermark, append-mode emission. State is bounded to
+    (horizon / slide) x |event types| windows; the shuffle key is
+    (window, event_type)."""
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        run_to_memory,
+        windowed_agg,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_type",
+        "value",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        group_cols=["event_type"],
+        slide_duration="12 hours",
+        watermark="1 hour",
+    )
+    got = run_to_memory(out)
+    return got.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("window_start_ms", "event_type")
+
+
+@query(
+    "join_bucketed",
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,"
+    " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " GROUP BY c_nationkey ORDER BY c_nationkey",
+)
+def join_bucketed(spark, sf_dir):
+    """Bucketed co-located join: both sides written ``bucketBy(8, custkey)``
+    + ``sortBy``, so the fact-fact join plans with ZERO exchanges on either
+    join input — the bucket layout IS the shuffle, paid once at write time
+    and amortized over every subsequent join (plan-guarded in
+    tests/test_plans.py). This is the standard 100 TB answer for a join
+    executed repeatedly on the same key: pre-partition the storage, never
+    re-shuffle the big tables at query time."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    base = _tmpdir()
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cname, oname = f"cust_b_{tag}", f"ord_b_{tag}"
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", os.path.join(base, "cust")).saveAsTable(cname))
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", os.path.join(base, "ord")).saveAsTable(oname))
+    c = spark.table(cname)
+    o = spark.table(oname)
+    # At the fixture's scale Catalyst would broadcast the (tiny) customer
+    # side; the MERGE hint pins the sort-merge strategy this key exists to
+    # demonstrate — the fact-fact shape where, at 100 TB, Catalyst picks
+    # SMJ itself and the bucket layout removes both exchanges.
+    return (
+        c.hint("merge").join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "snk_dynamic_partition_overwrite",
+    # post-state oracle: the 'purchase' partition is replaced by the
+    # doubled rows; every other partition keeps its original rows.
+    "WITH base AS (SELECT event_id, event_type,"
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(cents) AS BIGINT) AS cents FROM ("
+    "  SELECT event_id, event_type, cents * 2 AS cents FROM base"
+    "   WHERE event_type = 'purchase'"
+    "  UNION ALL SELECT * FROM base WHERE event_type <> 'purchase')"
+    " GROUP BY event_type ORDER BY event_type",
+)
+def snk_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics): a second write in ``dynamic`` mode replaces ONLY the
+    partitions present in the incoming frame — here the 'purchase'
+    partition is rewritten with doubled amounts while every other
+    partition's files are untouched. In ``static`` mode (the default) the
+    same write would wipe the whole table: the mode is the difference
+    between an O(changed partitions) daily re-load and an O(table) one at
+    100 TB."""
+    out = os.path.join(_tmpdir(), "events_dpo")
+    base = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base.write.partitionBy("event_type").parquet(out)
+    fix = (
+        base.where(F.col("event_type") == "purchase")
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "snk_insert_sql",
+    # phase 'pre' = 2 VALUES rows + the column-subset row (NULL cents) +
+    # the SELECT-appended signup events; phase 'post' = the OVERWRITE
+    # replacement — both table states verified via time travel.
+    "WITH pre AS ("
+    "  SELECT CAST(1 AS BIGINT) AS user_id, 'a' AS event_type,"
+    "   CAST(10 AS BIGINT) AS cents"
+    "  UNION ALL SELECT 2, 'b', 20"
+    "  UNION ALL SELECT 3, 'c', NULL"
+    "  UNION ALL SELECT user_id, event_type,"
+    "   CAST(round(value * 100) AS BIGINT)"
+    "   FROM events WHERE event_type = 'signup'),"
+    " post AS (SELECT CAST(100 AS BIGINT) AS user_id, 'final' AS event_type,"
+    "   CAST(1 AS BIGINT) AS cents"
+    "  UNION ALL SELECT 200, 'final', 2)"
+    " SELECT 'pre' AS phase, * FROM pre"
+    " UNION ALL SELECT 'post', * FROM post"
+    " ORDER BY phase, user_id, cents",
+)
+def snk_insert_sql(spark, sf_dir):
+    """SQL-text INSERT statements through the one-door dispatcher
+    (lake/sql.py: execute_insert): INSERT INTO ... VALUES, INSERT INTO with
+    an explicit column subset (absent column -> NULL via _align), INSERT
+    INTO ... SELECT over a temp view, then INSERT OVERWRITE ... VALUES
+    replacing the whole content. Both table states are verified — the
+    pre-overwrite version via time travel, the post-state from the head.
+    Each statement is one transactional commit; OVERWRITE is a metadata
+    swap of the file set, never an in-place mutation."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "ins"), schema)
+    resolve = {"tgt": t}
+    execute_statement(
+        spark, "INSERT INTO tgt VALUES (1, 'a', 10), (2, 'b', 20)", resolve
+    )
+    execute_statement(
+        spark, "INSERT INTO tgt (user_id, event_type) VALUES (3, 'c')", resolve
+    )
+    ev = load_table(spark, "events", sf_dir)
+    ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("signup_src")
+    execute_statement(
+        spark,
+        "INSERT INTO tgt SELECT user_id, event_type, cents FROM signup_src",
+        resolve,
+    )
+    v_pre = t.version()
+    execute_statement(
+        spark,
+        "INSERT OVERWRITE tgt VALUES (100, 'final', 1), (200, 'final', 2)",
+        resolve,
+    )
+    pre = t.to_df(version=v_pre).select(F.lit("pre").alias("phase"), "*")
+    post = t.to_df().select(F.lit("post").alias("phase"), "*")
+    return pre.unionByName(post).orderBy("phase", "user_id", "cents")
+
+
+@query(
+    "fn_datetime",
+    "SELECT event_id,"
+    " epoch_ms(date_trunc('day', ts)) AS day_ms,"
+    " CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,"  # DuckDB dow 0=Sun; Spark 1=Sun
+    " CAST(hour(ts) AS BIGINT) AS hr,"
+    " CAST(quarter(ts) AS BIGINT) AS qtr,"
+    " epoch_ms(ts + INTERVAL 1 MONTH) AS plus_month_ms,"
+    " epoch_ms(CAST(last_day(ts) AS TIMESTAMP)) AS month_end_ms,"
+    " CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    "  AS days_since"
+    " FROM events ORDER BY event_id",
+)
+def fn_datetime(spark, sf_dir):
+    """Calendar/datetime scalar surface: truncation, day-of-week, hour,
+    quarter, interval arithmetic (end-of-month clamping included),
+    last_day, day difference from an anchor. All outputs epoch-ms bigints
+    or ints so the cross-engine compare is exact; session tz pinned UTC on
+    both sides. Narrow codegen projection, scan-bound."""
+    ev = load_table(spark, "events", sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.date_trunc("day", ts)).alias("day_ms"),
+        F.dayofweek(ts).cast("long").alias("dow"),
+        F.hour(ts).cast("long").alias("hr"),
+        F.quarter(ts).cast("long").alias("qtr"),
+        F.unix_millis(ts + F.expr("INTERVAL 1 MONTH")).alias("plus_month_ms"),
+        F.unix_millis(F.last_day(ts).cast("timestamp")).alias("month_end_ms"),
+        F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_map_ops",
+    # the map {'cents': x, 'user': y} exploded to (key, value) rows; the
+    # zipped unnest reproduces entry order, and element_at/keys are probed
+    # as scalar columns
+    "SELECT event_id,"
+    " unnest(['cents', 'user']) AS k,"
+    " unnest([CAST(round(value * 100) AS BIGINT), user_id]) AS v,"
+    " CAST(round(value * 100) AS BIGINT) AS cents_probe,"
+    " 'cents,user' AS keys_sorted"
+    " FROM events ORDER BY event_id, k",
+)
+def fn_map_ops(spark, sf_dir):
+    """MapType surface: map_from_arrays construction, element_at probe,
+    sorted map_keys, and explode back to rows (the only engine-portable
+    way to value-compare a map). Maps stay JVM-side expressions — no UDF;
+    explode is a narrow operator."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = F.map_from_arrays(
+        F.array(F.lit("cents"), F.lit("user")),
+        F.array(cents, F.col("user_id")),
+    )
+    return (
+        ev.select(
+            "event_id",
+            m.alias("m"),
+            F.element_at(m, "cents").alias("cents_probe"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        )
+        .select(
+            "event_id",
+            F.explode("m").alias("k", "v"),
+            "cents_probe",
+            "keys_sorted",
+        )
+        .orderBy("event_id", "k")
+    )
+
+
+@query(
+    "ddl_create_sql",
+    "SELECT * FROM (VALUES"
+    " (CAST(1 AS BIGINT), 'England', CAST(934 AS BIGINT), 'big', true, true),"
+    " (CAST(2 AS BIGINT), 'Wales', CAST(500 AS BIGINT), 'big', true, true),"
+    " (CAST(3 AS BIGINT), 'Scotland', CAST(20 AS BIGINT), 'small', true, true))"
+    " t(id, country, num_visitors, bucket, cdf_on, create_idempotent)"
+    " ORDER BY id",
+)
+def ddl_create_sql(spark, sf_dir):
+    """CREATE TABLE through the SQL front door (lake/sql.py:
+    parse_create_table) with the reference's DDL shape verbatim
+    (notebooks/demo-notebook.py:213-227): IF NOT EXISTS, column list with
+    NOT NULL, a GENERATED ALWAYS AS column, PARTITIONED BY, and the
+    ``delta.enableChangeDataFeed`` property (prefix mapped to the lake
+    layer's bare name). Rows arrive via SQL INSERT with a column subset —
+    the generated column computes itself. The in-key booleans attest CDF
+    enabled and that re-running the same CREATE IF NOT EXISTS is a no-op
+    (version unchanged)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ddl = (
+        "CREATE TABLE IF NOT EXISTS visits ("
+        " id BIGINT NOT NULL, country STRING, num_visitors BIGINT,"
+        " bucket STRING GENERATED ALWAYS AS"
+        "  (CASE WHEN num_visitors >= 500 THEN 'big' ELSE 'small' END)"
+        ") PARTITIONED BY (country)"
+        " TBLPROPERTIES (delta.enableChangeDataFeed = true)"
+    )
+    path = os.path.join(_tmpdir(), "visits")
+    t = execute_statement(spark, ddl, {}, dest_path=path)
+    execute_statement(
+        spark,
+        "INSERT INTO visits (id, country, num_visitors) VALUES"
+        " (1, 'England', 934), (2, 'Wales', 500), (3, 'Scotland', 20)",
+        {"visits": t},
+    )
+    v = t.version()
+    again = execute_statement(spark, ddl, {}, dest_path=path)
+    return (
+        t.to_df()
+        .select(
+            "id",
+            "country",
+            "num_visitors",
+            "bucket",
+            F.lit(t.cdf_enabled()).alias("cdf_on"),
+            F.lit(again.version() == v).alias("create_idempotent"),
+        )
+        .orderBy("id")
+    )
+
+
+@query(
+    "fn_variant_json",
+    "SELECT event_id,"
+    " CAST(json_extract(props, '$.k') AS BIGINT) AS k,"
+    " CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_null,"
+    " CAST(json_valid(props) AS BOOLEAN) AS is_valid"
+    " FROM events ORDER BY event_id",
+)
+def fn_variant_json(spark, sf_dir):
+    """VARIANT semi-structured access (Spark 4 native type): parse_json
+    once into a variant column, then typed path extraction with
+    try_variant_get — missing paths yield NULL, never an error. VARIANT
+    keeps a binary-encoded tree (no re-parse per extraction), the
+    shredded-at-scan answer to JSON-heavy event tables; at 100 TB this
+    replaces the per-access get_json_object string re-parse (that older
+    surface is fn_json_extract). Narrow codegen projection."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing_null"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    ).orderBy("event_id")
+
+
+@query(
+    "ext_resample_ffill",
+    "WITH b AS (SELECT date_trunc('hour', min(ts)) AS mn, max(ts) AS mx"
+    "  FROM events),"
+    " grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS g"
+    "  FROM b),"
+    " users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0),"
+    " pts AS (SELECT user_id, ts,"
+    "   max(CAST(round(value * 100) AS BIGINT)) AS cents"
+    "  FROM events WHERE user_id % 20 = 0 GROUP BY user_id, ts)"
+    " SELECT u.user_id AS user_id, epoch_ms(grid.g) AS grid_ms,"
+    "  p.cents AS cents_ffill"
+    " FROM users u CROSS JOIN grid"
+    " ASOF LEFT JOIN pts p ON p.user_id = u.user_id AND p.ts <= grid.g"
+    " ORDER BY u.user_id, grid_ms",
+)
+def ext_resample_ffill(spark, sf_dir):
+    """Time-series resampling with forward-fill: every (user, 6-hour grid
+    point) carries the user's last observed value at-or-before that point
+    (NULL before the first observation) — the gap-fill step feeding
+    downstream feature pipelines. Composed from engine primitives: the
+    grid is a `sequence()` explode off a broadcast 1-row bounds aggregate
+    (no driver collect), and the fill is the as-of join (one keyed shuffle,
+    no range cross product — operators/joins.py: asof_join).
+
+    Scale: |users| x |grid| rows materialize; at 100 TB you bound the grid
+    (resample window) per query and the shuffle key is the user id —
+    uniform. The user sample here (1-in-20) keeps the fixture output
+    compact; the plan shape is identical unsampled."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") % 20 == 0)
+    bounds = load_table(spark, "events", sf_dir).agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 6 hours)")).alias("g"),
+    )
+    pts = ev.groupBy("user_id", "ts").agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    out = asof_join(
+        grid, pts, on=["user_id"], left_ts="g", right_ts="ts",
+        value_cols=["cents"],
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("g").alias("grid_ms"),
+        F.col("cents").alias("cents_ffill"),
+    ).orderBy("user_id", "grid_ms")
+
+
+@query("stream_scd2", _SQL_SCD2)
+def stream_scd2(spark, sf_dir):
+    """Streaming SCD Type-2: the history-keeping dimension maintained from
+    a real file stream — ``foreachBatch`` applies ``scd2_merge`` per
+    micro-batch (1 landing file per trigger, the reference's Autoloader
+    pacing, notebooks/demo-notebook.py:161). Proves the SCD2 operator
+    composes with Structured Streaming's at-least-once delivery: the hash
+    guard makes re-applied batches no-ops, so the streamed history equals
+    the batch-applied history (same oracle as merge_scd2).
+
+    Scale: per micro-batch cost is the scd2_merge cost model (O(changed
+    keys)); checkpointed offsets + idempotent merges give effectively-once
+    history maintenance."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import scd2_merge
+
+    b1, b2 = _cdc_batches(spark, sf_dir)
+
+    def prep(b: DataFrame) -> DataFrame:
+        return b.select(
+            "user_id",
+            "ts_ms",
+            "event_type",
+            "value_cents",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("event_type"), F.col("value_cents").cast("string")
+                )
+            ).alias("data_hash"),
+            "event_id",
+        )
+
+    land = _tmpdir()
+    flat = _tmpdir()
+    for i, b in enumerate((b1, b2)):
+        d = os.path.join(land, f"f{i}")
+        prep(b).coalesce(1).write.mode("overwrite").json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{i}.json"))
+    stream_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value_cents", LongType()),
+            StructField("data_hash", StringType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    table_schema = StructType(
+        stream_schema.fields
+        + [
+            StructField("__start_ts", LongType()),
+            StructField("__end_ts", LongType()),
+            StructField("__is_current", BooleanType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "scd2_stream_dim"),
+        table_schema,
+        properties={"statsColumns": "user_id"},
+    )
+    stream = read_json_stream(spark, flat, stream_schema, multiline=False)
+
+    def apply_batch(df: DataFrame, _epoch: int) -> None:
+        scd2_merge(
+            table, df, key_cols=["user_id"], ts_col="ts_ms",
+            tiebreak_cols=["event_id"],
+        )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        table.to_df()
+        .select(
+            "user_id",
+            "event_type",
+            "value_cents",
+            F.col("__start_ts").alias("start_ts"),
+            F.col("__end_ts").alias("end_ts"),
+            F.col("__is_current").alias("is_current"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+@query(
+    "ext_multimodal_resize",
+    "SELECT * FROM (VALUES"
+    " (CAST(1 AS BIGINT), 4, 4, 16, CAST(1690 AS BIGINT)),"
+    " (CAST(2 AS BIGINT), 4, 4, 16, CAST(1805 AS BIGINT)),"
+    " (CAST(3 AS BIGINT), 4, 4, 16, CAST(1682 AS BIGINT)))"
+    " t(media_id, out_w, out_h, n_pixels, pix_sum) ORDER BY media_id",
+)
+def ext_multimodal_resize(spark, sf_dir):
+    """Media resize plumbing (the decode->resize->featurize middle step):
+    mapInPandas Arrow batches turn binary media into fixed-size 4x4
+    thumbnail arrays. The deterministic fake resizer (strided byte samples
+    — multimodal.py: fake_resize) runs here since the container has no
+    Pillow; real_resize is the drop-in Pillow path with the identical
+    schema (exercised by a guarded test when Pillow is importable). The
+    oracle pins the exact pixel sums of the planted fixture."""
+    rows = [
+        (1, "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"fakepngdata" * 100),
+        (2, "image", bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"fakejpgdata" * 50),
+        (3, "audio", b"RIFF" + b"fakewav" * 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    out = MM.resize_images(df, width=4, height=4)
+    return out.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pix_sum"),
+    ).orderBy("media_id")
+
+
+@query(
+    "ddl_add_drop_column",
+    # phase 'widened': old rows read the added column as NULL, new rows
+    # carry values; phase 'dropped': the note column is logically gone
+    # while rows and remaining values survive untouched.
+    "WITH widened AS ("
+    "  SELECT CAST(1 AS BIGINT) AS id, 'a' AS name, CAST(NULL AS BIGINT) AS score"
+    "  UNION ALL SELECT 2, 'b', NULL"
+    "  UNION ALL SELECT 3, 'c', 30),"
+    " dropped AS (SELECT id, name FROM widened)"
+    " SELECT 'widened' AS phase, id, name, score FROM widened"
+    " UNION ALL SELECT 'dropped', id, name, NULL FROM dropped"
+    " ORDER BY phase DESC, id",
+)
+def ddl_add_drop_column(spark, sf_dir):
+    """ALTER TABLE ADD COLUMNS / DROP COLUMN through the SQL front door —
+    both metadata-only commits (lake/table.py: add_columns/drop_column).
+    ADD widens the schema; files written before it read the new column as
+    NULL (schema-on-read, no rewrite — the explicit-DDL spelling of the
+    merge_schema evolution path). DROP is Delta's column-mapping logical
+    removal: physical bytes stay, reads stop projecting. The key widens a
+    2-column table, appends a row carrying the new column, snapshots via
+    time travel, then drops an unrelated column and returns both phases."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("note", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "addcol"), schema)
+    r = {"t": t}
+    execute_statement(
+        spark, "INSERT INTO t VALUES (1, 'a', 'n1'), (2, 'b', 'n2')", r
+    )
+    execute_statement(spark, "ALTER TABLE t ADD COLUMNS (score BIGINT)", r)
+    execute_statement(
+        spark, "INSERT INTO t (id, name, score) VALUES (3, 'c', 30)", r
+    )
+    v_wide = t.version()
+    execute_statement(spark, "ALTER TABLE t DROP COLUMN note", r)
+    execute_statement(spark, "ALTER TABLE t DROP COLUMN score", r)
+    widened = t.to_df(version=v_wide).select(
+        F.lit("widened").alias("phase"), "id", "name", "score"
+    )
+    dropped = t.to_df().select(
+        F.lit("dropped").alias("phase"),
+        "id",
+        "name",
+        F.lit(None).cast("long").alias("score"),
+    )
+    return widened.unionByName(dropped).orderBy(F.desc("phase"), "id")
+
+
+@query(
+    "snk_copy_into",
+    # landing files hold the signup/purchase halves; the third file lands
+    # between the 2nd and 3rd COPY INTO. Booleans attest idempotence: the
+    # re-run ingested 0 files, the late file exactly 1.
+    "SELECT event_id, event_type,"
+    " CAST(round(value * 100) AS BIGINT) AS cents,"
+    " true AS rerun_noop, true AS late_file_incremental"
+    " FROM events WHERE event_type IN ('signup', 'purchase', 'error')"
+    " ORDER BY event_id",
+)
+def snk_copy_into(spark, sf_dir):
+    """COPY INTO — idempotent batch file ingestion (the batch counterpart
+    of the reference's Autoloader stream, and its exactly-once doctrine in
+    load form): each run diffs the landing zone against the files already
+    ingested by previous COPY INTO commits and loads ONLY the new ones.
+    The scenario: land 2 parquet files -> COPY INTO (2 loaded) -> re-run
+    (0 loaded — crash/cron-safe) -> land a 3rd file -> COPY INTO (exactly
+    1 loaded). One atomic commit carries both data and the ingested-file
+    list, so there is no window where rows are loaded but unrecorded."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+
+    def land_one(tag: str, etype: str) -> None:
+        d = os.path.join(land, tag)
+        ev.where(F.col("event_type") == etype).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{tag}.parquet"))
+
+    land_one("f0", "signup")
+    land_one("f1", "purchase")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "copy_tgt"), schema)
+    r = {"tgt": t}
+    stmt = f"COPY INTO tgt FROM '{flat}' FILEFORMAT = PARQUET"
+    first = execute_statement(spark, stmt, r)
+    rerun = execute_statement(spark, stmt, r)
+    land_one("f2", "error")
+    third = execute_statement(spark, stmt, r)
+    assert first["num_files"] == 2, first
+    return t.to_df().select(
+        "event_id",
+        "event_type",
+        F.col("cents"),
+        F.lit(rerun["num_files"] == 0).alias("rerun_noop"),
+        F.lit(third["num_files"] == 1).alias("late_file_incremental"),
+    ).orderBy("event_id")
+
+
+@query(
+    "ddl_tblproperties",
+    # booleans attest: CDF off at creation -> first append invisible to the
+    # feed; SET enables it -> the next append's rows ARE in the feed; UNSET
+    # round-trips the custom property.
+    "SELECT CAST(2 AS BIGINT) AS n_cdf_rows, true AS cdf_was_off,"
+    " true AS custom_prop_roundtrip",
+)
+def ddl_tblproperties(spark, sf_dir):
+    """ALTER TABLE SET / UNSET TBLPROPERTIES — metadata commits that merge
+    or remove table properties mid-life (Delta's late `delta.
+    enableChangeDataFeed = true` pattern, exactly the property the
+    reference sets at creation, notebooks/demo-notebook.py:225-227). The
+    key enables CDF on an existing table and proves the feed starts at the
+    enabling version: the pre-SET append is invisible, the post-SET
+    append's 2 rows stream."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "props"), schema)
+    r = {"t": t}
+    execute_statement(spark, "INSERT INTO t VALUES (1, 'pre')", r)
+    cdf_was_off = not t.cdf_enabled()
+    execute_statement(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES"
+        " (delta.enableChangeDataFeed = true, team = 'core')",
+        r,
+    )
+    v_on = t.version()
+    execute_statement(spark, "INSERT INTO t VALUES (2, 'post'), (3, 'post')", r)
+    n_cdf = t.read_changes(starting_version=v_on).count()
+    had = t.properties().get("team") == "core"
+    execute_statement(spark, "ALTER TABLE t UNSET TBLPROPERTIES (team)", r)
+    gone = "team" not in t.properties()
+    return spark.createDataFrame(
+        [(n_cdf, cdf_was_off, had and gone and t.cdf_enabled())],
+        "n_cdf_rows long, cdf_was_off boolean, custom_prop_roundtrip boolean",
+    )
+
+
+_URL_DEDUP_SQL = """
+WITH urls AS (
+  SELECT doc_id, n_chars,
+         concat('https://', source, '.example.com/page',
+                CAST(doc_id % 10 AS VARCHAR)) AS canonical
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, canonical, n_chars,
+         row_number() OVER (PARTITION BY canonical
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY canonical) AS n_dups
+  FROM urls
+)
+SELECT doc_id, canonical, CAST(n_dups AS BIGINT) AS n_dups
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+@query("ext_dedup_url", _URL_DEDUP_SQL)
+def ext_dedup_url(spark, sf_dir):
+    """URL-keyed dedup — the first dedup stage of every web-crawl pipeline
+    (CommonCrawl/C4 dedup by canonical URL before any content hashing):
+    group documents by canonical URL and keep the best fetch per URL
+    (longest text wins, doc_id breaks ties deterministically). URLs are
+    planted from doc_id (the fixture carries none); canonicalization
+    itself is exercised by ext_url_normalize.
+
+    Scale: one hash shuffle on the canonical-URL key feeding a window
+    (row_number + count over the same partitioning — Catalyst plans both
+    over ONE exchange). URL keys are near-unique in a real crawl, so
+    partitions stay balanced; survivor selection never materializes
+    pairs. 100 TB: identical shape; the shuffle carries (url, n_chars,
+    doc_id), not document bodies — project before the exchange."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    w = Window.partitionBy("canonical")
+    ranked = (
+        d.select("doc_id", "n_chars", url.alias("canonical"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("n_dups", F.count("*").over(w))
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select("doc_id", "canonical", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+_DOC_SHUFFLE_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(concat('shuffle-seed-42|', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, h, ascii(substr(h, 1, 1)) % 8 AS shard
+  FROM hashed
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM sharded ORDER BY shard, pos
+"""
+
+
+@query("ext_doc_shuffle", _DOC_SHUFFLE_SQL)
+def ext_doc_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding — the "global shuffle"
+    every pre-training data pipeline ends with: each document gets a
+    seeded pseudo-random rank (md5 of seed|doc_id), is routed to a shard
+    by that rank, and receives a deterministic position within its shard.
+    Re-running with the same seed reproduces the exact training order;
+    changing the seed is a fresh epoch permutation.
+
+    Scale: this is the Spark-first alternative to a single global sort —
+    a global row_number() would serialize through ONE partition. Instead
+    the order is (shard, pos): documents hash-route to shards (narrow,
+    no skew — md5 is uniform), and positions are per-shard window ranks,
+    so the only wide op is one exchange on the shard key and every shard
+    ranks in parallel. Trainers read shards in index order, giving a
+    reproducible global order without any single-partition bottleneck.
+    100 TB: n_shards scales with the cluster (one output file each)."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("shuffle-seed-42|"), F.col("doc_id").cast("string")))
+    shard = (F.ascii(F.substring(F.col("h"), 1, 1)) % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_BLOCKLIST_SQL = """
+WITH urls AS (
+  SELECT doc_id, lang, n_chars,
+         concat(source, '.example.com') AS host
+  FROM documents
+)
+SELECT u.doc_id, u.host
+FROM urls u
+WHERE u.host NOT IN (
+  SELECT concat(b.src, '.example.com')
+  FROM (VALUES ('src3'), ('src7'), ('src12'), ('src18')) AS b(src)
+)
+ORDER BY u.doc_id
+"""
+
+
+@query("ext_domain_blocklist", _BLOCKLIST_SQL)
+def ext_domain_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering — drop every document whose host appears
+    on a curated blocklist (spam/adult/SEO domains), the standard first
+    quality gate in web-corpus curation. The blocklist arrives as a TABLE
+    (tens of thousands of rows in production, 4 here), not a literal
+    IN-list, so the filter is an anti-join.
+
+    Scale: the blocklist side is kilobytes-to-megabytes — broadcast it
+    (explicit ``F.broadcast``) and the anti-join runs map-side with ZERO
+    shuffle of the corpus; the plan is BroadcastHashJoin LeftAnti over
+    the scan. Never flip the build side: shuffling 100 TB of documents
+    to anti-join a 1 MB list is the canonical join-order mistake."""
+    d = load_table(spark, "documents", sf_dir)
+    block = spark.createDataFrame(
+        [("src3",), ("src7",), ("src12",), ("src18",)], "src string"
+    ).select(F.concat("src", F.lit(".example.com")).alias("host"))
+    urls = d.select(
+        "doc_id", F.concat("source", F.lit(".example.com")).alias("host")
+    )
+    return (
+        urls.join(F.broadcast(block), "host", "left_anti")
+        .select("doc_id", "host")
+        .orderBy("doc_id")
+    )
+
+
+_HIGHER_ORDER_SQL = """
+WITH milli AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS m
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(list_filter(m, x -> x > 0)) AS INT) AS n_pos,
+       CAST(list_sum(m) AS BIGINT) AS sum_milli,
+       CAST(list_max(m) AS BIGINT) AS max_milli,
+       len(list_filter(m, x -> abs(x) > 1500)) > 0 AS has_big
+FROM milli ORDER BY vec_id
+"""
+
+
+@query("fn_higher_order", _HIGHER_ORDER_SQL)
+def fn_higher_order(spark, sf_dir):
+    """Higher-order array lambdas — transform / filter / aggregate / exists
+    over the embedding vectors, all evaluated inside the JVM with zero
+    Python involvement. Elements are quantized to integer millis FIRST
+    (round(x*1000)) so every downstream reduction is exact integer math —
+    float summation order never reaches the oracle hash.
+
+    Scale: lambda expressions run per-row inside whole-stage codegen, so
+    this is a pure narrow projection over the scan — no shuffle, no UDF,
+    no Arrow transfer. At 100 TB this is the pattern that replaces a
+    Pandas UDF for elementwise vector math."""
+    e = load_table(spark, "embeddings", sf_dir)
+    m = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    return (
+        e.select("vec_id", m.alias("m"))
+        .select(
+            "vec_id",
+            F.size(F.filter("m", lambda x: x > 0)).alias("n_pos"),
+            F.aggregate(
+                "m", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("sum_milli"),
+            F.array_max("m").alias("max_milli"),
+            F.exists("m", lambda x: F.abs(x) > 1500).alias("has_big"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_MERGE_EVO_SQL = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'signup'
+),
+batch AS (
+  SELECT event_id, CAST(round(value * 100) * 2 AS BIGINT) AS cents,
+         upper(event_type) AS tier
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND event_id % 2 = 0
+)
+SELECT coalesce(b.event_id, s.event_id) AS event_id,
+       coalesce(s.cents, b.cents) AS cents,
+       s.tier AS tier,
+       true AS schema_evolved
+FROM base b FULL OUTER JOIN batch s ON b.event_id = s.event_id
+ORDER BY event_id
+"""
+
+
+@query("merge_schema_evolution", _MERGE_EVO_SQL)
+def merge_schema_evolution(spark, sf_dir):
+    """MERGE WITH SCHEMA EVOLUTION — the upsert variant of schema drift
+    (Delta's ``withSchemaEvolution()`` / ``MERGE WITH SCHEMA EVOLUTION``
+    statement): the source batch carries a column the target has never
+    seen (`tier`); the merge widens the target schema in the SAME atomic
+    commit, UPDATE/INSERT * assign the new column, and every pre-existing
+    row in files the merge didn't touch reads it back as NULL without any
+    rewrite (schema-on-read).
+
+    Scale: evolution adds zero data movement on top of the merge itself —
+    the schema widening is a metadata-only change in the commit; untouched
+    files are never opened. The merge keeps the single source-sided
+    planning join of the base path.
+    Reference: notebooks/demo-notebook.py:244-280 (MERGE), with drift
+    handled as in :186 (Autoloader mergeSchema) but inside MERGE."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_merge
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.where(F.col("event_type") == "signup").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("cents", LongType())]
+    )
+    t = LakeTable.create(spark, os.path.join(_tmpdir(), "evo_tgt"), schema)
+    t.append(base)
+    batch = ev.where(
+        F.col("event_type").isin("signup", "purchase")
+        & (F.col("event_id") % 2 == 0)
+    ).select(
+        "event_id",
+        (F.round(F.col("value") * 100) * 2).cast("long").alias("cents"),
+        F.upper("event_type").alias("tier"),
+    )
+    batch.createOrReplaceTempView("evo_batch")
+    execute_merge(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO tgt t USING evo_batch s"
+        " ON s.event_id = t.event_id"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *",
+        {"tgt": t},
+        stats_prune={"event_id": "event_id"},
+    )
+    evolved = "tier" in t.schema().fieldNames()
+    return t.to_df().select(
+        "event_id", "cents", "tier", F.lit(evolved).alias("schema_evolved")
+    ).orderBy("event_id")
+
+
+_ANALYZE_SQL = """
+WITH s AS (SELECT * FROM events WHERE event_type <> 'error')
+SELECT col, n_nonnull, ndv, min_str, max_str, true AS persisted
+FROM (
+  SELECT 'event_id' AS col, CAST(count(event_id) AS BIGINT) AS n_nonnull,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+         CAST(min(event_id) AS VARCHAR) AS min_str,
+         CAST(max(event_id) AS VARCHAR) AS max_str FROM s
+  UNION ALL
+  SELECT 'event_type', CAST(count(event_type) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT),
+         CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+  FROM s
+  UNION ALL
+  SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+         CAST(count(DISTINCT user_id) AS BIGINT),
+         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM s
+) ORDER BY col
+"""
+
+
+@query("util_analyze_stats", _ANALYZE_SQL)
+def util_analyze_stats(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS — the stats source a
+    cost-based optimizer consults for join sizing/broadcast decisions and
+    data skipping: one scan computes row count + per-column non-null
+    count, NDV, min, max; the result persists as a ``stats.json`` table
+    property (a metadata commit) and reads back via ``table_stats()``
+    without rescanning. This key uses exact NDV so the numbers are
+    oracle-checkable; the production default is approx_count_distinct
+    (HLL partial-aggregates map-side — see LakeTable.analyze docstring
+    for why exact NDV doesn't scale).
+
+    Scale: one full scan, one agg; HLL NDV keeps it a single pass with a
+    metadata-size shuffle. The persisted stats make every LATER query
+    cheaper (broadcast decisions, file skipping) — the canonical
+    scan-once-decide-many pattern."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") != "error"
+    ).select("event_id", "event_type", "user_id")
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "an_tgt"), ev.schema
+    )
+    t.append(ev)
+    t.analyze(
+        columns=["event_id", "event_type", "user_id"], exact_ndv=True
+    )
+    # the SQL front door parses the same statement (approx path) — run it
+    # to attest the route, then read the persisted exact stats back
+    execute_statement(
+        spark,
+        "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS event_id",
+        {"t": t},
+    )
+    stats = t.table_stats()
+    persisted = stats is not None and stats["numRows"] == ev.count()
+    rows = [
+        (
+            c,
+            int(st["nonNull"]),
+            int(st["ndv"]),
+            st["min"],
+            st["max"],
+            bool(persisted),
+        )
+        for c, st in sorted(stats["columns"].items())
+        if c != "event_id"  # overwritten by the approx front-door run
+    ]
+    # recompute event_id exactly for the comparison slice (the SQL route
+    # above replaced it with the HLL estimate, by design)
+    ex = t.analyze(columns=["event_id"], exact_ndv=True)["columns"]["event_id"]
+    rows.insert(
+        0,
+        (
+            "event_id",
+            int(ex["nonNull"]),
+            int(ex["ndv"]),
+            ex["min"],
+            ex["max"],
+            bool(persisted),
+        ),
+    )
+    return spark.createDataFrame(
+        rows,
+        "col string, n_nonnull long, ndv long, min_str string,"
+        " max_str string, persisted boolean",
+    ).orderBy("col")
+
+
+_STATS_JOIN_SQL = """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+       true AS broadcast_chosen
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
+@query("join_stats_driven", _STATS_JOIN_SQL)
+def join_stats_driven(spark, sf_dir):
+    """Cost-based join strategy from ANALYZE statistics — the engine-side
+    use of `util_analyze_stats`: both join inputs are lake tables with
+    persisted stats; the planner estimates each side's bytes (numRows x
+    schema-derived row width) and broadcasts the smaller side when it
+    fits under the 10 MB autoBroadcast threshold. No scan happens at
+    plan time — the decision reads metadata written once by ANALYZE.
+
+    Scale: this is what a metastore-backed CBO does with catalog stats;
+    for lake tables outside a metastore the stats ride in the commit
+    log. The case that matters at 100 TB: a dimension that is a small
+    FILTERED slice of a big table — file size overstates it, post-filter
+    stats don't, and the wrong call shuffles the fact table."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import (
+        stats_driven_join,
+    )
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    tc = LakeTable.create(spark, os.path.join(_tmpdir(), "sj_c"), cust.schema)
+    tc.append(cust)
+    tn = LakeTable.create(spark, os.path.join(_tmpdir(), "sj_n"), nat.schema)
+    tn.append(nat)
+    tc.analyze()
+    tn.analyze()
+    joined, decision = stats_driven_join(
+        tc.to_df(),
+        tn.to_df(),
+        F.expr("c_nationkey = n_nationkey"),
+        tc.table_stats(),
+        tn.table_stats(),
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .withColumn("broadcast_chosen", F.lit(decision == "broadcast_right"))
+        .orderBy("nation")
+    )
+
+
+_DATASET_SPLIT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+),
+assigned AS (
+  SELECT doc_id,
+         md5(text) AS cluster_id,
+         CASE
+           WHEN ascii(substr(md5(concat('split-seed|', md5(text))), 1, 1))
+                % 10 < 8 THEN 'train'
+           WHEN ascii(substr(md5(concat('split-seed|', md5(text))), 1, 1))
+                % 10 = 8 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM corpus
+),
+leak AS (
+  SELECT max(n_splits) = 1 AS leakage_free
+  FROM (SELECT cluster_id, count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY cluster_id)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       (SELECT leakage_free FROM leak) AS leakage_free
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+@query("ext_dataset_split", _DATASET_SPLIT_SQL)
+def ext_dataset_split(spark, sf_dir):
+    """Leakage-safe train/val/test split — the assignment is keyed on the
+    DUPLICATE-CLUSTER id (here md5 of the exact text; in production the
+    MinHash cluster label), not the doc id, so every near-duplicate of a
+    training document lands in the SAME split and the eval sets stay
+    uncontaminated. Duplicates are planted (every 7th doc mirrored under
+    a new id) to make the guarantee observable; the key also re-verifies
+    it (max distinct splits per cluster == 1).
+
+    Scale: split assignment is a narrow hash projection — no shuffle, no
+    state, reproducible across engines and epochs (seeded md5). The
+    leakage audit is one groupBy on the cluster id; at 100 TB run it as
+    a sampled or periodic check, the assignment itself never needs it.
+    80/10/10 comes from hash-bucket ranges, the same mechanism as
+    ext_sample_hash."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    cluster = F.md5("text")
+    bucket = F.ascii(
+        F.substring(F.md5(F.concat(F.lit("split-seed|"), cluster)), 1, 1)
+    ) % 10
+    assigned = corpus.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg((F.max("n_splits") == 1).alias("leakage_free"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
+_DESCRIBE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'CREATE',            true, true, true),
+  (CAST(1 AS BIGINT), 'APPEND',            true, true, true),
+  (CAST(2 AS BIGINT), 'APPEND',            true, true, true),
+  (CAST(3 AS BIGINT), 'SET TBLPROPERTIES', true, true, true),
+  (CAST(4 AS BIGINT), 'DELETE',            true, true, true)
+) AS h(version, operation, detail_consistent, props_visible, files_counted)
+ORDER BY version
+"""
+
+
+@query("util_describe_detail", _DESCRIBE_SQL)
+def util_describe_detail(spark, sf_dir):
+    """DESCRIBE HISTORY / DESCRIBE DETAIL / SHOW TBLPROPERTIES through the
+    SQL front door — the audit surface the reference reads with
+    ``DESCRIBE HISTORY`` (notebooks/demo-notebook.py, time-travel cells):
+    per-commit operation log, one-row snapshot summary (location, file
+    count/bytes, partition columns, version), and the properties view.
+    All three are metadata-only — commit log + file stats, no data scan.
+
+    The key drives a 5-commit lifecycle (create, 2 appends, property
+    set, delete) and attests: history returns exactly the operations in
+    order; DETAIL's version/file-count agree with the log and the live
+    file list; the property set at v3 is visible in SHOW TBLPROPERTIES."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "desc_tgt"), ev.schema
+    )
+    t.append(ev.where(F.col("event_id") % 2 == 0).repartition(1))
+    t.append(ev.where(F.col("event_id") % 2 == 1).repartition(1))
+    r = {"t": t}
+    execute_statement(
+        spark, "ALTER TABLE t SET TBLPROPERTIES (owner = 'curation')", r
+    )
+    execute_statement(spark, "DELETE FROM t WHERE cents < 0", r)
+
+    hist = execute_statement(spark, "DESCRIBE HISTORY t", r)
+    detail = execute_statement(spark, "DESCRIBE DETAIL t", r)
+    props = execute_statement(spark, "SHOW TBLPROPERTIES t", r)
+
+    detail_ok = (
+        detail["version"] == max(h["version"] for h in hist)
+        and detail["numFiles"] == len(t.files())
+        and detail["location"] == t.path
+        and detail["partitionColumns"] == []
+        and detail["sizeInBytes"] > 0
+    )
+    props_ok = props.get("owner") == "curation"
+    files_ok = detail["numFiles"] >= 2  # two appends; DELETE may rewrite
+    rows = [
+        (int(h["version"]), h["operation"], detail_ok, props_ok, files_ok)
+        for h in hist
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, detail_consistent boolean,"
+        " props_visible boolean, files_counted boolean",
+    ).orderBy("version")
+
+
+_FRAMES_SQL = (
+    "SELECT doc_id AS media_id, gs.i AS frame_index,"
+    " substring(text, CAST(gs.i AS INT) * 64 + 1, 16) AS frame_str"
+    " FROM documents, LATERAL (SELECT unnest(generate_series(0,"
+    "   least(greatest(length(text) // 64 - 1, 0), 7))) AS i) gs"
+    " ORDER BY media_id, frame_index"
+)
+
+
+@query("ext_multimodal_frames", _FRAMES_SQL)
+def ext_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (operators/multimodal.py:
+    sample_video_frames): every-Nth-byte strided slices of a binary
+    content column explode to one row per sampled frame with a frame
+    index — the exact explode/slice shape an ffmpeg-backed sampler
+    produces, with only the decode faked (no media libs in container).
+    The binary content derives from `documents.text` (ASCII, verified
+    char==byte) so the oracle can recompute every slice exactly. Narrow
+    generator — sequence+posexplode inside codegen, no shuffle before
+    the presentation sort, no Python; at 100 TB frame explosion is
+    embarrassingly parallel per input row."""
+    d = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    frames = MM.sample_video_frames(d, every_nth_byte=64, max_frames=8)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.decode("frame_bytes", "UTF-8").alias("frame_str"),
+    ).orderBy("media_id", "frame_index")
+
+
+_OPT_INC_SQL = (
+    "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,"
+    " TRUE AS big_file_untouched, TRUE AS small_files_merged,"
+    " TRUE AS rows_preserved"
+    " FROM events WHERE event_id % 5 = 0 ORDER BY event_id"
+)
+
+
+@query("util_optimize_incremental", _OPT_INC_SQL)
+def util_optimize_incremental(spark, sf_dir):
+    """Incremental OPTIMIZE (`compact(max_input_file_rows=...)`): the
+    scheduled-maintenance form that absorbs micro-batch small files
+    WITHOUT rewriting right-sized ones. One large append then five small
+    appends; compaction with a threshold between the two sizes must (a)
+    leave the large file physically untouched — same relative path still
+    active, (b) merge the five small files into one, (c) preserve every
+    row. At 100 TB this is the difference between O(small files since
+    last OPTIMIZE) maintenance and an O(table) rewrite storm
+    (lake/table.py: compact; unit-tested in tests/test_lake.py)."""
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_id") % 5 == 0
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    big = ev.where(F.col("event_id") % 25 != 0)
+    small = ev.where(F.col("event_id") % 25 == 0)
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "optinc_tgt"), ev.schema
+    )
+    t.append(big.repartition(1))
+    big_files = set(t.files())  # the one right-sized file
+    small_counts = []
+    for b in range(5):
+        part = small.where((F.col("event_id") / 25).cast("long") % 5 == b)
+        small_counts.append(part.count())
+        t.append(part.repartition(1))
+    n_before = len(t.files())
+    # threshold sits strictly between the small and large file sizes
+    t.compact(
+        target_file_rows=10_000_000,
+        max_input_file_rows=max(small_counts),
+    )
+    after = set(t.files())
+    big_untouched = big_files <= after
+    merged = len(after) == len(big_files) + 1 and n_before == len(big_files) + 5
+    return t.to_df().select(
+        "event_id",
+        "cents",
+        F.lit(bool(big_untouched)).alias("big_file_untouched"),
+        F.lit(bool(merged)).alias("small_files_merged"),
+        F.lit(True).alias("rows_preserved"),  # row parity is the oracle's check
+    ).orderBy("event_id")
+
+
+_CONCURRENT_APPEND_SQL = (
+    "SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,"
+    " 2 AS n_writers, TRUE AS versions_contiguous"
+    " FROM events WHERE event_id % 20 < 2 ORDER BY event_id"
+)
+
+
+@query("util_concurrent_append", _CONCURRENT_APPEND_SQL)
+def util_concurrent_append(spark, sf_dir):
+    """Optimistic concurrency with blind-append auto-rebase (Delta's
+    multi-writer contract): two independent writer handles race the same
+    table version through a thread barrier; appends commute, so the loser
+    republishes its already-staged files at the winner's version + 1 —
+    both succeed with NO caller-side retry, no lost update, and a
+    contiguous version chain. At 100 TB this is what lets N concurrent
+    micro-batch ingest jobs share one table: a collision costs one log
+    re-read + one commit write, never a data rewrite or job re-run
+    (lake/table.py append commit loop; conflict detection:
+    tests/test_lake.py write-skew + forced-collision tests)."""
+    import threading
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 20 == 0)
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "conc_tgt"), base.schema
+    )
+    t.append(base)
+    v0 = t.version()
+    slice_b = ev.where(F.col("event_id") % 20 == 1)
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+
+    def writer(name: str, df: DataFrame) -> None:
+        handle = LakeTable(spark, t.path)  # independent snapshot per writer
+        barrier.wait()
+        results[name] = handle.append(df)
+
+    # each racer appends half of slice_b; both must land
+    ths = [
+        threading.Thread(
+            target=writer,
+            args=(f"w{i}", slice_b.where(F.col("event_id") % 40 == m)),
+        )
+        for i, m in enumerate((1, 21))
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    versions = sorted(results.values())
+    contiguous = versions == [v0 + 1, v0 + 2] and t.version() == v0 + 2
+    return t.to_df().select(
+        "event_id",
+        "cents",
+        F.lit(len(results)).cast("int").alias("n_writers"),
+        F.lit(bool(contiguous)).alias("versions_contiguous"),
+    ).orderBy("event_id")
+
+
+_TEXT_LINES_SQL = (
+    "SELECT replace(replace(text, chr(10), ' '), chr(13), ' ') AS line,"
+    " CAST(length(text) AS BIGINT) AS line_len"
+    " FROM documents ORDER BY line"
+)
+
+
+@query("src_text_lines", _TEXT_LINES_SQL)
+def src_text_lines(spark, sf_dir):
+    """Plain-text line source (``spark.read.text``) — the raw-corpus
+    ingestion format LLM pipelines start from (one document per line, as
+    in C4/RefinedWeb dumps). Round-trips `documents.text` through a .txt
+    landing zone and reads it back line-by-line; newline/CR characters
+    are sanitized before the write so one logical document stays one
+    physical line (the write would otherwise split it). Scan is
+    line-splittable and parallel at scale — no shuffle; the final sort
+    exists only for the deterministic oracle comparison."""
+    d = load_table(spark, "documents", sf_dir)
+    out = os.path.join(_tmpdir(), "corpus_txt")
+    lines = d.select(
+        F.translate("text", "\n\r", "  ").alias("value"),
+        F.length("text").cast("long").alias("line_len"),
+    )
+    lines.select("value").write.mode("overwrite").text(out)
+    read_back = spark.read.text(out)
+    # re-attach per-line stats computed FROM the read-back bytes, proving
+    # the round trip: length survives because the sanitizer is
+    # length-preserving (1 char -> 1 char)
+    return read_back.select(
+        F.col("value").alias("line"),
+        F.length("value").cast("long").alias("line_len"),
+    ).orderBy("line")
+
+
+_RANGE_FRAME_SQL = (
+    "SELECT event_id, event_type, value_cents,"
+    " CAST(sum(value_cents) OVER w AS BIGINT) AS near_sum,"
+    " CAST(count(*) OVER w AS BIGINT) AS near_n"
+    " FROM (SELECT event_id, event_type,"
+    "   CAST(round(value * 100) AS BIGINT) AS value_cents FROM events)"
+    " WINDOW w AS (PARTITION BY event_type ORDER BY value_cents"
+    "   RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)"
+    " ORDER BY event_id"
+)
+
+
+@query("win_range_frame", _RANGE_FRAME_SQL)
+def win_range_frame(spark, sf_dir):
+    """RANGE-frame window: for each event, the sum/count of all events of
+    the same type whose value lies within 5.00 currency units below it —
+    the value-proximity band shape (outlier scoring, local densities)
+    that ROWS frames cannot express. RANGE frames are deterministic under
+    order-by ties (peers share one frame), so no tiebreak column is
+    needed. One shuffle on the partition key; integer cents avoid
+    accumulation-order float drift between engines."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_cents")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        F.sum("value_cents").over(w).cast("long").alias("near_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("near_n"),
+    ).orderBy("event_id")
+
+
+_STR_DIST_SQL = (
+    "SELECT n_name,"
+    " CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS lev_us,"
+    " CAST(levenshtein(lower(n_name), reverse(lower(n_name)))"
+    "   AS BIGINT) AS lev_pal,"
+    " lpad(n_name, 16, '.') AS padded,"
+    " translate(n_name, 'AEIOU', 'aeiou') AS folded"
+    " FROM nation ORDER BY n_name"
+)
+
+
+@query("fn_string_distance", _STR_DIST_SQL)
+def fn_string_distance(spark, sf_dir):
+    """String-distance and shaping scalars: levenshtein (the edit-distance
+    primitive behind fuzzy key matching / OCR cleanup in curation
+    pipelines), lpad, translate. All narrow codegen projections —
+    scan-bound, no shuffle; levenshtein is O(len^2) per row JVM-side,
+    never a Python UDF."""
+    n = load_table(spark, "nation", sf_dir)
+    return n.select(
+        "n_name",
+        F.levenshtein("n_name", F.lit("UNITED STATES"))
+        .cast("long")
+        .alias("lev_us"),
+        F.levenshtein(F.lower("n_name"), F.reverse(F.lower("n_name")))
+        .cast("long")
+        .alias("lev_pal"),
+        F.lpad("n_name", 16, ".").alias("padded"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("folded"),
+    ).orderBy("n_name")
+
+
