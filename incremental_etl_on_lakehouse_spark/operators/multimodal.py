@@ -117,14 +117,47 @@ def real_image_decoder(buf: bytes) -> list[float]:
         ]
 
 
+def builtin_image_decoder(buf: bytes) -> list[float]:
+    """REAL decode without Pillow: the built-in pure-Python/numpy PNG codec
+    (operators/png_codec.py — stdlib zlib + numpy, 8-bit gray/RGB/palette/
+    alpha). Same 8-feature contract as :func:`real_image_decoder`:
+    [width, height, bands, meanR, meanG, meanB, max, min]. Non-PNG bytes
+    raise ValueError (only PNG is decodable without external codecs)."""
+    from incremental_etl_on_lakehouse_spark.operators.png_codec import decode_png
+
+    rgb = decode_png(bytes(buf))
+    h, w, _ = rgb.shape
+    means = rgb.reshape(-1, 3).mean(axis=0)
+    return [
+        float(w),
+        float(h),
+        3.0,
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(rgb.max()),
+        float(rgb.min()),
+    ]
+
+
+def auto_image_decoder(buf: bytes) -> list[float]:
+    """PNG bytes -> real built-in decode; anything else -> deterministic
+    fake features (mixed-format corpora keep flowing; the real path runs
+    wherever it can)."""
+    if bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
+        return builtin_image_decoder(buf)
+    return fake_image_decoder(buf)
+
+
 def default_image_decoder() -> Callable[[bytes], list[float]]:
-    """Pillow-backed decoder when available, deterministic fake otherwise."""
+    """Pillow-backed decoder when available, else the built-in PNG-real /
+    fake-fallback auto decoder."""
     try:  # pragma: no cover - depends on environment
         from PIL import Image  # noqa: F401  # type: ignore[import-not-found]
 
         return real_image_decoder
     except ImportError:
-        return fake_image_decoder
+        return auto_image_decoder
 
 
 FEATURE_SCHEMA = StructType(
@@ -222,14 +255,39 @@ def real_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
         return [int(p) for p in im.getdata()]
 
 
+def builtin_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
+    """REAL resize without Pillow: built-in PNG decode (png_codec) ->
+    ITU-R 601 luma (Pillow's convert("L") formula) -> deterministic
+    box-average thumbnail, row-major ints — the same signature/shape as
+    :func:`real_resize`/:func:`fake_resize`. Non-PNG bytes raise
+    ValueError."""
+    from incremental_etl_on_lakehouse_spark.operators.png_codec import (
+        box_resize,
+        decode_png,
+        luma,
+    )
+
+    gray = luma(decode_png(bytes(buf)))
+    return [int(p) for p in box_resize(gray, width, height).reshape(-1)]
+
+
+def auto_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
+    """PNG bytes -> real built-in resize; anything else -> fake strided
+    thumbnail (mixed-format corpora keep flowing)."""
+    if bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
+        return builtin_resize(buf, width, height)
+    return fake_resize(buf, width, height)
+
+
 def default_resizer() -> Callable[[bytes], list[int]]:
-    """Pillow-backed resize when available, deterministic fake otherwise."""
+    """Pillow-backed resize when available, else the built-in PNG-real /
+    fake-fallback auto resizer."""
     try:  # pragma: no cover - depends on environment
         from PIL import Image  # noqa: F401  # type: ignore[import-not-found]
 
         return real_resize
     except ImportError:
-        return fake_resize
+        return auto_resize
 
 
 RESIZE_SCHEMA = StructType(

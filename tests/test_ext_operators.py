@@ -280,7 +280,9 @@ def test_real_image_decoder_decodes_png():
 def test_real_image_decoder_raises_clearly_without_pillow():
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal.real_image_decoder(b"\x89PNG\r\n\x1a\n")
-    assert multimodal.default_image_decoder() is multimodal.fake_image_decoder
+    # without Pillow the default is the auto decoder: REAL built-in PNG
+    # decode, deterministic fake for other formats
+    assert multimodal.default_image_decoder() is multimodal.auto_image_decoder
 
 
 def test_repetition_metrics_hand_computed(spark):
@@ -536,3 +538,189 @@ def test_bloom_bitmap_no_false_negatives_and_low_fp(spark):
     # (1 - e^{-3*2000/2^20})^3 ~ 1.8e-7 -> expect 0; allow slack for hash
     # clustering without letting a broken probe (fp ~ 10000) pass
     assert fps <= 5, fps
+
+
+# ---------------------------------------------------------------------------
+# built-in PNG codec (round 5: the real no-Pillow decode path)
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_round_trip():
+    import numpy as np
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (11, 5, 3), dtype=np.uint8)
+    assert np.array_equal(P.decode_png(P.encode_png(img)), img)
+
+
+def test_png_codec_unfilters_sub_up_average_paeth():
+    """Decode PNGs whose scanlines use every filter type, by applying the
+    FORWARD filters here and checking the decoder inverts them."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w, _ = img.shape
+    ch = 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = b""
+    prev = bytes(w * ch)
+    for y, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+        cur = img[y].tobytes()
+        if ftype == 0:
+            raw = cur
+        elif ftype == 1:
+            raw = bytes(
+                (cur[x] - (cur[x - ch] if x >= ch else 0)) & 0xFF
+                for x in range(len(cur))
+            )
+        elif ftype == 2:
+            raw = bytes((cur[x] - prev[x]) & 0xFF for x in range(len(cur)))
+        elif ftype == 3:
+            raw = bytes(
+                (cur[x] - (((cur[x - ch] if x >= ch else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(len(cur))
+            )
+        else:
+            raw = bytes(
+                (
+                    cur[x]
+                    - paeth(
+                        cur[x - ch] if x >= ch else 0,
+                        prev[x],
+                        prev[x - ch] if x >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(len(cur))
+            )
+        scan += bytes([ftype]) + raw
+        prev = cur
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(P.decode_png(png), img)
+
+
+def test_png_codec_color_types():
+    """Gray (0), palette (3), gray+alpha (4), RGBA (6) all decode to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def png_ct(w, h, ct, rows, plte=None):
+        scan = b"".join(b"\x00" + r for r in rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    assert P.decode_png(png_ct(2, 1, 0, [bytes([100, 200])])).tolist() == [
+        [[100] * 3, [200] * 3]
+    ]
+    pal = bytes([255, 0, 0, 0, 255, 0])
+    assert P.decode_png(
+        png_ct(2, 1, 3, [bytes([1, 0])], plte=pal)
+    ).tolist() == [[[0, 255, 0], [255, 0, 0]]]
+    assert P.decode_png(png_ct(1, 1, 4, [bytes([77, 255])])).tolist() == [
+        [[77] * 3]
+    ]
+    assert P.decode_png(png_ct(1, 1, 6, [bytes([9, 8, 7, 200])])).tolist() == [
+        [[9, 8, 7]]
+    ]
+
+
+def test_png_codec_rejects_garbage():
+    import pytest as _pytest
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    with _pytest.raises(ValueError, match="signature"):
+        P.decode_png(b"GIF89a....")
+
+
+def test_builtin_image_decoder_contract():
+    """Same 8-feature contract as real_image_decoder, exact values."""
+    import numpy as np
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    img[:, :] = (50, 100, 150)
+    feats = multimodal.builtin_image_decoder(P.encode_png(img))
+    assert feats == [4.0, 2.0, 3.0, 50.0, 100.0, 150.0, 150.0, 50.0]
+
+
+def test_auto_decoder_and_resizer_route_by_magic():
+    """PNG bytes take the real built-in path; others the deterministic
+    fake — and without Pillow the defaults are the auto variants."""
+    import numpy as np
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    img = np.full((4, 4, 3), 10, dtype=np.uint8)
+    png = P.encode_png(img)
+    assert multimodal.auto_image_decoder(png)[:3] == [4.0, 4.0, 3.0]
+    junk = b"\xff\xd8notapng" * 10
+    assert multimodal.auto_image_decoder(junk) == multimodal.fake_image_decoder(junk)
+    assert multimodal.auto_resize(png, 2, 2) == [10, 10, 10, 10]
+    assert multimodal.auto_resize(junk, 2, 2) == multimodal.fake_resize(junk, 2, 2)
+    if not _pil_available():
+        assert multimodal.default_image_decoder() is multimodal.auto_image_decoder
+        assert multimodal.default_resizer() is multimodal.auto_resize
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_builtin_codec_matches_pillow():
+    """Cross-check: on machines with Pillow, the built-in decode must
+    byte-match Pillow's RGB decode of the same PNG."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from incremental_etl_on_lakehouse_spark.operators import png_codec as P
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 6, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    assert np.array_equal(P.decode_png(buf.getvalue()), img)
