@@ -836,3 +836,232 @@ def ext_embedding_cosine(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: exact-arithmetic statistics, rank distributions,
+# ordered string aggregation, and an iterative graph algorithm — each chosen
+# to close a distinct Spark-capability gap (moment statistics, distribution
+# window functions, collect-and-order aggregation, fixed-point iteration)
+# with a full DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_MOMENTS_FORMULAS = [
+    "(nd*sqp - sq*sp) / (sqrt(nd*sqq - sq*sq) * sqrt(nd*spp - sp*sp))"
+    " AS corr_qty_price",
+    "(nd*sqp - sq*sp) / (nd*(nd-1)) AS covar_samp_qp",
+    "sqrt((nd*sqq - sq*sq) / (nd*(nd-1))) AS stddev_qty",
+]
+
+
+@query(
+    "agg_stats_moments",
+    "WITH s AS (SELECT l_returnflag, count(*) AS n,"
+    " sum(CAST(l_quantity AS BIGINT)) AS sq,"
+    " sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sp,"
+    " sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS sqq,"
+    " sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+    "     *CAST(round(l_extendedprice*100) AS BIGINT)) AS spp,"
+    " sum(CAST(l_quantity AS BIGINT)"
+    "     *CAST(round(l_extendedprice*100) AS BIGINT)) AS sqp"
+    " FROM lineitem GROUP BY l_returnflag),"
+    " d AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,"
+    " CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS sq,"
+    " CAST(sp AS DOUBLE) AS sp, CAST(sqq AS DOUBLE) AS sqq,"
+    " CAST(spp AS DOUBLE) AS spp, CAST(sqp AS DOUBLE) AS sqp FROM s)"
+    " SELECT l_returnflag, n_rows, " + ", ".join(_MOMENTS_FORMULAS) + " FROM d",
+)
+def agg_stats_moments(spark, sf_dir):
+    """Correlation / sample covariance / sample stddev per group — computed
+    from EXACT integer power sums, not the built-in streaming estimators.
+
+    Why not ``F.corr``/``F.covar_samp``: their one-pass float updates are
+    summation-order-dependent, so two runs (or Spark vs the oracle) disagree
+    in the low bits and an exact hash compare can never pin them. Here the
+    shuffle carries only exact integers (quantity, price-in-cents and their
+    pairwise products summed as DECIMAL(38,0) — overflow-proof past sf1000),
+    and the float formula runs once per group on exact inputs, with the SAME
+    expression tree on both engines: bit-identical doubles, full oracle.
+    This is also the 100 TB design: map-side-combined integer sums, one
+    shuffle keyed by group, O(groups) final arithmetic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum("p").alias("sp"),
+            F.sum(F.expr("CAST(q*q AS DECIMAL(38,0))")).alias("sqq"),
+            F.sum(F.expr("CAST(p*p AS DECIMAL(38,0))")).alias("spp"),
+            F.sum(F.expr("CAST(q*p AS DECIMAL(38,0))")).alias("sqp"),
+        )
+    )
+    d = s.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(sq AS DOUBLE) AS sq",
+        "CAST(sp AS DOUBLE) AS sp",
+        "CAST(sqq AS DOUBLE) AS sqq",
+        "CAST(spp AS DOUBLE) AS spp",
+        "CAST(sqp AS DOUBLE) AS sqp",
+    )
+    return d.selectExpr("l_returnflag", "n_rows", *_MOMENTS_FORMULAS)
+
+
+@query(
+    "win_percent_rank",
+    "SELECT c_custkey, c_nationkey,"
+    " CAST(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)"
+    "      AS DOUBLE) AS pr,"
+    " CAST(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)"
+    "      AS DOUBLE) AS cd"
+    " FROM customer",
+)
+def win_percent_rank(spark, sf_dir):
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows-at-or-below / n) of every customer's balance within its
+    nation. Both are ratios of exact integers, so the doubles compare
+    bit-exactly across engines even with tied balances. One shuffle keyed by
+    the partition column; per-partition sort — the canonical windowed-rank
+    plan at any scale."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    "SELECT n.n_name,"
+    " string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment)"
+    " AS segments, count(*) AS n_customers"
+    " FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    " GROUP BY n.n_name",
+)
+def agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG): the distinct market
+    segments of each nation's customers, sorted then comma-joined. Spark
+    spells it collect_set -> array_sort -> concat_ws — all JVM-side; the
+    explicit sort is what makes a collected aggregate deterministic under
+    any partitioning (bare collect_list order is not). Distinct-set size is
+    bounded by the domain (5 segments), so state stays O(groups x domain)
+    regardless of row count."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point rank unit (picoranks)
+_PR_EDGE_SQL = (
+    "WITH e0 AS (SELECT source AS src,"
+    " 'src' || CAST((ascii(substr(md5(text),1,1))*31"
+    " + ascii(substr(md5(text),2,1))) % 20 AS VARCHAR) AS dst FROM documents),"
+    " edges AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY src, dst),"
+    " outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),"
+    " e AS (SELECT edges.src, edges.dst, edges.w, outd.outw"
+    "       FROM edges JOIN outd ON edges.src = outd.src),"
+    " nodes AS (SELECT DISTINCT source AS node FROM documents),"
+    " nn AS (SELECT count(*) AS N FROM nodes),"
+)
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return (
+        f" {cur} AS (SELECT n.node,"
+        f" CAST(15*{_PR_SCALE} AS BIGINT) // (100*nn.N)"
+        f" + COALESCE(c.inflow, 0) AS r"
+        f" FROM nodes n CROSS JOIN nn LEFT JOIN"
+        f" (SELECT e.dst, CAST(sum((85 * {prev}.r * e.w) // (100 * e.outw))"
+        f"         AS BIGINT) AS inflow"
+        f"  FROM e JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst) c"
+        f" ON c.dst = n.node),"
+    )
+
+
+@query(
+    "ext_graph_pagerank",
+    _PR_EDGE_SQL
+    + f" r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) // N AS r"
+    " FROM nodes CROSS JOIN nn),"
+    + _pr_iter_sql("r0", "r1")
+    + _pr_iter_sql("r1", "r2")
+    + _pr_iter_sql("r2", "r3").rstrip(",")
+    + " SELECT node AS source, CAST(r AS BIGINT) AS rank_fp FROM r3",
+)
+def ext_graph_pagerank(spark, sf_dir):
+    """Iterative graph algorithm on DataFrames: 3 damped PageRank rounds
+    (d=0.85) over the corpus link graph (source -> md5-derived target site,
+    weight = link count) in FIXED-POINT arithmetic — ranks are bigint
+    picoranks, every contribution is `(85*r*w) div (100*outw)` in integer
+    truncating division, so the result is bit-identical under ANY summation
+    order, partitioning, or engine: an exactly-oracle-checkable iterative
+    algorithm (the float version could never hash-match).
+
+    Scale shape: the edge list is the distributed side (built by one
+    groupBy over the corpus); the rank vector is O(sites) << O(docs) and is
+    BROADCAST into each iteration's edge join — the standard
+    Pregel-on-DataFrames layout where per-iteration cost is one map-side
+    join + one groupBy(dst) shuffle of the edge partials. Dangling-node
+    mass is dropped (simplified PageRank), identically on both sides."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("text"))
+    dst = F.concat(
+        F.lit("src"),
+        (
+            (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)))
+            % 20
+        ).cast("string"),
+    )
+    edges = (
+        docs.select(F.col("source").alias("src"), dst.alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outd = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outd, "src").persist()
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("N"))
+    base = nodes.crossJoin(F.broadcast(nn))
+    ranks = base.selectExpr(
+        "node", f"CAST({_PR_SCALE} AS BIGINT) div N AS r"
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(
+                F.broadcast(ranks.selectExpr("node AS src", "r")), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.expr("CAST(sum((85 * r * w) div (100 * outw)) AS BIGINT)").alias(
+                    "inflow"
+                )
+            )
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .selectExpr(
+                "node",
+                f"CAST(15*{_PR_SCALE} AS BIGINT) div (100*N)"
+                " + COALESCE(inflow, CAST(0 AS BIGINT)) AS r",
+            )
+        )
+    return ranks.selectExpr("node AS source", "CAST(r AS BIGINT) AS rank_fp")
