@@ -1333,7 +1333,18 @@ class LakeTable:
             # partitioned tables hash on the partition columns so each
             # hive dir receives whole tasks (contiguous files), not a
             # shard from every task
-            df = df.repartition(n, *pcols) if pcols else df.repartition(n)
+            if pcols:
+                df = df.repartition(n, *pcols)
+            elif n == 1:
+                # single-file output: coalesce merges the final stage into
+                # one task with NO extra exchange (repartition(1) adds a
+                # shuffle + an AQE query-stage job purely to move everything
+                # to one partition — measurable fixed cost on the
+                # micro-batch merge path, zero benefit since distribution
+                # across 1 file is moot)
+                df = df.coalesce(1)
+            else:
+                df = df.repartition(n)
         rel_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
         out = self._abs(rel_dir)
         cur_schema = self.schema()
@@ -2625,6 +2636,19 @@ class LakeTable:
                 dv_map=state.get("dv") or None,
                 with_file=True,
             )
+        # Metadata-driven join strategy: the log carries EXACT per-file row
+        # counts, so when the live target is provably small (an aggregate
+        # gold table, a dimension), hint broadcast instead of leaving AQE to
+        # discover it at runtime — the static broadcast plan skips the
+        # sort-merge staging AQE would otherwise materialize as extra
+        # query-stage jobs (measurable fixed cost per micro-batch merge).
+        # Large targets keep the default planning; stats-pruned reads use
+        # the pruned subset's count.
+        known_rows = sum(
+            a.get("rows", 0) for a in self._state()["active"].values()
+        )
+        if not target_empty and known_rows <= 100_000:
+            target_df = F.broadcast(target_df)
         target = target_df.alias("target")
 
         # 1. ONE source-sided outer join drives every planning decision.
@@ -2637,20 +2661,39 @@ class LakeTable:
         #    filter — not just the ON condition — is what makes a
         #    re-delivered duplicate batch touch zero files (the reference's
         #    no-op-update elimination, notebooks/demo-notebook.py:276).
-        s_matched = F.expr("target.`__file`").isNotNull()
-        s_action = None
-        for i, cl in enumerate(matched_clauses):
-            c = F.expr(cl.condition) if cl.condition is not None else F.lit(True)
-            branch = s_matched & F.coalesce(c, F.lit(False))
-            step = F.when(branch, F.lit(f"{cl.kind}{i}"))
-            s_action = step if s_action is None else s_action.when(
-                branch, F.lit(f"{cl.kind}{i}")
-            )
-        s_action = (
-            s_action.when(s_matched, F.lit("keep"))
-            if s_action is not None
-            else F.when(s_matched, F.lit("keep"))
+        # Empty-target fast path (the initial load of any table, and the
+        # first batch of every CDC scenario): with no live files, no source
+        # row can match, so the planning join degenerates to "evaluate the
+        # insert conditions on the source" — skip the join entirely (its
+        # empty-side scan + AQE query stages are pure fixed cost).  The
+        # matched-clause machinery below still sees n_del = n_upd = 0 and
+        # touched = [], exactly as the join would have produced.
+        s_matched = (
+            F.lit(False) if target_empty else F.expr("target.`__file`").isNotNull()
         )
+        s_action = None
+        if target_empty:
+            # matched branches are unreachable AND their conditions
+            # reference target columns that don't exist in the join-free
+            # plan — omit them entirely
+            s_action = F.when(F.lit(False), F.lit("keep"))
+        else:
+            for i, cl in enumerate(matched_clauses):
+                c = (
+                    F.expr(cl.condition)
+                    if cl.condition is not None
+                    else F.lit(True)
+                )
+                branch = s_matched & F.coalesce(c, F.lit(False))
+                step = F.when(branch, F.lit(f"{cl.kind}{i}"))
+                s_action = step if s_action is None else s_action.when(
+                    branch, F.lit(f"{cl.kind}{i}")
+                )
+            s_action = (
+                s_action.when(s_matched, F.lit("keep"))
+                if s_action is not None
+                else F.when(s_matched, F.lit("keep"))
+            )
         for j, cl in enumerate(insert_clauses):
             c = (
                 F.coalesce(F.expr(cl.condition), F.lit(False))
@@ -2659,20 +2702,26 @@ class LakeTable:
             )
             s_action = s_action.when(~s_matched & c, F.lit(f"insert{j}"))
         s_action = s_action.otherwise(F.lit("skip"))
-        s_joined = (
-            src.join(target, cond, "left_outer")
-            .withColumn("__action", s_action)
-            .persist()
-        )
+        if target_empty:
+            s_joined = src.withColumn("__action", s_action).persist()
+        else:
+            s_joined = (
+                src.join(target, cond, "left_outer")
+                .withColumn("__action", s_action)
+                .persist()
+            )
 
         # ONE action over S yields both the touched-file list and every
         # per-action row count (one fewer Spark job per merge; the result is
         # O(actions x touched files) rows — driver-metadata scale).
         fire_actions = [f"{cl.kind}{i}" for i, cl in enumerate(matched_clauses)]
+        file_col = (
+            F.lit(None).cast("string")
+            if target_empty
+            else F.expr("target.`__file`")
+        )
         plan_rows = (
-            s_joined.groupBy(
-                F.col("__action"), F.expr("target.`__file`").alias("__f")
-            )
+            s_joined.groupBy(F.col("__action"), file_col.alias("__f"))
             .count()
             .collect()
         )
@@ -2846,11 +2895,17 @@ class LakeTable:
                 adds = adds + ins_adds
                 written_rows += ins_rows
             elif touched or n_ins:
-                new_data = self._align(survivors, write_schema)
-                if inserts is not None:
-                    new_data = new_data.unionByName(
-                        self._align(inserts, write_schema)
-                    )
+                if not touched and inserts is not None:
+                    # insert-only commit (e.g. empty-target fast path): the
+                    # survivors frame is provably empty — don't union its
+                    # (join-shaped) plan into the write
+                    new_data = self._align(inserts, write_schema)
+                else:
+                    new_data = self._align(survivors, write_schema)
+                    if inserts is not None:
+                        new_data = new_data.unionByName(
+                            self._align(inserts, write_schema)
+                        )
                 adds, written_rows = self._stage_write(
                     new_data, expected_rows=touched_total - n_del + n_ins
                 )

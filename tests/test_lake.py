@@ -1482,3 +1482,33 @@ def test_merge_insert_only_skips_cdf_materialization(spark, tmp_path):
     ch = t.read_changes(starting_version=t.version())
     got = {(r["id"], r["_change_type"]) for r in ch.collect()}
     assert got == {(1, "insert"), (2, "insert")}
+
+
+def test_merge_empty_target_fast_path(spark, tmp_path):
+    """The initial merge into an EMPTY table skips the planning join (no
+    target files -> nothing can match) yet honours conditional insert
+    clauses, and a follow-up merge sees the loaded state normally."""
+    t = make_table(spark, tmp_path, [])
+    src = spark.createDataFrame(
+        [(1, "England", 10), (2, "Wales", 20), (3, "skipme", 30)], SCHEMA
+    )
+    m = t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("update", None, "*"),
+            MergeClause("insert", "source.country <> 'skipme'", "*"),
+        ],
+    )
+    assert m["num_inserted_rows"] == 2
+    assert m["num_touched_files"] == 0
+    assert {r["id"] for r in t.to_df().collect()} == {1, 2}
+    # second merge takes the normal (joined) path against the loaded rows
+    t.merge(
+        spark.createDataFrame([(2, "Wales", 99), (4, "Scotland", 4)], SCHEMA),
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
+    assert got == {1: 10, 2: 99, 4: 4}
+
