@@ -2647,9 +2647,15 @@ class LakeTable:
         known_rows = sum(
             a.get("rows", 0) for a in self._state()["active"].values()
         )
-        if not target_empty and known_rows <= 100_000:
-            target_df = F.broadcast(target_df)
         target = target_df.alias("target")
+        # hint only the PLANNING join's build side (target is its right
+        # side); the rewrite join below has target on the LEFT of a
+        # left_outer, where a broadcast hint is unsupported noise
+        target_plan = (
+            F.broadcast(target)
+            if not target_empty and known_rows <= 100_000
+            else target
+        )
 
         # 1. ONE source-sided outer join drives every planning decision.
         #    S = source LEFT OUTER target is O(|source batch|) rows — tiny
@@ -2706,7 +2712,7 @@ class LakeTable:
             s_joined = src.withColumn("__action", s_action).persist()
         else:
             s_joined = (
-                src.join(target, cond, "left_outer")
+                src.join(target_plan, cond, "left_outer")
                 .withColumn("__action", s_action)
                 .persist()
             )
