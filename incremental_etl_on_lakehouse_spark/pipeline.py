@@ -44,7 +44,7 @@ from incremental_etl_on_lakehouse_spark.operators.cdc import (
 )
 from incremental_etl_on_lakehouse_spark.sources.json_source import (
     SchemaTracker,
-    read_json_stream,
+    read_json_auto_stream,
 )
 
 # Reference schemas: FIXTURES.md A1-A4; notebooks/demo-notebook.py:163-165,213-227,351-356
@@ -207,9 +207,14 @@ class MedallionPipeline:
                 self.landing_path,
                 os.path.join(self.checkpoints, "bronze_schema.json"),
                 base_schema=CDC_LOG_SCHEMA,
+                multiline="auto",
             )
             schema, _new_cols = tracker.evolve()
-        stream = read_json_stream(
+        # format-auto: a landing zone mixing JSON-array files (the
+        # reference's format) and NDJSON (what log shippers emit) ingests
+        # every record of both — the plain multiLine reader silently drops
+        # all but the first record of an NDJSON file
+        stream = read_json_auto_stream(
             self.spark, self.landing_path, schema, corrupt_col="_corrupt_record"
         )
         bronze = self.bronze

@@ -100,7 +100,7 @@ class SchemaTracker:
         location: str,
         base_schema: StructType | None = None,
         hints: dict[str, str] | None = None,
-        multiline: bool = True,
+        multiline: bool | str = True,
         timestamp_format: str = CDC_TIMESTAMP_FORMAT,
         sample_path: str | None = None,
     ):
@@ -128,10 +128,16 @@ class SchemaTracker:
                 return StructType.fromJson(json.load(f))
         schema = self.base_schema
         if schema is None:
-            schema = infer_schema_with_hints(
-                self.spark, self.sample_path, self.hints,
-                self.multiline, self.timestamp_format,
-            )
+            if self.multiline == "auto":
+                schema = infer_schema_auto(
+                    self.spark, self.sample_path, self.hints,
+                    self.timestamp_format,
+                )
+            else:
+                schema = infer_schema_with_hints(
+                    self.spark, self.sample_path, self.hints,
+                    self.multiline, self.timestamp_format,
+                )
         self._persist(schema)
         return schema
 
@@ -140,11 +146,17 @@ class SchemaTracker:
         widened) schema and the list of newly added column names."""
         cur = self.current()
         try:
-            inferred = read_json_batch(
-                self.spark, self.sample_path,
-                multiline=self.multiline,
-                timestamp_format=self.timestamp_format,
-            ).schema
+            if self.multiline == "auto":
+                inferred = infer_schema_auto(
+                    self.spark, self.sample_path,
+                    timestamp_format=self.timestamp_format,
+                )
+            else:
+                inferred = read_json_batch(
+                    self.spark, self.sample_path,
+                    multiline=self.multiline,
+                    timestamp_format=self.timestamp_format,
+                ).schema
         except AnalysisException as exc:
             # Empty landing zone (no files yet) is the one legitimate
             # nothing-to-infer case; any other analysis error — and all
@@ -198,3 +210,164 @@ def read_json_stream(
     if corrupt_col:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return reader.json(path)
+
+
+# ---------------------------------------------------------------------------
+# Format-auto readers: JSON array files AND NDJSON in one landing zone.
+#
+# Spark's JSON source is per-file-format-blind: with multiLine=true an
+# NDJSON file is parsed as ONE document and every record after the first is
+# SILENTLY DROPPED (Jackson stops at the first complete value and ignores
+# trailing bytes); with multiLine=false a pretty-printed array file turns
+# entirely corrupt. Real landing zones mix both — NDJSON is what log
+# shippers and CDC emitters produce, arrays are what the reference's demo
+# lands (notebooks/demo-notebook.py:146) — so format must be dispatched
+# PER FILE, which one spark.read.json call cannot do.
+#
+# The auto readers read each file as a single text row (wholetext) and do
+# the parse JVM-side with from_json — all whole-stage codegen, no Python:
+#   - file starts with '['        -> array parse (null => whole file corrupt)
+#   - every line fails but the whole text parses as one object
+#                                  -> pretty-printed single object
+#   - otherwise                    -> per-line parse (NDJSON; bad lines
+#                                     surface in ``corrupt_col``)
+# from_json quirks this dispatch is built around (probed on pyspark 4.1):
+# struct-schema parse NEVER returns null for non-empty garbage (it returns
+# an all-null row and fills columnNameOfCorruptRecord), array-schema parse
+# DOES return null on garbage, and both silently ignore trailing bytes
+# after the first valid value — hence the startswith('[') gate, without
+# which array parse would eat exactly one NDJSON record per file.
+#
+# Scale note: wholetext makes one task per FILE and holds one file's bytes
+# in one row, so this path sizes to CDC landing files (MBs each, many
+# files), not to multi-GB single files — the same operating envelope as
+# Autoloader's default listing mode that this module emulates.
+# ---------------------------------------------------------------------------
+
+_INTERNAL_CORRUPT = "__corrupt_record"
+
+
+def _json_any_records(value_col, schema: StructType, timestamp_format: str,
+                      corrupt_col: str):
+    """Column expression: file text -> array<struct<schema + corrupt_col>>."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType, StructField
+
+    rec_t = StructType(
+        [f for f in schema.fields if f.name != corrupt_col]
+        + [StructField(corrupt_col, StringType())]
+    )
+    opts = {
+        "timestampFormat": timestamp_format,
+        "columnNameOfCorruptRecord": corrupt_col,
+    }
+    trimmed = F.trim(value_col)
+    arr = F.from_json(trimmed, ArrayType(rec_t), opts)
+    whole = F.from_json(trimmed, rec_t, opts)
+    lines = F.filter(
+        F.split(value_col, "\r?\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    line_recs = F.transform(lines, lambda x: F.from_json(x, rec_t, opts))
+    all_lines_corrupt = F.forall(
+        line_recs, lambda r: r[corrupt_col].isNotNull()
+    )
+    whole_file_corrupt = F.array(
+        F.struct(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in rec_t.fields[:-1]
+            ],
+            trimmed.alias(corrupt_col),
+        )
+    )
+    return (
+        F.when(trimmed.startswith("["), F.coalesce(arr, whole_file_corrupt))
+        .when(
+            all_lines_corrupt
+            & whole.isNotNull()
+            & whole[corrupt_col].isNull(),
+            F.array(whole),
+        )
+        .otherwise(line_recs)
+    )
+
+
+def _parse_json_any(raw: DataFrame, schema: StructType, timestamp_format: str,
+                    corrupt_col: str | None) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ccol = corrupt_col or _INTERNAL_CORRUPT
+    recs = _json_any_records(F.col("value"), schema, timestamp_format, ccol)
+    out = raw.select(F.explode(recs).alias("__rec"))
+    names = [f.name for f in schema.fields if f.name != ccol]
+    cols = [F.col("__rec")[n].alias(n) for n in names]
+    if corrupt_col:
+        cols.append(F.col("__rec")[ccol].alias(ccol))
+    return out.select(*cols)
+
+
+def read_json_auto_batch(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    timestamp_format: str = CDC_TIMESTAMP_FORMAT,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Batch read with per-file array/NDJSON dispatch (see module note)."""
+    raw = spark.read.format("text").option("wholetext", "true").load(path)
+    return _parse_json_any(raw, schema, timestamp_format, corrupt_col)
+
+
+def read_json_auto_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 1,
+    timestamp_format: str = CDC_TIMESTAMP_FORMAT,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Streaming ingest with per-file array/NDJSON dispatch — the pipeline's
+    default landing reader. Same pacing contract as :func:`read_json_stream`
+    (1 file per micro-batch, the reference's cloudFiles.maxFilesPerTrigger=1,
+    ``notebooks/demo-notebook.py:161``); ``corrupt_col`` is the quarantine
+    channel (Autoloader rescued-data analogue)."""
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    return _parse_json_any(raw, schema, timestamp_format, corrupt_col)
+
+
+def infer_schema_auto(
+    spark: SparkSession,
+    path: str,
+    hints: dict[str, str] | None = None,
+    timestamp_format: str = CDC_TIMESTAMP_FORMAT,
+) -> StructType:
+    """Schema inference across BOTH landing formats: union the fields of a
+    multiLine-array inference pass and an NDJSON inference pass (each pass
+    sees only the files its format can parse; the other format's files
+    contribute nothing — corrupt rows infer no business columns)."""
+    fields: list = []
+    seen: set[str] = set()
+    for multiline in (True, False):
+        try:
+            inferred = read_json_batch(
+                spark, path, multiline=multiline,
+                timestamp_format=timestamp_format,
+            ).schema
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+                continue
+            raise
+        for f in inferred.fields:
+            if f.name in seen or f.name == "_corrupt_record":
+                continue
+            seen.add(f.name)
+            if hints and f.name in hints:
+                f = StructType.fromDDL(f"`{f.name}` {hints[f.name]}").fields[0]
+            fields.append(f)
+    return StructType(fields)
