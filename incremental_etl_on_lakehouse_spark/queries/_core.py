@@ -54,6 +54,7 @@ from incremental_etl_on_lakehouse_spark.operators.cdc import (
     merge_cdc_batch,
 )
 from incremental_etl_on_lakehouse_spark.sources.json_source import (
+    read_json_auto_batch,
     read_json_batch,
     read_json_stream,
 )

@@ -1086,3 +1086,42 @@ def util_fs_ls(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "src_json_auto",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation",
+)
+def src_json_auto(spark, sf_dir):
+    """Format-auto landing read (sources/json_source.py auto readers): the
+    same directory holds a pretty-printed JSON ARRAY file (the reference's
+    landing format, notebooks/demo-notebook.py:146) and an NDJSON file
+    (what log shippers emit). A single multiLine setting cannot read both
+    -- multiLine=true silently truncates NDJSON to its first record -- so
+    the reader dispatches format per file; every nation row lands."""
+    rows = sorted(
+        (
+            (int(r["n_nationkey"]), r["n_name"], int(r["n_regionkey"]))
+            for r in load_table(spark, "nation", sf_dir)
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()  # nation is the fixed 25-row TPC-H dimension
+        )
+    )
+    rec = lambda r: {"n_nationkey": r[0], "n_name": r[1], "n_regionkey": r[2]}
+    out = os.path.join(_tmpdir(), "mixed_landing")
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "arr.json"), "w") as f:
+        json.dump([rec(r) for r in rows[::2]], f, indent=1)
+    with open(os.path.join(out, "nd.json"), "w") as f:
+        f.write("\n".join(json.dumps(rec(r)) for r in rows[1::2]))
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    return read_json_auto_batch(spark, out, schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
