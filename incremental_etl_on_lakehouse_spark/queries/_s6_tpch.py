@@ -2985,3 +2985,142 @@ def ext_multimodal_decode(spark, sf_dir):
         f[6].cast("double").alias("max_px"),
         f[7].cast("double").alias("min_px"),
     ).orderBy("media_id")
+
+
+@query(
+    "stream_session_window",
+    # Gap-based sessionization on a STREAM (batch counterpart: win_session,
+    # same 30-min inclusive gap). Append mode emits a session once the
+    # watermark (max ts - 1h) passes its end (last event + gap) — the
+    # oracle replays both the gaps-and-islands membership and that
+    # emission rule in pure epoch-ms arithmetic.
+    "WITH g AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,"
+    "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s FROM events),"
+    " s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),"
+    " sess AS (SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,"
+    "   epoch_ms(max(ts)) + 1800000 AS session_end_ms,"
+    "   CAST(count(*) AS BIGINT) AS n_events,"
+    "   CAST(sum(cents) AS BIGINT) AS sum_cents"
+    "  FROM s GROUP BY user_id, sid),"
+    " lim AS (SELECT epoch_ms(max(ts)) - 3600000 AS horizon FROM events)"
+    " SELECT * FROM sess WHERE session_end_ms <= (SELECT horizon FROM lim)"
+    " ORDER BY user_id, session_start_ms",
+)
+def stream_session_window(spark, sf_dir):
+    """Streaming session windows: F.session_window(ts, '30 minutes') with a
+    1-hour watermark over a 1-file-per-trigger stream. State per user is
+    bounded by the watermark horizon (open sessions only); the shuffle key
+    is user_id — session merging is per-key, never global. Sessions still
+    open at the final watermark are withheld (exactly the late-data
+    contract), which the oracle's horizon filter replays."""
+    from incremental_etl_on_lakehouse_spark.streaming import (
+        run_to_memory,
+        session_windowed_agg,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False).select(
+        "user_id",
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = session_windowed_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        [
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ],
+        group_cols=["user_id"],
+        watermark="1 hour",
+    )
+    got = run_to_memory(out)
+    return got.select(
+        "user_id",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
+        "n_events",
+        "sum_cents",
+    ).orderBy("user_id", "session_start_ms")
+
+
+@query(
+    "join_cross",
+    "SELECT r_name, o_orderpriority"
+    " FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)"
+    " ORDER BY r_name, o_orderpriority",
+)
+def join_cross(spark, sf_dir):
+    """CROSS JOIN — the dimensional-grid expansion (every region x every
+    order priority, e.g. to left-join sparse aggregates onto a dense grid).
+    Plans as BroadcastNestedLoopJoin with the tiny side broadcast: legal
+    ONLY because both inputs are dimension-scale; a fact-fact cross join is
+    quadratic and has no 100 TB design — the engine's answer at scale is
+    'don't' (bucketed/broadcast equi-joins or LSH banding instead)."""
+    regions = load_table(spark, "region", sf_dir).select("r_name")
+    prios = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return regions.crossJoin(prios).orderBy("r_name", "o_orderpriority")
+
+
+@query(
+    "agg_mode",
+    "WITH c AS (SELECT o_orderstatus, o_orderpriority,"
+    "   CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus"
+    "   ORDER BY n DESC, o_orderpriority) AS rk FROM c)"
+    " SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode"
+    " FROM r WHERE rk = 1 ORDER BY o_orderstatus",
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic MODE per group (most frequent value, ties -> smallest
+    value — unlike F.mode, whose tie-break is undefined). Two phases: a
+    map-side-combined count over (group, value) — the only data-scale
+    shuffle — then a row_number over the per-group distribution, which is
+    |groups x distinct values| rows, not data-scale."""
+    counts = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+        )
+        .orderBy("o_orderstatus")
+    )

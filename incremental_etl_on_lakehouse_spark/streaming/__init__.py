@@ -60,6 +60,31 @@ def windowed_agg(
     )
 
 
+def session_windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows over an event-time stream (the batch
+    counterpart is the ``win_session`` key): a session extends while
+    consecutive events arrive within ``gap``; append mode emits a session
+    once the watermark passes its end (last event + gap), so state per key
+    is bounded by the watermark horizon. Shuffle key is the group columns
+    — session merging is per-key and never global."""
+    keys = [F.session_window(F.col(ts_col), gap).alias("w")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    out = stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],
