@@ -13,8 +13,10 @@ Supported grammar (the reference's full surface):
     ON <condition>
     { WHEN MATCHED [AND <cond>] THEN DELETE
     | WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = e [, ...]
-    | WHEN NOT MATCHED [AND <cond>] THEN INSERT *
-    | WHEN NOT MATCHED [AND <cond>] THEN INSERT (c, ...) VALUES (e, ...) }...
+    | WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *
+    | WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT (c, ...) VALUES (e, ...)
+    | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+    | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET c = e [, ...] }...
 
 plus ``--`` comments anywhere and ``QUALIFY`` inside the source subquery
 (Databricks/Snowflake syntax the reference relies on, rewritten here to a
@@ -191,8 +193,29 @@ def _canonicalize(expr: str, stmt: MergeStatement) -> str:
     return "".join(out).strip()
 
 
-def _parse_action(action: str, matched: bool, cond: str | None) -> MergeClause:
+def _parse_action(
+    action: str, matched: bool, cond: str | None, by_source: bool = False
+) -> MergeClause:
     a = action.strip()
+    if by_source:
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET c = e, ...
+        if re.fullmatch(r"DELETE", a, re.IGNORECASE):
+            return MergeClause("delete_by_source", cond)
+        m = re.fullmatch(r"UPDATE\s+SET\s+(.*)", a, re.IGNORECASE | re.DOTALL)
+        if m:
+            body = m.group(1).strip()
+            if body == "*":
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE SET * is invalid — "
+                    "there is no source row"
+                )
+            assignments = {}
+            for part in split_top_level(body):
+                k, _, v = part.partition("=")
+                col = k.strip().split(".")[-1].strip("` ")
+                assignments[col] = v.strip()
+            return MergeClause("update_by_source", cond, assignments)
+        raise ValueError(f"unsupported NOT MATCHED BY SOURCE action: {a!r}")
     if matched and re.fullmatch(r"DELETE", a, re.IGNORECASE):
         return MergeClause("delete", cond)
     m = re.fullmatch(r"UPDATE\s+SET\s+(.*)", a, re.IGNORECASE | re.DOTALL)
@@ -275,16 +298,26 @@ def parse_merge(sql: str) -> MergeStatement:
         schema_evolution=schema_evolution,
     )
     clause_re = re.compile(
-        r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+        r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+        r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+        r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
         r"(?P<action>.*?)(?=\s*WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
         re.IGNORECASE | re.DOTALL,
     )
     for cm in clause_re.finditer(s[pos + wm.start() :]):
         matched = cm.group("not") is None
+        by = (cm.group("by") or "").upper()
+        if by and matched:
+            raise ValueError(f"WHEN MATCHED BY {by} is not valid MERGE grammar")
+        # NOT MATCHED [BY TARGET] = insert; NOT MATCHED BY SOURCE = the
+        # target-sided clause family (Delta grammar)
+        by_source = by == "SOURCE"
         cond = cm.group("cond")
         cond = _canonicalize(cond, stmt) if cond else None
         action = _canonicalize(cm.group("action"), stmt)
-        stmt.clauses.append(_parse_action(action.strip(), matched, cond))
+        stmt.clauses.append(
+            _parse_action(action.strip(), matched, cond, by_source=by_source)
+        )
     stmt.on_condition = _canonicalize(stmt.on_condition, stmt)
     if not stmt.clauses:
         raise ValueError("MERGE has no parseable WHEN clauses")

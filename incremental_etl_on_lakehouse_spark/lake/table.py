@@ -234,7 +234,11 @@ class MergeClause:
     """One WHEN clause of a MERGE, in declaration order.
 
     kind: 'delete' (WHEN MATCHED ... DELETE), 'update' (WHEN MATCHED ...
-    UPDATE), or 'insert' (WHEN NOT MATCHED ... INSERT).
+    UPDATE), 'insert' (WHEN NOT MATCHED ... INSERT), or 'delete_by_source'
+    / 'update_by_source' (WHEN NOT MATCHED BY SOURCE ... — fires on target
+    rows with no source match; condition/assignments are target-only, and
+    update assignments must be an explicit dict — there is no source row
+    for '*').
     condition: SQL boolean over ``source.``/``target.`` columns (None = always).
     assignments: for update/insert — dict of target column -> SQL expression
     over ``source.``/``target.``, or the string '*' meaning "take the
@@ -2572,6 +2576,23 @@ class LakeTable:
                 }
         matched_clauses = [c for c in clauses if c.kind in ("delete", "update")]
         insert_clauses = [c for c in clauses if c.kind == "insert"]
+        by_source_clauses = [
+            c
+            for c in clauses
+            if c.kind in ("delete_by_source", "update_by_source")
+        ]
+        known = {"delete", "update", "insert", "delete_by_source", "update_by_source"}
+        bad = [c.kind for c in clauses if c.kind not in known]
+        if bad:
+            raise ValueError(f"unknown MERGE clause kind(s): {bad}")
+        for c in by_source_clauses:
+            # no source row exists for these rows: assignments must be
+            # explicit target-side expressions (Delta has the same rule)
+            if c.kind == "update_by_source" and not isinstance(c.assignments, dict):
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE UPDATE requires explicit "
+                    "SET assignments (no source row to take * from)"
+                )
         old_schema = self.schema()
         old_cols = set(old_schema.fieldNames())
         write_schema = old_schema
@@ -2609,6 +2630,12 @@ class LakeTable:
         }
         if target_empty:
             prune_map = {}  # nothing to prune; skip the bounds job
+        if by_source_clauses:
+            # rows in key-range-pruned files can't match any source row —
+            # which makes them exactly the NOT MATCHED BY SOURCE candidates;
+            # these merges must see the whole target (inherent to the
+            # semantics: Delta's by-source merges scan the full target too)
+            prune_map = {}
         if prune_map:
             bounds_row = src_persisted.agg(
                 *[
@@ -2739,6 +2766,45 @@ class LakeTable:
             )
             if r["__action"] in fire_actions and r["__f"]:
                 touched_set.add(r["__f"])
+
+        # 1b. BY SOURCE planning: target rows with NO source match that fire
+        #     a by-source clause. One target-sided anti join (the source —
+        #     micro-batch scale — broadcasts) classifies them; its fired
+        #     subset extends the touched-file set and the action counts.
+        #     Clause conditions reference target columns only.
+        bs_fired = None
+        if by_source_clauses and not target_empty:
+            bs_action = None
+            for i, cl in enumerate(by_source_clauses):
+                c = (
+                    F.coalesce(F.expr(cl.condition), F.lit(False))
+                    if cl.condition is not None
+                    else F.lit(True)
+                )
+                step = F.when(c, F.lit(f"{cl.kind}{i}"))
+                bs_action = (
+                    step if bs_action is None else bs_action.when(c, F.lit(f"{cl.kind}{i}"))
+                )
+            bs_action = bs_action.otherwise(F.lit("keep"))
+            bs_fired = (
+                target.join(F.broadcast(src), cond, "left_anti")
+                .withColumn("__action", bs_action)
+                .where(F.col("__action") != "keep")
+                .persist()
+            )
+            bs_rows = (
+                bs_fired.groupBy(
+                    F.col("__action"), F.expr("target.`__file`").alias("__f")
+                )
+                .count()
+                .collect()
+            )
+            for r in bs_rows:
+                action_counts[r["__action"]] = (
+                    action_counts.get(r["__action"], 0) + r["count"]
+                )
+                if r["__f"]:
+                    touched_set.add(r["__f"])
         touched = sorted(touched_set)
 
         # 2. Rewrite candidates: rows from touched files joined to the source
@@ -2760,6 +2826,17 @@ class LakeTable:
                 step = F.when(F.col("__s_match").isNotNull() & c, F.lit(f"{cl.kind}{i}"))
                 action = step if action is None else action.when(
                     F.col("__s_match").isNotNull() & c, F.lit(f"{cl.kind}{i}")
+                )
+            for i, cl in enumerate(by_source_clauses):
+                c = (
+                    F.coalesce(F.expr(cl.condition), F.lit(False))
+                    if cl.condition is not None
+                    else F.lit(True)
+                )
+                branch = F.col("__s_match").isNull() & c
+                step = F.when(branch, F.lit(f"{cl.kind}{i}"))
+                action = step if action is None else action.when(
+                    branch, F.lit(f"{cl.kind}{i}")
                 )
             action = (action.otherwise(F.lit("keep")) if action is not None else F.lit("keep"))
             acted = joined.withColumn("__action", action)
@@ -2787,6 +2864,18 @@ class LakeTable:
                     return F.expr(f"target.`{colname}`")
                 return F.lit(None).cast(tgt_types[colname])
 
+            def bs_assignment_expr(cl: MergeClause, i: int, col: str, current):
+                # by-source: no source row — assignments are target-only
+                # SQL (dict form enforced at entry)
+                expr = (
+                    F.expr(cl.assignments[col])
+                    if col in cl.assignments
+                    else target_or_null(col)
+                )
+                return F.when(
+                    F.col("__action") == f"update_by_source{i}", expr
+                ).otherwise(current)
+
             # Post-image values for kept/updated rows.
             out_cols = []
             for colname in tgt_cols:
@@ -2794,6 +2883,9 @@ class LakeTable:
                 for i, cl in enumerate(matched_clauses):
                     if cl.kind == "update":
                         val = assignment_expr(cl, i, colname, val)
+                for i, cl in enumerate(by_source_clauses):
+                    if cl.kind == "update_by_source":
+                        val = bs_assignment_expr(cl, i, colname, val)
                 out_cols.append(val.alias(colname))
 
             survivors = acted.where(~F.col("__action").startswith("delete")).select(*out_cols)
@@ -2862,8 +2954,22 @@ class LakeTable:
             )
             del_actions = [f"delete{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "delete"]
             upd_actions = [f"update{i}" for i, cl in enumerate(matched_clauses) if cl.kind == "update"]
-            n_del = sum(action_counts.get(a, 0) for a in del_actions)
-            n_upd = sum(action_counts.get(a, 0) for a in upd_actions)
+            bs_del_actions = [
+                f"{cl.kind}{i}"
+                for i, cl in enumerate(by_source_clauses)
+                if cl.kind == "delete_by_source"
+            ]
+            bs_upd_actions = [
+                f"{cl.kind}{i}"
+                for i, cl in enumerate(by_source_clauses)
+                if cl.kind == "update_by_source"
+            ]
+            n_mat_del = sum(action_counts.get(a, 0) for a in del_actions)
+            n_mat_upd = sum(action_counts.get(a, 0) for a in upd_actions)
+            n_bs_del = sum(action_counts.get(a, 0) for a in bs_del_actions)
+            n_bs_upd = sum(action_counts.get(a, 0) for a in bs_upd_actions)
+            n_del = n_mat_del + n_bs_del
+            n_upd = n_mat_upd + n_bs_upd
 
             # On a CDF-enabled table, survivors and inserts are staged
             # SEPARATELY: insert rows then live in files of their own,
@@ -2923,12 +3029,12 @@ class LakeTable:
             cdf_rel = None
             pre_cols = [target_or_null(c).alias(c) for c in tgt_cols]
             cdf_parts = []
-            if n_del:
+            if n_mat_del:
                 d = s_joined.where(F.col("__action").isin(del_actions)).select(*pre_cols)
                 cdf_parts.append(
                     self._align(d, write_schema).withColumn(CHANGE_TYPE, F.lit("delete"))
                 )
-            if n_upd:
+            if n_mat_upd:
                 upd_rows = s_joined.where(F.col("__action").isin(upd_actions))
                 pre = upd_rows.select(*pre_cols)
                 post_cols = []
@@ -2948,6 +3054,36 @@ class LakeTable:
                     self._align(post, write_schema).withColumn(
                         CHANGE_TYPE, F.lit("update_postimage")
                     )
+                )
+            # by-source images come from the persisted target-sided probe
+            # (bs_fired) — the source-sided S has no by-source rows
+            if n_bs_del:
+                d = bs_fired.where(
+                    F.col("__action").isin(bs_del_actions)
+                ).select(*pre_cols)
+                cdf_parts.append(
+                    self._align(d, write_schema).withColumn(
+                        CHANGE_TYPE, F.lit("delete")
+                    )
+                )
+            if n_bs_upd:
+                bsu = bs_fired.where(F.col("__action").isin(bs_upd_actions))
+                bs_post_cols = []
+                for colname in tgt_cols:
+                    val = target_or_null(colname)
+                    for i, cl in enumerate(by_source_clauses):
+                        if cl.kind == "update_by_source":
+                            val = bs_assignment_expr(cl, i, colname, val)
+                    bs_post_cols.append(val.alias(colname))
+                cdf_parts.append(
+                    self._align(bsu.select(*pre_cols), write_schema).withColumn(
+                        CHANGE_TYPE, F.lit("update_preimage")
+                    )
+                )
+                cdf_parts.append(
+                    self._align(
+                        bsu.select(*bs_post_cols), write_schema
+                    ).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
                 )
             if self.cdf_enabled() and cdf_parts:
                 cdf_all = cdf_parts[0]
@@ -2999,6 +3135,8 @@ class LakeTable:
         finally:
             s_joined.unpersist()
             src_persisted.unpersist()
+            if bs_fired is not None:
+                bs_fired.unpersist()
 
     # ------------------------------------------------------------- change feed
 

@@ -1125,3 +1125,61 @@ def src_json_auto(spark, sf_dir):
     return read_json_auto_batch(spark, out, schema).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "merge_by_source",
+    # full-sync mirror replayed in plain SQL: target was customers <=200
+    # (active), the source batch is customers 101-300; matched rows take
+    # the upper-cased source name, unmatched source rows insert, and
+    # target rows absent from the source soft-delete (active=false)
+    "SELECT CAST(c_custkey AS BIGINT) AS custkey,"
+    " CASE WHEN c_custkey > 100 AND c_custkey <= 200 THEN upper(c_name)"
+    "      ELSE c_name END AS name,"
+    " CASE WHEN c_custkey <= 100 THEN false ELSE true END AS active"
+    " FROM customer WHERE c_custkey <= 300 ORDER BY custkey",
+)
+def merge_by_source(spark, sf_dir):
+    """WHEN NOT MATCHED BY SOURCE (Delta's full-sync MERGE family): one
+    statement mirrors the target to the batch — matched UPDATE, unmatched
+    INSERT, and target-sided soft delete for rows the source no longer
+    carries. Planning adds ONE target-sided anti join (batch-scale source
+    broadcast); stats pruning is disabled because pruned files are
+    by-source candidates by definition (see lake/table.py merge)."""
+    path = os.path.join(_tmpdir(), "mirror")
+    schema = StructType(
+        [
+            StructField("custkey", LongType()),
+            StructField("name", StringType()),
+            StructField("active", BooleanType()),
+        ]
+    )
+    t = LakeTable.create(spark, path, schema)
+    cust = load_table(spark, "customer", sf_dir)
+    t.append(
+        cust.where(F.col("c_custkey") <= 200).select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.lit(True).alias("active"),
+        )
+    )
+    batch = cust.where(
+        (F.col("c_custkey") > 100) & (F.col("c_custkey") <= 300)
+    ).select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_name").alias("name"),
+    )
+    t.merge(
+        batch,
+        "source.custkey = target.custkey",
+        [
+            MergeClause("update", None, {"name": "upper(source.name)"}),
+            MergeClause(
+                "insert",
+                None,
+                {"custkey": "source.custkey", "name": "source.name", "active": "true"},
+            ),
+            MergeClause("update_by_source", None, {"active": "false"}),
+        ],
+    )
+    return t.to_df().orderBy("custkey")

@@ -537,3 +537,19 @@ def test_range_frame_single_window_exchange(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert plans.shuffle_count(df) <= 2, plan
     assert plan.count("Window") <= 2, plan  # one Window exec (+header text)
+
+
+def test_cross_join_broadcast_nested_loop(spark, sf_dir):
+    df = QUERIES["join_cross"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_agg_mode_count_shuffle_then_tiny_window(spark, sf_dir):
+    df = QUERIES["agg_mode"](spark, sf_dir)
+    # data-scale work is the (group, value) count: partial agg -> exchange;
+    # the mode pick is a window over the tiny distribution (1 more exchange
+    # + the final orderBy range exchange) — anything beyond that means the
+    # mode pick regressed to a data-scale operation
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+    assert "HashAggregate" in plans.formatted_plan(df)
