@@ -553,3 +553,44 @@ def test_agg_mode_count_shuffle_then_tiny_window(spark, sf_dir):
     # mode pick regressed to a data-scale operation
     assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
     assert "HashAggregate" in plans.formatted_plan(df)
+
+
+def test_by_source_merge_result_and_gating(spark, tmp_path):
+    """A merge WITHOUT by-source clauses must not run the target-sided
+    probe (zero cost when unused); with one, the full-sync result holds
+    even under stats pruning (pruned files re-included by design)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+    schema = StructType([
+        StructField("id", LongType()), StructField("v", StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.append(spark.createDataFrame([(50, "x"), (51, "y")], schema))
+    src = spark.createDataFrame([(1, "A"), (3, "C")], schema)
+    m = t.merge(
+        src, "source.id = target.id",
+        [
+            MergeClause("update", None, {"v": "source.v"}),
+            MergeClause("insert", None, "*"),
+            MergeClause("delete_by_source", None),
+        ],
+        stats_prune={"id": "id"},
+    )
+    assert {(r.id, r.v) for r in t.to_df().collect()} == {(1, "A"), (3, "C")}
+    # by-source deletes counted: ids 2, 50, 51
+    assert m["num_deleted_rows"] == 3
+    # without by-source clauses the same pruning merge touches only the
+    # overlapping file (the probe and its full-target scan are gated off)
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), schema)
+    t2.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t2.append(spark.createDataFrame([(50, "x"), (51, "y")], schema))
+    m2 = t2.merge(
+        src, "source.id = target.id",
+        [MergeClause("update", None, {"v": "source.v"}),
+         MergeClause("insert", None, "*")],
+        stats_prune={"id": "id"},
+    )
+    assert m2["num_touched_files"] == 1
