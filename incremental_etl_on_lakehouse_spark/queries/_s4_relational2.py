@@ -1065,3 +1065,62 @@ def ext_graph_pagerank(spark, sf_dir):
             )
         )
     return ranks.selectExpr("node AS source", "CAST(r AS BIGINT) AS rank_fp")
+
+
+@query(
+    "stream_stateful_topk",
+    "WITH v AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents"
+    "  FROM events),"
+    " r AS (SELECT user_id, cents, row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY cents DESC) AS rk FROM v)"
+    " SELECT user_id, max(CASE WHEN rk = 1 THEN cents END) AS top1,"
+    "  max(CASE WHEN rk = 2 THEN cents END) AS top2"
+    " FROM r WHERE rk <= 2 GROUP BY user_id ORDER BY user_id",
+)
+def stream_stateful_topk(spark, sf_dir):
+    """Custom streaming state beyond counters: per-user top-2 value tracker
+    maintained across micro-batches (applyInPandasWithState; the Spark 4
+    transformWithStateInPandas spelling is streaming.stateful_top2_tws,
+    import-gated on google.protobuf). Converged state equals the batch
+    top-2; ties keep duplicates, so the result is exactly checkable."""
+    from incremental_etl_on_lakehouse_spark.streaming import stateful_top2
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("ts") < TS_SPLIT, 0).otherwise(1).alias("half"),
+    )
+    land = _tmpdir()
+    flat = _tmpdir()
+    for half in (0, 1):
+        d = os.path.join(land, f"f{half}")
+        ev.where(F.col("half") == half).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).json(d)
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                shutil.copy(os.path.join(d, name), os.path.join(flat, f"{half}.json"))
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("cents", LongType())]
+    )
+    stream = read_json_stream(
+        spark, flat, schema, max_files_per_trigger=1, multiline=False
+    )
+    tracked = stateful_top2(stream, key_col="user_id", value_col="cents")
+    batches: list[list] = []
+    (
+        tracked.writeStream.foreachBatch(lambda df, _b: batches.append(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final: dict[int, tuple] = {}
+    for batch in batches:
+        for r in batch:
+            final[r["user_id"]] = (r["top1"], r["top2"])
+    return spark.createDataFrame(
+        sorted((k, v[0], v[1]) for k, v in final.items()),
+        "user_id long, top1 long, top2 long",
+    ).orderBy("user_id")

@@ -171,3 +171,92 @@ def stream_stream_interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, "inner")
+
+
+def stateful_top2(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "cents"
+) -> DataFrame:
+    """Per-key top-2 values in streaming state (``applyInPandasWithState``).
+
+    Emits the updated (top1, top2) per key seen in each micro-batch
+    (update mode). State is two longs per key; ties keep duplicates
+    (two rows with the equal max -> top1 == top2), which is what makes
+    the result exactly oracle-checkable. The Spark 4
+    ``transformWithStateInPandas`` spelling of the same operator is
+    :func:`stateful_top2_tws` (its driver worker needs ``google.protobuf``,
+    absent in minimal environments — import-gated there).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_top2(key, pdfs, state):
+        cand = [v for v in (state.get if state.exists else (None, None)) if v is not None]
+        for pdf in pdfs:
+            cand.extend(int(v) for v in pdf[value_col].nlargest(2))
+        cand.sort(reverse=True)
+        m1 = cand[0] if cand else None
+        m2 = cand[1] if len(cand) > 1 else None
+        state.update((m1, m2))
+        yield pd.DataFrame({key_col: [key[0]], "top1": [m1], "top2": [m2]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_top2,
+        outputStructType=f"{key_col} bigint, top1 bigint, top2 bigint",
+        stateStructType="m1 bigint, m2 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_top2_tws(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "cents"
+) -> DataFrame:
+    """Per-key top-2 via Spark 4's ``transformWithStateInPandas`` — the
+    typed-state successor of applyInPandasWithState (ValueState here;
+    ListState/MapState/timers available) on the RocksDB-backed state
+    engine. Identical semantics to :func:`stateful_top2`; kept separate
+    because the TWS driver worker imports ``google.protobuf``, which
+    minimal Spark environments (like this one) may not ship — callers
+    without it get an ImportError here, not a mid-stream crash.
+    """
+    import google.protobuf  # noqa: F401 — fail fast with a clear error
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class Top2(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.top = handle.getValueState("top2", "m1 bigint, m2 bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = list(self.top.get()) if self.top.exists() else [None, None]
+            cand = [v for v in cur if v is not None]
+            for pdf in rows:
+                # vectorized per Arrow batch: only the batch's top-2 can
+                # displace state
+                cand.extend(int(v) for v in pdf[value_col].nlargest(2))
+            cand.sort(reverse=True)
+            m1 = cand[0] if cand else None
+            m2 = cand[1] if len(cand) > 1 else None
+            self.top.update((m1, m2))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "top1": [m1], "top2": [m2]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        Top2(),
+        f"{key_col} bigint, top1 bigint, top2 bigint",
+        "Update",
+        "None",
+    )

@@ -100,3 +100,49 @@ def test_windowed_agg_sliding(spark, landing, tmp_path):
     # each event lands in two sliding windows (dup id=3 counts twice here —
     # dedup is a separate operator); closed windows only
     assert rows == {"23:55": 2, "00:00": 4, "00:05": 2}
+
+
+def test_stateful_top2_tws_guarded(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas variant — its driver worker
+    imports google.protobuf, absent in minimal environments; the helper
+    fails fast with ImportError instead of crashing mid-stream."""
+    import pytest as _pytest
+
+    from incremental_etl_on_lakehouse_spark.streaming import stateful_top2_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            stateful_top2_tws(spark.readStream.format("rate").load())
+        return
+    import json
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "cents": 10},
+                {"user_id": 1, "cents": 30},
+                {"user_id": 2, "cents": 5},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, cents bigint")
+        .json(str(land))
+    )
+    out = stateful_top2_tws(stream)
+    rows = []
+    (
+        out.writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r["user_id"]: (r["top1"], r["top2"]) for r in rows}
+    assert got == {1: (30, 10), 2: (5, None)}
