@@ -221,3 +221,54 @@ def test_execute_full_sync_sql(spark, tmp_path):
         {"t": t},
     )
     assert _state(t) == {2: ("B", True), 4: ("D", True)}
+
+
+# ------------------------------------------------------- property-based model
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_IDS = st.integers(min_value=0, max_value=9)
+_TGT = st.dictionaries(_IDS, st.integers(0, 99), max_size=8)
+_SRC = st.dictionaries(_IDS, st.integers(0, 99), max_size=8)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(tgt=_TGT, src=_SRC)
+def test_full_sync_matches_python_model(spark, tmp_path, tgt, src):
+    """full-sync merge == the source dict with by-source deletes, for any
+    random target/source pair (including empty sides)."""
+    import uuid as _uuid
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / f"t{_uuid.uuid4().hex[:8]}"),
+        StructType(
+            [StructField("id", LongType()), StructField("n", LongType())]
+        ),
+    )
+    if tgt:
+        t.append(
+            spark.createDataFrame(sorted(tgt.items()), "id bigint, n bigint")
+        )
+    src_df = spark.createDataFrame(
+        sorted(src.items()) or [], "id bigint, n bigint"
+    ) if src else spark.createDataFrame([], "id bigint, n bigint")
+    m = t.merge(
+        src_df,
+        "source.id = target.id",
+        [
+            MergeClause("update", None, {"n": "source.n"}),
+            MergeClause("insert", None, "*"),
+            MergeClause("delete_by_source", None),
+        ],
+    )
+    got = {r["id"]: r["n"] for r in t.to_df().collect()}
+    assert got == src
+    assert m["num_deleted_rows"] == len(set(tgt) - set(src))
+    assert m["num_updated_rows"] == len(set(tgt) & set(src))
+    assert m["num_inserted_rows"] == len(set(src) - set(tgt))
