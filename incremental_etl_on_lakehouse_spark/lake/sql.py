@@ -490,15 +490,21 @@ def parse_create_table(sql: str) -> dict:
     """
     s = strip_comments(sql).strip().rstrip(";")
     m = re.match(
-        rf"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<t>{_IDENT})\s*"
+        rf"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<t>{_IDENT})\s*"
         rf"(?P<rest>.*)$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"unparseable CREATE TABLE statement: {sql!r}")
+    if m.group("orr") and m.group("ine"):
+        raise ValueError(
+            "CREATE OR REPLACE TABLE cannot also be IF NOT EXISTS"
+        )
     out: dict = {
         "table": m.group("t"),
+        "or_replace": bool(m.group("orr")),
         "if_not_exists": bool(m.group("ine")),
         "columns": [],
         "not_null": [],
@@ -612,6 +618,18 @@ def execute_create_table(
         )
     else:
         schema = spark.sql(p["select"]).schema
+    if p.get("or_replace") and LakeTable.exists(dest_path):
+        t = LakeTable(spark, dest_path)
+        t.replace_definition(
+            schema,
+            properties=props,
+            partition_by=p["partition_by"] or None,
+        )
+        for col in p["not_null"]:
+            t.add_not_null(col)
+        if p["select"]:
+            t.append(spark.sql(p["select"]))
+        return t
     existed = bool(LakeTable.exists(dest_path)) and p["if_not_exists"]
     t = LakeTable.create(
         spark,

@@ -277,17 +277,41 @@ class LakeTable:
             if if_not_exists:
                 return t
             raise ValueError(f"lake table already exists at {t.path}")
+        props = LakeTable._derive_definition_props(
+            schema, properties, partition_by
+        )
+        os.makedirs(t.path, exist_ok=True)
+        lakelog.write_commit(
+            t.path,
+            Commit(
+                version=0,
+                operation="CREATE",
+                timestamp_ms=lakelog.now_ms(),
+                schema_json=schema.json(),
+                properties=props,
+            ),
+        )
+        return t
+
+    @staticmethod
+    def _derive_definition_props(
+        schema: StructType,
+        properties: dict | None,
+        partition_by: list[str] | None,
+    ) -> dict:
+        """Table-definition property derivation shared by CREATE and
+        REPLACE: hive partition layout, the implicit null-safe-equality
+        CHECK behind every generated column (writers that PROVIDE the
+        column are held to the generation expression by the ordinary
+        staged-file gate, while _align computes it when absent), and
+        identity columns auto-listed in statsColumns so the high-water
+        mark after each append comes FREE from the parquet footers."""
         props = dict(properties or {})
         if partition_by:
             missing = [c for c in partition_by if c not in schema.fieldNames()]
             if missing:
                 raise ValueError(f"partition columns not in schema: {missing}")
             props["partitionBy"] = ",".join(partition_by)
-        # Generated columns (Delta's GENERATED ALWAYS AS, creation-time
-        # only): each ``generated.<col>`` property implies a null-safe
-        # equality CHECK, so a writer that PROVIDES the column is held to
-        # the generation expression by the ordinary staged-file gate, while
-        # _align computes it when absent.
         for k, expr in list(props.items()):
             if k.startswith("generated."):
                 gcol = k[len("generated."):]
@@ -296,10 +320,6 @@ class LakeTable:
                 props.setdefault(
                     CONSTRAINT_PREFIX + f"gen_{gcol}", f"`{gcol}` <=> ({expr})"
                 )
-        # Identity columns (Delta's GENERATED ALWAYS AS IDENTITY):
-        # ``identity.<col>`` = "start,step". The column is auto-listed in
-        # statsColumns so the high-water mark after each append comes FREE
-        # from the parquet footer stats — no extra job.
         id_cols = [
             k[len("identity."):] for k in props if k.startswith("identity.")
         ]
@@ -317,18 +337,44 @@ class LakeTable:
             props["statsColumns"] = ",".join(
                 existing + [c for c in id_cols if c not in existing]
             )
-        os.makedirs(t.path, exist_ok=True)
+        return props
+
+    def replace_definition(
+        self,
+        schema: StructType,
+        properties: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """REPLACE TABLE (the second half of CREATE OR REPLACE): one atomic
+        commit that drops every live file, installs the new schema, and
+        REPLACES the table properties (old keys not re-declared are
+        tombstoned in the state fold — Delta's REPLACE resets the
+        definition rather than merging it). History survives: time travel
+        to pre-replace versions projects the old schema and data, and
+        identity high-water marks reset with the definition."""
+        commits = self._commits()
+        removed = lakelog.snapshot_files(commits)
+        dvmap = self._state().get("dv") or {}
+        props = LakeTable._derive_definition_props(
+            schema, properties, partition_by
+        )
+        tombstones = {
+            k: None for k in self.properties() if k not in props
+        }
+        v = commits[-1].version + 1
         lakelog.write_commit(
-            t.path,
+            self.path,
             Commit(
-                version=0,
-                operation="CREATE",
+                version=v,
+                operation="REPLACE",
                 timestamp_ms=lakelog.now_ms(),
+                remove=removed + self._dv_release(removed, dvmap),
                 schema_json=schema.json(),
-                properties=props,
+                properties={**tombstones, **props},
+                metrics={"num_removed_files": len(removed)},
             ),
         )
-        return t
+        return v
 
     def clone(self, dest_path: str, shallow: bool = True) -> "LakeTable":
         """CLONE (Delta's ``CREATE TABLE ... [SHALLOW|DEEP] CLONE src``).

@@ -3124,3 +3124,69 @@ def agg_mode(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "ddl_replace_table",
+    "SELECT * FROM (VALUES"
+    " ('alpha', CAST(10 AS BIGINT), true, true, true),"
+    " ('beta', CAST(20 AS BIGINT), true, true, true))"
+    " t(k, score, props_replaced, old_version_readable, not_null_enforced)"
+    " ORDER BY k",
+)
+def ddl_replace_table(spark, sf_dir):
+    """CREATE OR REPLACE TABLE: one atomic commit swaps schema + data +
+    properties (old keys tombstoned — REPLACE resets the definition, it
+    does not merge), while history survives: time travel to the
+    pre-replace version reads the OLD schema and rows. The in-key booleans
+    attest property replacement, pre-replace readability, and that the
+    new definition's NOT NULL gate is live."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    path = os.path.join(_tmpdir(), "reptab")
+    t = execute_statement(
+        spark,
+        "CREATE TABLE reptab (id BIGINT, name STRING)"
+        " TBLPROPERTIES (enableChangeDataFeed = true)",
+        {},
+        dest_path=path,
+    )
+    execute_statement(
+        spark, "INSERT INTO reptab VALUES (1, 'old')", {"reptab": t}
+    )
+    v_old = t.version()
+    t2 = execute_statement(
+        spark,
+        "CREATE OR REPLACE TABLE reptab (k STRING NOT NULL, score BIGINT)",
+        {},
+        dest_path=path,
+    )
+    execute_statement(
+        spark,
+        "INSERT INTO reptab VALUES ('alpha', 10), ('beta', 20)",
+        {"reptab": t2},
+    )
+    props_replaced = "enableChangeDataFeed" not in t2.properties()
+    old = t2.to_df(version=v_old)
+    old_ok = (
+        [f.name for f in old.schema.fields] == ["id", "name"]
+        and old.count() == 1
+    )
+    try:
+        t2.append(
+            spark.createDataFrame([(None, 0)], "k string, score bigint")
+        )
+        nn_enforced = False
+    except Exception:
+        nn_enforced = True
+    return (
+        t2.to_df()
+        .select(
+            "k",
+            "score",
+            F.lit(props_replaced).alias("props_replaced"),
+            F.lit(old_ok).alias("old_version_readable"),
+            F.lit(nn_enforced).alias("not_null_enforced"),
+        )
+        .orderBy("k")
+    )

@@ -184,3 +184,69 @@ def test_schema_evolution_random_sequences(spark, tmp_path):
         check(None if False else head_v, *history[head_v])
         for v in rng.sample(sorted(history), min(2, len(history))):
             check(v, *history[v])
+
+
+# ------------------------------------------------------ CREATE OR REPLACE
+
+
+def test_create_or_replace_table(spark, tmp_path):
+    """REPLACE swaps schema + data + properties in one commit; history
+    survives (time travel reads the pre-replace table)."""
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_create_table
+
+    path = str(tmp_path / "t")
+    t = execute_create_table(
+        spark,
+        "CREATE TABLE t (id BIGINT, name STRING) "
+        "TBLPROPERTIES (enableChangeDataFeed = true)",
+        dest_path=path,
+    )
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, name string"))
+    v_old = t.version()
+    t2 = execute_create_table(
+        spark,
+        "CREATE OR REPLACE TABLE t (k STRING NOT NULL, score DOUBLE)",
+        dest_path=path,
+    )
+    assert [f.name for f in t2.schema().fields] == ["k", "score"]
+    assert t2.to_df().count() == 0
+    # properties REPLACED, not merged: CDF property gone
+    assert "enableChangeDataFeed" not in t2.properties()
+    # NOT NULL from the new definition enforced
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t2.append(spark.createDataFrame([(None, 1.0)], "k string, score double"))
+    t2.append(spark.createDataFrame([("x", 1.5)], "k string, score double"))
+    assert {(r.k, r.score) for r in t2.to_df().collect()} == {("x", 1.5)}
+    # time travel to before the replace: old schema, old data
+    old = t2.to_df(version=v_old)
+    assert [f.name for f in old.schema.fields] == ["id", "name"]
+    assert {(r.id, r.name) for r in old.collect()} == {(1, "a")}
+
+
+def test_create_or_replace_as_select(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_create_table
+
+    path = str(tmp_path / "t")
+    execute_create_table(
+        spark, "CREATE TABLE t AS SELECT 1 AS a", dest_path=path
+    )
+    t = execute_create_table(
+        spark,
+        "CREATE OR REPLACE TABLE t AS SELECT 'x' AS b, 2 AS c",
+        dest_path=path,
+    )
+    assert {(r.b, r.c) for r in t.to_df().collect()} == {("x", 2)}
+
+
+def test_or_replace_with_if_not_exists_rejected():
+    import pytest as _pytest
+
+    from incremental_etl_on_lakehouse_spark.lake.sql import parse_create_table
+
+    with _pytest.raises(ValueError, match="cannot also be"):
+        parse_create_table(
+            "CREATE OR REPLACE TABLE IF NOT EXISTS t (id BIGINT)"
+        )
