@@ -530,3 +530,79 @@ def bloom_probe(
             f" CAST(pmod({p}, 64) AS INT))) & 1) = 1"
         )
     return F.expr(" AND ".join(tests))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to a fixed query-term set — the
+    classic lexical retrieval scorer, used in data curation to pull
+    topic-related subsets out of a corpus (the retrieval sibling of
+    :func:`tfidf_topk`'s distinctiveness signal).
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)). Each contribution is
+    fixed to BIGINT micro-units (round(x * 1e6)) BEFORE the per-document
+    sum, so the sum is exact integer arithmetic — invariant to summation
+    order across partitions and engines (a double sum is not), which is
+    what makes the score exactly oracle-checkable.
+
+    Scale shape: explode -> per-doc length agg + per-(doc, query-term) tf
+    agg (the tf frame is pre-filtered to the query vocabulary, so it is
+    O(docs x |Q|), tiny) -> corpus scalars (N, avgdl) broadcast as a 1-row
+    crossJoin -> one final per-doc sum + TakeOrdered top-k. No data-scale
+    join: the only shuffles key on doc_id / term, uniform.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    words = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = (
+        words.where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = words.agg(
+        F.count_distinct(F.col(id_col)).alias("__N"),
+        F.count("*").alias("__toks"),
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__avgdl", F.col("__toks") / F.col("__N"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    per_doc = (
+        scored.withColumn(
+            "__micro", F.round(contrib * F.lit(1e6)).cast("long")
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__micro").alias("score_micro"))
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "score_micro", "rank")
+    )

@@ -932,3 +932,40 @@ def agg_collect_list(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "ext_bm25_topk",
+    # mirrors operators/text.py bm25_topk exactly: per-term contributions
+    # fixed to BIGINT micro-units BEFORE the per-doc sum (double summation
+    # order is engine-dependent; integer sums are not)
+    "WITH toksrc AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+    "  AS term FROM documents),"
+    " dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toksrc"
+    "  GROUP BY doc_id),"
+    " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toksrc"
+    "  WHERE term IN ('merge', 'stream', 'vector') GROUP BY doc_id, term),"
+    " dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),"
+    " st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,"
+    "  CAST(count(*) AS BIGINT) AS toks FROM toksrc),"
+    " scored AS (SELECT tf.doc_id,"
+    "  CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)"
+    "   / (tf + 1.2 * (0.25 + 0.75 * dl / (toks / n))) * 1000000.0)"
+    "   AS BIGINT) AS micro"
+    "  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),"
+    " agg AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro"
+    "  FROM scored GROUP BY doc_id),"
+    " ranked AS (SELECT doc_id, score_micro, CAST(row_number() OVER"
+    "  (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank FROM agg)"
+    " SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= 10"
+    " ORDER BY rank",
+)
+def ext_bm25_topk(spark, sf_dir):
+    """Top-10 documents by BM25 relevance to a fixed query-term set (the
+    lexical retrieval scorer; curation pipelines use it to pull
+    topic-related subsets). Contributions are fixed to integer micro-units
+    before the per-doc sum, making the score invariant to summation order
+    — see operators/text.py: bm25_topk for the scale shape."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    return T.bm25_topk(docs, ["merge", "stream", "vector"], k=10).orderBy("rank")
