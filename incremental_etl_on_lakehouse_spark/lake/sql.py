@@ -883,9 +883,10 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
     s = strip_comments(sql).strip().rstrip(";")
     m = re.match(
         rf"OPTIMIZE\s+(?P<t>{_IDENT})"
+        rf"(?:\s+WHERE\s+(?P<w>.*?))?"
         rf"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]+)\))?\s*$",
         s,
-        re.IGNORECASE,
+        re.IGNORECASE | re.DOTALL,
     )
     if m:
         cols = (
@@ -893,7 +894,10 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
             if m.group("z")
             else []
         )
-        return "optimize", m.group("t"), {"zorder_by": cols}
+        return "optimize", m.group("t"), {
+            "zorder_by": cols,
+            "where": (m.group("w") or "").strip() or None,
+        }
     m = re.match(
         rf"VACUUM\s+(?P<t>{_IDENT})"
         rf"(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?(?:\s+(?P<d>DRY\s+RUN))?\s*$",
@@ -934,7 +938,9 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
     kind, table, p = parse_utility(sql)
     target = _resolve(resolve, table)
     if kind == "optimize":
-        return target.compact(zorder_by=p["zorder_by"] or None)
+        return target.compact(
+            zorder_by=p["zorder_by"] or None, where=p.get("where")
+        )
     if kind == "vacuum":
         kwargs = {"dry_run": p["dry_run"]}
         if p["retain_hours"] is not None:
@@ -1042,3 +1048,47 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
             return runner(spark, sql, resolve)
         raise last
     return execute_utility(spark, sql, resolve, **kw)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement SQL script on top-level semicolons —
+    quote-aware (single quotes with '' escapes) and paren-aware, with
+    ``--`` comments stripped first so a ';' inside a comment can't split.
+    Empty fragments (trailing ';', blank lines) are dropped."""
+    s = strip_comments(script)
+    out: list[str] = []
+    depth, start, in_str = 0, 0, False
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [x.strip() for x in out if x.strip()]
+
+
+def execute_script(spark: SparkSession, script: str, resolve, **kw) -> list:
+    """Run a multi-statement SQL script (the shape of a migrated notebook
+    cell) through :func:`execute_statement`, one statement at a time in
+    order; returns the per-statement results. Statements run eagerly, so a
+    failure stops the script at that statement (results up to it are
+    committed — each lake statement is individually atomic; there is no
+    cross-statement transaction, same as Delta SQL)."""
+    return [
+        execute_statement(spark, stmt, resolve, **kw)
+        for stmt in split_statements(script)
+    ]

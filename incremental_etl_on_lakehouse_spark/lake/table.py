@@ -31,7 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake import log as lakelog
 from incremental_etl_on_lakehouse_spark.lake.log import CDF_DIR, DATA_DIR, Commit
@@ -2216,6 +2216,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         max_input_file_rows: int | None = None,
+        where: str | None = None,
     ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current snapshot
         into ~``target_file_rows``-row files. Purely physical — no logical
@@ -2263,6 +2264,49 @@ class LakeTable:
             }
         else:
             selected = dict(active)
+        if where:
+            # OPTIMIZE ... WHERE <partition predicate> (Delta grammar):
+            # restrict the rewrite to files whose hive partition values
+            # satisfy the predicate — on a 100 TB table maintenance runs
+            # per partition on a schedule, never over the whole table.
+            # Predicate evaluation is delegated to Spark over an O(files)
+            # metadata frame (partition values parsed from the hive dirs,
+            # cast to the table's column types).
+            pcols = self.partition_columns()
+            if not pcols:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE requires a partitioned table "
+                    "(the predicate selects hive partitions)"
+                )
+            from urllib.parse import unquote
+
+            schema_types = {f.name: f.dataType for f in self.schema().fields}
+            meta_rows = []
+            for rel in selected:
+                vals: dict[str, str | None] = {}
+                for seg in rel.split("/")[:-1]:
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        vals[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else unquote(v)
+                        )
+                meta_rows.append((rel, *[vals.get(c) for c in pcols]))
+            meta = self.spark.createDataFrame(
+                meta_rows,
+                StructType(
+                    [StructField("__rel", StringType())]
+                    + [StructField(c, StringType()) for c in pcols]
+                ),
+            )
+            for c in pcols:
+                meta = meta.withColumn(c, F.col(c).cast(schema_types[c]))
+            keep = {
+                r["__rel"]
+                for r in meta.where(F.expr(where)).select("__rel").collect()
+            }
+            selected = {rel: a for rel, a in selected.items() if rel in keep}
         if not selected:
             v = commits[-1].version + 1
             lakelog.write_commit(

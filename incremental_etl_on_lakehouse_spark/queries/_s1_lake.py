@@ -1183,3 +1183,49 @@ def merge_by_source(spark, sf_dir):
         ],
     )
     return t.to_df().orderBy("custkey")
+
+
+@query(
+    "util_optimize_where",
+    "SELECT * FROM (VALUES"
+    " ('d0', CAST(1 AS BIGINT), true, CAST(9 AS BIGINT)),"
+    " ('d1', CAST(3 AS BIGINT), true, CAST(9 AS BIGINT)))"
+    " t(day, n_files, other_untouched, n_rows) ORDER BY day",
+)
+def util_optimize_where(spark, sf_dir):
+    """OPTIMIZE ... WHERE <partition predicate>: compaction scoped to
+    matching hive partitions — the scheduled per-partition maintenance
+    shape at 100 TB (never rewrite the whole table). Attests: the matched
+    partition compacts to one file, the other partition's files are
+    byte-identical (same paths), and no rows are lost."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("day", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "optw"), schema, partition_by=["day"]
+    )
+    for batch in range(3):
+        rows = [(batch * 10 + i, f"d{i % 2}", i) for i in range(6)]
+        t.append(spark.createDataFrame(rows, schema).coalesce(1))
+    d1_before = sorted(f for f in t.files() if "day=d1" in f)
+    execute_statement(spark, "OPTIMIZE optw WHERE day = 'd0'", {"optw": t})
+    files = t.files()
+    d0 = [f for f in files if "day=d0" in f]
+    d1 = sorted(f for f in files if "day=d1" in f)
+    per_day = {
+        r["day"]: r["n"]
+        for r in t.to_df().groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+    return spark.createDataFrame(
+        [
+            ("d0", len(d0), d1 == d1_before, per_day["d0"]),
+            ("d1", len(d1), d1 == d1_before, per_day["d1"]),
+        ],
+        "day string, n_files bigint, other_untouched boolean, n_rows bigint",
+    ).orderBy("day")

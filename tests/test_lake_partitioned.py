@@ -235,3 +235,70 @@ def test_describe_detail_partitioned(spark, tmp_path):
     assert d["numFiles"] == len(t.files()) and d["numFiles"] >= 2
     assert d["version"] == 1 and d["format"] == "lake-parquet"
     assert execute_statement(spark, "SHOW TBLPROPERTIES pd", {"pd": t}) == t.properties()
+
+
+def test_optimize_where_compacts_only_matching_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE <partition predicate>: only files in matching
+    hive partitions are rewritten — the scheduled per-partition
+    maintenance shape; other partitions' files are untouched."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), SCHEMA, partition_by=["day"]
+    )
+    # 3 appends x 2 partitions -> 3 small files per partition
+    for batch in range(3):
+        rows = [(batch * 10 + i, f"d{i % 2}", i) for i in range(6)]
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    before = t.files()
+    d0_before = [f for f in before if "day=d0" in f]
+    d1_before = [f for f in before if "day=d1" in f]
+    assert len(d0_before) >= 3 and len(d1_before) >= 3
+    t.compact(where="day = 'd0'")
+    after = t.files()
+    d0_after = [f for f in after if "day=d0" in f]
+    d1_after = [f for f in after if "day=d1" in f]
+    assert len(d0_after) == 1  # compacted
+    assert sorted(d1_after) == sorted(d1_before)  # untouched, same files
+    assert t.to_df().count() == 18  # no rows lost
+    # SQL spelling, with ZORDER alongside WHERE
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    execute_statement(spark, "OPTIMIZE p WHERE day = 'd1' ZORDER BY (id)", {"p": t})
+    d1_final = [f for f in t.files() if "day=d1" in f]
+    assert len(d1_final) == 1
+    assert t.to_df().count() == 18
+
+
+def test_optimize_where_on_unpartitioned_rejected(spark, tmp_path):
+    import pytest
+
+    t = LakeTable.create(spark, str(tmp_path / "u"), SCHEMA)
+    t.append(spark.createDataFrame([(1, "d0", 1)], SCHEMA))
+    with pytest.raises(ValueError, match="partitioned"):
+        t.compact(where="day = 'd0'")
+
+
+def test_execute_script_multi_statement(spark, tmp_path):
+    """A migrated notebook cell: several statements, one call."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        execute_script,
+        split_statements,
+    )
+
+    # splitter: quoted/parenthesized semicolons don't split
+    parts = split_statements(
+        "INSERT INTO t VALUES (1, 'a;b'); -- c;d\nDELETE FROM t WHERE id = 9;"
+    )
+    assert len(parts) == 2 and "a;b" in parts[0]
+
+    t = LakeTable.create(spark, str(tmp_path / "s"), SCHEMA)
+    results = execute_script(
+        spark,
+        """
+        INSERT INTO s VALUES (1, 'd0', 10), (2, 'd1', 20);
+        UPDATE s SET v = 99 WHERE id = 1;
+        DELETE FROM s WHERE id = 2;
+        """,
+        {"s": t},
+    )
+    assert len(results) == 3
+    assert {(r.id, r.v) for r in t.to_df().collect()} == {(1, 99)}
