@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     # round-4: Bloom-prefiltered decontamination — measured next to
     # ext_decontaminate so the exact-vs-bloom cost gap stays visible
     "ext_decontaminate_bloom",
+    # round-5: full-sync merge (WHEN NOT MATCHED BY SOURCE) — tracks the
+    # added target-sided anti-join probe next to merge_cdc_upsert
+    "merge_by_source",
 ]
 
 
