@@ -19,6 +19,16 @@ Late/out-of-order data follows the reference (``:262-276``): no watermark —
 latest ``cdc_timestamp`` wins per id and re-delivered duplicates are no-ops
 via the hash guard, so the pipeline is eventually consistent under
 at-least-once delivery.
+
+Two classes:
+
+- :class:`CdcMedallionPipeline` — the GENERIC pipeline: any landing record
+  schema (business columns + ``cdc_operation`` + an ordering column), any
+  key columns, any additive Gold aggregate. Every stage is the same engine
+  machinery the reference instance uses.
+- :class:`MedallionPipeline` — the reference's pipeline as a subclass:
+  the demo's exact schemas (FIXTURES.md A1-A4) plus its one bespoke Silver
+  derivation (``utc_visit_timestamp``).
 """
 
 from __future__ import annotations
@@ -66,18 +76,21 @@ CDC_LOG_SCHEMA = _fields(
         ("cdc_timestamp", _T),
     ]
 )
+
+# Bronze bookkeeping columns appended after the landing record's fields.
+# record_seq: insert_timestamp is query-constant per append
+# (current_timestamp evaluates once), so it cannot break intra-batch
+# order-column ties — record_seq can, making Silver deterministic given
+# the Bronze bytes.
+_BOOKKEEPING = [
+    ("data_hash", _S),
+    ("file_name", _S),
+    ("insert_timestamp", _T),
+    ("record_seq", _L),
+]
+
 BRONZE_SCHEMA = _fields(
-    [(f.name, f.dataType) for f in CDC_LOG_SCHEMA.fields]
-    + [
-        ("data_hash", _S),
-        ("file_name", _S),
-        ("insert_timestamp", _T),
-        # per-row ingest sequence: insert_timestamp is query-constant per
-        # append (current_timestamp evaluates once), so it cannot break
-        # intra-batch cdc_timestamp ties — record_seq can, making Silver
-        # deterministic given the Bronze bytes
-        ("record_seq", _L),
-    ]
+    [(f.name, f.dataType) for f in CDC_LOG_SCHEMA.fields] + _BOOKKEEPING
 )
 SILVER_SCHEMA = _fields(
     [
@@ -102,9 +115,9 @@ QUARANTINE_SCHEMA = _fields(
 BUSINESS_COLS = ["id", "country", "district", "visit_timestamp", "num_visitors"]
 
 
-def augment_bronze(df: DataFrame) -> DataFrame:
+def augment_bronze(df: DataFrame, business_cols: list[str] | None = None) -> DataFrame:
     """Bronze derived columns (``notebooks/demo-notebook.py:168-170``)."""
-    out = df.withColumn("data_hash", data_hash(*BUSINESS_COLS))
+    out = df.withColumn("data_hash", data_hash(*(business_cols or BUSINESS_COLS)))
     if "file_name" not in out.columns:
         out = out.withColumn("file_name", F.input_file_name())
     return out.withColumn(
@@ -113,7 +126,8 @@ def augment_bronze(df: DataFrame) -> DataFrame:
 
 
 def silver_projection(bronze_batch: DataFrame) -> DataFrame:
-    """Silver source projection incl. ``utc_visit_timestamp`` (``:248-259``)."""
+    """Reference Silver source projection incl. ``utc_visit_timestamp``
+    (``:248-259``)."""
     return bronze_batch.select(
         "id",
         "country",
@@ -132,36 +146,133 @@ def silver_projection(bronze_batch: DataFrame) -> DataFrame:
     )
 
 
-class MedallionPipeline:
+class CdcMedallionPipeline:
+    """Generic landing-zone -> Bronze -> Silver -> Gold CDC pipeline.
+
+    Parameters define the contract the reference pipeline hard-codes:
+
+    - ``log_schema``: the landing record — business columns plus
+      ``cdc_operation`` (INSERT/UPDATE/DELETE) and ``order_col``.
+    - ``key_cols``: Silver's natural key (latest record per key wins).
+    - ``order_col``: the CDC ordering column (default ``cdc_timestamp``);
+      ties across batches break on Bronze ingest time + record sequence,
+      and the MERGE order guard is (order_col, insert_timestamp) so a
+      late re-delivered older batch can never regress Silver.
+    - ``gold_group_cols`` / ``gold_value_col`` / ``gold_agg_col``: the
+      additive Gold aggregate (``SUM(value) GROUP BY group``), maintained
+      purely from Silver's change feed — only deltas are ever aggregated.
+      Omit ``gold_group_cols`` to run a two-layer (no Gold) pipeline.
+
+    Every stage is checkpointed and idempotent: landing files are tracked
+    by Spark's streaming checkpoint, Bronze/quarantine appends and the
+    Gold additive merge carry SetTransaction-style txn guards, and the
+    Silver merge is hash- + order-guarded, so at-least-once delivery and
+    crash-replay converge to the same tables.
+    """
+
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         landing_path: str,
+        log_schema: StructType | None = None,
+        key_cols: list[str] | None = None,
+        order_col: str = "cdc_timestamp",
+        gold_group_cols: list[str] | None = None,
+        gold_value_col: str | None = None,
+        gold_agg_col: str | None = None,
         schema_evolution: bool = True,
     ):
         self.spark = spark
         self.root = root
         self.landing_path = landing_path
         self.schema_evolution = schema_evolution
+        self.log_schema = log_schema if log_schema is not None else CDC_LOG_SCHEMA
+        self.key_cols = list(key_cols) if key_cols else ["id"]
+        self.order_col = order_col
+        self.gold_group_cols = list(gold_group_cols) if gold_group_cols else None
+        self.gold_value_col = gold_value_col
+        self.gold_agg_col = gold_agg_col or (
+            f"sum_{gold_value_col}" if gold_value_col else None
+        )
+        names = self.log_schema.fieldNames()
+        for required in ("cdc_operation", order_col):
+            if required not in names:
+                raise ValueError(f"log schema must carry {required!r}")
+        self.business_cols = [
+            n for n in names if n not in ("cdc_operation", order_col)
+        ]
         self.bronze_path = os.path.join(root, "bronze")
         self.silver_path = os.path.join(root, "silver")
         self.gold_path = os.path.join(root, "gold")
         self.quarantine_path = os.path.join(root, "quarantine")
         self.checkpoints = os.path.join(root, "_checkpoints")
 
+    # ------------------------------------------------------------- schemas
+
+    def bronze_schema(self) -> StructType:
+        return _fields(
+            [(f.name, f.dataType) for f in self.log_schema.fields] + _BOOKKEEPING
+        )
+
+    def silver_schema(self) -> StructType:
+        types = {f.name: f.dataType for f in self.log_schema.fields}
+        return _fields(
+            [(n, types[n]) for n in self.business_cols]
+            + [
+                ("file_name", _S),
+                ("data_hash", _S),
+                ("cdc_operation", _S),
+                (self.order_col, types[self.order_col]),
+                ("insert_timestamp", _T),
+            ]
+        )
+
+    def gold_schema(self) -> StructType | None:
+        if not self.gold_group_cols:
+            return None
+        types = {f.name: f.dataType for f in self.log_schema.fields}
+        return _fields(
+            [(c, types[c]) for c in self.gold_group_cols]
+            + [(self.gold_agg_col, _L)]
+        )
+
+    def silver_source(self, bronze_batch: DataFrame) -> DataFrame:
+        """Silver MERGE source projection; subclasses add derived columns
+        (the reference adds ``utc_visit_timestamp``). Must keep
+        ``record_seq`` — the intra-batch dedup tiebreaker (not a Silver
+        column; MERGE ignores source columns absent from the target)."""
+        return bronze_batch.select(
+            *self.business_cols,
+            "file_name",
+            "data_hash",
+            "cdc_operation",
+            self.order_col,
+            "insert_timestamp",
+            "record_seq",
+        )
+
     # ------------------------------------------------------------------ DDL
 
     def create_tables(self) -> None:
-        LakeTable.create(self.spark, self.bronze_path, BRONZE_SCHEMA, if_not_exists=True)
+        LakeTable.create(
+            self.spark, self.bronze_path, self.bronze_schema(), if_not_exists=True
+        )
         LakeTable.create(
             self.spark,
             self.silver_path,
-            SILVER_SCHEMA,
-            properties={"enableChangeDataFeed": "true", "statsColumns": "id"},
+            self.silver_schema(),
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": ",".join(self.key_cols),
+            },
             if_not_exists=True,
         )
-        LakeTable.create(self.spark, self.gold_path, GOLD_SCHEMA, if_not_exists=True)
+        gold_schema = self.gold_schema()
+        if gold_schema is not None:
+            LakeTable.create(
+                self.spark, self.gold_path, gold_schema, if_not_exists=True
+            )
         LakeTable.create(
             self.spark, self.quarantine_path, QUARANTINE_SCHEMA, if_not_exists=True
         )
@@ -200,13 +311,13 @@ class MedallionPipeline:
         with ``merge_schema`` so the new columns land instead of vanishing.
         Silver keeps its fixed DDL (the reference's contract) — evolved
         columns stay Bronze-side until promoted explicitly."""
-        schema = CDC_LOG_SCHEMA
+        schema = self.log_schema
         if self.schema_evolution:
             tracker = SchemaTracker(
                 self.spark,
                 self.landing_path,
                 os.path.join(self.checkpoints, "bronze_schema.json"),
-                base_schema=CDC_LOG_SCHEMA,
+                base_schema=self.log_schema,
                 multiline="auto",
             )
             schema, _new_cols = tracker.evolve()
@@ -219,6 +330,7 @@ class MedallionPipeline:
         )
         bronze = self.bronze
         quarantine = self.quarantine
+        business_cols = self.business_cols
 
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -247,7 +359,7 @@ class MedallionPipeline:
                 )
                 if not good.isEmpty():
                     bronze.append(
-                        augment_bronze(good),
+                        augment_bronze(good, business_cols),
                         merge_schema=self.schema_evolution,
                         txn_app_id="pipeline_bronze",
                         txn_version=int(_batch_id),
@@ -281,17 +393,17 @@ class MedallionPipeline:
             # insert_timestamp rides as the second (lexicographic) guard
             # column: it is the Bronze ingest time, immutable under replay
             # and strictly later for later-ingested batches, so a change
-            # whose cdc_timestamp EQUALS the stored row's (two changes to
+            # whose order column EQUALS the stored row's (two changes to
             # one key inside one timestamp tick, split across batches)
             # still applies, while replayed older batches stay blocked —
-            # a single strict cdc_timestamp guard would drop it forever.
+            # a single strict order-column guard would drop it forever.
             merge_cdc_batch(
                 silver,
-                silver_projection(batch),
-                key_cols=["id"],
-                order_cols=["cdc_timestamp"],
+                self.silver_source(batch),
+                key_cols=self.key_cols,
+                order_cols=[self.order_col],
                 tiebreak_cols=["insert_timestamp", "record_seq"],
-                order_guard_cols=["cdc_timestamp", "insert_timestamp"],
+                order_guard_cols=[self.order_col, "insert_timestamp"],
             )
 
         return reader.process_available(apply)
@@ -299,6 +411,8 @@ class MedallionPipeline:
     def silver_to_gold_available(self) -> int:
         """Silver change feed -> signed deltas -> additive MERGE into Gold
         (``notebooks/demo-notebook.py:378-435``)."""
+        if not self.gold_group_cols:
+            return 0
         gold = self.gold
         reader = LakeStreamReader(
             self.silver,
@@ -306,20 +420,23 @@ class MedallionPipeline:
             mode="cdf",
             starting_version=1,
         )
+        delta_col = f"delta_{self.gold_value_col}"
 
         def apply(changes: DataFrame, version: int) -> None:
             deltas = cdf_signed_deltas(
-                changes, group_cols=["country"], value_col="num_visitors"
-            ).withColumnRenamed("delta_value", "delta_visitors")
+                changes,
+                group_cols=self.gold_group_cols,
+                value_col=self.gold_value_col,
+            ).withColumnRenamed("delta_value", delta_col)
             # txn guard keyed on the source CDF version: additive merges
             # are NOT naturally idempotent (total += delta re-applies on
             # replay after a crash before the reader's offset write)
             merge_agg_delta(
                 gold,
                 deltas,
-                group_cols=["country"],
-                agg_col="sum_visitors",
-                delta_col="delta_visitors",
+                group_cols=self.gold_group_cols,
+                agg_col=self.gold_agg_col,
+                delta_col=delta_col,
                 txn_app_id="pipeline_gold",
                 txn_version=version,
             )
@@ -333,3 +450,35 @@ class MedallionPipeline:
         self.ingest_available()
         self.bronze_to_silver_available()
         self.silver_to_gold_available()
+
+
+class MedallionPipeline(CdcMedallionPipeline):
+    """The reference's pipeline: the demo schemas (FIXTURES.md A1-A4), keys,
+    Gold aggregate, and its one bespoke Silver derivation
+    (``utc_visit_timestamp``, ``notebooks/demo-notebook.py:253``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        landing_path: str,
+        schema_evolution: bool = True,
+    ):
+        super().__init__(
+            spark,
+            root,
+            landing_path,
+            log_schema=CDC_LOG_SCHEMA,
+            key_cols=["id"],
+            order_col="cdc_timestamp",
+            gold_group_cols=["country"],
+            gold_value_col="num_visitors",
+            gold_agg_col="sum_visitors",
+            schema_evolution=schema_evolution,
+        )
+
+    def silver_schema(self) -> StructType:
+        return SILVER_SCHEMA
+
+    def silver_source(self, bronze_batch: DataFrame) -> DataFrame:
+        return silver_projection(bronze_batch)

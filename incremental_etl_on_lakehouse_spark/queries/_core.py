@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from incremental_etl_on_lakehouse_spark.lake import LakeStreamReader, LakeTable

@@ -969,3 +969,85 @@ def ext_bm25_topk(spark, sf_dir):
     — see operators/text.py: bm25_topk for the scale shape."""
     docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
     return T.bm25_topk(docs, ["merge", "stream", "vector"], k=10).orderBy("rank")
+
+
+@query(
+    "pipeline_generic",
+    # replay of the generic pipeline's converged Silver in plain SQL:
+    # batch1 INSERTs customers <=200, batch2 doubles 1-100 and deletes
+    # 151-200; Gold = additive per-segment sum over the survivors
+    "WITH survivors AS (SELECT c_mktsegment AS segment,"
+    "  CASE WHEN c_custkey <= 100"
+    "   THEN 2 * CAST(round(c_acctbal * 100) AS BIGINT)"
+    "   ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS cents"
+    " FROM customer WHERE c_custkey <= 150)"
+    " SELECT segment, CAST(sum(cents) AS BIGINT) AS sum_cents"
+    " FROM survivors GROUP BY segment ORDER BY segment",
+)
+def pipeline_generic(spark, sf_dir):
+    """The GENERIC medallion pipeline (CdcMedallionPipeline) on a schema
+    the reference never saw: customer-balance CDC with (custkey) key and a
+    per-segment additive Gold. Exercises the full landing -> Bronze ->
+    Silver (hash+order-guarded CDC MERGE) -> Gold (change-feed signed
+    deltas) machinery with parametrized schema/keys/aggregate; the oracle
+    replays the converged state in one SQL query."""
+    from incremental_etl_on_lakehouse_spark.pipeline import CdcMedallionPipeline
+
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .collect()  # <=200 dimension rows: fixture-build scale
+    )
+    root = _tmpdir()
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    rec = lambda r, cents, op, ts: {
+        "custkey": r["custkey"], "segment": r["segment"], "cents": cents,
+        "cdc_operation": op, "cdc_timestamp": ts,
+    }
+    with open(os.path.join(landing, "b1.json"), "w") as f:
+        json.dump(
+            [rec(r, r["cents"], "INSERT", "2024-01-01 10:00:00") for r in cust], f
+        )
+    with open(os.path.join(landing, "b2.json"), "w") as f:
+        # NDJSON on purpose: the generic pipeline's auto-format ingest
+        batch2 = [
+            rec(r, 2 * r["cents"], "UPDATE", "2024-01-02 10:00:00")
+            for r in cust
+            if r["custkey"] <= 100
+        ] + [
+            rec(r, r["cents"], "DELETE", "2024-01-02 10:00:00")
+            for r in cust
+            if r["custkey"] > 150
+        ]
+        f.write("\n".join(json.dumps(x) for x in batch2))
+    log_schema = StructType(
+        [
+            StructField("custkey", LongType()),
+            StructField("segment", StringType()),
+            StructField("cents", LongType()),
+            StructField("cdc_operation", StringType()),
+            StructField("cdc_timestamp", TimestampType()),
+        ]
+    )
+    p = CdcMedallionPipeline(
+        spark,
+        os.path.join(root, "lake"),
+        landing,
+        log_schema=log_schema,
+        key_cols=["custkey"],
+        gold_group_cols=["segment"],
+        gold_value_col="cents",
+        gold_agg_col="sum_cents",
+    )
+    p.run_available()
+    return (
+        p.gold.to_df()
+        .where(F.col("sum_cents") != 0)
+        .orderBy("segment")
+    )
