@@ -3190,3 +3190,78 @@ def ddl_replace_table(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@query(
+    "win_first_last",
+    "SELECT o_custkey, o_orderkey,"
+    " first_value(o_orderkey) OVER w AS first_order,"
+    " last_value(o_orderkey) OVER"
+    "  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,"
+    " nth_value(o_orderkey, 2) OVER w AS second_order"
+    " FROM orders WHERE o_custkey <= 50"
+    " WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " ORDER BY o_custkey, o_orderkey",
+)
+def win_first_last(spark, sf_dir):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE with EXPLICIT frames — the
+    trap this key pins: last_value over the default frame (UNBOUNDED
+    PRECEDING..CURRENT ROW) is just the current row, so the full-partition
+    answer needs the explicit UNBOUNDED FOLLOWING frame, identically on
+    both engines. Deterministic ordering via the (date, orderkey)
+    tiebreak. One window exchange on o_custkey."""
+    w_grow = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w_grow).alias("first_order"),
+            F.last("o_orderkey").over(w_full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w_grow).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "fn_string_ops",
+    "SELECT c_custkey,"
+    " upper(c_name) AS uname,"
+    " lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,"
+    " replace(c_name, '#', '-') AS dashed,"
+    " substr(c_name, 1, 10) AS prefix10,"
+    " CAST(length(trim(c_mktsegment)) AS BIGINT) AS seg_len,"
+    " reverse(c_name) AS rname,"
+    " CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,"
+    " concat_ws('|', c_name, c_mktsegment) AS joined"
+    " FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey",
+)
+def fn_string_ops(spark, sf_dir):
+    """String scalar surface: case, pad, replace, substring, trim+length,
+    reverse, position, multi-arg concat — all codegen, narrow projection,
+    no shuffle before the final sort."""
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_custkey") <= 30)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.substring("c_name", 1, 10).alias("prefix10"),
+        F.length(F.trim(F.col("c_mktsegment"))).cast("long").alias("seg_len"),
+        F.reverse("c_name").alias("rname"),
+        F.instr("c_name", "#").cast("long").alias("hash_pos"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    ).orderBy("c_custkey")
