@@ -1081,14 +1081,37 @@ def split_statements(script: str) -> list[str]:
     return [x.strip() for x in out if x.strip()]
 
 
-def execute_script(spark: SparkSession, script: str, resolve, **kw) -> list:
+def execute_script(
+    spark: SparkSession,
+    script: str,
+    resolve,
+    dest_paths: dict[str, str] | None = None,
+    **kw,
+) -> list:
     """Run a multi-statement SQL script (the shape of a migrated notebook
     cell) through :func:`execute_statement`, one statement at a time in
     order; returns the per-statement results. Statements run eagerly, so a
     failure stops the script at that statement (results up to it are
     committed — each lake statement is individually atomic; there is no
-    cross-statement transaction, same as Delta SQL)."""
-    return [
-        execute_statement(spark, stmt, resolve, **kw)
-        for stmt in split_statements(script)
-    ]
+    cross-statement transaction, same as Delta SQL).
+
+    ``dest_paths`` maps a created table's name -> filesystem location
+    (the catalog stand-in) and is consulted only for CREATE statements —
+    other statement kinds never see it, and two CREATEs in one script get
+    their own paths. Remaining ``kw`` goes to every statement verbatim,
+    so pass only kwargs valid for all of them."""
+    results = []
+    for stmt in split_statements(script):
+        head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+        stmt_kw = dict(kw)
+        if head == "CREATE" and dest_paths:
+            m = re.match(
+                rf"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                rf"(?:IF\s+NOT\s+EXISTS\s+)?(?P<t>{_IDENT})",
+                stmt,
+                re.IGNORECASE,
+            )
+            if m and m.group("t") in dest_paths:
+                stmt_kw["dest_path"] = dest_paths[m.group("t")]
+        results.append(execute_statement(spark, stmt, resolve, **stmt_kw))
+    return results

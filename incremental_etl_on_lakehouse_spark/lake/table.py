@@ -349,7 +349,9 @@ class LakeTable:
         commit that drops every live file, installs the new schema, and
         REPLACES the table properties (old keys not re-declared are
         tombstoned in the state fold — Delta's REPLACE resets the
-        definition rather than merging it). History survives: time travel
+        definition rather than merging it; the one exception is
+        ``txn.<app_id>`` SetTransaction guards, which are replay state,
+        not configuration, and survive). History survives: time travel
         to pre-replace versions projects the old schema and data, and
         identity high-water marks reset with the definition."""
         commits = self._commits()
@@ -358,8 +360,16 @@ class LakeTable:
         props = LakeTable._derive_definition_props(
             schema, properties, partition_by
         )
+        # txn.<app_id> SetTransaction guards survive REPLACE (Delta
+        # semantics: they are replay-idempotency state, not table
+        # configuration — wiping them would let a crash-replay re-apply a
+        # pre-replace batch, double-counting additive merges). Identity
+        # high-water marks (identityHighWater.*) DO reset with the
+        # definition, as documented.
         tombstones = {
-            k: None for k in self.properties() if k not in props
+            k: None
+            for k in self.properties()
+            if k not in props and not k.startswith("txn.")
         }
         v = commits[-1].version + 1
         lakelog.write_commit(
@@ -2876,8 +2886,16 @@ class LakeTable:
                     step if bs_action is None else bs_action.when(c, F.lit(f"{cl.kind}{i}"))
                 )
             bs_action = bs_action.otherwise(F.lit("keep"))
+            # broadcast the source only when it is provably small: the
+            # plan probe above counted EVERY source row (each lands in
+            # exactly one action), so the gate is exact and free. A
+            # full-snapshot sync source (table-scale) stays unhinted and
+            # plans as a shuffled anti join sized by AQE — an
+            # unconditional hint would blow the broadcast limit.
+            src_rows = sum(action_counts.values())
+            bs_src = F.broadcast(src) if src_rows <= 1_000_000 else src
             bs_fired = (
-                target.join(F.broadcast(src), cond, "left_anti")
+                target.join(bs_src, cond, "left_anti")
                 .withColumn("__action", bs_action)
                 .where(F.col("__action") != "keep")
                 .persist()

@@ -202,6 +202,25 @@ class CdcMedallionPipeline:
         self.business_cols = [
             n for n in names if n not in ("cdc_operation", order_col)
         ]
+        missing_keys = [k for k in self.key_cols if k not in self.business_cols]
+        if missing_keys:
+            raise ValueError(f"key columns not in log schema: {missing_keys}")
+        if self.gold_group_cols:
+            # fail at construction, not mid-stream after Bronze/Silver
+            # commits: an incomplete Gold spec would otherwise surface as
+            # an obscure crash deep in schema construction
+            if not self.gold_value_col:
+                raise ValueError(
+                    "gold_group_cols requires gold_value_col (the additive "
+                    "Gold aggregate needs a value to sum)"
+                )
+            bad = [
+                c
+                for c in self.gold_group_cols + [self.gold_value_col]
+                if c not in self.business_cols
+            ]
+            if bad:
+                raise ValueError(f"gold columns not in log schema: {bad}")
         self.bronze_path = os.path.join(root, "bronze")
         self.silver_path = os.path.join(root, "silver")
         self.gold_path = os.path.join(root, "gold")

@@ -250,3 +250,57 @@ def test_or_replace_with_if_not_exists_rejected():
         parse_create_table(
             "CREATE OR REPLACE TABLE IF NOT EXISTS t (id BIGINT)"
         )
+
+
+def test_replace_preserves_txn_guards(spark, tmp_path):
+    """CREATE OR REPLACE wipes configuration but NOT txn.<app> replay
+    guards — a crash-replay of a pre-replace batch must stay a no-op."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    schema = StructType([StructField("id", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,)], schema), txn_app_id="app", txn_version=7)
+    assert t.txn_version("app") == 7
+    t.replace_definition(schema)
+    assert t.txn_version("app") == 7  # survives the definition reset
+    # the guard still suppresses a replayed batch
+    t.append(spark.createDataFrame([(9,)], schema), txn_app_id="app", txn_version=7)
+    assert t.to_df().count() == 0
+
+
+def test_execute_script_dest_paths_routing(spark, tmp_path):
+    """dest_paths reaches only CREATE statements (two CREATEs get their
+    own paths); other statement kinds never see a dest_path kwarg."""
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_script
+
+    tables = {}
+
+    def resolve(name):
+        return tables[name]
+
+    res = execute_script(
+        spark,
+        """
+        CREATE TABLE a (id BIGINT);
+        CREATE TABLE b (id BIGINT);
+        """,
+        resolve,
+        dest_paths={"a": str(tmp_path / "a"), "b": str(tmp_path / "b")},
+    )
+    tables["a"], tables["b"] = res[0], res[1]
+    assert res[0].path != res[1].path
+    # a mixed script: the MERGE statement must not receive dest_path
+    execute_script(
+        spark,
+        """
+        INSERT INTO a VALUES (1);
+        MERGE INTO a USING (SELECT CAST(2 AS BIGINT) AS id) s ON a.id = s.id
+          WHEN NOT MATCHED THEN INSERT *;
+        """,
+        resolve,
+        dest_paths={"a": str(tmp_path / "a")},
+    )
+    assert {r.id for r in tables["a"].to_df().collect()} == {1, 2}

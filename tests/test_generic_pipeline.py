@@ -149,3 +149,25 @@ def test_generic_requires_cdc_columns(spark, tmp_path):
             str(tmp_path),
             log_schema=StructType([StructField("x", LongType())]),
         )
+
+
+def test_gold_spec_validated_at_construction(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="gold_value_col"):
+        CdcMedallionPipeline(
+            spark, str(tmp_path / "l1"), str(tmp_path),
+            log_schema=LOG_SCHEMA, key_cols=["user_id"],
+            gold_group_cols=["event_type"],
+        )
+    with pytest.raises(ValueError, match="gold columns"):
+        CdcMedallionPipeline(
+            spark, str(tmp_path / "l2"), str(tmp_path),
+            log_schema=LOG_SCHEMA, key_cols=["user_id"],
+            gold_group_cols=["no_such_col"], gold_value_col="value_cents",
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        CdcMedallionPipeline(
+            spark, str(tmp_path / "l3"), str(tmp_path),
+            log_schema=LOG_SCHEMA, key_cols=["ghost"],
+        )

@@ -272,3 +272,26 @@ def test_full_sync_matches_python_model(spark, tmp_path, tgt, src):
     assert m["num_deleted_rows"] == len(set(tgt) - set(src))
     assert m["num_updated_rows"] == len(set(tgt) & set(src))
     assert m["num_inserted_rows"] == len(set(src) - set(tgt))
+
+
+def test_by_source_large_source_not_force_broadcast(spark, tmp_path):
+    """The probe's broadcast hint must gate on the (exactly known) source
+    row count — a table-scale full-snapshot sync source stays unhinted so
+    AQE sizes the anti join instead of an unconditional broadcast."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        StructType([StructField("id", LongType()), StructField("n", LongType())]),
+    )
+    t.append(spark.createDataFrame([(i, i) for i in range(10)], "id bigint, n bigint"))
+    big_src = spark.range(0, 2_000_000).selectExpr("id", "id AS n")
+    m = t.merge(
+        big_src,
+        "source.id = target.id",
+        [
+            MergeClause("update", None, {"n": "source.n"}),
+            MergeClause("delete_by_source", None),
+        ],
+    )
+    # all 10 target rows match (ids 0-9 are in the snapshot), none deleted
+    assert m["num_updated_rows"] == 10 and m["num_deleted_rows"] == 0
