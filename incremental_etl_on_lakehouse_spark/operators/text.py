@@ -606,3 +606,51 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "score_micro", "rank")
     )
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language corpus report card — the first query every curation
+    pipeline runs against a new crawl: document counts, token volume, the
+    token-length median, and the exact-duplicate count.
+
+    Every output is integer-exact (counts, sums, and a RANK-based lower
+    median — the element at position ceil(n/2) — instead of an
+    interpolated percentile), so the report is bit-identical across
+    engines and partitionings.
+
+    Scale shape: one narrow projection computes tokens + fingerprint per
+    doc, then two uniform-key hash aggregations (per-(lang, fingerprint)
+    for dups folded into per-lang) and a per-lang rank window over doc
+    counts for the median. No joins against data-scale frames: the median
+    join's build side is one row per language.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        toks.alias("n_tokens"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+    )
+    base = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count("*") - F.count_distinct("fp")).alias("n_exact_dups"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "fp")
+    ranked = per_doc.withColumn("rn", F.row_number().over(w))
+    # lower median: rn == ceil(n/2) == (n+1) div 2, in exact integer math;
+    # the (fp) tiebreak makes the rank order total, though any element at
+    # that rank shares the same n_tokens value
+    med = (
+        ranked.join(F.broadcast(base.select("lang", "n_docs")), "lang")
+        .where(F.col("rn") == F.floor((F.col("n_docs") + 1) / 2))
+        .select("lang", F.col("n_tokens").alias("median_tokens"))
+    )
+    return base.join(med, "lang").select(
+        "lang", "n_docs", "total_tokens", "median_tokens", "n_exact_dups"
+    )

@@ -1051,3 +1051,40 @@ def pipeline_generic(spark, sf_dir):
         .where(F.col("sum_cents") != 0)
         .orderBy("segment")
     )
+
+
+@query(
+    "ext_corpus_report",
+    # integer-exact mirror: rank-based lower median (element at ceil(n/2)
+    # when ordered by (tokens, fingerprint)), exact-dup count via distinct
+    # normalized-text fingerprints
+    "WITH per_doc AS (SELECT lang,"
+    "  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    "   x -> x <> '')) AS BIGINT) AS n_tokens,"
+    "  md5(trim(regexp_replace(regexp_replace(lower(text),"
+    "   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp"
+    "  FROM documents),"
+    " base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
+    "  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups"
+    "  FROM per_doc GROUP BY lang),"
+    " ranked AS (SELECT lang, n_tokens,"
+    "  row_number() OVER (PARTITION BY lang ORDER BY n_tokens, fp) AS rn"
+    "  FROM per_doc),"
+    " med AS (SELECT r.lang, r.n_tokens AS median_tokens FROM ranked r"
+    "  JOIN base b ON r.lang = b.lang"
+    "  WHERE r.rn = CAST(floor((b.n_docs + 1) / 2) AS BIGINT))"
+    " SELECT b.lang, b.n_docs, b.total_tokens, m.median_tokens,"
+    "  b.n_exact_dups"
+    " FROM base b JOIN med m ON b.lang = m.lang ORDER BY b.lang",
+)
+def ext_corpus_report(spark, sf_dir):
+    """Per-language corpus report card (doc counts, token volume,
+    rank-based token median, exact-dup count) — the first query a
+    curation pipeline runs on a new crawl; every output integer-exact so
+    the report is bit-identical across engines (operators/text.py:
+    corpus_report for the scale shape)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "text", "lang"
+    )
+    return T.corpus_report(docs).orderBy("lang")
