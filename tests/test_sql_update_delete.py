@@ -268,7 +268,10 @@ def test_sql_utility_statements(spark, tmp_path):
     )
 
     assert parse_utility("OPTIMIZE t ZORDER BY (a, b)") == (
-        "optimize", "t", {"zorder_by": ["a", "b"]},
+        "optimize", "t", {"zorder_by": ["a", "b"], "where": None},
+    )
+    assert parse_utility("OPTIMIZE t WHERE day = 'd0' ZORDER BY (a)") == (
+        "optimize", "t", {"zorder_by": ["a"], "where": "day = 'd0'"},
     )
     assert parse_utility("VACUUM t RETAIN 0 HOURS DRY RUN") == (
         "vacuum", "t", {"retain_hours": 0, "dry_run": True},
