@@ -928,6 +928,13 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
             "dest": m.group("c"),
             "shallow": (m.group("k") or "SHALLOW").upper() == "SHALLOW",
         }
+    m = re.match(
+        r"CONVERT\s+TO\s+LAKE\s+parquet\s*\.\s*`(?P<p>[^`]+)`\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return "convert", m.group("p"), {}
     raise ValueError("not a supported utility statement")
 
 
@@ -936,6 +943,10 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
     ``dest_path``: filesystem path for CLONE's new table (the stand-in for
     a catalog's name->location mapping)."""
     kind, table, p = parse_utility(sql)
+    if kind == "convert":
+        # CONVERT TO LAKE parquet.`/path`: the "table" IS the directory
+        # path — no catalog resolution, the directory becomes the table
+        return LakeTable.convert_from_parquet(spark, table)
     target = _resolve(resolve, table)
     if kind == "optimize":
         return target.compact(

@@ -294,6 +294,103 @@ class LakeTable:
         return t
 
     @staticmethod
+    def convert_from_parquet(
+        spark: SparkSession,
+        path: str,
+        stats_columns: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """CONVERT TO LAKE (Delta's ``CONVERT TO DELTA parquet.`path```):
+        adopt an existing parquet directory IN PLACE — zero data rewrite.
+        The schema comes from the parquet footers (one metadata read, no
+        scan), per-file row counts and requested per-column min/max stats
+        come from the footers too, hive partition directories are detected
+        and recorded as the table's partition columns, and one commit
+        lists every file. From that commit on the directory is a full lake
+        table: MERGE/UPDATE/DELETE/OPTIMIZE/time travel all work, and the
+        original files are only ever REMOVED from the snapshot (then
+        reclaimed by VACUUM), never mutated.
+
+        At 100 TB this is the migration path: cost is O(files) footer
+        reads — parallelizable, no data movement — instead of a rewrite
+        of the whole corpus."""
+        import pyarrow.parquet as pq
+
+        t = LakeTable(spark, path)
+        if lakelog.read_log(t.path):
+            raise ValueError(f"already a lake table: {t.path}")
+        data_files: list[str] = []
+        part_cols: list[str] = []
+        for dirpath, _dirs, names in os.walk(t.path):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, t.path)
+                data_files.append(rel)
+                segs = [s for s in rel.split(os.sep)[:-1] if "=" in s]
+                cols = [s.partition("=")[0] for s in segs]
+                if cols and not part_cols:
+                    part_cols = cols
+        if not data_files:
+            raise ValueError(f"no parquet files under {t.path}")
+        # schema from footers via Spark's own reader (recovers hive
+        # partition columns and merges footer schemas); no data scan
+        schema = spark.read.parquet(t.path).schema
+        stat_cols = set(stats_columns or [])
+        adds = []
+        for rel in data_files:
+            meta = pq.read_metadata(os.path.join(t.path, rel))
+            add: dict = {"path": rel, "rows": meta.num_rows}
+            if stat_cols:
+                stats: dict[str, list] = {}
+                schema_names = meta.schema.names
+                for rg in range(meta.num_row_groups):
+                    group = meta.row_group(rg)
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        cname = (
+                            schema_names[ci]
+                            if ci < len(schema_names)
+                            else col.path_in_schema
+                        )
+                        if cname in stat_cols and col.statistics is not None:
+                            s = col.statistics
+                            if s.has_min_max:
+                                cur = stats.get(cname)
+                                mn, mx = s.min, s.max
+                                if cur:
+                                    mn, mx = min(cur[0], mn), max(cur[1], mx)
+                                stats[cname] = [mn, mx]
+                if stats:
+                    add["stats"] = {
+                        k: [_json_safe(v[0]), _json_safe(v[1])]
+                        for k, v in stats.items()
+                    }
+            adds.append(add)
+        props = dict(properties or {})
+        if stats_columns:
+            props.setdefault("statsColumns", ",".join(stats_columns))
+        if part_cols:
+            props["partitionBy"] = ",".join(part_cols)
+        lakelog.write_commit(
+            t.path,
+            Commit(
+                version=0,
+                operation="CONVERT",
+                timestamp_ms=lakelog.now_ms(),
+                add=adds,
+                schema_json=schema.json(),
+                properties=props,
+                metrics={
+                    "num_files": len(adds),
+                    "num_rows": sum(a["rows"] for a in adds),
+                },
+            ),
+        )
+        return t
+
+    @staticmethod
     def _derive_definition_props(
         schema: StructType,
         properties: dict | None,

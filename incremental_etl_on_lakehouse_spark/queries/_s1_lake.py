@@ -1229,3 +1229,48 @@ def util_optimize_where(spark, sf_dir):
         ],
         "day string, n_files bigint, other_untouched boolean, n_rows bigint",
     ).orderBy("day")
+
+
+@query(
+    "util_convert_to_lake",
+    # the converted table must read back exactly the original parquet
+    # rows, plus the in-key attestations: files untouched, skipping live
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
+    " true AS files_untouched, true AS skipping_live, true AS writable"
+    " FROM nation ORDER BY n_nationkey",
+)
+def util_convert_to_lake(spark, sf_dir):
+    """CONVERT TO LAKE (Delta's CONVERT TO DELTA): adopt a plain parquet
+    directory in place — zero rewrite, O(files) footer reads for schema/
+    rows/min-max stats, one commit. Attests: data files byte-identical
+    after conversion, stats-driven file skipping live on the converted
+    footers, and the table immediately writable (an append lands)."""
+    src = os.path.join(_tmpdir(), "plain_nation")
+    load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    ).repartition(3, "n_nationkey").write.parquet(src)
+    listing = lambda: sorted(
+        (n, os.path.getsize(os.path.join(src, n)))
+        for n in os.listdir(src)
+        if n.endswith(".parquet")
+    )
+    before = listing()
+    t = LakeTable.convert_from_parquet(spark, src, stats_columns=["n_nationkey"])
+    files_untouched = listing() == before
+    skipping_live = len(t.files_matching({"n_nationkey": (0, 0)})) < len(t.files())
+    v0_rows = t.to_df().count()
+    t.append(
+        spark.createDataFrame([(999, "ATLANTIS")], "n_nationkey bigint, n_name string")
+    )
+    writable = t.to_df().count() == v0_rows + 1
+    return (
+        t.to_df(version=0)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.lit(files_untouched).alias("files_untouched"),
+            F.lit(skipping_live).alias("skipping_live"),
+            F.lit(writable).alias("writable"),
+        )
+        .orderBy("n_nationkey")
+    )

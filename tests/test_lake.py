@@ -1512,3 +1512,66 @@ def test_merge_empty_target_fast_path(spark, tmp_path):
     got = {r["id"]: r["visitors"] for r in t.to_df().collect()}
     assert got == {1: 10, 2: 99, 4: 4}
 
+
+
+def test_convert_from_parquet_in_place(spark, tmp_path):
+    """CONVERT TO LAKE adopts a parquet directory without rewriting a
+    byte: same files, footer-driven schema/rows/stats, and the full lake
+    surface (merge, time travel, stats skipping) works from commit 0."""
+    import os
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+    from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+    src = str(tmp_path / "plain")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(2).write.parquet(src)
+    before = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    t = LakeTable.convert_from_parquet(spark, src, stats_columns=["id"])
+    # in place: identical data files, no rewrite
+    after = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert after == before
+    assert t.to_df().count() == 100
+    assert set(t.to_df().columns) == {"id", "v"}
+    # footer stats recorded -> data skipping live
+    assert t.files_matching({"id": (0, 1)}) != t.files()
+    # the converted table is fully writable
+    t.merge(
+        spark.createDataFrame([(1, 999), (200, 1)], "id bigint, v bigint"),
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    got = {r.id: r.v for r in t.to_df().collect()}
+    assert got[1] == 999 and got[200] == 1 and len(got) == 101
+    # time travel back to the conversion snapshot
+    assert t.to_df(version=0).count() == 100
+
+
+def test_convert_detects_hive_partitions(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    src = str(tmp_path / "part")
+    spark.range(0, 20).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS day"
+    ).write.partitionBy("day").parquet(src)
+    t = LakeTable.convert_from_parquet(spark, src)
+    assert t.partition_columns() == ["day"]
+    df = t.to_df()
+    assert df.count() == 20 and "day" in df.columns
+    assert df.where("day = '1'").count() == 10
+
+
+def test_convert_sql_and_rejects_double_convert(spark, tmp_path):
+    import pytest
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    src = str(tmp_path / "plain2")
+    spark.range(0, 5).write.parquet(src)
+    t = execute_statement(spark, f"CONVERT TO LAKE parquet.`{src}`", {})
+    assert isinstance(t, LakeTable) and t.to_df().count() == 5
+    with pytest.raises(ValueError, match="already a lake table"):
+        LakeTable.convert_from_parquet(spark, src)
