@@ -182,6 +182,7 @@ class CdcMedallionPipeline:
         gold_value_col: str | None = None,
         gold_agg_col: str | None = None,
         schema_evolution: bool = True,
+        expectations: dict[str, tuple[str, str]] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -221,10 +222,23 @@ class CdcMedallionPipeline:
             ]
             if bad:
                 raise ValueError(f"gold columns not in log schema: {bad}")
+        # Expectations (the DLT pattern): name -> (boolean SQL over the
+        # Silver source columns, action). Actions: "warn" keeps violating
+        # rows and only counts them, "drop" excludes them from Silver,
+        # "fail" aborts the batch. Per-batch pass/fail counts land in the
+        # _expectations audit table.
+        self.expectations = dict(expectations or {})
+        for name, (cond, action) in self.expectations.items():
+            if action not in ("warn", "drop", "fail"):
+                raise ValueError(
+                    f"expectation {name!r}: action must be warn|drop|fail, "
+                    f"got {action!r}"
+                )
         self.bronze_path = os.path.join(root, "bronze")
         self.silver_path = os.path.join(root, "silver")
         self.gold_path = os.path.join(root, "gold")
         self.quarantine_path = os.path.join(root, "quarantine")
+        self.expectations_path = os.path.join(root, "_expectations")
         self.checkpoints = os.path.join(root, "_checkpoints")
 
     # ------------------------------------------------------------- schemas
@@ -295,6 +309,21 @@ class CdcMedallionPipeline:
         LakeTable.create(
             self.spark, self.quarantine_path, QUARANTINE_SCHEMA, if_not_exists=True
         )
+        if self.expectations:
+            LakeTable.create(
+                self.spark,
+                self.expectations_path,
+                _fields(
+                    [
+                        ("batch_version", _L),
+                        ("expectation", _S),
+                        ("action", _S),
+                        ("n_pass", _L),
+                        ("n_fail", _L),
+                    ]
+                ),
+                if_not_exists=True,
+            )
 
     @property
     def bronze(self) -> LakeTable:
@@ -311,6 +340,56 @@ class CdcMedallionPipeline:
     @property
     def gold(self) -> LakeTable:
         return LakeTable(self.spark, self.gold_path)
+
+    @property
+    def expectations_table(self) -> LakeTable:
+        return LakeTable(self.spark, self.expectations_path)
+
+    def _enforce_expectations(self, src: DataFrame, version: int) -> DataFrame:
+        """Evaluate every expectation over the Silver source batch in ONE
+        aggregation job; a NULL condition counts as a violation (the DLT
+        convention). ``fail`` aborts BEFORE any append, so the reader
+        offset does not advance and the batch is retried after the fix;
+        ``drop``/``warn`` counts land in the _expectations audit table
+        with a txn guard keyed on the source commit (replay-safe)."""
+        if not self.expectations:
+            return src
+        names = list(self.expectations)
+        aggs = [F.count("*").alias("__n")] + [
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(self.expectations[n][0]), F.lit(False)),
+                    0,
+                ).otherwise(1)
+            ).alias(f"__f_{i}")
+            for i, n in enumerate(names)
+        ]
+        row = src.agg(*aggs).collect()[0]
+        total = int(row["__n"] or 0)
+        recs = []
+        for i, name in enumerate(names):
+            cond, action = self.expectations[name]
+            n_fail = int(row[f"__f_{i}"] or 0)
+            if action == "fail" and n_fail:
+                raise ValueError(
+                    f"expectation {name!r} ({cond}) failed for {n_fail} "
+                    f"row(s) in batch {version}"
+                )
+            recs.append((int(version), name, action, total - n_fail, n_fail))
+        self.expectations_table.append(
+            self.spark.createDataFrame(
+                recs,
+                "batch_version bigint, expectation string, action string,"
+                " n_pass bigint, n_fail bigint",
+            ),
+            txn_app_id="pipeline_expectations",
+            txn_version=int(version),
+        )
+        for name in names:
+            cond, action = self.expectations[name]
+            if action == "drop":
+                src = src.where(F.coalesce(F.expr(cond), F.lit(False)))
+        return src
 
     # ---------------------------------------------------------------- stages
 
@@ -418,7 +497,7 @@ class CdcMedallionPipeline:
             # a single strict order-column guard would drop it forever.
             merge_cdc_batch(
                 silver,
-                self.silver_source(batch),
+                self._enforce_expectations(self.silver_source(batch), version),
                 key_cols=self.key_cols,
                 order_cols=[self.order_col],
                 tiebreak_cols=["insert_timestamp", "record_seq"],

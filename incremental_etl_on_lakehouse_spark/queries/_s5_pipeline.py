@@ -1088,3 +1088,81 @@ def ext_corpus_report(spark, sf_dir):
         "doc_id", "text", "lang"
     )
     return T.corpus_report(docs).orderBy("lang")
+
+
+@query(
+    "pipeline_expectations",
+    # survivors per segment after the drop rule + the audit counts the
+    # expectations table recorded for the batch
+    "WITH src AS (SELECT c_mktsegment AS segment,"
+    "  CAST(round(c_acctbal * 100) AS BIGINT) AS cents"
+    "  FROM customer WHERE c_custkey <= 100),"
+    " st AS (SELECT CAST(count(*) FILTER (WHERE cents >= 0) AS BIGINT) AS n_pass,"
+    "  CAST(count(*) FILTER (WHERE cents < 0) AS BIGINT) AS n_fail FROM src)"
+    " SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,"
+    "  (SELECT n_pass FROM st) AS n_pass, (SELECT n_fail FROM st) AS n_fail"
+    " FROM src WHERE cents >= 0 GROUP BY segment ORDER BY segment",
+)
+def pipeline_expectations(spark, sf_dir):
+    """DLT-style expectations on the generic pipeline: a ``drop`` rule
+    (cents >= 0) excludes violating rows from Silver and records per-batch
+    pass/fail counts in the _expectations audit table (txn-guarded, so
+    replays never double-count); ``fail`` aborts before any write and
+    ``warn`` only counts (tests/test_generic_pipeline.py covers those)."""
+    from incremental_etl_on_lakehouse_spark.pipeline import CdcMedallionPipeline
+
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_custkey") <= 100)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .collect()  # <=100 dimension rows: fixture-build scale
+    )
+    root = _tmpdir()
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, "b1.json"), "w") as f:
+        f.write(
+            "\n".join(
+                json.dumps(
+                    {
+                        "custkey": r["custkey"],
+                        "segment": r["segment"],
+                        "cents": r["cents"],
+                        "cdc_operation": "INSERT",
+                        "cdc_timestamp": "2024-01-01 10:00:00",
+                    }
+                )
+                for r in cust
+            )
+        )
+    p = CdcMedallionPipeline(
+        spark,
+        os.path.join(root, "lake"),
+        landing,
+        log_schema=StructType(
+            [
+                StructField("custkey", LongType()),
+                StructField("segment", StringType()),
+                StructField("cents", LongType()),
+                StructField("cdc_operation", StringType()),
+                StructField("cdc_timestamp", TimestampType()),
+            ]
+        ),
+        key_cols=["custkey"],
+        expectations={"nonneg_balance": ("cents >= 0", "drop")},
+    )
+    p.run_available()
+    audit = p.expectations_table.to_df().agg(
+        F.sum("n_pass").alias("n_pass"), F.sum("n_fail").alias("n_fail")
+    )
+    return (
+        p.silver.to_df()
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(audit))
+        .orderBy("segment")
+    )

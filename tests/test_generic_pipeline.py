@@ -171,3 +171,71 @@ def test_gold_spec_validated_at_construction(spark, tmp_path):
             spark, str(tmp_path / "l3"), str(tmp_path),
             log_schema=LOG_SCHEMA, key_cols=["ghost"],
         )
+
+
+def test_expectations_warn_drop_fail(spark, tmp_path):
+    """DLT-style expectations: warn counts, drop excludes, fail aborts
+    before any write; counts land in the _expectations audit table."""
+    import pytest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = CdcMedallionPipeline(
+        spark, str(tmp_path / "lake"), str(landing),
+        log_schema=LOG_SCHEMA, key_cols=["user_id"],
+        gold_group_cols=["event_type"], gold_value_col="value_cents",
+        expectations={
+            "nonneg_value": ("value_cents >= 0", "drop"),
+            "known_type": ("event_type IN ('visit', 'purchase')", "warn"),
+        },
+    )
+    (landing / "f1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                _rec(1, "visit", 100, "INSERT", "2024-01-01 10:00:00"),
+                _rec(2, "visit", -5, "INSERT", "2024-01-01 10:00:00"),  # dropped
+                _rec(3, "weird", 300, "INSERT", "2024-01-01 10:00:00"),  # warned, kept
+            ]
+        )
+    )
+    p.run_available()
+    assert _silver(p) == {1: 100, 3: 300}
+    audit = {
+        (r["expectation"], r["action"]): (r["n_pass"], r["n_fail"])
+        for r in p.expectations_table.to_df().collect()
+    }
+    assert audit[("nonneg_value", "drop")] == (2, 1)
+    assert audit[("known_type", "warn")] == (2, 1)
+    # a NULL condition value counts as a violation (DLT convention)
+    (landing / "f2.json").write_text(
+        json.dumps([_rec(4, "visit", None, "INSERT", "2024-01-02 10:00:00")])
+    )
+    p.run_available()
+    assert 4 not in _silver(p)
+
+    # fail action aborts the batch before any write
+    p2 = CdcMedallionPipeline(
+        spark, str(tmp_path / "lake2"), str(tmp_path / "landing2"),
+        log_schema=LOG_SCHEMA, key_cols=["user_id"],
+        expectations={"nonneg": ("value_cents >= 0", "fail")},
+    )
+    (tmp_path / "landing2").mkdir()
+    (tmp_path / "landing2" / "f1.json").write_text(
+        json.dumps([_rec(1, "visit", -1, "INSERT", "2024-01-01 10:00:00")])
+    )
+    with pytest.raises(ValueError, match="nonneg"):
+        p2.run_available()
+    assert p2.silver.to_df().count() == 0
+    assert p2.expectations_table.to_df().count() == 0  # aborted pre-append
+
+
+def test_expectation_bad_action_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="warn|drop|fail"):
+        CdcMedallionPipeline(
+            spark, str(tmp_path / "lake"), str(tmp_path),
+            log_schema=LOG_SCHEMA, key_cols=["user_id"],
+            expectations={"x": ("1=1", "explode")},
+        )
