@@ -1124,3 +1124,44 @@ def stream_stateful_topk(spark, sf_dir):
         sorted((k, v[0], v[1]) for k, v in final.items()),
         "user_id long, top1 long, top2 long",
     ).orderBy("user_id")
+
+
+@query(
+    "join_asof_nearest",
+    # DuckDB has no nearest-ASOF: replay it as backward + forward
+    # candidates per event, pick the closer (ties prefer backward —
+    # pandas merge_asof(direction='nearest') semantics)
+    "WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),"
+    " b AS (SELECT e.event_id, e.user_id, e.ts, p.ts AS bts,"
+    "   p.p_event_id AS b_id FROM events e"
+    "   ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts),"
+    " f AS (SELECT e.event_id, p.ts AS fts, p.p_event_id AS f_id"
+    "   FROM events e ASOF LEFT JOIN p"
+    "   ON e.user_id = p.user_id AND e.ts <= p.ts)"
+    " SELECT b.event_id, b.user_id,"
+    "  CASE WHEN b_id IS NULL THEN f_id WHEN f_id IS NULL THEN b_id"
+    "   WHEN epoch_ms(b.ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(b.ts)"
+    "   THEN b_id ELSE f_id END AS p_event_id"
+    " FROM b JOIN f ON b.event_id = f.event_id",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: each event pairs with the purchase CLOSEST in
+    time per user, either direction, ties preferring backward (pandas
+    merge_asof(direction='nearest')) — sensor/label alignment where
+    before/after both count. Same single-shuffle union+window plan run
+    in both directions plus a narrow closest-pick projection
+    (operators/joins.py: asof_join(direction='nearest'))."""
+    from incremental_etl_on_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    purch = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    return asof_join(
+        ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["p_event_id"], direction="nearest",
+    ).select("event_id", "user_id", "p_event_id")
