@@ -84,6 +84,53 @@ def _json_safe(v):
     return None
 
 
+def _footer_stats(
+    meta, stat_cols: set, phys2log: dict | None = None
+) -> dict | None:
+    """Per-file min/max for ``stat_cols`` from a parquet footer metadata
+    object — shared by _stage_write and convert_from_parquet so the
+    data-skipping-critical extraction has exactly one implementation.
+
+    A column's stats are recorded ONLY if EVERY row group carries min/max
+    for it: a falsely-narrow range from a partially-covered file (foreign
+    writers can disable statistics per column or per row group) would make
+    files_matching skip rows that exist — silent wrong answers. Missing
+    stats just mean the file is conservatively kept.
+    """
+    if not stat_cols:
+        return None
+    phys2log = phys2log or {}
+    stats: dict[str, list] = {}
+    covered: dict[str, int] = {}
+    schema_names = meta.schema.names
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            cname = (
+                schema_names[ci] if ci < len(schema_names) else col.path_in_schema
+            )
+            # footers carry physical names; stats are recorded under the
+            # write-time LOGICAL name (skipping probes match on logical)
+            cname = phys2log.get(cname, cname)
+            if cname in stat_cols and col.statistics is not None:
+                s = col.statistics
+                if s.has_min_max:
+                    covered[cname] = covered.get(cname, 0) + 1
+                    cur = stats.get(cname)
+                    mn, mx = s.min, s.max
+                    if cur:
+                        mn = min(cur[0], mn)
+                        mx = max(cur[1], mx)
+                    stats[cname] = [mn, mx]
+    out = {
+        k: [_json_safe(v[0]), _json_safe(v[1])]
+        for k, v in stats.items()
+        if covered.get(k, 0) == meta.num_row_groups
+    }
+    return out or None
+
+
 _ZORDER_SAMPLE_ROWS = 65_536
 # 64 range buckets per dimension: file-level pruning only needs about as
 # many distinct z-cells as output files, and 63 comparisons per column keeps
@@ -299,6 +346,7 @@ class LakeTable:
         path: str,
         stats_columns: list[str] | None = None,
         properties: dict | None = None,
+        partition_types: dict[str, str] | None = None,
     ) -> "LakeTable":
         """CONVERT TO LAKE (Delta's ``CONVERT TO DELTA parquet.`path```):
         adopt an existing parquet directory IN PLACE — zero data rewrite.
@@ -327,6 +375,14 @@ class LakeTable:
                     continue
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, t.path)
+                # Spark's hidden-file filter: any path segment starting
+                # with '_' or '.' (_temporary/, .hive-staging, _SUCCESS
+                # siblings, dot-files) is invisible to spark.read — a
+                # crashed job's partial files must not become table data
+                if any(
+                    s.startswith(("_", ".")) for s in rel.split(os.sep)
+                ):
+                    continue
                 data_files.append(rel)
                 segs = [s for s in rel.split(os.sep)[:-1] if "=" in s]
                 cols = [s.partition("=")[0] for s in segs]
@@ -334,39 +390,49 @@ class LakeTable:
                     part_cols = cols
         if not data_files:
             raise ValueError(f"no parquet files under {t.path}")
-        # schema from footers via Spark's own reader (recovers hive
-        # partition columns and merges footer schemas); no data scan
-        schema = spark.read.parquet(t.path).schema
+        # Schema from footers via Spark's own reader (merges footer
+        # schemas, recovers hive partition columns); no data scan.
+        # Partition-column TYPE inference is disabled for the read:
+        # hive directory values are strings on disk and inference can
+        # collapse distinct source partitions (day=01 and day=1 both
+        # infer to int 1 — unrecoverable). Delta's CONVERT requires an
+        # explicit partition schema for the same reason; callers wanting
+        # typed partition columns pass ``partition_types``.
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_infer = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            schema = spark.read.parquet(t.path).schema
+        finally:
+            spark.conf.set(infer_key, prev_infer)
+        if partition_types:
+            unknown = [c for c in partition_types if c not in part_cols]
+            if unknown:
+                raise ValueError(
+                    f"partition_types for non-partition columns: {unknown}"
+                )
+            schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        StructType.fromDDL(
+                            f"x {partition_types[f.name]}"
+                        ).fields[0].dataType,
+                        f.nullable,
+                    )
+                    if f.name in partition_types
+                    else f
+                    for f in schema.fields
+                ]
+            )
         stat_cols = set(stats_columns or [])
         adds = []
         for rel in data_files:
             meta = pq.read_metadata(os.path.join(t.path, rel))
             add: dict = {"path": rel, "rows": meta.num_rows}
-            if stat_cols:
-                stats: dict[str, list] = {}
-                schema_names = meta.schema.names
-                for rg in range(meta.num_row_groups):
-                    group = meta.row_group(rg)
-                    for ci in range(group.num_columns):
-                        col = group.column(ci)
-                        cname = (
-                            schema_names[ci]
-                            if ci < len(schema_names)
-                            else col.path_in_schema
-                        )
-                        if cname in stat_cols and col.statistics is not None:
-                            s = col.statistics
-                            if s.has_min_max:
-                                cur = stats.get(cname)
-                                mn, mx = s.min, s.max
-                                if cur:
-                                    mn, mx = min(cur[0], mn), max(cur[1], mx)
-                                stats[cname] = [mn, mx]
-                if stats:
-                    add["stats"] = {
-                        k: [_json_safe(v[0]), _json_safe(v[1])]
-                        for k, v in stats.items()
-                    }
+            stats = _footer_stats(meta, stat_cols)
+            if stats:
+                add["stats"] = stats
             adds.append(add)
         props = dict(properties or {})
         if stats_columns:
@@ -1352,12 +1418,27 @@ class LakeTable:
                 )
                 groups.setdefault(root, []).append(f)
             out = None
-            for root, fs in groups.items():
-                raw = (
-                    self.spark.read.schema(data_fields)
+            # partition values are read as STRINGS (inference off) and
+            # cast to the committed schema type below: Spark's inference
+            # would otherwise lossily re-type foreign hive values before
+            # the cast (day=01 -> int 1 -> string "1", not "01"). The
+            # discovery happens eagerly at .parquet(), so the scoped
+            # toggle pins it.
+            infer_key = (
+                "spark.sql.sources.partitionColumnTypeInference.enabled"
+            )
+            prev_infer = self.spark.conf.get(infer_key, "true")
+            self.spark.conf.set(infer_key, "false")
+            try:
+                raws = {
+                    root: self.spark.read.schema(data_fields)
                     .option("basePath", root)
                     .parquet(*fs)
-                )
+                    for root, fs in groups.items()
+                }
+            finally:
+                self.spark.conf.set(infer_key, prev_infer)
+            for root, raw in raws.items():
                 present = set(raw.columns)
                 cols = [
                     (
@@ -1597,32 +1678,9 @@ class LakeTable:
                     }
                     if blooms.get(name):
                         add["bloom"] = blooms[name]
-                    if stat_cols:
-                        stats: dict[str, list] = {}
-                        schema_names = meta.schema.names
-                        for rg in range(meta.num_row_groups):
-                            group = meta.row_group(rg)
-                            for ci in range(group.num_columns):
-                                col = group.column(ci)
-                                cname = schema_names[ci] if ci < len(schema_names) else col.path_in_schema
-                                # footers carry physical names; stats are
-                                # recorded under the write-time LOGICAL name
-                                # (skipping probes match on logical)
-                                cname = phys2log.get(cname, cname)
-                                if cname in stat_cols and col.statistics is not None:
-                                    s = col.statistics
-                                    if s.has_min_max:
-                                        cur = stats.get(cname)
-                                        mn, mx = s.min, s.max
-                                        if cur:
-                                            mn = min(cur[0], mn)
-                                            mx = max(cur[1], mx)
-                                        stats[cname] = [mn, mx]
-                        if stats:
-                            add["stats"] = {
-                                k: [_json_safe(v[0]), _json_safe(v[1])]
-                                for k, v in stats.items()
-                            }
+                    stats = _footer_stats(meta, stat_cols, phys2log)
+                    if stats:
+                        add["stats"] = stats
                     adds.append(add)
                     total += meta.num_rows
         return adds, total

@@ -628,13 +628,17 @@ def corpus_report(
     """
     from pyspark.sql import Window
 
-    toks = F.size(
-        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
-    ).cast("long")
+    t = F.col(text_col)
+    # reuse the module's one whitespace token counter; NULL text counts as
+    # 0 tokens and fingerprints to a sentinel — NULL-valued sort keys
+    # would otherwise order differently across engines (Spark sorts NULLS
+    # FIRST in windows, DuckDB row_number sorts them LAST), silently
+    # moving the median
+    toks = F.when(t.isNull(), F.lit(0)).otherwise(token_count_ws(t)).cast("long")
     per_doc = df.select(
         F.col(lang_col).alias("lang"),
         toks.alias("n_tokens"),
-        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        F.coalesce(F.md5(normalize_text(t)), F.lit("__null__")).alias("fp"),
     )
     base = per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -351,14 +351,26 @@ class CdcMedallionPipeline:
         convention). ``fail`` aborts BEFORE any append, so the reader
         offset does not advance and the batch is retried after the fix;
         ``drop``/``warn`` counts land in the _expectations audit table
-        with a txn guard keyed on the source commit (replay-safe)."""
+        with a txn guard keyed on the source commit (replay-safe).
+
+        CDC DELETE records are EXEMPT: expectations constrain business
+        payloads, and delete feeds routinely carry NULL payload columns
+        (only the key is populated) — evaluating rules on them would
+        suppress the delete (leaving the key live forever) or wedge the
+        pipeline on a fail rule. Callers should persist ``src`` around
+        this call: the counts aggregation and the downstream merge each
+        evaluate the batch plan."""
         if not self.expectations:
             return src
+        is_delete = F.col("cdc_operation") == F.lit("DELETE")
         names = list(self.expectations)
-        aggs = [F.count("*").alias("__n")] + [
+        aggs = [
+            F.sum(F.when(is_delete, 0).otherwise(1)).alias("__n")
+        ] + [
             F.sum(
                 F.when(
-                    F.coalesce(F.expr(self.expectations[n][0]), F.lit(False)),
+                    is_delete
+                    | F.coalesce(F.expr(self.expectations[n][0]), F.lit(False)),
                     0,
                 ).otherwise(1)
             ).alias(f"__f_{i}")
@@ -388,7 +400,9 @@ class CdcMedallionPipeline:
         for name in names:
             cond, action = self.expectations[name]
             if action == "drop":
-                src = src.where(F.coalesce(F.expr(cond), F.lit(False)))
+                src = src.where(
+                    is_delete | F.coalesce(F.expr(cond), F.lit(False))
+                )
         return src
 
     # ---------------------------------------------------------------- stages
@@ -495,14 +509,23 @@ class CdcMedallionPipeline:
             # one key inside one timestamp tick, split across batches)
             # still applies, while replayed older batches stay blocked —
             # a single strict order-column guard would drop it forever.
-            merge_cdc_batch(
-                silver,
-                self._enforce_expectations(self.silver_source(batch), version),
-                key_cols=self.key_cols,
-                order_cols=[self.order_col],
-                tiebreak_cols=["insert_timestamp", "record_seq"],
-                order_guard_cols=[self.order_col, "insert_timestamp"],
-            )
+            src = self.silver_source(batch)
+            if self.expectations:
+                # the expectation counts job and the merge each evaluate
+                # the batch plan — persist so the bronze read runs once
+                src = src.persist()
+            try:
+                merge_cdc_batch(
+                    silver,
+                    self._enforce_expectations(src, version),
+                    key_cols=self.key_cols,
+                    order_cols=[self.order_col],
+                    tiebreak_cols=["insert_timestamp", "record_seq"],
+                    order_guard_cols=[self.order_col, "insert_timestamp"],
+                )
+            finally:
+                if self.expectations:
+                    src.unpersist()
 
         return reader.process_available(apply)
 

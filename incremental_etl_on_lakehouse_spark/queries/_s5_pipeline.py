@@ -1059,10 +1059,11 @@ def pipeline_generic(spark, sf_dir):
     # when ordered by (tokens, fingerprint)), exact-dup count via distinct
     # normalized-text fingerprints
     "WITH per_doc AS (SELECT lang,"
-    "  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
-    "   x -> x <> '')) AS BIGINT) AS n_tokens,"
-    "  md5(trim(regexp_replace(regexp_replace(lower(text),"
-    "   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp"
+    "  CASE WHEN text IS NULL THEN 0"
+    "   ELSE CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    "    x -> x <> '')) AS BIGINT) END AS n_tokens,"
+    "  coalesce(md5(trim(regexp_replace(regexp_replace(lower(text),"
+    "   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))), '__null__') AS fp"
     "  FROM documents),"
     " base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
     "  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"

@@ -239,3 +239,38 @@ def test_expectation_bad_action_rejected(spark, tmp_path):
             log_schema=LOG_SCHEMA, key_cols=["user_id"],
             expectations={"x": ("1=1", "explode")},
         )
+
+
+def test_expectations_exempt_delete_records(spark, tmp_path):
+    """CDC DELETE rows (NULL payloads by convention) bypass expectations:
+    a drop rule must not suppress the delete, a fail rule must not wedge
+    the pipeline."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = CdcMedallionPipeline(
+        spark, str(tmp_path / "lake"), str(landing),
+        log_schema=LOG_SCHEMA, key_cols=["user_id"],
+        expectations={"nonneg": ("value_cents >= 0", "drop"),
+                      "has_type": ("event_type IS NOT NULL", "fail")},
+    )
+    (landing / "f1.json").write_text(
+        json.dumps([_rec(1, "visit", 100, "INSERT", "2024-01-01 10:00:00")])
+    )
+    p.run_available()
+    assert _silver(p) == {1: 100}
+    # delete record with NULL payload columns — must still delete
+    (landing / "f2.json").write_text(
+        json.dumps(
+            [{"user_id": 1, "event_type": None, "value_cents": None,
+              "cdc_operation": "DELETE",
+              "cdc_timestamp": "2024-01-01 11:00:00"}]
+        )
+    )
+    p.run_available()
+    assert _silver(p) == {}
+    # audit counted only the non-delete rows
+    audit = {
+        (r["batch_version"], r["expectation"]): (r["n_pass"], r["n_fail"])
+        for r in p.expectations_table.to_df().collect()
+    }
+    assert all(v == (1, 0) or v == (0, 0) for v in audit.values()), audit

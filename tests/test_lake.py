@@ -1575,3 +1575,72 @@ def test_convert_sql_and_rejects_double_convert(spark, tmp_path):
     assert isinstance(t, LakeTable) and t.to_df().count() == 5
     with pytest.raises(ValueError, match="already a lake table"):
         LakeTable.convert_from_parquet(spark, src)
+
+
+def test_convert_skips_hidden_and_temporary_files(spark, tmp_path):
+    """_temporary/.staging debris from crashed jobs must not become table
+    data (Spark's hidden-file filter semantics)."""
+    import os
+    import shutil
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    src = str(tmp_path / "plain")
+    spark.range(0, 10).write.parquet(src)
+    real = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    os.makedirs(os.path.join(src, "_temporary", "0"))
+    shutil.copy(
+        os.path.join(src, real[0]),
+        os.path.join(src, "_temporary", "0", "part-junk.parquet"),
+    )
+    shutil.copy(
+        os.path.join(src, real[0]), os.path.join(src, ".hidden.parquet")
+    )
+    t = LakeTable.convert_from_parquet(spark, src)
+    assert t.to_df().count() == 10  # not 10 + duplicates
+    assert all("_temporary" not in f and "/." not in f for f in t.files())
+
+
+def test_convert_partition_values_not_lossily_retyped(spark, tmp_path):
+    """day=01 and day=1 are DISTINCT string partitions; inference would
+    collapse both to int 1. partition_types opts into typed columns."""
+    import os
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    src = str(tmp_path / "p")
+    for day in ("01", "1"):
+        spark.range(0, 3).write.parquet(os.path.join(src, f"day={day}"))
+    t = LakeTable.convert_from_parquet(spark, src)
+    days = {r["day"] for r in t.to_df().select("day").distinct().collect()}
+    assert days == {"01", "1"}  # strings preserved, partitions distinct
+    # typed opt-in
+    src2 = str(tmp_path / "p2")
+    spark.range(0, 3).write.parquet(os.path.join(src2, "day=7"))
+    t2 = LakeTable.convert_from_parquet(
+        spark, src2, partition_types={"day": "INT"}
+    )
+    assert dict(t2.to_df().dtypes)["day"] == "int"
+    assert {r["day"] for r in t2.to_df().select("day").collect()} == {7}
+
+
+def test_footer_stats_dropped_when_row_group_coverage_partial(tmp_path):
+    """A column whose min/max covers only SOME row groups must record no
+    stats at all — a falsely-narrow range would skip rows that exist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incremental_etl_on_lakehouse_spark.lake.table import _footer_stats
+
+    f = str(tmp_path / "x.parquet")
+    table = pa.table({"id": list(range(100))})
+    # two row groups; disable stats entirely (simplest partial-coverage
+    # proxy: zero of two groups covered)
+    pq.write_table(table, f, row_group_size=50, write_statistics=False)
+    meta = pq.read_metadata(f)
+    assert meta.num_row_groups == 2
+    assert _footer_stats(meta, {"id"}) is None
+    # fully-covered file still yields stats
+    f2 = str(tmp_path / "y.parquet")
+    pq.write_table(table, f2, row_group_size=50)
+    assert _footer_stats(pq.read_metadata(f2), {"id"}) == {"id": [0, 99]}
