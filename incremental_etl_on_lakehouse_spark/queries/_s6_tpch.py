@@ -3265,3 +3265,31 @@ def fn_string_ops(spark, sf_dir):
         F.instr("c_name", "#").cast("long").alias("hash_pos"),
         F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "win_cume_dist",
+    "SELECT o_custkey, o_orderkey,"
+    " round(cume_dist() OVER (PARTITION BY o_custkey"
+    "  ORDER BY o_totalprice), 9) AS cd"
+    " FROM orders WHERE o_custkey <= 40"
+    " ORDER BY o_custkey, o_orderkey",
+)
+def win_cume_dist(spark, sf_dir):
+    """CUME_DIST — completes the ranking-window family (row_number, rank,
+    dense_rank, percent_rank, ntile already keyed). The value is the exact
+    rational (rows <= current) / n computed identically by both engines
+    from the same integers; rounded to 9 decimals only to normalize
+    formatting. Ties share a value by definition, so no tiebreak column
+    is needed for determinism."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_custkey") <= 40)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
