@@ -147,7 +147,12 @@ def main() -> None:
     }
     line = json.dumps(compact)
     assert len(line) < 1500, f"bench stdout line too long: {len(line)}"
-    print(line)
+    sys.stderr.flush()
+    print(line, flush=True)
+    # Diagnostics go ONLY to the sidecar file: rounds 4-6 recorded
+    # "parsed": null because the driver's tail capture merges stdout and
+    # stderr, so even a stderr diagnostics print after the compact line
+    # scrolled the contract line out of the captured window.
     diagnostics = dict(
         compact,
         medians=medians,
@@ -155,7 +160,6 @@ def main() -> None:
         samples=samples,
         n=n_runs,
     )
-    print(json.dumps(diagnostics), file=sys.stderr)
     try:
         with open("bench_detail.json", "w") as fh:
             json.dump(diagnostics, fh, indent=1)

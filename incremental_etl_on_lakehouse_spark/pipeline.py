@@ -65,6 +65,32 @@ def _fields(spec: list[tuple[str, object]]) -> StructType:
 
 _S, _L, _T = StringType(), LongType(), TimestampType()
 
+
+def _sum_result_type(value_type):
+    """Spark's SUM result type for a numeric input type: integrals widen
+    to LONG, float/double to DOUBLE, DECIMAL(p,s) to DECIMAL(p+10,s)
+    capped at 38 (mirrors Catalyst's ``Sum.resultType``). Non-numeric
+    types are rejected — the additive Gold aggregate can't sum them."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
+
+    if isinstance(value_type, (ByteType, ShortType, IntegerType, LongType)):
+        return LongType()
+    if isinstance(value_type, (FloatType, DoubleType)):
+        return DoubleType()
+    if isinstance(value_type, DecimalType):
+        return DecimalType(min(38, value_type.precision + 10), value_type.scale)
+    raise ValueError(
+        f"gold_value_col must be numeric (got {value_type.simpleString()}): "
+        "the additive Gold aggregate is SUM(value)"
+    )
+
 CDC_LOG_SCHEMA = _fields(
     [
         ("id", _L),
@@ -222,6 +248,14 @@ class CdcMedallionPipeline:
             ]
             if bad:
                 raise ValueError(f"gold columns not in log schema: {bad}")
+            # reject non-numeric value columns here, not mid-stream after
+            # Bronze/Silver commits (also derives the Gold agg type —
+            # see gold_schema)
+            _sum_result_type(
+                {f.name: f.dataType for f in self.log_schema.fields}[
+                    self.gold_value_col
+                ]
+            )
         # Expectations (the DLT pattern): name -> (boolean SQL over the
         # Silver source columns, action). Actions: "warn" keeps violating
         # rows and only counts them, "drop" excludes them from Silver,
@@ -265,9 +299,14 @@ class CdcMedallionPipeline:
         if not self.gold_group_cols:
             return None
         types = {f.name: f.dataType for f in self.log_schema.fields}
+        # The Gold aggregate column carries SUM(value): its type is Spark's
+        # SUM result type for the value column, derived from log_schema —
+        # a hard-coded LongType silently cast-truncated double-valued Gold
+        # totals on every merge (round-5 ADVICE medium).
+        agg_type = _sum_result_type(types[self.gold_value_col])
         return _fields(
             [(c, types[c]) for c in self.gold_group_cols]
-            + [(self.gold_agg_col, _L)]
+            + [(self.gold_agg_col, agg_type)]
         )
 
     def silver_source(self, bronze_batch: DataFrame) -> DataFrame:

@@ -56,16 +56,46 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-5 ROTATION (see ROTATION.md): the 50 slots hold exactly the
-    # full-oracle keys that have NEVER had a driver sweep row — the 64
-    # keys registered in round 4 behind the 50-slot cap plus
-    # `sql_interface` (deferred from round 4).  65 candidates for 50
-    # slots: the 15 near-tautological scalar/window/simple keys defer to
-    # positions 51-65 (_SECOND_PRIORITY head) so any sweep-budget
-    # overflow reaches them first; their local hash parity
-    # (tests/test_oracle_parity.py, every run) is strong evidence already.
+    # ROUND-7 ROTATION (see ROTATION.md): the 50 slots hold ALL 40 keys
+    # that have never had a driver sweep row — 37 full-oracle (the 15
+    # round-5 deferrals + the 22 round-5 registrations behind the cap)
+    # plus the 3 rows-only approximate keys (ext_sim_ivf,
+    # ext_cluster_kmeans, ext_semdedup — their planted full-oracle
+    # companions are already driver-green; these get the weaker
+    # rows-only row) — followed by 10 evidence refreshers, oldest driver
+    # rows first (the four r1-only keys, then r1/r2-block keys). After
+    # this sweep every registered key has held a driver row and rotation
+    # becomes pure oldest-first refresh.
     #
-    # lake features: DDL / table-utility / merge surface (19)
+    # round-5 deferrals: scalar/window/simple coverage keys (15)
+    "fn_datetime", "fn_map_ops", "fn_regexp_extract", "fn_array_ops",
+    "fn_higher_order", "fn_string_distance", "fn_variant_json",
+    "win_ntile", "win_range_frame", "join_full_outer",
+    "agg_histogram", "agg_approx_percentile", "src_text_lines",
+    "ext_doc_shuffle", "ext_resample_ffill",
+    # round-5 registrations behind the cap (22)
+    "src_json_auto", "merge_by_source", "util_optimize_where",
+    "util_convert_to_lake", "agg_stats_moments", "win_percent_rank",
+    "agg_string_agg", "ext_graph_pagerank", "stream_stateful_topk",
+    "join_asof_nearest", "ext_bm25_topk", "pipeline_generic",
+    "ext_corpus_report", "pipeline_expectations", "ext_multimodal_decode",
+    "stream_session_window", "join_cross", "agg_mode",
+    "ddl_replace_table", "win_first_last", "fn_string_ops",
+    "win_cume_dist",
+    # rows-only approximate keys, never swept (3)
+    "ext_sim_ivf", "ext_cluster_kmeans", "ext_semdedup",
+    # evidence refreshers, oldest driver rows first (10)
+    "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
+    "src_json_batch", "src_time_travel", "ddl_create_table",
+    "proj_select_list", "filter_eq", "join_right_outer",
+]
+
+# Rotated-out keys directly behind the cap line: every key here has at
+# least one driver-green row (ROTATION.md) and stays locally
+# hash-verified by tests/test_oracle_parity.py every run. Ordered by
+# rotation recency: round-5/6-green first, then r4, r3, r1/r2.
+_SECOND_PRIORITY = [
+    # r5/r6-green keys (rotated out in r7)
     "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
     "snk_replace_where", "ddl_rename_column", "util_bloom_skipping",
     "ddl_generated_columns", "ddl_identity_columns", "merge_scd2",
@@ -73,14 +103,10 @@ _PRIORITY_KEYS = [
     "util_concurrent_append", "util_optimize_incremental",
     "util_optimized_writes", "ddl_add_drop_column", "ddl_tblproperties",
     "ddl_create_sql", "snk_copy_into",
-    # sinks / sources / SQL front door (5)
     "sql_interface", "snk_dynamic_partition_overwrite", "snk_insert_sql",
     "src_orc_batch", "src_partition_pruned",
-    # streaming (3)
     "stream_exactly_once", "stream_scd2", "stream_sliding_window",
-    # joins (2)
     "join_bucketed", "join_stats_driven",
-    # LLM-pipeline corpus operators (20)
     "ext_repetition_filter", "ext_mix_budget", "ext_chunk_docs",
     "ext_tfidf_topk", "ext_semdedup_planted", "ext_lm_perplexity",
     "ext_corpus_pipeline", "ext_substring_dedup", "ext_dedup_incremental",
@@ -88,23 +114,7 @@ _PRIORITY_KEYS = [
     "ext_export_shards", "ext_url_normalize", "ext_dedup_url",
     "ext_domain_blocklist", "ext_dataset_split", "ext_multimodal_resize",
     "ext_multimodal_frames", "ext_decontaminate_bloom",
-    # incremental aggregate completion (1)
     "agg_incremental_var",
-]
-
-# Rotated-out keys directly behind the cap line: positions 51-65 are the
-# 15 never-swept round-4 keys deferred by the 50-slot cap (near-
-# tautological scalar functions, simple windows/aggs, and trivially-
-# shaped sources — scheduled for round 6); everything after has
-# driver-green rows from rounds 1-4 (ROTATION.md) and stays locally
-# hash-verified by tests/test_oracle_parity.py every run.
-_SECOND_PRIORITY = [
-    # deferred round-5 overflow (never swept; round-6 head of queue)
-    "fn_datetime", "fn_map_ops", "fn_regexp_extract", "fn_array_ops",
-    "fn_higher_order", "fn_string_distance", "fn_variant_json",
-    "win_ntile", "win_range_frame", "join_full_outer",
-    "agg_histogram", "agg_approx_percentile", "src_text_lines",
-    "ext_doc_shuffle", "ext_resample_ffill",
     # r4-green keys (rotated out)
     "q2_min_cost_supplier", "q4_order_exists", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
@@ -146,15 +156,17 @@ _SECOND_PRIORITY = [
     "ext_quality_score", "ext_fingerprint", "ext_multimodal_col",
     "ext_sample_hash", "ext_sample_stratified", "ext_pack_sequences",
     "ext_dedup_clusters",
-    # r1/r2 green (rotated out in r3)
-    "src_json_batch", "src_time_travel", "ddl_create_table",
-    "proj_select_list", "proj_select_star", "filter_eq", "filter_neq",
-    "filter_conj", "derive_withcolumn", "proj_alias", "join_right_outer",
+    # r1/r2 green (rotated out in r3; the oldest-evidence keys —
+    # ddl_drop, util_file_put_rm, util_fs_ls, fn_current_timestamp,
+    # src_json_batch, src_time_travel, ddl_create_table,
+    # proj_select_list, filter_eq, join_right_outer — hold r7 refresh
+    # slots in _PRIORITY_KEYS)
+    "proj_select_star", "filter_neq",
+    "filter_conj", "derive_withcolumn", "proj_alias",
     "win_row_number_dedup", "sort_multi_key", "sort_single",
     "fn_md5_concat", "fn_input_file_name", "fn_to_utc_timestamp", "fn_nvl",
     "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
     "join_merge_key",
-    "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
 ]
 
 

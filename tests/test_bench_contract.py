@@ -48,6 +48,26 @@ def test_stdout_line_round_trips():
     assert isinstance(parsed["value"], float)
 
 
+def test_no_diagnostics_print_after_compact_line():
+    """Rounds 4-6 all recorded ``"parsed": null`` because a diagnostics JSON
+    print (stdout in r4, stderr in r5/r6 — the driver merges both streams)
+    followed the compact line and scrolled it out of the tail window. Pin
+    that the ONLY print after the compact contract line is nothing: the
+    diagnostics object may be written to the bench_detail.json sidecar but
+    never printed."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    compact_at = src.index("print(line")
+    tail = src[compact_at:]
+    assert "print(json.dumps(diagnostics)" not in src
+    # nothing after the compact line may print at all
+    assert "print(" not in tail[tail.index("\n") :], (
+        "bench.main prints after the compact contract line; the driver "
+        "tail-captures merged stdout+stderr and will lose the line"
+    )
+
+
 def test_bench_query_names_are_registered():
     from incremental_etl_on_lakehouse_spark.queries import QUERIES
 

@@ -173,6 +173,70 @@ def test_gold_spec_validated_at_construction(spark, tmp_path):
         )
 
 
+def test_gold_double_value_not_truncated(spark, tmp_path):
+    """The Gold aggregate column's type derives from the log schema: a
+    DOUBLE-typed gold_value_col must yield DOUBLE totals, not silently
+    cast-truncated longs (round-5 ADVICE medium: gold_schema hard-coded
+    LongType, so fractional totals lost their decimals on every merge)."""
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("amount", DoubleType()),
+            StructField("cdc_operation", StringType()),
+            StructField("cdc_timestamp", TimestampType()),
+        ]
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = CdcMedallionPipeline(
+        spark, str(tmp_path / "lake"), str(landing),
+        log_schema=schema, key_cols=["user_id"],
+        gold_group_cols=["event_type"], gold_value_col="amount",
+    )
+    assert isinstance(
+        p.gold_schema()["sum_amount"].dataType, DoubleType
+    ), p.gold_schema()
+    (landing / "f1.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"user_id": uid, "event_type": et, "amount": amt,
+                 "cdc_operation": "INSERT",
+                 "cdc_timestamp": "2024-01-01 10:00:00"}
+            )
+            for uid, et, amt in [(1, "visit", 0.25), (2, "visit", 0.5),
+                                 (3, "purchase", 9.75)]
+        )
+    )
+    p.run_available()
+    gold = {r["event_type"]: r["sum_amount"] for r in p.gold.to_df().collect()}
+    assert gold == {"visit": 0.75, "purchase": 9.75}
+    # update applies a fractional signed delta through the additive merge
+    (landing / "f2.json").write_text(
+        json.dumps(
+            {"user_id": 1, "event_type": "visit", "amount": 0.35,
+             "cdc_operation": "UPDATE",
+             "cdc_timestamp": "2024-01-01 11:00:00"}
+        )
+    )
+    p.run_available()
+    gold = {r["event_type"]: r["sum_amount"] for r in p.gold.to_df().collect()}
+    assert gold == {"visit": 0.85, "purchase": 9.75}
+
+
+def test_gold_non_numeric_value_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="numeric"):
+        CdcMedallionPipeline(
+            spark, str(tmp_path / "lake"), str(tmp_path),
+            log_schema=LOG_SCHEMA, key_cols=["user_id"],
+            gold_group_cols=["event_type"], gold_value_col="event_type",
+        )
+
+
 def test_expectations_warn_drop_fail(spark, tmp_path):
     """DLT-style expectations: warn counts, drop excludes, fail aborts
     before any write; counts land in the _expectations audit table."""
