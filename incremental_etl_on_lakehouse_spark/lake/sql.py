@@ -39,20 +39,35 @@ from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
 _IDENT = r"[A-Za-z_][\w.$]*"
 
 
+def _skip_quoted(s: str, i: int) -> int:
+    """``s[i]`` is an opening quote (``'``, ``"``, or backtick): return the
+    index just past the closing quote. A doubled quote char inside the span
+    is the escape for all three (SQL string escapes, quoted identifiers).
+    An unterminated quote consumes to end-of-input."""
+    q = s[i]
+    j, n = i + 1, len(s)
+    while j < n:
+        if s[j] == q:
+            if j + 1 < n and s[j + 1] == q:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
 def strip_comments(sql: str) -> str:
-    """Remove ``-- ...`` line comments, leaving quoted strings untouched."""
+    """Remove ``-- ...`` line comments, leaving quoted spans untouched —
+    single-quoted strings, double-quoted strings, AND backtick identifiers
+    (a ``--`` inside any of them is content, not a comment)."""
     out = []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
-                    break
-                j += 2 if sql[j] == "'" else 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+        if c in "'\"`":
+            j = _skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
         elif c == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":
                 i += 1
@@ -1063,24 +1078,20 @@ def execute_statement(spark: SparkSession, sql: str, resolve, **kw):
 
 def split_statements(script: str) -> list[str]:
     """Split a multi-statement SQL script on top-level semicolons —
-    quote-aware (single quotes with '' escapes) and paren-aware, with
-    ``--`` comments stripped first so a ';' inside a comment can't split.
-    Empty fragments (trailing ';', blank lines) are dropped."""
+    quote-aware (single-quoted strings, double-quoted strings, and
+    backtick identifiers, each with doubled-char escapes) and paren-aware,
+    with ``--`` comments stripped first so a ';' inside a comment can't
+    split. Empty fragments (trailing ';', blank lines) are dropped."""
     s = strip_comments(script)
     out: list[str] = []
-    depth, start, in_str = 0, 0, False
+    depth, start = 0, 0
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < n and s[i + 1] == "'":
-                    i += 1
-                else:
-                    in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
+        if c in "'\"`":
+            i = _skip_quoted(s, i)
+            continue
+        if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1

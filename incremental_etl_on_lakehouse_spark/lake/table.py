@@ -84,6 +84,16 @@ def _json_safe(v):
     return None
 
 
+_TARGET_REF = re.compile(r"(?i)(?<![\w`])(?:`target`|target)\s*\.")
+
+
+def _refs_target(condition: str) -> bool:
+    """True when a SQL condition references a ``target.``-qualified column
+    (plain or backtick-quoted alias), ignoring occurrences inside
+    single-quoted string literals ('' is the SQL escape for a quote)."""
+    return bool(_TARGET_REF.search(re.sub(r"'(?:[^']|'')*'", "''", condition)))
+
+
 def _footer_stats(
     meta, stat_cols: set, phys2log: dict | None = None
 ) -> dict | None:
@@ -2848,6 +2858,20 @@ class LakeTable:
                     "WHEN NOT MATCHED BY SOURCE UPDATE requires explicit "
                     "SET assignments (no source row to take * from)"
                 )
+        for c in insert_clauses:
+            # NOT MATCHED candidates have no target row, so their conditions
+            # may reference source columns only (Delta's rule). Enforced at
+            # entry for EVERY merge: the empty-target fast path builds a
+            # join-free plan with no target columns at all, so without this
+            # check the same statement raised AnalysisException only when
+            # the target happened to be empty and silently NULL-evaluated
+            # the reference otherwise — state-dependent behavior.
+            if c.condition and _refs_target(c.condition):
+                raise ValueError(
+                    "WHEN NOT MATCHED condition may reference source columns "
+                    f"only (got {c.condition!r}): there is no target row for "
+                    "an insert candidate"
+                )
         old_schema = self.schema()
         old_cols = set(old_schema.fieldNames())
         write_schema = old_schema
@@ -2878,7 +2902,6 @@ class LakeTable:
         # target read to files whose key range overlaps the batch's. Rows in
         # skipped files cannot match any source row (equi-key), so every
         # downstream join — probe, rewrite, anti-join — is unaffected.
-        target_df = None
         target_empty = not self.files()
         prune_map = {
             t: s for t, s in (stats_prune or {}).items() if t in self.stats_columns()
@@ -2891,6 +2914,7 @@ class LakeTable:
             # these merges must see the whole target (inherent to the
             # semantics: Delta's by-source merges scan the full target too)
             prune_map = {}
+        state = self._state()
         if prune_map:
             bounds_row = src_persisted.agg(
                 *[
@@ -2906,28 +2930,30 @@ class LakeTable:
                 )
                 for tcol, scol in prune_map.items()
             }
-            target_df = self._read_files(
-                self.files_matching(ranges),
-                dv_map=self._state().get("dv") or None,
-                with_file=True,
-            )
-        if target_df is None:
-            state = self._state()
-            target_df = self._read_files(
-                [self._abs(r) for r in state["active"]],
-                dv_map=state.get("dv") or None,
-                with_file=True,
-            )
+            read_files = self.files_matching(ranges)
+        else:
+            read_files = [self._abs(r) for r in state["active"]]
+        target_df = self._read_files(
+            read_files, dv_map=state.get("dv") or None, with_file=True
+        )
         # Metadata-driven join strategy: the log carries EXACT per-file row
         # counts, so when the live target is provably small (an aggregate
         # gold table, a dimension), hint broadcast instead of leaving AQE to
         # discover it at runtime — the static broadcast plan skips the
         # sort-merge staging AQE would otherwise materialize as extra
         # query-stage jobs (measurable fixed cost per micro-batch merge).
-        # Large targets keep the default planning; stats-pruned reads use
-        # the pruned subset's count.
-        known_rows = sum(
-            a.get("rows", 0) for a in self._state()["active"].values()
+        # Large targets keep the default planning. The count covers exactly
+        # the files read into target_df (the stats-pruned subset when
+        # pruning fired), from the one state snapshot read above; a file
+        # with no recorded row count disables the hint rather than
+        # undercounting it as 0 (a wrong broadcast of a huge target is far
+        # worse than a missed one).
+        rows_by_rel = {
+            self._abs(r): a.get("rows") for r, a in state["active"].items()
+        }
+        read_counts = [rows_by_rel.get(p) for p in read_files]
+        known_rows = (
+            sum(read_counts) if all(c is not None for c in read_counts) else None
         )
         target = target_df.alias("target")
         # hint only the PLANNING join's build side (target is its right
@@ -2935,7 +2961,7 @@ class LakeTable:
         # left_outer, where a broadcast hint is unsupported noise
         target_plan = (
             F.broadcast(target)
-            if not target_empty and known_rows <= 100_000
+            if not target_empty and known_rows is not None and known_rows <= 100_000
             else target
         )
 

@@ -600,11 +600,77 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("__micro").alias("score_micro"))
     )
+    # Top-k via orderBy().limit(k) = TakeOrderedAndProject: each task keeps
+    # its local top k and the driver merges partition heads — never a global
+    # sort or an unpartitioned window funneling all O(docs) scores through
+    # one reducer. The rank column is then a window over the ALREADY-reduced
+    # k rows (bounded by k, not by corpus size).
+    topk = per_doc.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
     w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "score_micro", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score_micro", "rank"
+    )
+
+
+def quality_buckets_by_threshold(
+    scored: DataFrame,
+    score_col: str = "cross_entropy",
+    bucket_col: str = "ppl_bucket",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Threshold-based quality bucketing — the 100 TB path for CCNet-style
+    head/middle/tail splits. An exact global ``ntile`` funnels every
+    (score, id) pair through ONE reducer's sort; this instead derives the
+    bucket boundary scores from a DISTINCT-SCORE histogram and broadcasts
+    them back:
+
+    1. ``groupBy(score)`` count — scores are pre-rounded (6 decimals), so
+       the histogram is O(distinct scores), orders of magnitude below
+       O(docs) and bounded by the score range x 1e6 regardless of corpus
+       size;
+    2. one cumulative-count window over the HISTOGRAM (the only global
+       window, sized by distinct scores, never by docs);
+    3. threshold i = the smallest score whose cumulative count reaches
+       ``ceil(i * n / n_buckets)`` — an exact, engine-replayable rank rule
+       (no sketch, so the result is deterministic and oracle-checkable,
+       unlike ``approx_percentile``);
+    4. bucket assignment = a broadcast 1-row crossJoin + a codegen CASE
+       over the corpus scan — no shuffle of doc-level rows at all.
+
+    Ties at a boundary fold into the lower bucket, so buckets are
+    near-equal rather than exactly-equal sized — the semantics of
+    threshold bucketing itself (CCNet publishes perplexity CUTOFFS, not
+    per-document ranks).
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(score_col, F.sum("__c").over(w).alias("__cum"))
+    totals = hist.agg(F.sum("__c").alias("__n"))
+    th = cum.crossJoin(F.broadcast(totals)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.ceil(F.col("__n") * F.lit(i) / F.lit(float(n_buckets))),
+                    F.col(score_col),
+                )
+            ).alias(f"__t{i}")
+            for i in range(1, n_buckets)
+        ]
+    )
+    case = None
+    for i in range(1, n_buckets):
+        cond = F.col(score_col) <= F.col(f"__t{i}")
+        case = F.when(cond, i) if case is None else case.when(cond, i)
+    case = (case.otherwise(n_buckets) if case is not None else F.lit(1)).cast(
+        "int"
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        *scored.columns, case.alias(bucket_col)
     )
 
 

@@ -746,11 +746,12 @@ def ext_quality_buckets(spark, sf_dir):
     thirds by unigram-LM cross-entropy (head = most in-distribution; the
     buckets drive mixture weights in training pipelines). Scores are
     rounded before the (score, doc_id) rank so the split is
-    engine-deterministic. The exact ntile here is a global window over
-    (doc_id, score) SCALARS; the 100 TB variant broadcasts
-    approx-percentile thresholds instead (one aggregate, no global sort) —
-    same buckets up to the approximation, as in CCNet itself
-    (operators/text.py: unigram_lm_score)."""
+    engine-deterministic. This is the EXACT variant (per-document ranks,
+    exactly-equal bucket sizes): the ntile is a global window over
+    (doc_id, score) scalars — fine into the low billions of docs, a
+    single-reducer sort beyond that. The scale path is the sibling key
+    ext_quality_buckets_scale (broadcast histogram-derived thresholds,
+    no O(docs) window; operators/text.py: quality_buckets_by_threshold)."""
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
@@ -759,6 +760,50 @@ def ext_quality_buckets(spark, sf_dir):
     return scored.select(
         "doc_id", "cross_entropy", F.ntile(3).over(w).alias("ppl_bucket")
     ).orderBy("doc_id")
+
+
+@query(
+    "ext_quality_buckets_scale",
+    "WITH toksrc AS (SELECT doc_id,"
+    " unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+    "  AS term FROM documents),"
+    " tc AS (SELECT term, count(*) AS c FROM toksrc GROUP BY term),"
+    " tot AS (SELECT CAST(count(*) AS DOUBLE) AS t,"
+    "  CAST(count(DISTINCT term) AS DOUBLE) AS v FROM toksrc),"
+    " scored AS (SELECT doc_id, round(avg(-ln((c + 1.0) / (t + v))), 6)"
+    "  AS cross_entropy FROM toksrc JOIN tc USING (term) CROSS JOIN tot"
+    "  GROUP BY doc_id),"
+    " hist AS (SELECT cross_entropy, count(*) AS hc FROM scored"
+    "  GROUP BY cross_entropy),"
+    " cum AS (SELECT cross_entropy, sum(hc) OVER (ORDER BY cross_entropy)"
+    "  AS cum FROM hist),"
+    " nn AS (SELECT count(*) AS n FROM scored),"
+    " th AS (SELECT"
+    "  min(CASE WHEN cum >= ceil(n * 1 / 3.0) THEN cross_entropy END) AS t1,"
+    "  min(CASE WHEN cum >= ceil(n * 2 / 3.0) THEN cross_entropy END) AS t2"
+    "  FROM cum CROSS JOIN nn)"
+    " SELECT doc_id, cross_entropy,"
+    " CAST(CASE WHEN cross_entropy <= t1 THEN 1"
+    "  WHEN cross_entropy <= t2 THEN 2 ELSE 3 END AS INT) AS ppl_bucket"
+    " FROM scored CROSS JOIN th",
+)
+def ext_quality_buckets_scale(spark, sf_dir):
+    """The 100 TB variant of ext_quality_buckets: head/middle/tail split by
+    broadcast THRESHOLD scores instead of an exact global ntile. The bucket
+    boundaries derive from a distinct-score histogram (cumulative-count
+    rank rule — exact and engine-replayable, no approx_percentile sketch),
+    so the only global window runs over O(distinct rounded scores), never
+    O(docs); assignment is a broadcast 1-row crossJoin + codegen CASE over
+    the scan. Ties at a boundary fold into the lower bucket — threshold
+    semantics (CCNet publishes perplexity cutoffs, not per-document
+    ranks), which is why this is a sibling key with its own oracle rather
+    than a swap-in replacement (operators/text.py:
+    quality_buckets_by_threshold)."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    scored = T.unigram_lm_score(docs).select("doc_id", "cross_entropy")
+    return T.quality_buckets_by_threshold(
+        scored, score_col="cross_entropy", bucket_col="ppl_bucket", n_buckets=3
+    )
 
 
 @query("ext_cluster_kmeans")  # iterative (Lloyd) algorithm: rows-only check

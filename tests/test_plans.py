@@ -114,6 +114,37 @@ def test_ngram_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
 
 
+def test_quality_buckets_scale_has_no_global_ntile(spark, sf_dir):
+    """The scale variant of quality bucketing must not rank O(docs) rows
+    through a global ntile window: bucket boundaries come from the
+    distinct-score histogram's cumulative counts and flow back as a
+    broadcast 1-row crossJoin (BroadcastNestedLoopJoin) + codegen CASE.
+    The only window in the plan runs over the histogram, after a
+    groupBy(score) aggregate — its exchange carries distinct scores, not
+    documents."""
+    df = QUERIES["ext_quality_buckets_scale"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "ntile" not in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bm25_topk_uses_take_ordered(spark, sf_dir):
+    """bm25 ranks via TakeOrderedAndProject (per-partition local top-k,
+    driver-merged heads) — NOT an unpartitioned row_number window funneling
+    all O(docs) scores through one reducer (the round-5 review finding).
+    The rank column's window survives but sits ABOVE the TakeOrdered node,
+    so any single-partition exchange carries at most k rows: the formatted
+    tree prints root-first, so that exchange must appear EARLIER in the
+    text than the TakeOrdered bounding its input."""
+    df = QUERIES["ext_bm25_topk"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    if "Exchange SinglePartition" in plan:
+        assert plan.index("Exchange SinglePartition") < plan.index(
+            "TakeOrderedAndProject"
+        ), plan
+
+
 def test_topk_prereduces_before_global_rank(spark, sf_dir):
     """The similarity rankers must pre-top-k per input partition before the
     per-query global window: the plan carries a spark_partition_id-keyed

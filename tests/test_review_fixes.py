@@ -573,3 +573,110 @@ def test_catalog_view_claim_released_on_drop(spark, tmp_path):
     # from catalog contents, not per-instance memory)
     with pytest.raises(ValueError, match="collision"):
         LakeCatalog(spark, str(tmp_path / "cat")).register_views("raw")
+
+
+# ---------------------------------------------------------------------------
+# round-7 fixes for the round-5 review findings
+# ---------------------------------------------------------------------------
+
+
+def test_merge_insert_condition_may_not_reference_target(spark, tmp_path):
+    """A WHEN NOT MATCHED condition referencing target columns is rejected
+    at merge entry for EVERY merge — previously the same statement raised
+    AnalysisException only when the target happened to be empty (the
+    join-free fast path has no target columns) and NULL-evaluated the
+    reference otherwise: state-dependent behavior. Delta's rule: NOT
+    MATCHED conditions may reference the source only."""
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    src = spark.createDataFrame([(1, "a")], schema)
+    for cond in (
+        "target.v <> 'x'",
+        "TARGET.v IS NULL",
+        "`target`.`v` IS NULL",
+    ):
+        with pytest.raises(ValueError, match="source columns"):
+            t.merge(
+                src,
+                "source.id = target.id",
+                [MergeClause("insert", cond, "*")],
+            )
+    # empty AND non-empty targets behave identically (the bug was the
+    # empty-target path raising while the non-empty path NULL-evaluated)
+    t.append(spark.createDataFrame([(9, "z")], schema))
+    with pytest.raises(ValueError, match="source columns"):
+        t.merge(
+            src, "source.id = target.id",
+            [MergeClause("insert", "target.v IS NULL", "*")],
+        )
+    # a source-only condition mentioning 'target.' inside a STRING LITERAL
+    # is fine — the scanner ignores quoted spans
+    res = t.merge(
+        src, "source.id = target.id",
+        [MergeClause("insert", "source.v <> 'target.v'", "*")],
+    )
+    assert res["num_inserted_rows"] == 1
+
+
+def test_merge_broadcast_gate_counts_pruned_subset(spark, tmp_path):
+    """The merge broadcast gate must count rows of the files actually read
+    (the stats-pruned subset when pruning fired), not the whole table —
+    and a file with no recorded count must disable the hint, not be
+    undercounted as 0. Functional guard: a stats-pruned merge on a table
+    whose TOTAL rows exceed any single file's count still merges
+    correctly (the gate is a plan hint, never a semantics change)."""
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, properties={"statsColumns": "id"}
+    )
+    # three files with disjoint id ranges
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame([(lo + i, f"v{lo+i}") for i in range(5)], schema)
+        )
+    src = spark.createDataFrame([(101, "NEW"), (300, "INS")], schema)
+    res = t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+        stats_prune={"id": "id"},
+    )
+    assert res["num_updated_rows"] == 1
+    assert res["num_inserted_rows"] == 1
+    rows = {r["id"]: r["v"] for r in t.to_df().collect()}
+    assert rows[101] == "NEW" and rows[300] == "INS" and len(rows) == 16
+
+
+def test_split_statements_double_quote_and_backtick(spark):
+    """';' and '--' inside double-quoted strings or backtick identifiers
+    are content, not separators/comments (previously only single quotes
+    were scanned, so a script with "a;b" split mid-statement)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        split_statements,
+        strip_comments,
+    )
+
+    stmts = split_statements(
+        'SELECT "a;b" AS x; SELECT `weird;col` FROM t; '
+        "SELECT 'lit;eral'"
+    )
+    assert len(stmts) == 3, stmts
+    assert stmts[0] == 'SELECT "a;b" AS x'
+    assert stmts[1] == "SELECT `weird;col` FROM t"
+    # doubled-char escapes stay inside the span
+    assert split_statements("SELECT \"he said \"\";\"\"\"; SELECT 1") == [
+        'SELECT "he said "";"""',
+        "SELECT 1",
+    ]
+    assert split_statements("SELECT `a``;b`; SELECT 2") == [
+        "SELECT `a``;b`",
+        "SELECT 2",
+    ]
+    # '--' inside any quoted span is not a comment
+    assert strip_comments('SELECT "x--y", `a--b`, \'c--d\' -- real comment') == (
+        'SELECT "x--y", `a--b`, \'c--d\' '
+    )
