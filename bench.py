@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     # round-5: full-sync merge (WHEN NOT MATCHED BY SOURCE) — tracks the
     # added target-sided anti-join probe next to merge_cdc_upsert
     "merge_by_source",
+    # round-7: the two re-planned scale paths, tracked so any regression
+    # back to a global-sort shape shows up as a wall-clock move (bm25 now
+    # TakeOrderedAndProject; quality buckets now broadcast thresholds) —
+    # NOT part of the 16 baseline-comparable keys
+    "ext_bm25_topk",
+    "ext_quality_buckets_scale",
 ]
 
 
