@@ -78,17 +78,19 @@ def strip_comments(sql: str) -> str:
 
 
 def _depths(s: str) -> list[int]:
-    """Paren depth at each index (quote-aware)."""
+    """Paren depth at each index — quote-aware across all three quoted-span
+    kinds (single/double-quoted strings, backtick identifiers), so a paren
+    inside any of them never changes depth."""
     depths, d, i, n = [0] * len(s), 0, 0, len(s)
-    in_str = False
     while i < n:
         c = s[i]
-        if in_str:
-            if c == "'":
-                in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
+        if c in "'\"`":
+            j = _skip_quoted(s, i)
+            for k in range(i, min(j, n)):
+                depths[k] = d
+            i = j
+            continue
+        if c == "(":
             d += 1
         elif c == ")":
             d -= 1
@@ -98,17 +100,19 @@ def _depths(s: str) -> list[int]:
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren depth 0 (quote-aware)."""
-    parts, buf, depth, in_str = [], [], 0, False
-    for c in s:
-        if in_str:
-            buf.append(c)
-            if c == "'":
-                in_str = False
+    """Split on ``sep`` at paren depth 0 — quote-aware across single- and
+    double-quoted strings and backtick identifiers (a ``sep`` inside any
+    quoted span is content: ``SET v = "a,b"`` is ONE assignment)."""
+    parts, buf, depth = [], [], 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            j = _skip_quoted(s, i)
+            buf.append(s[i:j])
+            i = j
             continue
-        if c == "'":
-            in_str = True
-        elif c == "(":
+        if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
@@ -117,6 +121,7 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
             buf = []
         else:
             buf.append(c)
+        i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
 

@@ -646,6 +646,10 @@ def quality_buckets_by_threshold(
     """
     from pyspark.sql import Window
 
+    if n_buckets <= 1:
+        return scored.select(
+            *scored.columns, F.lit(1).cast("int").alias(bucket_col)
+        )
     hist = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
     w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(score_col, F.sum("__c").over(w).alias("__cum"))
@@ -666,9 +670,7 @@ def quality_buckets_by_threshold(
     for i in range(1, n_buckets):
         cond = F.col(score_col) <= F.col(f"__t{i}")
         case = F.when(cond, i) if case is None else case.when(cond, i)
-    case = (case.otherwise(n_buckets) if case is not None else F.lit(1)).cast(
-        "int"
-    )
+    case = case.otherwise(n_buckets).cast("int")
     return scored.crossJoin(F.broadcast(th)).select(
         *scored.columns, case.alias(bucket_col)
     )

@@ -724,3 +724,63 @@ def test_builtin_codec_matches_pillow():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="PNG")
     assert np.array_equal(P.decode_png(buf.getvalue()), img)
+
+
+def test_quality_buckets_by_threshold_edges(spark):
+    """Threshold bucketing edge cases: near-equal bucket sizes on distinct
+    scores; ALL ties at a boundary fold into the lower bucket; a single
+    distinct score puts everything in bucket 1 (threshold semantics — both
+    cutoffs equal the one score); n_buckets=1 degenerates to constant 1."""
+    from incremental_etl_on_lakehouse_spark.operators.text import (
+        quality_buckets_by_threshold,
+    )
+
+    # 9 distinct scores -> exact thirds
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)], "doc_id long, cross_entropy double"
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in quality_buckets_by_threshold(df).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 3}
+
+    # massive tie straddling BOTH cuts: the tie folds entirely into bucket
+    # 1 and, its cumulative count having reached both cutoffs, t1 = t2 =
+    # the tied score — so every higher score lands in the TOP bucket
+    # (bucket 2 is empty: threshold semantics, ntile would split the tie)
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)] + [(6, 2.0), (7, 3.0), (8, 4.0)],
+        "doc_id long, cross_entropy double",
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in quality_buckets_by_threshold(df).collect()
+    }
+    assert all(out[i] == 1 for i in range(6)), out
+    assert out[6] == out[7] == out[8] == 3, out
+
+    # one distinct score: t1 = t2 = that score -> everything bucket 1
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(4)], "doc_id long, cross_entropy double"
+    )
+    assert {
+        r["ppl_bucket"]
+        for r in quality_buckets_by_threshold(df).collect()
+    } == {1}
+
+    # n_buckets=1: constant bucket, no thresholds at all
+    assert {
+        r["ppl_bucket"]
+        for r in quality_buckets_by_threshold(df, n_buckets=1).collect()
+    } == {1}
+
+    # n_buckets=4 on 8 distinct scores: exact quarters
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "doc_id long, cross_entropy double"
+    )
+    out = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in quality_buckets_by_threshold(df, n_buckets=4).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}

@@ -680,3 +680,19 @@ def test_split_statements_double_quote_and_backtick(spark):
     assert strip_comments('SELECT "x--y", `a--b`, \'c--d\' -- real comment') == (
         'SELECT "x--y", `a--b`, \'c--d\' '
     )
+
+
+def test_split_top_level_quoted_separators(spark):
+    """A separator inside double-quoted strings or backtick identifiers is
+    content: `SET v = "a,b"` is ONE assignment (same quote-scanning family
+    as split_statements)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import split_top_level
+
+    assert split_top_level('v = "a,b", w = 2') == ['v = "a,b"', "w = 2"]
+    assert split_top_level("`odd,col` = 1, w = 2") == ["`odd,col` = 1", "w = 2"]
+    assert split_top_level("v = 'a,b', w = f(x, y)") == [
+        "v = 'a,b'",
+        "w = f(x, y)",
+    ]
+    # parens inside quoted spans don't change depth
+    assert split_top_level('v = "a(b", w = 2') == ['v = "a(b"', "w = 2"]
