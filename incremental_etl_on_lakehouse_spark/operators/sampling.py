@@ -129,6 +129,86 @@ def pack_sequences(
     ).drop("__pid")
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed multinomial mixture sampling — the standard
+    multilingual/multi-source rebalancing spec (mBERT/XLM-R/mT5): stratum
+    ``s`` is sampled with probability ``q_s ∝ n_s^alpha``, flattening the
+    head and upweighting the tail as ``alpha → 0`` (``alpha = 1`` is
+    natural proportions, ``alpha = 0`` uniform across strata). The expected
+    take from ``s`` is ``target_rows·q_s``, i.e. keep-rate
+    ``r_s = min(1, target_rows·q_s / n_s)`` — the min is the
+    without-replacement cap (a tail stratum smaller than its allocation is
+    kept whole, so the realized total can undershoot ``target_rows``).
+
+    Engine-exact verdicts, same discipline as :func:`budget_mix_sample`:
+    the smoothed weight is fixed to integer micro-units
+    ``w_s = round(n_s^alpha · 1e6)`` (for the default ``alpha = 0.5`` via
+    ``sqrt``, which IEEE 754 requires to be correctly rounded — bit-equal
+    on every engine; other alphas go through ``pow``, deterministic in
+    practice but not IEEE-guaranteed), and a row is kept iff
+
+        bucket(key) · Σw · n_s  <  target_rows · w_s · BUCKETS
+
+    — all-integer DECIMAL arithmetic, no float division to flip a verdict
+    (the rate cap is automatic: ``r_s ≥ 1`` makes the RHS dominate every
+    bucket). Magnitudes: bucket < 2^32, Σw ≤ strata·1e12, n_s ≤ 1e12 keeps
+    the product < 1e38 (DECIMAL(38,0)-exact) out to corpus sizes far past
+    100 TB.
+
+    Scale: ONE corpus scan computes the per-stratum counts (map-side
+    combined; the O(strata) result is collected — metadata-scale, the same
+    precedent as :func:`pack_sequences`' partition offsets) and is rebuilt
+    as a local frame so the smoothing/total math never re-scans the
+    corpus; the weights broadcast back into a scan-bound filter — the
+    corpus itself never shuffles (plan-guarded).
+    """
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    count_rows = df.groupBy(stratum_col).agg(F.count("*").alias("__n_s")).collect()
+    if not count_rows:
+        return df.where(F.lit(False))
+    # the smoothing stays in SPARK expressions (sqrt/round/sum over the
+    # tiny local frame), not driver-side Python: Python's round() is
+    # half-even while Spark's is half-up, and keeping one engine's
+    # arithmetic is what makes the kept set engine-exact
+    counts = df.sparkSession.createDataFrame(count_rows)
+    smoothed = (
+        F.sqrt(F.col("__n_s"))
+        if alpha == 0.5
+        else F.pow(F.col("__n_s"), F.lit(float(alpha)))
+    )
+    weights = counts.withColumn(
+        "__w_micro", F.round(smoothed * F.lit(1e6)).cast("long")
+    )
+    total = weights.agg(F.sum("__w_micro").alias("__sum_w_micro"))
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(19,0)")
+
+    keep = (
+        dec(_hash_bucket(F.col(key_col)))
+        * dec(F.col("__sum_w_micro"))
+        * dec(F.col("__n_s"))
+    ) < (
+        dec(F.lit(int(target_rows)))
+        * dec(F.col("__w_micro"))
+        * dec(F.lit(_BUCKETS))
+    )
+    return (
+        df.join(F.broadcast(weights.crossJoin(total)), stratum_col)
+        .where(keep)
+        .drop("__n_s", "__w_micro", "__sum_w_micro")
+    )
+
+
 def budget_mix_sample(
     df: DataFrame,
     key_col: str,

@@ -84,12 +84,13 @@ _PRIORITY_KEYS = [
     "win_cume_dist",
     # rows-only approximate keys, never swept (3)
     "ext_sim_ivf", "ext_cluster_kmeans", "ext_semdedup",
-    # new round-7 key: the quality-bucket scale path (never swept)
-    "ext_quality_buckets_scale",
-    # evidence refreshers, oldest driver rows first (9)
+    # new round-7 keys: the quality-bucket scale path and temperature
+    # mixture sampling (never swept)
+    "ext_quality_buckets_scale", "ext_sample_temperature",
+    # evidence refreshers, oldest driver rows first (8)
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
     "src_json_batch", "src_time_travel", "ddl_create_table",
-    "proj_select_list", "filter_eq",
+    "proj_select_list",
 ]
 
 # Rotated-out keys directly behind the cap line: every key here has at
@@ -161,9 +162,8 @@ _SECOND_PRIORITY = [
     # r1/r2 green (rotated out in r3; the oldest-evidence keys —
     # ddl_drop, util_file_put_rm, util_fs_ls, fn_current_timestamp,
     # src_json_batch, src_time_travel, ddl_create_table,
-    # proj_select_list, filter_eq — hold r7 refresh slots in
-    # _PRIORITY_KEYS)
-    "join_right_outer", "proj_select_star", "filter_neq",
+    # proj_select_list — hold r7 refresh slots in _PRIORITY_KEYS)
+    "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
     "filter_conj", "derive_withcolumn", "proj_alias",
     "win_row_number_dedup", "sort_multi_key", "sort_single",
     "fn_md5_concat", "fn_input_file_name", "fn_to_utc_timestamp", "fn_nvl",

@@ -113,6 +113,50 @@ def ext_mix_budget(spark, sf_dir):
     )
 
 
+_LANG_GROUP = (
+    "CASE WHEN CAST(substring(source, 4) AS INT) < 14 THEN 'big'"
+    " WHEN CAST(substring(source, 4) AS INT) < 19 THEN 'mid'"
+    " ELSE 'small' END"
+)
+
+
+@query(
+    "ext_sample_temperature",
+    f"WITH d AS (SELECT doc_id, {_LANG_GROUP} AS lang_group FROM documents),"
+    " c AS (SELECT lang_group, count(*) AS n_s FROM d GROUP BY lang_group),"
+    " sq AS (SELECT lang_group, n_s,"
+    "  CAST(round(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro"
+    "  FROM c),"
+    " tot AS (SELECT CAST(sum(w_micro) AS HUGEINT) AS sum_w FROM sq)"
+    " SELECT d.doc_id, d.lang_group FROM d"
+    " JOIN sq USING (lang_group) CROSS JOIN tot"
+    f" WHERE CAST({_HB.format(k='d.doc_id')} AS HUGEINT) * sum_w"
+    "  * CAST(n_s AS HUGEINT)"
+    " < CAST(250 AS HUGEINT) * CAST(w_micro AS HUGEINT) * 4294967296",
+)
+def ext_sample_temperature(spark, sf_dir):
+    """Temperature-smoothed mixture sampling (mBERT/XLM-R/mT5's
+    ``q_s ∝ n_s^alpha``, here the classic alpha = 0.5) over deliberately
+    SKEWED strata (sources folded into big/mid/small language groups,
+    14:5:1): a 250-doc target is allocated by sqrt-smoothed counts —
+    flattening the big group, upweighting the small one, whose rate caps
+    at 1 (kept whole: without-replacement sampling can't upsample). sqrt
+    is IEEE-correctly-rounded and the verdict is all-integer decimal
+    arithmetic (bucket·Σw·n_s < target·w_s·BUCKETS), so the kept set is
+    bit-identical on any engine, layout, or retry (operators/sampling.py:
+    temperature_mix_sample)."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.expr(_LANG_GROUP).alias("lang_group")
+    )
+    return temperature_mix_sample(
+        docs, "doc_id", "lang_group", target_rows=250, alpha=0.5
+    ).select("doc_id", "lang_group")
+
+
 @query(
     "ext_chunk_docs",
     "WITH base AS (SELECT doc_id,"

@@ -114,6 +114,21 @@ def test_ngram_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
 
 
+def test_temperature_sample_is_broadcast_filter(spark, sf_dir):
+    """Temperature mixing joins the corpus against a broadcast metadata
+    frame (per-stratum smoothed weights + the 1-row weight total) and
+    filters scan-side: the corpus itself must never shuffle — the only
+    exchanges in the plan are the broadcast ones."""
+    df = QUERIES["ext_sample_temperature"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus scan feeds the broadcast join directly; the only exchange
+    # allowed in the output plan is the 1-row weight-total aggregate over
+    # the LOCAL O(strata) weights frame (the per-stratum corpus count runs
+    # in a separate metadata-collect job, not in this plan)
+    assert plans.shuffle_count(df) <= 1, plan
+
+
 def test_quality_buckets_scale_has_no_global_ntile(spark, sf_dir):
     """The scale variant of quality bucketing must not rank O(docs) rows
     through a global ntile window: bucket boundaries come from the

@@ -132,3 +132,60 @@ def test_budget_mix_sample_regimes(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert kept_chars < total_chars
+
+
+def test_temperature_mix_sample_rebalances(spark, sf_dir):
+    """alpha=0.5 temperature sampling: small strata keep a HIGHER rate than
+    big ones (the rebalancing point), a stratum whose allocation exceeds
+    its size is kept whole (rate caps at 1), the realized total sits near
+    the target, and the kept set is repartition-invariant. alpha=1
+    degenerates to natural proportions (equal rates)."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN CAST(substring(source, 4) AS INT) < 14 THEN 'big'"
+            " WHEN CAST(substring(source, 4) AS INT) < 19 THEN 'mid'"
+            " ELSE 'small' END"
+        ).alias("g"),
+    )
+    sizes = {r["g"]: r["n"] for r in
+             docs.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    out = temperature_mix_sample(docs, "doc_id", "g", target_rows=250)
+    kept = {r["g"]: r["n"] for r in
+            out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    rate = {g: kept.get(g, 0) / sizes[g] for g in sizes}
+    assert rate["small"] == 1.0, rate             # allocation > size: kept whole
+    assert rate["small"] > rate["mid"] > rate["big"], rate
+    total = sum(kept.values())
+    assert 200 <= total <= 260, kept              # near the 250 target
+
+    # repartition-invariant (hash verdicts, not row order)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix_sample(
+            docs.repartition(7), "doc_id", "g", target_rows=250
+        ).collect()
+    )
+    assert a == b
+
+    # alpha=1: natural proportions — every stratum sampled at ~target/N
+    nat = temperature_mix_sample(docs, "doc_id", "g", target_rows=250, alpha=1.0)
+    kept1 = {r["g"]: r["n"] for r in
+             nat.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    n_tot = sum(sizes.values())
+    for g, n in sizes.items():
+        expect = 250 * n / n_tot
+        assert abs(kept1.get(g, 0) - expect) < 0.35 * expect + 5, (g, kept1)
+
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_mix_sample(docs, "doc_id", "g", target_rows=-1)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_sample(docs, "doc_id", "g", target_rows=10, alpha=-0.5)
