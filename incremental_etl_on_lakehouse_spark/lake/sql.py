@@ -41,13 +41,19 @@ _IDENT = r"[A-Za-z_][\w.$]*"
 
 def _skip_quoted(s: str, i: int) -> int:
     """``s[i]`` is an opening quote (``'``, ``"``, or backtick): return the
-    index just past the closing quote. A doubled quote char inside the span
-    is the escape for all three (SQL string escapes, quoted identifiers).
+    index just past the closing quote. A doubled quote char is the escape
+    for all three (SQL string escapes, quoted identifiers); string
+    literals (``'``/``"``) additionally honor Spark's default backslash
+    escapes (``\\'``, ``\\"``, ``\\\\``) — backtick identifiers do not.
     An unterminated quote consumes to end-of-input."""
     q = s[i]
     j, n = i + 1, len(s)
     while j < n:
-        if s[j] == q:
+        c = s[j]
+        if c == "\\" and q != "`" and j + 1 < n:
+            j += 2  # backslash escape: next char is content
+            continue
+        if c == q:
             if j + 1 < n and s[j + 1] == q:
                 j += 2
                 continue

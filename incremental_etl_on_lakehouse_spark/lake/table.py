@@ -84,14 +84,57 @@ def _json_safe(v):
     return None
 
 
-_TARGET_REF = re.compile(r"(?i)(?<![\w`])(?:`target`|target)\s*\.")
+# `target` must start a reference path (not be preceded by `.` — that
+# would make it a struct FIELD like source.target.x, which is a source
+# reference) and be followed by `.`
+_TARGET_REF = re.compile(r"(?i)(?<![\w`.])(?:`target`|target)\s*\.")
+
+# single- or double-quoted SQL string literal; both the doubled-quote
+# escape ('' / "") and Spark's default backslash escape (\' \" \\) stay
+# inside the span
+_STR_LITERAL = re.compile(r"'(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\"")
+
+_IDENTIFIER = re.compile(r"`((?:[^`]|``)+)`|([A-Za-z_][A-Za-z0-9_]*)")
 
 
 def _refs_target(condition: str) -> bool:
     """True when a SQL condition references a ``target.``-qualified column
-    (plain or backtick-quoted alias), ignoring occurrences inside
-    single-quoted string literals ('' is the SQL escape for a quote)."""
-    return bool(_TARGET_REF.search(re.sub(r"'(?:[^']|'')*'", "''", condition)))
+    (plain or backtick-quoted alias), ignoring occurrences inside string
+    literals (single- OR double-quoted — Spark's default mode treats both
+    as strings) and struct-field paths like ``source.target.x``."""
+    return bool(_TARGET_REF.search(_STR_LITERAL.sub("''", condition)))
+
+
+def _unqualified_target_only_refs(
+    condition: str, target_only_cols: set[str]
+) -> list[str]:
+    """Column names referenced UNQUALIFIED in ``condition`` that exist only
+    on the merge target (not on the source). These are as illegal in a NOT
+    MATCHED condition as explicit ``target.`` references — there is no
+    target row — but resolve state-dependently if allowed through (NULL on
+    a non-empty target, AnalysisException on the join-free empty-target
+    plan). Resolution is case-insensitive, matching Spark's default.
+
+    Scanning is lexical: string literals are blanked; an identifier
+    preceded by ``.`` is a struct field of something else; ``source.`` /
+    ``target.`` qualifier heads are skipped; a name followed by ``(`` is a
+    function call."""
+    lowered = {c.lower() for c in target_only_cols}
+    s = _STR_LITERAL.sub("''", condition)
+    bad = []
+    for m in _IDENTIFIER.finditer(s):
+        name = m.group(1).replace("``", "`") if m.group(1) else m.group(2)
+        before = s[: m.start()].rstrip()
+        after = s[m.end() :].lstrip()
+        if before.endswith("."):  # field of another reference
+            continue
+        if after.startswith(".") and name.lower() in ("source", "target"):
+            continue  # qualifier head (target. is caught by _refs_target)
+        if after.startswith("("):  # function call
+            continue
+        if name.lower() in lowered and name not in bad:
+            bad.append(name)
+    return bad
 
 
 def _footer_stats(
@@ -2858,20 +2901,36 @@ class LakeTable:
                     "WHEN NOT MATCHED BY SOURCE UPDATE requires explicit "
                     "SET assignments (no source row to take * from)"
                 )
+        target_only = {
+            f.name for f in self.schema().fields
+        } - set(source.columns)
         for c in insert_clauses:
             # NOT MATCHED candidates have no target row, so their conditions
             # may reference source columns only (Delta's rule). Enforced at
-            # entry for EVERY merge: the empty-target fast path builds a
-            # join-free plan with no target columns at all, so without this
-            # check the same statement raised AnalysisException only when
-            # the target happened to be empty and silently NULL-evaluated
-            # the reference otherwise — state-dependent behavior.
+            # entry for EVERY merge — both the explicit `target.` form and
+            # UNQUALIFIED names that only the target has: the empty-target
+            # fast path builds a join-free plan with no target columns at
+            # all, so without this check the same statement raised
+            # AnalysisException only when the target happened to be empty
+            # and silently NULL-evaluated the reference otherwise —
+            # state-dependent behavior.
             if c.condition and _refs_target(c.condition):
                 raise ValueError(
                     "WHEN NOT MATCHED condition may reference source columns "
                     f"only (got {c.condition!r}): there is no target row for "
                     "an insert candidate"
                 )
+            if c.condition:
+                bad_refs = _unqualified_target_only_refs(
+                    c.condition, target_only
+                )
+                if bad_refs:
+                    raise ValueError(
+                        "WHEN NOT MATCHED condition may reference source "
+                        f"columns only (got {c.condition!r}, which uses "
+                        f"target-only column(s) {bad_refs}): there is no "
+                        "target row for an insert candidate"
+                    )
         old_schema = self.schema()
         old_cols = set(old_schema.fieldNames())
         write_schema = old_schema

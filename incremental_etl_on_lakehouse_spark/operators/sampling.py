@@ -170,8 +170,12 @@ def temperature_mix_sample(
     """
     if target_rows < 0:
         raise ValueError(f"target_rows must be >= 0, got {target_rows}")
-    if alpha < 0:
-        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not (0.0 <= alpha <= 1.0):
+        # temperature smoothing is defined on [0, 1] (1 = natural
+        # proportions, 0 = uniform); alpha > 1 would also overflow the
+        # micro-unit weights on large strata (n_s^alpha * 1e6 past
+        # Long.MAX saturates silently under non-ANSI casts)
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     count_rows = df.groupBy(stratum_col).agg(F.count("*").alias("__n_s")).collect()
     if not count_rows:
         return df.where(F.lit(False))

@@ -646,7 +646,9 @@ def quality_buckets_by_threshold(
     """
     from pyspark.sql import Window
 
-    if n_buckets <= 1:
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n_buckets == 1:
         return scored.select(
             *scored.columns, F.lit(1).cast("int").alias(bucket_col)
         )

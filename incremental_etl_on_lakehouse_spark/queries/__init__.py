@@ -62,10 +62,10 @@ _PRIORITY_KEYS = [
     # plus the 3 rows-only approximate keys (ext_sim_ivf,
     # ext_cluster_kmeans, ext_semdedup — their planted full-oracle
     # companions are already driver-green; these get the weaker
-    # rows-only row) — followed by 10 evidence refreshers, oldest driver
-    # rows first (the four r1-only keys, then r1/r2-block keys). After
-    # this sweep every registered key has held a driver row and rotation
-    # becomes pure oldest-first refresh.
+    # rows-only row) — then the 2 new round-7 keys, then 8 evidence
+    # refreshers, oldest driver rows first (the four r1-only keys, then
+    # r1/r2-block keys). After this sweep every registered key has held a
+    # driver row and rotation becomes pure oldest-first refresh.
     #
     # round-5 deferrals: scalar/window/simple coverage keys (15)
     "fn_datetime", "fn_map_ops", "fn_regexp_extract", "fn_array_ops",

@@ -696,3 +696,104 @@ def test_split_top_level_quoted_separators(spark):
     ]
     # parens inside quoted spans don't change depth
     assert split_top_level('v = "a(b", w = 2') == ['v = "a(b"', "w = 2"]
+
+
+def test_merge_insert_condition_validation_edges(spark, tmp_path):
+    """Second-review refinements of the NOT MATCHED validation: (a) a
+    'target.' inside a DOUBLE-quoted string literal is content (Spark's
+    default mode reads double quotes as strings); (b) source.target.x is a
+    struct field of SOURCE, not a target reference; (c) an UNQUALIFIED
+    reference to a column only the target has is rejected at entry — it
+    previously NULL-evaluated on a non-empty target but raised
+    AnalysisException on the join-free empty-target plan."""
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        _refs_target,
+        _unqualified_target_only_refs,
+    )
+
+    # (a)/(b): regex unit checks
+    assert not _refs_target('source.v <> "target.v"')
+    assert not _refs_target("source.target.x = 1")
+    assert _refs_target("target.v IS NULL")
+    assert _refs_target("`target`.v IS NULL")
+    # (c): unqualified scanner
+    assert _unqualified_target_only_refs("extra IS NULL", {"extra"}) == [
+        "extra"
+    ]
+    assert _unqualified_target_only_refs("EXTRA IS NULL", {"extra"}) == [
+        "EXTRA"
+    ]  # case-insensitive, like Spark resolution
+    assert _unqualified_target_only_refs("`extra` > 1", {"extra"}) == ["extra"]
+    assert _unqualified_target_only_refs("source.extra = 1", {"extra"}) == []
+    assert _unqualified_target_only_refs("extra(x) = 1", {"extra"}) == []
+    assert _unqualified_target_only_refs("a.extra = 1", {"extra"}) == []
+    assert _unqualified_target_only_refs("v = 'extra'", {"extra"}) == []
+
+    # end-to-end: unqualified target-only column rejected on empty AND
+    # non-empty targets alike
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("extra", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    src = spark.createDataFrame(
+        [(1, "a")],
+        StructType([StructField("id", LongType()), StructField("v", StringType())]),
+    )
+    for populate in (False, True):
+        if populate:
+            t.append(spark.createDataFrame([(9, "z", "e")], schema))
+        with pytest.raises(ValueError, match="target-only"):
+            t.merge(
+                src, "source.id = target.id",
+                [MergeClause("insert", "extra IS NULL",
+                             {"id": "source.id", "v": "source.v"})],
+            )
+    # a double-quoted literal mentioning target. is fine end-to-end
+    res = t.merge(
+        src, "source.id = target.id",
+        [MergeClause("insert", 'source.v <> "target.v"',
+                     {"id": "source.id", "v": "source.v"})],
+    )
+    assert res["num_inserted_rows"] == 1
+
+
+def test_split_statements_backslash_escapes(spark):
+    """Spark's default string literals honor backslash escapes: a ';' after
+    an escaped quote is still inside the literal."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import (
+        split_statements,
+        strip_comments,
+    )
+
+    stmts = split_statements("SELECT 'it\\'s a test; really'; SELECT 2")
+    assert stmts == ["SELECT 'it\\'s a test; really'", "SELECT 2"], stmts
+    stmts = split_statements('SELECT "she said \\"hi;\\""; SELECT 3')
+    assert stmts == ['SELECT "she said \\"hi;\\""', "SELECT 3"], stmts
+    # a literal ending in an ESCAPED backslash closes normally
+    assert split_statements("SELECT 'a\\\\'; SELECT 4") == [
+        "SELECT 'a\\\\'",
+        "SELECT 4",
+    ]
+    assert strip_comments("SELECT 'x\\'--y'") == "SELECT 'x\\'--y'"
+
+
+def test_operator_param_validation(spark):
+    """Out-of-domain parameters fail loudly: alpha outside [0,1] (above 1
+    silently overflows micro-unit weights on large strata), n_buckets < 1."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+    from incremental_etl_on_lakehouse_spark.operators.text import (
+        quality_buckets_by_threshold,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_sample(df, "id", "g", target_rows=1, alpha=2.0)
+    scored = spark.createDataFrame([(1, 1.0)], "doc_id long, cross_entropy double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        quality_buckets_by_threshold(scored, n_buckets=0)
