@@ -206,10 +206,17 @@ def temperature_mix_sample(
         * dec(F.col("__w_micro"))
         * dec(F.lit(_BUCKETS))
     )
+    # null-safe join: a NULL stratum is a stratum like any other (groupBy
+    # kept its group above) — a plain equi-join would silently drop every
+    # NULL-stratum row
+    meta = weights.crossJoin(total).withColumnRenamed(stratum_col, "__stratum")
     return (
-        df.join(F.broadcast(weights.crossJoin(total)), stratum_col)
+        df.join(
+            F.broadcast(meta),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        )
         .where(keep)
-        .drop("__n_s", "__w_micro", "__sum_w_micro")
+        .drop("__stratum", "__n_s", "__w_micro", "__sum_w_micro")
     )
 
 

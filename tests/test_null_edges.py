@@ -282,3 +282,57 @@ def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1, "x")], "k long, v string")
     with pytest.raises(ValueError, match="salted_join does not support"):
         salted_join(df, df, on=["k"], how="full")
+
+
+def test_quality_buckets_threshold_null_and_empty(spark):
+    """Threshold bucketing's degenerate inputs: an EMPTY frame yields an
+    empty result (thresholds degrade to NULL, every comparison falls to
+    the otherwise-branch of zero rows); NULL scores sort before every
+    threshold comparison, fail both `<=` tests, and land in the TOP bucket
+    — callers scoring real corpora never produce them (zero-token docs are
+    dropped by the tokenizer explode), but the operator must not crash or
+    mis-bucket non-NULL rows around them."""
+    from incremental_etl_on_lakehouse_spark.operators.text import (
+        quality_buckets_by_threshold,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, cross_entropy double")
+    assert quality_buckets_by_threshold(empty).count() == 0
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, None)],
+        "doc_id long, cross_entropy double",
+    )
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in quality_buckets_by_threshold(df).collect()}
+    # NULL joins the histogram as its own group but cannot satisfy either
+    # `score <= t` comparison -> bucket 3. With NULLS FIRST ordering the
+    # NULL group consumes one cumulative slot, so thresholds shift down a
+    # rank: t1 = 1.0 (cum 2 >= ceil(4/3)), t2 = 2.0 (cum 3 >= ceil(8/3))
+    assert out == {0: 1, 1: 2, 2: 3, 3: 3}, out
+
+
+def test_temperature_mix_sample_empty_and_null_stratum(spark):
+    """Temperature sampling's degenerate inputs: an EMPTY corpus returns
+    empty (no division by a zero weight total); a NULL stratum is a
+    stratum like any other (groupBy keeps the NULL group; the broadcast
+    join must be null-safe for its rows to survive) — pinned so a future
+    join-condition change can't silently drop NULL-stratum rows."""
+    from incremental_etl_on_lakehouse_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    empty = spark.createDataFrame([], "id long, g string")
+    assert temperature_mix_sample(empty, "id", "g", target_rows=10).count() == 0
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(20)] + [(100 + i, None) for i in range(20)],
+        "id long, g string",
+    )
+    out = temperature_mix_sample(df, "id", "g", target_rows=40)
+    by_g = {r["g"]: r["n"] for r in
+            out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # target >= corpus: every stratum's rate caps at 1 -> both kept whole,
+    # INCLUDING the NULL stratum
+    assert by_g.get("a") == 20, by_g
+    assert by_g.get(None) == 20, by_g
