@@ -238,7 +238,11 @@ def budget_mix_sample(
     decimal arithmetic (19,0 operands -> 38,0 product), so no float
     division can flip a row's
     verdict between engines (and a budget >= the stratum total keeps the
-    whole stratum). Strata without a budget are dropped.
+    whole stratum). Strata without a budget are dropped — including a
+    NULL stratum, which cannot name a budget entry (the equi-join's
+    null-rejection and the missing-budget rule agree; contrast
+    :func:`temperature_mix_sample`, where every observed stratum gets an
+    allocation and the join is therefore null-safe).
 
     Scale: one metadata-size aggregate (per-stratum totals; map-side
     combined, one tiny shuffle) broadcast back into a scan-bound filter —
