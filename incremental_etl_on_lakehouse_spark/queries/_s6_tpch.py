@@ -1036,7 +1036,7 @@ def win_ntile(spark, sf_dir):
     "SELECT doc_id,"
     " regexp_extract(text, '^([a-z]+)', 1) AS first_word,"
     " CAST(length(text) - length(regexp_replace(text, 'data', '', 'g'))"
-    "   AS BIGINT) / 4 AS n_data,"
+    "   AS BIGINT) // 4 AS n_data,"
     " regexp_extract(text, '(join|merge|sort)', 1) AS first_verb"
     " FROM documents ORDER BY doc_id",
 )

@@ -2,13 +2,23 @@
 
 Runs every ``queries()`` entry at sf0.001 and compares against
 ``oracle_sql()`` the way the driver does at sf0.01: row count, column
-names, and order-insensitive value comparison (columns sorted by name,
-rows sorted by their stringified tuple).
+names, and an order-insensitive hash of STRINGIFIED tuples (columns
+sorted by name, rows sorted).
+
+The stringified compare is the load-bearing part: the driver hashes
+``str(value)``, so ``2.0`` (DuckDB DOUBLE) and ``2`` (Spark BIGINT) are
+DIFFERENT even though Python's ``2.0 == 2`` is True.  The round-7
+``fn_regexp_extract`` red row slipped through precisely because the old
+gate compared Python values; this gate compares what the driver hashes.
+
+A type-class check (Spark dtype vs DuckDB ``DESCRIBE``) runs first so
+typing drift is caught even for columns whose current sf0.001 values
+happen to stringify identically (e.g. an all-integer-valued DOUBLE).
 """
 
 from __future__ import annotations
 
-import math
+import re
 
 import duckdb
 import pytest
@@ -34,28 +44,51 @@ def ddb(sf_dir):
     con.close()
 
 
-def normalize(cols, rows):
+def repr_class(dtype: str) -> str:
+    """Collapse a Spark dtype / DuckDB DESCRIBE type into the class that
+    determines its ``str(value)`` rendering — two columns are hash-safe
+    iff their classes match (ints of any width all print the same;
+    DOUBLE vs BIGINT do not)."""
+    t = dtype.strip().lower()
+    if t.endswith("[]"):  # DuckDB array spelling
+        return f"arr<{repr_class(t[:-2])}>"
+    m = re.fullmatch(r"array<(.+)>", t)
+    if m:
+        return f"arr<{repr_class(m.group(1))}>"
+    m = re.fullmatch(r"(?:decimal|numeric)\((\d+),\s*(\d+)\)", t)
+    if m:
+        scale = int(m.group(2))
+        # Decimal('2') prints like int 2; Decimal('2.00') does not.
+        return "int" if scale == 0 else f"dec({scale})"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+             "utinyint", "usmallint", "uinteger", "ubigint", "long", "short",
+             "byte"):
+        return "int"
+    if t in ("float", "real"):
+        return "float32"
+    if t == "double":
+        return "float64"
+    if t in ("string", "varchar", "text", "char"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t == "date":
+        return "date"
+    if t in ("timestamp", "timestamp_ntz", "datetime"):
+        return "ts"
+    if "time zone" in t or t == "timestamptz":
+        return "tstz"
+    if t in ("binary", "blob", "bytea"):
+        return "bytes"
+    return t  # map/struct/other: compare raw
+
+
+def stringify(cols, rows):
+    """The driver's hash input: columns sorted by name, every value
+    rendered with str(), rows sorted."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                # mirror a value-hash: exact-ish float comparison
-                v = float(f"{v:.10g}")
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    out = sorted(tuple(str(row[i]) for i in order) for row in rows)
     return [cols[i] for i in order], out
-
-
-def values_equal(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
-    return a == b
 
 
 # Keys whose EMPTY result is the point (a 0 = 0 row-count match anywhere
@@ -68,6 +101,7 @@ EMPTY_OK = {"ddl_create_table"}
 def test_oracle_parity(name, spark, sf_dir, ddb):
     sdf = QUERIES[name](spark, sf_dir)
     scols = sdf.columns
+    stypes = dict(sdf.dtypes)
     srows = [tuple(r) for r in sdf.collect()]
 
     res = ddb.execute(ORACLES[name])
@@ -75,18 +109,30 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+
+    # Type-class parity: value-independent, so it fires even when the
+    # sf0.001 sample happens to stringify identically on both sides.
+    desc = ddb.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    dtypes = {row[0]: row[1] for row in desc}
+    class_mismatch = {
+        c: (stypes[c], dtypes[c])
+        for c in scols
+        if repr_class(stypes[c]) != repr_class(dtypes[c])
+    }
+    assert not class_mismatch, (
+        f"{name}: hash-unsafe column types (spark vs oracle): {class_mismatch}"
+    )
+
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     if name not in EMPTY_OK:
         assert len(drows) > 0, f"{name}: vacuous — both sides empty"
 
-    _, s_norm = normalize(scols, srows)
-    _, d_norm = normalize(dcols, drows)
+    _, s_norm = stringify(scols, srows)
+    _, d_norm = stringify(dcols, drows)
     mismatches = [
-        (i, sr, dr)
-        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
-        if not all(values_equal(a, b) for a, b in zip(sr, dr))
+        (i, sr, dr) for i, (sr, dr) in enumerate(zip(s_norm, d_norm)) if sr != dr
     ]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    assert not mismatches, f"{name}: first stringified mismatches {mismatches[:3]}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
