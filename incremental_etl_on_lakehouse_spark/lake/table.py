@@ -96,6 +96,32 @@ _STR_LITERAL = re.compile(r"'(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\"")
 
 _IDENTIFIER = re.compile(r"`((?:[^`]|``)+)`|([A-Za-z_][A-Za-z0-9_]*)")
 
+# SQL words that are legal in a condition WITHOUT being column references
+# and WITHOUT parentheses/dots around them — keywords, interval units, and
+# the paren-less current_* functions. An UNQUOTED identifier matching one
+# of these is skipped by the lexical target-only scan (a column that
+# genuinely collides, e.g. one named `day`, can always be backtick-quoted,
+# which stays strict); without this, a valid condition like
+# ``source.ts > current_timestamp() - INTERVAL 1 DAY`` is falsely rejected
+# whenever the target happens to have a column named ``day``.
+_SQL_NONCOLUMN_WORDS = frozenset(
+    {
+        "and", "or", "not", "null", "true", "false",
+        "case", "when", "then", "else", "end",
+        "is", "in", "like", "rlike", "ilike", "escape", "between",
+        "cast", "as", "div", "distinct", "exists", "interval",
+        "current_timestamp", "current_date",
+    }
+    | {
+        unit + s
+        for unit in (
+            "year", "quarter", "month", "week", "day",
+            "hour", "minute", "second", "millisecond", "microsecond",
+        )
+        for s in ("", "s")
+    }
+)
+
 
 def _refs_target(condition: str) -> bool:
     """True when a SQL condition references a ``target.``-qualified column
@@ -132,6 +158,8 @@ def _unqualified_target_only_refs(
             continue  # qualifier head (target. is caught by _refs_target)
         if after.startswith("("):  # function call
             continue
+        if m.group(2) and name.lower() in _SQL_NONCOLUMN_WORDS:
+            continue  # unquoted SQL keyword / interval unit, not a column
         if name.lower() in lowered and name not in bad:
             bad.append(name)
     return bad
@@ -2901,9 +2929,13 @@ class LakeTable:
                     "WHEN NOT MATCHED BY SOURCE UPDATE requires explicit "
                     "SET assignments (no source row to take * from)"
                 )
+        # lowercased difference: Spark resolves case-insensitively by
+        # default, so a source column differing only in case from a target
+        # column still covers it — it must NOT land in target_only (a valid
+        # NOT MATCHED condition referencing it would be falsely rejected)
         target_only = {
-            f.name for f in self.schema().fields
-        } - set(source.columns)
+            f.name.lower() for f in self.schema().fields
+        } - {c.lower() for c in source.columns}
         for c in insert_clauses:
             # NOT MATCHED candidates have no target row, so their conditions
             # may reference source columns only (Delta's rule). Enforced at

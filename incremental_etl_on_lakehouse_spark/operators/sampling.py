@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 # 16^8 buckets from the first 8 hex chars of md5 — portable to any engine
@@ -182,8 +183,13 @@ def temperature_mix_sample(
     # the smoothing stays in SPARK expressions (sqrt/round/sum over the
     # tiny local frame), not driver-side Python: Python's round() is
     # half-even while Spark's is half-up, and keeping one engine's
-    # arithmetic is what makes the kept set engine-exact
-    counts = df.sparkSession.createDataFrame(count_rows)
+    # arithmetic is what makes the kept set engine-exact.
+    # Explicit schema: an ALL-NULL stratum column defeats type inference
+    # ("Some of types cannot be determined"), and NULL is a legal stratum.
+    counts_schema = T.StructType(
+        [df.schema[stratum_col], T.StructField("__n_s", T.LongType())]
+    )
+    counts = df.sparkSession.createDataFrame(count_rows, counts_schema)
     smoothed = (
         F.sqrt(F.col("__n_s"))
         if alpha == 0.5

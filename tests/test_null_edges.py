@@ -336,3 +336,14 @@ def test_temperature_mix_sample_empty_and_null_stratum(spark):
     # INCLUDING the NULL stratum
     assert by_g.get("a") == 20, by_g
     assert by_g.get(None) == 20, by_g
+
+    # ALL-NULL stratum column: type inference has no non-None value to work
+    # with, so the counts frame needs its explicit schema (taken from the
+    # corpus schema) — without it createDataFrame raises "Some of types
+    # cannot be determined"
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(20)], "id long, g string"
+    )
+    kept = temperature_mix_sample(all_null, "id", "g", target_rows=40)
+    assert kept.count() == 20
+    assert kept.columns == ["id", "g"]

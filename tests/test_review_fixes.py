@@ -761,6 +761,87 @@ def test_merge_insert_condition_validation_edges(spark, tmp_path):
     assert res["num_inserted_rows"] == 1
 
 
+def test_merge_insert_condition_keywords_and_case(spark, tmp_path):
+    """Round-8 refinements of the NOT MATCHED lexical validation:
+    (a) unquoted SQL keywords and interval units are NOT column
+    references — ``source.ts > current_timestamp() - INTERVAL 1 DAY``
+    must pass even when the target has a column literally named ``day``
+    (backtick-quoted ```day``` stays strict); (b) a source column
+    differing only in CASE from a target column still covers it under
+    Spark's default case-insensitive resolution, so it must not be
+    treated as target-only."""
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        _unqualified_target_only_refs,
+    )
+
+    # (a) keywords / interval units skipped when unquoted ...
+    assert _unqualified_target_only_refs(
+        "source.ts > current_timestamp() - INTERVAL 1 DAY", {"day", "interval"}
+    ) == []
+    assert _unqualified_target_only_refs(
+        "source.v IS NOT NULL AND source.n BETWEEN 1 AND 2",
+        {"is", "not", "null", "and", "between"},
+    ) == []
+    assert _unqualified_target_only_refs(
+        "CASE WHEN source.v = 'x' THEN true ELSE false END", {"end", "when"}
+    ) == []
+    # ... but backtick-quoted collisions stay strict
+    assert _unqualified_target_only_refs("`day` > 1", {"day"}) == ["day"]
+
+    # (a) end-to-end: target has a column named 'day'; the interval
+    # condition is legal and must not raise
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("day", StringType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t_kw"), schema)
+    src_schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    src = spark.createDataFrame([(1, "recent")], src_schema)
+    res = t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause(
+            "insert",
+            "source.v <> '' AND current_timestamp() - INTERVAL 1 DAY "
+            "< current_timestamp()",
+            {"id": "source.id", "v": "source.v"},
+        )],
+    )
+    assert res["num_inserted_rows"] == 1
+
+    # (b) case-only difference: target 'Extra' vs source 'EXTRA' — the
+    # column is covered by the source, so referencing it is legal
+    schema_b = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("Extra", StringType()),
+        ]
+    )
+    t2 = LakeTable.create(spark, str(tmp_path / "t_case"), schema_b)
+    src2 = spark.createDataFrame(
+        [(1, "a", "e")],
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("v", StringType()),
+                StructField("EXTRA", StringType()),
+            ]
+        ),
+    )
+    res2 = t2.merge(
+        src2,
+        "source.id = target.id",
+        [MergeClause("insert", "EXTRA IS NOT NULL", "*")],
+    )
+    assert res2["num_inserted_rows"] == 1
+
+
 def test_split_statements_backslash_escapes(spark):
     """Spark's default string literals honor backslash escapes: a ';' after
     an escaped quote is still inside the literal."""
