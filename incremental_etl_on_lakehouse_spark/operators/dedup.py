@@ -351,15 +351,18 @@ def ngram_jaccard_pairs(
     threshold: P(candidate) = 1-(1-s^r)^b), then the *exact* similarity is
     computed by intersecting the two rows' shingle sets
     (array_intersect/array_union — JVM-side set ops).
+
+    Scale discipline: the band self-join exchanges carry ONLY (id, band,
+    bucket) — 8-byte columns — never the shingle arrays; the arrays are
+    re-attached per surviving candidate id afterwards. Carrying them
+    through the banding would ship raw-text-derived payload x bands
+    across the wide exchange (the one place the repo's hash-keyed-
+    exchange discipline wasn't applied before round 8); the re-attach
+    joins ship each doc's shingles once per pair role instead.
     """
     sigs = minhash_signatures(df, text_col, id_col, bands * rows_per_band, shingle_k)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).join(sigs, "id")
-    banded = sh.select(
+    banded = sigs.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -377,25 +380,32 @@ def ngram_jaccard_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .where(F.col("jaccard") >= threshold)
     )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------- embedding near-dup

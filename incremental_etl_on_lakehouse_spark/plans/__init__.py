@@ -95,6 +95,28 @@ def exchange_partitionings(df: DataFrame) -> list[str]:
     return out
 
 
+def exchange_inputs(df: DataFrame) -> list[tuple[str, str]]:
+    """(partitioning, input-columns) for every Exchange in the physical
+    plan — lets tests pin WHAT PAYLOAD a shuffle carries, not just its
+    keys (e.g. assert a band-bucket exchange ships 8-byte ids, not the
+    shingle arrays the exact rescore needs later)."""
+    import re
+
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    out: list[tuple[str, str]] = []
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Exchange\b", line):
+            part = inp = ""
+            for j in range(i, min(i + 6, len(lines))):
+                if "Arguments:" in lines[j]:
+                    part = lines[j].split("Arguments:")[1].strip()
+                if re.search(r"^Input \[\d+\]:", lines[j]):
+                    inp = lines[j].split(":", 1)[1].strip()
+            out.append((part, inp))
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen subtrees (from the codegen explain —
     the AQE formatted plan hides codegen markers before execution)."""

@@ -56,24 +56,49 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-7 ROTATION (see ROTATION.md): the 50 slots hold ALL 40 keys
-    # that have never had a driver sweep row — 37 full-oracle (the 15
-    # round-5 deferrals + the 22 round-5 registrations behind the cap)
-    # plus the 3 rows-only approximate keys (ext_sim_ivf,
-    # ext_cluster_kmeans, ext_semdedup — their planted full-oracle
-    # companions are already driver-green; these get the weaker
-    # rows-only row) — then the 2 new round-7 keys, then 8 evidence
-    # refreshers, oldest driver rows first (the four r1-only keys, then
-    # r1/r2-block keys). After this sweep every registered key has held a
-    # driver row and rotation becomes pure oldest-first refresh.
+    # ROUND-8 ROTATION (see ROTATION.md): every registered key already has
+    # a driver row, so the slots are (a) the one red row's fix, (b) keys
+    # whose code paths CHANGED this round, (c) pure evidence refresh,
+    # oldest driver rows first (the r1/r2 block, then the r3 block).
     #
-    # round-5 deferrals: scalar/window/simple coverage keys (15)
-    "fn_datetime", "fn_map_ops", "fn_regexp_extract", "fn_array_ops",
+    # (a) the round-7 red row — oracle integer-division fix lands a green
+    # driver row the same round
+    "fn_regexp_extract",
+    # (b) keys on code paths changed in round 8: the ngram band join was
+    # de-texted (ids-only exchange); the merge/CDC fixed-cost work touches
+    # the merge machinery end-to-end
+    "ext_dedup_ngram_jaccard", "merge_cdc_upsert", "agg_incremental_cdf",
+    "snk_merge", "merge_agg_upsert", "snk_merge_sql",
+    # (c) evidence refresh: the r1/r2-evidence block (last driver rows r2)
+    "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
+    "filter_conj", "derive_withcolumn", "proj_alias",
+    "win_row_number_dedup", "sort_multi_key", "sort_single",
+    "fn_md5_concat", "fn_input_file_name", "fn_to_utc_timestamp", "fn_nvl",
+    "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
+    "join_merge_key",
+    # (c) evidence refresh: the r3 block (last driver rows r3)
+    "snk_update_delete_sql", "src_time_travel_ts", "util_vacuum",
+    "util_optimize_zorder", "util_restore", "agg_incremental_minmax",
+    "agg_incremental_view", "join_asof", "win_session", "stream_stateful",
+    "stream_stream_join", "filter_subquery", "agg_cube",
+    "q3_shipping_priority", "q10_returned_items", "q19_disjunctive",
+    "q22_dormant_customers",
+    "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
+    "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
+    "src_json_stream", "snk_delta_append",
+]
+
+# Rotated-out keys directly behind the cap line: every key here has at
+# least one driver-green row (ROTATION.md) and stays locally
+# hash-verified by tests/test_oracle_parity.py every run. Ordered by
+# rotation recency: round-5/6-green first, then r4, r3, r1/r2.
+_SECOND_PRIORITY = [
+    # r7-green keys (rotated out in r8)
+    "fn_datetime", "fn_map_ops", "fn_array_ops",
     "fn_higher_order", "fn_string_distance", "fn_variant_json",
     "win_ntile", "win_range_frame", "join_full_outer",
     "agg_histogram", "agg_approx_percentile", "src_text_lines",
     "ext_doc_shuffle", "ext_resample_ffill",
-    # round-5 registrations behind the cap (22)
     "src_json_auto", "merge_by_source", "util_optimize_where",
     "util_convert_to_lake", "agg_stats_moments", "win_percent_rank",
     "agg_string_agg", "ext_graph_pagerank", "stream_stateful_topk",
@@ -82,22 +107,11 @@ _PRIORITY_KEYS = [
     "stream_session_window", "join_cross", "agg_mode",
     "ddl_replace_table", "win_first_last", "fn_string_ops",
     "win_cume_dist",
-    # rows-only approximate keys, never swept (3)
     "ext_sim_ivf", "ext_cluster_kmeans", "ext_semdedup",
-    # new round-7 keys: the quality-bucket scale path and temperature
-    # mixture sampling (never swept)
     "ext_quality_buckets_scale", "ext_sample_temperature",
-    # evidence refreshers, oldest driver rows first (8)
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
     "src_json_batch", "src_time_travel", "ddl_create_table",
     "proj_select_list",
-]
-
-# Rotated-out keys directly behind the cap line: every key here has at
-# least one driver-green row (ROTATION.md) and stays locally
-# hash-verified by tests/test_oracle_parity.py every run. Ordered by
-# rotation recency: round-5/6-green first, then r4, r3, r1/r2.
-_SECOND_PRIORITY = [
     # r5/r6-green keys (rotated out in r7)
     "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
     "snk_replace_where", "ddl_rename_column", "util_bloom_skipping",
@@ -137,38 +151,16 @@ _SECOND_PRIORITY = [
     "fn_json_extract", "src_csv_batch",
     "stream_window_agg", "ext_ngram_topk", "ext_embedding_cosine",
     "ext_udf_vectorized",
-    # r3-green feature keys
-    "snk_merge_sql", "snk_update_delete_sql", "src_time_travel_ts",
-    "util_vacuum", "util_optimize_zorder", "util_restore",
-    "agg_incremental_minmax", "agg_incremental_view",
-    "join_asof", "win_session", "stream_stateful", "stream_stream_join",
-    "filter_subquery", "agg_cube",
-    "q3_shipping_priority", "q10_returned_items", "q19_disjunctive",
-    "q22_dormant_customers",
-    "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
-    "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    # multi-round core pipeline keys (r1-r3 green)
-    "src_json_stream", "snk_delta_append", "src_delta_stream",
-    "src_cdf_batch", "src_cdf_stream", "snk_merge",
-    "merge_cdc_upsert", "merge_agg_upsert",
-    "agg_sum_groupby", "agg_incremental_cdf",
+    # r3-green core pipeline keys not refreshed this round
+    "src_delta_stream", "src_cdf_batch", "src_cdf_stream",
+    "agg_sum_groupby",
     "stream_trigger_paced", "stream_checkpoint", "stream_foreachbatch",
     "stream_late_data",
-    "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
+    "ext_dedup_exact", "ext_dedup_embedding",
     "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
     "ext_quality_score", "ext_fingerprint", "ext_multimodal_col",
     "ext_sample_hash", "ext_sample_stratified", "ext_pack_sequences",
     "ext_dedup_clusters",
-    # r1/r2 green (rotated out in r3; the oldest-evidence keys —
-    # ddl_drop, util_file_put_rm, util_fs_ls, fn_current_timestamp,
-    # src_json_batch, src_time_travel, ddl_create_table,
-    # proj_select_list — hold r7 refresh slots in _PRIORITY_KEYS)
-    "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
-    "filter_conj", "derive_withcolumn", "proj_alias",
-    "win_row_number_dedup", "sort_multi_key", "sort_single",
-    "fn_md5_concat", "fn_input_file_name", "fn_to_utc_timestamp", "fn_nvl",
-    "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
-    "join_merge_key",
 ]
 
 
