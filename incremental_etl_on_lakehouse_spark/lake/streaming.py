@@ -74,8 +74,16 @@ class LakeStreamReader:
         self, commits: dict, lo: int, hi: int
     ) -> DataFrame | None:
         if self.mode == "cdf":
+            # commit-metadata emptiness probe first: at catch-up pacing the
+            # old unconditional limit(1).count() cost one Spark job per
+            # replayed commit; the log decides the common cases for free
+            hc = self.table.changes_in_range(lo, hi)
+            if hc is False:
+                return None
             df = self.table.read_changes(lo, hi)
-            return df if df.limit(1).count() else None
+            if hc is None and not df.limit(1).count():
+                return None  # undecidable from metadata: row-level probe
+            return df
         parts: list[DataFrame] = []
         for v in range(lo, hi + 1):
             c = commits.get(v)

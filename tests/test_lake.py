@@ -1644,3 +1644,77 @@ def test_footer_stats_dropped_when_row_group_coverage_partial(tmp_path):
     f2 = str(tmp_path / "y.parquet")
     pq.write_table(table, f2, row_group_size=50)
     assert _footer_stats(pq.read_metadata(f2), {"id"}) == {"id": [0, 99]}
+
+
+def test_changes_in_range_metadata_probe(spark, tmp_path):
+    """changes_in_range decides change-feed emptiness from the commit log
+    alone: True for appends/merges with rows and for cdf sidecars, False
+    for empty ranges / compaction-only windows, None when DV masking makes
+    it undecidable. Its verdicts must agree with read_changes."""
+    t = make_table(spark, tmp_path, [(1, "England", 10)])
+    src = spark.createDataFrame(
+        [(1, "England", 25, "UPDATE"), (2, "Wales", 7, "INSERT")],
+        StructType(SCHEMA.fields + [StructField("op", StringType())]),
+    )
+    t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("update", "source.op = 'UPDATE'", "*"),
+            MergeClause("insert", None, "*"),
+        ],
+    )
+    # v1 = CREATE append (rows), v2 = MERGE (cdf sidecar + ins files)
+    assert t.changes_in_range(1, 1) is True
+    assert t.changes_in_range(2, 2) is True
+    assert t.changes_in_range(1, 2) is True
+    # beyond head: provably empty
+    assert t.changes_in_range(t.version() + 1, t.version() + 5) is False
+    # compaction adds no logical rows to the feed
+    t.compact()
+    assert t.changes_in_range(t.version(), t.version()) is False
+    # agreement with the actual feed on every single-version window
+    for v in range(1, t.version() + 1):
+        verdict = t.changes_in_range(v, v)
+        actual = bool(t.read_changes(v, v).limit(1).count())
+        if verdict is not None:
+            assert verdict == actual, (v, verdict, actual)
+
+
+def test_changes_in_range_never_wrong_under_dv(spark, tmp_path):
+    """The probe's safety invariant under deletion vectors: it may return
+    None (undecidable — the reader falls back to a row-level check), but
+    it must NEVER return False for a window whose feed has rows, nor True
+    for an empty one. Exercised on the DV lifecycle that makes metadata
+    ambiguous: DV delete, overwrite, restore-with-DV-patch."""
+    schema = StructType([StructField("k", LongType())])
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dvprobe"),
+        schema,
+        properties={
+            "enableChangeDataFeed": "true",
+            "enableDeletionVectors": "true",
+        },
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(6)], schema))  # v1
+    t.delete("k >= 4")  # v2: DV on the file + cdf images
+    t.overwrite(spark.createDataFrame([(99,)], schema))  # v3
+    v4 = t.restore(2)  # v4: re-adds the file WITH its v2 deletion vector
+    for lo in range(1, v4 + 1):
+        for hi in range(lo, v4 + 1):
+            verdict = t.changes_in_range(lo, hi)
+            actual = bool(t.read_changes(lo, hi).limit(1).count())
+            if verdict is not None:
+                assert verdict == actual, (lo, hi, verdict, actual)
+    # and the cdf reader delivers the same batches as before the probe
+    seen = {}
+    reader = LakeStreamReader(
+        t, str(tmp_path / "ck_dv.json"), mode="cdf", starting_version=v4
+    )
+    reader.process_available(
+        lambda df, v: seen.setdefault(
+            v, sorted((r["_change_type"], r["k"]) for r in df.collect())
+        )
+    )
+    assert v4 in seen and ("delete", 99) in seen[v4], seen
