@@ -199,39 +199,52 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b. The band groupBy is
     the only wide operation; the pair join happens inside buckets.
+
+    Scale discipline (round 8, same as :func:`ngram_jaccard_pairs`): the
+    band self-join exchanges ONLY (id, band, bucket) — the 64-element
+    signature arrays are re-attached per DEDUPLICATED candidate pair for
+    the estimate. Carrying the arrays through the banding shipped
+    ~num_hashes x 8 bytes x bands per doc across the wide exchange; the
+    re-attach joins ship each signature once per pair role, and the
+    signature aggregation's exchange is REUSED across the three
+    consumers (Spark's ReusedExchange — the text is scanned and the
+    shingle/minhash partial work done once).
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    banded = _band_buckets(sig, num_hashes, bands)
-
+    banded = _band_buckets(sig, num_hashes, bands).select("id", "band", "bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_hashes))
-    )
-    # estimate similarity BEFORE deduplicating candidate pairs: the dedup
-    # shuffle then carries 3 scalar columns instead of two 64-element
-    # signature arrays per row
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(est, 6).alias("jaccard_sim"),
-        )
-        .where(F.col("jaccard_sim") >= jaccard_threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = cand.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(est, 6).alias("jaccard_sim"),
+    ).where(F.col("jaccard_sim") >= jaccard_threshold)
 
 
 def dedup_minhash(

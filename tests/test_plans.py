@@ -700,18 +700,23 @@ def test_ngram_jaccard_band_exchange_carries_no_arrays(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3)
-        exchanges = plans.exchange_inputs(df)
+        frames = {
+            "ngram": dedup.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.3),
+            "minhash": dedup.minhash_lsh_pairs(docs),
+        }
+        all_exchanges = {
+            name: plans.exchange_inputs(df) for name, df in frames.items()
+        }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    banded = [
-        (part, inp)
-        for part, inp in exchanges
-        if "band" in part or "bucket" in part
-    ]
-    assert banded, exchanges  # the guard must actually see the band join
-    for part, inp in banded:
-        assert "sh#" not in inp and "sh_a" not in inp and "sh_b" not in inp, (
-            part, inp,
-        )
-        assert "text" not in inp, (part, inp)
+    for name, exchanges in all_exchanges.items():
+        banded = [
+            (part, inp)
+            for part, inp in exchanges
+            if "band" in part or "bucket" in part
+        ]
+        assert banded, (name, exchanges)  # the guard must see the band join
+        for part, inp in banded:
+            assert "sh#" not in inp and "sh_a" not in inp, (name, part, inp)
+            assert "sig#" not in inp and "sig_a" not in inp, (name, part, inp)
+            assert "text" not in inp, (name, part, inp)
