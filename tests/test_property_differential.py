@@ -1,0 +1,239 @@
+"""Differential relational fuzzing: random project/filter/aggregate/join
+plans built simultaneously as a Spark DataFrame plan and as DuckDB SQL from
+ONE plan description, compared with the DRIVER-STRICT stringified-tuple
+rule (str(value) per cell, columns sorted by name, rows sorted).
+
+This covers two things no single hand-written oracle can:
+
+- the ENGINE, across a combinatorial space of filter/agg/join compositions
+  rather than the fixed shapes the query registry pins;
+- the ORACLE-WRITING DISCIPLINE itself — every generated aggregate goes
+  through the same typing rules the registry uses (DECIMAL accumulators
+  for money sums, explicit BIGINT counts, integer division via //), so a
+  new typing pitfall in that discipline shows up here before it ships in
+  a registered oracle and fails a driver sweep.
+
+Deterministic seeds, bounded plan count: ~40 round-trips at sf0.001.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_etl_on_lakehouse_spark.tables import load_table
+
+# ---------------------------------------------------------------- plan AST
+# Predicates over lineitem columns, as (spark_builder, sql_text) pairs
+# sharing one literal pool. Columns chosen so both engines compare
+# identically (strings, exact decimals-as-double with equality-safe
+# comparisons, dates via ISO literals).
+
+_FILTER_FAMILIES = [
+    # one family per column: sampling at most one member per family keeps
+    # random conjunctions satisfiable (no `qty > 25 AND qty <= 10`), so
+    # the vacuous-plan guard stays meaningful
+    [
+        (lambda: F.col("l_returnflag") == "N", "l_returnflag = 'N'"),
+        (lambda: F.col("l_returnflag") != "A", "l_returnflag <> 'A'"),
+    ],
+    [(lambda: F.col("l_linestatus") == "F", "l_linestatus = 'F'")],
+    [
+        (lambda: F.col("l_quantity") > 25.0, "l_quantity > 25.0"),
+        (lambda: F.col("l_quantity") <= 10.0, "l_quantity <= 10.0"),
+    ],
+    [(lambda: F.col("l_discount") >= 0.05, "l_discount >= 0.05")],
+    [(lambda: F.col("l_tax") < 0.04, "l_tax < 0.04")],
+    [
+        (
+            lambda: F.col("l_shipdate") >= "1995-06-01",
+            "l_shipdate >= TIMESTAMP '1995-06-01'",
+        ),
+        (
+            lambda: F.col("l_shipdate") < "1997-01-01",
+            "l_shipdate < TIMESTAMP '1997-01-01'",
+        ),
+    ],
+    [(lambda: F.col("l_orderkey") % 7 == 0, "l_orderkey % 7 = 0")],
+    [(lambda: F.col("l_partkey") % 3 == 1, "l_partkey % 3 = 1")],
+    [(lambda: F.col("l_suppkey") % 5 != 2, "l_suppkey % 5 <> 2")],
+]
+
+
+def _sample_filters(rng: random.Random, k: int) -> list:
+    families = rng.sample(_FILTER_FAMILIES, k)
+    return [rng.choice(fam) for fam in families]
+
+# Aggregates following the registry's typing discipline: money through
+# DECIMAL accumulators cast back to DOUBLE, counts as BIGINT, integer
+# sums as BIGINT. Each entry: (alias, spark_column_builder, sql_expr).
+_AGGS = [
+    (
+        "n_rows",
+        lambda: F.count("*").alias("n_rows"),
+        "count(*) AS n_rows",
+    ),
+    (
+        "sum_qty",
+        lambda: F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty",
+    ),
+    (
+        "sum_price",
+        lambda: F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+        " AS sum_price",
+    ),
+    (
+        "n_orders",
+        lambda: F.countDistinct("l_orderkey").alias("n_orders"),
+        "count(DISTINCT l_orderkey) AS n_orders",
+    ),
+    (
+        "min_ship",
+        lambda: F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias(
+            "min_ship"
+        ),
+        "strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship",
+    ),
+    (
+        "max_flag",
+        lambda: F.max("l_returnflag").alias("max_flag"),
+        "max(l_returnflag) AS max_flag",
+    ),
+    (
+        "sum_keymod",
+        lambda: F.sum(F.col("l_orderkey") % 97).alias("sum_keymod"),
+        "sum(l_orderkey % 97) AS sum_keymod",
+    ),
+]
+
+_GROUPS = [
+    (["l_returnflag"], "l_returnflag"),
+    (["l_linestatus"], "l_linestatus"),
+    (["l_returnflag", "l_linestatus"], "l_returnflag, l_linestatus"),
+    (
+        ["l_returnflag", "l_linenumber"],
+        "l_returnflag, l_linenumber",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def strict_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+def run_both(spark, sf_dir, ddb, sdf, sql):
+    srows = strict_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = ddb.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = strict_rows(dcols, res.fetchall())
+    assert sorted(sdf.columns) == sorted(dcols), (sdf.columns, dcols, sql)
+    assert srows == drows, (
+        sql,
+        len(srows),
+        len(drows),
+        [p for p in zip(srows, drows) if p[0] != p[1]][:3],
+    )
+    return len(srows)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_filter_aggregate(spark, sf_dir, ddb, seed):
+    rng = random.Random(1000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(1, 3))
+    group_cols, group_sql = rng.choice(_GROUPS)
+    aggs = rng.sample(_AGGS, rng.randint(1, 4))
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.groupBy(*group_cols).agg(*[ab() for _, ab, _ in aggs])
+
+    where_sql = " AND ".join(fs for _, fs in filters)
+    agg_sql = ", ".join(asql for _, _, asql in aggs)
+    sql = (
+        f"SELECT {group_sql}, {agg_sql} FROM lineitem"
+        f" WHERE {where_sql} GROUP BY {group_sql}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    # vacuous-pass guard: a plan whose filters eliminate everything
+    # proves nothing; the pools are chosen so this cannot happen
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_join_aggregate(spark, sf_dir, ddb, seed):
+    rng = random.Random(2000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    filters = _sample_filters(rng, rng.randint(0, 2))
+    aggs = rng.sample(_AGGS, rng.randint(1, 3))
+    use_status = rng.random() < 0.5
+    group_cols = (
+        ["o_orderstatus", "l_returnflag"] if use_status else ["o_orderpriority"]
+    )
+
+    df = li.join(o, li.l_orderkey == o.o_orderkey)
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.groupBy(*group_cols).agg(*[ab() for _, ab, _ in aggs])
+
+    where_sql = " AND ".join(fs for _, fs in filters) or "TRUE"
+    agg_sql = ", ".join(asql for _, _, asql in aggs)
+    group_sql = ", ".join(group_cols)
+    sql = (
+        f"SELECT {group_sql}, {agg_sql} FROM lineitem l"
+        f" JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        f" WHERE {where_sql} GROUP BY {group_sql}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_project_sort_limit_free(spark, sf_dir, ddb, seed):
+    """Projection + filter + full ordered output (no LIMIT — a limit
+    without a total order is nondeterministic on both engines)."""
+    rng = random.Random(3000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(2, 4))
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % 10).alias("bucket"),
+    )
+    where_sql = " AND ".join(fs for _, fs in filters)
+    sql = (
+        "SELECT l_orderkey, l_linenumber, l_returnflag AS flag,"
+        " l_orderkey % 10 AS bucket FROM lineitem"
+        f" WHERE {where_sql}"
+    )
+    run_both(spark, sf_dir, ddb, df, sql)
