@@ -5,12 +5,14 @@ all shape-changing work (decode, resize, frame-sample, feature-extract) runs
 as Arrow-batched ``mapInPandas`` transforms so Python touches data in
 columnar batches, never row-at-a-time.
 
-The decode kernels themselves are STUBBED — this container has no image or
-audio libraries — behind ``decoder=`` callables that default to a
-deterministic fake (documented) or raise ``NotImplementedError`` for the
-real-codec path. The Spark-side plumbing (schemas, batch iteration,
-partitioning behavior) is real and tested; swapping in Pillow/ffmpeg is a
-one-function change.
+Decode kernels: PNG images decode REAL via the pure-stdlib codec
+(``png_codec`` — zlib inflate + scanline unfilter) and WAV audio decodes
+REAL via stdlib ``wave``/``struct`` (``wav_codec``); only the non-PNG
+image formats and video fall back to deterministic fakes behind
+``decoder=`` callables (this container has no Pillow/ffmpeg), or raise
+``NotImplementedError`` on the explicit real-codec path. The Spark-side
+plumbing (schemas, batch iteration, partitioning behavior) is real and
+tested; swapping in Pillow/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -199,6 +201,60 @@ def extract_features(
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("min_sample", IntegerType()),
+        StructField("max_sample", IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], tuple[int, int, list[int]]] | None = None,
+) -> DataFrame:
+    """Decode WAV audio and emit integer-exact per-clip statistics via
+    mapInPandas (Arrow batches). Unlike the image path, the DEFAULT
+    decoder here is a real codec — ``wav_codec.decode_wav`` is pure
+    stdlib — so the audio pipeline is genuinely bytes -> samples -> stats
+    with no optional dependency. Statistics are integers (sum/min/max of
+    int16 PCM), bit-identical on any engine or retry, so the path is
+    full-oracle checkable. Partitioning preserved; no shuffle."""
+    if decoder is None:
+        from incremental_etl_on_lakehouse_spark.operators.wav_codec import (
+            decode_wav,
+        )
+
+        decoder = decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "sum_samples": [], "min_sample": [],
+                "max_sample": [],
+            }
+            for mid, b in zip(pdf[id_col], pdf[content_col]):
+                sr, nch, samples = decoder(bytes(b) if b is not None else b"")
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(len(samples))
+                out["sum_samples"].append(sum(samples))
+                out["min_sample"].append(min(samples) if samples else 0)
+                out["max_sample"].append(max(samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_video_frames(

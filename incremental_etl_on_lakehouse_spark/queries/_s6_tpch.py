@@ -2988,6 +2988,57 @@ def ext_multimodal_decode(spark, sf_dir):
 
 
 @query(
+    "ext_multimodal_audio",
+    # planted 16-bit PCM clips: clip m has 64+32m samples at 8/16 kHz with
+    # sample_i = ((m*7919 + i*104729) % 65536) - 32768 — the oracle
+    # recomputes the same integer formula, so every statistic is exact
+    "WITH clips AS ("
+    " SELECT m AS media_id, 64 + 32*m AS n,"
+    " CASE WHEN m % 2 = 1 THEN 8000 ELSE 16000 END AS sr"
+    " FROM range(1, 9) t(m)"
+    "), samp AS ("
+    " SELECT media_id, n, sr,"
+    " ((media_id*7919 + u.i*104729) % 65536) - 32768 AS s"
+    " FROM clips, UNNEST(generate_series(0, n - 1)) AS u(i)"
+    ")"
+    " SELECT media_id, CAST(min(sr) AS INT) AS sample_rate,"
+    " CAST(1 AS INT) AS n_channels,"
+    " CAST(count(*) AS BIGINT) AS n_samples,"
+    " CAST(sum(s) AS BIGINT) AS sum_samples,"
+    " CAST(min(s) AS INT) AS min_sample,"
+    " CAST(max(s) AS INT) AS max_sample"
+    " FROM samp GROUP BY media_id ORDER BY media_id",
+)
+def ext_multimodal_audio(spark, sf_dir):
+    """REAL audio decode end-to-end, no audio library: planted 16-bit PCM
+    WAV clips are parsed by the pure-stdlib RIFF/WAVE codec (operators/
+    wav_codec.py — ``wave`` chunk handling + ``struct`` PCM frames) inside
+    the Arrow-batched mapInPandas extractor (multimodal.py:
+    extract_audio_features). The audio sibling of ext_multimodal_decode's
+    real-PNG path: bytes -> samples -> integer statistics is the genuine
+    computation, and the oracle pins the exact values by recomputing the
+    planting formula in SQL.
+
+    Scale: decode runs per-cell inside mapInPandas workers on columnar
+    Arrow batches — no shuffle, no driver involvement; a real audio
+    corpus lands as binary columns read in parallel like any other."""
+    from incremental_etl_on_lakehouse_spark.operators.wav_codec import (
+        encode_wav,
+    )
+
+    rows = []
+    for m in range(1, 9):
+        n = 64 + 32 * m
+        sr = 8000 if m % 2 == 1 else 16000
+        samples = [((m * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+        rows.append((m, "audio", bytearray(encode_wav(samples, sr))))
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    return MM.extract_audio_features(df).orderBy("media_id")
+
+
+@query(
     "stream_session_window",
     # Gap-based sessionization on a STREAM (batch counterpart: win_session,
     # same 30-min inclusive gap). Append mode emits a session once the

@@ -784,3 +784,43 @@ def test_quality_buckets_by_threshold_edges(spark):
         for r in quality_buckets_by_threshold(df, n_buckets=4).collect()
     }
     assert out == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+
+
+def test_wav_codec_roundtrip_and_audio_features(spark):
+    """The stdlib WAV codec round-trips 16-bit PCM exactly (mono and
+    stereo, both sample rates), rejects non-16-bit widths loudly, and the
+    Arrow-batched feature extractor reproduces the exact integer stats."""
+    from incremental_etl_on_lakehouse_spark.operators import wav_codec
+
+    samples = [0, 1, -1, 32767, -32768, 123, -456, 789]
+    for sr in (8000, 44100):
+        buf = wav_codec.encode_wav(samples, sr)
+        got_sr, nch, got = wav_codec.decode_wav(buf)
+        assert (got_sr, nch, got) == (sr, 1, samples)
+    # stereo interleaved
+    buf = wav_codec.encode_wav(samples, 16000, n_channels=2)
+    got_sr, nch, got = wav_codec.decode_wav(buf)
+    assert (got_sr, nch, got) == (16000, 2, samples)
+    with pytest.raises(ValueError, match="multiple of n_channels"):
+        wav_codec.encode_wav([1, 2, 3], 8000, n_channels=2)
+    # 8-bit PCM is rejected, not silently mis-scaled
+    import io
+    import wave as wv
+
+    b = io.BytesIO()
+    with wv.open(b, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([0, 255, 128]))
+    with pytest.raises(ValueError, match="16-bit"):
+        wav_codec.decode_wav(b.getvalue())
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_codec.encode_wav(samples, 8000)))],
+        "media_id long, media_type string, content binary",
+    )
+    row = multimodal.extract_audio_features(df).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["n_channels"] == 1
+    assert row["n_samples"] == len(samples)
+    assert row["sum_samples"] == sum(samples)
+    assert row["min_sample"] == -32768 and row["max_sample"] == 32767
