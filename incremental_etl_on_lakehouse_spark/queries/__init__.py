@@ -85,11 +85,11 @@ _PRIORITY_KEYS = [
     "q22_dormant_customers",
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    "src_json_stream",
-    # new round-8 key: REAL stdlib WAV decode (full oracle) — new keys get
-    # a driver row the round they land; snk_delta_append yields its
-    # refresh slot (r3-green, stays locally hash-verified)
-    "ext_multimodal_audio",
+    # new round-8 keys: REAL stdlib WAV audio + y4m video decode paths
+    # (full oracles) — new keys get a driver row the round they land;
+    # snk_delta_append and src_json_stream yield their refresh slots
+    # (r3-green, stay locally hash-verified)
+    "ext_multimodal_audio", "ext_multimodal_video",
 ]
 
 # Rotated-out keys directly behind the cap line: every key here has at
@@ -156,7 +156,8 @@ _SECOND_PRIORITY = [
     "stream_window_agg", "ext_ngram_topk", "ext_embedding_cosine",
     "ext_udf_vectorized",
     # r3-green core pipeline keys not refreshed this round
-    "snk_delta_append", "src_delta_stream", "src_cdf_batch", "src_cdf_stream",
+    "src_json_stream", "snk_delta_append",
+    "src_delta_stream", "src_cdf_batch", "src_cdf_stream",
     "agg_sum_groupby",
     "stream_trigger_paced", "stream_checkpoint", "stream_foreachbatch",
     "stream_late_data",

@@ -3039,6 +3039,65 @@ def ext_multimodal_audio(spark, sf_dir):
 
 
 @query(
+    "ext_multimodal_video",
+    # planted C444 y4m clips: video m is 8x4, 2+m frames, plane bytes
+    # y=(13m+71f+31p)%256, u=(7m+29f+17p)%256, v=(5m+53f+11p)%256 — the
+    # oracle recomputes the formulas per (video, frame), integer-exact
+    "WITH vids AS ("
+    " SELECT m AS media_id, 2 + m AS n_frames FROM range(1, 5) t(m)"
+    "), fr AS ("
+    " SELECT media_id, n_frames, u.f"
+    " FROM vids, UNNEST(generate_series(0, n_frames - 1)) AS u(f)"
+    "), px AS ("
+    " SELECT media_id, n_frames, f,"
+    " (media_id*13 + f*71 + p.p*31) % 256 AS yv,"
+    " (media_id*7 + f*29 + p.p*17) % 256 AS uv,"
+    " (media_id*5 + f*53 + p.p*11) % 256 AS vv"
+    " FROM fr, UNNEST(generate_series(0, 31)) AS p(p)"
+    ")"
+    " SELECT media_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,"
+    " CAST(n_frames AS INT) AS n_frames, CAST(f AS INT) AS frame_index,"
+    " CAST(sum(yv) AS BIGINT) AS sum_y, CAST(sum(uv) AS BIGINT) AS sum_u,"
+    " CAST(sum(vv) AS BIGINT) AS sum_v"
+    " FROM px GROUP BY media_id, n_frames, f ORDER BY media_id, f",
+)
+def ext_multimodal_video(spark, sf_dir):
+    """REAL video decode end-to-end, no media library: planted YUV4MPEG2
+    (.y4m — the raw-video interchange format ffmpeg/x264 read and write)
+    clips are parsed by the pure-stdlib codec (operators/y4m_codec.py —
+    stream-header parse + per-FRAME plane slicing) inside Arrow-batched
+    mapInPandas (multimodal.py: extract_video_features), one output row
+    per frame with integer-exact plane sums. Completes the real-codec
+    triad: PNG images (ext_multimodal_decode), PCM WAV audio
+    (ext_multimodal_audio), y4m video — all three modalities decode real
+    bytes with zero external dependencies, and each oracle pins exact
+    values by recomputing the planting formula in SQL.
+
+    Scale: decode + per-frame explode run inside the mapInPandas worker
+    (no shuffle, no driver); a real video corpus lands as binary columns
+    read in parallel like any other."""
+    from incremental_etl_on_lakehouse_spark.operators.y4m_codec import (
+        encode_y4m,
+    )
+
+    W, H = 8, 4
+    plane = W * H
+    rows = []
+    for m in range(1, 5):
+        frames = []
+        for f in range(2 + m):
+            y = bytes((m * 13 + f * 71 + p * 31) % 256 for p in range(plane))
+            u = bytes((m * 7 + f * 29 + p * 17) % 256 for p in range(plane))
+            v = bytes((m * 5 + f * 53 + p * 11) % 256 for p in range(plane))
+            frames.append((y, u, v))
+        rows.append((m, "video", bytearray(encode_y4m(frames, W, H))))
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    return MM.extract_video_features(df).orderBy("media_id", "frame_index")
+
+
+@query(
     "stream_session_window",
     # Gap-based sessionization on a STREAM (batch counterpart: win_session,
     # same 30-min inclusive gap). Append mode emits a session once the

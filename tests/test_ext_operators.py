@@ -824,3 +824,42 @@ def test_wav_codec_roundtrip_and_audio_features(spark):
     assert row["n_samples"] == len(samples)
     assert row["sum_samples"] == sum(samples)
     assert row["min_sample"] == -32768 and row["max_sample"] == 32767
+
+
+def test_y4m_codec_roundtrip_and_video_features(spark):
+    """The stdlib y4m codec round-trips C444 planes exactly, parses the
+    C420 frame-size math, rejects unknown colorspaces/truncation loudly,
+    and the Arrow-batched per-frame extractor reproduces exact sums."""
+    from incremental_etl_on_lakehouse_spark.operators import y4m_codec
+
+    W, H = 4, 2
+    f0 = (bytes(range(8)), bytes([10] * 8), bytes([200] * 8))
+    f1 = (bytes([255] * 8), bytes(range(100, 108)), bytes([0] * 8))
+    buf = y4m_codec.encode_y4m([f0, f1], W, H, fps=(30, 1))
+    w, h, fps, frames = y4m_codec.decode_y4m(buf)
+    assert (w, h, fps) == (4, 2, (30, 1))
+    assert frames == [f0, f1]
+    # C420: u/v planes are quarter-size — hand-build one frame
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n"
+    y = bytes(range(8)); u = bytes([1, 2]); v = bytes([3, 4])
+    w, h, _, frames = y4m_codec.decode_y4m(hdr + b"FRAME\n" + y + u + v)
+    assert frames == [(y, u, v)]
+    with pytest.raises(ValueError, match="colorspace"):
+        y4m_codec.decode_y4m(b"YUV4MPEG2 W4 H2 C999\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_codec.decode_y4m(buf[:-3])
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        y4m_codec.decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="planes must be"):
+        y4m_codec.encode_y4m([(b"xy", b"xy", b"xy")], W, H)
+
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(buf))],
+        "media_id long, media_type string, content binary",
+    )
+    rows = {r["frame_index"]: r for r in
+            multimodal.extract_video_features(df).collect()}
+    assert rows[0]["sum_y"] == sum(range(8))
+    assert rows[0]["sum_u"] == 80 and rows[0]["sum_v"] == 1600
+    assert rows[1]["sum_y"] == 255 * 8
+    assert rows[1]["n_frames"] == 2 and rows[1]["width"] == 4
