@@ -63,6 +63,7 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
         F.when(magic.startswith("89504E47"), "png")
         .when(magic.startswith("FFD8"), "jpeg")
         .when(magic.startswith("52494646"), "riff-wav")
+        .when(magic.startswith("59555634"), "y4m")  # "YUV4"MPEG2
         .otherwise("unknown")
     )
     return df.withColumn("sniffed_format", fmt).withColumn("n_bytes", F.length(c).cast("long"))

@@ -237,3 +237,83 @@ def test_random_project_sort_limit_free(spark, sf_dir, ddb, seed):
         f" WHERE {where_sql}"
     )
     run_both(spark, sf_dir, ddb, df, sql)
+
+
+# Scalar expression pairs (spark_builder, sql_expr) sharing an alias —
+# string ops, date parts, integer division — the spellings the registry's
+# oracles rely on agreeing across engines.
+_SCALARS = [
+    (
+        "up_flag",
+        lambda: F.upper(F.col("l_returnflag")).alias("up_flag"),
+        "upper(l_returnflag) AS up_flag",
+    ),
+    (
+        "fs2",
+        lambda: F.substring(
+            F.concat(F.col("l_linestatus"), F.col("l_returnflag")), 1, 2
+        ).alias("fs2"),
+        "substr(l_linestatus || l_returnflag, 1, 2) AS fs2",
+    ),
+    (
+        "ship_year",
+        lambda: F.year("l_shipdate").cast("long").alias("ship_year"),
+        "CAST(year(l_shipdate) AS BIGINT) AS ship_year",
+    ),
+    (
+        "ship_month",
+        lambda: F.month("l_shipdate").cast("long").alias("ship_month"),
+        "CAST(month(l_shipdate) AS BIGINT) AS ship_month",
+    ),
+    (
+        "key_div",
+        lambda: F.expr("l_orderkey div 7").alias("key_div"),
+        "l_orderkey // 7 AS key_div",
+    ),
+    (
+        "key_abs",
+        lambda: F.abs(F.col("l_orderkey") % 13 - 6).alias("key_abs"),
+        "abs(l_orderkey % 13 - 6) AS key_abs",
+    ),
+    (
+        "tag",
+        lambda: F.concat_ws(
+            "-", F.col("l_returnflag"), F.col("l_linestatus")
+        ).alias("tag"),
+        "concat_ws('-', l_returnflag, l_linestatus) AS tag",
+    ),
+    (
+        "flag_len",
+        lambda: F.length(F.concat(F.col("l_returnflag"), F.lit("x")))
+        .cast("long")
+        .alias("flag_len"),
+        "CAST(length(l_returnflag || 'x') AS BIGINT) AS flag_len",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_scalar_projection(spark, sf_dir, ddb, seed):
+    """Scalar-function spellings (string ops, date parts, integer
+    division) agree across engines on real rows under the strict
+    stringified compare — the cross-engine contract every registered
+    oracle's scalar expressions assume."""
+    rng = random.Random(4000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(1, 3))
+    scalars = rng.sample(_SCALARS, rng.randint(2, 4))
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.select(
+        "l_orderkey", "l_linenumber", *[sb() for _, sb, _ in scalars]
+    )
+    where_sql = " AND ".join(fs for _, fs in filters)
+    scalar_sql = ", ".join(ss for _, _, ss in scalars)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {scalar_sql} FROM lineitem"
+        f" WHERE {where_sql}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
