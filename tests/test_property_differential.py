@@ -317,3 +317,77 @@ def test_random_scalar_projection(spark, sf_dir, ddb, seed):
     )
     n = run_both(spark, sf_dir, ddb, df, sql)
     assert n > 0, f"vacuous plan: {sql}"
+
+
+# Window specs over the UNIQUE total order (l_orderkey, l_linenumber) —
+# unique ordering makes every ranking function deterministic, so rank()
+# and row_number() are cross-engine comparable.
+_WINDOW_FNS = [
+    (
+        "rn",
+        lambda w: F.row_number().over(w).cast("long").alias("rn"),
+        "row_number() OVER w AS rn",
+    ),
+    (
+        "rk",
+        lambda w: F.rank().over(w).cast("long").alias("rk"),
+        "rank() OVER w AS rk",
+    ),
+    (
+        "prev_line",
+        lambda w: F.lag("l_linenumber", 1, -1).over(w).cast("long")
+        .alias("prev_line"),
+        "CAST(coalesce(lag(l_linenumber, 1) OVER w, -1) AS BIGINT)"
+        " AS prev_line",
+    ),
+    (
+        "run_keymod",
+        lambda w: F.sum(F.col("l_orderkey") % 97).over(w).alias("run_keymod"),
+        "sum(l_orderkey % 97) OVER w AS run_keymod",
+    ),
+    (
+        "tile4",
+        lambda w: F.ntile(4).over(w).cast("long").alias("tile4"),
+        "ntile(4) OVER w AS tile4",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_window_functions(spark, sf_dir, ddb, seed):
+    """Window functions over a unique total order agree across engines —
+    the machinery the repo's dedup_latest / sessionization / bucketing
+    paths are built on. The running-sum frame is both engines' default
+    (RANGE UNBOUNDED PRECEDING..CURRENT ROW; ties impossible under the
+    unique order, so it equals ROWS)."""
+    from pyspark.sql.window import Window
+
+    rng = random.Random(5000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(1, 2))
+    part_cols, part_sql = rng.choice(
+        [
+            (["l_returnflag"], "l_returnflag"),
+            (["l_linestatus"], "l_linestatus"),
+            (["l_returnflag", "l_linestatus"], "l_returnflag, l_linestatus"),
+        ]
+    )
+    fns = rng.sample(_WINDOW_FNS, rng.randint(1, 3))
+
+    w = Window.partitionBy(*part_cols).orderBy("l_orderkey", "l_linenumber")
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.select(
+        "l_orderkey", "l_linenumber", *part_cols, *[fb(w) for _, fb, _ in fns]
+    )
+    where_sql = " AND ".join(fs for _, fs in filters)
+    fn_sql = ", ".join(fs for _, _, fs in fns)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {part_sql}, {fn_sql}"
+        f" FROM lineitem WHERE {where_sql}"
+        f" WINDOW w AS (PARTITION BY {part_sql}"
+        f" ORDER BY l_orderkey, l_linenumber)"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
