@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -121,6 +122,32 @@ _SQL_NONCOLUMN_WORDS = frozenset(
         for s in ("", "s")
     }
 )
+
+
+@contextlib.contextmanager
+def _micro_plan_mode(spark: SparkSession, active: bool):
+    """Scoped AQE disable for PROVABLY-MICRO jobs.
+
+    AQE's per-shuffle query-stage materialization is the right trade on
+    big inputs (skew split, partition coalescing) but is pure fixed cost
+    on a job the caller KNOWS is a few-thousand-row rewrite — measured
+    14-26% of micro-batch merge wall on the sf0.1 CDC keys. Callers gate
+    ``active`` on exact row counts from the commit log / plan probe
+    (metadata-driven, like the merge broadcast hint), so a big write
+    never loses AQE. Config scope is the session: concurrent writers in
+    one session may transiently plan without AQE — a performance-mode
+    wobble only, never a semantics change.
+    """
+    if not active:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _refs_target(condition: str) -> bool:
@@ -3373,15 +3400,26 @@ class LakeTable:
                 touched_total = sum(
                     active_rows.get(self._rel_of(f), 0) for f in touched
                 )
+            # Provably-micro write jobs skip AQE's query-stage overhead:
+            # both sizes are EXACT by now — the source from the plan probe
+            # (every source row landed in one action count), the rewrite
+            # from the log's per-file row counts — so the gate never
+            # misfires on a big write (cf. the broadcast hint above).
+            micro_jobs = (
+                sum(action_counts.values()) <= 100_000
+                and touched_total + n_ins <= 1_000_000
+            )
             if split_inserts:
                 if touched:
-                    adds, written_rows = self._stage_write(
-                        self._align(survivors, write_schema),
-                        expected_rows=touched_total - n_del,
+                    with _micro_plan_mode(self.spark, micro_jobs):
+                        adds, written_rows = self._stage_write(
+                            self._align(survivors, write_schema),
+                            expected_rows=touched_total - n_del,
+                        )
+                with _micro_plan_mode(self.spark, micro_jobs):
+                    ins_adds, ins_rows = self._stage_write(
+                        self._align(inserts, write_schema), expected_rows=n_ins
                     )
-                ins_adds, ins_rows = self._stage_write(
-                    self._align(inserts, write_schema), expected_rows=n_ins
-                )
                 for a in ins_adds:
                     a["ins"] = True
                 adds = adds + ins_adds
@@ -3398,9 +3436,10 @@ class LakeTable:
                         new_data = new_data.unionByName(
                             self._align(inserts, write_schema)
                         )
-                adds, written_rows = self._stage_write(
-                    new_data, expected_rows=touched_total - n_del + n_ins
-                )
+                with _micro_plan_mode(self.spark, micro_jobs):
+                    adds, written_rows = self._stage_write(
+                        new_data, expected_rows=touched_total - n_del + n_ins
+                    )
 
             # 4. Change-data-feed rows for this commit (materialized:
             #    update/delete images touch a sparse subset, so
@@ -3469,9 +3508,12 @@ class LakeTable:
                 cdf_all = cdf_parts[0]
                 for p in cdf_parts[1:]:
                     cdf_all = cdf_all.unionByName(p)
-                cdf_rel = self._write_cdf(
-                    cdf_all, expected_rows=n_del + 2 * n_upd
-                )
+                # the CDF materialization is O(changed rows) — micro
+                # whenever the write jobs are (same exact-count gate)
+                with _micro_plan_mode(self.spark, micro_jobs):
+                    cdf_rel = self._write_cdf(
+                        cdf_all, expected_rows=n_del + 2 * n_upd
+                    )
 
             metrics = {
                 "num_touched_files": len(touched),
