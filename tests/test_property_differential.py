@@ -391,3 +391,76 @@ def test_random_window_functions(spark, sf_dir, ddb, seed):
     )
     n = run_both(spark, sf_dir, ddb, df, sql)
     assert n > 0, f"vacuous plan: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_semi_anti_subqueries(spark, sf_dir, ddb, seed):
+    """Semi/anti join shapes vs EXISTS / NOT EXISTS subqueries — the
+    decorrelation contract the TPC-H shapes (q4, q16, q21, q22) and
+    filter_subquery rely on. Columns are non-null so NOT IN has no
+    three-valued-logic trap; the orders-side filter varies per seed."""
+    rng = random.Random(6000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    ofilter, osql = rng.choice(
+        [
+            (F.col("o_orderstatus") == "F", "o_orderstatus = 'F'"),
+            (F.col("o_orderpriority") == "1-URGENT",
+             "o_orderpriority = '1-URGENT'"),
+            (F.col("o_totalprice") > 150000.0, "o_totalprice > 150000.0"),
+            (F.col("o_orderkey") % 3 == 0, "o_orderkey % 3 = 0"),
+        ]
+    )
+    lfilters = _sample_filters(rng, rng.randint(1, 2))
+    anti = rng.random() < 0.5
+
+    sub = o.where(ofilter)
+    df = li
+    for fb, _ in lfilters:
+        df = df.where(fb())
+    df = df.join(
+        sub, df.l_orderkey == sub.o_orderkey, "left_anti" if anti else "left_semi"
+    ).groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+    where_sql = " AND ".join(fs for _, fs in lfilters)
+    word = "NOT EXISTS" if anti else "EXISTS"
+    sql = (
+        "SELECT l_returnflag, count(*) AS n_rows,"
+        " count(DISTINCT l_orderkey) AS n_orders FROM lineitem l"
+        f" WHERE {where_sql} AND {word} (SELECT 1 FROM orders o"
+        f" WHERE o.o_orderkey = l.l_orderkey AND {osql})"
+        " GROUP BY l_returnflag"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_set_operations(spark, sf_dir, ddb, seed):
+    """UNION / INTERSECT / EXCEPT between filtered projections agree —
+    the distinct-set semantics setop_union/intersect/except pin on one
+    fixed shape, here across random slice pairs."""
+    rng = random.Random(7000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    (fa, sa), (fb, sb) = _sample_filters(rng, 2)
+    op = rng.choice(["union", "intersect", "except"])
+
+    proj = ["l_orderkey", "l_returnflag"]
+    a = li.where(fa()).select(*proj)
+    b = li.where(fb()).select(*proj)
+    if op == "union":
+        df = a.union(b).distinct()
+    elif op == "intersect":
+        df = a.intersect(b)
+    else:
+        df = a.subtract(b)  # EXCEPT DISTINCT, like the SQL below
+
+    kw = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}[op]
+    sql = (
+        f"SELECT l_orderkey, l_returnflag FROM lineitem WHERE {sa}"
+        f" {kw} SELECT l_orderkey, l_returnflag FROM lineitem WHERE {sb}"
+    )
+    run_both(spark, sf_dir, ddb, df, sql)
