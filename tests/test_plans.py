@@ -720,3 +720,35 @@ def test_ngram_jaccard_band_exchange_carries_no_arrays(spark, sf_dir):
             assert "sh#" not in inp and "sh_a" not in inp, (name, part, inp)
             assert "sig#" not in inp and "sig_a" not in inp, (name, part, inp)
             assert "text" not in inp, (name, part, inp)
+
+
+def test_multimodal_decode_paths_have_no_shuffle(spark, sf_dir):
+    """The real-codec decode keys (PNG features, WAV stats, y4m per-frame
+    stats) are mapInPandas pipelines: decode must stay in the worker —
+    zero hash exchanges; only the deterministic output sort may range-
+    partition."""
+    for key in ("ext_multimodal_audio", "ext_multimodal_video"):
+        df = QUERIES[key](spark, sf_dir)
+        parts = plans.exchange_partitionings(df)
+        assert not any(p.startswith("hashpartitioning") for p in parts), (
+            key, parts,
+        )
+
+
+def test_micro_plan_mode_restores_aqe(spark):
+    """_micro_plan_mode must restore spark.sql.adaptive.enabled on exit
+    AND on exception — a leaked 'false' would silently strip AQE from
+    every later big query in the session."""
+    from incremental_etl_on_lakehouse_spark.lake.table import _micro_plan_mode
+
+    key = "spark.sql.adaptive.enabled"
+    assert spark.conf.get(key) == "true"
+    with _micro_plan_mode(spark, True):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+    with pytest.raises(RuntimeError):
+        with _micro_plan_mode(spark, True):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == "true"
+    with _micro_plan_mode(spark, False):  # inactive: no flip at all
+        assert spark.conf.get(key) == "true"

@@ -236,3 +236,99 @@ def test_scd2_merge_matches_model(spark, tmp_path_factory, records, n_batches):
         for r in table.to_df().collect()
     }
     assert got == scd2_expected(model_batches)
+
+
+def test_gold_catchup_coalescing_equivalence(spark, tmp_path):
+    """Round-8 semantic pin: maintaining an additive gold aggregate from
+    the change feed with per-commit pacing (max_versions_per_trigger=1)
+    and with catch-up coalescing (=64) must converge to the SAME state —
+    signed deltas are additive across commits. Exercised over seeded
+    random multi-batch CDC sequences with inserts, updates, and deletes."""
+    import random as _random
+
+    from incremental_etl_on_lakehouse_spark.lake.streaming import (
+        LakeStreamReader,
+    )
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        cdf_signed_deltas,
+        merge_agg_delta,
+    )
+    from pyspark.sql.types import StructType as _ST, StructField as _SF
+
+    gold_schema = _ST(
+        [_SF("grp", StringType()), _SF("total", LongType())]
+    )
+
+    for seed in range(3):
+        rng = _random.Random(900 + seed)
+        # silver with CDF: 3-5 random batches over 6 keys / 2 groups
+        silver = LakeTable.create(
+            spark,
+            str(tmp_path / f"silver_{seed}"),
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("grp", StringType()),
+                    StructField("value", LongType()),
+                    StructField("data_hash", StringType()),
+                    StructField("cdc_operation", StringType()),
+                    StructField("ts", LongType()),
+                    StructField("seq", LongType()),
+                ]
+            ),
+            properties={"enableChangeDataFeed": "true"},
+        )
+        seq = 0
+        for _b in range(rng.randint(3, 5)):
+            rows = []
+            for _ in range(rng.randint(2, 8)):
+                k = rng.randint(0, 5)
+                op = rng.choice(["UPDATE", "UPDATE", "UPDATE", "DELETE"])
+                v = rng.randint(0, 99)
+                rows.append(
+                    (k, f"g{k % 2}", v, f"h{seq}", op, seq, seq)
+                )
+                seq += 1
+            batch = spark.createDataFrame(rows, silver.schema())
+            merge_cdc_batch(
+                silver, batch, key_cols=["id"], order_cols=["ts"],
+                tiebreak_cols=["seq"], order_guard_col="ts",
+            )
+
+        states = {}
+        for trigger, tag in ((1, "paced"), (64, "coalesced")):
+            gold = LakeTable.create(
+                spark, str(tmp_path / f"gold_{seed}_{tag}"), gold_schema
+            )
+            reader = LakeStreamReader(
+                silver,
+                str(tmp_path / f"ck_{seed}_{tag}.json"),
+                mode="cdf",
+                starting_version=1,
+                max_versions_per_trigger=trigger,
+            )
+
+            def apply(changes, _v, gold=gold):
+                deltas = cdf_signed_deltas(
+                    changes, group_cols=["grp"], value_col="value"
+                )
+                merge_agg_delta(
+                    gold, deltas, group_cols=["grp"], agg_col="total"
+                )
+
+            reader.process_available(apply)
+            states[tag] = {
+                r["grp"]: r["total"]
+                for r in gold.to_df().where(F.col("total") != 0).collect()
+            }
+        assert states["paced"] == states["coalesced"], (seed, states)
+        # and both equal the full recompute over the final silver state
+        full = {
+            r["grp"]: r["total"]
+            for r in silver.to_df()
+            .groupBy("grp")
+            .agg(F.sum("value").alias("total"))
+            .where(F.col("total") != 0)
+            .collect()
+        }
+        assert states["paced"] == full, (seed, states["paced"], full)
