@@ -49,7 +49,9 @@ _ASSIGNMENTS = [
     {"x": "x + 7"},
     {"grp": "'z'"},
     {"x": "id * 10", "grp": "upper(grp)"},
-    {"note": "concat(grp, '-', CAST(id AS STRING))"},
+    # concat_ws, not concat: Spark's concat NULL-propagates while
+    # DuckDB's skips NULL args — concat_ws skips NULLs on BOTH engines
+    {"note": "concat_ws('-', grp, CAST(id AS STRING))"},
     {"x": "coalesce(x, 0) + 1"},
 ]
 
