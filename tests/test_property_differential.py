@@ -464,3 +464,135 @@ def test_random_set_operations(spark, sf_dir, ddb, seed):
         f" {kw} SELECT l_orderkey, l_returnflag FROM lineitem WHERE {sb}"
     )
     run_both(spark, sf_dir, ddb, df, sql)
+
+
+# Rollup/cube group pairs: both columns non-null in the fixture, so a
+# NULL in the output unambiguously marks a super-aggregate row and the
+# grouping_id bitmask is the cross-engine disambiguator.
+_SUPER_GROUPS = [
+    (["l_returnflag", "l_linestatus"], "l_returnflag, l_linestatus"),
+    (["l_returnflag", "l_linenumber"], "l_returnflag, l_linenumber"),
+    (["l_linestatus", "l_linenumber"], "l_linestatus, l_linenumber"),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_rollup_cube(spark, sf_dir, ddb, seed):
+    """ROLLUP/CUBE super-aggregates agree across engines, including the
+    grouping_id bitmask (Spark ``grouping_id()`` == DuckDB
+    ``grouping(a, b)``, least-significant bit = last column) — the
+    contract agg_rollup / agg_cube / agg_grouping_sets pin on one shape
+    each, here across random filter + aggregate compositions."""
+    rng = random.Random(8000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(0, 2))
+    group_cols, group_sql = rng.choice(_SUPER_GROUPS)
+    aggs = rng.sample(_AGGS, rng.randint(1, 3))
+    cube = rng.random() < 0.5
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    grouped = df.cube(*group_cols) if cube else df.rollup(*group_cols)
+    df = grouped.agg(
+        F.grouping_id().cast("long").alias("gid"),
+        *[ab() for _, ab, _ in aggs],
+    )
+
+    where_sql = " AND ".join(fs for _, fs in filters) or "TRUE"
+    agg_sql = ", ".join(asql for _, _, asql in aggs)
+    kw = "CUBE" if cube else "ROLLUP"
+    sql = (
+        f"SELECT {group_sql}, CAST(grouping({group_sql}) AS BIGINT) AS gid,"
+        f" {agg_sql} FROM lineitem WHERE {where_sql}"
+        f" GROUP BY {kw} ({group_sql})"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_outer_join_null_groups(spark, sf_dir, ddb, seed):
+    """LEFT OUTER join against a filtered build side, then GROUP BY a
+    build-side column — unmatched probe rows land in the NULL group, so
+    this pins the three-valued grouping / count(col)-skips-NULL behavior
+    the CDC gold catch-up and join_right_outer key rely on."""
+    rng = random.Random(9000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    ofilter, osql = rng.choice(
+        [
+            (F.col("o_orderstatus") == "F", "o_orderstatus = 'F'"),
+            (F.col("o_orderpriority") == "1-URGENT",
+             "o_orderpriority = '1-URGENT'"),
+            (F.col("o_totalprice") > 150000.0, "o_totalprice > 150000.0"),
+            (F.col("o_orderkey") % 3 == 0, "o_orderkey % 3 = 0"),
+        ]
+    )
+    lfilters = _sample_filters(rng, rng.randint(0, 2))
+    group = rng.choice(["o_orderstatus", "o_orderpriority"])
+
+    sub = o.where(ofilter).select("o_orderkey", "o_orderstatus",
+                                  "o_orderpriority")
+    df = li
+    for fb, _ in lfilters:
+        df = df.where(fb())
+    df = df.join(sub, df.l_orderkey == sub.o_orderkey, "left").groupBy(
+        group
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+    where_sql = " AND ".join(fs for _, fs in lfilters) or "TRUE"
+    sql = (
+        f"SELECT o.{group}, count(*) AS n_rows,"
+        " count(o.o_orderkey) AS n_matched,"
+        " count(DISTINCT l_orderkey) AS n_orders"
+        " FROM lineitem l LEFT JOIN"
+        f" (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders"
+        f" WHERE {osql}) o ON l.l_orderkey = o.o_orderkey"
+        f" WHERE {where_sql} GROUP BY o.{group}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    # every build-side filter drops some orders, so the NULL group must
+    # exist — if it doesn't, the join didn't actually leave unmatched rows
+    # and the three-valued-logic coverage is vacuous
+    assert n > 1, f"no NULL group produced: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_having(spark, sf_dir, ddb, seed):
+    """GROUP BY + HAVING on an aggregate agrees across engines — the
+    post-aggregation filter spelling (DataFrame ``.where`` after
+    ``.agg``) every threshold-style registered oracle uses."""
+    rng = random.Random(10000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(0, 2))
+    # coarse groups only (3–9 groups of hundreds of rows at sf0.001), so
+    # the thresholds below can't empty the result for any filter draw
+    group_cols, group_sql = rng.choice(_GROUPS[:3])
+    # n_rows is added unconditionally below (the HAVING target), so the
+    # sampled extras must come from the rest of the pool
+    aggs = rng.sample(_AGGS[1:], rng.randint(1, 3))
+    threshold = rng.choice([5, 25])
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = (
+        df.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_rows"), *[ab() for _, ab, _ in aggs])
+        .where(F.col("n_rows") > threshold)
+    )
+
+    where_sql = " AND ".join(fs for _, fs in filters) or "TRUE"
+    agg_sql = ", ".join(asql for _, _, asql in aggs)
+    sql = (
+        f"SELECT {group_sql}, count(*) AS n_rows, {agg_sql} FROM lineitem"
+        f" WHERE {where_sql} GROUP BY {group_sql}"
+        f" HAVING count(*) > {threshold}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
