@@ -31,6 +31,7 @@ from incremental_etl_on_lakehouse_spark.queries import _s3_ext  # noqa: F401,E40
 from incremental_etl_on_lakehouse_spark.queries import _s4_relational2  # noqa: F401,E402
 from incremental_etl_on_lakehouse_spark.queries import _s5_pipeline  # noqa: F401,E402
 from incremental_etl_on_lakehouse_spark.queries import _s6_tpch  # noqa: F401,E402
+from incremental_etl_on_lakehouse_spark.queries import _s7_extras  # noqa: F401,E402
 
 # bench.py resets this cache alongside the two in _core
 from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa: E402
