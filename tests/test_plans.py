@@ -752,3 +752,32 @@ def test_micro_plan_mode_restores_aqe(spark):
     assert spark.conf.get(key) == "true"
     with _micro_plan_mode(spark, False):  # inactive: no flip at all
         assert spark.conf.get(key) == "true"
+
+
+def test_inverted_index_single_token_shuffle(spark, sf_dir):
+    """The inverted-index build must be explode -> ONE token-keyed hash
+    aggregation: a second data-scale exchange (e.g. a window to rank
+    postings) would double the shuffle volume of the biggest stage."""
+    df = QUERIES["ext_inverted_index"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+    p = plans.formatted_plan(df)
+    assert "Window" not in p, p
+
+
+def test_bitwise_and_url_parse_scan_bound(spark, sf_dir):
+    """Scalar-surface keys stay narrow codegen projections: zero
+    exchanges, no Python evaluation."""
+    for key in ("fn_bitwise", "fn_url_parse"):
+        df = QUERIES[key](spark, sf_dir)
+        p = plans.formatted_plan(df)
+        assert plans.shuffle_count(df) == 0, (key, p)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            key,
+            p,
+        )
+
+
+def test_union_by_name_no_shuffle(spark, sf_dir):
+    """Schema-evolving union is a pure narrow concat of the two scans."""
+    df = QUERIES["setop_union_by_name"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
