@@ -147,16 +147,24 @@ def fn_bitwise(spark, sf_dir):
     " nth_value(l_quantity, 1) OVER w AS first_qty"
     " FROM lineitem WHERE l_orderkey % 5 = 0"
     " WINDOW w AS (PARTITION BY l_returnflag"
-    " ORDER BY l_orderkey, l_linenumber)",
+    " ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+    " l_quantity, l_extendedprice)",
 )
 def win_nth_value(spark, sf_dir):
     """``nth_value`` over the engines' shared default frame (RANGE
-    UNBOUNDED PRECEDING..CURRENT ROW): NULL until n rows are visible, then
-    the n-th by the unique (orderkey, linenumber) order — completes the
-    ranking/value window family (rank/dense/lag/first_last/ntile/
-    percent_rank/cume_dist keys). One window exchange on l_returnflag."""
+    UNBOUNDED PRECEDING..CURRENT ROW): NULL until n rows are visible,
+    then the n-th row in order — completes the ranking/value window
+    family (rank/dense/lag/first_last/ntile/percent_rank/cume_dist
+    keys). The ORDER BY carries six columns because the fixture's
+    (orderkey, linenumber) is NOT unique, and nth_value over a
+    non-total order is engine-nondeterministic (a RANGE frame with a
+    unique key degenerates to ROWS, which is the deterministic
+    contract). One window exchange on l_returnflag."""
     li = load_table(spark, "lineitem", sf_dir)
-    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    )
     return li.where(F.col("l_orderkey") % 5 == 0).select(
         "l_orderkey",
         "l_linenumber",
@@ -248,4 +256,315 @@ def agg_bool_and_or(spark, sf_dir):
         F.every(F.col("l_quantity") > 1.0).alias("all_qty_gt1"),
         F.some(F.col("l_discount") >= 0.09).alias("any_disc_high"),
         F.every(F.col("l_extendedprice") > 950.0).alias("all_price_gt950"),
+    )
+
+
+@query(
+    "agg_count_distinct_multi",
+    "SELECT l_returnflag,"
+    " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,"
+    " CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,"
+    " CAST(count(*) AS BIGINT) AS n_rows,"
+    " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def agg_count_distinct_multi(spark, sf_dir):
+    """Multiple exact COUNT(DISTINCT) columns in ONE grouped aggregate —
+    Catalyst plans this with the Expand operator (one input row fans out
+    to one row per distinct-aggregate group), so a single pass serves
+    both distinct sets plus the plain aggregates.
+
+    Scale: the expand factor is #distinct-aggregates + 1 (here 3x) BEFORE
+    the partial aggregate, but each expanded row carries only its own
+    key column, and partial aggregation collapses per (group, key) before
+    the one hash exchange — at 100 TB this stays one shuffle keyed on
+    l_returnflag, never a per-distinct-column re-scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+@query(
+    "win_lead_offset",
+    "SELECT l_orderkey, l_linenumber, l_returnflag,"
+    " lead(CAST(l_quantity AS BIGINT), 2, CAST(-1 AS BIGINT)) OVER w"
+    "  AS lead2_qty,"
+    " lag(CAST(l_quantity AS BIGINT), 3, CAST(-1 AS BIGINT)) OVER w"
+    "  AS lag3_qty"
+    " FROM lineitem WHERE l_orderkey % 7 = 0"
+    " WINDOW w AS (PARTITION BY l_returnflag"
+    " ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+    " l_quantity, l_extendedprice)",
+)
+def win_lead_offset(spark, sf_dir):
+    """Multi-step LEAD/LAG with an explicit default (no NULL at the
+    partition edges). The ORDER BY carries SIX columns because the
+    fixture's (orderkey, linenumber) is NOT unique — offset windows
+    over a non-total order are engine-nondeterministic, so the order
+    key must be a real candidate key (verified unique at every SF).
+    One window exchange on l_returnflag; offset windows need no frame
+    buffer beyond the offset distance."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    )
+    q = F.col("l_quantity").cast("long")
+    return li.where(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.lead(q, 2, -1).over(w).alias("lead2_qty"),
+        F.lag(q, 3, -1).over(w).alias("lag3_qty"),
+    )
+
+
+@query(
+    "join_lateral",
+    "SELECT o.o_orderkey, o.o_orderstatus,"
+    " t.n_lines, t.max_qty"
+    " FROM orders o JOIN LATERAL ("
+    "  SELECT CAST(count(*) AS BIGINT) AS n_lines,"
+    "   max(CAST(l_quantity AS BIGINT)) AS max_qty"
+    "  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t ON TRUE"
+    " WHERE o.o_orderkey % 9 = 0",
+)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery in FROM (SQL:1999; Spark 3.2+) — the
+    per-row scalar-aggregate lookup ("this order's line count and max
+    quantity") written the way SQL users write it. Exercises Catalyst's
+    subquery decorrelation INCLUDING the COUNT edge case: an order with
+    zero lineitems still yields one row with n_lines = 0, which naive
+    outer-join rewrites get wrong.
+
+    Scale: decorrelates to aggregate-then-join on l_orderkey — one hash
+    exchange per side, no per-row re-scan of lineitem."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lat_orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        "SELECT o.o_orderkey, o.o_orderstatus, t.n_lines, t.max_qty"
+        " FROM lat_orders o JOIN LATERAL ("
+        "  SELECT CAST(count(*) AS BIGINT) AS n_lines,"
+        "   max(CAST(l_quantity AS BIGINT)) AS max_qty"
+        "  FROM lat_lineitem l WHERE l.l_orderkey = o.o_orderkey) t"
+        " WHERE o.o_orderkey % 9 = 0"
+    )
+
+
+@query(
+    "setop_intersect_except_all",
+    "WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS"
+    " flag FROM lineitem WHERE l_orderkey % 31 = 0),"
+    " b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag"
+    " FROM lineitem WHERE l_suppkey % 17 = 0)"
+    " SELECT 'both' AS tag, qty, flag FROM"
+    " (SELECT qty, flag FROM a INTERSECT ALL SELECT qty, flag FROM b)"
+    " UNION ALL SELECT 'only_a' AS tag, qty, flag FROM"
+    " (SELECT qty, flag FROM a EXCEPT ALL SELECT qty, flag FROM b)",
+)
+def setop_intersect_except_all(spark, sf_dir):
+    """Bag semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    duplicate multiplicity (min / difference of per-row counts), unlike
+    the DISTINCT variants the setop_intersect/except keys pin.
+
+    Scale: Spark plans both as a single hash aggregate over the union
+    tagged with per-side counts — one exchange keyed on the row value,
+    no join; multiplicity arithmetic happens in the aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    proj = lambda df: df.select(  # noqa: E731
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    a = proj(li.where(F.col("l_orderkey") % 31 == 0))
+    b = proj(li.where(F.col("l_suppkey") % 17 == 0))
+    both = a.intersectAll(b).select(F.lit("both").alias("tag"), "qty", "flag")
+    only_a = a.exceptAll(b).select(F.lit("only_a").alias("tag"), "qty", "flag")
+    return both.unionAll(only_a)
+
+
+@query(
+    "fn_try_arith",
+    "SELECT l_orderkey, l_linenumber,"
+    " l_extendedprice / nullif(CAST(l_quantity AS BIGINT) - 25, 0)"
+    "  AS safe_ppu,"
+    " CAST(l_orderkey AS DOUBLE) / (l_linenumber - 4) AS div_ln4,"
+    " CASE WHEN l_orderkey % 2 = 0 THEN NULL ELSE l_orderkey + 1 END"
+    "  AS add_guard,"
+    " TRY_CAST(l_returnflag AS INTEGER) AS flag_int,"
+    " TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS ln_roundtrip"
+    " FROM lineitem WHERE l_orderkey % 23 = 0",
+)
+def fn_try_arith(spark, sf_dir):
+    """ANSI-safe arithmetic surface: Spark 4 runs ANSI mode by default,
+    where /0 and overflow RAISE — ``try_divide``/``try_add``/``try_cast``
+    are the NULL-on-error spellings pipelines use for dirty data.
+    ``add_guard`` overflows BIGINT max on even keys — adding key+1 so
+    key 0 overflows too (oracle encodes the expected NULL);
+    ``div_ln4`` divides by zero on linenumber 4; DuckDB's
+    ``/`` is already NULL-on-zero so the oracle is plain division.
+    Narrow codegen projection, scan-bound, zero exchanges."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.where(F.col("l_orderkey") % 23 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity").cast("long") - 25
+        ).alias("safe_ppu"),
+        F.try_divide(
+            F.col("l_orderkey").cast("double"), F.col("l_linenumber") - 4
+        ).alias("div_ln4"),
+        F.try_add(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(9223372036854775807))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            F.col("l_orderkey") + 1,
+        ).alias("add_guard"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("int").alias(
+            "flag_int"
+        ),
+        F.col("l_linenumber")
+        .cast("string")
+        .try_cast("int")
+        .alias("ln_roundtrip"),
+    )
+
+
+@query(
+    "filter_in_between_like",
+    "SELECT o_orderkey, o_orderstatus, o_orderpriority,"
+    " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    " FROM orders"
+    " WHERE o_orderstatus IN ('F', 'P')"
+    " AND o_totalprice BETWEEN 1000.0 AND 60000.0"
+    " AND o_orderpriority LIKE '%URGENT%'"
+    " AND regexp_matches(o_orderpriority, '^[12]-')",
+)
+def filter_in_between_like(spark, sf_dir):
+    """The predicate surface beyond =/<>: IN-list, BETWEEN, LIKE
+    wildcard, and regexp match, conjoined. IN/BETWEEN/LIKE push down to
+    the parquet scan (PushedFilters); the regexp evaluates post-scan in
+    the same codegen stage. Scan-bound, zero exchanges."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.where(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(1000.0, 60000.0)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderpriority").rlike("^[12]-")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
+@query(
+    "src_parquet_schema_merge",
+    "SELECT l_orderkey AS rec_key, CAST(l_quantity AS BIGINT) AS qty,"
+    " CAST(NULL AS BIGINT) AS cents"
+    " FROM lineitem WHERE l_orderkey % 41 = 0"
+    " UNION ALL"
+    " SELECT o_orderkey, CAST(NULL AS BIGINT),"
+    " CAST(round(o_totalprice * 100) AS BIGINT)"
+    " FROM orders WHERE o_orderkey % 43 = 0",
+)
+def src_parquet_schema_merge(spark, sf_dir):
+    """Schema-drift parquet read: two file batches with different
+    columns (qty-only, then cents-only), read back as ONE frame with
+    ``mergeSchema`` — the on-read flavor of schema evolution every
+    long-lived ingest directory needs (the write-side flavor is
+    merge_schema_evolution).
+
+    Scale: schema merging reads FOOTERS only (a distributed metadata
+    job), never data; per-file missing columns materialize as NULL
+    vectors at scan time, so the read stays columnar and pushdown-able.
+    """
+    out = _tmpdir()
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li.where(F.col("l_orderkey") % 41 == 0).select(
+        F.col("l_orderkey").alias("rec_key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).write.parquet(out + "/batch1")
+    o.where(F.col("o_orderkey") % 43 == 0).select(
+        F.col("o_orderkey").alias("rec_key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).write.parquet(out + "/batch2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        out + "/batch1", out + "/batch2"
+    )
+    return back.select("rec_key", "qty", "cents")
+
+
+@query(
+    "fn_math_ops",
+    "SELECT l_orderkey,"
+    " sqrt(CAST(l_orderkey AS DOUBLE)) AS sq,"
+    " power(CAST(l_linenumber AS DOUBLE), 3) AS cubed,"
+    " abs(CAST(l_quantity AS BIGINT) - 25) AS ab,"
+    " CAST(l_orderkey % 97 AS BIGINT) AS md,"
+    " greatest(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT) * 5)"
+    "  AS gr,"
+    " least(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT) * 5)"
+    "  AS ls,"
+    " CAST(sign(CAST(l_quantity AS BIGINT) - 25) AS BIGINT) AS sg,"
+    " CAST(floor(l_extendedprice) AS BIGINT) AS fl,"
+    " CAST(ceil(l_extendedprice) AS BIGINT) AS ce"
+    " FROM lineitem WHERE l_orderkey % 13 = 0",
+)
+def fn_math_ops(spark, sf_dir):
+    """Math scalar surface: sqrt/power (bit-identical across engines —
+    sqrt is correctly rounded by IEEE spec; pow of a small int to an
+    int exponent is exact; exp/ln are deliberately ABSENT: Java Math
+    and libm disagree by 1 ulp on both, e.g. exp(1.0)),
+    abs/mod/greatest/least/
+    sign on exact BIGINTs, floor/ceil pinned to BIGINT (Spark returns
+    LONG for floor(double), DuckDB returns DOUBLE — the cast is the
+    contract). Narrow codegen projection, scan-bound, zero exchanges."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("long")
+    ln5 = F.col("l_linenumber").cast("long") * 5
+    return li.where(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        F.sqrt(F.col("l_orderkey").cast("double")).alias("sq"),
+        F.pow(F.col("l_linenumber").cast("double"), 3).alias("cubed"),
+        F.abs(qty - 25).alias("ab"),
+        (F.col("l_orderkey") % 97).alias("md"),
+        F.greatest(qty, ln5).alias("gr"),
+        F.least(qty, ln5).alias("ls"),
+        F.signum(qty - 25).cast("long").alias("sg"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("fl"),
+        F.ceil(F.col("l_extendedprice")).cast("long").alias("ce"),
+    )
+
+
+@query(
+    "join_null_safe",
+    "WITH a AS (SELECT doc_id, nullif(lang, 'en') AS k FROM documents"
+    " WHERE doc_id % 5 = 0),"
+    " b AS (SELECT nullif(lang, 'en') AS k, CAST(count(*) AS BIGINT) AS"
+    " n_lang FROM documents GROUP BY nullif(lang, 'en'))"
+    " SELECT a.doc_id, a.k, b.n_lang FROM a JOIN b"
+    " ON a.k IS NOT DISTINCT FROM b.k",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping out — the join spelling
+    for dimensions where NULL is a real category ('language unknown').
+
+    Scale: Spark treats ``<=>`` as a first-class equi-join key, so this
+    stays a hash/sort-merge join partitioned on the key — NOT the
+    coalesce-to-sentinel rewrite (which corrupts real sentinel values)
+    and NOT a nested-loop fallback. NULL keys all hash to one partition;
+    if NULL were a heavy hitter, salt it like join_skew_salted."""
+    d = load_table(spark, "documents", sf_dir)
+    k = F.nullif(F.col("lang"), F.lit("en")).alias("k")
+    a = d.where(F.col("doc_id") % 5 == 0).select("doc_id", k)
+    b = d.select(k).groupBy("k").agg(F.count("*").alias("n_lang"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["doc_id"], a["k"].alias("k"), b["n_lang"]
     )

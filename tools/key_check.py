@@ -1,0 +1,73 @@
+"""Targeted driver-replica check: run NAMED keys (instead of the first-50
+sweep of driver_sweep_sim.py) with a bare SparkSession vs the DuckDB
+oracles — same strict stringified-tuple compare the driver hashes.
+
+    python tools/key_check.py key1 key2 ... [--sf /root/testdata/sf0.01]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+args = sys.argv[1:]
+sf = "/root/testdata/sf0.01"
+if "--sf" in args:
+    i = args.index("--sf")
+    sf = args[i + 1]
+    args = args[:i] + args[i + 2:]
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e  # noqa: E402
+
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+    )
+Q, O = e.queries(), e.oracle_sql()
+
+
+def norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(str(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+n_fail = 0
+for k in args:
+    t0 = time.time()
+    try:
+        df = Q[k](spark, sf)
+        sc, sr = norm(df.columns, [tuple(r) for r in df.collect()])
+        if k not in O:
+            print(f"{k}: ROWS-ONLY {len(sr)} rows ({time.time()-t0:.1f}s)")
+            continue
+        res = con.execute(O[k])
+        oc = [d[0] for d in res.description]
+        oc, orr = norm(oc, res.fetchall())
+        ok = sc == oc and len(sr) == len(orr) and sr == orr
+        if ok:
+            print(f"{k}: PASS {len(sr)} rows ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            print(f"{k}: FAIL cols {sc == oc} rows {len(sr)}/{len(orr)}")
+            if sc != oc:
+                print("  spark cols:", sc, "\n  duck cols:", oc)
+            bad = [(s, o) for s, o in zip(sr, orr) if s != o][:3]
+            for s, o in bad:
+                print("  spark:", s, "\n  duck :", o)
+    except Exception as ex:
+        n_fail += 1
+        print(f"{k}: ERROR {type(ex).__name__}: {str(ex)[:300]}")
+print(f"{'FAIL' if n_fail else 'OK'} ({len(args) - n_fail}/{len(args)})")
+sys.exit(1 if n_fail else 0)
