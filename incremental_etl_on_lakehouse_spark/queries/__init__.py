@@ -77,20 +77,25 @@ _PRIORITY_KEYS = [
     "fn_md5_concat", "fn_input_file_name", "fn_to_utc_timestamp", "fn_nvl",
     "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
     "join_merge_key",
-    # (c) evidence refresh: the r3 block (last driver rows r3)
-    "snk_update_delete_sql", "src_time_travel_ts", "util_vacuum",
-    "util_optimize_zorder", "util_restore", "agg_incremental_minmax",
-    "agg_incremental_view", "join_asof", "win_session", "stream_stateful",
-    "stream_stream_join", "filter_subquery", "agg_cube",
-    "q3_shipping_priority", "q10_returned_items", "q19_disjunctive",
-    "q22_dormant_customers",
+    # (c) evidence refresh: r3-block HEAD (one DML key plus the five
+    # planted companions that carry the full-oracle proof for the six
+    # rows-only approximate keys — their freshness is load-bearing);
+    # the 16 other r3 keys yielded their slots to the new round-8 keys
+    # below and move to the round-9 refresh queue (all stay locally
+    # hash-verified every run)
+    "snk_update_delete_sql",
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    # new round-8 keys: REAL stdlib WAV audio + y4m video decode paths
-    # (full oracles) — new keys get a driver row the round they land;
-    # snk_delta_append and src_json_stream yield their refresh slots
-    # (r3-green, stay locally hash-verified)
+    # new round-8 keys (18) — new keys get a driver row the round they
+    # land: REAL stdlib WAV/y4m decode paths, the seven §2.12/§2.13
+    # wideners, and the nine relational-surface keys
     "ext_multimodal_audio", "ext_multimodal_video",
+    "ext_inverted_index", "ext_dataset_profile", "fn_bitwise",
+    "win_nth_value", "setop_union_by_name", "fn_url_parse",
+    "agg_bool_and_or",
+    "agg_count_distinct_multi", "win_lead_offset", "join_lateral",
+    "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
+    "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
 ]
 
 # Rotated-out keys directly behind the cap line: every key here has at
@@ -156,6 +161,13 @@ _SECOND_PRIORITY = [
     "fn_json_extract", "src_csv_batch",
     "stream_window_agg", "ext_ngram_topk", "ext_embedding_cosine",
     "ext_udf_vectorized",
+    # r3-green keys that yielded their round-8 refresh slots to the new
+    # keys (head of the round-9 refresh queue)
+    "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
+    "util_restore", "agg_incremental_minmax", "agg_incremental_view",
+    "join_asof", "win_session", "stream_stateful", "stream_stream_join",
+    "filter_subquery", "agg_cube", "q3_shipping_priority",
+    "q10_returned_items", "q19_disjunctive", "q22_dormant_customers",
     # r3-green core pipeline keys not refreshed this round
     "src_json_stream", "snk_delta_append",
     "src_delta_stream", "src_cdf_batch", "src_cdf_stream",

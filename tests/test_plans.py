@@ -781,3 +781,78 @@ def test_union_by_name_no_shuffle(spark, sf_dir):
     """Schema-evolving union is a pure narrow concat of the two scans."""
     df = QUERIES["setop_union_by_name"](spark, sf_dir)
     assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_count_distinct_multi_expand_single_exchange(spark, sf_dir):
+    """Two exact COUNT(DISTINCT)s in one agg must plan via Expand (one
+    pass over the input) with hash exchanges — never a re-scan per
+    distinct column, never a join of per-column aggregates."""
+    df = QUERIES["agg_count_distinct_multi"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "Expand" in p, p
+    assert "Join" not in p, p
+    # expand -> partial per (group, key) -> exchange -> merge -> final:
+    # two exchanges max (group+key, then group), both keyed aggregates
+    assert plans.shuffle_count(df) <= 2, p
+
+
+def test_lateral_join_decorrelates_to_hash_join(spark, sf_dir):
+    """The LATERAL scalar-aggregate subquery must decorrelate to
+    aggregate-then-join on the key — no nested-loop/cartesian replay of
+    the inner query per outer row."""
+    df = QUERIES["join_lateral"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate" in p, p
+
+
+def test_intersect_except_all_no_join(spark, sf_dir):
+    """INTERSECT/EXCEPT ALL plan as tagged-union + counting aggregate +
+    generate (replicate by multiplicity) — pure hash machinery, no
+    sort-merge join of the two sides."""
+    df = QUERIES["setop_intersect_except_all"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
+
+
+def test_scalar_surface_keys_scan_bound(spark, sf_dir):
+    """try-arithmetic, predicate-surface, and math keys are narrow
+    codegen projections: zero exchanges, no Python evaluation."""
+    for key in ("fn_try_arith", "fn_math_ops", "filter_in_between_like"):
+        df = QUERIES[key](spark, sf_dir)
+        p = plans.formatted_plan(df)
+        assert plans.shuffle_count(df) == 0, (key, p)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            key,
+            p,
+        )
+
+
+def test_in_between_like_pushdown(spark, sf_dir):
+    """IN / BETWEEN / LIKE must reach the parquet scan as PushedFilters
+    (the regexp legitimately stays post-scan)."""
+    df = QUERIES["filter_in_between_like"](spark, sf_dir)
+    assert plans.has_pushed_filters(df, "o_orderstatus"), plans.formatted_plan(
+        df
+    )
+    assert plans.has_pushed_filters(df, "o_totalprice"), plans.formatted_plan(
+        df
+    )
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """<=> must stay a first-class equi-join key (hash/sort-merge),
+    never a BroadcastNestedLoopJoin from a non-equi fallback."""
+    df = QUERIES["join_null_safe"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+
+
+def test_schema_merge_read_stays_columnar(spark, sf_dir):
+    """The mergeSchema read must still be a columnar parquet scan (the
+    footer merge is metadata-only; missing columns are NULL vectors)."""
+    df = QUERIES["src_parquet_schema_merge"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "Scan parquet" in p, p
+    assert plans.shuffle_count(df) == 0, p
