@@ -339,7 +339,11 @@ def join_lateral(spark, sf_dir):
     quantity") written the way SQL users write it. Exercises Catalyst's
     subquery decorrelation INCLUDING the COUNT edge case: an order with
     zero lineitems still yields one row with n_lines = 0, which naive
-    outer-join rewrites get wrong.
+    outer-join rewrites get wrong. The count(*) in the SELECT list is
+    LOAD-BEARING for the oracle: DuckDB 1.0.0 drops zero-match outer
+    rows from a lateral aggregate subquery WITHOUT a count(*) (Spark
+    keeps them in both spellings, per the standard) — see the
+    differential-fuzzer note on _LATERAL_AGGS.
 
     Scale: decorrelates to aggregate-then-join on l_orderkey — one hash
     exchange per side, no per-row re-scan of lineitem."""

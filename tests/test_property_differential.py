@@ -355,11 +355,17 @@ _WINDOW_FNS = [
 
 @pytest.mark.parametrize("seed", range(8))
 def test_random_window_functions(spark, sf_dir, ddb, seed):
-    """Window functions over a unique total order agree across engines —
-    the machinery the repo's dedup_latest / sessionization / bucketing
-    paths are built on. The running-sum frame is both engines' default
-    (RANGE UNBOUNDED PRECEDING..CURRENT ROW; ties impossible under the
-    unique order, so it equals ROWS)."""
+    """Window functions agree across engines — the machinery the repo's
+    dedup_latest / sessionization / bucketing paths are built on.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixture, but the
+    compare is still deterministic: tied rows are identical in every
+    PROJECTED column, so whatever order each engine breaks ties in, the
+    output multiset is the same (row_number among peers permutes across
+    indistinguishable rows; rank/ntile treat peers alike; the RANGE
+    default frame includes ALL peers so running sums match too). Any fn
+    whose value depended on a non-projected column of a tied row would
+    break this — keep _WINDOW_FNS inside that invariant."""
     from pyspark.sql.window import Window
 
     rng = random.Random(5000 + seed)
@@ -593,6 +599,221 @@ def test_random_having(spark, sf_dir, ddb, seed):
         f"SELECT {group_sql}, count(*) AS n_rows, {agg_sql} FROM lineitem"
         f" WHERE {where_sql} GROUP BY {group_sql}"
         f" HAVING count(*) > {threshold}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+# Correlated LATERAL aggregates: inner-aggregate pool for the
+# per-outer-row lookup. Each entry: (alias, inner agg SQL — identical
+# text both engines). count(*) is NOT in the sampled pool — it is added
+# unconditionally below, because DuckDB 1.0.0 drops zero-match outer
+# rows from a lateral aggregate subquery that has no count(*) in its
+# SELECT list (verified: VALUES(1),(2) lateral max() returns 1 row
+# without count, the standard 2 with it), while Spark keeps them in
+# both spellings (SQL-standard: an ungrouped aggregate yields exactly
+# one row). The registered join_lateral key includes count(*) for the
+# same reason — any future lateral oracle MUST too, or pin per-engine.
+_LATERAL_AGGS = [
+    ("max_qty", "max(CAST(l_quantity AS BIGINT)) AS max_qty"),
+    ("sum_keymod", "sum(l_partkey % 53) AS sum_keymod"),
+    ("min_line", "min(CAST(l_linenumber AS BIGINT)) AS min_line"),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_lateral_correlated_agg(spark, sf_dir, ddb, seed):
+    """Correlated LATERAL scalar-aggregate subqueries agree across
+    engines, INCLUDING the COUNT edge case (outer rows with zero inner
+    matches surface n = 0 / NULL aggregates, which naive outer-join
+    decorrelations get wrong). One plan description renders to both
+    engines' SQL — the dialect splits are DuckDB's mandatory ON TRUE
+    and the mandatory count(*) documented on _LATERAL_AGGS."""
+    rng = random.Random(11000 + seed)
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("fz_orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "fz_lineitem"
+    )
+    aggs = [("n_lines", "CAST(count(*) AS BIGINT) AS n_lines")] + rng.sample(
+        _LATERAL_AGGS, rng.randint(1, 2)
+    )
+    inner_extra = rng.choice(
+        ["", " AND l.l_linenumber <= 5", " AND l.l_quantity > 10.0"]
+    )
+    outer_mod = rng.choice([7, 11, 18])
+    agg_sql = ", ".join(a for _, a in aggs)
+
+    def render(olat, llat, on_true):
+        return (
+            f"SELECT o.o_orderkey, o.o_orderstatus, {', '.join('t.' + n for n, _ in aggs)}"
+            f" FROM {olat} o JOIN LATERAL ("
+            f"  SELECT {agg_sql} FROM {llat} l"
+            f"  WHERE l.l_orderkey = o.o_orderkey{inner_extra}"
+            f" ) t{' ON TRUE' if on_true else ''}"
+            f" WHERE o.o_orderkey % {outer_mod} = 0"
+        )
+
+    sdf = spark.sql(render("fz_orders", "fz_lineitem", False))
+    sql = render("orders", "lineitem", True)
+    n = run_both(spark, sf_dir, ddb, sdf, sql)
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+# String-function pairs. Includes the regexp_replace global-flag trap:
+# Spark replaces ALL matches by default, DuckDB only the first without
+# the 'g' flag — the pool pins the correct pairing.
+_STRING_FNS = [
+    (
+        "pri_up",
+        lambda: F.upper(F.col("o_orderpriority")).alias("pri_up"),
+        "upper(o_orderpriority) AS pri_up",
+    ),
+    (
+        "pri_low",
+        lambda: F.lower(F.col("o_orderpriority")).alias("pri_low"),
+        "lower(o_orderpriority) AS pri_low",
+    ),
+    (
+        "pri_pad",
+        lambda: F.lpad(F.col("o_orderstatus"), 5, ".").alias("pri_pad"),
+        "lpad(o_orderstatus, 5, '.') AS pri_pad",
+    ),
+    (
+        "pri_repl",
+        lambda: F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("pri_repl"),
+        "replace(o_orderpriority, '-', '_') AS pri_repl",
+    ),
+    (
+        "pri_re",
+        lambda: F.regexp_replace(
+            F.col("o_orderpriority"), "[AEIOU]", "#"
+        ).alias("pri_re"),
+        "regexp_replace(o_orderpriority, '[AEIOU]', '#', 'g') AS pri_re",
+    ),
+    (
+        "pri_rev",
+        lambda: F.reverse(F.col("o_orderstatus")).alias("pri_rev"),
+        "reverse(o_orderstatus) AS pri_rev",
+    ),
+    (
+        "pri_pos",
+        lambda: F.instr(F.col("o_orderpriority"), "GENT")
+        .cast("long")
+        .alias("pri_pos"),
+        "CAST(strpos(o_orderpriority, 'GENT') AS BIGINT) AS pri_pos",
+    ),
+    (
+        "pri_left",
+        lambda: F.expr("left(o_orderpriority, 3)").alias("pri_left"),
+        "left(o_orderpriority, 3) AS pri_left",
+    ),
+    (
+        "pri_rep",
+        lambda: F.repeat(F.col("o_orderstatus"), 3).alias("pri_rep"),
+        "repeat(o_orderstatus, 3) AS pri_rep",
+    ),
+    (
+        "pri_sub",
+        lambda: F.substring(F.col("o_orderpriority"), 3, 4).alias("pri_sub"),
+        "substr(o_orderpriority, 3, 4) AS pri_sub",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_string_functions(spark, sf_dir, ddb, seed):
+    """String-scalar spellings agree across engines under the strict
+    compare — including regexp_replace's global-flag dialect split
+    (Spark global by default, DuckDB needs 'g')."""
+    rng = random.Random(12000 + seed)
+    o = load_table(spark, "orders", sf_dir)
+    fns = rng.sample(_STRING_FNS, rng.randint(3, 5))
+    mod = rng.choice([7, 13, 29])
+
+    df = o.where(F.col("o_orderkey") % mod == 0).select(
+        "o_orderkey", *[fb() for _, fb, _ in fns]
+    )
+    fn_sql = ", ".join(fs for _, _, fs in fns)
+    sql = (
+        f"SELECT o_orderkey, {fn_sql} FROM orders"
+        f" WHERE o_orderkey % {mod} = 0"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
+
+
+# Datetime pairs over l_shipdate. Everything renders to strings or
+# BIGINTs before the compare (engine-native temporal rendering never
+# hits the hash); dayofweek/weekofyear are deliberately absent (the
+# engines disagree on week/weekday conventions).
+_DATETIME_FNS = [
+    (
+        "ship_day",
+        lambda: F.dayofmonth("l_shipdate").cast("long").alias("ship_day"),
+        "CAST(day(l_shipdate) AS BIGINT) AS ship_day",
+    ),
+    (
+        "ship_q",
+        lambda: F.quarter("l_shipdate").cast("long").alias("ship_q"),
+        "CAST(quarter(l_shipdate) AS BIGINT) AS ship_q",
+    ),
+    (
+        "month_start",
+        lambda: F.date_format(
+            F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM-dd"
+        ).alias("month_start"),
+        "strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')"
+        " AS month_start",
+    ),
+    (
+        "ship_plus7",
+        lambda: F.date_format(
+            F.date_add(F.to_date("l_shipdate"), 7), "yyyy-MM-dd"
+        ).alias("ship_plus7"),
+        "strftime(CAST(l_shipdate AS DATE) + 7, '%Y-%m-%d') AS ship_plus7",
+    ),
+    (
+        "days_since",
+        lambda: F.datediff(
+            F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days_since"),
+        "CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))"
+        " AS BIGINT) AS days_since",
+    ),
+    (
+        "month_end",
+        lambda: F.date_format(
+            F.last_day("l_shipdate"), "yyyy-MM-dd"
+        ).alias("month_end"),
+        "strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d')"
+        " AS month_end",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_datetime_functions(spark, sf_dir, ddb, seed):
+    """Datetime spellings agree across engines: date parts, truncation,
+    date arithmetic, datediff, last_day — all rendered to strings/
+    BIGINTs (the registry's epoch-ms discipline for temporals)."""
+    rng = random.Random(13000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(1, 2))
+    fns = rng.sample(_DATETIME_FNS, rng.randint(2, 4))
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.select("l_orderkey", "l_linenumber", *[fb() for _, fb, _ in fns])
+    where_sql = " AND ".join(fs for _, fs in filters)
+    fn_sql = ", ".join(fs for _, _, fs in fns)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {fn_sql} FROM lineitem"
+        f" WHERE {where_sql}"
     )
     n = run_both(spark, sf_dir, ddb, df, sql)
     assert n > 0, f"vacuous plan: {sql}"
