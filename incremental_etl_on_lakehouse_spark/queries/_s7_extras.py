@@ -572,3 +572,60 @@ def join_null_safe(spark, sf_dir):
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["doc_id"], a["k"].alias("k"), b["n_lang"]
     )
+
+
+@query(
+    "fn_hash_sha",
+    "SELECT doc_id,"
+    " md5(text) AS h_md5,"
+    " sha256(text) AS h_sha256,"
+    " substr(md5(lang || '|' || source), 1, 8) AS h_bucket"
+    " FROM documents WHERE doc_id % 7 = 0",
+)
+def fn_hash_sha(spark, sf_dir):
+    """Cryptographic hash surface: md5 + sha256 content hashes (hex) —
+    the content-addressing primitives for dedup manifests and dataset
+    cards (the xxhash64 used in hot dedup paths is Spark-only, so the
+    cross-engine keys pin the portable pair). Narrow codegen
+    projection, scan-bound, zero exchanges."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))), 1, 8
+        ).alias("h_bucket"),
+    )
+
+
+@query(
+    "explode_outer_tokens",
+    "WITH base AS (SELECT doc_id,"
+    " CASE WHEN doc_id % 3 = 0 THEN NULL"
+    "  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks"
+    " FROM documents WHERE doc_id % 11 = 0)"
+    " SELECT doc_id, unnest("
+    "  CASE WHEN toks IS NULL OR len(toks) = 0"
+    "   THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS token"
+    " FROM base",
+)
+def explode_outer_tokens(spark, sf_dir):
+    """``explode_outer``: rows with NULL/empty arrays survive as one row
+    with a NULL element (plain explode silently DROPS them — losing
+    every empty document from a tokenize-then-count pipeline). DuckDB
+    has no outer unnest, so the oracle encodes the semantics with a
+    CASE to a one-NULL list. NULL arrays planted on doc_id % 3.
+
+    Scale: Generate (explode) is a narrow operator — no shuffle; the
+    outer variant adds only the null-row branch."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+    )
+    return (
+        d.where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("token"))
+    )
