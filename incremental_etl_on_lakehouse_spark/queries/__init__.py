@@ -74,9 +74,10 @@ _PRIORITY_KEYS = [
     "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
     "filter_conj", "derive_withcolumn", "proj_alias",
     "win_row_number_dedup", "sort_multi_key", "sort_single",
-    # (fn_to_utc_timestamp and fn_nvl — r2-green trivial scalars — yielded
-    # their refresh slots to the last two new keys; round-9 queue)
-    "fn_md5_concat", "fn_input_file_name",
+    # (fn_to_utc_timestamp, fn_nvl, fn_md5_concat — r2-green trivial
+    # scalars, the md5 evidence superseded by fn_hash_sha — yielded their
+    # refresh slots to the last three new keys; round-9 queue)
+    "fn_input_file_name",
     "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
     "join_merge_key",
     # (c) evidence refresh: r3-block HEAD (one DML key plus the five
@@ -98,7 +99,7 @@ _PRIORITY_KEYS = [
     "agg_count_distinct_multi", "win_lead_offset", "join_lateral",
     "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
     "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
-    "fn_hash_sha", "explode_outer_tokens",
+    "fn_hash_sha", "explode_outer_tokens", "sql_recursive_cte",
 ]
 
 # Rotated-out keys directly behind the cap line: every key here has at
@@ -166,7 +167,7 @@ _SECOND_PRIORITY = [
     "ext_udf_vectorized",
     # keys that yielded their round-8 refresh slots to the new keys
     # (head of the round-9 refresh queue)
-    "fn_to_utc_timestamp", "fn_nvl",
+    "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat",
     "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
     "util_restore", "agg_incremental_minmax", "agg_incremental_view",
     "join_asof", "win_session", "stream_stateful", "stream_stream_join",

@@ -629,3 +629,39 @@ def explode_outer_tokens(spark, sf_dir):
         .select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode_outer("toks").alias("token"))
     )
+
+
+@query(
+    "sql_recursive_cte",
+    "WITH RECURSIVE walk(doc_id, cur, depth) AS ("
+    " SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents"
+    "  WHERE doc_id % 13 = 0"
+    " UNION ALL"
+    " SELECT doc_id, cur // 10, depth + 1 FROM walk WHERE cur >= 10)"
+    " SELECT doc_id, cur AS root, depth"
+    " FROM walk WHERE cur < 10",
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4.0+): walk a planted parent edge
+    (parent(id) = id // 10 — a forest whose roots are the single-digit
+    ids) from each document to its root, carrying the depth — the
+    hierarchy/taxonomy/lineage traversal shape that previously required
+    the driver-side iterative loop ext_dedup_clusters uses.
+
+    Scale: the recursion is depth-bounded by the key width (≤ ~6 here);
+    each iteration is a narrow projection + filter over the shrinking
+    frontier, unioned — no joins, no growing state beyond the result.
+    The identical SQL text runs on both engines (dialect split: Spark
+    spells integer division `div`, DuckDB `//`)."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "rc_documents"
+    )
+    return spark.sql(
+        "WITH RECURSIVE walk(doc_id, cur, depth) AS ("
+        " SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM rc_documents"
+        "  WHERE doc_id % 13 = 0"
+        " UNION ALL"
+        " SELECT doc_id, cur div 10, depth + 1 FROM walk WHERE cur >= 10)"
+        " SELECT doc_id, cur AS root, depth"
+        " FROM walk WHERE cur < 10"
+    )
