@@ -73,7 +73,9 @@ _PRIORITY_KEYS = [
     # (c) evidence refresh: the r1/r2-evidence block (last driver rows r2)
     "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
     "filter_conj", "derive_withcolumn", "proj_alias",
-    "win_row_number_dedup", "sort_multi_key", "sort_single",
+    # (sort_single — r2-green, the sort family's refresh rides on
+    # sort_multi_key — yielded its slot to win_range_interval)
+    "win_row_number_dedup", "sort_multi_key",
     # (fn_to_utc_timestamp, fn_nvl, fn_md5_concat — r2-green trivial
     # scalars, the md5 evidence superseded by fn_hash_sha — yielded their
     # refresh slots to the last three new keys; round-9 queue)
@@ -100,6 +102,7 @@ _PRIORITY_KEYS = [
     "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
     "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
     "fn_hash_sha", "explode_outer_tokens", "sql_recursive_cte",
+    "win_range_interval",
 ]
 
 # Rotated-out keys directly behind the cap line: every key here has at
@@ -167,7 +170,7 @@ _SECOND_PRIORITY = [
     "ext_udf_vectorized",
     # keys that yielded their round-8 refresh slots to the new keys
     # (head of the round-9 refresh queue)
-    "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat",
+    "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat", "sort_single",
     "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
     "util_restore", "agg_incremental_minmax", "agg_incremental_view",
     "join_asof", "win_session", "stream_stateful", "stream_stream_join",

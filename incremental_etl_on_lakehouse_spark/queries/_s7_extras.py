@@ -665,3 +665,39 @@ def sql_recursive_cte(spark, sf_dir):
         " SELECT doc_id, cur AS root, depth"
         " FROM walk WHERE cur < 10"
     )
+
+
+@query(
+    "win_range_interval",
+    "SELECT user_id, epoch_ms(ts) AS ts_ms,"
+    " sum(CAST(round(value * 100) AS BIGINT)) OVER"
+    "  (PARTITION BY user_id ORDER BY ts"
+    "   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    "  AS rolling_cents"
+    " FROM events WHERE user_id % 11 = 0",
+)
+def win_range_interval(spark, sf_dir):
+    """Time-interval RANGE frame: per-user rolling 1-hour sum over event
+    time — the trailing-window aggregation sensor/rate-limit/abuse
+    pipelines run, as a BATCH window (the streaming flavor is
+    stream_sliding_window). Value goes through exact integer cents so
+    the rolling sum is order-independent. RANGE frames include ALL
+    peers, so duplicate timestamps within a user still yield a
+    deterministic multiset.
+
+    Scale: one window exchange keyed on user_id; the frame is bounded
+    by event density per hour, not partition size — Spark evaluates it
+    with a sliding frame buffer, never materializing the full partition
+    per row."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("wri_events")
+    # parquet delivers ts as TIMESTAMP_NTZ; unix_millis requires TIMESTAMP
+    # (the session is pinned UTC, so the cast is value-preserving)
+    return spark.sql(
+        "SELECT user_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,"
+        " sum(CAST(round(value * 100) AS BIGINT)) OVER"
+        "  (PARTITION BY user_id ORDER BY ts"
+        "   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)"
+        "  AS rolling_cents"
+        " FROM wri_events WHERE user_id % 11 = 0"
+    )

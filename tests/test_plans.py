@@ -856,3 +856,12 @@ def test_schema_merge_read_stays_columnar(spark, sf_dir):
     p = plans.formatted_plan(df)
     assert "Scan parquet" in p, p
     assert plans.shuffle_count(df) == 0, p
+
+
+def test_range_interval_single_window_exchange(spark, sf_dir):
+    """The rolling-hour window is ONE user_id-keyed window exchange —
+    no extra shuffle, no global (unpartitioned) window."""
+    df = QUERIES["win_range_interval"](spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 1, p
+    assert "Window" in p, p
