@@ -91,9 +91,9 @@ _PRIORITY_KEYS = [
     "snk_update_delete_sql",
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    # new round-8 keys (18) — new keys get a driver row the round they
+    # new round-8 keys (22) — new keys get a driver row the round they
     # land: REAL stdlib WAV/y4m decode paths, the seven §2.12/§2.13
-    # wideners, and the nine relational-surface keys
+    # wideners, and the thirteen relational-surface keys
     "ext_multimodal_audio", "ext_multimodal_video",
     "ext_inverted_index", "ext_dataset_profile", "fn_bitwise",
     "win_nth_value", "setop_union_by_name", "fn_url_parse",

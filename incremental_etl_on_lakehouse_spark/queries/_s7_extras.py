@@ -579,15 +579,17 @@ def join_null_safe(spark, sf_dir):
     "SELECT doc_id,"
     " md5(text) AS h_md5,"
     " sha256(text) AS h_sha256,"
-    " substr(md5(lang || '|' || source), 1, 8) AS h_bucket"
+    " substr(md5(concat_ws('|', lang, source)), 1, 8) AS h_bucket"
     " FROM documents WHERE doc_id % 7 = 0",
 )
 def fn_hash_sha(spark, sf_dir):
     """Cryptographic hash surface: md5 + sha256 content hashes (hex) —
     the content-addressing primitives for dedup manifests and dataset
     cards (the xxhash64 used in hot dedup paths is Spark-only, so the
-    cross-engine keys pin the portable pair). Narrow codegen
-    projection, scan-bound, zero exchanges."""
+    cross-engine keys pin the portable pair). Both sides spell the
+    bucket input concat_ws (NULL-skipping on both engines) — `||`
+    NULL-propagates in DuckDB and would diverge on a NULL lang/source.
+    Narrow codegen projection, scan-bound, zero exchanges."""
     d = load_table(spark, "documents", sf_dir)
     return d.where(F.col("doc_id") % 7 == 0).select(
         "doc_id",

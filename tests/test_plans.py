@@ -803,6 +803,9 @@ def test_lateral_join_decorrelates_to_hash_join(spark, sf_dir):
     df = QUERIES["join_lateral"](spark, sf_dir)
     p = plans.formatted_plan(df)
     assert "CartesianProduct" not in p, p
+    # at test scale a failed decorrelation would broadcast the tiny
+    # outer side and plan a BroadcastNestedLoopJoin, not a cartesian
+    assert "BroadcastNestedLoop" not in p, p
     assert "HashAggregate" in p, p
 
 

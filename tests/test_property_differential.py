@@ -319,9 +319,12 @@ def test_random_scalar_projection(spark, sf_dir, ddb, seed):
     assert n > 0, f"vacuous plan: {sql}"
 
 
-# Window specs over the UNIQUE total order (l_orderkey, l_linenumber) —
-# unique ordering makes every ranking function deterministic, so rank()
-# and row_number() are cross-engine comparable.
+# Window fns over ORDER BY (l_orderkey, l_linenumber) — NOT unique in
+# the fixture; cross-engine determinism rests on peer-indistinguishability
+# (see test_random_window_functions' docstring): every fn here must
+# depend only on position/peers and PROJECTED columns of tied rows.
+# Do NOT add e.g. lag(l_quantity) — a non-ORDER-BY payload column of a
+# tied row — without first making the order key total.
 _WINDOW_FNS = [
     (
         "rn",

@@ -1,7 +1,8 @@
 """Driver-replica sweep: first 50 ordered_keys() with a BARE SparkSession
 vs the DuckDB oracles at sf0.01 — row count, schema (column names), and
 order-insensitive STRINGIFIED-tuple compare (exactly what the driver
-hashes: str(value) per cell, columns sorted by name, rows sorted).
+hashes: str(value) per cell, columns sorted by name, rows sorted; shared
+definition in tools/_sweep_common.py).
 
 Run before each round's rotation lands:
 
@@ -11,38 +12,19 @@ No float normalization on purpose — the round-7 fn_regexp_extract red
 row passed the old `.10g`-normalized sim ('2.0' vs '2' compared equal as
 Python floats) and failed the driver. The strict compare is the truth.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-import duckdb  # noqa: E402
-from pyspark.sql import SparkSession  # noqa: E402
+sys.path.insert(0, os.path.dirname(__file__))
+from _sweep_common import make_duckdb, make_spark, norm  # noqa: E402
 
-spark = (
-    SparkSession.builder.master("local[32]")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-)
-spark.sparkContext.setLogLevel("ERROR")
+spark = make_spark()
 import __spark_entry__ as e  # noqa: E402
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-con = duckdb.connect()
-con.execute("SET TimeZone='UTC'")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-    )
+con = make_duckdb(sf)
 Q, O = e.queries(), e.oracle_sql()
-
-
-def norm(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(str(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
-
 
 n_pass = n_fail = 0
 for k in list(Q)[:50]:

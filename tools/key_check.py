@@ -1,15 +1,16 @@
 """Targeted driver-replica check: run NAMED keys (instead of the first-50
 sweep of driver_sweep_sim.py) with a bare SparkSession vs the DuckDB
-oracles — same strict stringified-tuple compare the driver hashes.
+oracles — same strict stringified-tuple compare the driver hashes
+(shared: tools/_sweep_common.py).
 
     python tools/key_check.py key1 key2 ... [--sf /root/testdata/sf0.01]
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-import duckdb  # noqa: E402
-from pyspark.sql import SparkSession  # noqa: E402
+sys.path.insert(0, os.path.dirname(__file__))
+from _sweep_common import make_duckdb, make_spark, norm  # noqa: E402
 
 args = sys.argv[1:]
 sf = "/root/testdata/sf0.01"
@@ -18,30 +19,11 @@ if "--sf" in args:
     sf = args[i + 1]
     args = args[:i] + args[i + 2:]
 
-spark = (
-    SparkSession.builder.master("local[32]")
-    .config("spark.sql.shuffle.partitions", "32")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-)
-spark.sparkContext.setLogLevel("ERROR")
+spark = make_spark()
 import __spark_entry__ as e  # noqa: E402
 
-con = duckdb.connect()
-con.execute("SET TimeZone='UTC'")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-    )
+con = make_duckdb(sf)
 Q, O = e.queries(), e.oracle_sql()
-
-
-def norm(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(str(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
-
 
 n_fail = 0
 for k in args:
