@@ -75,12 +75,15 @@ _PRIORITY_KEYS = [
     "filter_conj", "derive_withcolumn", "proj_alias",
     # (sort_single — r2-green, the sort family's refresh rides on
     # sort_multi_key — yielded its slot to win_range_interval)
+    # (fn_case_when, fn_arith — r2-green trivial scalars, arithmetic
+    # surface superseded by fn_try_arith/fn_math_ops — yielded to the
+    # last two new keys)
     "win_row_number_dedup", "sort_multi_key",
     # (fn_to_utc_timestamp, fn_nvl, fn_md5_concat — r2-green trivial
     # scalars, the md5 evidence superseded by fn_hash_sha — yielded their
     # refresh slots to the last three new keys; round-9 queue)
     "fn_input_file_name",
-    "fn_case_when", "fn_arith", "fn_timestamp_parse", "ext_approx_distinct",
+    "fn_timestamp_parse", "ext_approx_distinct",
     "join_merge_key",
     # (c) evidence refresh: r3-block HEAD (one DML key plus the five
     # planted companions that carry the full-oracle proof for the six
@@ -91,9 +94,9 @@ _PRIORITY_KEYS = [
     "snk_update_delete_sql",
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    # new round-8 keys (22) — new keys get a driver row the round they
+    # new round-8 keys (24) — new keys get a driver row the round they
     # land: REAL stdlib WAV/y4m decode paths, the seven §2.12/§2.13
-    # wideners, and the thirteen relational-surface keys
+    # wideners, and the fifteen relational-surface keys
     "ext_multimodal_audio", "ext_multimodal_video",
     "ext_inverted_index", "ext_dataset_profile", "fn_bitwise",
     "win_nth_value", "setop_union_by_name", "fn_url_parse",
@@ -102,7 +105,7 @@ _PRIORITY_KEYS = [
     "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
     "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
     "fn_hash_sha", "explode_outer_tokens", "sql_recursive_cte",
-    "win_range_interval",
+    "win_range_interval", "win_rows_sliding", "fn_binary_encode",
 ]
 
 # Rotated-out keys directly behind the cap line: every key here has at
@@ -171,6 +174,7 @@ _SECOND_PRIORITY = [
     # keys that yielded their round-8 refresh slots to the new keys
     # (head of the round-9 refresh queue)
     "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat", "sort_single",
+    "fn_case_when", "fn_arith",
     "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
     "util_restore", "agg_incremental_minmax", "agg_incremental_view",
     "join_asof", "win_session", "stream_stateful", "stream_stream_join",

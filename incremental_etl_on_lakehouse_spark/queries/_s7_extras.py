@@ -703,3 +703,74 @@ def win_range_interval(spark, sf_dir):
         "  AS rolling_cents"
         " FROM wri_events WHERE user_id % 11 = 0"
     )
+
+
+@query(
+    "win_rows_sliding",
+    "WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,"
+    " l_partkey, l_suppkey, l_quantity, l_extendedprice,"
+    " CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+    " FROM lineitem WHERE l_orderkey % 17 = 0)"
+    " SELECT l_orderkey, l_linenumber, l_returnflag,"
+    " CAST(sum(cents) OVER w AS BIGINT) AS win_cents,"
+    " CAST(count(*) OVER w AS BIGINT) AS win_n"
+    " FROM base"
+    " WINDOW w AS (PARTITION BY l_returnflag"
+    " ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+    " l_quantity, l_extendedprice"
+    " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)",
+)
+def win_rows_sliding(spark, sf_dir):
+    """Centered ROWS frame (2 PRECEDING..2 FOLLOWING) — the moving-
+    average smoothing window; emitted as exact integer (sum, count)
+    pairs so no division hits the hash (the caller divides). ROWS
+    frames demand a total order — the six-column candidate key again —
+    because unlike RANGE they do NOT include peers, so a tie-broken
+    order changes which rows fall in the frame.
+
+    Scale: one window exchange on l_returnflag; a ROWS frame holds a
+    constant 5-row buffer per row regardless of partition size."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice",
+        )
+        .rowsBetween(-2, 2)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.where(F.col("l_orderkey") % 17 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.sum(cents).over(w).alias("win_cents"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+
+
+@query(
+    "fn_binary_encode",
+    "SELECT doc_id,"
+    " upper(hex(lang)) AS lang_hex,"
+    " to_base64(encode(source)) AS src_b64,"
+    " (decode(from_base64(to_base64(encode(source)))) = source)"
+    "  AS roundtrip_ok"
+    " FROM documents WHERE doc_id % 9 = 0",
+)
+def fn_binary_encode(spark, sf_dir):
+    """Binary encodings: hex + base64 encode/decode roundtrip — the
+    wire-format scalars manifest/export paths use on binary media
+    columns. hex case differs per engine for string input (Spark
+    uppercase, DuckDB lowercase) — upper() on both sides is the
+    contract. Narrow codegen projection, scan-bound, zero exchanges."""
+    d = load_table(spark, "documents", sf_dir)
+    src_bin = F.col("source").cast("binary")
+    return d.where(F.col("doc_id") % 9 == 0).select(
+        "doc_id",
+        F.upper(F.hex(F.col("lang"))).alias("lang_hex"),
+        F.base64(src_bin).alias("src_b64"),
+        (
+            F.unbase64(F.base64(src_bin)).cast("string") == F.col("source")
+        ).alias("roundtrip_ok"),
+    )

@@ -868,3 +868,14 @@ def test_range_interval_single_window_exchange(spark, sf_dir):
     p = plans.formatted_plan(df)
     assert plans.shuffle_count(df) == 1, p
     assert "Window" in p, p
+
+
+def test_rows_sliding_single_window_exchange(spark, sf_dir):
+    """The centered moving-average frame is ONE flag-keyed window
+    exchange; binary-encode is a pure scan-bound projection."""
+    df = QUERIES["win_rows_sliding"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+    enc = QUERIES["fn_binary_encode"](spark, sf_dir)
+    p = plans.formatted_plan(enc)
+    assert plans.shuffle_count(enc) == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
