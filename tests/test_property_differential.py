@@ -820,3 +820,41 @@ def test_random_datetime_functions(spark, sf_dir, ddb, seed):
     )
     n = run_both(spark, sf_dir, ddb, df, sql)
     assert n > 0, f"vacuous plan: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_multi_distinct(spark, sf_dir, ddb, seed):
+    """Several exact COUNT(DISTINCT) columns + plain aggregates in one
+    grouped aggregate — the Expand-strategy path (one pass, row fan-out
+    per distinct set) across random group/filter combinations. Pins
+    that Expand's NULL bookkeeping and partial-aggregate merge agree
+    with DuckDB's multi-distinct execution on real data."""
+    rng = random.Random(14000 + seed)
+    li = load_table(spark, "lineitem", sf_dir)
+    filters = _sample_filters(rng, rng.randint(0, 2))
+    group_cols, group_sql = rng.choice(_GROUPS[:3])
+    dcols = rng.sample(
+        ["l_suppkey", "l_partkey", "l_orderkey", "l_linenumber"],
+        rng.randint(2, 3),
+    )
+
+    df = li
+    for fb, _ in filters:
+        df = df.where(fb())
+    df = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_orderkey") % 97).alias("sum_keymod"),
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in dcols],
+    )
+
+    where_sql = " AND ".join(fs for _, fs in filters) or "TRUE"
+    nd_sql = ", ".join(
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}" for c in dcols
+    )
+    sql = (
+        f"SELECT {group_sql}, count(*) AS n_rows,"
+        f" sum(l_orderkey % 97) AS sum_keymod, {nd_sql} FROM lineitem"
+        f" WHERE {where_sql} GROUP BY {group_sql}"
+    )
+    n = run_both(spark, sf_dir, ddb, df, sql)
+    assert n > 0, f"vacuous plan: {sql}"
