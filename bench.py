@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     # NOT part of the 16 baseline-comparable keys
     "ext_bm25_topk",
     "ext_quality_buckets_scale",
+    # round-8: three representative new-surface keys — the token-keyed
+    # inverted-index build (heaviest new ext shape), the Expand-strategy
+    # multi-distinct aggregate, and the iterative recursive-CTE walk —
+    # NOT part of the 16 baseline-comparable keys
+    "ext_inverted_index",
+    "agg_count_distinct_multi",
+    "sql_recursive_cte",
 ]
 
 
