@@ -375,9 +375,11 @@ def setop_intersect_except_all(spark, sf_dir):
     duplicate multiplicity (min / difference of per-row counts), unlike
     the DISTINCT variants the setop_intersect/except keys pin.
 
-    Scale: Spark plans both as a single hash aggregate over the union
-    tagged with per-side counts — one exchange keyed on the row value,
-    no join; multiplicity arithmetic happens in the aggregate."""
+    Scale: Spark plans each set op as a hash aggregate over the union
+    tagged with per-side counts, then Generate/replicaterows restores
+    multiplicity — one value-keyed exchange per set operation (two in
+    this combined key), no join anywhere (verified in the executed
+    plan; guard: test_intersect_except_all_no_join)."""
     li = load_table(spark, "lineitem", sf_dir)
     proj = lambda df: df.select(  # noqa: E731
         F.col("l_quantity").cast("long").alias("qty"),
