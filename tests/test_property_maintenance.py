@@ -1,0 +1,113 @@
+"""Maintenance-op interleaving fuzzer: random APPEND / DELETE / UPDATE /
+OPTIMIZE / RESTORE sequences against one lake table, checked against a
+pure-Python row model — INCLUDING time travel back to every version the
+sequence ever produced.
+
+This stresses the interactions the fixed-scenario lake tests can't
+enumerate: does a RESTORE mid-sequence leave later DELETEs operating on
+the restored rows; does OPTIMIZE (a purely physical rewrite) really
+change nothing logically at any point; does every historical version
+remain exactly reconstructible after an arbitrary op mix (the contract
+VACUUM-less retention promises).
+
+Deterministic seeds, bounded op count: 6 sequences x 8 ops at tiny row
+counts — lake-op latency, not data, dominates the runtime.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("grp", StringType()),
+        StructField("val", LongType()),
+    ]
+)
+
+# (SQL condition, python predicate over (id, grp, val)) — shared pool so
+# the engine and the model always evaluate the same thing
+_CONDS = [
+    ("val % 3 = 0", lambda i, g, v: v % 3 == 0),
+    ("grp = 'a'", lambda i, g, v: g == "a"),
+    ("id % 2 = 1", lambda i, g, v: i % 2 == 1),
+    ("val > 250", lambda i, g, v: v > 250),
+]
+
+# (SQL assignments, python row transform)
+_ASSIGNS = [
+    ({"val": "val + 100"}, lambda i, g, v: (i, g, v + 100)),
+    ({"val": "val * 2"}, lambda i, g, v: (i, g, v * 2)),
+    ({"grp": "'z'"}, lambda i, g, v: (i, "z", v)),
+    (
+        {"val": "val + id", "grp": "upper(grp)"},
+        lambda i, g, v: (i, g.upper(), v + i),
+    ),
+]
+
+
+def _table_rows(t: LakeTable, version=None) -> frozenset:
+    return frozenset(
+        (r.id, r.grp, r.val) for r in t.to_df(version=version).collect()
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_maintenance_interleavings(spark, tmp_path, seed):
+    rng = random.Random(8800 + seed)
+    t = LakeTable.create(spark, str(tmp_path / f"maint_{seed}"), SCHEMA)
+    model: set = set()  # {(id, grp, val)}
+    next_id = 0
+    # version -> expected frozenset, recorded after EVERY committed op
+    history = {t.version(): frozenset(model)}
+
+    def do_append():
+        nonlocal next_id
+        k = rng.randint(2, 5)
+        rows = [
+            (next_id + j, rng.choice("abc"), rng.randint(0, 400))
+            for j in range(k)
+        ]
+        next_id += k
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        model.update(rows)
+
+    ops = ["append", "delete", "update", "compact", "restore"]
+    do_append()  # never fuzz an empty-forever table
+    history[t.version()] = frozenset(model)
+
+    for _ in range(8):
+        op = rng.choice(ops)
+        if op == "append":
+            do_append()
+        elif op == "delete":
+            sql, pred = rng.choice(_CONDS)
+            t.delete(sql)
+            model.difference_update({r for r in model if pred(*r)})
+        elif op == "update":
+            csql, cpred = rng.choice(_CONDS)
+            asql, afn = rng.choice(_ASSIGNS)
+            t.update(asql, condition=csql)
+            hit = {r for r in model if cpred(*r)}
+            model.difference_update(hit)
+            model.update(afn(*r) for r in hit)
+        elif op == "compact":
+            t.compact(target_file_rows=50)
+            # purely physical: the model must NOT change
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            t.restore(target)
+            model = set(history[target])
+        history[t.version()] = frozenset(model)
+        assert _table_rows(t) == frozenset(model), (seed, op)
+
+    # every version the sequence ever produced must still reconstruct
+    # exactly (time travel after arbitrary maintenance interleavings)
+    for v, expected in history.items():
+        assert _table_rows(t, version=v) == expected, (seed, "version", v)
