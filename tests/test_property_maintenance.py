@@ -61,7 +61,12 @@ def _table_rows(t: LakeTable, version=None) -> frozenset:
 @pytest.mark.parametrize("seed", range(6))
 def test_random_maintenance_interleavings(spark, tmp_path, seed):
     rng = random.Random(8800 + seed)
-    t = LakeTable.create(spark, str(tmp_path / f"maint_{seed}"), SCHEMA)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / f"maint_{seed}"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
     model: set = set()  # {(id, grp, val)}
     next_id = 0
     # version -> expected frozenset, recorded after EVERY committed op
@@ -111,3 +116,25 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed):
     # exactly (time travel after arbitrary maintenance interleavings)
     for v, expected in history.items():
         assert _table_rows(t, version=v) == expected, (seed, "version", v)
+
+    # CDF replay: folding the change feed commit-by-commit (removes =
+    # delete + update_preimage, adds = insert + update_postimage; per
+    # commit as set algebra so intra-commit ordering is irrelevant) must
+    # land on the final state — across RESTORE's synthesized whole-file
+    # deletes/re-inserts and OPTIMIZE's CDF invisibility. Ids are unique
+    # and updates preserve them, so set (not multiset) semantics hold.
+    by_commit: dict = {}
+    for r in t.read_changes(0).collect():
+        row = (r.id, r.grp, r.val)
+        rm, ad = by_commit.setdefault(r._commit_version, (set(), set()))
+        if r._change_type in ("delete", "update_preimage"):
+            rm.add(row)
+        elif r._change_type in ("insert", "update_postimage"):
+            ad.add(row)
+        else:  # pragma: no cover - unknown change type is a contract break
+            raise AssertionError(r._change_type)
+    replay: set = set()
+    for v in sorted(by_commit):
+        rm, ad = by_commit[v]
+        replay = (replay - rm) | ad
+    assert replay == frozenset(model), (seed, "cdf-replay")
