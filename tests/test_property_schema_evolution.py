@@ -1,0 +1,133 @@
+"""Schema-evolution interleaving fuzzer: random RENAME / ADD / DROP
+COLUMN mixed with appends and updates, checked against a Python model —
+including the per-version schema contract: time travel to version v must
+project v's OWN column set (column mapping keeps physical files valid
+across renames/drops, so the logical schema is what changes).
+
+Fixed scenarios cover each ALTER in isolation; this covers the
+interactions: rename-then-drop, add-then-rename-the-new-column, appends
+whose files were written under three different logical schemas all
+reconstructing correctly at every version.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+_BASE = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("grp", StringType()),
+        StructField("v0", LongType()),
+    ]
+)
+
+
+def _snap(t: LakeTable, cols, version=None) -> frozenset:
+    df = t.to_df(version=version)
+    assert df.columns == cols, (df.columns, cols)
+    return frozenset(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_schema_evolution_interleavings(spark, tmp_path, seed):
+    rng = random.Random(9900 + seed)
+    t = LakeTable.create(spark, str(tmp_path / f"schema_{seed}"), _BASE)
+    cols = ["id", "grp", "v0"]  # current logical schema, in order
+    rows: list[dict] = []  # model: one dict per row, keys == cols
+    next_id = 0
+    next_col = 1
+    next_name = 0
+    # version -> (column list, frozenset of row tuples in that order)
+    history = {t.version(): (list(cols), frozenset())}
+
+    def spark_schema():
+        return StructType(
+            [
+                StructField(
+                    c, StringType() if c.startswith("grp") else LongType()
+                )
+                for c in cols
+            ]
+        )
+
+    def do_append():
+        nonlocal next_id
+        k = rng.randint(2, 4)
+        new = []
+        for _ in range(k):
+            d = {}
+            for c in cols:
+                if c == "id":
+                    d[c] = next_id
+                    next_id += 1
+                elif c.startswith("grp"):
+                    d[c] = rng.choice("abc")
+                else:
+                    d[c] = rng.randint(0, 99)
+            new.append(d)
+        t.append(
+            spark.createDataFrame(
+                [tuple(d[c] for c in cols) for d in new], spark_schema()
+            )
+        )
+        rows.extend(new)
+
+    do_append()
+    history[t.version()] = (
+        list(cols),
+        frozenset(tuple(d[c] for c in cols) for d in rows),
+    )
+
+    for _ in range(7):
+        numeric = [c for c in cols if c not in ("id",) and not c.startswith("grp")]
+        op = rng.choice(["append", "rename", "add", "drop", "update"])
+        if op == "append":
+            do_append()
+        elif op == "rename":
+            src = rng.choice([c for c in cols if c != "id"])
+            dst = f"r{next_name}_{src}" if not src.startswith("grp") else f"grp_r{next_name}"
+            next_name += 1
+            t.rename_column(src, dst)
+            cols[cols.index(src)] = dst
+            for d in rows:
+                d[dst] = d.pop(src)
+        elif op == "add":
+            name = f"v{next_col}"
+            next_col += 1
+            t.add_columns([(name, LongType())])
+            cols.append(name)
+            for d in rows:
+                d[name] = None  # existing rows read NULL for new columns
+        elif op == "drop":
+            droppable = [c for c in cols if c != "id" and len(cols) > 2]
+            if not droppable:
+                continue
+            victim = rng.choice(droppable)
+            t.drop_column(victim)
+            cols.remove(victim)
+            for d in rows:
+                d.pop(victim, None)
+        elif op == "update":
+            if not numeric:
+                continue
+            target = rng.choice(numeric)
+            t.update({target: f"{target} + 1000"}, condition="id % 2 = 0")
+            for d in rows:
+                if d["id"] % 2 == 0 and d[target] is not None:
+                    d[target] += 1000
+        history[t.version()] = (
+            list(cols),
+            frozenset(tuple(d[c] for c in cols) for d in rows),
+        )
+        assert _snap(t, cols) == history[t.version()][1], (seed, op)
+
+    # per-version schema + data: every version reconstructs under its
+    # own column set, across files written under earlier schemas
+    for v, (vcols, expected) in history.items():
+        assert _snap(t, vcols, version=v) == expected, (seed, "version", v)
