@@ -58,14 +58,23 @@ def _table_rows(t: LakeTable, version=None) -> frozenset:
     )
 
 
+@pytest.mark.parametrize("dv", [False, True], ids=["rewrite", "dv"])
 @pytest.mark.parametrize("seed", range(6))
-def test_random_maintenance_interleavings(spark, tmp_path, seed):
+def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
+    """Runs in BOTH delete modes: file-rewrite and deletion vectors —
+    RESTORE's DV reconciliation (every surviving file must end with
+    exactly its target-version deletion vector) only gets exercised by
+    the dv parametrization, and only under interleavings like
+    delete -> restore -> delete on the same file."""
     rng = random.Random(8800 + seed)
+    props = {"enableChangeDataFeed": "true"}
+    if dv:
+        props["enableDeletionVectors"] = "true"
     t = LakeTable.create(
         spark,
-        str(tmp_path / f"maint_{seed}"),
+        str(tmp_path / f"maint_{seed}_{dv}"),
         SCHEMA,
-        properties={"enableChangeDataFeed": "true"},
+        properties=props,
     )
     model: set = set()  # {(id, grp, val)}
     next_id = 0
