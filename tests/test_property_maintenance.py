@@ -22,6 +22,7 @@ import pytest
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
 
 SCHEMA = StructType(
     [
@@ -92,7 +93,38 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         t.append(spark.createDataFrame(rows, SCHEMA))
         model.update(rows)
 
-    ops = ["append", "delete", "update", "compact", "restore"]
+    def do_merge():
+        """Upsert batch: half fresh ids, half ids drawn from the model
+        (when any exist) — WHEN MATCHED UPDATE *, WHEN NOT MATCHED
+        INSERT *. Exercises merge x restore interactions (a merge onto
+        rows that a restore just resurrected)."""
+        nonlocal next_id
+        batch = []
+        existing = sorted(r[0] for r in model)
+        for _ in range(rng.randint(1, 3)):
+            if existing and rng.random() < 0.5:
+                batch.append(
+                    (rng.choice(existing), rng.choice("abc"),
+                     rng.randint(500, 999))
+                )
+            else:
+                batch.append(
+                    (next_id, rng.choice("abc"), rng.randint(500, 999))
+                )
+                next_id += 1
+        # one source row per id (merge contract)
+        batch = list({b[0]: b for b in batch}.values())
+        t.merge(
+            spark.createDataFrame(batch, SCHEMA),
+            "source.id = target.id",
+            [MergeClause("update", None, "*"),
+             MergeClause("insert", None, "*")],
+        )
+        by_id = {b[0]: b for b in batch}
+        model.difference_update({r for r in model if r[0] in by_id})
+        model.update(by_id.values())
+
+    ops = ["append", "delete", "update", "compact", "restore", "merge"]
     do_append()  # never fuzz an empty-forever table
     history[t.version()] = frozenset(model)
 
@@ -114,6 +146,8 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         elif op == "compact":
             t.compact(target_file_rows=50)
             # purely physical: the model must NOT change
+        elif op == "merge":
+            do_merge()
         elif op == "restore":
             target = rng.choice(sorted(history))
             t.restore(target)
