@@ -181,3 +181,19 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         rm, ad = by_commit[v]
         replay = (replay - rm) | ad
     assert replay == frozenset(model), (seed, "cdf-replay")
+
+    # VACUUM tail phase — the no-silent-corruption contract: after a
+    # zero-retention vacuum, (a) the live snapshot is untouched, and
+    # (b) restoring to the oldest version either raises cleanly
+    # (its files were reclaimed) or reproduces EXACTLY that version's
+    # rows (its files were all still referenced) — never a partial
+    # resurrection.
+    t.vacuum(retention_ms=0, force=True)
+    assert _table_rows(t) == frozenset(model), (seed, "post-vacuum")
+    oldest = min(history)
+    try:
+        t.restore(oldest)
+    except Exception:
+        pass  # clean refusal is contract-conforming
+    else:
+        assert _table_rows(t) == history[oldest], (seed, "restore-after-vacuum")
