@@ -197,3 +197,72 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         pass  # clean refusal is contract-conforming
     else:
         assert _table_rows(t) == history[oldest], (seed, "restore-after-vacuum")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_partitioned_maintenance(spark, tmp_path, seed):
+    """The same interleaving discipline on a HIVE-PARTITIONED table,
+    with partition-scoped ops in the mix: replaceWhere one partition,
+    OPTIMIZE WHERE one partition. Pins that partition-pruned rewrites
+    under arbitrary op orders never leak into sibling partitions and
+    that every historical version still reconstructs."""
+    rng = random.Random(7700 + seed)
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / f"pmaint_{seed}"),
+        SCHEMA,
+        partition_by=["grp"],
+    )
+    model: set = set()
+    next_id = 0
+    history = {t.version(): frozenset(model)}
+
+    def do_append():
+        nonlocal next_id
+        k = rng.randint(2, 5)
+        rows = [
+            (next_id + j, rng.choice("abc"), rng.randint(0, 400))
+            for j in range(k)
+        ]
+        next_id += k
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        model.update(rows)
+
+    do_append()
+    history[t.version()] = frozenset(model)
+
+    for _ in range(7):
+        op = rng.choice(
+            ["append", "delete", "replace_partition", "optimize_where",
+             "restore"]
+        )
+        if op == "append":
+            do_append()
+        elif op == "delete":
+            sql, pred = rng.choice(_CONDS)
+            t.delete(sql)
+            model.difference_update({r for r in model if pred(*r)})
+        elif op == "replace_partition":
+            grp = rng.choice("abc")
+            k = rng.randint(1, 3)
+            fresh = [
+                (10_000 + next_id + j, grp, rng.randint(0, 400))
+                for j in range(k)
+            ]
+            next_id += k  # keep ids unique
+            t.overwrite_where(
+                spark.createDataFrame(fresh, SCHEMA), f"grp = '{grp}'"
+            )
+            model.difference_update({r for r in model if r[1] == grp})
+            model.update(fresh)
+        elif op == "optimize_where":
+            t.compact(target_file_rows=50, where=f"grp = '{rng.choice('abc')}'")
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            t.restore(target)
+            model = set(history[target])
+        history[t.version()] = frozenset(model)
+        assert _table_rows(t) == frozenset(model), (seed, op)
+
+    for v, expected in history.items():
+        assert _table_rows(t, version=v) == expected, (seed, "version", v)
