@@ -673,12 +673,15 @@ def sql_recursive_cte(spark, sf_dir):
 
 @query(
     "win_range_interval",
-    "SELECT user_id, epoch_ms(ts) AS ts_ms,"
-    " sum(CAST(round(value * 100) AS BIGINT)) OVER"
-    "  (PARTITION BY user_id ORDER BY ts"
-    "   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms,"
+    " CAST(round(value * 100) AS BIGINT) AS cents"
+    " FROM events WHERE user_id % 11 = 0)"
+    " SELECT user_id, ts_ms,"
+    " sum(cents) OVER"
+    "  (PARTITION BY user_id ORDER BY ts_ms"
+    "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
     "  AS rolling_cents"
-    " FROM events WHERE user_id % 11 = 0",
+    " FROM base",
 )
 def win_range_interval(spark, sf_dir):
     """Time-interval RANGE frame: per-user rolling 1-hour sum over event
@@ -689,6 +692,13 @@ def win_range_interval(spark, sf_dir):
     peers, so duplicate timestamps within a user still yield a
     deterministic multiset.
 
+    Both engines frame over the BIGINT epoch-ms projection (RANGE
+    3600000 PRECEDING), never the raw timestamp: an `INTERVAL` RANGE
+    frame's boundary arithmetic runs in each engine's native timestamp
+    unit (µs vs ns builds differ), which was the round-8 driver hash
+    mismatch on this key. Integer frames are unit-proof; the hazard
+    class is pinned by tests/test_timestamp_unit_proof.py.
+
     Scale: one window exchange keyed on user_id; the frame is bounded
     by event density per hour, not partition size — Spark evaluates it
     with a sliding frame buffer, never materializing the full partition
@@ -698,12 +708,16 @@ def win_range_interval(spark, sf_dir):
     # parquet delivers ts as TIMESTAMP_NTZ; unix_millis requires TIMESTAMP
     # (the session is pinned UTC, so the cast is value-preserving)
     return spark.sql(
-        "SELECT user_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,"
-        " sum(CAST(round(value * 100) AS BIGINT)) OVER"
-        "  (PARTITION BY user_id ORDER BY ts"
-        "   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)"
+        "WITH base AS"
+        " (SELECT user_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,"
+        "  CAST(round(value * 100) AS BIGINT) AS cents"
+        "  FROM wri_events WHERE user_id % 11 = 0)"
+        " SELECT user_id, ts_ms,"
+        " sum(cents) OVER"
+        "  (PARTITION BY user_id ORDER BY ts_ms"
+        "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
         "  AS rolling_cents"
-        " FROM wri_events WHERE user_id % 11 = 0"
+        " FROM base"
     )
 
 

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import DataStreamReader
 from pyspark.sql.types import StructType
 
-CDC_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss[.SSS][XXX]"
+# Accepts both the reference demo's space-separated spelling
+# (notebooks/demo-notebook.py:146 fixtures) and ISO-8601 'T' — the spelling
+# most CDC emitters/log shippers produce. Before round 9 the 'T' form was
+# rejected and whole NDJSON batches landed in quarantine instead of Bronze.
+CDC_TIMESTAMP_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSS][XXX]"
 
 
 def read_json_batch(

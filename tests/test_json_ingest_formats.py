@@ -153,3 +153,30 @@ def test_pipeline_end_to_end_with_ndjson_landing(spark, tmp_path):
         r["_corrupt_record"] for r in p.quarantine.to_df().collect()
     ]
     assert quarantined == ["{half a record"]
+
+
+def test_pipeline_accepts_iso8601_t_timestamps(spark, tmp_path):
+    """ISO-8601 'T'-separated timestamps — the spelling most CDC emitters
+    produce — must ingest to Bronze, not quarantine. Before round 9 the
+    pipeline's timestampFormat only accepted the demo's space-separated
+    spelling, so an all-ISO NDJSON batch quarantined wholesale (no silent
+    loss, but no ingest either). Mixed spellings in ONE file must also
+    work: the format dispatch is per-record, not per-file."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = MedallionPipeline(spark, str(tmp_path / "lake"), str(landing))
+    rec = lambda i, c, n, op, ts: {
+        "id": i, "country": c, "district": "D", "visit_timestamp": ts,
+        "num_visitors": n, "cdc_operation": op, "cdc_timestamp": ts,
+    }
+    (landing / "f1.json").write_text(
+        json.dumps(rec(1, "England", 100, "INSERT", "2023-01-01T10:00:00"))
+        + "\n"
+        + json.dumps(rec(2, "Wales", 50, "INSERT", "2023-01-01 10:00:00"))
+        + "\n"
+        + json.dumps(rec(3, "Scotland", 75, "INSERT", "2023-01-01T10:00:00Z"))
+    )
+    p.run_available()
+    gold = {r["country"]: r["sum_visitors"] for r in p.gold.to_df().collect()}
+    assert gold == {"England": 100, "Wales": 50, "Scotland": 75}
+    assert p.quarantine.to_df().count() == 0

@@ -362,13 +362,15 @@ def test_random_window_functions(spark, sf_dir, ddb, seed):
     dedup_latest / sessionization / bucketing paths are built on.
 
     (l_orderkey, l_linenumber) is NOT unique in the fixture, but the
-    compare is still deterministic: tied rows are identical in every
-    PROJECTED column, so whatever order each engine breaks ties in, the
-    output multiset is the same (row_number among peers permutes across
-    indistinguishable rows; rank/ntile treat peers alike; the RANGE
-    default frame includes ALL peers so running sums match too). Any fn
-    whose value depended on a non-projected column of a tied row would
-    break this — keep _WINDOW_FNS inside that invariant."""
+    compare is still deterministic because the projected columns are
+    confined to the ORDER BY / partition columns, so tied rows are fully
+    indistinguishable: row_number AND ntile may split a peer group by
+    arbitrary row position, but the values they assign permute only
+    across identical projected rows, leaving the output multiset fixed
+    (rank treats peers alike outright; the RANGE default frame includes
+    ALL peers so running sums match too). Projecting any payload column
+    alongside row_number/ntile would break this — keep _WINDOW_FNS and
+    the select list inside that invariant."""
     from pyspark.sql.window import Window
 
     rng = random.Random(5000 + seed)

@@ -45,9 +45,13 @@ for k in args:
             print(f"{k}: FAIL cols {sc == oc} rows {len(sr)}/{len(orr)}")
             if sc != oc:
                 print("  spark cols:", sc, "\n  duck cols:", oc)
-            bad = [(s, o) for s, o in zip(sr, orr) if s != o][:3]
-            for s, o in bad:
-                print("  spark:", s, "\n  duck :", o)
+            # diff as multisets: a single extra/missing row early in one
+            # side would misalign a positional zip and print spurious pairs
+            only_s, only_o = set(sr) - set(orr), set(orr) - set(sr)
+            for s in sorted(only_s)[:3]:
+                print("  spark-only:", s)
+            for o in sorted(only_o)[:3]:
+                print("  duck-only :", o)
     except Exception as ex:
         n_fail += 1
         print(f"{k}: ERROR {type(ex).__name__}: {str(ex)[:300]}")
