@@ -4,8 +4,12 @@ One JSON file per commit under ``<table>/_lake_log/``; the file name is the
 zero-padded version. A commit lists data files added/removed (paths relative
 to the table root), the schema, table properties, and operation metadata.
 
-Commits are atomic: written to a temp file then linked into place with
-``O_CREAT|O_EXCL`` semantics, so a concurrent second writer loses cleanly.
+Commits are atomic put-if-absent publications, so a concurrent second
+writer of the same version loses cleanly with ``FileExistsError``. The
+storage primitives live behind :class:`~.logstore.LogStore` (local POSIX
+link-into-place by default; object-store implementations plug in via
+``logstore.register_store`` — see that module for the S3/GCS/Azure
+conditional-PUT mapping).
 """
 
 from __future__ import annotations
@@ -13,8 +17,9 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from dataclasses import dataclass, field
+
+from incremental_etl_on_lakehouse_spark.lake.logstore import store_for
 
 LOG_DIR = "_lake_log"
 CDF_DIR = "_cdf"
@@ -80,14 +85,14 @@ def _commit_file(table_path: str, version: int) -> str:
 
 
 def read_log(table_path: str) -> list[Commit]:
+    store = store_for(table_path)
     d = log_dir(table_path)
-    if not os.path.isdir(d):
-        return []
     commits = []
-    for name in sorted(os.listdir(d)):
+    for name in sorted(store.list_dir(d)):
         if name.endswith(".json") and not name.endswith(".checkpoint.json"):
-            with open(os.path.join(d, name)) as f:
-                commits.append(Commit.from_json(f.read()))
+            commits.append(
+                Commit.from_json(store.read_text(os.path.join(d, name)))
+            )
     return commits
 
 
@@ -97,18 +102,16 @@ def latest_version(table_path: str) -> int:
 
 
 def write_commit(table_path: str, commit: Commit) -> None:
-    """Atomically publish a commit; raises FileExistsError on version conflict."""
-    os.makedirs(log_dir(table_path), exist_ok=True)
-    target = _commit_file(table_path, commit.version)
-    tmp = target + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(commit.to_json())
-    try:
-        # os.link fails with EEXIST if another writer won the version — the
-        # single-table equivalent of Delta's optimistic concurrency control.
-        os.link(tmp, target)
-    finally:
-        os.unlink(tmp)
+    """Atomically publish a commit; raises FileExistsError on version conflict.
+
+    put_if_absent is the OCC primitive: exactly one of N racing writers of
+    a version succeeds — the single-table equivalent of Delta's optimistic
+    concurrency control."""
+    store = store_for(table_path)
+    store.mkdirs(log_dir(table_path))
+    store.put_if_absent(
+        _commit_file(table_path, commit.version), commit.to_json()
+    )
     maybe_write_checkpoint(table_path, commit.version)
 
 
@@ -143,10 +146,8 @@ def _checkpoint_file(table_path: str, version: int) -> str:
 def list_versions(table_path: str) -> tuple[list[int], list[int]]:
     """(commit versions, checkpoint versions), each sorted ascending."""
     d = log_dir(table_path)
-    if not os.path.isdir(d):
-        return [], []
     commits, ckpts = [], []
-    for name in os.listdir(d):
+    for name in store_for(table_path).list_dir(d):
         if name.endswith(".checkpoint.json"):
             ckpts.append(int(name.split(".")[0]))
         elif name.endswith(".json") and not name.endswith(".tmp"):
@@ -157,8 +158,9 @@ def list_versions(table_path: str) -> tuple[list[int], list[int]]:
 
 
 def read_commit(table_path: str, version: int) -> Commit:
-    with open(_commit_file(table_path, version)) as f:
-        return Commit.from_json(f.read())
+    return Commit.from_json(
+        store_for(table_path).read_text(_commit_file(table_path, version))
+    )
 
 
 def table_state(table_path: str, version: int | None = None) -> dict | None:
@@ -178,8 +180,11 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
     }
     usable = [v for v in ckpt_vs if v <= target]
     if usable:
-        with open(_checkpoint_file(table_path, usable[-1])) as f:
-            state = json.load(f)
+        state = json.loads(
+            store_for(table_path).read_text(
+                _checkpoint_file(table_path, usable[-1])
+            )
+        )
         state.setdefault("dv", {})  # checkpoints written before DV support
     for v in commit_vs:
         if v <= state["version"] or v > target:
@@ -212,16 +217,13 @@ def maybe_write_checkpoint(table_path: str, version: int) -> None:
     if version == 0 or version % CHECKPOINT_INTERVAL != 0:
         return
     state = table_state(table_path, version)
-    target = _checkpoint_file(table_path, version)
-    tmp = target + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
     try:
-        os.link(tmp, target)
+        store_for(table_path).put_if_absent(
+            _checkpoint_file(table_path, version), json.dumps(state)
+        )
     except FileExistsError:
+        # another writer checkpointed the same version — identical content
         pass
-    finally:
-        os.unlink(tmp)
 
 
 def now_ms() -> int:
