@@ -52,9 +52,10 @@ from incremental_etl_on_lakehouse_spark.operators.cdc import (
     merge_agg_delta,
     merge_cdc_batch,
 )
+from incremental_etl_on_lakehouse_spark.sources.discovery import LandingLedger
 from incremental_etl_on_lakehouse_spark.sources.json_source import (
     SchemaTracker,
-    read_json_auto_stream,
+    read_json_auto_batch,
 )
 
 # Reference schemas: FIXTURES.md A1-A4; notebooks/demo-notebook.py:163-165,213-227,351-356
@@ -447,21 +448,41 @@ class CdcMedallionPipeline:
     # ---------------------------------------------------------------- stages
 
     def ingest_available(self) -> None:
-        """Landing JSON -> Bronze via real Structured Streaming: file source
-        paced at 1 file/micro-batch, ``foreachBatch`` append sink, Spark
-        checkpoint for exactly-once file tracking
+        """Landing JSON -> Bronze, paced at 1 file per batch with
+        exactly-once file tracking via a persisted discovery ledger
         (``notebooks/demo-notebook.py:158-173``). Malformed records are
         captured to the quarantine table instead of flowing on as all-null
         rows (OSS analogue of Autoloader's rescued-data column).
 
-        With ``schema_evolution`` (default on), each call is a stream-start
-        boundary where drift is detected: the persisted schema at
+        Discovery is INCREMENTAL (Autoloader's contract): a trigger does
+        one directory scan plus O(new files) work — the ledger's
+        (mtime watermark, boundary tie-set) replaces both Spark's
+        per-trigger full listing diff and its ever-growing seen-file map
+        (``sources/discovery.py``). Exactly-once survives crashes via a
+        write-ahead intent in the ledger: an interrupted file replays on
+        restart, and the Bronze/quarantine idempotent-txn guards
+        (keyed on the ledger's batch id) turn a replay of an
+        already-committed append into a no-op.
+
+        With ``schema_evolution`` (default on), each call is a boundary
+        where drift is detected: the persisted schema at
         ``_checkpoints/bronze_schema.json`` is widened with any new landing
         columns (Autoloader ``schemaLocation``/``addNewColumns`` semantics,
-        ``notebooks/demo-notebook.py:163-166``) and the Bronze append runs
-        with ``merge_schema`` so the new columns land instead of vanishing.
-        Silver keeps its fixed DDL (the reference's contract) — evolved
-        columns stay Bronze-side until promoted explicitly."""
+        ``notebooks/demo-notebook.py:163-166``) — inference reads ONLY the
+        newly discovered files, since drift can't appear in ingested ones —
+        and the Bronze append runs with ``merge_schema`` so the new columns
+        land instead of vanishing. Silver keeps its fixed DDL (the
+        reference's contract) — evolved columns stay Bronze-side until
+        promoted explicitly."""
+        ledger = LandingLedger(
+            self.landing_path,
+            os.path.join(self.checkpoints, "landing_ledger.json"),
+        )
+        if not ledger.exists_on_disk():
+            self._bootstrap_ledger(ledger)
+        pend = ledger.pending()
+        new_files = ledger.list_new()
+        sample = [f for f, _ in new_files] + ([pend["file"]] if pend else [])
         schema = self.log_schema
         if self.schema_evolution:
             tracker = SchemaTracker(
@@ -471,60 +492,86 @@ class CdcMedallionPipeline:
                 base_schema=self.log_schema,
                 multiline="auto",
             )
-            schema, _new_cols = tracker.evolve()
-        # format-auto: a landing zone mixing JSON-array files (the
-        # reference's format) and NDJSON (what log shippers emit) ingests
-        # every record of both — the plain multiLine reader silently drops
-        # all but the first record of an NDJSON file
-        stream = read_json_auto_stream(
-            self.spark, self.landing_path, schema, corrupt_col="_corrupt_record"
-        )
-        bronze = self.bronze
-        quarantine = self.quarantine
-        business_cols = self.business_cols
+            if sample:
+                schema, _new_cols = tracker.evolve(sample_files=sample)
+            else:
+                schema = tracker.current()
+        if pend:
+            # resume the interrupted batch exactly as intended pre-crash
+            self._ingest_file(pend["file"], int(pend["batch_id"]), schema)
+            ledger.complete()
+        for path, mtime_ns in new_files:
+            bid = ledger.begin(path, mtime_ns)
+            self._ingest_file(path, bid, schema)
+            ledger.complete()
 
-        def sink(batch_df: DataFrame, _batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            # input_file_name() must be captured before persist: cached rows
-            # no longer carry scan-time file provenance
-            batch_df = batch_df.withColumn("file_name", F.input_file_name()).persist()
-            try:
-                bad = batch_df.where(F.col("_corrupt_record").isNotNull())
-                if not bad.isEmpty():
-                    # txn guard: a crash between this append and Spark's
-                    # streaming-checkpoint commit re-delivers the batch —
-                    # the recorded (app, batch_id) makes the replay a no-op
-                    # instead of permanent duplicate rows
-                    quarantine.append(
-                        bad.select(
-                            "_corrupt_record",
-                            "file_name",
-                            F.current_timestamp().alias("insert_timestamp"),
-                        ),
-                        txn_app_id="pipeline_quarantine",
-                        txn_version=int(_batch_id),
-                    )
-                good = batch_df.where(F.col("_corrupt_record").isNull()).drop(
-                    "_corrupt_record"
+    def _bootstrap_ledger(self, ledger: LandingLedger) -> None:
+        """First run of the ledger on a pipeline that may have ingested via
+        the previous checkpoint mechanism: seed the seen-set from the file
+        provenance Bronze/quarantine already carry, and the batch counter
+        from the recorded txn versions. O(table metadata + one provenance
+        scan), once; fresh pipelines skip the scan entirely."""
+        seen: set[str] = set()
+        next_bid = 0
+        for t, app in (
+            (self.bronze, "pipeline_bronze"),
+            (self.quarantine, "pipeline_quarantine"),
+        ):
+            if t.version() <= 0:
+                continue
+            last = t.txn_version(app)
+            if last is not None:
+                next_bid = max(next_bid, int(last) + 1)
+            for r in t.to_df().select("file_name").distinct().collect():
+                if r["file_name"]:
+                    # input_file_name() provenance is a file: URI
+                    seen.add(r["file_name"].removeprefix("file:"))
+        ledger.bootstrap(sorted(seen), next_bid)
+
+    def _ingest_file(self, path: str, batch_id: int, schema) -> None:
+        """Ingest ONE landing file (format-auto: JSON array, pretty object,
+        or NDJSON — ``sources/json_source.py`` module note) into
+        Bronze/quarantine under the idempotent-txn guard."""
+        if not os.path.exists(path):
+            # deleted between discovery and read (contract violation, but a
+            # permanent replay-crash loop would be worse) — mark and move on
+            return
+        batch_df = read_json_auto_batch(
+            self.spark, [path], schema, corrupt_col="_corrupt_record"
+        )
+        if batch_df.isEmpty():
+            return
+        # input_file_name() must be captured before persist: cached rows
+        # no longer carry scan-time file provenance
+        batch_df = batch_df.withColumn("file_name", F.input_file_name()).persist()
+        try:
+            bad = batch_df.where(F.col("_corrupt_record").isNotNull())
+            if not bad.isEmpty():
+                # txn guard: a crash between this append and the ledger's
+                # complete() re-delivers the batch — the recorded
+                # (app, batch_id) makes the replay a no-op instead of
+                # permanent duplicate rows
+                self.quarantine.append(
+                    bad.select(
+                        "_corrupt_record",
+                        "file_name",
+                        F.current_timestamp().alias("insert_timestamp"),
+                    ),
+                    txn_app_id="pipeline_quarantine",
+                    txn_version=batch_id,
                 )
-                if not good.isEmpty():
-                    bronze.append(
-                        augment_bronze(good, business_cols),
-                        merge_schema=self.schema_evolution,
-                        txn_app_id="pipeline_bronze",
-                        txn_version=int(_batch_id),
-                    )
-            finally:
-                batch_df.unpersist()
-
-        (
-            stream.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(self.checkpoints, "bronze"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+            good = batch_df.where(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record"
+            )
+            if not good.isEmpty():
+                self.bronze.append(
+                    augment_bronze(good, self.business_cols),
+                    merge_schema=self.schema_evolution,
+                    txn_app_id="pipeline_bronze",
+                    txn_version=batch_id,
+                )
+        finally:
+            batch_df.unpersist()
 
     def bronze_to_silver_available(self) -> int:
         """New Bronze commits -> dedup + CDC MERGE into Silver

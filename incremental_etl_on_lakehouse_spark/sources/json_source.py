@@ -37,7 +37,7 @@ CDC_TIMESTAMP_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSS][XXX]"
 
 def read_json_batch(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     schema: StructType | None = None,
     multiline: bool = True,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
@@ -53,7 +53,7 @@ def read_json_batch(
 
 def infer_schema_with_hints(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     hints: dict[str, str],
     multiline: bool = True,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
@@ -145,19 +145,27 @@ class SchemaTracker:
         self._persist(schema)
         return schema
 
-    def evolve(self) -> tuple[StructType, list[str]]:
+    def evolve(
+        self, sample_files: list[str] | None = None
+    ) -> tuple[StructType, list[str]]:
         """Detect drift at a stream-start boundary: returns the (possibly
-        widened) schema and the list of newly added column names."""
+        widened) schema and the list of newly added column names.
+
+        ``sample_files`` bounds the inference read to specific files —
+        drift can only appear in files not yet ingested, so a caller with
+        a discovery ledger passes just the new ones and this step is
+        O(new data) instead of O(landing zone)."""
         cur = self.current()
+        target = sample_files if sample_files else self.sample_path
         try:
             if self.multiline == "auto":
                 inferred = infer_schema_auto(
-                    self.spark, self.sample_path,
+                    self.spark, target,
                     timestamp_format=self.timestamp_format,
                 )
             else:
                 inferred = read_json_batch(
-                    self.spark, self.sample_path,
+                    self.spark, target,
                     multiline=self.multiline,
                     timestamp_format=self.timestamp_format,
                 ).schema
@@ -312,7 +320,7 @@ def _parse_json_any(raw: DataFrame, schema: StructType, timestamp_format: str,
 
 def read_json_auto_batch(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     schema: StructType,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
     corrupt_col: str | None = None,
@@ -346,7 +354,7 @@ def read_json_auto_stream(
 
 def infer_schema_auto(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     hints: dict[str, str] | None = None,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
 ) -> StructType:
