@@ -57,139 +57,107 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-8 ROTATION (see ROTATION.md): every registered key already has
-    # a driver row, so the slots are (a) the one red row's fix, (b) keys
-    # whose code paths CHANGED this round, (c) pure evidence refresh,
-    # oldest driver rows first (the r1/r2 block, then the r3 block).
+    # ROUND-9 ROTATION (see ROTATION.md): slots are (a) the round-8 red
+    # row's fix, (b) keys on code paths changed in round 9, (c) the
+    # round-9 refresh queue (oldest driver rows first).
     #
-    # (a) the round-7 red row — oracle integer-division fix lands a green
-    # driver row the same round
-    "fn_regexp_extract",
-    # (b) keys on code paths changed in round 8: the ngram band join was
-    # de-texted (ids-only exchange); the merge/CDC fixed-cost work touches
-    # the merge machinery end-to-end
-    "ext_dedup_ngram_jaccard", "merge_cdc_upsert", "agg_incremental_cdf",
-    "snk_merge", "merge_agg_upsert", "snk_merge_sql",
-    # (c) evidence refresh: the r1/r2-evidence block (last driver rows r2)
+    # (a) the round-8 red row — both engines now frame the RANGE window
+    # over BIGINT epoch-ms (unit-proof); a green driver row closes it
+    "win_range_interval",
+    # (b) keys on code paths changed in round 9:
+    # - the CDC timestampFormat widening (ISO-8601 'T') + the
+    #   LandingLedger ingest rewrite + SchemaTracker bounded inference
+    #   run under every JSON-ingest and pipeline key
+    "src_json_batch", "src_json_auto", "src_json_stream",
+    "stream_trigger_paced", "stream_checkpoint", "stream_foreachbatch",
+    "stream_late_data", "stream_exactly_once",
+    "pipeline_generic", "pipeline_expectations",
+    # - the LogStore seam re-routes every commit write/read/list; these
+    #   keys cover the commit path end-to-end, incl. the OCC/rebase key
+    "snk_delta_append", "src_delta_stream", "src_cdf_batch",
+    "src_cdf_stream", "util_concurrent_append", "snk_merge",
+    # (c) round-9 refresh queue: the 22 keys that yielded their round-8
+    # slots (oldest driver rows first)
+    "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
+    "util_restore", "agg_incremental_minmax", "agg_incremental_view",
+    "join_asof", "win_session", "stream_stateful", "stream_stream_join",
+    "filter_subquery", "agg_cube", "q3_shipping_priority",
+    "q10_returned_items", "q19_disjunctive", "q22_dormant_customers",
+    "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat", "sort_single",
+    "fn_case_when", "fn_arith",
+    # (c) continued: r3-green core block head
+    "agg_sum_groupby", "ext_dedup_exact", "ext_dedup_embedding",
+    "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
+    "ext_quality_score", "ext_fingerprint", "ext_multimodal_col",
+    "ext_sample_hash", "ext_sample_stratified",
+]
+
+_SECOND_PRIORITY = [
+    # Rotated-out keys directly behind the cap line: every key here
+    # has at least one driver-green row (ROTATION.md keeps the
+    # per-round history) and stays locally hash-verified by
+    # tests/test_oracle_parity.py every run. Ordered by rotation
+    # recency: r8-green first, then r7, r5/r6, r4, r3, r1/r2.
+    "fn_regexp_extract", "ext_dedup_ngram_jaccard", "merge_cdc_upsert",
+    "agg_incremental_cdf", "merge_agg_upsert", "snk_merge_sql",
     "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
-    "filter_conj", "derive_withcolumn", "proj_alias",
-    # (sort_single — r2-green, the sort family's refresh rides on
-    # sort_multi_key — yielded its slot to win_range_interval)
-    # (fn_case_when, fn_arith — r2-green trivial scalars, arithmetic
-    # surface superseded by fn_try_arith/fn_math_ops — yielded to the
-    # last two new keys)
-    "win_row_number_dedup", "sort_multi_key",
-    # (fn_to_utc_timestamp, fn_nvl, fn_md5_concat — r2-green trivial
-    # scalars, the md5 evidence superseded by fn_hash_sha — yielded their
-    # refresh slots to the last three new keys; round-9 queue)
-    "fn_input_file_name",
-    "fn_timestamp_parse", "ext_approx_distinct",
-    "join_merge_key",
-    # (c) evidence refresh: r3-block HEAD (one DML key plus the five
-    # planted companions that carry the full-oracle proof for the six
-    # rows-only approximate keys — their freshness is load-bearing);
-    # the 16 other r3 keys yielded their slots to the new round-8 keys
-    # below and move to the round-9 refresh queue (all stay locally
-    # hash-verified every run)
-    "snk_update_delete_sql",
+    "filter_conj", "derive_withcolumn", "proj_alias", "win_row_number_dedup",
+    "sort_multi_key", "fn_input_file_name", "fn_timestamp_parse",
+    "ext_approx_distinct", "join_merge_key", "snk_update_delete_sql",
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    # new round-8 keys (24) — new keys get a driver row the round they
-    # land: REAL stdlib WAV/y4m decode paths, the seven §2.12/§2.13
-    # wideners, and the fifteen relational-surface keys
-    "ext_multimodal_audio", "ext_multimodal_video",
-    "ext_inverted_index", "ext_dataset_profile", "fn_bitwise",
-    "win_nth_value", "setop_union_by_name", "fn_url_parse",
-    "agg_bool_and_or",
+    "ext_multimodal_audio", "ext_multimodal_video", "ext_inverted_index",
+    "ext_dataset_profile", "fn_bitwise", "win_nth_value",
+    "setop_union_by_name", "fn_url_parse", "agg_bool_and_or",
     "agg_count_distinct_multi", "win_lead_offset", "join_lateral",
     "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
     "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
     "fn_hash_sha", "explode_outer_tokens", "sql_recursive_cte",
-    "win_range_interval", "win_rows_sliding", "fn_binary_encode",
-]
-
-# Rotated-out keys directly behind the cap line: every key here has at
-# least one driver-green row (ROTATION.md) and stays locally
-# hash-verified by tests/test_oracle_parity.py every run. Ordered by
-# rotation recency: round-5/6-green first, then r4, r3, r1/r2.
-_SECOND_PRIORITY = [
-    # r7-green keys (rotated out in r8)
-    "fn_datetime", "fn_map_ops", "fn_array_ops",
-    "fn_higher_order", "fn_string_distance", "fn_variant_json",
-    "win_ntile", "win_range_frame", "join_full_outer",
+    "win_rows_sliding", "fn_binary_encode", "fn_datetime", "fn_map_ops",
+    "fn_array_ops", "fn_higher_order", "fn_string_distance",
+    "fn_variant_json", "win_ntile", "win_range_frame", "join_full_outer",
     "agg_histogram", "agg_approx_percentile", "src_text_lines",
-    "ext_doc_shuffle", "ext_resample_ffill",
-    "src_json_auto", "merge_by_source", "util_optimize_where",
-    "util_convert_to_lake", "agg_stats_moments", "win_percent_rank",
-    "agg_string_agg", "ext_graph_pagerank", "stream_stateful_topk",
-    "join_asof_nearest", "ext_bm25_topk", "pipeline_generic",
-    "ext_corpus_report", "pipeline_expectations", "ext_multimodal_decode",
-    "stream_session_window", "join_cross", "agg_mode",
-    "ddl_replace_table", "win_first_last", "fn_string_ops",
-    "win_cume_dist",
-    "ext_sim_ivf", "ext_cluster_kmeans", "ext_semdedup",
-    "ext_quality_buckets_scale", "ext_sample_temperature",
+    "ext_doc_shuffle", "ext_resample_ffill", "merge_by_source",
+    "util_optimize_where", "util_convert_to_lake", "agg_stats_moments",
+    "win_percent_rank", "agg_string_agg", "ext_graph_pagerank",
+    "stream_stateful_topk", "join_asof_nearest", "ext_bm25_topk",
+    "ext_corpus_report", "ext_multimodal_decode", "stream_session_window",
+    "join_cross", "agg_mode", "ddl_replace_table", "win_first_last",
+    "fn_string_ops", "win_cume_dist", "ext_sim_ivf", "ext_cluster_kmeans",
+    "ext_semdedup", "ext_quality_buckets_scale", "ext_sample_temperature",
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
-    "src_json_batch", "src_time_travel", "ddl_create_table",
-    "proj_select_list",
-    # r5/r6-green keys (rotated out in r7)
+    "src_time_travel", "ddl_create_table", "proj_select_list",
     "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
     "snk_replace_where", "ddl_rename_column", "util_bloom_skipping",
     "ddl_generated_columns", "ddl_identity_columns", "merge_scd2",
     "merge_schema_evolution", "util_analyze_stats", "util_describe_detail",
-    "util_concurrent_append", "util_optimize_incremental",
-    "util_optimized_writes", "ddl_add_drop_column", "ddl_tblproperties",
-    "ddl_create_sql", "snk_copy_into",
-    "sql_interface", "snk_dynamic_partition_overwrite", "snk_insert_sql",
-    "src_orc_batch", "src_partition_pruned",
-    "stream_exactly_once", "stream_scd2", "stream_sliding_window",
-    "join_bucketed", "join_stats_driven",
+    "util_optimize_incremental", "util_optimized_writes",
+    "ddl_add_drop_column", "ddl_tblproperties", "ddl_create_sql",
+    "snk_copy_into", "sql_interface", "snk_dynamic_partition_overwrite",
+    "snk_insert_sql", "src_orc_batch", "src_partition_pruned", "stream_scd2",
+    "stream_sliding_window", "join_bucketed", "join_stats_driven",
     "ext_repetition_filter", "ext_mix_budget", "ext_chunk_docs",
     "ext_tfidf_topk", "ext_semdedup_planted", "ext_lm_perplexity",
     "ext_corpus_pipeline", "ext_substring_dedup", "ext_dedup_incremental",
     "ext_dedup_survivors", "ext_quality_buckets", "ext_embedding_quantize",
     "ext_export_shards", "ext_url_normalize", "ext_dedup_url",
     "ext_domain_blocklist", "ext_dataset_split", "ext_multimodal_resize",
-    "ext_multimodal_frames", "ext_decontaminate_bloom",
-    "agg_incremental_var",
-    # r4-green keys (rotated out)
+    "ext_multimodal_frames", "ext_decontaminate_bloom", "agg_incremental_var",
     "q2_min_cost_supplier", "q4_order_exists", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q12_late_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
-    "q20_excess_suppliers", "q21_waiting_suppliers",
-    "ext_line_dedup", "ext_pii_redact", "ext_decontaminate",
-    "agg_incremental_avg", "stream_dedup_watermark", "join_asof_forward",
-    "ddl_partitioned_table", "util_history",
-    "join_semi", "join_anti", "join_range", "join_skew_salted",
-    "win_lag", "win_running_sum", "win_rank_dense",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "ext_line_dedup",
+    "ext_pii_redact", "ext_decontaminate", "agg_incremental_avg",
+    "stream_dedup_watermark", "join_asof_forward", "ddl_partitioned_table",
+    "util_history", "join_semi", "join_anti", "join_range",
+    "join_skew_salted", "win_lag", "win_running_sum", "win_rank_dense",
     "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_filtered",
-    "agg_minmax_by", "agg_collect_list",
-    "setop_union", "setop_intersect", "setop_except",
-    "pivot_wide", "unpivot_long", "explode_tokens",
-    "fn_json_extract", "src_csv_batch",
-    "stream_window_agg", "ext_ngram_topk", "ext_embedding_cosine",
-    "ext_udf_vectorized",
-    # keys that yielded their round-8 refresh slots to the new keys
-    # (head of the round-9 refresh queue)
-    "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat", "sort_single",
-    "fn_case_when", "fn_arith",
-    "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
-    "util_restore", "agg_incremental_minmax", "agg_incremental_view",
-    "join_asof", "win_session", "stream_stateful", "stream_stream_join",
-    "filter_subquery", "agg_cube", "q3_shipping_priority",
-    "q10_returned_items", "q19_disjunctive", "q22_dormant_customers",
-    # r3-green core pipeline keys not refreshed this round
-    "src_json_stream", "snk_delta_append",
-    "src_delta_stream", "src_cdf_batch", "src_cdf_stream",
-    "agg_sum_groupby",
-    "stream_trigger_paced", "stream_checkpoint", "stream_foreachbatch",
-    "stream_late_data",
-    "ext_dedup_exact", "ext_dedup_embedding",
-    "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
-    "ext_quality_score", "ext_fingerprint", "ext_multimodal_col",
-    "ext_sample_hash", "ext_sample_stratified", "ext_pack_sequences",
+    "agg_minmax_by", "agg_collect_list", "setop_union", "setop_intersect",
+    "setop_except", "pivot_wide", "unpivot_long", "explode_tokens",
+    "fn_json_extract", "src_csv_batch", "stream_window_agg", "ext_ngram_topk",
+    "ext_embedding_cosine", "ext_udf_vectorized", "ext_pack_sequences",
     "ext_dedup_clusters",
 ]
 
