@@ -16,6 +16,7 @@ counts — lake-op latency, not data, dominates the runtime.
 
 from __future__ import annotations
 
+import json
 import random
 
 import pytest
@@ -124,7 +125,36 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         model.difference_update({r for r in model if r[0] in by_id})
         model.update(by_id.values())
 
-    ops = ["append", "delete", "update", "compact", "restore", "merge"]
+    landing = tmp_path / f"landing_{seed}_{dv}"
+    landing.mkdir()
+
+    def do_copy_into():
+        """COPY INTO from a landing dir: usually lands one fresh NDJSON
+        file first; sometimes re-runs with nothing new, asserting the
+        exactly-once file tracking holds mid-interleaving — including
+        after RESTORE (restored-away rows must NOT resurrect via a
+        re-copy: the ingested-file history survives the restore)."""
+        nonlocal next_id
+        if rng.random() < 0.3 and any(landing.iterdir()):
+            res = t.copy_into(str(landing), file_format="json")
+            assert res["num_files"] == 0, (seed, "copy_into re-run")
+            return
+        k = rng.randint(1, 3)
+        rows = [
+            (next_id + j, rng.choice("abc"), rng.randint(0, 400))
+            for j in range(k)
+        ]
+        next_id += k
+        (landing / f"land_{next_id}.json").write_text(
+            "\n".join(
+                json.dumps({"id": i, "grp": g, "val": v}) for i, g, v in rows
+            )
+        )
+        t.copy_into(str(landing), file_format="json")
+        model.update(rows)
+
+    ops = ["append", "delete", "update", "compact", "restore", "merge",
+           "copy_into"]
     do_append()  # never fuzz an empty-forever table
     history[t.version()] = frozenset(model)
 
@@ -132,6 +162,8 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         op = rng.choice(ops)
         if op == "append":
             do_append()
+        elif op == "copy_into":
+            do_copy_into()
         elif op == "delete":
             sql, pred = rng.choice(_CONDS)
             t.delete(sql)
@@ -199,22 +231,45 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         assert _table_rows(t) == history[oldest], (seed, "restore-after-vacuum")
 
 
+@pytest.mark.parametrize("start", ["create", "convert"])
 @pytest.mark.parametrize("seed", range(4))
-def test_random_partitioned_maintenance(spark, tmp_path, seed):
+def test_random_partitioned_maintenance(spark, tmp_path, seed, start):
     """The same interleaving discipline on a HIVE-PARTITIONED table,
     with partition-scoped ops in the mix: replaceWhere one partition,
-    OPTIMIZE WHERE one partition. Pins that partition-pruned rewrites
-    under arbitrary op orders never leak into sibling partitions and
-    that every historical version still reconstructs."""
+    OPTIMIZE WHERE one partition, and DYNAMIC partition overwrite
+    (replace exactly the partitions present in the incoming frame).
+    Pins that partition-pruned rewrites under arbitrary op orders never
+    leak into sibling partitions and that every historical version still
+    reconstructs.
+
+    ``start="convert"`` begins from CONVERT TO LAKE: a plain hive-layout
+    parquet directory adopted in place (zero rewrite), then the full op
+    mix runs against the adopted files — the migration-path guarantee
+    that converted tables are not second-class for any later op."""
     rng = random.Random(7700 + seed)
-    t = LakeTable.create(
-        spark,
-        str(tmp_path / f"pmaint_{seed}"),
-        SCHEMA,
-        partition_by=["grp"],
-    )
     model: set = set()
     next_id = 0
+    if start == "create":
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"pmaint_{seed}"),
+            SCHEMA,
+            partition_by=["grp"],
+        )
+    else:
+        # pre-existing hive-partitioned parquet dir, adopted in place
+        pre = [
+            (j, "abc"[j % 3], rng.randint(0, 400)) for j in range(6)
+        ]
+        next_id = 6
+        path = str(tmp_path / f"pmaint_{seed}")
+        spark.createDataFrame(pre, SCHEMA).write.partitionBy("grp").parquet(
+            path
+        )
+        t = LakeTable.convert_from_parquet(
+            spark, path, partition_types={"grp": "string"}
+        )
+        model.update(pre)
     history = {t.version(): frozenset(model)}
 
     def do_append():
@@ -234,10 +289,25 @@ def test_random_partitioned_maintenance(spark, tmp_path, seed):
     for _ in range(7):
         op = rng.choice(
             ["append", "delete", "replace_partition", "optimize_where",
-             "restore"]
+             "restore", "dpo"]
         )
         if op == "append":
             do_append()
+        elif op == "dpo":
+            # dynamic partition overwrite: the lake spelling is a
+            # replaceWhere over exactly the partitions present in the
+            # frame — O(changed partitions), sibling partitions untouched
+            k = rng.randint(1, 3)
+            fresh = [
+                (20_000 + next_id + j, rng.choice("ab"), rng.randint(0, 400))
+                for j in range(k)
+            ]
+            next_id += k
+            present = sorted({r[1] for r in fresh})
+            cond = "grp IN (" + ", ".join(f"'{g}'" for g in present) + ")"
+            t.overwrite_where(spark.createDataFrame(fresh, SCHEMA), cond)
+            model.difference_update({r for r in model if r[1] in present})
+            model.update(fresh)
         elif op == "delete":
             sql, pred = rng.choice(_CONDS)
             t.delete(sql)

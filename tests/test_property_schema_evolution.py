@@ -131,3 +131,171 @@ def test_random_schema_evolution_interleavings(spark, tmp_path, seed):
     # own column set, across files written under earlier schemas
     for v, (vcols, expected) in history.items():
         assert _snap(t, vcols, version=v) == expected, (seed, "version", v)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_evolution_with_identity_and_generated(spark, tmp_path, seed):
+    """Identity + generated columns under evolution interleavings. The
+    table carries ``rid`` (IDENTITY 1,1: engine-assigned, auto-listed in
+    statsColumns) and ``gv`` (GENERATED ALWAYS AS id*10, backed by an
+    implicit CHECK). Appends omit both; the engine assigns/computes.
+    Invariants fuzzed per step:
+
+    - the visible (non-rid) projection matches the model at HEAD and at
+      every historical version (gv modeled as id*10 — updates never touch
+      id, so the generation expression holds for the row's lifetime);
+    - rid values stay unique across arbitrary append/evolution orders;
+    - rename/drop of the protected columns (rid: statsColumns; gv:
+      generated; id: referenced by gv's CHECK) refuse cleanly and leave
+      both schema and data byte-identical.
+    """
+    rng = random.Random(6600 + seed)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("grp", StringType()),
+            StructField("v0", LongType()),
+            StructField("rid", LongType()),
+            StructField("gv", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / f"idgen_{seed}"),
+        schema,
+        properties={"identity.rid": "1,1", "generated.gv": "id * 10"},
+    )
+    cols = ["id", "grp", "v0", "rid", "gv"]  # logical order
+    visible = lambda: [c for c in cols if c != "rid"]
+    rows: list[dict] = []  # model keyed by visible cols
+    next_id = 0
+    next_col = 1
+    next_name = 0
+    history = {t.version(): (visible(), frozenset())}
+
+    def append_schema():
+        supplied = [c for c in cols if c not in ("rid", "gv")]
+        return supplied, StructType(
+            [
+                StructField(
+                    c, StringType() if c.startswith("grp") else LongType()
+                )
+                for c in supplied
+            ]
+        )
+
+    def do_append():
+        nonlocal next_id
+        supplied, sschema = append_schema()
+        new = []
+        for _ in range(rng.randint(2, 4)):
+            d = {}
+            for c in supplied:
+                if c == "id":
+                    d[c] = next_id
+                    next_id += 1
+                elif c.startswith("grp"):
+                    d[c] = rng.choice("abc")
+                else:
+                    d[c] = rng.randint(0, 99)
+            d["gv"] = d["id"] * 10  # model the generation expression
+            new.append(d)
+        t.append(
+            spark.createDataFrame(
+                [tuple(d[c] for c in supplied) for d in new], sschema
+            )
+        )
+        rows.extend(new)
+
+    def snap(vcols, version=None):
+        df = t.to_df(version=version)
+        # that version's logical schema = its visible columns + rid
+        assert set(df.columns) == set(vcols) | {"rid"}, (df.columns, vcols)
+        return frozenset(
+            tuple(r[c] for c in vcols) for r in df.collect()
+        )
+
+    do_append()
+    history[t.version()] = (
+        visible(),
+        frozenset(tuple(d[c] for c in visible()) for d in rows),
+    )
+
+    for _ in range(7):
+        op = rng.choice(["append", "rename", "add", "drop", "update",
+                         "illegal"])
+        if op == "append":
+            do_append()
+        elif op == "rename":
+            candidates = [
+                c for c in cols if c not in ("id", "rid", "gv")
+            ]
+            src = rng.choice(candidates)
+            dst = (
+                f"grp_r{next_name}" if src.startswith("grp")
+                else f"r{next_name}_{src}"
+            )
+            next_name += 1
+            t.rename_column(src, dst)
+            cols[cols.index(src)] = dst
+            for d in rows:
+                d[dst] = d.pop(src)
+        elif op == "add":
+            name = f"v{next_col}"
+            next_col += 1
+            t.add_columns([(name, LongType())])
+            cols.append(name)
+            for d in rows:
+                d[name] = None
+        elif op == "drop":
+            droppable = [
+                c for c in cols
+                if c not in ("id", "rid", "gv") and len(cols) > 4
+            ]
+            if not droppable:
+                continue
+            victim = rng.choice(droppable)
+            t.drop_column(victim)
+            cols.remove(victim)
+            for d in rows:
+                d.pop(victim, None)
+        elif op == "update":
+            numeric = [
+                c for c in cols
+                if c not in ("id", "rid", "gv") and not c.startswith("grp")
+            ]
+            if not numeric:
+                continue
+            target = rng.choice(numeric)
+            t.update({target: f"{target} + 1000"}, condition="id % 2 = 0")
+            for d in rows:
+                if d["id"] % 2 == 0 and d[target] is not None:
+                    d[target] += 1000
+        elif op == "illegal":
+            # protected-column mutations refuse cleanly, nothing changes
+            before_schema = t.schema().json()
+            before_rows = snap(visible())
+            action = rng.choice(
+                [
+                    lambda: t.rename_column("rid", "x_rid"),
+                    lambda: t.drop_column("gv"),
+                    lambda: t.rename_column("id", "x_id"),
+                    lambda: t.drop_column("rid"),
+                ]
+            )
+            with pytest.raises(ValueError):
+                action()
+            assert t.schema().json() == before_schema, (seed, "illegal")
+            assert snap(visible()) == before_rows, (seed, "illegal")
+            continue  # no commit: skip the history update
+        history[t.version()] = (
+            visible(),
+            frozenset(tuple(d[c] for c in visible()) for d in rows),
+        )
+        assert snap(visible()) == history[t.version()][1], (seed, op)
+        # identity uniqueness at HEAD after every committed op
+        rids = [r["rid"] for r in t.to_df().select("rid").collect()]
+        assert len(rids) == len(set(rids)) == len(rows), (seed, op, "rid")
+
+    for v, (vcols, expected) in history.items():
+        assert snap(vcols, version=v) == expected, (seed, "version", v)
