@@ -57,6 +57,13 @@ DV_DIR = "_dv"
 # later ``bloomFilterBits`` change never mis-probes old files.
 BLOOM_SEEDS = (0x51ED0, 0x51ED1, 0x51ED2)
 
+# MERGE stats-pruning breakeven: below this many active files, the min/max
+# bounds job over the source costs more than reading every file, so merge
+# skips pruning (see merge()). At 100 TB a table holds thousands of files
+# and pruning always engages; the threshold only trims micro-batch fixed
+# cost on small/young tables.
+MERGE_PRUNE_MIN_FILES = 4
+
 
 class ConstraintViolationError(ValueError):
     """A write produced rows that violate a table CHECK constraint; the
@@ -3033,6 +3040,15 @@ class LakeTable:
             # semantics: Delta's by-source merges scan the full target too)
             prune_map = {}
         state = self._state()
+        if prune_map and len(state["active"]) <= MERGE_PRUNE_MIN_FILES:
+            # Pruning pays a dedicated source pass (the min/max bounds job)
+            # to save target-file reads. With only a handful of active files
+            # the best case saves almost nothing, so the bounds job is pure
+            # fixed cost per micro-batch merge — skip it and read the files
+            # outright. At scale the file count crosses the threshold
+            # immediately and skipping resumes; correctness is unaffected
+            # either way (pruning only ever narrows the read set).
+            prune_map = {}
         if prune_map:
             bounds_row = src_persisted.agg(
                 *[

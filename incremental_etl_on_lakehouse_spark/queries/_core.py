@@ -110,7 +110,18 @@ GOLD_SCHEMA = StructType(
 )
 
 
+_CDC_BATCH_PLANS: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _cdc_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    # Memoize the BATCH PLANS (not results): the two DataFrames are
+    # immutable logical plans over the same parquet, so rebuilding the
+    # projection (md5/epoch exprs — a few hundred py4j round-trips) per
+    # scenario is pure planning latency. State caches (_CDC_*_CACHE) clear
+    # independently; a cached plan re-executes against the files each run.
+    cached = _CDC_BATCH_PLANS.get((id(spark), sf_dir))
+    if cached is not None:
+        return cached
     ev = load_table(spark, "events", sf_dir)
     cdc = ev.select(
         "user_id",
@@ -133,6 +144,7 @@ def _cdc_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     )
     b1 = cdc.where(F.col("ts") < TS_SPLIT)
     b2 = cdc.where(F.col("ts") >= TS_SPLIT)
+    _CDC_BATCH_PLANS[(id(spark), sf_dir)] = (b1, b2)
     return b1, b2
 
 
