@@ -1,30 +1,128 @@
-"""A filesystem-backed table catalog: database.table -> lake-table path.
+"""A persistent table catalog: database.table -> lake-table path.
 
 The reference addresses tables through a 3-level Unity Catalog namespace and
 creates/drops databases with SQL DDL (``notebooks/demo-notebook.py:80-82,
-104-110``). OSS Spark has a single ``spark_catalog``; this module provides
-the database/table layer over the lake format: a root directory, one
-subdirectory per database, one lake table per table directory — plus temp-view
-registration so ``spark.sql`` can query catalog tables by name.
+104-110``); the metastore outlives any one Spark session, and tables may
+live at EXTERNAL locations (the reference's S3 bucket,
+``setup/incremental-etl-helper.py:6-19``). OSS Spark has a single
+``spark_catalog``; this module provides that layer over the lake format:
+
+- **Persistent metastore**: every catalog mutation (create/drop database,
+  create/drop/register table) appends a numbered JSON entry under
+  ``<root>/_metastore/`` through the same :mod:`logstore` seam the commit
+  log uses — so the mapping survives sessions, ports to object stores
+  unchanged, and two concurrent catalogs racing on one mutation resolve by
+  optimistic concurrency (put-if-absent; the loser re-reads and retries).
+  Current state is the fold of the entries, cached per latest version.
+- **Managed vs external tables**: a managed table lives under
+  ``<root>/<db>/<table>`` and DROP deletes its data; an external table
+  (``location=`` / :meth:`register_table`) is only a name->path mapping and
+  DROP removes the mapping, never the data — Delta/Hive external-table
+  semantics.
+- **Directory convention back-compat**: lake tables that exist as plain
+  ``<root>/<db>/<table>`` directories without metastore entries (created by
+  older catalogs) are still discovered and resolvable.
+- **SQL resolution**: :meth:`resolver` adapts the catalog to the
+  ``resolve`` callable of :mod:`lake.sql`'s front door, accepting
+  ``db.table`` (optionally backtick-quoted) and bare names against a
+  default database — the stand-in for the reference's ``${db.x}``
+  parameterization (ref :85-89). :meth:`register_views` additionally
+  exposes tables as temp views for direct ``spark.sql`` use.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
+from incremental_etl_on_lakehouse_spark.lake.logstore import store_for
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable
+
+META_DIR = "_metastore"
+
+
+class MetastoreConflictError(RuntimeError):
+    """A catalog mutation kept colliding with concurrent writers."""
 
 
 class LakeCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = os.path.abspath(root)
+        self._meta_path = os.path.join(self.root, META_DIR)
+        # (latest entry version, folded state); invalidated by version probe
+        self._meta_cache: tuple[int, dict] | None = None
         self._view_owners: dict[str, tuple[str, str]] = {}
         os.makedirs(self.root, exist_ok=True)
+
+    # ------------------------------------------------------------ metastore
+
+    def _meta_versions(self) -> list[int]:
+        store = store_for(self._meta_path)
+        return sorted(
+            int(n[:-5])
+            for n in store.list_dir(self._meta_path)
+            if n.endswith(".json") and n[:-5].isdigit()
+        )
+
+    def _meta_state(self) -> tuple[int, dict]:
+        """(latest version, state). State shape:
+        ``{db: {table: {"path": str, "external": bool}}}`` — a present db
+        with no tables is ``{}``. The fold replays every entry; the cache
+        is keyed on the latest version so a foreign commit (another
+        catalog instance, another session) invalidates it on next read."""
+        versions = self._meta_versions()
+        latest = versions[-1] if versions else -1
+        if self._meta_cache is not None and self._meta_cache[0] == latest:
+            return self._meta_cache
+        store = store_for(self._meta_path)
+        state: dict[str, dict] = {}
+        for v in versions:
+            e = json.loads(
+                store.read_text(os.path.join(self._meta_path, f"{v:07d}.json"))
+            )
+            op = e["op"]
+            if op == "create_db":
+                state.setdefault(e["db"], {})
+            elif op == "drop_db":
+                state.pop(e["db"], None)
+            elif op == "put_table":
+                state.setdefault(e["db"], {})[e["table"]] = {
+                    "path": e["path"],
+                    "external": bool(e.get("external", False)),
+                }
+            elif op == "drop_table":
+                state.get(e["db"], {}).pop(e["table"], None)
+        self._meta_cache = (latest, state)
+        return self._meta_cache
+
+    def _meta_commit(self, action: dict, retries: int = 8) -> None:
+        """Append one entry at latest+1 via put-if-absent. A collision
+        means another writer advanced the log first: re-read (the public
+        methods re-validate against fresh state before calling back in)
+        and take the next slot. Bounded retries — catalog mutations are
+        rare, so sustained contention signals a bug, not load."""
+        store = store_for(self._meta_path)
+        store.mkdirs(self._meta_path)
+        for _ in range(retries):
+            v = (self._meta_versions() or [-1])[-1] + 1
+            try:
+                store.put_if_absent(
+                    os.path.join(self._meta_path, f"{v:07d}.json"),
+                    json.dumps(action, sort_keys=True),
+                )
+                self._meta_cache = None
+                return
+            except FileExistsError:
+                self._meta_cache = None
+        raise MetastoreConflictError(
+            f"metastore commit kept colliding after {retries} attempts: "
+            f"{action}"
+        )
 
     # ------------------------------------------------------------ databases
 
@@ -33,24 +131,38 @@ class LakeCatalog:
 
     def create_database(self, db: str, if_not_exists: bool = True) -> None:
         """``CREATE DATABASE IF NOT EXISTS`` (ref :105)."""
-        path = self._db_path(db)
-        if os.path.isdir(path) and not if_not_exists:
+        if db == META_DIR:
+            raise ValueError(f"reserved name: {db}")
+        _, state = self._meta_state()
+        exists = db in state or os.path.isdir(self._db_path(db))
+        if exists and not if_not_exists:
             raise ValueError(f"database exists: {db}")
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(self._db_path(db), exist_ok=True)
+        if db not in state:
+            self._meta_commit({"op": "create_db", "db": db})
 
     def drop_database(self, db: str, cascade: bool = False) -> None:
-        """``DROP DATABASE [CASCADE]`` (ref :106)."""
-        path = self._db_path(db)
-        if not os.path.isdir(path):
-            return
-        if os.listdir(path) and not cascade:
+        """``DROP DATABASE [CASCADE]`` (ref :106). Cascade drops managed
+        table data; external tables lose only their registration."""
+        if self.tables(db) and not cascade:
             raise ValueError(f"database not empty: {db} (use cascade=True)")
-        shutil.rmtree(path)
+        for t in self.tables(db):
+            self.drop_table(db, t)
+        path = self._db_path(db)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        _, state = self._meta_state()
+        if db in state:
+            self._meta_commit({"op": "drop_db", "db": db})
 
     def databases(self) -> list[str]:
-        return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(self._db_path(d))
-        )
+        _, state = self._meta_state()
+        dirs = {
+            d
+            for d in os.listdir(self.root)
+            if d != META_DIR and os.path.isdir(self._db_path(d))
+        }
+        return sorted(dirs | set(state))
 
     # --------------------------------------------------------------- tables
 
@@ -65,35 +177,122 @@ class LakeCatalog:
         properties: dict | None = None,
         partition_by: list[str] | None = None,
         if_not_exists: bool = False,
+        location: str | None = None,
     ) -> LakeTable:
-        """``CREATE TABLE (cols...) TBLPROPERTIES(...)`` (ref :211-227)."""
+        """``CREATE TABLE (cols...) TBLPROPERTIES(...)`` (ref :211-227).
+
+        ``location`` makes the table EXTERNAL: data lives at that path and
+        DROP only unregisters it. Without it the table is managed under
+        ``<root>/<db>/<name>`` and DROP deletes the data."""
         self.create_database(db)
-        return LakeTable.create(
+        _, state = self._meta_state()
+        if name in state.get(db, {}):
+            if if_not_exists:
+                return self.table(db, name)
+            raise ValueError(f"table exists: {db}.{name}")
+        path = os.path.abspath(location) if location else self._table_path(db, name)
+        t = LakeTable.create(
             self.spark,
-            self._table_path(db, name),
+            path,
             schema,
             properties=properties,
             partition_by=partition_by,
             if_not_exists=if_not_exists,
         )
+        self._meta_commit(
+            {
+                "op": "put_table",
+                "db": db,
+                "table": name,
+                "path": path,
+                "external": location is not None,
+            }
+        )
+        return t
+
+    def register_table(self, db: str, name: str, path: str) -> LakeTable:
+        """Adopt an EXISTING lake table at ``path`` as ``db.name``
+        (``CREATE TABLE ... LOCATION`` over existing data). External:
+        dropping the name never deletes the data."""
+        path = os.path.abspath(path)
+        if not LakeTable.exists(path):
+            raise ValueError(f"no lake table at {path}")
+        self.create_database(db)
+        _, state = self._meta_state()
+        entry = state.get(db, {}).get(name)
+        if entry is not None and entry["path"] != path:
+            raise ValueError(
+                f"table exists: {db}.{name} -> {entry['path']}"
+            )
+        if entry is None:
+            self._meta_commit(
+                {
+                    "op": "put_table",
+                    "db": db,
+                    "table": name,
+                    "path": path,
+                    "external": True,
+                }
+            )
+        return LakeTable(self.spark, path)
 
     def drop_table(self, db: str, name: str) -> None:
-        """``DROP TABLE IF EXISTS`` (ref :211,349)."""
+        """``DROP TABLE IF EXISTS`` (ref :211,349): managed data is
+        deleted; an external registration is only removed."""
+        _, state = self._meta_state()
+        entry = state.get(db, {}).get(name)
+        if entry is not None:
+            if not entry["external"]:
+                LakeTable.drop(entry["path"])
+            self._meta_commit({"op": "drop_table", "db": db, "table": name})
+            return
+        # directory-convention table (pre-metastore): managed by location
         LakeTable.drop(self._table_path(db, name))
 
     def table(self, db: str, name: str) -> LakeTable:
-        path = self._table_path(db, name)
+        _, state = self._meta_state()
+        entry = state.get(db, {}).get(name)
+        path = entry["path"] if entry is not None else self._table_path(db, name)
         if not LakeTable.exists(path):
             raise ValueError(f"no such table: {db}.{name}")
         return LakeTable(self.spark, path)
 
     def tables(self, db: str) -> list[str]:
+        _, state = self._meta_state()
+        names = set(state.get(db, {}))
         path = self._db_path(db)
-        if not os.path.isdir(path):
-            return []
-        return sorted(
-            t for t in os.listdir(path) if LakeTable.exists(os.path.join(path, t))
-        )
+        if os.path.isdir(path):
+            names |= {
+                t
+                for t in os.listdir(path)
+                if LakeTable.exists(os.path.join(path, t))
+            }
+        return sorted(names)
+
+    def is_external(self, db: str, name: str) -> bool:
+        _, state = self._meta_state()
+        entry = state.get(db, {}).get(name)
+        return bool(entry and entry["external"])
+
+    # ------------------------------------------------------------ SQL glue
+
+    def resolver(self, default_db: str | None = None):
+        """A ``resolve`` callable for :func:`lake.sql.execute_statement`:
+        ``db.table`` (components optionally backtick-quoted) resolves
+        through the metastore; a bare name resolves in ``default_db`` —
+        the session's ``USE <db>`` stand-in."""
+
+        def resolve(name: str) -> LakeTable:
+            parts = [p.strip("`") for p in name.split(".")]
+            if len(parts) == 2:
+                return self.table(parts[0], parts[1])
+            if len(parts) == 1 and default_db is not None:
+                return self.table(default_db, parts[0])
+            raise ValueError(
+                f"cannot resolve {name!r}: use db.table or set default_db"
+            )
+
+        return resolve
 
     def register_views(self, db: str, version: int | None = None) -> None:
         """Expose every table of ``db`` as ``<db>_<table>`` temp views so

@@ -553,6 +553,82 @@ def ddl_create_table(spark, sf_dir):
 
 
 @query(
+    "ddl_catalog_metastore",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
+    " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+    " true AS survives_new_instance, true AS external_registered,"
+    " true AS external_drop_kept_data"
+    " FROM nation ORDER BY n_nationkey",
+)
+def ddl_catalog_metastore(spark, sf_dir):
+    """Persistent metastore (lake/catalog.py): the db.table -> path mapping
+    is a put-if-absent entry log under <root>/_metastore (same LogStore
+    seam as table commits), so it survives catalog instances/sessions —
+    the OSS stand-in for Unity Catalog's persistent 3-level namespace
+    (ref notebooks/demo-notebook.py:80-110) with external locations (the
+    reference's S3 tables, setup/incremental-etl-helper.py:6-19).
+
+    Attested: a FRESH catalog instance resolves both the managed table and
+    an external registration a directory listing could never recover
+    (survives_new_instance, external_registered); dropping the external
+    name leaves its data intact (external_drop_kept_data). The returned
+    rows went through the fresh instance's resolver-routed SQL UPDATE, so
+    the oracle also pins that the resolver addressed the right table."""
+    from incremental_etl_on_lakehouse_spark.lake.catalog import LakeCatalog
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    root = os.path.join(_tmpdir(), "cat")
+    cat1 = LakeCatalog(spark, root)
+    cat1.create_table("sales", "nations", schema).append(nat)
+    ext_path = os.path.join(_tmpdir(), "landed_ext")
+    LakeTable.create(spark, ext_path, schema).append(nat.limit(1))
+    cat1.register_table("sales", "landed", ext_path)
+
+    cat2 = LakeCatalog(spark, root)  # fresh instance = new-session stand-in
+    survives_new_instance = cat2.tables("sales") == ["landed", "nations"]
+    external_registered = cat2.is_external("sales", "landed") and not (
+        cat2.is_external("sales", "nations")
+    )
+    execute_statement(
+        spark,
+        "UPDATE sales.nations SET n_name = upper(n_name) WHERE n_regionkey = 0",
+        cat2.resolver(),
+    )
+    cat2.drop_table("sales", "landed")
+    external_drop_kept_data = LakeTable.exists(ext_path) and (
+        "landed" not in cat2.tables("sales")
+    )
+    return (
+        cat2.table("sales", "nations")
+        .to_df()
+        .select(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            F.lit(bool(survives_new_instance)).alias("survives_new_instance"),
+            F.lit(bool(external_registered)).alias("external_registered"),
+            F.lit(bool(external_drop_kept_data)).alias(
+                "external_drop_kept_data"
+            ),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "ddl_constraints",
     "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
     " CAST(n_regionkey AS BIGINT) AS n_regionkey,"

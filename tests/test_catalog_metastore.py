@@ -1,0 +1,205 @@
+"""Persistent metastore: the catalog's name->path mapping survives
+instances (stand-in for sessions), supports external tables, resolves
+through the SQL front door, and keeps OCC under concurrent writers.
+
+Reference parity: Unity Catalog's persistent 3-level namespace
+(``notebooks/demo-notebook.py:80-110``) with S3-resident table locations
+(``setup/incremental-etl-helper.py:6-19``).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake.catalog import (
+    LakeCatalog,
+    MetastoreConflictError,
+)
+from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("v", StringType())]
+)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, SCHEMA)
+
+
+def test_mapping_survives_catalog_instances(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = LakeCatalog(spark, root)
+    t = cat.create_table("raw", "events", SCHEMA)
+    t.append(_rows(spark, [(1, "a"), (2, "b")]))
+    ext_path = str(tmp_path / "elsewhere" / "ext")
+    ext = LakeTable.create(spark, ext_path, SCHEMA)
+    ext.append(_rows(spark, [(9, "z")]))
+    cat.register_table("raw", "landed", ext_path)
+
+    # a FRESH instance (new session stand-in) sees both, including the
+    # external mapping a directory listing could never recover
+    cat2 = LakeCatalog(spark, root)
+    assert cat2.tables("raw") == ["events", "landed"]
+    assert cat2.table("raw", "landed").to_df().count() == 1
+    assert cat2.is_external("raw", "landed")
+    assert not cat2.is_external("raw", "events")
+
+
+def test_external_drop_keeps_data_managed_drop_deletes(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    managed = cat.create_table("db1", "m", SCHEMA)
+    managed.append(_rows(spark, [(1, "a")]))
+    managed_path = managed.path
+    ext_path = str(tmp_path / "ext")
+    LakeTable.create(spark, ext_path, SCHEMA).append(_rows(spark, [(2, "b")]))
+    cat.register_table("db1", "e", ext_path)
+
+    cat.drop_table("db1", "e")
+    assert "e" not in cat.tables("db1")
+    assert LakeTable.exists(ext_path)  # data untouched
+
+    cat.drop_table("db1", "m")
+    assert not LakeTable.exists(managed_path)  # managed data gone
+    assert cat.tables("db1") == []
+
+
+def test_create_table_location_is_external(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    loc = str(tmp_path / "loc" / "t")
+    t = cat.create_table("db", "t", SCHEMA, location=loc)
+    t.append(_rows(spark, [(5, "e")]))
+    assert cat.is_external("db", "t")
+    cat.drop_table("db", "t")
+    assert LakeTable.exists(loc)
+
+
+def test_directory_convention_backcompat(spark, tmp_path):
+    """Tables created as plain directories (pre-metastore catalogs) are
+    still discovered, resolvable, and droppable."""
+    root = tmp_path / "cat"
+    (root / "legacy").mkdir(parents=True)
+    LakeTable.create(spark, str(root / "legacy" / "old"), SCHEMA).append(
+        _rows(spark, [(1, "x")])
+    )
+    cat = LakeCatalog(spark, str(root))
+    assert "legacy" in cat.databases()
+    assert cat.tables("legacy") == ["old"]
+    assert cat.table("legacy", "old").to_df().count() == 1
+    cat.drop_table("legacy", "old")
+    assert cat.tables("legacy") == []
+
+
+def test_resolver_routes_sql_front_door(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("sales", "orders", SCHEMA)
+    t.append(_rows(spark, [(1, "old"), (2, "keep")]))
+    execute_statement(
+        spark,
+        "UPDATE sales.orders SET v = 'new' WHERE id = 1",
+        cat.resolver(),
+    )
+    got = {(r.id, r.v) for r in cat.table("sales", "orders").to_df().collect()}
+    assert got == {(1, "new"), (2, "keep")}
+    # bare name via default_db (the USE <db> stand-in)
+    execute_statement(
+        spark, "DELETE FROM orders WHERE id = 2", cat.resolver(default_db="sales")
+    )
+    assert cat.table("sales", "orders").to_df().count() == 1
+    with pytest.raises(ValueError, match="default_db"):
+        cat.resolver()("orders")
+
+
+def test_occ_between_two_catalog_instances(spark, tmp_path):
+    """Two instances over one root interleave mutations; neither loses an
+    update (every entry lands at a unique version; final state is the
+    union)."""
+    root = str(tmp_path / "cat")
+    a, b = LakeCatalog(spark, root), LakeCatalog(spark, root)
+    a.create_table("db", "t1", SCHEMA)
+    b.create_table("db", "t2", SCHEMA)
+    a.create_table("db", "t3", SCHEMA)
+    assert LakeCatalog(spark, root).tables("db") == ["t1", "t2", "t3"]
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(os.path.join(root, "_metastore"))
+        if n.endswith(".json")
+    )
+    assert versions == list(range(len(versions)))  # gap-free, no clobber
+
+
+def test_commit_collision_retries_then_raises(spark, tmp_path):
+    """A saturated put-if-absent surface raises MetastoreConflictError
+    instead of spinning or silently overwriting."""
+    root = str(tmp_path / "cat")
+    cat = LakeCatalog(spark, root)
+    cat.create_database("db")
+
+    class Saturated:
+        def list_dir(self, path):
+            return ["0000000.json"]
+
+        def read_text(self, path):
+            return json.dumps({"op": "create_db", "db": "db"})
+
+        def mkdirs(self, path):
+            pass
+
+        def put_if_absent(self, path, text):
+            raise FileExistsError(path)
+
+    from incremental_etl_on_lakehouse_spark.lake import logstore
+
+    logstore.register_store(root, Saturated())
+    try:
+        with pytest.raises(MetastoreConflictError):
+            cat._meta_commit({"op": "create_db", "db": "x"})
+    finally:
+        logstore.register_store(root, None)
+
+
+def test_duplicate_create_and_register_conflicts(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table("db", "t", SCHEMA)
+    with pytest.raises(ValueError, match="table exists"):
+        cat.create_table("db", "t", SCHEMA)
+    # if_not_exists returns the existing table
+    t = cat.create_table("db", "t", SCHEMA, if_not_exists=True)
+    assert t.to_df().count() == 0
+    other = str(tmp_path / "other")
+    LakeTable.create(spark, other, SCHEMA)
+    with pytest.raises(ValueError, match="table exists"):
+        cat.register_table("db", "t", other)
+    # re-registering the SAME path is idempotent
+    ext = str(tmp_path / "ext2")
+    LakeTable.create(spark, ext, SCHEMA)
+    cat.register_table("db", "e", ext)
+    cat.register_table("db", "e", ext)
+    assert cat.tables("db") == ["e", "t"]
+
+
+def test_drop_database_cascade_semantics(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table("db", "m", SCHEMA).append(_rows(spark, [(1, "a")]))
+    ext = str(tmp_path / "ext3")
+    LakeTable.create(spark, ext, SCHEMA)
+    cat.register_table("db", "e", ext)
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_database("db")
+    cat.drop_database("db", cascade=True)
+    assert "db" not in LakeCatalog(spark, str(tmp_path / "cat")).databases()
+    assert LakeTable.exists(ext)  # external data survives the cascade
+
+
+def test_register_views_includes_external(spark, tmp_path):
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table("gold", "agg", SCHEMA).append(_rows(spark, [(1, "a")]))
+    ext = str(tmp_path / "ext4")
+    LakeTable.create(spark, ext, SCHEMA).append(_rows(spark, [(2, "b")]))
+    cat.register_table("gold", "ext", ext)
+    cat.register_views("gold")
+    assert spark.sql("SELECT count(*) c FROM gold_ext").collect()[0].c == 1
+    assert spark.sql("SELECT count(*) c FROM gold_agg").collect()[0].c == 1
