@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import SparkSession
@@ -43,6 +44,12 @@ from incremental_etl_on_lakehouse_spark.lake.logstore import store_for
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable
 
 META_DIR = "_metastore"
+
+# Fold the entry log into a checkpoint every N mutations so a long-lived
+# catalog (thousands of tables, years of DDL) reads O(N) entries past the
+# latest checkpoint instead of replaying its whole history — the same
+# design as the table commit log's checkpoints.
+META_CHECKPOINT_EVERY = 32
 
 
 class MetastoreConflictError(RuntimeError):
@@ -61,42 +68,73 @@ class LakeCatalog:
 
     # ------------------------------------------------------------ metastore
 
-    def _meta_versions(self) -> list[int]:
+    def _meta_listing(self) -> tuple[list[int], list[int]]:
+        """(entry versions, checkpoint versions), each ascending."""
         store = store_for(self._meta_path)
-        return sorted(
-            int(n[:-5])
-            for n in store.list_dir(self._meta_path)
-            if n.endswith(".json") and n[:-5].isdigit()
-        )
+        entries: list[int] = []
+        ckpts: list[int] = []
+        for n in store.list_dir(self._meta_path):
+            if n.endswith(".json") and n[:-5].isdigit():
+                entries.append(int(n[:-5]))
+            elif n.startswith("_checkpoint.") and n.endswith(".json"):
+                v = n[len("_checkpoint."):-5]
+                if v.isdigit():
+                    ckpts.append(int(v))
+        return sorted(entries), sorted(ckpts)
+
+    def _meta_versions(self) -> list[int]:
+        return self._meta_listing()[0]
+
+    @staticmethod
+    def _meta_apply(state: dict, e: dict) -> None:
+        op = e["op"]
+        if op == "create_db":
+            state.setdefault(e["db"], {})
+        elif op == "drop_db":
+            state.pop(e["db"], None)
+        elif op == "put_table":
+            state.setdefault(e["db"], {})[e["table"]] = {
+                "path": e["path"],
+                "external": bool(e.get("external", False)),
+            }
+        elif op == "drop_table":
+            state.get(e["db"], {}).pop(e["table"], None)
 
     def _meta_state(self) -> tuple[int, dict]:
         """(latest version, state). State shape:
         ``{db: {table: {"path": str, "external": bool}}}`` — a present db
-        with no tables is ``{}``. The fold replays every entry; the cache
-        is keyed on the latest version so a foreign commit (another
-        catalog instance, another session) invalidates it on next read."""
-        versions = self._meta_versions()
+        with no tables is ``{}``. The fold starts from the newest
+        checkpoint at-or-below the latest entry and replays only the
+        entries after it; the cache is keyed on the latest version so a
+        foreign commit (another catalog instance, another session)
+        invalidates it on next read."""
+        versions, ckpts = self._meta_listing()
         latest = versions[-1] if versions else -1
         if self._meta_cache is not None and self._meta_cache[0] == latest:
             return self._meta_cache
         store = store_for(self._meta_path)
         state: dict[str, dict] = {}
-        for v in versions:
-            e = json.loads(
-                store.read_text(os.path.join(self._meta_path, f"{v:07d}.json"))
+        start = 0
+        usable = [c for c in ckpts if c <= latest]
+        if usable:
+            cp = usable[-1]
+            state = json.loads(
+                store.read_text(
+                    os.path.join(self._meta_path, f"_checkpoint.{cp:07d}.json")
+                )
             )
-            op = e["op"]
-            if op == "create_db":
-                state.setdefault(e["db"], {})
-            elif op == "drop_db":
-                state.pop(e["db"], None)
-            elif op == "put_table":
-                state.setdefault(e["db"], {})[e["table"]] = {
-                    "path": e["path"],
-                    "external": bool(e.get("external", False)),
-                }
-            elif op == "drop_table":
-                state.get(e["db"], {}).pop(e["table"], None)
+            start = cp + 1
+        for v in versions:
+            if v < start:
+                continue
+            self._meta_apply(
+                state,
+                json.loads(
+                    store.read_text(
+                        os.path.join(self._meta_path, f"{v:07d}.json")
+                    )
+                ),
+            )
         self._meta_cache = (latest, state)
         return self._meta_cache
 
@@ -116,6 +154,24 @@ class LakeCatalog:
                     json.dumps(action, sort_keys=True),
                 )
                 self._meta_cache = None
+                if v > 0 and v % META_CHECKPOINT_EVERY == 0:
+                    # checkpoint = derived data: losing the race to write
+                    # it costs nothing (the winner's content is identical
+                    # — same version, same deterministic fold). Skip if a
+                    # concurrent writer already advanced past v: the fold
+                    # below must capture the state at EXACTLY v.
+                    cur, state = self._meta_state()
+                    if cur == v:
+                        try:
+                            store.put_if_absent(
+                                os.path.join(
+                                    self._meta_path,
+                                    f"_checkpoint.{v:07d}.json",
+                                ),
+                                json.dumps(state, sort_keys=True),
+                            )
+                        except FileExistsError:
+                            pass
                 return
             except FileExistsError:
                 self._meta_cache = None
@@ -276,6 +332,134 @@ class LakeCatalog:
 
     # ------------------------------------------------------------ SQL glue
 
+    def _split_name(self, name: str, default_db: str | None) -> tuple[str, str]:
+        parts = [p.strip("`") for p in name.split(".")]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        if len(parts) == 1 and default_db is not None:
+            return default_db, parts[0]
+        raise ValueError(
+            f"cannot resolve {name!r}: use db.table or set default_db"
+        )
+
+    def sql(self, statement: str, default_db: str | None = None):
+        """Run one SQL statement with THIS catalog as the namespace — the
+        reference's notebook surface (``CREATE DATABASE IF NOT EXISTS``,
+        SQL DDL against ``db.table`` names, ``notebooks/demo-notebook.py:
+        104-110,211-227``):
+
+        - ``CREATE/DROP DATABASE``, ``SHOW DATABASES``, ``SHOW TABLES [IN
+          db]``, ``DROP TABLE`` mutate/read the metastore directly;
+        - ``CREATE TABLE db.t (...) [LOCATION '...']`` creates managed (no
+          LOCATION) or external (LOCATION) and registers the mapping;
+        - everything else (MERGE/UPDATE/DELETE/INSERT/ALTER/OPTIMIZE/...)
+          routes through :func:`lake.sql.execute_statement` with
+          :meth:`resolver` supplying name->table resolution.
+        """
+        from incremental_etl_on_lakehouse_spark.lake.sql import (
+            execute_create_table,
+            execute_statement,
+            parse_create_table,
+            strip_comments,
+        )
+
+        s = strip_comments(statement).strip().rstrip(";").strip()
+        m = re.match(
+            r"CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"`?([\w]+)`?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return self.create_database(
+                m.group(2), if_not_exists=bool(m.group(1))
+            )
+        m = re.match(
+            r"DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?`?([\w]+)`?"
+            r"(\s+CASCADE)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            if m.group(1) and m.group(2) not in self.databases():
+                return None
+            return self.drop_database(m.group(2), cascade=bool(m.group(3)))
+        if re.match(r"SHOW\s+(?:DATABASES|SCHEMAS)\s*$", s, re.IGNORECASE):
+            return self.databases()
+        m = re.match(
+            r"SHOW\s+TABLES(?:\s+IN\s+`?([\w]+)`?)?\s*$", s, re.IGNORECASE
+        )
+        if m:
+            db = m.group(1) or default_db
+            if db is None:
+                raise ValueError("SHOW TABLES needs IN <db> or default_db")
+            return self.tables(db)
+        m = re.match(
+            r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$", s, re.IGNORECASE
+        )
+        if m:
+            db, name = self._split_name(m.group(2), default_db)
+            if m.group(1) and name not in self.tables(db):
+                return None
+            return self.drop_table(db, name)
+        if re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\b", s, re.IGNORECASE
+        ):
+            try:
+                p = parse_create_table(statement)
+            except ValueError:
+                p = None  # e.g. CREATE TABLE ... CLONE: not this grammar
+            if p is not None:
+                db, name = self._split_name(p["table"], default_db)
+                self.create_database(db)
+                _, state = self._meta_state()
+                entry = state.get(db, {}).get(name)
+                if entry is not None and not (
+                    p["if_not_exists"] or p["or_replace"]
+                ):
+                    raise ValueError(f"table exists: {db}.{name}")
+                loc = (
+                    os.path.abspath(p["location"]) if p["location"] else None
+                )
+                if entry is not None and loc and entry["path"] != loc:
+                    raise ValueError(
+                        f"{db}.{name} is registered at {entry['path']}, "
+                        f"not {loc}"
+                    )
+                path = (
+                    entry["path"]
+                    if entry is not None
+                    else (loc or self._table_path(db, name))
+                )
+                if (
+                    loc
+                    and entry is None
+                    and not p["or_replace"]
+                    and LakeTable.exists(loc)
+                ):
+                    # CREATE ... LOCATION over an existing lake table
+                    # ADOPTS it (Delta's external-table rule): the data
+                    # defines the table; the statement only names it
+                    t = LakeTable(self.spark, loc)
+                else:
+                    t = execute_create_table(
+                        self.spark, statement, dest_path=path
+                    )
+                if entry is None:
+                    self._meta_commit(
+                        {
+                            "op": "put_table",
+                            "db": db,
+                            "table": name,
+                            "path": os.path.abspath(path),
+                            "external": loc is not None,
+                        }
+                    )
+                return t
+        return execute_statement(
+            self.spark, statement, self.resolver(default_db)
+        )
+
     def resolver(self, default_db: str | None = None):
         """A ``resolve`` callable for :func:`lake.sql.execute_statement`:
         ``db.table`` (components optionally backtick-quoted) resolves
@@ -283,14 +467,7 @@ class LakeCatalog:
         the session's ``USE <db>`` stand-in."""
 
         def resolve(name: str) -> LakeTable:
-            parts = [p.strip("`") for p in name.split(".")]
-            if len(parts) == 2:
-                return self.table(parts[0], parts[1])
-            if len(parts) == 1 and default_db is not None:
-                return self.table(default_db, parts[0])
-            raise ValueError(
-                f"cannot resolve {name!r}: use db.table or set default_db"
-            )
+            return self.table(*self._split_name(name, default_db))
 
         return resolve
 

@@ -539,6 +539,7 @@ def parse_create_table(sql: str) -> dict:
         "partition_by": [],
         "properties": {},
         "select": None,
+        "location": None,
     }
     rest = m.group("rest").strip()
     if rest.startswith("("):
@@ -616,6 +617,9 @@ def parse_create_table(sql: str) -> dict:
             if k.lower().startswith("delta."):
                 k = k[len("delta."):]
             out["properties"][k] = v.strip().strip("'\"")
+    lm = re.search(r"\bLOCATION\s+'([^']*)'", rest, re.IGNORECASE)
+    if lm:
+        out["location"] = lm.group(1)
     am = re.search(r"\bAS\s+(SELECT\b.*)$", rest, re.IGNORECASE | re.DOTALL)
     if am:
         out["select"] = am.group(1)
@@ -632,7 +636,13 @@ def execute_create_table(
     stand-in for a catalog's name->location mapping, as with CLONE)."""
     p = parse_create_table(sql)
     if dest_path is None:
-        raise ValueError("CREATE TABLE requires dest_path for the new table")
+        # an explicit LOCATION clause IS the destination (Delta's external
+        # table spelling); without either there is nowhere to create
+        dest_path = p["location"]
+    if dest_path is None:
+        raise ValueError(
+            "CREATE TABLE requires dest_path or a LOCATION clause"
+        )
     props = dict(p["properties"])
     for col, expr in p["generated"].items():
         props[f"generated.{col}"] = expr
