@@ -177,6 +177,7 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
         "schema_json": None,
         "properties": {},
         "dv": {},
+        "row_hwm": 0,
     }
     usable = [v for v in ckpt_vs if v <= target]
     if usable:
@@ -186,11 +187,34 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
             )
         )
         state.setdefault("dv", {})  # checkpoints written before DV support
+        if "row_hwm" not in state:
+            # pre-row-tracking checkpoint: derive a safe high-water mark
+            # and deterministic bases for the actives it carries (sorted
+            # by path — stable for any reader of this same checkpoint)
+            hwm = 0
+            for rel in sorted(state["active"]):
+                a = state["active"][rel]
+                if "base" not in a:
+                    a["base"] = hwm
+                hwm = max(hwm, a["base"] + (a.get("rows") or 0))
+            state["row_hwm"] = hwm
     for v in commit_vs:
         if v <= state["version"] or v > target:
             continue
         c = read_commit(table_path, v)
         for a in c.add:
+            # Row-tracking bases (Delta's baseRowId): every add entry gets
+            # a fresh id range [base, base + rows) off the table's
+            # monotone high-water mark — assigned HERE in the fold, so no
+            # write path needs changing and the assignment is a pure
+            # function of the log. Entries that already carry a base
+            # (RESTORE / CLONE copy folded entries verbatim) keep it:
+            # that is exactly what makes row ids survive a rollback.
+            if "base" not in a:
+                a["base"] = state["row_hwm"]
+            state["row_hwm"] = max(
+                state["row_hwm"], a["base"] + (a.get("rows") or 0)
+            )
             state["active"][a["path"]] = a
         for r in c.remove:
             state["active"].pop(r, None)

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake import log as lakelog
 from incremental_etl_on_lakehouse_spark.lake.log import CDF_DIR, DATA_DIR, Commit
@@ -839,6 +839,29 @@ class LakeTable:
             == "true"
         )
 
+    def row_tracking_enabled(self) -> bool:
+        """Row tracking (Delta's ``enableRowTracking``): every row carries a
+        stable ``_row_id`` that survives OPTIMIZE/MERGE/UPDATE rewrites,
+        deletion-vector deletes, RESTORE, and CLONE. Fresh rows draw ids
+        from the commit log's monotone high-water mark (the state fold
+        assigns each add entry a ``base``; an unrewritten row's id is
+        base + its position in the file); rewrite paths MATERIALIZE the
+        ids into a physical ``__row_id`` column of the rewritten files, so
+        the derived and materialized forms coexist per file and reads
+        coalesce them."""
+        return (
+            str(self.properties().get("enableRowTracking", "false")).lower()
+            == "true"
+        )
+
+    def _row_base_map(self, state: dict) -> dict[str, int]:
+        """{file dv-key: base row id} for every active file — the read-side
+        lookup behind derived row ids. Metadata-scale (O(files))."""
+        return {
+            self._dv_key(rel): a.get("base", 0)
+            for rel, a in state["active"].items()
+        }
+
     # ---------------------------------------------------------- constraints
 
     def constraints(self) -> dict[str, str]:
@@ -1448,6 +1471,7 @@ class LakeTable:
         with_lineage: bool = False,
         with_file: bool = False,
         schema: StructType | None = None,
+        row_base: dict[str, int] | None = None,
     ) -> DataFrame:
         """Read a set of data files with the table schema.
 
@@ -1469,9 +1493,13 @@ class LakeTable:
         # ``schema``: the snapshot's schema for time-travel reads (a DROP/
         # ADD COLUMN later must not change what an old version projects);
         # defaults to the head schema.
+        # ``row_base`` ({file dv-key: base row id}) turns on row-tracking
+        # output: a ``_row_id`` column = the file's materialized
+        # ``__row_id`` when present (rewritten files carry it physically),
+        # else base + row position — Delta's row-id read rule.
         schema = schema or self.schema()
         dvr = self._dv_rows(dv_map or {}, files) if files else None
-        need_lineage = with_lineage or dvr is not None
+        need_lineage = with_lineage or dvr is not None or row_base is not None
         if not files:
             out = self.spark.createDataFrame([], schema)
             if with_lineage:
@@ -1480,6 +1508,8 @@ class LakeTable:
                 )
             if with_file:
                 out = out.withColumn("__file", F.lit(None).cast("string"))
+            if row_base is not None:
+                out = out.withColumn("_row_id", F.lit(None).cast("long"))
             return out
         def extras() -> list:
             cols = []
@@ -1497,19 +1527,49 @@ class LakeTable:
                     & (df["__pos"] == dvr["row_index"]),
                     "left_anti",
                 )
+            if row_base is not None:
+                bases = self.spark.createDataFrame(
+                    list(row_base.items()) or [(None, None)],
+                    StructType(
+                        [
+                            StructField("__bf", StringType()),
+                            StructField("__base", LongType()),
+                        ]
+                    ),
+                )
+                df = (
+                    df.join(
+                        F.broadcast(bases),
+                        df["__fname"] == bases["__bf"],
+                        "left",
+                    )
+                    .withColumn(
+                        "_row_id",
+                        F.coalesce(
+                            F.col("__row_id"), F.col("__base") + F.col("__pos")
+                        ),
+                    )
+                    .drop("__bf", "__base", "__row_id")
+                )
             if need_lineage and not with_lineage:
                 df = df.drop("__fname", "__pos")
             return df
 
+        # materialized-row-id column: requested on EVERY file; parquet
+        # schema-on-read yields NULL for files that never materialized it
+        rid_field = [StructField("__row_id", LongType())] if row_base is not None else []
         if self.partition_columns():
-            data_fields = self._physical_schema(
-                StructType(
-                    [
-                        f
-                        for f in schema.fields
-                        if f.name not in self.partition_columns()
-                    ]
-                )
+            data_fields = StructType(
+                self._physical_schema(
+                    StructType(
+                        [
+                            f
+                            for f in schema.fields
+                            if f.name not in self.partition_columns()
+                        ]
+                    )
+                ).fields
+                + rid_field
             )
             # Partition discovery requires one consistent non-partition
             # prefix per read; each commit stages under its own
@@ -1565,14 +1625,21 @@ class LakeTable:
                     .alias(f.name)
                     for f in schema.fields
                 ]
-                df = raw.select(*cols, *extras())
+                rid = [F.col("__row_id")] if row_base is not None else []
+                df = raw.select(*cols, *rid, *extras())
                 out = df if out is None else out.unionByName(df)
             return finish(out)
-        raw = self.spark.read.schema(self._physical_schema(schema)).parquet(*files)
+        raw = self.spark.read.schema(
+            StructType(self._physical_schema(schema).fields + rid_field)
+        ).parquet(*files)
         ex = extras()
         if ex:
             raw = raw.select("*", *ex)
-        keep = [c for c in ("__file", "__fname", "__pos") if c in raw.columns]
+        keep = [
+            c
+            for c in ("__file", "__fname", "__pos", "__row_id")
+            if c in raw.columns
+        ]
         raw = self._to_logical(raw, schema, extra=keep)
         return finish(raw)
 
@@ -1592,7 +1659,10 @@ class LakeTable:
         return best
 
     def to_df(
-        self, version: int | None = None, timestamp_ms: int | None = None
+        self,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot as of ``version`` or ``timestamp_ms`` (default latest) —
         the time-travel read.
@@ -1615,6 +1685,7 @@ class LakeTable:
             [self._abs(r) for r in state["active"]],
             dv_map=state.get("dv") or None,
             schema=schema,
+            row_base=self._row_base_map(state) if with_row_ids else None,
         )
 
     # ---------------------------------------------------------------- writes
@@ -1969,12 +2040,18 @@ class LakeTable:
                 out[f"identityHighWater.{icol}"] = int(extreme)
         return out
 
-    def _align(self, df: DataFrame, schema: StructType | None = None) -> DataFrame:
+    def _align(
+        self,
+        df: DataFrame,
+        schema: StructType | None = None,
+        keep: tuple[str, ...] = (),
+    ) -> DataFrame:
         schema = schema or self.schema()
+        keep = tuple(k for k in keep if k in df.columns)
         # fast path: already aligned (same names, order, types) — skip
         # building per-column cast expressions (dozens of py4j round-trips
         # per call; merge calls this on every staged frame)
-        if [(f.name, f.dataType) for f in df.schema.fields] == [
+        if not keep and [(f.name, f.dataType) for f in df.schema.fields] == [
             (f.name, f.dataType) for f in schema.fields
         ]:
             return df
@@ -1995,7 +2072,7 @@ class LakeTable:
             .alias(f.name)
             for f in schema.fields
         ]
-        return df.select(*cols)
+        return df.select(*cols, *[F.col(k) for k in keep])
 
     def txn_version(self, app_id: str) -> int | None:
         """Last committed writer-transaction version for ``app_id``
@@ -2193,8 +2270,14 @@ class LakeTable:
             df = self._assign_identity(df, idcols).localCheckpoint()
         state = self._state()
         dvmap = state.get("dv") or {}
+        rt = self.row_tracking_enabled()
         candidates = self._touched_candidates(condition)
-        target = self._read_files(candidates, dv_map=dvmap, with_file=True)
+        target = self._read_files(
+            candidates,
+            dv_map=dvmap,
+            with_file=True,
+            row_base=self._row_base_map(state) if rt else None,
+        )
         cond = F.coalesce(F.expr(condition), F.lit(False))
         touched = (
             [
@@ -2211,12 +2294,19 @@ class LakeTable:
         )
         new_data = self._align(df)
         if kept is not None:
-            new_data = self._align(kept).unionByName(new_data)
+            if rt:
+                # out-of-predicate rows are rewritten but logically
+                # unchanged: their ids must survive; the replacement rows
+                # are NEW rows and draw fresh ids from the file's base
+                kept = kept.withColumnRenamed("_row_id", "__row_id")
+            new_data = self._align(kept, keep=("__row_id",)).unionByName(
+                new_data, allowMissingColumns=True
+            )
         adds, rows = self._stage_write(new_data)
         cdf_rel = None
         if self.cdf_enabled():
             replaced = target.where(F.col("__file").isin(touched)).where(cond).drop(
-                "__file"
+                "__file", "_row_id"
             ) if touched else None
             parts = self._align(df).withColumn(CHANGE_TYPE, F.lit("insert"))
             if replaced is not None:
@@ -2274,9 +2364,16 @@ class LakeTable:
         state = self._state()
         dvmap = state.get("dv") or {}
         dv_on = self.dv_enabled()
+        # row tracking: the kept-rows rewrite must materialize ids (a DV
+        # delete rewrites nothing, so ids are stable there without it)
+        rt = self.row_tracking_enabled() and not dv_on
         candidates = self._touched_candidates(condition)
         target = self._read_files(
-            candidates, dv_map=dvmap, with_lineage=dv_on, with_file=True
+            candidates,
+            dv_map=dvmap,
+            with_lineage=dv_on,
+            with_file=True,
+            row_base=self._row_base_map(state) if rt else None,
         )
         cond = F.coalesce(F.expr(condition), F.lit(False))
         touched = (
@@ -2330,9 +2427,12 @@ class LakeTable:
             return v
         kept = touched_rows.where(~cond).drop("__file")
         deleted = touched_rows.where(cond).drop("__file")
+        if rt:
+            kept = kept.withColumnRenamed("_row_id", "__row_id")
+            deleted = deleted.drop("_row_id")
         adds, kept_rows = (
             self._stage_write(
-                self._align(kept),
+                self._align(kept, keep=("__row_id",)),
                 expected_rows=self._touched_rows_upper_bound(touched),
             )
             if kept.limit(1).count()
@@ -2384,9 +2484,16 @@ class LakeTable:
         state = self._state()
         dvmap = state.get("dv") or {}
         dv_on = self.dv_enabled()
+        # row tracking: both rewrite flavors re-stage updated rows, so both
+        # materialize their ids
+        rt = self.row_tracking_enabled()
         candidates = self._touched_candidates(condition)
         target = self._read_files(
-            candidates, dv_map=dvmap, with_lineage=dv_on, with_file=True
+            candidates,
+            dv_map=dvmap,
+            with_lineage=dv_on,
+            with_file=True,
+            row_base=self._row_base_map(state) if rt else None,
         )
         cond = (
             F.coalesce(F.expr(condition), F.lit(False))
@@ -2425,19 +2532,24 @@ class LakeTable:
             # as new data — untouched rows in the file are never rewritten.
             affected = touched_rows.where(cond).persist()
             commit_dv, removable = self._write_dv(affected, touched, dvmap)
-            post_upd = affected.select(*post_cols)
+            rid = (
+                [F.col("_row_id").alias("__row_id")] if rt else []
+            )
+            post_upd = affected.select(*post_cols, *rid)
             adds, n_rows = self._stage_write(
-                self._align(post_upd),
+                self._align(post_upd, keep=("__row_id",)),
                 expected_rows=self._touched_rows_upper_bound(touched),
             )
             cdf_rel = None
             if self.cdf_enabled():
-                pre = affected.drop("__file", "__fname", "__pos")
+                pre = affected.drop("__file", "__fname", "__pos", "_row_id")
                 cdf_rel = self._write_cdf(
                     pre.withColumn(
                         CHANGE_TYPE, F.lit("update_preimage")
                     ).unionByName(
-                        post_upd.withColumn(CHANGE_TYPE, F.lit("update_postimage"))
+                        post_upd.drop("__row_id").withColumn(
+                            CHANGE_TYPE, F.lit("update_postimage")
+                        )
                     )
                 )
             affected.unpersist()
@@ -2460,15 +2572,16 @@ class LakeTable:
                 ),
             )
             return v
-        rewritten = touched_rows.select(*post_cols, "__file").drop("__file")
+        rid = [F.col("_row_id").alias("__row_id")] if rt else []
+        rewritten = touched_rows.select(*post_cols, *rid)
         adds, _rows = self._stage_write(
-            self._align(rewritten),
+            self._align(rewritten, keep=("__row_id",)),
             expected_rows=self._touched_rows_upper_bound(touched),
         )
         cdf_rel = None
         if self.cdf_enabled():
-            pre = touched_rows.where(cond).drop("__file")
-            post_upd = touched_rows.where(cond).select(*post_cols, "__file").drop("__file")
+            pre = touched_rows.where(cond).drop("__file", "_row_id")
+            post_upd = touched_rows.where(cond).select(*post_cols)
             cdf_rel = self._write_cdf(
                 pre.withColumn(CHANGE_TYPE, F.lit("update_preimage")).unionByName(
                     post_upd.withColumn(CHANGE_TYPE, F.lit("update_postimage"))
@@ -2602,10 +2715,15 @@ class LakeTable:
         removed = sorted(selected)
         total_rows = sum(a.get("rows", 0) for a in selected.values())
         n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
+        rt = self.row_tracking_enabled()
         df = self._read_files(
             [self._abs(r) for r in removed],
             dv_map={r: dvmap[r] for r in removed if r in dvmap} or None,
+            row_base=self._row_base_map(state) if rt else None,
         )
+        if rt:
+            # OPTIMIZE is purely physical: ids must survive the rewrite
+            df = df.withColumnRenamed("_row_id", "__row_id")
         if zorder_by:
             df = (
                 df.withColumn("__z", _zvalue(df, zorder_by, total_rows))
@@ -2619,7 +2737,7 @@ class LakeTable:
             )
         else:
             df = df.coalesce(n_files)
-        adds, rows = self._stage_write(self._align(df))
+        adds, rows = self._stage_write(self._align(df, keep=("__row_id",)))
         v = commits[-1].version + 1
         dvmap = self._state().get("dv") or {}
         lakelog.write_commit(
@@ -3067,8 +3185,15 @@ class LakeTable:
             read_files = self.files_matching(ranges)
         else:
             read_files = [self._abs(r) for r in state["active"]]
+        # row tracking: survivors of the rewrite (matched updates, kept
+        # rows, by-source updates) must carry their ids into the staged
+        # files; inserts derive fresh ids from the new files' bases
+        rt = self.row_tracking_enabled() and not target_empty
         target_df = self._read_files(
-            read_files, dv_map=state.get("dv") or None, with_file=True
+            read_files,
+            dv_map=state.get("dv") or None,
+            with_file=True,
+            row_base=self._row_base_map(state) if rt else None,
         )
         # Metadata-driven join strategy: the log carries EXACT per-file row
         # counts, so when the live target is provably small (an aggregate
@@ -3311,7 +3436,12 @@ class LakeTable:
                         val = bs_assignment_expr(cl, i, colname, val)
                 out_cols.append(val.alias(colname))
 
-            survivors = acted.where(~F.col("__action").startswith("delete")).select(*out_cols)
+            rid_cols = (
+                [F.expr("target.`_row_id`").alias("__row_id")] if rt else []
+            )
+            survivors = acted.where(
+                ~F.col("__action").startswith("delete")
+            ).select(*out_cols, *rid_cols)
 
             # 3. Inserts: the S rows that matched no target row (rows in
             #    stat-pruned files can't match the equi-key, so the pruned
@@ -3429,7 +3559,9 @@ class LakeTable:
                 if touched:
                     with _micro_plan_mode(self.spark, micro_jobs):
                         adds, written_rows = self._stage_write(
-                            self._align(survivors, write_schema),
+                            self._align(
+                                survivors, write_schema, keep=("__row_id",)
+                            ),
                             expected_rows=touched_total - n_del,
                         )
                 with _micro_plan_mode(self.spark, micro_jobs):
@@ -3447,10 +3579,15 @@ class LakeTable:
                     # (join-shaped) plan into the write
                     new_data = self._align(inserts, write_schema)
                 else:
-                    new_data = self._align(survivors, write_schema)
+                    new_data = self._align(
+                        survivors, write_schema, keep=("__row_id",)
+                    )
                     if inserts is not None:
+                        # inserts carry no __row_id (fresh ids derive from
+                        # the new file's base); allowMissingColumns fills it
                         new_data = new_data.unionByName(
-                            self._align(inserts, write_schema)
+                            self._align(inserts, write_schema),
+                            allowMissingColumns=True,
                         )
                 with _micro_plan_mode(self.spark, micro_jobs):
                     adds, written_rows = self._stage_write(

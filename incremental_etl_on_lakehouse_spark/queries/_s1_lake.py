@@ -629,6 +629,103 @@ def ddl_catalog_metastore(spark, sf_dir):
 
 
 @query(
+    "util_row_tracking",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
+    " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+    " CAST(n_nationkey AS BIGINT) AS row_id,"
+    " true AS ids_survive_optimize, true AS ids_survive_update,"
+    " true AS insert_minted_fresh FROM nation"
+    " UNION ALL SELECT 999, 'wakanda', 4, -1, true, true, true"
+    " ORDER BY n_nationkey",
+)
+def util_row_tracking(spark, sf_dir):
+    """Row tracking (Delta's enableRowTracking; lake/table.py:
+    row_tracking_enabled): stable per-row ids that survive physical
+    rewrites. Base ids are assigned in the commit-log state fold (each add
+    entry gets a fresh [base, base+rows) range off a monotone high-water
+    mark; an unrewritten row's id = base + file position), and OPTIMIZE/
+    UPDATE/MERGE rewrites MATERIALIZE ids into a physical __row_id column
+    of the rewritten files — reads coalesce the two forms, so ids are
+    exactly reproducible: the oracle pins row_id == n_nationkey (one
+    coalesce(1) append of the sorted nation table), which only holds if
+    compaction and update both preserved every id.
+
+    Attested: ids unchanged across OPTIMIZE (ids_survive_optimize) and
+    across an UPDATE rewrite (ids_survive_update); a MERGE insert mints a
+    fresh id distinct from every existing one (insert_minted_fresh). The
+    planted row's literal id is a function of rewrite history (every
+    staged file advances the high-water mark), so it is normalized to -1
+    in the hash — its freshness is what the boolean pins."""
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    nat = (
+        load_table(spark, "nation", sf_dir)
+        .select(
+            F.col("n_nationkey").cast("long"),
+            "n_name",
+            F.col("n_regionkey").cast("long"),
+        )
+        .orderBy("n_nationkey")
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "rowtrack"),
+        schema,
+        properties={"enableRowTracking": "true"},
+    )
+    t.append(nat.coalesce(1))  # one sorted file: row_id == n_nationkey
+    ids0 = {
+        r.n_nationkey: r._row_id
+        for r in t.to_df(with_row_ids=True).collect()
+    }
+    t.compact(target_file_rows=7)  # forces a multi-file physical rewrite
+    ids1 = {
+        r.n_nationkey: r._row_id
+        for r in t.to_df(with_row_ids=True).collect()
+    }
+    ids_survive_optimize = ids1 == ids0
+    t.update({"n_name": "upper(n_name)"}, "n_regionkey = 0")
+    ids2 = {
+        r.n_nationkey: r._row_id
+        for r in t.to_df(with_row_ids=True).collect()
+    }
+    ids_survive_update = ids2 == ids0
+    t.merge(
+        spark.createDataFrame([(999, "wakanda", 4)], schema),
+        "source.n_nationkey = target.n_nationkey",
+        [MergeClause("insert", None, "*")],
+    )
+    ids3 = {
+        r.n_nationkey: r._row_id
+        for r in t.to_df(with_row_ids=True).collect()
+    }
+    insert_minted_fresh = ids3[999] not in set(ids0.values()) and len(
+        set(ids3.values())
+    ) == len(ids3)
+    return (
+        t.to_df(with_row_ids=True)
+        .select(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            F.when(F.col("n_nationkey") == 999, F.lit(-1))
+            .otherwise(F.col("_row_id"))
+            .alias("row_id"),
+            F.lit(bool(ids_survive_optimize)).alias("ids_survive_optimize"),
+            F.lit(bool(ids_survive_update)).alias("ids_survive_update"),
+            F.lit(bool(insert_minted_fresh)).alias("insert_minted_fresh"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "ddl_constraints",
     "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,"
     " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
