@@ -192,3 +192,104 @@ def test_row_ids_off_by_default_and_column_absent(spark, tmp_path):
     t2.append(spark.createDataFrame([(1, "a")], SCHEMA))
     assert "_row_id" not in t2.to_df().columns
     assert "_row_id" in t2.to_df(with_row_ids=True).columns
+
+
+@pytest.mark.parametrize("dv", [False, True], ids=["rewrite", "dv"])
+@pytest.mark.parametrize("seed", range(3))
+def test_row_id_stability_under_random_interleavings(spark, tmp_path, seed, dv):
+    """Maintenance-fuzzer companion: across random APPEND / UPDATE /
+    DELETE / MERGE / OPTIMIZE / RESTORE interleavings, (a) row ids stay
+    unique, (b) every surviving business key keeps its exact id, (c)
+    fresh rows mint ids never seen before, (d) RESTORE reproduces the
+    target version's id assignment, and (e) TIME TRAVEL to any produced
+    version reconstructs that version's ids exactly."""
+    import random
+
+    rng = random.Random(9900 + 10 * seed + dv)
+    props = {"enableRowTracking": "true"}
+    if dv:
+        props["enableDeletionVectors"] = "true"
+    t = LakeTable.create(
+        spark, str(tmp_path / f"rt_{seed}_{dv}"), SCHEMA, properties=props
+    )
+    next_id = 0
+    ever_seen: set = set()
+
+    def snapshot():
+        return {
+            r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()
+        }
+
+    def do_append():
+        nonlocal next_id
+        k = rng.randint(2, 4)
+        rows = [(next_id + j, rng.choice("abc")) for j in range(k)]
+        next_id += k
+        t.append(spark.createDataFrame(rows, SCHEMA))
+        return {r[0] for r in rows}
+
+    conds = ["id % 2 = 1", "v = 'a'", "id % 3 = 0"]
+    do_append()
+    rids = snapshot()
+    ever_seen |= set(rids.values())
+    history = {t.version(): dict(rids)}
+
+    for _ in range(8):
+        op = rng.choice(
+            ["append", "update", "delete", "compact", "merge", "restore"]
+        )
+        fresh: set = set()
+        if op == "append":
+            fresh = do_append()
+        elif op == "update":
+            t.update({"v": "'u'"}, rng.choice(conds))
+        elif op == "delete":
+            t.delete(rng.choice(conds))
+        elif op == "compact":
+            t.compact(target_file_rows=3)
+        elif op == "merge":
+            existing = sorted(rids)
+            batch = []
+            if existing and rng.random() < 0.7:
+                batch.append((rng.choice(existing), "m"))
+            batch.append((next_id, "n"))
+            fresh.add(next_id)
+            next_id += 1
+            t.merge(
+                spark.createDataFrame(batch, SCHEMA),
+                "source.id = target.id",
+                [
+                    MergeClause("update", None, "*"),
+                    MergeClause("insert", None, "*"),
+                ],
+            )
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            t.restore(target)
+            new = snapshot()
+            assert new == history[target], (seed, dv, "restore", target)
+            rids = new
+            history[t.version()] = dict(new)
+            continue
+        new = snapshot()
+        # uniqueness
+        assert len(set(new.values())) == len(new), (seed, dv, op)
+        # survivors keep their exact id
+        for k, rid in new.items():
+            if k in rids and k not in fresh:
+                assert rid == rids[k], (seed, dv, op, k)
+        # fresh rows mint never-seen ids
+        for k in fresh:
+            if k in new:  # a later cond can't have deleted it intra-op
+                assert new[k] not in ever_seen, (seed, dv, op, k)
+        ever_seen |= set(new.values())
+        rids = new
+        history[t.version()] = dict(new)
+
+    # time travel reconstructs every version's id assignment exactly
+    for v, expected in history.items():
+        got = {
+            r.id: r._row_id
+            for r in t.to_df(version=v, with_row_ids=True).collect()
+        }
+        assert got == expected, (seed, dv, "version", v)
