@@ -106,9 +106,28 @@ def write_commit(table_path: str, commit: Commit) -> None:
 
     put_if_absent is the OCC primitive: exactly one of N racing writers of
     a version succeeds — the single-table equivalent of Delta's optimistic
-    concurrency control."""
+    concurrency control.
+
+    In-commit timestamp monotonicity (Delta's inCommitTimestamps): the
+    recorded timestamp is clamped to strictly exceed the previous
+    commit's, so ``TIMESTAMP AS OF`` stays well-defined even when writers
+    run on machines with skewed clocks (on object stores different
+    committers routinely disagree by seconds — without the clamp a later
+    version could carry an earlier timestamp and time travel would pick
+    the wrong snapshot). One extra O(1) commit read per write."""
     store = store_for(table_path)
     store.mkdirs(log_dir(table_path))
+    if commit.version > 0 and commit.timestamp_ms is not None:
+        try:
+            prev = Commit.from_json(
+                store.read_text(_commit_file(table_path, commit.version - 1))
+            )
+            if prev.timestamp_ms is not None:
+                commit.timestamp_ms = max(
+                    commit.timestamp_ms, prev.timestamp_ms + 1
+                )
+        except FileNotFoundError:
+            pass  # gap implies external surgery; publish as given
     store.put_if_absent(
         _commit_file(table_path, commit.version), commit.to_json()
     )

@@ -1718,3 +1718,29 @@ def test_changes_in_range_never_wrong_under_dv(spark, tmp_path):
         )
     )
     assert v4 in seen and ("delete", 99) in seen[v4], seen
+
+
+def test_in_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path):
+    """Commit timestamps are clamped strictly increasing even when the
+    wall clock runs backwards between commits (skewed writers on object
+    stores), so TIMESTAMP AS OF picks the right snapshot."""
+    from unittest import mock
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    schema = StructType([StructField("id", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    real = lakelog.now_ms()
+    # second writer's clock is 10 s BEHIND
+    with mock.patch.object(lakelog, "now_ms", lambda: real - 10_000):
+        t.append(spark.createDataFrame([(2,)], schema))
+    ts = [c["timestamp_ms"] for c in t.history()]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts), ts
+    # TIMESTAMP AS OF at the clamped v2 timestamp sees both rows
+    assert t.to_df(timestamp_ms=ts[-1]).count() == 2
+    # ... and just before it sees only the first append
+    assert t.to_df(timestamp_ms=ts[-1] - 1).count() == 1
