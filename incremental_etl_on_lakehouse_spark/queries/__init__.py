@@ -88,16 +88,16 @@ _PRIORITY_KEYS = [
     # (c) continued: r3-green core block head
     "agg_sum_groupby", "ext_dedup_exact", "ext_dedup_embedding",
     "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
-    "ext_quality_score", "ext_fingerprint", "ext_multimodal_col",
+    "ext_quality_score", "ext_fingerprint",
     # NEW round-9 keys (new keys get a driver row the round they land;
-    # ext_sample_stratified and ext_sample_hash yielded their refresh
-    # slots): the persistent-metastore attestation and the row-tracking
-    # attestation
-    "ddl_catalog_metastore", "util_row_tracking",
+    # ext_sample_stratified, ext_sample_hash and ext_multimodal_col
+    # yielded their refresh slots): the persistent-metastore attestation,
+    # the row-tracking attestation, and the BPE merge-step primitive
+    "ddl_catalog_metastore", "util_row_tracking", "ext_bpe_pair_counts",
 ]
 
 _SECOND_PRIORITY = [
-    "ext_sample_stratified", "ext_sample_hash",
+    "ext_sample_stratified", "ext_sample_hash", "ext_multimodal_col",
     # Rotated-out keys directly behind the cap line: every key here
     # has at least one driver-green row (ROTATION.md keeps the
     # per-round history) and stays locally hash-verified by

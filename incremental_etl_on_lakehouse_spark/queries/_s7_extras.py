@@ -790,3 +790,53 @@ def fn_binary_encode(spark, sf_dir):
             F.unbase64(F.base64(src_bin)).cast("string") == F.col("source")
         ).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "ext_bpe_pair_counts",
+    "WITH words AS ("
+    f" SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w"
+    " FROM documents),"
+    " idx AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i"
+    "  FROM words WHERE len(w) >= 2),"
+    " pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair FROM idx)"
+    " SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs"
+    " GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20",
+)
+def ext_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer training primitive: the FIRST BPE merge step — count
+    adjacent symbol pairs across the corpus and rank the top merge
+    candidates (Sennrich et al. 2016; with the initial character vocab,
+    pair frequency == within-word character-bigram frequency, which is
+    what both engines compute here, deterministically tie-broken by
+    pair).
+
+    Scale: bigrams explode via sequence() codegen (no Python), then ONE
+    map-side-combined hash agg whose key domain is tiny (|alphabet|^2 —
+    a few thousand keys at any corpus size), so the exchange carries
+    O(distinct pairs x partitions) rows regardless of corpus bytes;
+    top-20 is TakeOrderedAndProject, never a global sort. Iterating
+    merges at 100 TB keeps this shape per round: re-tokenize against the
+    grown vocab (a narrow projection) + the same tiny-domain agg."""
+    from incremental_etl_on_lakehouse_spark.operators.text import (
+        normalize_text,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

@@ -879,3 +879,12 @@ def test_rows_sliding_single_window_exchange(spark, sf_dir):
     p = plans.formatted_plan(enc)
     assert plans.shuffle_count(enc) == 0, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bpe_pair_counts_plan(spark, sf_dir):
+    """One tiny-domain exchange + TakeOrderedAndProject — never a global
+    sort, never a data-scale shuffle (the agg key domain is |alphabet|^2)."""
+    df = QUERIES["ext_bpe_pair_counts"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.shuffle_count(df) <= 1, plan
