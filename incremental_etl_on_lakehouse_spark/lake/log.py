@@ -252,7 +252,68 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
             else:
                 state["properties"][pk] = pv
         state["version"] = v
+    if version is not None and state["version"] != version:
+        # versions are contiguous, so a reconstruction that didn't land on
+        # the requested version means its history is gone (log retention
+        # cleanup) — raise instead of answering from partial state
+        raise ValueError(
+            f"version {version} is no longer reconstructible (earliest "
+            f"available state is v{state['version']}; log retention "
+            "cleanup removed older commits)"
+            if state["version"] > version
+            else f"no commit at version {version}"
+        )
     return state
+
+
+def clean_log(table_path: str, retention_ms: int) -> list[int]:
+    """Log retention (Delta's ``delta.logRetentionDuration`` auto-clean):
+    delete the maximal PREFIX of commit files older than ``retention_ms``,
+    after pinning a checkpoint at the boundary so every retained version
+    stays exactly reconstructible. At 100 TB commit rates (a micro-batch
+    merge a minute is half a million commits a year) the log itself is a
+    scale problem; after cleanup it is O(retention), like the data after
+    VACUUM.
+
+    Contract (same as Delta): time travel / CDF / history below the
+    boundary raise cleanly instead of answering from partial history;
+    everything at or after the boundary is unaffected. Returns the deleted
+    versions. Only a contiguous prefix is ever deleted — commits newer
+    than an old-but-retained commit wait for it, keeping the retained log
+    gap-free."""
+    commit_vs, ckpt_vs = list_versions(table_path)
+    if not commit_vs:
+        return []
+    horizon = now_ms() - retention_ms
+    latest = commit_vs[-1]
+    boundary = commit_vs[0]
+    for v in commit_vs:
+        # never delete the latest commit; the prefix stops at the first
+        # young commit
+        if v >= latest or read_commit(table_path, v).timestamp_ms >= horizon:
+            break
+        boundary = v + 1
+    doomed = [v for v in commit_vs if v < boundary]
+    if not doomed:
+        return []
+    store = store_for(table_path)
+    # pin the boundary state BEFORE deleting anything: the checkpoint at
+    # boundary-1 is what keeps state/dv/row-id bases reconstructible for
+    # every retained version
+    if boundary - 1 not in ckpt_vs:
+        state = table_state(table_path, boundary - 1)
+        try:
+            store.put_if_absent(
+                _checkpoint_file(table_path, boundary - 1), json.dumps(state)
+            )
+        except FileExistsError:
+            pass
+    for v in doomed:
+        store.delete(_commit_file(table_path, v))
+    for cv in ckpt_vs:
+        if cv < boundary - 1:
+            store.delete(_checkpoint_file(table_path, cv))
+    return doomed
 
 
 def maybe_write_checkpoint(table_path: str, version: int) -> None:

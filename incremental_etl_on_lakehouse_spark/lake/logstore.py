@@ -65,6 +65,12 @@ class LogStore:
     def mkdirs(self, path: str) -> None:
         raise NotImplementedError
 
+    def delete(self, path: str) -> None:
+        """Remove one object (object stores: DELETE — idempotent there;
+        here a missing file raises, callers pre-list). Used only by log
+        retention cleanup; ordinary operation never deletes log files."""
+        raise NotImplementedError
+
 
 class LocalLogStore(LogStore):
     """POSIX implementation: tmp file + ``os.link`` for exclusive create.
@@ -94,6 +100,9 @@ class LocalLogStore(LogStore):
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str) -> None:
+        os.remove(path)
 
 
 _LOCAL = LocalLogStore()

@@ -2838,6 +2838,21 @@ class LakeTable:
     # skipped regardless of retention_ms unless force=True.
     ORPHAN_SAFETY_MS = 3600 * 1000
 
+    def cleanup_log(self, retention_ms: int = 30 * 24 * 3600 * 1000) -> list[int]:
+        """Log retention (Delta's ``logRetentionDuration`` auto-clean): drop
+        the prefix of commit files older than ``retention_ms`` after
+        pinning a boundary checkpoint, so the log stays O(retention) at
+        100 TB commit rates while every retained version — state, change
+        feed, row-id bases — reconstructs exactly. Time travel / CDF below
+        the boundary raise cleanly. VACUUM's counterpart for metadata;
+        returns the deleted versions."""
+        deleted = lakelog.clean_log(self.path, retention_ms)
+        if deleted:
+            # memoized state/commit caches may hold pre-cleanup parses
+            self._commits_memo = None
+            self._state_memo = None
+        return deleted
+
     def vacuum(
         self,
         retention_ms: int = 7 * 24 * 3600 * 1000,
@@ -3746,7 +3761,20 @@ class LakeTable:
         # instead of a full checkpoint-load + tail-replay per emitted
         # commit, keeping the feed's metadata cost O(commits).
         dv_state: dict = {}
-        for c in self._commits():
+        commits = self._commits()
+        earliest = commits[0].version
+        if earliest > 0:
+            # log retention cleanup removed the prefix: change rows below
+            # the boundary are gone — raise instead of a silently partial
+            # feed, and seed the DV fold from the boundary checkpoint
+            if starting_version < earliest:
+                raise ValueError(
+                    f"change feed starts at v{starting_version} but log "
+                    f"retention cleanup kept v{earliest}+ only — read from "
+                    f"v{earliest} or later"
+                )
+            dv_state = dict(self._state(earliest - 1).get("dv") or {})
+        for c in commits:
             dv_before = dict(dv_state)
             for r in c.remove:
                 dv_state.pop(r, None)

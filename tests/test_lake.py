@@ -1744,3 +1744,81 @@ def test_in_commit_timestamps_monotonic_under_clock_skew(spark, tmp_path):
     assert t.to_df(timestamp_ms=ts[-1]).count() == 2
     # ... and just before it sees only the first append
     assert t.to_df(timestamp_ms=ts[-1] - 1).count() == 1
+
+
+def test_log_retention_cleanup(spark, tmp_path):
+    """cleanup_log drops the old commit prefix behind a boundary
+    checkpoint: live reads, retained time travel, retained CDF, history,
+    and row-id bases all still reconstruct exactly; reads below the
+    boundary raise cleanly instead of answering from partial history."""
+    from unittest import mock
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    schema = StructType([StructField("id", LongType())])
+    real = lakelog.now_ms()
+    # versions 0..4 committed "8 days ago" (create included — in-commit
+    # timestamp monotonicity would otherwise clamp the backdated appends
+    # up to the fresh create's timestamp)
+    with mock.patch.object(lakelog, "now_ms", lambda: real - 8 * 86400_000):
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / "t"),
+            schema,
+            properties={
+                "enableChangeDataFeed": "true",
+                "enableRowTracking": "true",
+            },
+        )
+        for i in range(4):
+            t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    t.delete("id = 1")  # v5, fresh
+    rows_before = {r.id for r in t.to_df().collect()}
+    rids_before = {
+        r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()
+    }
+    v4_rows = {r.id for r in t.to_df(version=4).collect()}
+
+    deleted = t.cleanup_log(retention_ms=7 * 86400_000)
+    # all five backdated commits go (v5, the fresh delete, is the live
+    # head); the boundary checkpoint at v4 keeps v4 reconstructible
+    assert deleted == [0, 1, 2, 3, 4], deleted
+    # a second run is a no-op
+    assert t.cleanup_log(retention_ms=7 * 86400_000) == []
+
+    # fresh handle: live state, boundary version, row ids, history intact
+    t2 = LakeTable(spark, str(tmp_path / "t"))
+    assert {r.id for r in t2.to_df().collect()} == rows_before
+    assert {r.id for r in t2.to_df(version=4).collect()} == v4_rows
+    assert {
+        r.id: r._row_id for r in t2.to_df(with_row_ids=True).collect()
+    } == rids_before
+    assert [h["version"] for h in t2.history()] == [5]
+    # retained CDF folds exactly the fresh delete
+    ch = t2.read_changes(5).collect()
+    assert {(r.id, r._change_type) for r in ch} == {(1, "delete")}
+    # below the boundary: clean errors, not partial answers
+    with pytest.raises(ValueError, match="no longer reconstructible|no commit"):
+        t2.to_df(version=2).collect()
+    with pytest.raises(ValueError, match="log retention"):
+        t2.read_changes(0)
+    # the table stays fully writable after cleanup
+    t2.append(spark.createDataFrame([(99,)], schema))
+    assert 99 in {r.id for r in t2.to_df().collect()}
+
+
+def test_log_retention_keeps_young_prefix(spark, tmp_path):
+    """Only a contiguous OLD prefix is deleted: a young early commit
+    shields everything after it (the retained log stays gap-free)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    schema = StructType([StructField("id", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(1,)], schema))
+    assert t.cleanup_log(retention_ms=7 * 86400_000) == []
+    assert [h["version"] for h in t.history()] == [0, 1]
