@@ -64,6 +64,27 @@ BLOOM_SEEDS = (0x51ED0, 0x51ED1, 0x51ED2)
 # cost on small/young tables.
 MERGE_PRUNE_MIN_FILES = 4
 
+# Protocol table features (Delta's reader protocol/table features): a
+# table records, in the ``protocol.readerFeatures`` property, every active
+# feature that changes how its FILES must be interpreted. A reader that
+# doesn't know a listed feature must refuse to open the table — silently
+# ignoring, say, deletion vectors resurrects deleted rows. This engine
+# understands:
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "rowTracking"}
+)
+
+
+def _reader_features_from_props(props: dict) -> set[str]:
+    """Read-semantics features implied by table properties. columnMapping
+    is activated by the first RENAME COLUMN, not a property."""
+    feats = set()
+    if str(props.get("enableDeletionVectors", "false")).lower() == "true":
+        feats.add("deletionVectors")
+    if str(props.get("enableRowTracking", "false")).lower() == "true":
+        feats.add("rowTracking")
+    return feats
+
 
 class ConstraintViolationError(ValueError):
     """A write produced rows that violate a table CHECK constraint; the
@@ -615,6 +636,13 @@ class LakeTable:
             props["statsColumns"] = ",".join(
                 existing + [c for c in id_cols if c not in existing]
             )
+        feats = _reader_features_from_props(props) | {
+            f
+            for f in str(props.get("protocol.readerFeatures", "")).split(",")
+            if f
+        }
+        if feats:
+            props["protocol.readerFeatures"] = ",".join(sorted(feats))
         return props
 
     def replace_definition(
@@ -806,12 +834,35 @@ class LakeTable:
             state = lakelog.table_state(self.path, latest)
             if state is None:
                 raise ValueError(f"not a lake table: {self.path}")
+            self._check_reader_features(state)
             self._state_memo = (latest, state)
             return state
         state = lakelog.table_state(self.path, version)
         if state is None:
             raise ValueError(f"not a lake table: {self.path}")
+        self._check_reader_features(state)
         return state
+
+    def _check_reader_features(self, state: dict) -> None:
+        """Protocol gate: refuse to interpret a table whose recorded
+        reader features include one this engine doesn't know — a reader
+        that ignores an unknown read-semantics feature (a future deletion
+        encoding, a new column-mapping mode) would silently return wrong
+        rows. Delta's reader-version/table-features contract."""
+        feats = {
+            f
+            for f in str(
+                state["properties"].get("protocol.readerFeatures", "")
+            ).split(",")
+            if f
+        }
+        unknown = feats - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table at {self.path} requires reader feature(s) "
+                f"{sorted(unknown)} this engine does not support "
+                f"(supported: {sorted(SUPPORTED_READER_FEATURES)})"
+            )
 
     def version(self) -> int:
         commit_vs, _ = lakelog.list_versions(self.path)
@@ -1106,6 +1157,16 @@ class LakeTable:
             else:
                 new_fields.append(f)
         v = self.version() + 1
+        # the first rename activates column mapping (files keep physical
+        # names): a reader without it would project the renamed column as
+        # missing — record the protocol feature in the same commit
+        current = {
+            f
+            for f in str(
+                self.properties().get("protocol.readerFeatures", "")
+            ).split(",")
+            if f
+        }
         lakelog.write_commit(
             self.path,
             Commit(
@@ -1113,6 +1174,11 @@ class LakeTable:
                 operation="RENAME COLUMN",
                 timestamp_ms=lakelog.now_ms(),
                 schema_json=StructType(new_fields).json(),
+                properties={
+                    "protocol.readerFeatures": ",".join(
+                        sorted(current | {"columnMapping"})
+                    )
+                },
                 metrics={"from": old, "to": new},
             ),
         )
@@ -1210,6 +1276,19 @@ class LakeTable:
                 # column (computed when absent, never gate-checked when
                 # supplied)
                 raise ValueError(f"property {k} is fixed at table creation")
+        out = {k: str(val) for k, val in props.items()}
+        # enabling a read-semantics feature mid-life records it in the
+        # protocol (union with whatever is already active)
+        feats = _reader_features_from_props(out)
+        if feats:
+            current = {
+                f
+                for f in str(
+                    self.properties().get("protocol.readerFeatures", "")
+                ).split(",")
+                if f
+            }
+            out["protocol.readerFeatures"] = ",".join(sorted(feats | current))
         v = self.version() + 1
         lakelog.write_commit(
             self.path,
@@ -1217,7 +1296,7 @@ class LakeTable:
                 version=v,
                 operation="SET TBLPROPERTIES",
                 timestamp_ms=lakelog.now_ms(),
-                properties={k: str(val) for k, val in props.items()},
+                properties=out,
             ),
         )
         return v

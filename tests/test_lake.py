@@ -1822,3 +1822,56 @@ def test_log_retention_keeps_young_prefix(spark, tmp_path):
     t.append(spark.createDataFrame([(1,)], schema))
     assert t.cleanup_log(retention_ms=7 * 86400_000) == []
     assert [h["version"] for h in t.history()] == [0, 1]
+
+
+def test_protocol_reader_features(spark, tmp_path):
+    """Protocol table features (Delta's reader-version contract): tables
+    record active read-semantics features; an engine that doesn't know a
+    recorded feature refuses to open the table instead of misreading it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.log import Commit
+
+    schema = StructType([StructField("id", LongType())])
+    # creation-time features recorded
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema,
+        properties={"enableDeletionVectors": "true"},
+    )
+    assert t.properties()["protocol.readerFeatures"] == "deletionVectors"
+    # mid-life enablement unions into the protocol
+    t.set_properties({"enableRowTracking": "true"})
+    assert (
+        t.properties()["protocol.readerFeatures"]
+        == "deletionVectors,rowTracking"
+    )
+    # the first rename activates columnMapping
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), schema)
+    assert "protocol.readerFeatures" not in t2.properties()
+    t2.rename_column("id", "ident")
+    assert t2.properties()["protocol.readerFeatures"] == "columnMapping"
+
+    # a table requiring an UNKNOWN feature is refused, not misread
+    t3 = LakeTable.create(spark, str(tmp_path / "t3"), schema)
+    t3.append(spark.createDataFrame([(1,)], schema))
+    lakelog.write_commit(
+        str(tmp_path / "t3"),
+        Commit(
+            version=t3.version() + 1,
+            operation="SET TBLPROPERTIES",
+            timestamp_ms=lakelog.now_ms(),
+            properties={"protocol.readerFeatures": "futuristicDeletionCodec"},
+        ),
+    )
+    t3b = LakeTable(spark, str(tmp_path / "t3"))
+    with pytest.raises(ValueError, match="futuristicDeletionCodec"):
+        t3b.to_df().collect()
+    # protocol is TABLE-level (Delta's contract): even time travel to a
+    # pre-feature version refuses — the head schema/layout lookups would
+    # already interpret state this reader can't
+    with pytest.raises(ValueError, match="futuristicDeletionCodec"):
+        LakeTable(spark, str(tmp_path / "t3")).to_df(version=1).count()
