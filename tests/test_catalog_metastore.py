@@ -324,3 +324,81 @@ def test_occ_threads_race_one_log(spark, tmp_path):
         if n.endswith(".json") and n[:-5].isdigit()
     )
     assert versions == list(range(len(versions)))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_catalog_interleaving_fuzz(spark, tmp_path, seed):
+    """Random create/drop/register/recreate sequences through TWO catalog
+    instances over one root, checked against a pure-Python model — the
+    checkpointed fold, OCC versioning, and external-vs-managed drop
+    semantics under op mixes the fixed tests can't enumerate."""
+    import random
+
+    rng = random.Random(7700 + seed)
+    root = str(tmp_path / "cat")
+    cats = [LakeCatalog(spark, root), LakeCatalog(spark, root)]
+    ext_pool = []
+    for i in range(3):
+        p = str(tmp_path / f"extsrc{i}")
+        LakeTable.create(spark, p, SCHEMA)
+        ext_pool.append(p)
+    model: dict = {}  # db -> {name: ("managed"|"external", path)}
+    n_table = 0
+
+    for _ in range(24):
+        cat = rng.choice(cats)
+        op = rng.choice(
+            ["create_db", "create_tbl", "register", "drop_tbl", "drop_db"]
+        )
+        if op == "create_db":
+            db = f"db{rng.randint(0, 2)}"
+            cat.create_database(db)
+            model.setdefault(db, {})
+        elif op == "create_tbl":
+            db = f"db{rng.randint(0, 2)}"
+            name = f"t{n_table}"
+            n_table += 1
+            t = cat.create_table(db, name, SCHEMA)
+            model.setdefault(db, {})[name] = ("managed", t.path)
+        elif op == "register":
+            db = f"db{rng.randint(0, 2)}"
+            name = f"e{n_table}"
+            n_table += 1
+            p = rng.choice(ext_pool)
+            cat.register_table(db, name, p)
+            model.setdefault(db, {})[name] = ("external", p)
+        elif op == "drop_tbl":
+            nonempty = [d for d in model if model[d]]
+            if not nonempty:
+                continue
+            db = rng.choice(nonempty)
+            name = rng.choice(sorted(model[db]))
+            kind, path = model[db].pop(name)
+            cat.drop_table(db, name)
+            # external data survives; managed data is gone
+            assert LakeTable.exists(path) == (kind == "external"), (
+                seed, db, name, kind,
+            )
+        elif op == "drop_db":
+            if not model:
+                continue
+            db = rng.choice(sorted(model))
+            cat.drop_database(db, cascade=True)
+            model.pop(db)
+        # a FRESH instance folds to exactly the model (cross-instance
+        # persistence at every step, through any checkpoints)
+        fresh = LakeCatalog(spark, root)
+        assert set(fresh.databases()) == set(model), seed
+        for d in model:
+            assert fresh.tables(d) == sorted(model[d]), (seed, d)
+            for name, (kind, _p) in model[d].items():
+                assert fresh.is_external(d, name) == (kind == "external")
+
+    # the entry log is gap-free (no clobbered versions across 2 writers)
+    meta = os.path.join(root, "_metastore")
+    versions = sorted(
+        int(n[:-5])
+        for n in os.listdir(meta)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    assert versions == list(range(len(versions)))
