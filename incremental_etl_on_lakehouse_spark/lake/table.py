@@ -2263,6 +2263,7 @@ class LakeTable:
                         },
                     ),
                 )
+                self._maybe_auto_compact()
                 return v
             except FileExistsError:
                 if not can_rebase:
@@ -2916,6 +2917,34 @@ class LakeTable:
     # retentionDurationCheck; here anything younger than this floor is
     # skipped regardless of retention_ms unless force=True.
     ORPHAN_SAFETY_MS = 3600 * 1000
+
+    def _maybe_auto_compact(self) -> None:
+        """Auto compaction (Delta's ``autoOptimize.autoCompact``): after a
+        successful write, if at least ``autoCompact.minNumFiles`` active
+        files are under half the optimized-write target, run an
+        INCREMENTAL compact of just those files. Gated off by default; the
+        check is one dict scan of the cached state. Best-effort: a version
+        collision with a concurrent writer skips the maintenance (their
+        own post-write check fires), never failing the write that already
+        committed."""
+        props = self.properties()
+        if str(props.get("autoCompact", "false")).lower() != "true":
+            return
+        target = int(props.get("optimizedWrite.targetFileRows", 4_000_000))
+        min_files = int(props.get("autoCompact.minNumFiles", "8"))
+        small_cap = max(1, target // 2)
+        small = [
+            a
+            for a in self._state()["active"].values()
+            if (a.get("rows") or 0) <= small_cap
+        ]
+        if len(small) >= min_files:
+            try:
+                self.compact(
+                    target_file_rows=target, max_input_file_rows=small_cap
+                )
+            except FileExistsError:
+                pass  # concurrent commit won the version; skip maintenance
 
     def cleanup_log(self, retention_ms: int = 30 * 24 * 3600 * 1000) -> list[int]:
         """Log retention (Delta's ``logRetentionDuration`` auto-clean): drop
@@ -3800,6 +3829,7 @@ class LakeTable:
                 ),
             )
             metrics["version"] = v
+            self._maybe_auto_compact()
             return metrics
         finally:
             s_joined.unpersist()

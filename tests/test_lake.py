@@ -1875,3 +1875,43 @@ def test_protocol_reader_features(spark, tmp_path):
     # already interpret state this reader can't
     with pytest.raises(ValueError, match="futuristicDeletionCodec"):
         LakeTable(spark, str(tmp_path / "t3")).to_df(version=1).count()
+
+
+def test_auto_compact(spark, tmp_path):
+    """autoCompact: once enough small files accumulate, a write triggers
+    an incremental compact of just the small files — rows and row ids
+    unchanged, the file count collapses, and right-sized files are left
+    physically untouched. Off by default."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+
+    schema = StructType([StructField("id", LongType())])
+    # default off: small files accumulate freely
+    t0 = LakeTable.create(spark, str(tmp_path / "t0"), schema)
+    for i in range(5):
+        t0.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    assert len(t0.files()) == 5
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema,
+        properties={
+            "autoCompact": "true",
+            "autoCompact.minNumFiles": "4",
+            "optimizedWrite.targetFileRows": "1000",
+            "enableRowTracking": "true",
+        },
+    )
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], schema).coalesce(1))
+    assert len(t.files()) == 3  # below the threshold: untouched
+    rids = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    t.append(spark.createDataFrame([(3,)], schema).coalesce(1))
+    # 4th small file crossed the threshold -> compacted to one
+    assert len(t.files()) == 1
+    assert [h["operation"] for h in t.history()][-1] == "COMPACT"
+    got = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    assert {r for r in got} == {0, 1, 2, 3}
+    assert all(got[k] == v for k, v in rids.items())  # ids survived
