@@ -293,3 +293,40 @@ def test_row_id_stability_under_random_interleavings(spark, tmp_path, seed, dv):
             for r in t.to_df(version=v, with_row_ids=True).collect()
         }
         assert got == expected, (seed, dv, "version", v)
+
+
+def test_partitioned_merge_compact_preserve_ids(spark, tmp_path):
+    """The hive-partitioned read branch surfaces materialized __row_id
+    columns too: merge survivors, delete keeps, and compact all preserve
+    ids on a partitioned table with stats pruning active."""
+    schema = StructType(
+        SCHEMA.fields + [StructField("p", StringType())]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        schema,
+        properties={**RT, "statsColumns": "id"},
+        partition_by=["p"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "x", "a" if i % 2 else "b") for i in range(8)],
+            "id long, v string, p string",
+        )
+    )
+    ids0 = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    src = spark.createDataFrame([(0, "U", "b"), (50, "N", "a")], schema)
+    t.merge(
+        src,
+        "source.id = target.id",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+        stats_prune={"id": "id"},
+    )
+    ids1 = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    assert all(ids1[k] == v for k, v in ids0.items())
+    assert len(set(ids1.values())) == len(ids1)
+    t.delete("id = 3")
+    t.compact(target_file_rows=100)
+    ids2 = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    assert ids2 == {k: v for k, v in ids1.items() if k != 3}
