@@ -60,21 +60,35 @@ def _table_rows(t: LakeTable, version=None) -> frozenset:
     )
 
 
-@pytest.mark.parametrize("dv", [False, True], ids=["rewrite", "dv"])
+@pytest.mark.parametrize(
+    "mode", ["rewrite", "dv", "autocompact"]
+)
 @pytest.mark.parametrize("seed", range(6))
-def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
+def test_random_maintenance_interleavings(spark, tmp_path, seed, mode):
     """Runs in BOTH delete modes: file-rewrite and deletion vectors —
     RESTORE's DV reconciliation (every surviving file must end with
     exactly its target-version deletion vector) only gets exercised by
     the dv parametrization, and only under interleavings like
-    delete -> restore -> delete on the same file."""
+    delete -> restore -> delete on the same file. The third mode runs
+    the rewrite flavor with AUTO COMPACTION live, so background
+    OPTIMIZE commits interleave every write — pure-physical invariance
+    under the full op mix."""
+    dv = mode == "dv"
     rng = random.Random(8800 + seed)
     props = {"enableChangeDataFeed": "true"}
     if dv:
         props["enableDeletionVectors"] = "true"
+    if mode == "autocompact":
+        props.update(
+            {
+                "autoCompact": "true",
+                "autoCompact.minNumFiles": "4",
+                "optimizedWrite.targetFileRows": "50",
+            }
+        )
     t = LakeTable.create(
         spark,
-        str(tmp_path / f"maint_{seed}_{dv}"),
+        str(tmp_path / f"maint_{seed}_{mode}"),
         SCHEMA,
         properties=props,
     )
@@ -125,7 +139,7 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         model.difference_update({r for r in model if r[0] in by_id})
         model.update(by_id.values())
 
-    landing = tmp_path / f"landing_{seed}_{dv}"
+    landing = tmp_path / f"landing_{seed}_{mode}"
     landing.mkdir()
 
     def do_copy_into():
@@ -229,6 +243,24 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, dv):
         pass  # clean refusal is contract-conforming
     else:
         assert _table_rows(t) == history[oldest], (seed, "restore-after-vacuum")
+        model = set(history[oldest])
+        history[t.version()] = frozenset(model)
+
+    # LOG-RETENTION tail phase: cleaning the whole old commit prefix
+    # (retention 0 keeps only the head) must leave the live snapshot
+    # byte-identical, the boundary version reconstructible, reads below
+    # the boundary cleanly refused, and the table fully writable.
+    import pytest as _pytest
+
+    deleted = t.cleanup_log(retention_ms=0)
+    head = t.version()
+    assert _table_rows(t) == frozenset(model), (seed, "post-clean")
+    assert _table_rows(t, version=head - 1) is not None  # boundary ckpt
+    if deleted:
+        with _pytest.raises(ValueError):
+            t.to_df(version=min(deleted)).collect()
+    do_append()
+    assert _table_rows(t) == frozenset(model), (seed, "post-clean-append")
 
 
 @pytest.mark.parametrize("start", ["create", "convert"])
