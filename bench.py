@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "ext_inverted_index",
     "agg_count_distinct_multi",
     "sql_recursive_cte",
+    # round-9: row tracking exercises the id-materializing rewrite path
+    # (compact + update + merge on one table) — tracked so a regression
+    # in the __row_id plumbing shows as a wall-clock move; NOT part of
+    # the 16 baseline-comparable keys
+    "util_row_tracking",
 ]
 
 
