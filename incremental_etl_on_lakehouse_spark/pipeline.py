@@ -385,6 +385,23 @@ class CdcMedallionPipeline:
     def expectations_table(self) -> LakeTable:
         return LakeTable(self.spark, self.expectations_path)
 
+    def register_in(self, catalog, db: str, prefix: str = "visitors") -> None:
+        """Expose the pipeline's tables in a persistent catalog as
+        ``{prefix}_bronze/_silver/_gold`` (+ ``_quarantine`` when present)
+        — the reference's ``${db}.visitors_*`` naming
+        (``notebooks/demo-notebook.py:80-110,211-224``). Registrations are
+        EXTERNAL: dropping the names never deletes pipeline data, and the
+        mapping survives sessions (the metastore log). Idempotent —
+        re-registering the same paths is a no-op."""
+        for name, path in (
+            ("bronze", self.bronze_path),
+            ("silver", self.silver_path),
+            ("gold", self.gold_path),
+            ("quarantine", self.quarantine_path),
+        ):
+            if LakeTable.exists(path):
+                catalog.register_table(db, f"{prefix}_{name}", path)
+
     def _enforce_expectations(self, src: DataFrame, version: int) -> DataFrame:
         """Evaluate every expectation over the Silver source batch in ONE
         aggregation job; a NULL condition counts as a violation (the DLT

@@ -402,3 +402,56 @@ def test_catalog_interleaving_fuzz(spark, tmp_path, seed):
         if n.endswith(".json") and n[:-5].isdigit()
     )
     assert versions == list(range(len(versions)))
+
+
+def test_pipeline_register_in_catalog(spark, tmp_path):
+    """The medallion pipeline's tables register in a persistent catalog
+    under the reference's ${db}.visitors_* naming; a FRESH catalog
+    instance resolves and queries them by name, and dropping a name
+    leaves pipeline data intact (external)."""
+    import json as _json
+
+    from incremental_etl_on_lakehouse_spark.pipeline import MedallionPipeline
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "f1.json").write_text(
+        "\n".join(
+            _json.dumps(
+                {
+                    "id": i,
+                    "country": c,
+                    "num_visitors": v,
+                    "cdc_operation": "INSERT",
+                    "cdc_timestamp": f"2026-01-01 00:00:0{i}",
+                }
+            )
+            for i, (c, v) in enumerate([("AU", 100), ("NZ", 50)])
+        )
+    )
+    p = MedallionPipeline(spark, str(tmp_path / "lake"), str(landing))
+    p.run_available()
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    p.register_in(cat, "lakehouse_db")
+    p.register_in(cat, "lakehouse_db")  # idempotent
+
+    fresh = LakeCatalog(spark, str(tmp_path / "cat"))
+    assert {"visitors_bronze", "visitors_silver", "visitors_gold"} <= set(
+        fresh.tables("lakehouse_db")
+    )
+    got = {
+        (r.country, r.sum_visitors)
+        for r in fresh.table("lakehouse_db", "visitors_gold")
+        .to_df()
+        .collect()
+    }
+    assert got == {("AU", 100), ("NZ", 50)}
+    # SQL against the registered name through the catalog front door
+    n = (
+        fresh.sql(
+            "DELETE FROM lakehouse_db.visitors_silver WHERE country = 'NZ'"
+        )
+    )
+    assert p.silver.to_df().count() == 1  # same storage, by design
+    fresh.drop_table("lakehouse_db", "visitors_silver")
+    assert LakeTable.exists(p.silver_path)  # external: data kept
