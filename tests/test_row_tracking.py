@@ -330,3 +330,23 @@ def test_partitioned_merge_compact_preserve_ids(spark, tmp_path):
     t.compact(target_file_rows=100)
     ids2 = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
     assert ids2 == {k: v for k, v in ids1.items() if k != 3}
+
+
+def test_row_ids_with_column_mapping_and_schema_evolution(spark, tmp_path):
+    """Row ids compose with column mapping and additive evolution: a
+    RENAME (metadata-only, activates columnMapping) and an ADD COLUMN
+    leave every id intact, and a post-rename UPDATE rewrite still
+    materializes ids under the physical-name projection."""
+    t = _t(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(i, "x") for i in range(5)], SCHEMA))
+    base = _ids(t)
+    t.rename_column("v", "val")
+    t.add_columns([("extra", LongType())])
+    ids = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    assert ids == base
+    t.update({"val": "'u'"}, "id = 2")  # rewrite under mapped names
+    ids2 = {r.id: r._row_id for r in t.to_df(with_row_ids=True).collect()}
+    assert ids2 == base
+    # protocol records both features
+    feats = set(t.properties()["protocol.readerFeatures"].split(","))
+    assert {"rowTracking", "columnMapping"} <= feats
