@@ -186,6 +186,44 @@ def _refs_target(condition: str) -> bool:
     return bool(_TARGET_REF.search(_STR_LITERAL.sub("''", condition)))
 
 
+def _qualify_target_refs(expr: str, target_cols: set[str]) -> str:
+    """Prefix unqualified references to target columns with ``target.`` —
+    for BY SOURCE clause conditions/assignments, which reference target
+    columns ONLY by contract (no source row exists) but are evaluated in
+    the rewrite join where BOTH sides are in scope: an unqualified name
+    is ambiguous there, and because the PLANNING probe (a target-only
+    anti join) resolves it fine, the failure would otherwise surface only
+    when a by-source row lands in a touched file — state-dependent.
+    Lexical scan mirrors :func:`_unqualified_target_only_refs`; string
+    literals are masked LENGTH-PRESERVINGLY so splice offsets stay valid
+    in the original text."""
+    masked = _STR_LITERAL.sub(
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", expr
+    )
+    lowered = {c.lower() for c in target_cols}
+    out: list[str] = []
+    last = 0
+    for m in _IDENTIFIER.finditer(masked):
+        name = m.group(1).replace("``", "`") if m.group(1) else m.group(2)
+        before = masked[: m.start()].rstrip()
+        after = masked[m.end():].lstrip()
+        if before.endswith("."):  # field of another reference
+            continue
+        if after.startswith(".") and name.lower() in ("source", "target"):
+            continue  # already-qualified reference head
+        if after.startswith("("):  # function call
+            continue
+        if m.group(2) and name.lower() in _SQL_NONCOLUMN_WORDS:
+            continue
+        if name.lower() not in lowered:
+            continue
+        out.append(expr[last : m.start()])
+        out.append(f"target.`{name.replace('`', '``')}`")
+        last = m.end()
+    out.append(expr[last:])
+    return "".join(out)
+
+
 def _unqualified_target_only_refs(
     condition: str, target_only_cols: set[str]
 ) -> list[str]:
@@ -3185,6 +3223,31 @@ class LakeTable:
                     "version": self.version(),
                     "replayed_txn": True,
                 }
+        if any(
+            c.kind in ("delete_by_source", "update_by_source") for c in clauses
+        ):
+            # by-source conditions/assignments are target-only SQL: qualify
+            # their unqualified target-column references so they resolve
+            # identically in the target-only planning probe AND the
+            # two-sided rewrite join (see _qualify_target_refs)
+            tcols = set(self.schema().fieldNames())
+            clauses = [
+                MergeClause(
+                    c.kind,
+                    _qualify_target_refs(c.condition, tcols)
+                    if c.condition
+                    else c.condition,
+                    {
+                        k: _qualify_target_refs(v, tcols)
+                        for k, v in c.assignments.items()
+                    }
+                    if isinstance(c.assignments, dict)
+                    else c.assignments,
+                )
+                if c.kind in ("delete_by_source", "update_by_source")
+                else c
+                for c in clauses
+            ]
         matched_clauses = [c for c in clauses if c.kind in ("delete", "update")]
         insert_clauses = [c for c in clauses if c.kind == "insert"]
         by_source_clauses = [

@@ -295,3 +295,35 @@ def test_by_source_large_source_not_force_broadcast(spark, tmp_path):
     )
     # all 10 target rows match (ids 0-9 are in the snapshot), none deleted
     assert m["num_updated_rows"] == 10 and m["num_deleted_rows"] == 0
+
+
+def test_by_source_unqualified_refs_auto_qualified(spark, tmp_path):
+    """BY SOURCE conditions/assignments reference target columns only by
+    contract, so unqualified names are auto-qualified to target. —
+    previously an unqualified column resolved fine in the target-only
+    planning probe but hit AMBIGUOUS_REFERENCE in the two-sided rewrite
+    join, i.e. only when a by-source row landed in a touched file."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(spark.createDataFrame([(i, "x") for i in range(6)], schema))
+    src = spark.createDataFrame([(0, "U"), (9, "N")], schema)
+    t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("update", None, "*"),
+            MergeClause("insert", None, "*"),
+            # both the condition AND the assignment use unqualified names
+            MergeClause("update_by_source", "id % 2 = 1", {"v": "concat(v, '!')"}),
+            MergeClause("delete_by_source", "id = 4"),
+        ],
+    )
+    vals = {r.id: r.v for r in t.to_df().collect()}
+    assert vals == {0: "U", 1: "x!", 2: "x", 3: "x!", 5: "x!", 9: "N"}, vals
