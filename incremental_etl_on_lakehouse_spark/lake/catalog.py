@@ -32,6 +32,7 @@ live at EXTERNAL locations (the reference's S3 bucket,
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -138,15 +139,28 @@ class LakeCatalog:
         self._meta_cache = (latest, state)
         return self._meta_cache
 
-    def _meta_commit(self, action: dict, retries: int = 8) -> None:
+    def _meta_commit(
+        self, action: dict, retries: int = 8, precondition=None
+    ) -> bool:
         """Append one entry at latest+1 via put-if-absent. A collision
-        means another writer advanced the log first: re-read (the public
-        methods re-validate against fresh state before calling back in)
-        and take the next slot. Bounded retries — catalog mutations are
-        rare, so sustained contention signals a bug, not load."""
+        means another writer advanced the log first: re-read fresh state,
+        re-check ``precondition`` against it, and take the next slot only
+        if it still holds — without the re-check, two sessions racing
+        create_table on the same name with different paths would both
+        append put_table and the last writer would silently overwrite the
+        mapping. Returns True if the entry was appended, False if the
+        precondition turned false first (the caller decides whether that
+        is success-idempotent or a conflict). Bounded retries — catalog
+        mutations are rare, so sustained contention signals a bug, not
+        load."""
         store = store_for(self._meta_path)
         store.mkdirs(self._meta_path)
         for _ in range(retries):
+            if precondition is not None:
+                self._meta_cache = None
+                _, fresh = self._meta_state()
+                if not precondition(fresh):
+                    return False
             v = (self._meta_versions() or [-1])[-1] + 1
             try:
                 store.put_if_absent(
@@ -172,7 +186,7 @@ class LakeCatalog:
                             )
                         except FileExistsError:
                             pass
-                return
+                return True
             except FileExistsError:
                 self._meta_cache = None
         raise MetastoreConflictError(
@@ -195,21 +209,46 @@ class LakeCatalog:
             raise ValueError(f"database exists: {db}")
         os.makedirs(self._db_path(db), exist_ok=True)
         if db not in state:
-            self._meta_commit({"op": "create_db", "db": db})
+            # a concurrent create of the same db flips the precondition
+            # false — idempotent success either way
+            self._meta_commit(
+                {"op": "create_db", "db": db},
+                precondition=lambda st: db not in st,
+            )
 
     def drop_database(self, db: str, cascade: bool = False) -> None:
         """``DROP DATABASE [CASCADE]`` (ref :106). Cascade drops managed
         table data; external tables lose only their registration."""
         if self.tables(db) and not cascade:
             raise ValueError(f"database not empty: {db} (use cascade=True)")
+        _, state0 = self._meta_state()
+        path = self._db_path(db)
+        # 'DROP never deletes external data' survives cascade: an external
+        # table registered at a path that happens to live INSIDE the db
+        # directory must not lose its bytes to the directory rmtree below
+        external_inside = any(
+            e["external"]
+            and not os.path.relpath(
+                os.path.abspath(e["path"]), os.path.abspath(path)
+            ).startswith("..")
+            for e in state0.get(db, {}).values()
+        )
         for t in self.tables(db):
             self.drop_table(db, t)
-        path = self._db_path(db)
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            if external_inside:
+                # remove only the managed-table subdirs (already deleted by
+                # drop_table); leave the directory shell and external data
+                with contextlib.suppress(OSError):
+                    os.rmdir(path)  # succeeds only if nothing remains
+            else:
+                shutil.rmtree(path)
         _, state = self._meta_state()
         if db in state:
-            self._meta_commit({"op": "drop_db", "db": db})
+            self._meta_commit(
+                {"op": "drop_db", "db": db},
+                precondition=lambda st: db in st,
+            )
 
     def databases(self) -> list[str]:
         _, state = self._meta_state()
@@ -255,15 +294,28 @@ class LakeCatalog:
             partition_by=partition_by,
             if_not_exists=if_not_exists,
         )
-        self._meta_commit(
+        committed = self._meta_commit(
             {
                 "op": "put_table",
                 "db": db,
                 "table": name,
                 "path": path,
                 "external": location is not None,
-            }
+            },
+            precondition=lambda st: name not in st.get(db, {}),
         )
+        if not committed:
+            # a concurrent writer registered the name first; never
+            # overwrite their mapping silently
+            _, fresh = self._meta_state()
+            entry = fresh.get(db, {}).get(name)
+            if entry is not None and entry["path"] == path:
+                return t  # same mapping — idempotent
+            if if_not_exists:
+                return self.table(db, name)
+            raise ValueError(
+                f"table exists: {db}.{name} (created concurrently)"
+            )
         return t
 
     def register_table(self, db: str, name: str, path: str) -> LakeTable:
@@ -281,15 +333,24 @@ class LakeCatalog:
                 f"table exists: {db}.{name} -> {entry['path']}"
             )
         if entry is None:
-            self._meta_commit(
+            committed = self._meta_commit(
                 {
                     "op": "put_table",
                     "db": db,
                     "table": name,
                     "path": path,
                     "external": True,
-                }
+                },
+                precondition=lambda st: st.get(db, {}).get(name) is None,
             )
+            if not committed:
+                _, fresh = self._meta_state()
+                now = fresh.get(db, {}).get(name)
+                if now is not None and now["path"] != path:
+                    raise ValueError(
+                        f"table exists: {db}.{name} -> {now['path']}"
+                    )
+                # same path registered concurrently — idempotent
         return LakeTable(self.spark, path)
 
     def drop_table(self, db: str, name: str) -> None:
@@ -300,10 +361,21 @@ class LakeCatalog:
         if entry is not None:
             if not entry["external"]:
                 LakeTable.drop(entry["path"])
-            self._meta_commit({"op": "drop_table", "db": db, "table": name})
+            self._meta_commit(
+                {"op": "drop_table", "db": db, "table": name},
+                precondition=lambda st: name in st.get(db, {}),
+            )
             return
-        # directory-convention table (pre-metastore): managed by location
-        LakeTable.drop(self._table_path(db, name))
+        # directory-convention table (pre-metastore): managed by location —
+        # unless that directory is actually an EXTERNAL registration under
+        # another name; DROP never deletes external data
+        p = os.path.abspath(self._table_path(db, name))
+        if any(
+            e["external"] and os.path.abspath(e["path"]) == p
+            for e in state.get(db, {}).values()
+        ):
+            return
+        LakeTable.drop(p)
 
     def table(self, db: str, name: str) -> LakeTable:
         _, state = self._meta_state()

@@ -200,23 +200,47 @@ def table_state(table_path: str, version: int | None = None) -> dict | None:
     }
     usable = [v for v in ckpt_vs if v <= target]
     if usable:
+        cp = usable[-1]
         state = json.loads(
             store_for(table_path).read_text(
-                _checkpoint_file(table_path, usable[-1])
+                _checkpoint_file(table_path, cp)
             )
         )
         state.setdefault("dv", {})  # checkpoints written before DV support
         if "row_hwm" not in state:
-            # pre-row-tracking checkpoint: derive a safe high-water mark
-            # and deterministic bases for the actives it carries (sorted
-            # by path — stable for any reader of this same checkpoint)
-            hwm = 0
-            for rel in sorted(state["active"]):
-                a = state["active"][rel]
-                if "base" not in a:
-                    a["base"] = hwm
-                hwm = max(hwm, a["base"] + (a.get("rows") or 0))
-            state["row_hwm"] = hwm
+            # pre-row-tracking checkpoint: derive a high-water mark and
+            # bases for the actives it carries. Prefer replaying the
+            # available history in COMMIT order — the same assignment a
+            # from-zero fold produces — so the same untouched file reports
+            # the same _row_id whether a reconstruction starts from this
+            # checkpoint or below it (time travel past the checkpoint).
+            if commit_vs and commit_vs[0] == 0:
+                hwm = 0
+                bases: dict[str, int] = {}
+                for rv in commit_vs:
+                    if rv > cp:
+                        break
+                    rc = read_commit(table_path, rv)
+                    for a in rc.add:
+                        b = a.get("base", hwm)
+                        bases[a["path"]] = b
+                        hwm = max(hwm, b + (a.get("rows") or 0))
+                for rel, a in state["active"].items():
+                    if "base" not in a:
+                        a["base"] = bases.get(rel, hwm)
+                state["row_hwm"] = hwm
+            else:
+                # history below the checkpoint is gone (log retention):
+                # sorted-by-path is the only deterministic choice, and ids
+                # are then only stable from the upgrade version onward —
+                # no below-checkpoint fold can exist to disagree with
+                hwm = 0
+                for rel in sorted(state["active"]):
+                    a = state["active"][rel]
+                    if "base" not in a:
+                        a["base"] = hwm
+                    hwm = max(hwm, a["base"] + (a.get("rows") or 0))
+                state["row_hwm"] = hwm
     for v in commit_vs:
         if v <= state["version"] or v > target:
             continue

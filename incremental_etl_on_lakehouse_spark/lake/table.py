@@ -699,8 +699,14 @@ class LakeTable:
         to pre-replace versions projects the old schema and data, and
         identity high-water marks reset with the definition."""
         commits = self._commits()
-        removed = lakelog.snapshot_files(commits)
-        dvmap = self._state().get("dv") or {}
+        # checkpoint-aware active set, NOT a fold over self._commits():
+        # after cleanup_log() truncates the log, files added before the
+        # retention boundary but still active survive only in the pinned
+        # checkpoint — a commit-list fold would miss them and REPLACE
+        # would leave their rows live under the new definition
+        state = self._state()
+        removed = list(state["active"])
+        dvmap = state.get("dv") or {}
         props = LakeTable._derive_definition_props(
             schema, properties, partition_by
         )
@@ -2327,8 +2333,13 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame) -> int:
         commits = self._commits()
-        removed = lakelog.snapshot_files(commits)
-        dvmap = self._state().get("dv") or {}
+        # checkpoint-aware active set (see replace_definition): a fold over
+        # the possibly-log-retention-truncated commit list misses files
+        # whose add commit was cleaned, so OVERWRITE would fail to remove
+        # them and reads would union stale rows with the new contents
+        state = self._state()
+        removed = list(state["active"])
+        dvmap = state.get("dv") or {}
         idcols = self.identity_columns()
         if idcols:
             # identity generation applies to EVERY insert-producing write,
@@ -3058,6 +3069,31 @@ class LakeTable:
         # the ENTIRE history once it ages past retention (an in-flight
         # writer's fresh stage is protected by its mtime).
         referenced: dict[str, set] = {DATA_DIR: set(), CDF_DIR: set(), DV_DIR: set()}
+
+        def _ref(rel: str) -> None:
+            segs = rel.split(os.sep)
+            if segs[0] in referenced and len(segs) > 1:
+                referenced[segs[0]].add(segs[1])
+
+        # Seed from the CHECKPOINT-AWARE current snapshot first, never only
+        # from surviving commits: after cleanup_log() truncates the log, a
+        # file added before the retention boundary but still active exists
+        # only in the pinned checkpoint — building `referenced` from the
+        # commit list alone would classify its uuid dir as an orphan and
+        # rmtree LIVE table data. Same for current DV sidecars.
+        for rel in state["active"]:
+            _ref(rel)
+        for dv_rel in (state.get("dv") or {}).values():
+            if dv_rel:
+                _ref(dv_rel)
+        # Files tombstoned by a surviving commit but still inside the
+        # retention window are readable via time travel; keep their dirs
+        # out of the orphan sweep (mtime is their ADD time, which can be
+        # arbitrarily older than their remove time). Past-horizon removes
+        # are handled file-by-file by the reference pass above.
+        for rel, t in removed_at.items():
+            if t >= horizon:
+                _ref(rel)
         for c in commits:
             for a in c.add:
                 segs = a["path"].split(os.sep)
