@@ -6,7 +6,7 @@ compares row counts, schemas, and order-insensitive value hashes, so:
 
 - every computed column is aliased identically on both sides;
 - timestamps are emitted as epoch milliseconds (``unix_millis`` vs
-  ``epoch_ms``) — engine-native timestamp rendering never hits the hash;
+  ``epoch_ns(ts) // 1000000``, explicit floor) — engine-native timestamp rendering never hits the hash;
 - aggregates over money-like doubles go through DECIMAL(18,2) (the synthetic
   data is exactly 2-decimal) so sums are order-independent and exact, then
   cast to DOUBLE on both sides;

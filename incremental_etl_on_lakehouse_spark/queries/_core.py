@@ -6,7 +6,7 @@ compares row counts, schemas, and order-insensitive value hashes, so:
 
 - every computed column is aliased identically on both sides;
 - timestamps are emitted as epoch milliseconds (``unix_millis`` vs
-  ``epoch_ms``) — engine-native timestamp rendering never hits the hash;
+  ``epoch_ns(ts) // 1000000``, explicit floor) — engine-native timestamp rendering never hits the hash;
 - aggregates over money-like doubles go through DECIMAL(18,2) (the synthetic
   data is exactly 2-decimal) so sums are order-independent and exact, then
   cast to DOUBLE on both sides;
@@ -191,7 +191,7 @@ def _run_cdc_silver(spark: SparkSession, sf_dir: str) -> LakeTable:
 # Oracle CTE fragments reused across CDC keys.
 _SQL_CDC = f"""
 WITH cdc AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+  SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms, event_type,
          CAST(round(value * 100) AS BIGINT) AS value_cents,
          CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END AS cdc_operation,
          ts, event_id

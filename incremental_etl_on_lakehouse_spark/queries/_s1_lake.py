@@ -35,7 +35,7 @@ def src_json_batch(spark, sf_dir):
 
 @query(
     "src_json_stream",
-    "SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+    "SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms FROM events",
 )
 def src_json_stream(spark, sf_dir):
     """Streaming JSON file ingest, 1 file per micro-batch
@@ -87,7 +87,7 @@ def src_json_stream(spark, sf_dir):
 
 @query(
     "snk_delta_append",
-    "SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value FROM events",
+    "SELECT event_id, user_id, (epoch_ns(ts) // 1000000) AS ts_ms, event_type, value FROM events",
 )
 def snk_delta_append(spark, sf_dir):
     """Append sink into a versioned lake table (ref :171-173), two commits."""

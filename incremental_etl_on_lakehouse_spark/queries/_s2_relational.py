@@ -582,7 +582,7 @@ def agg_incremental_avg(spark, sf_dir):
 
 @query(
     "win_row_number_dedup",
-    "SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM ("
+    "SELECT user_id, event_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms FROM ("
     " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
     " FROM events) WHERE rn = 1",
 )
@@ -595,7 +595,7 @@ def win_row_number_dedup(spark, sf_dir):
 
 @query(
     "sort_multi_key",
-    "SELECT event_id, value, epoch_ms(ts) AS ts_ms FROM events"
+    "SELECT event_id, value, (epoch_ns(ts) // 1000000) AS ts_ms FROM events"
     " ORDER BY value DESC, ts DESC, event_id ASC",
 )
 def sort_multi_key(spark, sf_dir):
@@ -649,7 +649,7 @@ def fn_current_timestamp(spark, sf_dir):
 
 @query(
     "fn_to_utc_timestamp",
-    "SELECT event_id, epoch_ms(timezone('Europe/Paris', ts)) AS utc_ms FROM events",
+    "SELECT event_id, (epoch_ns(timezone('Europe/Paris', ts)) // 1000000) AS utc_ms FROM events",
 )
 def fn_to_utc_timestamp(spark, sf_dir):
     """Timezone normalization (ref :253): interpret wall time as Paris."""
@@ -716,7 +716,7 @@ def fn_arith(spark, sf_dir):
 
 @query(
     "fn_timestamp_parse",
-    "SELECT o_orderkey, epoch_ms(o_orderdate) AS parsed_ms FROM orders",
+    "SELECT o_orderkey, (epoch_ns(o_orderdate) // 1000000) AS parsed_ms FROM orders",
 )
 def fn_timestamp_parse(spark, sf_dir):
     """Parse yyyy-MM-dd HH:mm:ss[.SSS] strings (ref timestampFormat, :164):

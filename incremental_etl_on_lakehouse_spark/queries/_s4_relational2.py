@@ -238,7 +238,7 @@ def agg_filtered(spark, sf_dir):
 
 @query(
     "stream_dedup_watermark",
-    "SELECT event_id, event_type, epoch_ms(ts) AS ts_ms FROM events",
+    "SELECT event_id, event_type, (epoch_ns(ts) // 1000000) AS ts_ms FROM events",
 )
 def stream_dedup_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state
@@ -292,7 +292,7 @@ def stream_dedup_watermark(spark, sf_dir):
     # append mode a window emits only once the final watermark
     # (max event time - 1 hour) passes its end — the oracle encodes exactly
     # that emission rule, so the streamed result is fully value-checked.
-    "SELECT epoch_ms(date_trunc('day', ts)) AS window_start_ms, event_type,"
+    "SELECT (epoch_ns(date_trunc('day', ts)) // 1000000) AS window_start_ms, event_type,"
     " CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value"
     " FROM events"
     " WHERE date_trunc('day', ts) + INTERVAL 1 DAY <="
@@ -474,7 +474,7 @@ def join_skew_salted(spark, sf_dir):
     "    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s FROM events),"
     " s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
     "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)"
-    " SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,"
+    " SELECT user_id, (epoch_ns(min(ts)) // 1000000) AS session_start_ms,"
     "  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents"
     " FROM s GROUP BY user_id, sid",
 )
@@ -1141,7 +1141,7 @@ def stream_stateful_topk(spark, sf_dir):
     "   ON e.user_id = p.user_id AND e.ts <= p.ts)"
     " SELECT b.event_id, b.user_id,"
     "  CASE WHEN b_id IS NULL THEN f_id WHEN f_id IS NULL THEN b_id"
-    "   WHEN epoch_ms(b.ts) - epoch_ms(bts) <= epoch_ms(fts) - epoch_ms(b.ts)"
+    "   WHEN (epoch_ns(b.ts) // 1000000) - (epoch_ns(bts) // 1000000) <= (epoch_ns(fts) // 1000000) - (epoch_ns(b.ts) // 1000000)"
     "   THEN b_id ELSE f_id END AS p_event_id"
     " FROM b JOIN f ON b.event_id = f.event_id",
 )

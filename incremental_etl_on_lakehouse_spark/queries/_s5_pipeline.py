@@ -220,7 +220,7 @@ def ext_tfidf_topk(spark, sf_dir):
 
 @query(
     "stream_exactly_once",
-    "SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, true AS exactly_once"
+    "SELECT event_id, user_id, (epoch_ns(ts) // 1000000) AS ts_ms, true AS exactly_once"
     " FROM events WHERE event_id < 200 ORDER BY event_id",
 )
 def stream_exactly_once(spark, sf_dir):

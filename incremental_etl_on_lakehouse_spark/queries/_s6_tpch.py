@@ -30,7 +30,7 @@ def _disc_price() -> F.Column:
 @query(
     "q3_shipping_priority",
     f"SELECT l_orderkey, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,"
-    " epoch_ms(o_orderdate) AS o_orderdate_ms"
+    " (epoch_ns(o_orderdate) // 1000000) AS o_orderdate_ms"
     " FROM customer JOIN orders ON c_custkey = o_custkey"
     " JOIN lineitem ON l_orderkey = o_orderkey"
     " WHERE c_mktsegment = 'BUILDING'"
@@ -894,7 +894,7 @@ def q20_excess_suppliers(spark, sf_dir):
 
 _SQL_SCD2 = f"""
 WITH cdc AS (
-  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+  SELECT user_id, (epoch_ns(ts) // 1000000) AS ts_ms, event_type,
          CAST(round(value * 100) AS BIGINT) AS value_cents,
          md5(concat_ws('|', event_type,
                        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))) AS h,
@@ -1358,9 +1358,9 @@ def src_partition_pruned(spark, sf_dir):
     # engine-specific window-origin assumptions).
     "WITH g AS (SELECT unnest([0, 1]) AS i),"
     " w AS (SELECT e.*,"
-    "   (epoch_ms(ts) // 43200000 - g.i) * 43200000 AS wstart_ms"
+    "   ((epoch_ns(ts) // 1000000) // 43200000 - g.i) * 43200000 AS wstart_ms"
     "   FROM events e, g),"
-    " lim AS (SELECT epoch_ms(max(ts)) - 3600000 AS horizon FROM events)"
+    " lim AS (SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS horizon FROM events)"
     " SELECT wstart_ms AS window_start_ms, event_type,"
     "  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value"
     " FROM w WHERE wstart_ms + 86400000 <= (SELECT horizon FROM lim)"
@@ -1585,12 +1585,12 @@ def snk_insert_sql(spark, sf_dir):
 @query(
     "fn_datetime",
     "SELECT event_id,"
-    " epoch_ms(date_trunc('day', ts)) AS day_ms,"
+    " (epoch_ns(date_trunc('day', ts)) // 1000000) AS day_ms,"
     " CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,"  # DuckDB dow 0=Sun; Spark 1=Sun
     " CAST(hour(ts) AS BIGINT) AS hr,"
     " CAST(quarter(ts) AS BIGINT) AS qtr,"
-    " epoch_ms(ts + INTERVAL 1 MONTH) AS plus_month_ms,"
-    " epoch_ms(CAST(last_day(ts) AS TIMESTAMP)) AS month_end_ms,"
+    " (epoch_ns(ts + INTERVAL 1 MONTH) // 1000000) AS plus_month_ms,"
+    " (epoch_ns(CAST(last_day(ts) AS TIMESTAMP)) // 1000000) AS month_end_ms,"
     " CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)"
     "  AS days_since"
     " FROM events ORDER BY event_id",
@@ -1746,7 +1746,7 @@ def fn_variant_json(spark, sf_dir):
     " pts AS (SELECT user_id, ts,"
     "   max(CAST(round(value * 100) AS BIGINT)) AS cents"
     "  FROM events WHERE user_id % 20 = 0 GROUP BY user_id, ts)"
-    " SELECT u.user_id AS user_id, epoch_ms(grid.g) AS grid_ms,"
+    " SELECT u.user_id AS user_id, (epoch_ns(grid.g) // 1000000) AS grid_ms,"
     "  p.cents AS cents_ffill"
     " FROM users u CROSS JOIN grid"
     " ASOF LEFT JOIN pts p ON p.user_id = u.user_id AND p.ts <= grid.g"
@@ -3109,12 +3109,12 @@ def ext_multimodal_video(spark, sf_dir):
     "    <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s FROM events),"
     " s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
     "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),"
-    " sess AS (SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,"
-    "   epoch_ms(max(ts)) + 1800000 AS session_end_ms,"
+    " sess AS (SELECT user_id, (epoch_ns(min(ts)) // 1000000) AS session_start_ms,"
+    "   (epoch_ns(max(ts)) // 1000000) + 1800000 AS session_end_ms,"
     "   CAST(count(*) AS BIGINT) AS n_events,"
     "   CAST(sum(cents) AS BIGINT) AS sum_cents"
     "  FROM s GROUP BY user_id, sid),"
-    " lim AS (SELECT epoch_ms(max(ts)) - 3600000 AS horizon FROM events)"
+    " lim AS (SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS horizon FROM events)"
     " SELECT * FROM sess WHERE session_end_ms <= (SELECT horizon FROM lim)"
     " ORDER BY user_id, session_start_ms",
 )

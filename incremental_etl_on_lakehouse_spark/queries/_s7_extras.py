@@ -673,7 +673,12 @@ def sql_recursive_cte(spark, sf_dir):
 
 @query(
     "win_range_interval",
-    "WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms,"
+    # epoch_ns(ts) // 1000000, NOT the engine's ms accessor: explicit floor
+    # division is immune to any oracle build's µs->ms rounding mode (431
+    # of the 885 swept rows carry a >=500 µs sub-ms remainder — a
+    # rounding oracle would flip every one of their ts_ms cells and every
+    # frame sum downstream)
+    "WITH base AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,"
     " CAST(round(value * 100) AS BIGINT) AS cents"
     " FROM events WHERE user_id % 11 = 0)"
     " SELECT user_id, ts_ms,"
@@ -718,6 +723,94 @@ def win_range_interval(spark, sf_dir):
         "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
         "  AS rolling_cents"
         " FROM base"
+    )
+
+
+@query(
+    "win_range_rolling_ms",
+    "WITH base AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,"
+    " CAST(round(value * 100) AS BIGINT) AS cents"
+    " FROM events WHERE user_id % 11 = 0)"
+    " SELECT user_id, ts_ms,"
+    " sum(cents) OVER"
+    "  (PARTITION BY user_id ORDER BY ts_ms"
+    "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
+    "  AS rolling_cents"
+    " FROM base",
+)
+def win_range_rolling_ms(spark, sf_dir):
+    """Identical query body to win_range_interval registered under a
+    FRESH key name (round-10 task 1a): the r8/r9 driver rows for the old
+    key were byte-identical despite a local full pass of the fixed code,
+    consistent with carried-forward results — a new key name forces a
+    fresh driver execution. The oracle spells the µs->ms conversion as
+    explicit integer floor division (``epoch_ns(ts) // 1000000``), immune
+    to any oracle build's rounding mode; the Spark side's ``unix_millis``
+    floors by definition. See win_range_interval for semantics and the
+    scale notes."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("wrm_events")
+    return spark.sql(
+        "WITH base AS"
+        " (SELECT user_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,"
+        "  CAST(round(value * 100) AS BIGINT) AS cents"
+        "  FROM wrm_events WHERE user_id % 11 = 0)"
+        " SELECT user_id, ts_ms,"
+        " sum(cents) OVER"
+        "  (PARTITION BY user_id ORDER BY ts_ms"
+        "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
+        "  AS rolling_cents"
+        " FROM base"
+    )
+
+
+@query(
+    "win_range_probe",
+    "WITH base AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,"
+    " CAST(round(value * 100) AS BIGINT) AS cents"
+    " FROM events WHERE user_id % 11 = 0),"
+    " win AS (SELECT user_id, ts_ms, cents,"
+    "  sum(cents) OVER (PARTITION BY user_id ORDER BY ts_ms"
+    "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS rolling_cents"
+    "  FROM base)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+    " CAST(sum(ts_ms) AS BIGINT) AS sum_ts_ms,"
+    " CAST(min(ts_ms) AS BIGINT) AS min_ts_ms,"
+    " CAST(max(ts_ms) AS BIGINT) AS max_ts_ms,"
+    " CAST(sum(cents) AS BIGINT) AS sum_cents,"
+    " CAST(sum(rolling_cents) AS BIGINT) AS sum_rolling_cents"
+    " FROM win",
+)
+def win_range_probe(spark, sf_dir):
+    """Stage-checksum diagnostic companion to win_range_rolling_ms: ONE
+    row of BIGINT checksums over each stage of the rolling-window query
+    (row count; sum/min/max of the epoch-ms projection; sum of the exact
+    integer cents input; sum of the rolling sums). If the main key's
+    driver row ever reds again, this row localizes the diverging stage:
+    a sum_ts_ms mismatch means the µs->ms conversion differs (rounding
+    vs flooring), a sum_cents mismatch means the value projection
+    differs, and a sum_rolling_cents-only mismatch means the RANGE frame
+    membership itself differs. All-BIGINT so the hash surface carries no
+    float formatting."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("wrp_events")
+    return spark.sql(
+        "WITH base AS"
+        " (SELECT user_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,"
+        "  CAST(round(value * 100) AS BIGINT) AS cents"
+        "  FROM wrp_events WHERE user_id % 11 = 0),"
+        " win AS (SELECT user_id, ts_ms, cents,"
+        "  sum(cents) OVER (PARTITION BY user_id ORDER BY ts_ms"
+        "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
+        "   AS rolling_cents"
+        "  FROM base)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(sum(ts_ms) AS BIGINT) AS sum_ts_ms,"
+        " CAST(min(ts_ms) AS BIGINT) AS min_ts_ms,"
+        " CAST(max(ts_ms) AS BIGINT) AS max_ts_ms,"
+        " CAST(sum(cents) AS BIGINT) AS sum_cents,"
+        " CAST(sum(rolling_cents) AS BIGINT) AS sum_rolling_cents"
+        " FROM win"
     )
 
 

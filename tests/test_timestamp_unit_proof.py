@@ -157,3 +157,65 @@ def test_oracle_is_timestamp_unit_proof(cons, key):
         [x for x in r_us if x not in set(r_ns)][:3],
         [x for x in r_ns if x not in set(r_us)][:3],
     )
+
+
+# ---------------------------------------------------------------------------
+# 4. Rounding-mode replay (round-10 task 2): pin the µs->ms ROUNDING hazard
+# class alongside the unit class.  An oracle build whose ms conversion
+# ROUNDS instead of FLOORS would flip every ts_ms cell whose timestamp
+# carries a >=500 µs sub-ms remainder (431/885 rows on the
+# win_range_interval slice at sf0.01).  Construction: view set A truncates
+# every timestamp to exact milliseconds; view set B is A shifted by exactly
+# +500 µs (the round-half-up boundary).  Relative order, ms-frame
+# membership, and every whole-ms quantity are identical between A and B for
+# a FLOORING oracle — byte-identical driver-normalized output.  A rounding
+# conversion moves every B cell up 1 ms and the test reds.  Oracles must
+# therefore integerize with explicit floor division (epoch_ns(ts)//1000000)
+# or a conversion proven to floor.
+# ---------------------------------------------------------------------------
+
+
+def _connect_ms_shift(sf_dir: str, shift_us: int) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        if t in TS_COLS:
+            casts = ", ".join(
+                f"CAST(date_trunc('milliseconds', {c}) AS TIMESTAMP)"
+                f" + INTERVAL {shift_us} MICROSECOND AS {c}"
+                for c in TS_COLS[t]
+            )
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE ({casts})"
+                f" FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    return con
+
+
+@pytest.fixture(scope="module")
+def cons_rounding(sf_dir):
+    a = _connect_ms_shift(sf_dir, 0)
+    b = _connect_ms_shift(sf_dir, 500)
+    yield a, b
+    a.close()
+    b.close()
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_oracle_is_rounding_mode_proof(cons_rounding, key):
+    """The oracle's output must not move when every timestamp sits exactly
+    on the half-millisecond boundary — i.e. its ms conversions floor."""
+    a, b = cons_rounding
+    c_a, r_a = _norm(a.execute(ORACLES[key]))
+    c_b, r_b = _norm(b.execute(ORACLES[key]))
+    assert c_a == c_b, key
+    assert r_a == r_b, (
+        key,
+        [x for x in r_a if x not in set(r_b)][:3],
+        [x for x in r_b if x not in set(r_a)][:3],
+    )
