@@ -728,3 +728,94 @@ def corpus_report(
     return base.join(med, "lang").select(
         "lang", "n_docs", "total_tokens", "median_tokens", "n_exact_dups"
     )
+
+
+def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
+    """Train ``steps`` BPE merges (Sennrich et al. 2016) over a word-
+    frequency table ``words(w: string, freq: long)`` and return the merge
+    rules as ``(step, left_sym, right_sym, pair_count)`` tuples.
+
+    The distributed word-level formulation: the corpus is assumed already
+    folded to distinct words (O(vocab) rows — millions at 100 TB, never
+    the corpus), symbols live as an exploded (wid, pos, sym) table hash-
+    partitioned by wid ONCE, and each round is a shuffle-free window pass
+    (every window declares the same wid clustering, filter/project
+    preserve it) plus one tiny pair-domain agg and a 1-row TakeOrdered
+    argmax — the only driver collect per round. The merge applies
+    canonically left-to-right: chain-adjacent candidate islands (possible
+    only when left = right) merge at even offsets, resolved with a
+    running max of the last non-candidate seq rather than a second
+    (wid, island)-keyed shuffle."""
+    from pyspark.sql import Window
+
+    spark = words.sparkSession
+    st = words.select(
+        F.col("w").alias("wid"),
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            )
+        ).alias("p0", "sym"),
+    ).select("wid", "freq", (F.col("p0") + 1).cast("long").alias("pos"), "sym")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    st = st.repartition(par, "wid").persist()
+
+    wwin = Window.partitionBy("wid").orderBy("pos")
+    swin = Window.partitionBy("wid").orderBy("seq")
+    merges: list[tuple[int, str, str, int]] = []
+    retired: list[DataFrame] = []
+    for step in range(1, steps + 1):
+        s = st.withColumn("seq", F.row_number().over(wwin)).withColumn(
+            "nxt", F.lead("sym").over(wwin)
+        )
+        top = (
+            s.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()  # exactly ONE row per round — the argmax merge
+        )
+        # the collect materialized this round's persisted input; the
+        # previous round's cache is no longer referenced
+        while retired:
+            retired.pop().unpersist(blocking=False)
+        if not top:
+            break
+        left, right, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
+        merges.append((step, left, right, cnt))
+        cand = s.withColumn(
+            "cand",
+            (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
+        )
+        # island offset without a second partition spec: running max of
+        # the last non-candidate seq (same wid window) gives each cand
+        # row's distance into its chain of adjacent candidates
+        run = swin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last_nc = F.coalesce(
+            F.max(F.when(~F.col("cand"), F.col("seq"))).over(run), F.lit(0)
+        )
+        m = cand.withColumn(
+            "mstart",
+            F.col("cand") & (((F.col("seq") - last_nc - 1) % 2) == 0),
+        )
+        g = m.withColumn("pm", F.lag("mstart").over(swin))
+        retired.append(st)
+        st = (
+            g.where(F.col("mstart") | ~F.coalesce(F.col("pm"), F.lit(False)))
+            .select(
+                "wid",
+                "freq",
+                "pos",
+                F.when(F.col("mstart"), F.lit(left + right))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .persist()
+        )
+    for df_ in retired:
+        df_.unpersist(blocking=False)
+    st.unpersist(blocking=False)
+    return merges

@@ -863,3 +863,38 @@ def test_y4m_codec_roundtrip_and_video_features(spark):
     assert rows[0]["sum_u"] == 80 and rows[0]["sum_v"] == 1600
     assert rows[1]["sum_y"] == 255 * 8
     assert rows[1]["n_frames"] == 2 and rows[1]["width"] == 4
+
+
+def test_bpe_train_canonical_merge(spark):
+    """BPE merge application is the canonical left-to-right non-
+    overlapping scan (Sennrich et al.): in a run of identical symbols,
+    merges are left-aligned — 'aaaaa' under pair (a,a) becomes
+    [aa, aa, a], never [aa, a, aa] — and chain-adjacent candidates for
+    distinct pairs (abab...) all merge."""
+    from incremental_etl_on_lakehouse_spark.operators.text import bpe_train
+
+    words = spark.createDataFrame(
+        [("aaaaa", 10), ("abab", 1), ("xy", 3)], "w string, freq long"
+    )
+    merges = bpe_train(words, 3)
+    # step 1: (a,a) wins — 4 adjacent pairs x freq 10 = 40
+    assert merges[0] == (1, "a", "a", 40)
+    # canonical 'aaaaa' -> [aa, aa, a] yields pairs (aa,aa)=10 and
+    # (aa,a)=10; the (cnt DESC, l, r) tiebreak picks (aa, a). A
+    # NON-canonical [aa, a, aa] split would yield (aa,a) and (a,aa),
+    # whose tiebreak winner is (a, aa) — so this assertion pins the
+    # left-aligned scan.
+    assert merges[1] == (2, "aa", "a", 10)
+    # after merging (aa,a): [aa, aaa] -> best pair (aa, aaa) = 10
+    assert merges[2] == (3, "aa", "aaa", 10)
+
+
+def test_bpe_train_distinct_pair_chain(spark):
+    """a!=b chains: every candidate merges (no overlap possible)."""
+    from incremental_etl_on_lakehouse_spark.operators.text import bpe_train
+
+    words = spark.createDataFrame([("ababab", 5)], "w string, freq long")
+    merges = bpe_train(words, 2)
+    assert merges[0] == (1, "a", "b", 15)
+    # canonical result [ab, ab, ab]: (ab,ab) pairs = 2 x 5
+    assert merges[1] == (2, "ab", "ab", 10)
