@@ -518,15 +518,28 @@ class LakeCatalog:
                         self.spark, statement, dest_path=path
                     )
                 if entry is None:
-                    self._meta_commit(
+                    committed = self._meta_commit(
                         {
                             "op": "put_table",
                             "db": db,
                             "table": name,
                             "path": os.path.abspath(path),
                             "external": loc is not None,
-                        }
+                        },
+                        precondition=lambda st: name not in st.get(db, {}),
                     )
+                    if not committed:
+                        # concurrent writer took the name; same conflict
+                        # contract as create_table()
+                        _, fresh = self._meta_state()
+                        now = fresh.get(db, {}).get(name)
+                        if now is not None and now["path"] != os.path.abspath(
+                            path
+                        ) and not (p["if_not_exists"] or p["or_replace"]):
+                            raise ValueError(
+                                f"table exists: {db}.{name} "
+                                "(created concurrently)"
+                            )
                 return t
         return execute_statement(
             self.spark, statement, self.resolver(default_db)
@@ -571,3 +584,250 @@ class LakeCatalog:
         for name in self.tables(db):
             view = f"{db}_{name}"
             self.table(db, name).to_df(version).createOrReplaceTempView(view)
+
+
+class Lakehouse:
+    """Three-level ``catalog.database.table`` namespace — the reference's
+    Unity Catalog shape (``CREATE CATALOG IF NOT EXISTS``, tables addressed
+    as ``{catalog}.{database}.{table}``, ``notebooks/demo-notebook.py:
+    80-110``). A catalog is a metastore-root prefix: ``<root>/<catalog>/``
+    is a fully independent :class:`LakeCatalog` (its own ``_metastore``
+    entry log, databases, managed/external tables), so every two-level
+    guarantee — OCC mutations, external-data protection, checkpointed
+    folds — applies per catalog unchanged.
+
+    Catalog existence is the directory itself (created empty alongside its
+    metastore root): ``CREATE CATALOG`` is an idempotent mkdir, matching
+    IF NOT EXISTS semantics under concurrency; ``DROP CATALOG CASCADE``
+    cascades through :meth:`LakeCatalog.drop_database` so external table
+    data survives even when it lives inside the catalog tree.
+
+    Name resolution (``resolver`` / :meth:`table` / :meth:`sql`): three
+    parts address exactly; two parts resolve in the current catalog; one
+    part needs the current database too — ``USE CATALOG x`` / ``USE x.y``
+    set the session defaults, like the reference notebook's widget-bound
+    catalog/database."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        default_catalog: str = "main",
+        default_db: str | None = None,
+    ):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self.current_catalog = default_catalog
+        self.current_db = default_db
+        self._cats: dict[str, LakeCatalog] = {}
+
+    # ------------------------------------------------------------ catalogs
+
+    def _cat_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def create_catalog(self, name: str, if_not_exists: bool = True) -> None:
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(f"invalid catalog name: {name!r}")
+        if os.path.isdir(self._cat_path(name)) and not if_not_exists:
+            raise ValueError(f"catalog exists: {name}")
+        os.makedirs(self._cat_path(name), exist_ok=True)
+
+    def drop_catalog(self, name: str, cascade: bool = False) -> None:
+        path = self._cat_path(name)
+        if not os.path.isdir(path):
+            raise ValueError(f"no such catalog: {name}")
+        cat = self.catalog(name)
+        dbs = cat.databases()
+        if dbs and not cascade:
+            raise ValueError(f"catalog not empty: {name} (use cascade=True)")
+        for db in dbs:
+            cat.drop_database(db, cascade=True)
+        meta = os.path.join(path, META_DIR)
+        if os.path.isdir(meta):
+            shutil.rmtree(meta)
+        self._cats.pop(name, None)
+        # leftover external-table data keeps the directory shell alive —
+        # the same 'DROP never deletes external data' compromise as
+        # drop_database
+        with contextlib.suppress(OSError):
+            for dirpath, dirs, files in os.walk(path, topdown=False):
+                if not dirs and not files:
+                    os.rmdir(dirpath)
+
+    def catalogs(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(self._cat_path(d)) and not d.startswith("_")
+        )
+
+    def catalog(self, name: str) -> LakeCatalog:
+        """The per-catalog two-level metastore (lazy, cached)."""
+        if not os.path.isdir(self._cat_path(name)):
+            raise ValueError(f"no such catalog: {name}")
+        if name not in self._cats:
+            self._cats[name] = LakeCatalog(self.spark, self._cat_path(name))
+        return self._cats[name]
+
+    def use_catalog(self, name: str) -> None:
+        if not os.path.isdir(self._cat_path(name)):
+            raise ValueError(f"no such catalog: {name}")
+        self.current_catalog = name
+        self.current_db = None
+
+    def use_database(self, db: str, catalog: str | None = None) -> None:
+        cat = catalog or self.current_catalog
+        if db not in self.catalog(cat).databases():
+            raise ValueError(f"no such database: {cat}.{db}")
+        self.current_catalog = cat
+        self.current_db = db
+
+    # ----------------------------------------------------------- resolution
+
+    def _split(self, name: str) -> tuple[str, str, str]:
+        parts = [p.strip("`") for p in name.split(".")]
+        if len(parts) == 3:
+            return parts[0], parts[1], parts[2]
+        if len(parts) == 2:
+            return self.current_catalog, parts[0], parts[1]
+        if len(parts) == 1 and self.current_db is not None:
+            return self.current_catalog, self.current_db, parts[0]
+        raise ValueError(
+            f"cannot resolve {name!r}: use catalog.db.table or set the "
+            "current catalog/database (USE)"
+        )
+
+    def table(self, name: str) -> LakeTable:
+        cat, db, t = self._split(name)
+        return self.catalog(cat).table(db, t)
+
+    def resolver(self):
+        """3-level ``resolve`` callable for :mod:`lake.sql`'s front door."""
+
+        def resolve(name: str) -> LakeTable:
+            return self.table(name)
+
+        return resolve
+
+    # ------------------------------------------------------------------ SQL
+
+    def _split_db(self, name: str) -> tuple[str, str]:
+        """(catalog, db) from a 1- or 2-part database name."""
+        parts = [p.strip("`") for p in name.split(".")]
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        if len(parts) == 1:
+            return self.current_catalog, parts[0]
+        raise ValueError(f"cannot resolve database {name!r}")
+
+    def sql(self, statement: str):
+        """One SQL statement against the three-level namespace: catalog
+        DDL (CREATE/DROP CATALOG, SHOW CATALOGS, USE) handled here;
+        database-level DDL with optionally catalog-qualified names routed
+        to the owning :class:`LakeCatalog`; table statements delegated
+        with the catalog prefix stripped so the two-level front door (and
+        everything behind it — MERGE/ALTER/OPTIMIZE/...) is reused
+        verbatim."""
+        from incremental_etl_on_lakehouse_spark.lake.sql import strip_comments
+
+        s = strip_comments(statement).strip().rstrip(";").strip()
+        m = re.match(
+            r"CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return self.create_catalog(
+                m.group(2), if_not_exists=bool(m.group(1))
+            )
+        m = re.match(
+            r"DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?`?(\w+)`?(\s+CASCADE)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            if m.group(1) and m.group(2) not in self.catalogs():
+                return None
+            return self.drop_catalog(m.group(2), cascade=bool(m.group(3)))
+        if re.match(r"SHOW\s+CATALOGS\s*$", s, re.IGNORECASE):
+            return self.catalogs()
+        m = re.match(r"USE\s+CATALOG\s+`?(\w+)`?\s*$", s, re.IGNORECASE)
+        if m:
+            return self.use_catalog(m.group(1))
+        m = re.match(r"USE\s+([`\w.]+)\s*$", s, re.IGNORECASE)
+        if m:
+            cat, db = self._split_db(m.group(1))
+            return self.use_database(db, catalog=cat)
+        # database-level DDL: the name may be catalog-qualified
+        # (the reference's CREATE DATABASE IF NOT EXISTS ${cat}.${db})
+        m = re.match(
+            r"(CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+"
+            r"(IF\s+(?:NOT\s+)?EXISTS\s+)?([`\w.]+?)(\s+CASCADE)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            cat, db = self._split_db(m.group(3))
+            self.create_catalog(cat)
+            target = self.catalog(cat)
+            if m.group(1).upper() == "CREATE":
+                return target.create_database(
+                    db, if_not_exists=bool(m.group(2))
+                )
+            if m.group(2) and db not in target.databases():
+                return None
+            return target.drop_database(db, cascade=bool(m.group(4)))
+        m = re.match(
+            r"SHOW\s+(?:DATABASES|SCHEMAS)(?:\s+IN\s+`?(\w+)`?)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return self.catalog(m.group(1) or self.current_catalog).databases()
+        m = re.match(
+            r"SHOW\s+TABLES(?:\s+IN\s+([`\w.]+))?\s*$", s, re.IGNORECASE
+        )
+        if m:
+            if m.group(1):
+                cat, db = self._split_db(m.group(1))
+            elif self.current_db is not None:
+                cat, db = self.current_catalog, self.current_db
+            else:
+                raise ValueError("SHOW TABLES needs IN <db> or USE first")
+            return self.catalog(cat).tables(db)
+        # table-level statement: strip catalog qualifiers down to db.table
+        # and reuse the two-level front door of the owning catalog
+        cat, stripped = self._strip_catalog_qualifiers(statement)
+        return self.catalog(cat).sql(stripped, default_db=self.current_db)
+
+    def _strip_catalog_qualifiers(self, statement: str) -> tuple[str, str]:
+        """Rewrite every 3-part ``cat.db.table`` reference in ``statement``
+        to ``db.table`` and return (owning catalog, rewritten statement).
+        All 3-part names in one statement must agree on the catalog (a
+        cross-catalog join would need per-name resolution; the SQL front
+        door's resolver callback only sees names, so same-catalog is the
+        supported surface — matching the reference, whose statements stay
+        within one catalog)."""
+        cats: set[str] = set()
+
+        def repl(m: re.Match) -> str:
+            cats.add(m.group(1).strip("`"))
+            return f"{m.group(2)}.{m.group(3)}"
+
+        # a 3-part dotted name: three \w+ (each optionally backticked)
+        # joined by dots, not preceded/followed by more dots
+        pat = re.compile(
+            r"(?<![\w.`])(`?\w+`?)\.(`?\w+`?)\.(`?\w+`?)(?![\w.`(])"
+        )
+        rewritten = pat.sub(repl, statement)
+        if len(cats) > 1:
+            raise ValueError(
+                f"statement references multiple catalogs {sorted(cats)}; "
+                "one catalog per statement is supported"
+            )
+        cat = cats.pop() if cats else self.current_catalog
+        if not os.path.isdir(self._cat_path(cat)):
+            raise ValueError(f"no such catalog: {cat}")
+        return cat, rewritten

@@ -629,6 +629,95 @@ def ddl_catalog_metastore(spark, sf_dir):
 
 
 @query(
+    "ddl_catalog_3level",
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
+    " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"
+    " CAST(n_regionkey AS BIGINT) AS n_regionkey,"
+    " true AS catalogs_listed, true AS cross_catalog_isolated,"
+    " true AS survives_new_instance, true AS drop_cascade_removed"
+    " FROM nation ORDER BY n_nationkey",
+)
+def ddl_catalog_3level(spark, sf_dir):
+    """Three-level catalog.database.table namespace (lake/catalog.py:
+    Lakehouse) — the reference's Unity Catalog shape: ``CREATE CATALOG IF
+    NOT EXISTS``, databases created under catalog-qualified names, tables
+    addressed as ``{catalog}.{database}.{table}`` (ref
+    notebooks/demo-notebook.py:80-110). A catalog is a metastore-root
+    prefix: each one is an independent persistent LakeCatalog.
+
+    Attested: SHOW CATALOGS lists both created catalogs
+    (catalogs_listed); an identically-named table in a second catalog
+    holds different data and neither write leaked across
+    (cross_catalog_isolated); a FRESH Lakehouse instance resolves the
+    3-part name (survives_new_instance); DROP CATALOG CASCADE removes the
+    second catalog (drop_cascade_removed). The returned rows went through
+    a USE CATALOG + 2-part SQL UPDATE on the fresh instance, so the
+    oracle also pins default-catalog resolution."""
+    from incremental_etl_on_lakehouse_spark.lake.catalog import Lakehouse
+
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+    root = os.path.join(_tmpdir(), "lh")
+    lh = Lakehouse(spark, root)
+    lh.sql("CREATE CATALOG IF NOT EXISTS dev")
+    lh.sql("CREATE CATALOG IF NOT EXISTS prod")
+    lh.sql("CREATE DATABASE IF NOT EXISTS dev.sales")
+    lh.sql("CREATE DATABASE IF NOT EXISTS prod.sales")
+    lh.sql(
+        "CREATE TABLE dev.sales.nations"
+        " (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)"
+    )
+    lh.sql(
+        "CREATE TABLE prod.sales.nations"
+        " (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)"
+    )
+    lh.table("dev.sales.nations").append(nat)
+    lh.table("prod.sales.nations").append(
+        nat.limit(1).select(
+            F.lit(999).cast("long").alias("n_nationkey"),
+            F.lit("prod-only").alias("n_name"),
+            F.lit(0).cast("long").alias("n_regionkey"),
+        )
+    )
+    catalogs_listed = lh.sql("SHOW CATALOGS") == ["dev", "prod"]
+
+    lh2 = Lakehouse(spark, root)  # fresh instance = new-session stand-in
+    survives_new_instance = (
+        lh2.table("dev.sales.nations").to_df().count() == nat.count()
+    )
+    lh2.sql("USE CATALOG dev")
+    lh2.sql(
+        "UPDATE sales.nations SET n_name = upper(n_name)"
+        " WHERE n_regionkey = 0"
+    )
+    prod_rows = [
+        tuple(r) for r in lh2.table("prod.sales.nations").to_df().collect()
+    ]
+    cross_catalog_isolated = prod_rows == [(999, "prod-only", 0)]
+    lh2.sql("DROP CATALOG prod CASCADE")
+    drop_cascade_removed = lh2.catalogs() == ["dev"]
+    return (
+        lh2.table("dev.sales.nations")
+        .to_df()
+        .select(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            F.lit(bool(catalogs_listed)).alias("catalogs_listed"),
+            F.lit(bool(cross_catalog_isolated)).alias(
+                "cross_catalog_isolated"
+            ),
+            F.lit(bool(survives_new_instance)).alias("survives_new_instance"),
+            F.lit(bool(drop_cascade_removed)).alias("drop_cascade_removed"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "util_row_tracking",
     "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,"
     " CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END AS n_name,"

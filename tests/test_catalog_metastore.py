@@ -455,3 +455,196 @@ def test_pipeline_register_in_catalog(spark, tmp_path):
     assert p.silver.to_df().count() == 1  # same storage, by design
     fresh.drop_table("lakehouse_db", "visitors_silver")
     assert LakeTable.exists(p.silver_path)  # external: data kept
+
+
+# ---------------------------------------------------------------------------
+# Three-level catalog.database.table namespace (Lakehouse)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def lh(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.catalog import Lakehouse
+
+    return Lakehouse(spark, str(tmp_path / "lh"))
+
+
+def test_lakehouse_catalog_ddl_and_resolution(spark, lh):
+    lh.sql("CREATE CATALOG IF NOT EXISTS dev")
+    lh.sql("CREATE CATALOG IF NOT EXISTS prod")
+    assert lh.sql("SHOW CATALOGS") == ["dev", "prod"]
+    with pytest.raises(ValueError, match="catalog exists"):
+        lh.create_catalog("dev", if_not_exists=False)
+    # the reference's flow: CREATE DATABASE with a catalog-qualified name
+    lh.sql("CREATE DATABASE IF NOT EXISTS dev.raw")
+    lh.sql("CREATE DATABASE IF NOT EXISTS prod.raw")
+    assert lh.sql("SHOW DATABASES IN dev") == ["raw"]
+    # 3-part CREATE TABLE routes to the owning catalog
+    lh.sql("CREATE TABLE dev.raw.t1 (id BIGINT, name STRING)")
+    lh.sql("CREATE TABLE prod.raw.t1 (id BIGINT, name STRING)")
+    assert lh.sql("SHOW TABLES IN dev.raw") == ["t1"]
+    # same table name, different catalogs, independent data
+    lh.sql("INSERT INTO dev.raw.t1 VALUES (1, 'dev-row')")
+    lh.sql("INSERT INTO prod.raw.t1 VALUES (2, 'prod-row')")
+    assert [tuple(r) for r in lh.table("dev.raw.t1").to_df().collect()] == [
+        (1, "dev-row")
+    ]
+    assert [tuple(r) for r in lh.table("prod.raw.t1").to_df().collect()] == [
+        (2, "prod-row")
+    ]
+
+
+def test_lakehouse_use_catalog_and_database(spark, lh):
+    lh.sql("CREATE CATALOG dev")
+    lh.sql("CREATE DATABASE dev.raw")
+    lh.sql("CREATE TABLE dev.raw.t (id BIGINT)")
+    lh.sql("USE CATALOG dev")
+    assert lh.current_catalog == "dev"
+    # 2-part names now resolve in dev
+    lh.sql("INSERT INTO raw.t VALUES (10)")
+    lh.sql("USE dev.raw")
+    # 1-part names resolve in dev.raw
+    lh.sql("INSERT INTO t VALUES (11)")
+    assert {r.id for r in lh.table("t").to_df().collect()} == {10, 11}
+    assert lh.sql("SHOW TABLES") == ["t"]
+    with pytest.raises(ValueError, match="no such catalog"):
+        lh.sql("USE CATALOG nope")
+
+
+def test_lakehouse_drop_catalog_cascade_spares_external(spark, lh, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+    lh.sql("CREATE CATALOG dev")
+    lh.sql("CREATE DATABASE dev.raw")
+    lh.sql("CREATE TABLE dev.raw.managed (id BIGINT)")
+    ext = str(tmp_path / "ext_tbl")
+    LakeTable.create(spark, ext, schema)
+    lh.catalog("dev").register_table("raw", "adopted", ext)
+    with pytest.raises(ValueError, match="not empty"):
+        lh.sql("DROP CATALOG dev")
+    lh.sql("DROP CATALOG dev CASCADE")
+    assert "dev" not in lh.catalogs()
+    assert LakeTable.exists(ext), "external data must survive catalog drop"
+    # idempotent IF EXISTS
+    assert lh.sql("DROP CATALOG IF EXISTS dev") is None
+
+
+def test_lakehouse_cross_catalog_statement_rejected(spark, lh):
+    lh.sql("CREATE CATALOG a")
+    lh.sql("CREATE CATALOG b")
+    lh.sql("CREATE DATABASE a.db")
+    lh.sql("CREATE DATABASE b.db")
+    lh.sql("CREATE TABLE a.db.t (id BIGINT)")
+    lh.sql("CREATE TABLE b.db.t (id BIGINT)")
+    with pytest.raises(ValueError, match="multiple catalogs"):
+        lh.sql("INSERT INTO a.db.t SELECT id FROM b.db.t")
+
+
+def test_lakehouse_full_dml_surface_on_3part_names(spark, lh):
+    """MERGE/UPDATE/DELETE route through the stripped two-level front
+    door with 3-part names."""
+    lh.sql("CREATE CATALOG dev")
+    lh.sql("CREATE DATABASE dev.raw")
+    lh.sql("CREATE TABLE dev.raw.t (id BIGINT, v STRING)")
+    lh.sql("INSERT INTO dev.raw.t VALUES (1, 'a'), (2, 'b')")
+    lh.sql("UPDATE dev.raw.t SET v = 'z' WHERE id = 1")
+    lh.sql("DELETE FROM dev.raw.t WHERE id = 2")
+    assert [tuple(r) for r in lh.table("dev.raw.t").to_df().collect()] == [
+        (1, "z")
+    ]
+    lh.sql("DROP TABLE dev.raw.t")
+    assert lh.sql("SHOW TABLES IN dev.raw") == []
+
+
+def test_lakehouse_persistence_across_instances(spark, lh, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.catalog import Lakehouse
+
+    lh.sql("CREATE CATALOG dev")
+    lh.sql("CREATE DATABASE dev.raw")
+    lh.sql("CREATE TABLE dev.raw.t (id BIGINT)")
+    lh.sql("INSERT INTO dev.raw.t VALUES (5)")
+    lh2 = Lakehouse(spark, lh.root)
+    assert lh2.catalogs() == ["dev"]
+    assert {r.id for r in lh2.table("dev.raw.t").to_df().collect()} == {5}
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_lakehouse_interleaving_fuzz(spark, tmp_path, seed):
+    """Random catalog-level op sequences (create/drop catalog, qualified
+    database DDL, 3-part table DDL) through TWO Lakehouse instances over
+    one root, checked against a pure-Python model — extends the two-level
+    interleaving fuzzer one namespace level up."""
+    import random
+
+    from incremental_etl_on_lakehouse_spark.lake.catalog import Lakehouse
+
+    rng = random.Random(9900 + seed)
+    root = str(tmp_path / "lh")
+    lhs = [Lakehouse(spark, root), Lakehouse(spark, root)]
+    model: dict = {}  # cat -> {db -> set(tables)}
+    n_table = 0
+
+    for _ in range(20):
+        lh = rng.choice(lhs)
+        op = rng.choice(
+            [
+                "create_cat", "create_db", "create_tbl",
+                "drop_tbl", "drop_db", "drop_cat",
+            ]
+        )
+        if op == "create_cat":
+            c = f"c{rng.randint(0, 1)}"
+            lh.sql(f"CREATE CATALOG IF NOT EXISTS {c}")
+            model.setdefault(c, {})
+        elif op == "create_db":
+            if not model:
+                continue
+            c = rng.choice(sorted(model))
+            db = f"db{rng.randint(0, 1)}"
+            lh.sql(f"CREATE DATABASE IF NOT EXISTS {c}.{db}")
+            model[c].setdefault(db, set())
+        elif op == "create_tbl":
+            cands = [(c, d) for c in model for d in model[c]]
+            if not cands:
+                continue
+            c, db = rng.choice(cands)
+            name = f"t{n_table}"
+            n_table += 1
+            lh.sql(f"CREATE TABLE {c}.{db}.{name} (id BIGINT)")
+            lh.sql(f"INSERT INTO {c}.{db}.{name} VALUES ({n_table})")
+            model[c][db].add(name)
+        elif op == "drop_tbl":
+            cands = [
+                (c, d, t) for c in model for d in model[c] for t in model[c][d]
+            ]
+            if not cands:
+                continue
+            c, db, t = rng.choice(sorted(cands))
+            lh.sql(f"DROP TABLE {c}.{db}.{t}")
+            model[c][db].discard(t)
+        elif op == "drop_db":
+            cands = [(c, d) for c in model for d in model[c]]
+            if not cands:
+                continue
+            c, db = rng.choice(sorted(cands))
+            lh.sql(f"DROP DATABASE {c}.{db} CASCADE")
+            model[c].pop(db)
+        elif op == "drop_cat":
+            if not model:
+                continue
+            c = rng.choice(sorted(model))
+            lh.sql(f"DROP CATALOG {c} CASCADE")
+            model.pop(c)
+        # a FRESH instance sees exactly the model at every step
+        fresh = Lakehouse(spark, root)
+        assert set(fresh.catalogs()) == set(model), seed
+        for c in model:
+            assert set(fresh.catalog(c).databases()) == set(model[c]), (
+                seed, c,
+            )
+            for d in model[c]:
+                assert set(fresh.catalog(c).tables(d)) == model[c][d], (
+                    seed, c, d,
+                )
