@@ -3358,7 +3358,13 @@ class LakeTable:
 
         # The source is evaluated by several jobs (bounds, touched-file
         # probe, rewrite join, insert anti-join); persist it so any upstream
-        # work (e.g. a dedup window) runs once.
+        # work (e.g. a dedup window) runs once. Let AQE re-plan inside the
+        # cached subtree (sessions not built by get_spark default this
+        # off, leaving a full static-partition reducer under a 4-row agg).
+        self.spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         src_persisted = source.withColumn("__s_match", F.lit(True)).persist()
         src = src_persisted.alias("source")
         cond = F.expr(condition)

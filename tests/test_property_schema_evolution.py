@@ -34,10 +34,43 @@ def _snap(t: LakeTable, cols, version=None) -> frozenset:
     return frozenset(tuple(r[c] for c in cols) for r in df.collect())
 
 
+@pytest.mark.parametrize("mode", ["plain", "rtdv"])
 @pytest.mark.parametrize("seed", range(4))
-def test_random_schema_evolution_interleavings(spark, tmp_path, seed):
+def test_random_schema_evolution_interleavings(spark, tmp_path, seed, mode):
+    """``mode="rtdv"`` runs the same interleavings with row tracking AND
+    deletion vectors live, plus DV deletes in the op mix — RENAME/ADD/
+    DROP under rt+dv together is the interaction the fixed tests don't
+    reach. The rt model: a surviving logical row's _row_id NEVER changes
+    across any op (rename, drop, add, update rewrite, DV delete of its
+    neighbors), and current ids are always distinct."""
     rng = random.Random(9900 + seed)
-    t = LakeTable.create(spark, str(tmp_path / f"schema_{seed}"), _BASE)
+    props = (
+        {
+            "enableRowTracking": "true",
+            "enableDeletionVectors": "true",
+        }
+        if mode == "rtdv"
+        else None
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / f"schema_{seed}_{mode}"), _BASE, properties=props
+    )
+
+    rid_by_id: dict = {}
+
+    def check_row_ids(op):
+        if mode != "rtdv":
+            return
+        cur = {
+            r["id"]: r["_row_id"]
+            for r in t.to_df(with_row_ids=True).collect()
+        }
+        assert len(set(cur.values())) == len(cur), (seed, op, "dup row ids")
+        for k, rid in cur.items():
+            if k in rid_by_id:
+                assert rid == rid_by_id[k], (seed, op, k, rid, rid_by_id[k])
+        rid_by_id.clear()
+        rid_by_id.update(cur)
     cols = ["id", "grp", "v0"]  # current logical schema, in order
     rows: list[dict] = []  # model: one dict per row, keys == cols
     next_id = 0
@@ -84,11 +117,18 @@ def test_random_schema_evolution_interleavings(spark, tmp_path, seed):
         frozenset(tuple(d[c] for c in cols) for d in rows),
     )
 
+    check_row_ids("init")
     for _ in range(7):
         numeric = [c for c in cols if c not in ("id",) and not c.startswith("grp")]
-        op = rng.choice(["append", "rename", "add", "drop", "update"])
+        op = rng.choice(
+            ["append", "rename", "add", "drop", "update", "delete"]
+        )
         if op == "append":
             do_append()
+        elif op == "delete":
+            k = rng.choice([2, 3, 5])
+            t.delete(f"id % {k} = 0")
+            rows[:] = [d for d in rows if d["id"] % k != 0]
         elif op == "rename":
             src = rng.choice([c for c in cols if c != "id"])
             dst = f"r{next_name}_{src}" if not src.startswith("grp") else f"grp_r{next_name}"
@@ -126,6 +166,7 @@ def test_random_schema_evolution_interleavings(spark, tmp_path, seed):
             frozenset(tuple(d[c] for c in cols) for d in rows),
         )
         assert _snap(t, cols) == history[t.version()][1], (seed, op)
+        check_row_ids(op)
 
     # per-version schema + data: every version reconstructs under its
     # own column set, across files written under earlier schemas
