@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     # in the __row_id plumbing shows as a wall-clock move; NOT part of
     # the 16 baseline-comparable keys
     "util_row_tracking",
+    # round-10: the full BPE training loop (6 argmax rounds over the
+    # wid-clustered symbol table — tracks the shuffle-free round design)
+    # and the three-level catalog attestation (metadata-bound); NOT part
+    # of the 16 baseline-comparable keys
+    "ext_bpe_train",
+    "ddl_catalog_3level",
 ]
 
 

@@ -57,57 +57,55 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-9 ROTATION (see ROTATION.md): slots are (a) the round-8 red
-    # row's fix, (b) keys on code paths changed in round 9, (c) the
-    # round-9 refresh queue (oldest driver rows first).
-    #
-    # (a) the round-8 red row — both engines now frame the RANGE window
-    # over BIGINT epoch-ms (unit-proof); a green driver row closes it
-    "win_range_interval",
-    # (b) keys on code paths changed in round 9:
-    # - the CDC timestampFormat widening (ISO-8601 'T') + the
-    #   LandingLedger ingest rewrite + SchemaTracker bounded inference
-    #   run under every JSON-ingest and pipeline key
-    "src_json_batch", "src_json_auto", "src_json_stream",
-    "stream_trigger_paced", "stream_checkpoint", "stream_foreachbatch",
-    "stream_late_data", "stream_exactly_once",
-    "pipeline_generic", "pipeline_expectations",
-    # - the LogStore seam re-routes every commit write/read/list; these
-    #   keys cover the commit path end-to-end, incl. the OCC/rebase key
-    "snk_delta_append", "src_delta_stream", "src_cdf_batch",
-    "src_cdf_stream", "util_concurrent_append", "snk_merge",
-    # (c) round-9 refresh queue: the 22 keys that yielded their round-8
-    # slots (oldest driver rows first)
-    "src_time_travel_ts", "util_vacuum", "util_optimize_zorder",
-    "util_restore", "agg_incremental_minmax", "agg_incremental_view",
-    "join_asof", "win_session", "stream_stateful", "stream_stream_join",
-    "filter_subquery", "agg_cube", "q3_shipping_priority",
-    "q10_returned_items", "q19_disjunctive", "q22_dormant_customers",
-    "fn_to_utc_timestamp", "fn_nvl", "fn_md5_concat", "sort_single",
-    "fn_case_when", "fn_arith",
-    # (c) continued: r3-green core block head
-    "agg_sum_groupby", "ext_dedup_exact", "ext_dedup_embedding",
-    "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
-    "ext_quality_score", "ext_fingerprint",
-    # NEW round-9 keys (new keys get a driver row the round they land;
-    # ext_sample_stratified, ext_sample_hash and ext_multimodal_col
-    # yielded their refresh slots): the persistent-metastore attestation,
-    # the row-tracking attestation, and the BPE merge-step primitive
-    "ddl_catalog_metastore", "util_row_tracking", "ext_bpe_pair_counts",
+    # ROUND-10 ROTATION (see ROTATION.md): (a) the round-9 red row —
+    # the identical query body re-registered under a FRESH key name
+    # (win_range_rolling_ms) to force a fresh driver execution, plus a
+    # one-row stage-checksum probe (win_range_probe) that localizes any
+    # residual divergence, plus the original key; (b) NEW round-10 keys
+    # (the full BPE training loop, the 3-level catalog); (c) every key
+    # whose ORACLE text changed in the rounding-proof conversion
+    # (epoch_ms -> epoch_ns // 1000000 — locally byte-identical, driver
+    # re-attestation needed); (d) keys on engine code paths changed this
+    # round (vacuum/cleanup_log interaction fixes, checkpoint-aware
+    # OVERWRITE/REPLACE, catalog precondition re-validation, commit-order
+    # row-id bases, merge-path cached-plan AQE); (e) the refresh queue
+    # head (r3-green tail).
+    "win_range_rolling_ms", "win_range_probe", "win_range_interval",
+    "ext_bpe_train", "ddl_catalog_3level", "agg_incremental_avg",
+    "agg_incremental_cdf", "agg_incremental_minmax", "agg_incremental_var",
+    "agg_incremental_view", "ext_resample_ffill", "fn_datetime",
+    "fn_timestamp_parse", "fn_to_utc_timestamp", "join_asof_nearest",
+    "merge_cdc_upsert", "merge_scd2", "q3_shipping_priority",
+    "snk_delta_append", "snk_merge", "snk_merge_sql", "sort_multi_key",
+    "src_cdf_batch", "src_cdf_stream", "src_json_stream", "src_time_travel",
+    "src_time_travel_ts", "stream_dedup_watermark", "stream_exactly_once",
+    "stream_foreachbatch", "stream_late_data", "stream_scd2",
+    "stream_session_window", "stream_sliding_window", "stream_window_agg",
+    "win_row_number_dedup", "win_session", "util_vacuum", "ddl_replace_table",
+    "snk_replace_where", "snk_dynamic_partition_overwrite",
+    "ddl_catalog_metastore", "util_row_tracking", "merge_by_source",
+    "ext_bpe_pair_counts", "ext_multimodal_col", "ext_pack_sequences",
+    "ext_dedup_clusters", "ext_sample_hash", "ext_sample_stratified",
 ]
 
 _SECOND_PRIORITY = [
-    "ext_sample_stratified", "ext_sample_hash", "ext_multimodal_col",
-    # Rotated-out keys directly behind the cap line: every key here
-    # has at least one driver-green row (ROTATION.md keeps the
-    # per-round history) and stays locally hash-verified by
-    # tests/test_oracle_parity.py every run. Ordered by rotation
-    # recency: r8-green first, then r7, r5/r6, r4, r3, r1/r2.
-    "fn_regexp_extract", "ext_dedup_ngram_jaccard", "merge_cdc_upsert",
-    "agg_incremental_cdf", "merge_agg_upsert", "snk_merge_sql",
-    "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
-    "filter_conj", "derive_withcolumn", "proj_alias", "win_row_number_dedup",
-    "sort_multi_key", "fn_input_file_name", "fn_timestamp_parse",
+    # Rotated-out keys directly behind the cap line (round-9 slots
+    # first, then the prior queue order): every key here has at least
+    # one driver-green row (ROTATION.md keeps the per-round history)
+    # and stays locally hash-verified every run by
+    # tests/test_oracle_parity.py.
+    "src_json_batch", "src_json_auto", "stream_trigger_paced",
+    "stream_checkpoint", "pipeline_generic", "pipeline_expectations",
+    "src_delta_stream", "util_concurrent_append", "util_optimize_zorder",
+    "util_restore", "join_asof", "stream_stateful", "stream_stream_join",
+    "filter_subquery", "agg_cube", "q10_returned_items", "q19_disjunctive",
+    "q22_dormant_customers", "fn_nvl", "fn_md5_concat", "sort_single",
+    "fn_case_when", "fn_arith", "agg_sum_groupby", "ext_dedup_exact",
+    "ext_dedup_embedding", "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
+    "ext_quality_score", "ext_fingerprint", "fn_regexp_extract",
+    "ext_dedup_ngram_jaccard", "merge_agg_upsert", "join_right_outer",
+    "filter_eq", "proj_select_star", "filter_neq", "filter_conj",
+    "derive_withcolumn", "proj_alias", "fn_input_file_name",
     "ext_approx_distinct", "join_merge_key", "snk_update_delete_sql",
     "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
     "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
@@ -118,52 +116,46 @@ _SECOND_PRIORITY = [
     "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
     "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
     "fn_hash_sha", "explode_outer_tokens", "sql_recursive_cte",
-    "win_rows_sliding", "fn_binary_encode", "fn_datetime", "fn_map_ops",
-    "fn_array_ops", "fn_higher_order", "fn_string_distance",
-    "fn_variant_json", "win_ntile", "win_range_frame", "join_full_outer",
-    "agg_histogram", "agg_approx_percentile", "src_text_lines",
-    "ext_doc_shuffle", "ext_resample_ffill", "merge_by_source",
+    "win_rows_sliding", "fn_binary_encode", "fn_map_ops", "fn_array_ops",
+    "fn_higher_order", "fn_string_distance", "fn_variant_json", "win_ntile",
+    "win_range_frame", "join_full_outer", "agg_histogram",
+    "agg_approx_percentile", "src_text_lines", "ext_doc_shuffle",
     "util_optimize_where", "util_convert_to_lake", "agg_stats_moments",
     "win_percent_rank", "agg_string_agg", "ext_graph_pagerank",
-    "stream_stateful_topk", "join_asof_nearest", "ext_bm25_topk",
-    "ext_corpus_report", "ext_multimodal_decode", "stream_session_window",
-    "join_cross", "agg_mode", "ddl_replace_table", "win_first_last",
+    "stream_stateful_topk", "ext_bm25_topk", "ext_corpus_report",
+    "ext_multimodal_decode", "join_cross", "agg_mode", "win_first_last",
     "fn_string_ops", "win_cume_dist", "ext_sim_ivf", "ext_cluster_kmeans",
     "ext_semdedup", "ext_quality_buckets_scale", "ext_sample_temperature",
     "ddl_drop", "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
-    "src_time_travel", "ddl_create_table", "proj_select_list",
-    "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
-    "snk_replace_where", "ddl_rename_column", "util_bloom_skipping",
-    "ddl_generated_columns", "ddl_identity_columns", "merge_scd2",
+    "ddl_create_table", "proj_select_list", "util_deletion_vectors",
+    "ddl_constraints", "ddl_clone_shallow", "ddl_rename_column",
+    "util_bloom_skipping", "ddl_generated_columns", "ddl_identity_columns",
     "merge_schema_evolution", "util_analyze_stats", "util_describe_detail",
     "util_optimize_incremental", "util_optimized_writes",
     "ddl_add_drop_column", "ddl_tblproperties", "ddl_create_sql",
-    "snk_copy_into", "sql_interface", "snk_dynamic_partition_overwrite",
-    "snk_insert_sql", "src_orc_batch", "src_partition_pruned", "stream_scd2",
-    "stream_sliding_window", "join_bucketed", "join_stats_driven",
+    "snk_copy_into", "sql_interface", "snk_insert_sql", "src_orc_batch",
+    "src_partition_pruned", "join_bucketed", "join_stats_driven",
     "ext_repetition_filter", "ext_mix_budget", "ext_chunk_docs",
     "ext_tfidf_topk", "ext_semdedup_planted", "ext_lm_perplexity",
     "ext_corpus_pipeline", "ext_substring_dedup", "ext_dedup_incremental",
     "ext_dedup_survivors", "ext_quality_buckets", "ext_embedding_quantize",
     "ext_export_shards", "ext_url_normalize", "ext_dedup_url",
     "ext_domain_blocklist", "ext_dataset_split", "ext_multimodal_resize",
-    "ext_multimodal_frames", "ext_decontaminate_bloom", "agg_incremental_var",
+    "ext_multimodal_frames", "ext_decontaminate_bloom",
     "q2_min_cost_supplier", "q4_order_exists", "q5_local_supplier",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_parts", "q12_late_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
     "q20_excess_suppliers", "q21_waiting_suppliers", "ext_line_dedup",
-    "ext_pii_redact", "ext_decontaminate", "agg_incremental_avg",
-    "stream_dedup_watermark", "join_asof_forward", "ddl_partitioned_table",
-    "util_history", "join_semi", "join_anti", "join_range",
-    "join_skew_salted", "win_lag", "win_running_sum", "win_rank_dense",
-    "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_filtered",
-    "agg_minmax_by", "agg_collect_list", "setop_union", "setop_intersect",
-    "setop_except", "pivot_wide", "unpivot_long", "explode_tokens",
-    "fn_json_extract", "src_csv_batch", "stream_window_agg", "ext_ngram_topk",
-    "ext_embedding_cosine", "ext_udf_vectorized", "ext_pack_sequences",
-    "ext_dedup_clusters",
+    "ext_pii_redact", "ext_decontaminate", "join_asof_forward",
+    "ddl_partitioned_table", "util_history", "join_semi", "join_anti",
+    "join_range", "join_skew_salted", "win_lag", "win_running_sum",
+    "win_rank_dense", "agg_rollup", "agg_grouping_sets", "agg_percentile",
+    "agg_filtered", "agg_minmax_by", "agg_collect_list", "setop_union",
+    "setop_intersect", "setop_except", "pivot_wide", "unpivot_long",
+    "explode_tokens", "fn_json_extract", "src_csv_batch", "ext_ngram_topk",
+    "ext_embedding_cosine", "ext_udf_vectorized",
 ]
 
 
