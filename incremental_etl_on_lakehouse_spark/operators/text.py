@@ -819,3 +819,94 @@ def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
         df_.unpersist(blocking=False)
     st.unpersist(blocking=False)
     return merges
+
+
+def bpe_encode(words: DataFrame, steps: int) -> DataFrame:
+    """Train ``steps`` merges over the word-frequency table (see
+    :func:`bpe_train`) and return the ENCODED vocabulary: per final
+    subword token, how many distinct words contain it and the total
+    corpus occurrences (``token, n_words, total_count``) — the tokenizer
+    APPLICATION step a training-data pipeline runs after training. The
+    per-word token sequence is the final symbol table itself; callers
+    needing it can join back on ``wid``.
+
+    Scale: identical to the training loop (the encode IS the trained
+    loop's final state — no second pass), then one tiny agg over the
+    O(vocab) symbol table."""
+    # Re-running the loop recomputes the final symbol table; the extra
+    # cost over train-only is one aggregation. Duplicating the loop body
+    # here to thread the state out would be the DRYer-looking but
+    # riskier-diverging choice, so the loop below mirrors bpe_train with
+    # the state returned.
+    from pyspark.sql import Window
+
+    spark = words.sparkSession
+    st = words.select(
+        F.col("w").alias("wid"),
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            )
+        ).alias("p0", "sym"),
+    ).select("wid", "freq", (F.col("p0") + 1).cast("long").alias("pos"), "sym")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    st = st.repartition(par, "wid").persist()
+
+    wwin = Window.partitionBy("wid").orderBy("pos")
+    swin = Window.partitionBy("wid").orderBy("seq")
+    retired: list[DataFrame] = []
+    for _step in range(steps):
+        s = st.withColumn("seq", F.row_number().over(wwin)).withColumn(
+            "nxt", F.lead("sym").over(wwin)
+        )
+        top = (
+            s.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        while retired:
+            retired.pop().unpersist(blocking=False)
+        if not top:
+            break
+        left, right = top[0]["sym"], top[0]["nxt"]
+        cand = s.withColumn(
+            "cand",
+            (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
+        )
+        run = swin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last_nc = F.coalesce(
+            F.max(F.when(~F.col("cand"), F.col("seq"))).over(run), F.lit(0)
+        )
+        m = cand.withColumn(
+            "mstart",
+            F.col("cand") & (((F.col("seq") - last_nc - 1) % 2) == 0),
+        )
+        g = m.withColumn("pm", F.lag("mstart").over(swin))
+        retired.append(st)
+        st = (
+            g.where(F.col("mstart") | ~F.coalesce(F.col("pm"), F.lit(False)))
+            .select(
+                "wid",
+                "freq",
+                "pos",
+                F.when(F.col("mstart"), F.lit(left + right))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .persist()
+        )
+    out = st.groupBy(F.col("sym").alias("token")).agg(
+        F.countDistinct("wid").cast("long").alias("n_words"),
+        F.sum("freq").cast("long").alias("total_count"),
+    )
+    # the agg consumes the cached final state in the caller's action;
+    # leave unpersist to GC (an eager unpersist here would recompute the
+    # whole loop when the caller finally acts on `out`)
+    for df_ in retired:
+        df_.unpersist(blocking=False)
+    return out

@@ -957,25 +957,25 @@ def _bpe_iter_sql(k: int) -> str:
     # non-candidate seq (a cand row's offset in its island = seq -
     # last_non_cand_seq - 1), never a (wid, island)-keyed second shuffle.
     return (
-        f" s{k} AS (SELECT wid, freq, pos, sym,"
+        f" s{k} AS MATERIALIZED (SELECT wid, freq, pos, sym,"
         f"  row_number() OVER (PARTITION BY wid ORDER BY pos) AS seq,"
         f"  lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt"
         f"  FROM w{p}),"
-        f" p{k} AS (SELECT sym AS l, nxt AS r,"
+        f" p{k} AS MATERIALIZED (SELECT sym AS l, nxt AS r,"
         f"  CAST(sum(freq) AS BIGINT) AS cnt"
         f"  FROM s{k} WHERE nxt IS NOT NULL GROUP BY sym, nxt),"
-        f" b{k} AS (SELECT l, r, cnt FROM p{k}"
+        f" b{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k}"
         f"  ORDER BY cnt DESC, l, r LIMIT 1),"
-        f" c{k} AS (SELECT s.wid, s.freq, s.pos, s.sym, s.seq,"
+        f" c{k} AS MATERIALIZED (SELECT s.wid, s.freq, s.pos, s.sym, s.seq,"
         f"  (s.sym = b.l AND s.nxt = b.r) AS cand"
         f"  FROM s{k} s CROSS JOIN b{k} b),"
-        f" m{k} AS (SELECT *, cand AND ((seq - coalesce(max(CASE WHEN"
+        f" m{k} AS MATERIALIZED (SELECT *, cand AND ((seq - coalesce(max(CASE WHEN"
         f"   NOT cand THEN seq END) OVER (PARTITION BY wid ORDER BY seq"
         f"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1)"
         f"   % 2 = 0) AS mstart FROM c{k}),"
-        f" g{k} AS (SELECT *, lag(mstart)"
+        f" g{k} AS MATERIALIZED (SELECT *, lag(mstart)"
         f"   OVER (PARTITION BY wid ORDER BY seq) AS pm FROM m{k}),"
-        f" w{k} AS (SELECT g.wid, g.freq, g.pos,"
+        f" w{k} AS MATERIALIZED (SELECT g.wid, g.freq, g.pos,"
         f"  CASE WHEN g.mstart THEN b.l || b.r ELSE g.sym END AS sym"
         f"  FROM g{k} g CROSS JOIN b{k} b"
         f"  WHERE g.mstart OR NOT coalesce(g.pm, false))"
@@ -991,18 +991,19 @@ def _bpe_final_sql(n: int) -> str:
     return " UNION ALL ".join(parts)
 
 
-_BPE_ORACLE = (
+_BPE_CHAIN = (
     "WITH tok AS (SELECT unnest(regexp_split_to_array("
     f"{_NORM_SQL}, ' ')) AS w FROM documents),"
     " wf AS (SELECT w AS wid, CAST(count(*) AS BIGINT) AS freq"
     "  FROM tok WHERE len(w) >= 2 GROUP BY w),"
-    " w0 AS (SELECT wid, freq, CAST(i AS BIGINT) AS pos,"
+    " w0 AS MATERIALIZED (SELECT wid, freq, CAST(i AS BIGINT) AS pos,"
     "  substr(wid, CAST(i AS INT), 1) AS sym FROM"
     "  (SELECT wid, freq, unnest(generate_series(1, len(wid))) AS i"
     "   FROM wf)),"
     + ",".join(_bpe_iter_sql(k) for k in range(1, _BPE_STEPS + 1))
-    + " " + _bpe_final_sql(_BPE_STEPS)
 )
+
+_BPE_ORACLE = _BPE_CHAIN + " " + _bpe_final_sql(_BPE_STEPS)
 
 
 @query("ext_bpe_train", _BPE_ORACLE)
@@ -1054,3 +1055,42 @@ def ext_bpe_train(spark, sf_dir):
         merges,
         "step BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT",
     )
+
+
+@query(
+    "ext_bpe_encode",
+    _BPE_CHAIN
+    + f" SELECT sym AS token,"
+    " CAST(count(DISTINCT wid) AS BIGINT) AS n_words,"
+    " CAST(sum(freq) AS BIGINT) AS total_count"
+    f" FROM w{_BPE_STEPS} GROUP BY sym",
+)
+def ext_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION: encode the corpus with the 6 trained BPE
+    merges and emit the resulting subword vocabulary — per final token,
+    the number of distinct words containing it and its total corpus
+    occurrence count. This is the step a training-data pipeline runs
+    after ext_bpe_train: the token histogram that sizes the vocab and
+    feeds sequence packing.
+
+    Scale: the encode IS the training loop's final symbol table (no
+    second corpus pass — see operators/text.py bpe_encode), plus one
+    map-side-combined agg over the O(vocab) symbol rows. The oracle
+    reuses the training chain's unrolled CTEs and aggregates w6
+    directly, so both engines derive the merges AND the encoding from
+    the same specification."""
+    from incremental_etl_on_lakehouse_spark.operators.text import (
+        bpe_encode,
+        normalize_text,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    words = (
+        d.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return bpe_encode(words, _BPE_STEPS)
