@@ -832,3 +832,82 @@ def ext_approx_distinct(spark, sf_dir):
         ).alias("approx_within_5pct"),
     )
 
+
+
+@query(
+    "ext_knn_clusters",
+    """WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id % 20 = 0),
+scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+   round(list_cosine_similarity(a.e, b.e), 6) AS sim
+   FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+knn AS (SELECT qid, cid FROM (
+   SELECT qid, cid, row_number() OVER
+     (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored)
+   WHERE rnk <= 5),
+mutual AS (SELECT a.qid AS s, a.cid AS d FROM knn a
+   JOIN knn b ON a.qid = b.cid AND a.cid = b.qid WHERE a.qid < a.cid),
+edges AS (SELECT s, d FROM mutual UNION SELECT d, s FROM mutual),
+reach (src, node) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+comp AS (SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS cluster
+         FROM reach GROUP BY src)
+SELECT vec_id, cluster,
+ CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM comp""",
+)
+def ext_knn_clusters(spark, sf_dir):
+    """Semantic cluster discovery: mutual-kNN graph over embeddings +
+    connected components — the corpus-clustering composite behind
+    SemDeDup-style pruning and topic bucketing. Per vector, its exact
+    top-5 cosine neighbors; an edge survives only if it is MUTUAL (each
+    endpoint ranks the other in its own top-5 — the standard sparsifier
+    that kills hub vertices); clusters are the components of the mutual
+    graph, labeled by min member id, with member counts.
+
+    Scale: this key pins the exact contract on a mod-20 slice (the
+    brute-force kNN is the oracle-replayable part); at corpus scale the
+    kNN edges come from the LSH-bucketed candidate path instead
+    (operators/similarity.py: topk_cosine_lsh — bucket join + exact
+    rescore, never all-pairs), the mutuality filter is one self-join of
+    the O(corpus x k) edge list on the reversed key, and the component
+    step is the same iterative min-label propagation as ext_dedup_clusters
+    (one join + one groupBy per round, localCheckpoint-bounded lineage,
+    rounds = cluster diameter, shallow by construction). The two-phase
+    per-partition top-k keeps every reducer's input at O(k x partitions)
+    rows per query."""
+    embs = load_table(spark, "embeddings", sf_dir).where(
+        F.col("vec_id") % 20 == 0
+    )
+    edges = SIM.topk_cosine_bruteforce(embs, embs, k=5)
+    a, b = edges.alias("a"), edges.alias("b")
+    mutual = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.corpus_id"))
+            & (F.col("a.corpus_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.corpus_id"))
+        .select(
+            F.col("a.query_id").alias("id_a"),
+            F.col("a.corpus_id").alias("id_b"),
+        )
+    )
+    labels = D.connected_components(mutual)
+    comp = (
+        embs.select("vec_id")
+        .join(labels, embs.vec_id == labels.id, "left_outer")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster"),
+        )
+    )
+    sizes = comp.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )
