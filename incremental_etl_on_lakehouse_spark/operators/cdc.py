@@ -876,3 +876,179 @@ def merge_agg_delta(
     return gold.merge(
         deltas, cond, clauses, txn_app_id=txn_app_id, txn_version=txn_version
     )
+
+
+def incremental_topk_update(
+    gold: LakeTable,
+    base: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    cnt_col: str = "cnt",
+    change_type_col: str = "_change_type",
+) -> None:
+    """One micro-batch of incremental TOP-K maintenance from a change feed:
+    ``gold`` holds, per group, the k largest DISTINCT values with their
+    multiplicities — the leaderboard/percentile-head aggregate.
+
+    Top-k is not subtractable (SURVEY.md §7 hard-part d, same family as
+    MIN/MAX): a delete that zeroes a member's count must PROMOTE the next
+    value from below the threshold, which the state alone cannot answer.
+    The maintenance split per touched group:
+
+    - **State-complete groups** (fewer than k distinct values: the state IS
+      the whole multiset head): apply every signed delta directly, drop
+      non-positive counts, re-rank. Never touches the base table.
+    - **Full groups, inserts only above the threshold**: a new value above
+      the current k-th is mergeable with count = its delta (if it existed
+      it would already be in state); positive deltas below the threshold
+      are provably irrelevant (rank is by value, and no member leaves in
+      an insert-only batch). Never touches the base table.
+    - **Full groups with a removal at-or-above the k-th value**: exactly
+      these recompute from ``base`` — the maintained table's snapshot AS OF
+      the batch's commit version — pruned to the touched groups with a
+      broadcast semi-join. Removals strictly below the threshold are
+      provably no-ops.
+
+    Evictions and vanished groups ride the same single MERGE (__op
+    DELETE markers from an anti-join of old state vs new state), so one
+    commit per batch. At 100 TB the recompute is O(rows of touched
+    groups) with the group column in statsColumns for file pruning."""
+    deltas = cdf_multiset_deltas(
+        changes, group_cols, value_col, change_type_col=change_type_col
+    )
+    if deltas.isEmpty():
+        return
+    state = gold.to_df()
+
+    def _ns(left: DataFrame, right: DataFrame, prefix: str, cols=None):
+        cols = cols or group_cols
+        ren = {c: f"{prefix}{c}" for c in cols}
+        r = right.withColumnsRenamed(ren)
+        cond = None
+        for c in cols:
+            e = left[c].eqNullSafe(r[f"{prefix}{c}"])
+            cond = e if cond is None else cond & e
+        return r, cond
+
+    summ = state.groupBy(*group_cols).agg(
+        F.min(value_col).alias("__kth"), F.count(F.lit(1)).alias("__n")
+    )
+    touched = deltas.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("delta_cnt") < 0, F.col(value_col))).alias(
+            "__max_neg"
+        )
+    )
+    summ_r, cond = _ns(touched, summ, "__s_")
+    cls = touched.join(summ_r, cond, "left").select(
+        *[touched[c] for c in group_cols],
+        "__max_neg",
+        "__kth",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("__n2"),
+    ).withColumnRenamed("__n2", "__n")
+    full = F.col("__n") >= k
+    need_recompute = (
+        F.col("__max_neg").isNotNull()
+        & full
+        & (F.col("__max_neg") >= F.col("__kth"))
+    )
+    recompute_groups = cls.where(need_recompute).select(*group_cols)
+    direct_groups = cls.where(~need_recompute).select(
+        *group_cols, "__kth", "__n"
+    )
+
+    # direct path: state rows of the group + the applicable deltas
+    dg_r, dg_cond = _ns(state, direct_groups, "__d_")
+    state_direct = state.join(
+        F.broadcast(dg_r), dg_cond, "left_semi"
+    ).select(*group_cols, value_col, F.col(cnt_col).alias("__c"))
+    del_r, del_cond = _ns(deltas, direct_groups, "__g_")
+    applicable = (
+        deltas.join(F.broadcast(del_r), del_cond, "inner")
+        .where(
+            # state-complete groups take every delta; full groups only
+            # positive deltas at-or-above the threshold (below-threshold
+            # positives cannot enter a value-ranked top-k while no member
+            # leaves; below-threshold negatives touch untracked values)
+            (F.col("__n") < k)
+            | (
+                (F.col("delta_cnt") > 0)
+                & (F.col(value_col) >= F.col("__kth"))
+            )
+        )
+        .select(*group_cols, value_col, F.col("delta_cnt").alias("__c"))
+    )
+    direct_new = (
+        state_direct.unionByName(applicable)
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum("__c").cast("long").alias(cnt_col))
+        .where(F.col(cnt_col) > 0)
+    )
+
+    parts = [direct_new]
+    if not recompute_groups.isEmpty():
+        rg_r, rg_cond = _ns(base, recompute_groups, "__rg_")
+        parts.append(
+            base.join(F.broadcast(rg_r), rg_cond, "left_semi")
+            .where(F.col(value_col).isNotNull())
+            .groupBy(*group_cols, value_col)
+            .agg(F.count(F.lit(1)).cast("long").alias(cnt_col))
+        )
+    candidates = parts[0]
+    for p in parts[1:]:
+        candidates = candidates.unionByName(p)
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).desc())
+    new_state = (
+        candidates.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") <= k)
+        .drop("__rnk")
+    )
+
+    # DELETE markers: old state rows of touched groups absent from the new
+    # state (evictions, zeroed members, vanished groups)
+    tg = recompute_groups.unionByName(
+        direct_groups.select(*group_cols)
+    ).distinct()
+    tg_r, tg_cond = _ns(state, tg, "__t_")
+    old_touched = state.join(F.broadcast(tg_r), tg_cond, "left_semi")
+    ns_r, ns_cond = _ns(
+        old_touched, new_state, "__v_", cols=[*group_cols, value_col]
+    )
+    vanished = old_touched.join(ns_r, ns_cond, "left_anti").select(
+        *group_cols,
+        value_col,
+        F.lit(None).cast("long").alias(cnt_col),
+        F.lit("DELETE").alias("__op"),
+    )
+    # emit only rows whose (value, cnt) actually changed: an untouched
+    # no-op batch (e.g. every delta below the threshold) then produces an
+    # empty source and commits nothing
+    os_r, os_cond = _ns(
+        new_state, state, "__o_", cols=[*group_cols, value_col, cnt_col]
+    )
+    changed = new_state.join(os_r, os_cond, "left_anti")
+    source = changed.withColumn("__op", F.lit("UPSERT")).unionByName(
+        vanished
+    )
+    if source.isEmpty():
+        return
+    cond = " AND ".join(
+        f"source.`{c}` <=> target.`{c}`" for c in [*group_cols, value_col]
+    )
+    assignments = {cnt_col: f"source.`{cnt_col}`"}
+    insert_assignments = {
+        c: f"source.`{c}`" for c in [*group_cols, value_col]
+    }
+    insert_assignments.update(assignments)
+    gold.merge(
+        source,
+        cond,
+        [
+            MergeClause("delete", "source.`__op` = 'DELETE'"),
+            MergeClause("update", "source.`__op` = 'UPSERT'", assignments),
+            MergeClause(
+                "insert", "source.`__op` <> 'DELETE'", insert_assignments
+            ),
+        ],
+    )

@@ -334,6 +334,72 @@ def agg_incremental_minmax(spark, sf_dir):
     )
 
 
+TOPK_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("value_cents", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_CDC_TOPK_CACHE: dict[tuple[int, str], LakeTable] = {}
+
+
+@query(
+    "agg_incremental_topk",
+    _SQL_CDC
+    + "SELECT event_type, value_cents, cnt FROM ("
+    " SELECT event_type, value_cents, CAST(count(*) AS BIGINT) AS cnt,"
+    "  row_number() OVER (PARTITION BY event_type"
+    "   ORDER BY value_cents DESC) AS rnk"
+    " FROM final GROUP BY event_type, value_cents) t WHERE rnk <= 3",
+)
+def agg_incremental_topk(spark, sf_dir):
+    """Incremental TOP-K maintenance from the change feed — the
+    leaderboard aggregate, completing the non-subtractable family next
+    to MIN/MAX and COUNT(DISTINCT) (SURVEY.md §7 hard-part d): per
+    event_type the 3 largest distinct value_cents with multiplicities,
+    driven purely from CDF batches. Deletes in batch 2 remove rows
+    holding group-maximal values, so the promote-on-delete recompute
+    path (state can't answer what rises from below the threshold) is
+    exercised, not just reachable; insert-only batches never touch the
+    base table (operators/cdc.py incremental_topk_update documents the
+    three-way split). Final state equals the batch top-3 of the
+    converged silver snapshot — the oracle replays that directly."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        incremental_topk_update,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    cached = _CDC_TOPK_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.path):
+        return cached.to_df()
+    silver = _run_cdc_silver(spark, sf_dir)
+    root = _tmpdir()
+    gold = LakeTable.create(
+        spark, os.path.join(root, "gold_topk"), TOPK_SCHEMA
+    )
+    reader = LakeStreamReader(
+        silver,
+        os.path.join(root, "topk_ck.json"),
+        mode="cdf",
+        starting_version=1,
+    )
+
+    def update(changes: DataFrame, v: int) -> None:
+        incremental_topk_update(
+            gold,
+            silver.to_df(version=v),
+            changes,
+            group_cols=["event_type"],
+            value_col="value_cents",
+            k=3,
+        )
+
+    reader.process_available(update)
+    _CDC_TOPK_CACHE[cache_key] = gold
+    return gold.to_df()
+
+
 _CDC_VIEW_CACHE: dict[tuple[int, str], object] = {}
 
 

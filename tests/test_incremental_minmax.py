@@ -180,3 +180,94 @@ def test_null_values_never_enter_distinct_state(spark, tables):
     sync()
     assert dcounts(state) == {"a": 1}
     assert state.to_df().where("val IS NULL").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental TOP-K maintenance (round 10): the leaderboard aggregate
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_topk_paths(spark, tmp_path):
+    """Every maintenance path of incremental_topk_update observable on a
+    crafted sequence: state-complete direct apply, insert-above-threshold
+    without base scan, eviction, promote-on-delete recompute, interior
+    no-op delete, whole-group vanish."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        incremental_topk_update,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t2"), ROWS,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    topk = LakeTable.create(spark, str(tmp_path / "topk"), ST)
+    reader = LakeStreamReader(
+        t, str(tmp_path / "ck2.json"), mode="cdf", starting_version=1
+    )
+
+    def sync():
+        reader.process_available(
+            lambda ch, v: incremental_topk_update(
+                topk, t.to_df(version=v), ch,
+                group_cols=["grp"], value_col="val", k=3,
+            )
+        )
+
+    def state():
+        return {
+            (r.grp, r.val): r.cnt for r in topk.to_df().collect()
+        }
+
+    def expected():
+        rows = [(r.grp, r.val) for r in t.to_df().collect()]
+        from collections import Counter
+
+        per = {}
+        for g, v in rows:
+            per.setdefault(g, Counter())[v] += 1
+        out = {}
+        for g, c in per.items():
+            for v in sorted(c, reverse=True)[:3]:
+                out[(g, v)] = c[v]
+        return out
+
+    # batch 1: group a has 2 distinct values (state-complete), group b 4
+    t.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 20),
+         (4, "b", 1), (5, "b", 2), (6, "b", 3), (7, "b", 4)], ROWS))
+    sync()
+    assert state() == expected()
+    assert state() == {("a", 10): 2, ("a", 20): 1,
+                       ("b", 4): 1, ("b", 3): 1, ("b", 2): 1}
+
+    # batch 2: insert above b's threshold (evicts 2) — insert-only path
+    t.append(spark.createDataFrame([(8, "b", 9)], ROWS))
+    sync()
+    assert state() == expected()
+    assert ("b", 2) not in state()
+
+    # batch 3: delete b's maximum — promote-on-delete recompute (value 2
+    # must rise back from below the threshold)
+    t.delete("grp = 'b' AND val = 9")
+    sync()
+    assert state() == expected()
+    assert state()[("b", 2)] == 1
+
+    # batch 4: interior delete below b's threshold (val 1 untracked) — a
+    # provable no-op for the state; and a duplicate-count decrement in a
+    # (state-complete direct path)
+    v_before = topk.version()
+    t.delete("grp = 'b' AND val = 1")
+    sync()
+    assert state() == expected()
+    assert topk.version() == v_before, "below-threshold delete must not commit"
+    t.delete("id = 1")  # one of a's duplicate 10s
+    sync()
+    assert state() == expected()
+    assert state()[("a", 10)] == 1
+
+    # batch 5: whole group vanishes
+    t.delete("grp = 'a'")
+    sync()
+    assert state() == expected()
+    assert not [k for k in state() if k[0] == "a"]
