@@ -271,3 +271,72 @@ def test_incremental_topk_paths(spark, tmp_path):
     sync()
     assert state() == expected()
     assert not [k for k in state() if k[0] == "a"]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_incremental_topk_random_differential(spark, tmp_path, seed):
+    """Randomized differential check for the three-way top-k maintenance
+    split: arbitrary append/delete/update interleavings, state compared
+    after EVERY batch against the batch top-3 of the current snapshot —
+    the fixed-path test can't enumerate the split's boundary mixes
+    (same-batch insert+delete straddling the threshold, ties at the k-th
+    value, repeated counts)."""
+    import random
+    from collections import Counter
+
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        incremental_topk_update,
+    )
+
+    rng = random.Random(4400 + seed)
+    t = LakeTable.create(
+        spark, str(tmp_path / f"t_{seed}"), ROWS,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    topk = LakeTable.create(spark, str(tmp_path / f"topk_{seed}"), ST)
+    reader = LakeStreamReader(
+        t, str(tmp_path / f"ck_{seed}.json"), mode="cdf", starting_version=1
+    )
+    next_id = 0
+
+    def sync():
+        reader.process_available(
+            lambda ch, v: incremental_topk_update(
+                topk, t.to_df(version=v), ch,
+                group_cols=["grp"], value_col="val", k=3,
+            )
+        )
+
+    def expected():
+        per: dict = {}
+        for r in t.to_df().collect():
+            per.setdefault(r.grp, Counter())[r.val] += 1
+        out = {}
+        for g, c in per.items():
+            for v in sorted(c, reverse=True)[:3]:
+                out[(g, v)] = c[v]
+        return out
+
+    # narrow value domain (0..6) and 2 groups force threshold collisions,
+    # duplicate counts, and full/complete state transitions constantly
+    for _ in range(10):
+        op = rng.choice(["append", "append", "delete", "update"])
+        if op == "append":
+            k = rng.randint(1, 4)
+            rows = [
+                (next_id + j, rng.choice("ab"), rng.randint(0, 6))
+                for j in range(k)
+            ]
+            next_id += k
+            t.append(spark.createDataFrame(rows, ROWS))
+        elif op == "delete":
+            v = rng.randint(0, 6)
+            g = rng.choice("ab")
+            t.delete(f"grp = '{g}' AND val = {v}")
+        elif op == "update":
+            v = rng.randint(0, 6)
+            t.update({"val": f"val + {rng.randint(1, 3)}"},
+                     condition=f"val = {v}")
+        sync()
+        got = {(r.grp, r.val): r.cnt for r in topk.to_df().collect()}
+        assert got == expected(), (seed, op, got, expected())
