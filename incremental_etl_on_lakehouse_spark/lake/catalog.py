@@ -62,8 +62,9 @@ class LakeCatalog:
         self.spark = spark
         self.root = os.path.abspath(root)
         self._meta_path = os.path.join(self.root, META_DIR)
-        # (latest entry version, folded state); invalidated by version probe
-        self._meta_cache: tuple[int, dict] | None = None
+        # ((incarnation token, latest version), latest, folded state);
+        # invalidated by version probe or a metastore recreation
+        self._meta_cache: tuple | None = None
         self._view_owners: dict[str, tuple[str, str]] = {}
         os.makedirs(self.root, exist_ok=True)
 
@@ -86,6 +87,20 @@ class LakeCatalog:
     def _meta_versions(self) -> list[int]:
         return self._meta_listing()[0]
 
+    def _meta_token(self) -> str:
+        """Identity of this metastore INCARNATION (an `_id` file minted at
+        first commit). The state cache keys on (token, latest version):
+        version count alone is ABA-unsafe once DROP CATALOG can delete and
+        recreate a metastore — a peer instance whose cached version number
+        matches the new incarnation's would silently serve the pre-drop
+        mapping."""
+        try:
+            return store_for(self._meta_path).read_text(
+                os.path.join(self._meta_path, "_id")
+            )
+        except (FileNotFoundError, OSError):
+            return ""
+
     @staticmethod
     def _meta_apply(state: dict, e: dict) -> None:
         op = e["op"]
@@ -98,8 +113,17 @@ class LakeCatalog:
                 "path": e["path"],
                 "external": bool(e.get("external", False)),
             }
+            # re-adopting previously-orphaned external data clears its
+            # ownership marker: the registration itself is the record now
+            state.get("__extern_orphans__", {}).pop(e["path"], None)
         elif op == "drop_table":
             state.get(e["db"], {}).pop(e["table"], None)
+        elif op == "put_extern_orphan":
+            # persistent record that the lake-table directory at `path`
+            # holds EXTERNALLY-owned data whose registration was dropped;
+            # directory-convention deletion must refuse it (keys starting
+            # "__" are reserved — never database names)
+            state.setdefault("__extern_orphans__", {})[e["path"]] = True
 
     def _meta_state(self) -> tuple[int, dict]:
         """(latest version, state). State shape:
@@ -111,8 +135,12 @@ class LakeCatalog:
         invalidates it on next read."""
         versions, ckpts = self._meta_listing()
         latest = versions[-1] if versions else -1
-        if self._meta_cache is not None and self._meta_cache[0] == latest:
-            return self._meta_cache
+        token = self._meta_token()
+        if (
+            self._meta_cache is not None
+            and self._meta_cache[0] == (token, latest)
+        ):
+            return self._meta_cache[1], self._meta_cache[2]
         store = store_for(self._meta_path)
         state: dict[str, dict] = {}
         start = 0
@@ -136,8 +164,8 @@ class LakeCatalog:
                     )
                 ),
             )
-        self._meta_cache = (latest, state)
-        return self._meta_cache
+        self._meta_cache = ((token, latest), latest, state)
+        return latest, state
 
     def _meta_commit(
         self, action: dict, retries: int = 8, precondition=None
@@ -155,6 +183,13 @@ class LakeCatalog:
         load."""
         store = store_for(self._meta_path)
         store.mkdirs(self._meta_path)
+        if not self._meta_token():
+            import uuid as _uuid
+
+            with contextlib.suppress(FileExistsError):
+                store.put_if_absent(
+                    os.path.join(self._meta_path, "_id"), _uuid.uuid4().hex
+                )
         for _ in range(retries):
             if precondition is not None:
                 self._meta_cache = None
@@ -232,6 +267,10 @@ class LakeCatalog:
                 os.path.abspath(e["path"]), os.path.abspath(path)
             ).startswith("..")
             for e in state0.get(db, {}).values()
+        ) or any(
+            not os.path.relpath(p, os.path.abspath(path)).startswith("..")
+            and LakeTable.exists(p)
+            for p in state0.get("__extern_orphans__", {})
         )
         for t in self.tables(db):
             self.drop_table(db, t)
@@ -257,7 +296,11 @@ class LakeCatalog:
             for d in os.listdir(self.root)
             if d != META_DIR and os.path.isdir(self._db_path(d))
         }
-        return sorted(dirs | set(state))
+        # "__"-prefixed state keys are reserved records (extern orphans),
+        # never databases
+        return sorted(
+            dirs | {k for k in state if not k.startswith("__")}
+        )
 
     # --------------------------------------------------------------- tables
 
@@ -355,12 +398,24 @@ class LakeCatalog:
 
     def drop_table(self, db: str, name: str) -> None:
         """``DROP TABLE IF EXISTS`` (ref :211,349): managed data is
-        deleted; an external registration is only removed."""
+        deleted; an external registration is only removed. Unregistering
+        an external table whose DATA lives inside the managed tree leaves
+        a persistent ownership marker, so the surviving directory can
+        never be mistaken for a pre-metastore managed table and deleted."""
         _, state = self._meta_state()
         entry = state.get(db, {}).get(name)
         if entry is not None:
             if not entry["external"]:
                 LakeTable.drop(entry["path"])
+            elif not os.path.relpath(
+                os.path.abspath(entry["path"]), self.root
+            ).startswith("..") and LakeTable.exists(entry["path"]):
+                self._meta_commit(
+                    {
+                        "op": "put_extern_orphan",
+                        "path": os.path.abspath(entry["path"]),
+                    }
+                )
             self._meta_commit(
                 {"op": "drop_table", "db": db, "table": name},
                 precondition=lambda st: name in st.get(db, {}),
@@ -368,13 +423,20 @@ class LakeCatalog:
             return
         # directory-convention table (pre-metastore): managed by location —
         # unless that directory is actually an EXTERNAL registration under
-        # another name; DROP never deletes external data
+        # another name, or orphaned externally-owned data; DROP never
+        # deletes external data
         p = os.path.abspath(self._table_path(db, name))
         if any(
             e["external"] and os.path.abspath(e["path"]) == p
             for e in state.get(db, {}).values()
         ):
             return
+        if p in state.get("__extern_orphans__", {}):
+            raise ValueError(
+                f"{p} holds externally-owned data orphaned by a previous "
+                "unregistration; re-register it (register_table) or remove "
+                "the files manually — DROP never deletes external data"
+            )
         LakeTable.drop(p)
 
     def table(self, db: str, name: str) -> LakeTable:
@@ -642,6 +704,38 @@ class Lakehouse:
         dbs = cat.databases()
         if dbs and not cascade:
             raise ValueError(f"catalog not empty: {name} (use cascade=True)")
+        # Refuse rather than orphan: external-table DATA inside the
+        # catalog tree can neither be deleted by DROP (external data is
+        # never deleted) nor left behind (the metastore — the only record
+        # of its external ownership — goes with the catalog, and a later
+        # directory-convention DROP TABLE on the rediscovered dir would
+        # delete externally-owned bytes). The caller relocates or keeps
+        # those tables in a live catalog first.
+        _, state = cat._meta_state()
+        blockers = [
+            f"{db}.{t}"
+            for db, tbls in state.items()
+            if not db.startswith("__")
+            for t, e in tbls.items()
+            if e["external"]
+            and not os.path.relpath(
+                os.path.abspath(e["path"]), path
+            ).startswith("..")
+            and LakeTable.exists(e["path"])
+        ]
+        blockers += [
+            p
+            for p in state.get("__extern_orphans__", {})
+            if not os.path.relpath(p, path).startswith("..")
+            and LakeTable.exists(p)
+        ]
+        if blockers:
+            raise ValueError(
+                f"cannot drop catalog {name}: externally-owned table data "
+                f"lives inside its directory ({sorted(set(blockers))}); "
+                "relocate or re-home those tables first (DROP never "
+                "deletes external data)"
+            )
         for db in dbs:
             cat.drop_database(db, cascade=True)
         meta = os.path.join(path, META_DIR)
@@ -770,12 +864,19 @@ class Lakehouse:
         )
         if m:
             cat, db = self._split_db(m.group(3))
-            self.create_catalog(cat)
-            target = self.catalog(cat)
             if m.group(1).upper() == "CREATE":
-                return target.create_database(
+                self.create_catalog(cat)
+                return self.catalog(cat).create_database(
                     db, if_not_exists=bool(m.group(2))
                 )
+            # DROP: a missing catalog must never be created as a side
+            # effect — a typo'd cleanup statement is a no-op (IF EXISTS)
+            # or an error, not a namespace mutation
+            if not os.path.isdir(self._cat_path(cat)):
+                if m.group(2):
+                    return None
+                raise ValueError(f"no such catalog: {cat}")
+            target = self.catalog(cat)
             if m.group(2) and db not in target.databases():
                 return None
             return target.drop_database(db, cascade=bool(m.group(4)))
@@ -821,7 +922,15 @@ class Lakehouse:
         pat = re.compile(
             r"(?<![\w.`])(`?\w+`?)\.(`?\w+`?)\.(`?\w+`?)(?![\w.`(])"
         )
-        rewritten = pat.sub(repl, statement)
+        # never rewrite inside single-quoted SQL string literals: a value
+        # like 'www.example.com' pattern-matches a 3-part name and would
+        # either corrupt the stored data or raise a spurious
+        # multiple-catalogs error. Split on literals ('' escapes stay
+        # inside one token) and rewrite only the code segments.
+        parts = re.split(r"('(?:[^']|'')*')", statement)
+        rewritten = "".join(
+            p if p.startswith("'") else pat.sub(repl, p) for p in parts
+        )
         if len(cats) > 1:
             raise ValueError(
                 f"statement references multiple catalogs {sorted(cats)}; "

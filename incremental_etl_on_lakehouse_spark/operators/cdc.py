@@ -915,10 +915,14 @@ def incremental_topk_update(
     DELETE markers from an anti-join of old state vs new state), so one
     commit per batch. At 100 TB the recompute is O(rows of touched
     groups) with the group column in statsColumns for file pruning."""
+    # deltas drive the emptiness probe, the group classification, AND the
+    # applicable-delta join; persist so the CDF scan + agg run once per
+    # batch, not once per consumer (the operator's O(changed keys) claim)
     deltas = cdf_multiset_deltas(
         changes, group_cols, value_col, change_type_col=change_type_col
-    )
+    ).persist()
     if deltas.isEmpty():
+        deltas.unpersist(blocking=False)
         return
     state = gold.to_df()
 
@@ -1028,11 +1032,20 @@ def incremental_topk_update(
         new_state, state, "__o_", cols=[*group_cols, value_col, cnt_col]
     )
     changed = new_state.join(os_r, os_cond, "left_anti")
-    source = changed.withColumn("__op", F.lit("UPSERT")).unionByName(
-        vanished
+    # persisted: the emptiness probe materializes the full plan once and
+    # the MERGE's own source persist then reads the cache instead of
+    # re-evaluating the direct+recompute+anti-join tree
+    source = (
+        changed.withColumn("__op", F.lit("UPSERT"))
+        .unionByName(vanished)
+        .persist()
     )
-    if source.isEmpty():
-        return
+    try:
+        if source.isEmpty():
+            source.unpersist(blocking=False)
+            return
+    finally:
+        deltas.unpersist(blocking=False)
     cond = " AND ".join(
         f"source.`{c}` <=> target.`{c}`" for c in [*group_cols, value_col]
     )
@@ -1041,14 +1054,19 @@ def incremental_topk_update(
         c: f"source.`{c}`" for c in [*group_cols, value_col]
     }
     insert_assignments.update(assignments)
-    gold.merge(
-        source,
-        cond,
-        [
-            MergeClause("delete", "source.`__op` = 'DELETE'"),
-            MergeClause("update", "source.`__op` = 'UPSERT'", assignments),
-            MergeClause(
-                "insert", "source.`__op` <> 'DELETE'", insert_assignments
-            ),
-        ],
-    )
+    try:
+        gold.merge(
+            source,
+            cond,
+            [
+                MergeClause("delete", "source.`__op` = 'DELETE'"),
+                MergeClause(
+                    "update", "source.`__op` = 'UPSERT'", assignments
+                ),
+                MergeClause(
+                    "insert", "source.`__op` <> 'DELETE'", insert_assignments
+                ),
+            ],
+        )
+    finally:
+        source.unpersist(blocking=False)

@@ -730,22 +730,12 @@ def corpus_report(
     )
 
 
-def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
-    """Train ``steps`` BPE merges (Sennrich et al. 2016) over a word-
-    frequency table ``words(w: string, freq: long)`` and return the merge
-    rules as ``(step, left_sym, right_sym, pair_count)`` tuples.
-
-    The distributed word-level formulation: the corpus is assumed already
-    folded to distinct words (O(vocab) rows — millions at 100 TB, never
-    the corpus), symbols live as an exploded (wid, pos, sym) table hash-
-    partitioned by wid ONCE, and each round is a shuffle-free window pass
-    (every window declares the same wid clustering, filter/project
-    preserve it) plus one tiny pair-domain agg and a 1-row TakeOrdered
-    argmax — the only driver collect per round. The merge applies
-    canonically left-to-right: chain-adjacent candidate islands (possible
-    only when left = right) merge at even offsets, resolved with a
-    running max of the last non-candidate seq rather than a second
-    (wid, island)-keyed shuffle."""
+def _bpe_run(words: DataFrame, steps: int):
+    """Shared BPE merge loop: returns (merges, final_state) where merges
+    is the learned rule list and final_state the encoded (wid, freq, pos,
+    sym) symbol table, persisted. One implementation so training and
+    encoding can never diverge on the merge semantics (canonical
+    left-to-right application; see bpe_train for the scale notes)."""
     from pyspark.sql import Window
 
     spark = words.sparkSession
@@ -759,6 +749,12 @@ def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
             )
         ).alias("p0", "sym"),
     ).select("wid", "freq", (F.col("p0") + 1).cast("long").alias("pos"), "sym")
+    # ONE wid hash-exchange up front; every window below declares the same
+    # clustering, and filter/project preserve it, so all rounds run with
+    # ZERO additional window shuffles — only the tiny per-round pair agg
+    # exchanges. persist() (not localCheckpoint) keeps the partitioning
+    # metadata across rounds; at 100 TB use MEMORY_AND_DISK + a real
+    # checkpoint every few rounds to bound lineage.
     par = max(spark.sparkContext.defaultParallelism, 8)
     st = st.repartition(par, "wid").persist()
 
@@ -783,7 +779,7 @@ def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
         while retired:
             retired.pop().unpersist(blocking=False)
         if not top:
-            break
+            break  # merges exhausted: keep the last symbol table
         left, right, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
         merges.append((step, left, right, cnt))
         cand = s.withColumn(
@@ -817,6 +813,26 @@ def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
         )
     for df_ in retired:
         df_.unpersist(blocking=False)
+    return merges, st
+
+
+def bpe_train(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
+    """Train ``steps`` BPE merges (Sennrich et al. 2016) over a word-
+    frequency table ``words(w: string, freq: long)`` and return the merge
+    rules as ``(step, left_sym, right_sym, pair_count)`` tuples.
+
+    The distributed word-level formulation: the corpus is assumed already
+    folded to distinct words (O(vocab) rows — millions at 100 TB, never
+    the corpus), symbols live as an exploded (wid, pos, sym) table hash-
+    partitioned by wid ONCE, and each round is a shuffle-free window pass
+    (every window declares the same wid clustering, filter/project
+    preserve it) plus one tiny pair-domain agg and a 1-row TakeOrdered
+    argmax — the only driver collect per round. The merge applies
+    canonically left-to-right: chain-adjacent candidate islands (possible
+    only when left = right) merge at even offsets, resolved with a
+    running max of the last non-candidate seq rather than a second
+    (wid, island)-keyed shuffle."""
+    merges, st = _bpe_run(words, steps)
     st.unpersist(blocking=False)
     return merges
 
@@ -828,85 +844,18 @@ def bpe_encode(words: DataFrame, steps: int) -> DataFrame:
     corpus occurrences (``token, n_words, total_count``) — the tokenizer
     APPLICATION step a training-data pipeline runs after training. The
     per-word token sequence is the final symbol table itself; callers
-    needing it can join back on ``wid``.
+    needing it can join back on ``wid``. If merges exhaust before
+    ``steps``, the last symbol table is encoded (the oracle chain carries
+    it forward the same way).
 
     Scale: identical to the training loop (the encode IS the trained
     loop's final state — no second pass), then one tiny agg over the
     O(vocab) symbol table."""
-    # Re-running the loop recomputes the final symbol table; the extra
-    # cost over train-only is one aggregation. Duplicating the loop body
-    # here to thread the state out would be the DRYer-looking but
-    # riskier-diverging choice, so the loop below mirrors bpe_train with
-    # the state returned.
-    from pyspark.sql import Window
-
-    spark = words.sparkSession
-    st = words.select(
-        F.col("w").alias("wid"),
-        "freq",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w")),
-                lambda i: F.col("w").substr(i, F.lit(1)),
-            )
-        ).alias("p0", "sym"),
-    ).select("wid", "freq", (F.col("p0") + 1).cast("long").alias("pos"), "sym")
-    par = max(spark.sparkContext.defaultParallelism, 8)
-    st = st.repartition(par, "wid").persist()
-
-    wwin = Window.partitionBy("wid").orderBy("pos")
-    swin = Window.partitionBy("wid").orderBy("seq")
-    retired: list[DataFrame] = []
-    for _step in range(steps):
-        s = st.withColumn("seq", F.row_number().over(wwin)).withColumn(
-            "nxt", F.lead("sym").over(wwin)
-        )
-        top = (
-            s.where(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("freq").cast("long").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "sym", "nxt")
-            .limit(1)
-            .collect()
-        )
-        while retired:
-            retired.pop().unpersist(blocking=False)
-        if not top:
-            break
-        left, right = top[0]["sym"], top[0]["nxt"]
-        cand = s.withColumn(
-            "cand",
-            (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)),
-        )
-        run = swin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        last_nc = F.coalesce(
-            F.max(F.when(~F.col("cand"), F.col("seq"))).over(run), F.lit(0)
-        )
-        m = cand.withColumn(
-            "mstart",
-            F.col("cand") & (((F.col("seq") - last_nc - 1) % 2) == 0),
-        )
-        g = m.withColumn("pm", F.lag("mstart").over(swin))
-        retired.append(st)
-        st = (
-            g.where(F.col("mstart") | ~F.coalesce(F.col("pm"), F.lit(False)))
-            .select(
-                "wid",
-                "freq",
-                "pos",
-                F.when(F.col("mstart"), F.lit(left + right))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .persist()
-        )
-    out = st.groupBy(F.col("sym").alias("token")).agg(
+    _, st = _bpe_run(words, steps)
+    # the agg consumes the cached final state in the caller's action;
+    # an eager unpersist here would recompute the whole loop when the
+    # caller finally acts on the result
+    return st.groupBy(F.col("sym").alias("token")).agg(
         F.countDistinct("wid").cast("long").alias("n_words"),
         F.sum("freq").cast("long").alias("total_count"),
     )
-    # the agg consumes the cached final state in the caller's action;
-    # leave unpersist to GC (an eager unpersist here would recompute the
-    # whole loop when the caller finally acts on `out`)
-    for df_ in retired:
-        df_.unpersist(blocking=False)
-    return out

@@ -978,7 +978,14 @@ def _bpe_iter_sql(k: int) -> str:
         f" w{k} AS MATERIALIZED (SELECT g.wid, g.freq, g.pos,"
         f"  CASE WHEN g.mstart THEN b.l || b.r ELSE g.sym END AS sym"
         f"  FROM g{k} g CROSS JOIN b{k} b"
-        f"  WHERE g.mstart OR NOT coalesce(g.pm, false))"
+        f"  WHERE g.mstart OR NOT coalesce(g.pm, false)"
+        # merges exhausted (no pairs left -> b{k} empty -> the cross join
+        # yields nothing): carry the previous symbol table forward, so the
+        # chain's final state matches the Python loop's break-and-keep —
+        # without this, a degenerate corpus zeroes every later w{k} and
+        # the encode aggregate silently returns empty
+        f"  UNION ALL SELECT wid, freq, pos, sym FROM w{p}"
+        f"  WHERE NOT EXISTS (SELECT 1 FROM b{k}))"
     )
 
 

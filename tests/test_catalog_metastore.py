@@ -648,3 +648,117 @@ def test_lakehouse_interleaving_fuzz(spark, tmp_path, seed):
                 assert set(fresh.catalog(c).tables(d)) == model[c][d], (
                     seed, c, d,
                 )
+
+
+def test_lakehouse_string_literals_not_rewritten(spark, lh):
+    """Dotted values inside SQL string literals ('www.example.com') must
+    not be parsed as catalog.db.table references."""
+    lh.sql("CREATE CATALOG dev")
+    lh.sql("CREATE DATABASE dev.raw")
+    lh.sql("CREATE TABLE dev.raw.t (id BIGINT, url STRING)")
+    lh.sql(
+        "INSERT INTO dev.raw.t VALUES (1, 'www.example.com'),"
+        " (2, 'a.b.c')"
+    )
+    got = {(r.id, r.url) for r in lh.table("dev.raw.t").to_df().collect()}
+    assert got == {(1, "www.example.com"), (2, "a.b.c")}
+    lh.sql("UPDATE dev.raw.t SET url = 'v1.2.3' WHERE id = 2")
+    got = {(r.id, r.url) for r in lh.table("dev.raw.t").to_df().collect()}
+    assert got == {(1, "www.example.com"), (2, "v1.2.3")}
+
+
+def test_lakehouse_drop_database_typo_does_not_create_catalog(spark, lh):
+    lh.sql("CREATE CATALOG real")
+    assert lh.sql("DROP DATABASE IF EXISTS typo_cat.sales") is None
+    assert lh.catalogs() == ["real"], "typo'd DROP must not mint a catalog"
+    with pytest.raises(ValueError, match="no such catalog"):
+        lh.sql("DROP DATABASE typo2.sales")
+    assert lh.catalogs() == ["real"]
+
+
+def test_lakehouse_drop_catalog_refuses_inside_tree_external(
+    spark, lh, tmp_path
+):
+    """External DATA inside the catalog tree blocks DROP CATALOG: the
+    metastore is the only record of its external ownership, so deleting
+    the catalog would set the data up for a later directory-convention
+    deletion. Data outside the tree never blocks."""
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+    lh.sql("CREATE CATALOG dev")
+    lh.sql("CREATE DATABASE dev.raw")
+    inside = os.path.join(lh.root, "dev", "raw", "adopted")
+    LakeTable.create(spark, inside, schema)
+    LakeTable(spark, inside).append(spark.createDataFrame([(1,)], schema))
+    lh.catalog("dev").register_table("raw", "adopted", inside)
+    with pytest.raises(ValueError, match="externally-owned"):
+        lh.sql("DROP CATALOG dev CASCADE")
+    assert "dev" in lh.catalogs()
+    assert LakeTable.exists(inside)
+    # after the data is removed (owner's choice), the drop proceeds
+    LakeTable.drop(inside)
+    lh.sql("DROP CATALOG dev CASCADE")
+    assert "dev" not in lh.catalogs()
+
+
+def test_extern_orphan_marker_blocks_directory_convention_drop(
+    spark, tmp_path
+):
+    """Unregistering an external table whose data lives inside the
+    managed tree leaves a persistent ownership marker: the surviving
+    directory is rediscovered by name, but DROP TABLE refuses to delete
+    it as a directory-convention managed table — and re-registering it
+    clears the marker."""
+    root = str(tmp_path / "cat")
+    cat = LakeCatalog(spark, root)
+    cat.create_database("db1")
+    inside = os.path.join(root, "db1", "adopted")
+    LakeTable.create(spark, inside, SCHEMA)
+    LakeTable(spark, inside).append(
+        spark.createDataFrame([(7, "x")], SCHEMA)
+    )
+    cat.register_table("db1", "adopted", inside)
+    cat.drop_table("db1", "adopted")  # unregister; data stays
+    assert LakeTable.exists(inside)
+    # rediscovered by directory convention...
+    assert "adopted" in cat.tables("db1")
+    # ...but a second DROP must refuse, not delete external data
+    with pytest.raises(ValueError, match="externally-owned"):
+        cat.drop_table("db1", "adopted")
+    assert LakeTable.exists(inside)
+    # a FRESH instance sees the marker too (it is persistent state)
+    cat2 = LakeCatalog(spark, root)
+    with pytest.raises(ValueError, match="externally-owned"):
+        cat2.drop_table("db1", "adopted")
+    # re-adoption clears the marker; the name resolves again
+    cat2.register_table("db1", "adopted", inside)
+    assert {r.id for r in cat2.table("db1", "adopted").to_df().collect()} == {
+        7
+    }
+
+
+def test_meta_cache_survives_drop_and_recreate(spark, tmp_path):
+    """ABA guard: a cached LakeCatalog instance must not serve pre-drop
+    state after the metastore is deleted and recreated to the same
+    version count by another instance."""
+    import shutil as _sh
+
+    from incremental_etl_on_lakehouse_spark.lake.catalog import Lakehouse
+
+    root = str(tmp_path / "lh")
+    lh_a = Lakehouse(spark, root)
+    lh_b = Lakehouse(spark, root)
+    lh_a.sql("CREATE CATALOG c")
+    lh_a.sql("CREATE DATABASE c.d")
+    lh_a.sql("CREATE TABLE c.d.t1 (id BIGINT)")
+    # B caches the incarnation
+    assert lh_b.sql("SHOW TABLES IN c.d") == ["t1"]
+    # A drops the catalog and recreates the SAME names with a different
+    # table — same entry count as before
+    lh_a.sql("DROP CATALOG c CASCADE")
+    lh_a.sql("CREATE CATALOG c")
+    lh_a.sql("CREATE DATABASE c.d")
+    lh_a.sql("CREATE TABLE c.d.t2 (id BIGINT)")
+    assert lh_b.sql("SHOW TABLES IN c.d") == ["t2"], "stale ABA cache"

@@ -898,3 +898,38 @@ def test_bpe_train_distinct_pair_chain(spark):
     assert merges[0] == (1, "a", "b", 15)
     # canonical result [ab, ab, ab]: (ab,ab) pairs = 2 x 5
     assert merges[1] == (2, "ab", "ab", 10)
+
+
+def test_bpe_encode_merges_exhaust_early(spark):
+    """When pair counts exhaust before the configured steps, the encode
+    keeps the LAST symbol table (Python break) and the oracle chain
+    carries it forward (the NOT EXISTS fallback branch) — both sides must
+    agree on a degenerate corpus."""
+    import duckdb
+
+    from incremental_etl_on_lakehouse_spark.operators.text import bpe_encode
+    from incremental_etl_on_lakehouse_spark.queries._s7_extras import (
+        _bpe_iter_sql,
+    )
+
+    words = spark.createDataFrame([("ab", 3), ("ab", 2)], "w string, freq long") \
+        .groupBy("w").agg(__import__("pyspark.sql.functions", fromlist=["sum"]).sum("freq").cast("long").alias("freq"))
+    # step 1 merges (a,b) -> every word becomes one symbol; steps 2..4
+    # have no pairs left
+    got = {
+        (r.token, r.n_words, r.total_count)
+        for r in bpe_encode(words, 4).collect()
+    }
+    assert got == {("ab", 1, 5)}
+
+    con = duckdb.connect()
+    chain = (
+        "WITH w0 AS MATERIALIZED (SELECT wid, freq, CAST(i AS BIGINT) AS pos,"
+        " substr(wid, CAST(i AS INT), 1) AS sym FROM"
+        " (SELECT wid, freq, unnest(generate_series(1, len(wid))) AS i FROM"
+        "  (VALUES ('ab', CAST(5 AS BIGINT))) t(wid, freq))),"
+        + ",".join(_bpe_iter_sql(k) for k in range(1, 5))
+        + " SELECT sym AS token, CAST(count(DISTINCT wid) AS BIGINT) AS n_words,"
+        " CAST(sum(freq) AS BIGINT) AS total_count FROM w4 GROUP BY sym"
+    )
+    assert set(map(tuple, con.execute(chain).fetchall())) == {("ab", 1, 5)}

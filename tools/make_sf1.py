@@ -18,6 +18,10 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+if OUT.startswith("-"):
+    # a flag-like argument is a mistake, not an output directory (a
+    # `--help` invocation once wrote 34 MB of parquet into ./--help/)
+    sys.exit(f"usage: python tools/make_sf1.py [out_dir]  (got {OUT!r})")
 os.makedirs(OUT, exist_ok=True)
 
 con = duckdb.connect()
