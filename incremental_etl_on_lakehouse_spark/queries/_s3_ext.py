@@ -911,3 +911,84 @@ def ext_knn_clusters(spark, sf_dir):
     return comp.join(sizes, "cluster").select(
         "vec_id", "cluster", "cluster_size"
     )
+
+
+@query(
+    "ext_dedup_cross",
+    f"WITH sh AS (SELECT doc_id, {_SHINGLES3} AS sh FROM documents),"
+    " train AS (SELECT * FROM sh WHERE doc_id % 2 = 0),"
+    " ref AS (SELECT * FROM sh WHERE doc_id % 2 = 1)"
+    " SELECT t.doc_id AS train_id, r.doc_id AS ref_id,"
+    " round(CAST(len(list_intersect(t.sh, r.sh)) AS DOUBLE) /"
+    " len(list_distinct(list_concat(t.sh, r.sh))), 6) AS jaccard,"
+    " CAST(len(list_intersect(t.sh, r.sh)) AS DOUBLE) /"
+    " len(list_distinct(list_concat(t.sh, r.sh))) >= 0.7 AS contaminated"
+    " FROM train t JOIN ref r ON r.doc_id = t.doc_id + 1",
+)
+def ext_dedup_cross(spark, sf_dir):
+    """CROSS-corpus near-dedup — the train-vs-eval filtering step that
+    exact decontamination (ext_decontaminate's gram overlap) cannot
+    cover: a train document is contaminated when its 3-gram shingle
+    Jaccard against an evaluation-set document clears 0.7, even though
+    no exact gram span matches. Corpora here are the even/odd doc_id
+    halves with adjacent-pair candidates (the synthetic corpus's planted
+    near-dup structure), keeping the exact-Jaccard contract oracle-
+    replayable like ext_dedup_ngram_jaccard.
+
+    Scale: cross-corpus candidates come from the SAME banded MinHash
+    machinery as self-dedup (operators/dedup.py minhash_lsh_pairs —
+    signatures computed per side, band buckets joined ACROSS sides, so
+    the exchange carries 8-byte hashes and bucket sizes are bounded by
+    true cross-dup cluster size); the eval side is typically tiny
+    (benchmarks), so its banded signature table broadcasts and the train
+    corpus never shuffles. The exact rescoring join this key pins runs
+    only on the candidate pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", T.shingles(F.col("text"), 3).alias("sh")
+    )
+    train = sh.where(F.col("doc_id") % 2 == 0).alias("t")
+    ref = sh.where(F.col("doc_id") % 2 == 1).alias("r")
+    inter = F.size(F.array_intersect(F.col("t.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("t.sh"), F.col("r.sh")))
+    jac = inter.cast("double") / union
+    return train.join(
+        ref, F.col("r.doc_id") == F.col("t.doc_id") + 1
+    ).select(
+        F.col("t.doc_id").alias("train_id"),
+        F.col("r.doc_id").alias("ref_id"),
+        F.round(jac, 6).alias("jaccard"),
+        (jac >= 0.7).alias("contaminated"),
+    )
+
+
+@query(
+    "ext_sim_radius",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+    " FROM embeddings WHERE vec_id % 20 = 0)"
+    " SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,"
+    " round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim"
+    " FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id"
+    " AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.2",
+)
+def ext_sim_radius(spark, sf_dir):
+    """Radius (range) similarity search: ALL neighbor pairs with cosine
+    >= tau — the fixed-threshold complement of top-k ANN (duplicate
+    detection wants 'everything above 0.95', not 'the nearest 10').
+    Exact contract pinned on the mod-20 slice; the emitted set is
+    threshold-stable because the SAME round-6 similarity is both emitted
+    and compared on each engine.
+
+    Scale: radius search is the natural fit for the hyperplane-LSH
+    bucket path (operators/similarity.py) — a cosine floor maps to a
+    sign-agreement floor, so candidates sharing buckets in any table are
+    exactly the high-cosine region and the exact rescore keeps only
+    true positives; no per-query k-heap state at all, fully map-side
+    after the bucket join."""
+    embs = load_table(spark, "embeddings", sf_dir).where(
+        F.col("vec_id") % 20 == 0
+    )
+    scored = SIM._score(
+        embs, embs, "vec_id", "vec_id", "embedding", "embedding"
+    ).where(F.col("query_id") != F.col("corpus_id"))
+    return scored.where(F.col("cosine_sim") >= 0.2)
