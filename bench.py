@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     # of the 16 baseline-comparable keys
     "ext_bpe_train",
     "ddl_catalog_3level",
+    # round-10: incremental top-k CDF maintenance (the newest
+    # non-subtractable aggregate path); NOT baseline-comparable
+    "agg_incremental_topk",
 ]
 
 
@@ -135,6 +138,7 @@ def main() -> None:
         qmod._CDC_SILVER_CACHE.clear()
         qmod._CDC_GOLD_CACHE.clear()
         qmod._CDC_MINMAX_CACHE.clear()
+        qmod._CDC_TOPK_CACHE.clear()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

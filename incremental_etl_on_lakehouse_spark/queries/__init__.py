@@ -36,6 +36,7 @@ from incremental_etl_on_lakehouse_spark.queries import _s7_extras  # noqa: F401,
 # bench.py resets this cache alongside the two in _core
 from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa: E402
     _CDC_MINMAX_CACHE,
+    _CDC_TOPK_CACHE,
 )
 
 # ---------------------------------------------------------------------------

@@ -838,7 +838,7 @@ def ext_approx_distinct(spark, sf_dir):
     "ext_knn_clusters",
     """WITH RECURSIVE
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-      WHERE vec_id % 20 = 0),
+      WHERE vec_id % 20 = 0 AND vec_id < 4000),
 scored AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
    round(list_cosine_similarity(a.e, b.e), 6) AS sim
    FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
@@ -868,8 +868,10 @@ def ext_knn_clusters(spark, sf_dir):
     that kills hub vertices); clusters are the components of the mutual
     graph, labeled by min member id, with member counts.
 
-    Scale: this key pins the exact contract on a mod-20 slice (the
-    brute-force kNN is the oracle-replayable part); at corpus scale the
+    Scale: this key pins the exact contract on a SIZE-CAPPED mod-20
+    slice (<= 200 vectors at any SF — the exact all-pairs kNN is the
+    oracle-replayable fixture, deliberately bounded so its quadratic
+    shape never rides a data-scale growth curve); at corpus scale the
     kNN edges come from the LSH-bucketed candidate path instead
     (operators/similarity.py: topk_cosine_lsh — bucket join + exact
     rescore, never all-pairs), the mutuality filter is one self-join of
@@ -880,7 +882,7 @@ def ext_knn_clusters(spark, sf_dir):
     per-partition top-k keeps every reducer's input at O(k x partitions)
     rows per query."""
     embs = load_table(spark, "embeddings", sf_dir).where(
-        F.col("vec_id") % 20 == 0
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 4000)
     )
     edges = SIM.topk_cosine_bruteforce(embs, embs, k=5)
     a, b = edges.alias("a"), edges.alias("b")
@@ -965,7 +967,7 @@ def ext_dedup_cross(spark, sf_dir):
 @query(
     "ext_sim_radius",
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
-    " FROM embeddings WHERE vec_id % 20 = 0)"
+    " FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 4000)"
     " SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,"
     " round(list_cosine_similarity(a.e, b.e), 6) AS cosine_sim"
     " FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id"
@@ -975,9 +977,10 @@ def ext_sim_radius(spark, sf_dir):
     """Radius (range) similarity search: ALL neighbor pairs with cosine
     >= tau — the fixed-threshold complement of top-k ANN (duplicate
     detection wants 'everything above 0.95', not 'the nearest 10').
-    Exact contract pinned on the mod-20 slice; the emitted set is
-    threshold-stable because the SAME round-6 similarity is both emitted
-    and compared on each engine.
+    Exact contract pinned on a SIZE-CAPPED mod-20 slice (<= 200 vectors
+    at any SF — the exact cross join is the bounded oracle fixture); the
+    emitted set is threshold-stable because the SAME round-6 similarity
+    is both emitted and compared on each engine.
 
     Scale: radius search is the natural fit for the hyperplane-LSH
     bucket path (operators/similarity.py) — a cosine floor maps to a
@@ -986,7 +989,7 @@ def ext_sim_radius(spark, sf_dir):
     true positives; no per-query k-heap state at all, fully map-side
     after the bucket join."""
     embs = load_table(spark, "embeddings", sf_dir).where(
-        F.col("vec_id") % 20 == 0
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 4000)
     )
     scored = SIM._score(
         embs, embs, "vec_id", "vec_id", "embedding", "embedding"
