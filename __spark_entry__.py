@@ -32,6 +32,13 @@ def _configure(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # let AQE re-plan inside cached subtrees (the merge path persists its
+    # source; on a default-config session the cached plan's shuffles
+    # otherwise keep the full static partition count — 200-task reducers
+    # under 4-row aggregates in the driver's bare-session sweeps)
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     _ship_package(spark)
 
 

@@ -945,12 +945,15 @@ def incremental_topk_update(
         )
     )
     summ_r, cond = _ns(touched, summ, "__s_")
+    # persisted: the classification frame (O(touched groups) rows) feeds
+    # the recompute probe, the direct-path semi-joins, and the
+    # touched-group union — one evaluation, not four
     cls = touched.join(summ_r, cond, "left").select(
         *[touched[c] for c in group_cols],
         "__max_neg",
         "__kth",
         F.coalesce(F.col("__n"), F.lit(0)).alias("__n2"),
-    ).withColumnRenamed("__n2", "__n")
+    ).withColumnRenamed("__n2", "__n").persist()
     full = F.col("__n") >= k
     need_recompute = (
         F.col("__max_neg").isNotNull()
@@ -1043,6 +1046,7 @@ def incremental_topk_update(
     try:
         if source.isEmpty():
             source.unpersist(blocking=False)
+            cls.unpersist(blocking=False)
             return
     finally:
         deltas.unpersist(blocking=False)
@@ -1070,3 +1074,4 @@ def incremental_topk_update(
         )
     finally:
         source.unpersist(blocking=False)
+        cls.unpersist(blocking=False)

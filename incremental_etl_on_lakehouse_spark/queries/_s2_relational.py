@@ -378,11 +378,16 @@ def agg_incremental_topk(spark, sf_dir):
     gold = LakeTable.create(
         spark, os.path.join(root, "gold_topk"), TOPK_SCHEMA
     )
+    # catch-up coalescing is VALID for top-k maintenance (unlike an
+    # aggregate needing per-version snapshots): the multiset deltas fold
+    # additively across the span, and the recompute path reads the base
+    # AS OF the span end — both consistent with end-of-span state
     reader = LakeStreamReader(
         silver,
         os.path.join(root, "topk_ck.json"),
         mode="cdf",
         starting_version=1,
+        max_versions_per_trigger=64,
     )
 
     def update(changes: DataFrame, v: int) -> None:
