@@ -74,7 +74,7 @@ _PRIORITY_KEYS = [
     "win_range_rolling_ms", "win_range_probe", "win_range_interval",
     "ext_bpe_train", "ext_bpe_encode", "ddl_catalog_3level",
     "ext_knn_clusters", "agg_incremental_topk", "ext_dedup_cross",
-    "ext_sim_radius", "agg_incremental_avg",
+    "ext_sim_radius", "stream_static_join", "agg_incremental_avg",
     "agg_incremental_cdf", "agg_incremental_minmax", "agg_incremental_var",
     "agg_incremental_view", "ext_resample_ffill", "fn_datetime",
     "fn_timestamp_parse", "fn_to_utc_timestamp", "join_asof_nearest",
@@ -86,12 +86,12 @@ _PRIORITY_KEYS = [
     "stream_session_window", "stream_sliding_window", "stream_window_agg",
     "win_row_number_dedup", "win_session", "util_vacuum", "ddl_replace_table",
     "snk_replace_where", "snk_dynamic_partition_overwrite",
-    "ddl_catalog_metastore", "util_row_tracking", "merge_by_source",
+    "ddl_catalog_metastore", "util_row_tracking",
     "ext_bpe_pair_counts",
 ]
 
 _SECOND_PRIORITY = [
-    "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters", "ext_sample_hash", "ext_sample_stratified",
+    "merge_by_source", "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters", "ext_sample_hash", "ext_sample_stratified",
     # Rotated-out keys directly behind the cap line (round-9 slots
     # first, then the prior queue order): every key here has at least
     # one driver-green row (ROTATION.md keeps the per-round history)

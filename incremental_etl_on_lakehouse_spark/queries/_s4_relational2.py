@@ -1165,3 +1165,78 @@ def join_asof_nearest(spark, sf_dir):
         ev, purch, on=["user_id"], left_ts="ts", right_ts="ts",
         value_cols=["p_event_id"], direction="nearest",
     ).select("event_id", "user_id", "p_event_id")
+
+
+@query(
+    "stream_static_join",
+    "WITH dim AS (SELECT n_nationkey, n_name, n_regionkey FROM nation)"
+    " SELECT d.n_name AS nation, CAST(d.n_regionkey AS BIGINT) AS region,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents"
+    " FROM events e JOIN dim d ON e.user_id % 25 = d.n_nationkey"
+    " WHERE e.user_id % 7 = 0"
+    " GROUP BY d.n_name, d.n_regionkey",
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-STATIC join — the most common streaming enrichment shape
+    (a micro-batch stream joined against a slowly-changing dimension
+    snapshot): streaming events enriched with the nation dimension and
+    aggregated per nation. Completes the streaming-join family next to
+    stream_stream_join (two watermarked streams) and stream_scd2
+    (dimension maintenance).
+
+    Scale: Spark plans the static side of a stream-static equi-join as a
+    BROADCAST into every micro-batch (dimensions are KB-MB); the stream
+    side never shuffles for the join, and the aggregate is the standard
+    partial/final pair per batch. The static snapshot is re-resolvable
+    per batch at the source level (a lake-table dim picks up slow
+    changes between triggers); the join itself is stateless — no
+    watermark interaction, unlike the stream-stream case."""
+    from incremental_etl_on_lakehouse_spark.streaming import run_to_memory
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id") % 7 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "value",
+        )
+    )
+    land = _tmpdir()
+    ev.coalesce(1).write.mode("overwrite").json(os.path.join(land, "f0"))
+    flat = _tmpdir()
+    d = os.path.join(land, "f0")
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            shutil.copy(os.path.join(d, name), os.path.join(flat, "0.json"))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_str", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    dim = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+    stream = read_json_stream(spark, flat, schema, multiline=False)
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id % 25 == dim.n_nationkey
+    )
+    out = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.col("n_regionkey").alias("region"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    return run_to_memory(
+        out, os.path.join(_tmpdir(), "ck"), output_mode="complete"
+    )

@@ -99,14 +99,20 @@ def dedup_stream(
     )
 
 
-def run_to_memory(stream_df: DataFrame, checkpoint: str | None = None) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
-    in-memory table; returns the materialized batch DataFrame."""
+    in-memory table; returns the materialized batch DataFrame.
+    ``output_mode="complete"`` for unwatermarked aggregates (each trigger
+    rewrites the full result table)."""
     name = f"mem_{uuid.uuid4().hex}"
     writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
     )
     if checkpoint:
