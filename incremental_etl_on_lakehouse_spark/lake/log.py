@@ -131,7 +131,7 @@ def write_commit(table_path: str, commit: Commit) -> None:
     store.put_if_absent(
         _commit_file(table_path, commit.version), commit.to_json()
     )
-    maybe_write_checkpoint(table_path, commit.version)
+    maybe_write_checkpoint(table_path, commit.version, commit)
 
 
 def snapshot_files(commits: list[Commit], version: int | None = None) -> list[str]:
@@ -340,9 +340,42 @@ def clean_log(table_path: str, retention_ms: int) -> list[int]:
     return doomed
 
 
-def maybe_write_checkpoint(table_path: str, version: int) -> None:
-    """Roll up a checkpoint after every CHECKPOINT_INTERVAL-th commit."""
-    if version == 0 or version % CHECKPOINT_INTERVAL != 0:
+# per-process cache of each table's effective checkpoint interval (the
+# `checkpointInterval` table property — Delta's delta.checkpointInterval).
+# Own-process property commits update it immediately; a CONCURRENT
+# process's change is picked up lazily (first commit after the cache
+# seeds) — benign, because checkpoint placement is derived data: readers
+# use the nearest checkpoint <= target regardless of cadence.
+_CKPT_INTERVAL_CACHE: dict[str, int] = {}
+
+
+def _resolve_checkpoint_interval(table_path: str, commit: Commit) -> int:
+    if "checkpointInterval" in commit.properties:
+        v = commit.properties["checkpointInterval"]
+        iv = CHECKPOINT_INTERVAL if v is None else max(1, int(v))
+        _CKPT_INTERVAL_CACHE[table_path] = iv
+        return iv
+    if table_path not in _CKPT_INTERVAL_CACHE:
+        st = table_state(table_path)
+        v = (st or {}).get("properties", {}).get("checkpointInterval")
+        _CKPT_INTERVAL_CACHE[table_path] = (
+            max(1, int(v)) if v else CHECKPOINT_INTERVAL
+        )
+    return _CKPT_INTERVAL_CACHE[table_path]
+
+
+def maybe_write_checkpoint(
+    table_path: str, version: int, commit: Commit | None = None
+) -> None:
+    """Roll up a checkpoint after every interval-th commit (interval from
+    the table's ``checkpointInterval`` property, default
+    CHECKPOINT_INTERVAL)."""
+    interval = (
+        _resolve_checkpoint_interval(table_path, commit)
+        if commit is not None
+        else CHECKPOINT_INTERVAL
+    )
+    if version == 0 or version % interval != 0:
         return
     state = table_state(table_path, version)
     try:

@@ -3017,14 +3017,20 @@ class LakeTable:
             except FileExistsError:
                 pass  # concurrent commit won the version; skip maintenance
 
-    def cleanup_log(self, retention_ms: int = 30 * 24 * 3600 * 1000) -> list[int]:
+    def cleanup_log(self, retention_ms: int | None = None) -> list[int]:
         """Log retention (Delta's ``logRetentionDuration`` auto-clean): drop
         the prefix of commit files older than ``retention_ms`` after
         pinning a boundary checkpoint, so the log stays O(retention) at
         100 TB commit rates while every retained version — state, change
         feed, row-id bases — reconstructs exactly. Time travel / CDF below
         the boundary raise cleanly. VACUUM's counterpart for metadata;
-        returns the deleted versions."""
+        returns the deleted versions. Default retention comes from the
+        table's ``logRetentionDuration`` property (plain ms or
+        ``interval N days``), 30 days otherwise — Delta's contract."""
+        if retention_ms is None:
+            retention_ms = self._retention_from_property(
+                "logRetentionDuration", 30 * 24 * 3600 * 1000
+            )
         deleted = lakelog.clean_log(self.path, retention_ms)
         if deleted:
             # memoized state/commit caches may hold pre-cleanup parses
@@ -3032,9 +3038,41 @@ class LakeTable:
             self._state_memo = None
         return deleted
 
+    @staticmethod
+    def _parse_interval_ms(text: str) -> int:
+        """Parse a Delta-style retention property value: either plain
+        milliseconds or ``interval N days|hours|minutes`` (Delta's
+        ``deletedFileRetentionDuration`` / ``logRetentionDuration``
+        spelling)."""
+        s = str(text).strip().lower()
+        if s.isdigit():
+            return int(s)
+        m = re.fullmatch(
+            r"interval\s+(\d+)\s+(day|hour|minute|week)s?", s
+        )
+        if not m:
+            raise ValueError(
+                f"unparseable retention interval: {text!r} "
+                "(use milliseconds or 'interval N days|hours|minutes')"
+            )
+        n = int(m.group(1))
+        unit_ms = {
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+            "week": 7 * 86_400_000,
+        }[m.group(2)]
+        return n * unit_ms
+
+    def _retention_from_property(
+        self, prop: str, default_ms: int
+    ) -> int:
+        val = self.properties().get(prop)
+        return self._parse_interval_ms(val) if val is not None else default_ms
+
     def vacuum(
         self,
-        retention_ms: int = 7 * 24 * 3600 * 1000,
+        retention_ms: int | None = None,
         dry_run: bool = False,
         force: bool = False,
     ) -> list[str]:
@@ -3053,6 +3091,13 @@ class LakeTable:
         ``ORPHAN_SAFETY_MS`` floor on the unreferenced-path sweeps (tests /
         known-quiesced tables only).
         """
+        if retention_ms is None:
+            # Delta's property-driven default: the table declares its own
+            # deleted-file retention (deletedFileRetentionDuration, plain
+            # ms or 'interval N days'); 7 days otherwise
+            retention_ms = self._retention_from_property(
+                "deletedFileRetentionDuration", 7 * 24 * 3600 * 1000
+            )
         horizon = lakelog.now_ms() - retention_ms
         orphan_horizon = (
             horizon

@@ -283,3 +283,41 @@ def test_pre_row_tracking_checkpoint_upgrade_commit_order_bases(
     }
     for k, rid in below.items():
         assert latest[k] == rid, (k, rid, latest[k])
+
+
+def test_property_driven_retention_and_checkpoint_interval(spark, tmp_path):
+    """Delta-parity properties: deletedFileRetentionDuration /
+    logRetentionDuration drive vacuum/cleanup_log defaults (plain ms or
+    'interval N days'); checkpointInterval drives checkpoint cadence."""
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog2
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, path, SCHEMA, properties={"checkpointInterval": "3"}
+    )
+    for i in range(7):
+        t.append(spark.createDataFrame([(i,)], SCHEMA).coalesce(1))
+    _, ckpts = lakelog2.list_versions(path)
+    assert ckpts == [3, 6], ckpts
+
+    # interval parser: both spellings
+    assert LakeTable._parse_interval_ms("86400000") == 86400000
+    assert LakeTable._parse_interval_ms("interval 2 days") == 2 * 86400000
+    assert LakeTable._parse_interval_ms("interval 1 hour") == 3600000
+    with pytest.raises(ValueError, match="unparseable"):
+        LakeTable._parse_interval_ms("fortnight")
+
+    # property-driven vacuum retention: 0 ms => tombstoned files eligible
+    # immediately (force lifts the orphan-safety floor only)
+    t.set_properties({"deletedFileRetentionDuration": "0"})
+    t.delete("id = 0")
+    victims = t.vacuum(dry_run=True, force=True)
+    assert victims, "0-retention property must make the tombstone eligible"
+    # and a long retention protects it
+    t.set_properties({"deletedFileRetentionDuration": "interval 7 days"})
+    assert t.vacuum(dry_run=True, force=True) == []
+
+    # property-driven log retention: 0 => prefix cleanup up to the head
+    t.set_properties({"logRetentionDuration": "0"})
+    deleted = t.cleanup_log()
+    assert deleted and max(deleted) == t.version() - 1
