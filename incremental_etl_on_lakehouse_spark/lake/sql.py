@@ -935,6 +935,14 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
             "where": (m.group("w") or "").strip() or None,
         }
     m = re.match(
+        rf"GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+        rf"(?P<t>{_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        return "generate_manifest", m.group("t"), {}
+    m = re.match(
         rf"VACUUM\s+(?P<t>{_IDENT})"
         rf"(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?(?:\s+(?P<d>DRY\s+RUN))?\s*$",
         s,
@@ -995,6 +1003,10 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
         return target.vacuum(**kwargs)
     if kind == "restore":
         return target.restore(p["version"])
+    if kind == "generate_manifest":
+        # Delta's GENERATE symlink_format_manifest FOR TABLE t: export the
+        # live snapshot's file list for external parquet readers
+        return target.generate_manifest()
     if dest_path is None:
         raise ValueError("CLONE requires dest_path for the new table")
     return target.clone(dest_path, shallow=p["shallow"])

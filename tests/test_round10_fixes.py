@@ -321,3 +321,20 @@ def test_property_driven_retention_and_checkpoint_interval(spark, tmp_path):
     t.set_properties({"logRetentionDuration": "0"})
     deleted = t.cleanup_log()
     assert deleted and max(deleted) == t.version() - 1
+
+
+def test_sql_generate_manifest(spark, tmp_path):
+    """Delta's GENERATE symlink_format_manifest FOR TABLE t through the
+    SQL front door: the manifest lists exactly the live snapshot's files."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA)
+    t.append(spark.createDataFrame([(1,), (2,)], SCHEMA))
+    out = execute_statement(
+        spark,
+        "GENERATE symlink_format_manifest FOR TABLE tbl",
+        lambda name: t,
+    )
+    paths = [line.strip() for line in open(out) if line.strip()]
+    assert sorted(paths) == sorted(t.files())
