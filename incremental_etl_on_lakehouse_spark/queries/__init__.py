@@ -74,14 +74,14 @@ _PRIORITY_KEYS = [
     "win_range_rolling_ms", "win_range_probe", "win_range_interval",
     "ext_bpe_train", "ext_bpe_encode", "ddl_catalog_3level",
     "ext_knn_clusters", "agg_incremental_topk", "ext_dedup_cross",
-    "ext_sim_radius", "stream_static_join", "agg_incremental_avg",
+    "ext_sim_radius", "stream_static_join", "ext_quality_classifier", "agg_incremental_avg",
     "agg_incremental_cdf", "agg_incremental_minmax", "agg_incremental_var",
     "agg_incremental_view", "ext_resample_ffill", "fn_datetime",
     "fn_timestamp_parse", "fn_to_utc_timestamp", "join_asof_nearest",
     "merge_cdc_upsert", "merge_scd2", "q3_shipping_priority",
     "snk_delta_append", "snk_merge", "snk_merge_sql", "sort_multi_key",
     "src_cdf_batch", "src_cdf_stream", "src_json_stream", "src_time_travel",
-    "src_time_travel_ts", "stream_dedup_watermark", "stream_exactly_once",
+    "src_time_travel_ts", "stream_exactly_once",
     "stream_foreachbatch", "stream_late_data", "stream_scd2",
     "stream_session_window", "stream_sliding_window", "stream_window_agg",
     "win_row_number_dedup", "win_session", "util_vacuum", "ddl_replace_table",
@@ -91,7 +91,7 @@ _PRIORITY_KEYS = [
 ]
 
 _SECOND_PRIORITY = [
-    "merge_by_source", "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters", "ext_sample_hash", "ext_sample_stratified",
+    "stream_dedup_watermark", "merge_by_source", "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters", "ext_sample_hash", "ext_sample_stratified",
     # Rotated-out keys directly behind the cap line (round-9 slots
     # first, then the prior queue order): every key here has at least
     # one driver-green row (ROTATION.md keeps the per-round history)

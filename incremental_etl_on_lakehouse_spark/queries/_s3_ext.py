@@ -995,3 +995,62 @@ def ext_sim_radius(spark, sf_dir):
         embs, embs, "vec_id", "vec_id", "embedding", "embedding"
     ).where(F.col("query_id") != F.col("corpus_id"))
     return scored.where(F.col("cosine_sim") >= 0.2)
+
+
+@query(
+    "ext_quality_classifier",
+    f"""WITH feats AS (SELECT doc_id,
+   least(length(text), 1000) AS f_len,
+   least(len(list_filter({_TOKS}, t -> list_contains({T.STOPWORDS!r}, t))), 5) AS f_stop,
+   CAST(len(list_distinct({_TOKS})) AS DOUBLE) / greatest(len({_TOKS}), 1) AS f_distinct
+ FROM documents),
+ scored AS (SELECT doc_id,
+   -3.0 + 0.004 * f_len + 0.8 * f_stop + 2.0 * f_distinct AS z
+ FROM feats)
+ SELECT doc_id, round(0.5 + 0.5 * z / (1 + abs(z)), 6) AS quality_prob,
+  z >= 0 AS keep FROM scored""",
+)
+def ext_quality_classifier(spark, sf_dir):
+    """Model-based quality FILTERING — the learned-classifier shape
+    (CCNet's fastText quality model, Llama-style linear filters) as
+    opposed to ext_quality_score's raw heuristic signals: a fixed weight
+    vector over interpretable features (saturated length, stopword hits,
+    distinct-token ratio), a logistic-style link, and a keep/drop
+    decision. The weights here are embedded constants standing in for a
+    trained model; the operator shape — features assembled in codegen,
+    weights applied as literal arithmetic, decision as a sign test — is
+    exactly what a linear text classifier compiles to.
+
+    Determinism: the link is the RATIONAL sigmoid 0.5 + z/(2(1+|z|)), not
+    exp-based — +,*,/,abs are IEEE-exact and engine-identical, while
+    libm exp() differs at the last bit across engines and could flip a
+    rounded 6th decimal. The keep decision is a sign test on z (exact).
+
+    Scale: one narrow codegen projection, zero exchanges, scan-bound —
+    and at 100 TB a real fastText/transformer scorer swaps in as an
+    Arrow-batched pandas_udf over the same feature frame (the
+    ext_udf_vectorized escape hatch), with the filter pushed after it."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.filter(T.ws_tokens(F.col("text")), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    f_len = F.least(F.length("text"), F.lit(1000))
+    f_stop = F.least(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
+        F.lit(5),
+    )
+    f_distinct = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.004) * f_len
+        + F.lit(0.8) * f_stop
+        + F.lit(2.0) * f_distinct
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(0.5) + F.lit(0.5) * z / (F.lit(1) + F.abs(z)), 6).alias(
+            "quality_prob"
+        ),
+        (z >= 0).alias("keep"),
+    )
