@@ -349,32 +349,40 @@ def clean_log(table_path: str, retention_ms: int) -> list[int]:
 _CKPT_INTERVAL_CACHE: dict[str, int] = {}
 
 
+def _safe_ckpt_interval(v) -> int:
+    """Lenient parse of a ``checkpointInterval`` property value: this is
+    evaluated AFTER the commit file is durably written, so a malformed
+    value must degrade to the default cadence, never raise — a raising
+    parse would make every subsequent write on the table fail post-commit
+    until the property is fixed."""
+    try:
+        return max(1, int(str(v).strip()))
+    except (TypeError, ValueError):
+        return CHECKPOINT_INTERVAL
+
+
 def _resolve_checkpoint_interval(table_path: str, commit: Commit) -> int:
     if "checkpointInterval" in commit.properties:
         v = commit.properties["checkpointInterval"]
-        iv = CHECKPOINT_INTERVAL if v is None else max(1, int(v))
+        iv = CHECKPOINT_INTERVAL if v is None else _safe_ckpt_interval(v)
         _CKPT_INTERVAL_CACHE[table_path] = iv
         return iv
     if table_path not in _CKPT_INTERVAL_CACHE:
         st = table_state(table_path)
         v = (st or {}).get("properties", {}).get("checkpointInterval")
         _CKPT_INTERVAL_CACHE[table_path] = (
-            max(1, int(v)) if v else CHECKPOINT_INTERVAL
+            _safe_ckpt_interval(v) if v else CHECKPOINT_INTERVAL
         )
     return _CKPT_INTERVAL_CACHE[table_path]
 
 
 def maybe_write_checkpoint(
-    table_path: str, version: int, commit: Commit | None = None
+    table_path: str, version: int, commit: Commit
 ) -> None:
     """Roll up a checkpoint after every interval-th commit (interval from
     the table's ``checkpointInterval`` property, default
     CHECKPOINT_INTERVAL)."""
-    interval = (
-        _resolve_checkpoint_interval(table_path, commit)
-        if commit is not None
-        else CHECKPOINT_INTERVAL
-    )
+    interval = _resolve_checkpoint_interval(table_path, commit)
     if version == 0 or version % interval != 0:
         return
     state = table_state(table_path, version)

@@ -1043,13 +1043,11 @@ def incremental_topk_update(
         .unionByName(vanished)
         .persist()
     )
-    try:
-        if source.isEmpty():
-            source.unpersist(blocking=False)
-            cls.unpersist(blocking=False)
-            return
-    finally:
+    if source.isEmpty():
+        source.unpersist(blocking=False)
+        cls.unpersist(blocking=False)
         deltas.unpersist(blocking=False)
+        return
     cond = " AND ".join(
         f"source.`{c}` <=> target.`{c}`" for c in [*group_cols, value_col]
     )
@@ -1073,5 +1071,11 @@ def incremental_topk_update(
             ],
         )
     finally:
+        # deltas stays cached THROUGH the merge: source.isEmpty() only
+        # materializes partitions up to the first non-empty one, so the
+        # merge's full evaluation still reads the deltas cache. (A probe
+        # failing mid-function can leave these cached until the frames
+        # are GC'd — Spark's ContextCleaner then unpersists them.)
         source.unpersist(blocking=False)
         cls.unpersist(blocking=False)
+        deltas.unpersist(blocking=False)

@@ -1031,7 +1031,11 @@ def ext_quality_classifier(spark, sf_dir):
     Arrow-batched pandas_udf over the same feature frame (the
     ext_udf_vectorized escape hatch), with the filter pushed after it."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.filter(T.ws_tokens(F.col("text")), lambda x: x != "")
+    # UNFILTERED tokens, matching the oracle's _TOKS exactly: on a doc
+    # whose text normalizes to empty, both engines split to [''] (one
+    # token), so f_distinct is 1.0 on both sides — a filtered Spark side
+    # would read 0.0 and flip the keep decision on punctuation-only docs
+    toks = T.ws_tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
     f_len = F.least(F.length("text"), F.lit(1000))
     f_stop = F.least(

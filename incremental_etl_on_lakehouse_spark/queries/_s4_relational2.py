@@ -1197,12 +1197,7 @@ def stream_static_join(spark, sf_dir):
     ev = (
         load_table(spark, "events", sf_dir)
         .where(F.col("user_id") % 7 == 0)
-        .select(
-            "event_id",
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
-            "value",
-        )
+        .select("event_id", "user_id", "value")
     )
     land = _tmpdir()
     ev.coalesce(1).write.mode("overwrite").json(os.path.join(land, "f0"))
@@ -1215,7 +1210,6 @@ def stream_static_join(spark, sf_dir):
         [
             StructField("event_id", LongType()),
             StructField("user_id", LongType()),
-            StructField("ts_str", StringType()),
             StructField("value", DoubleType()),
         ]
     )

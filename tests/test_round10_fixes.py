@@ -338,3 +338,23 @@ def test_sql_generate_manifest(spark, tmp_path):
     )
     paths = [line.strip() for line in open(out) if line.strip()]
     assert sorted(paths) == sorted(t.files())
+
+
+def test_malformed_checkpoint_interval_degrades_gracefully(spark, tmp_path):
+    """A malformed checkpointInterval property must never brick writers:
+    the value is evaluated AFTER the commit is durable, so parsing
+    degrades to the default cadence instead of raising post-commit."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, SCHEMA)
+    t.set_properties({"checkpointInterval": "interval 1 day"})  # wrong kind
+    for i in range(3):  # writes must keep working
+        t.append(spark.createDataFrame([(i,)], SCHEMA))
+    assert t.to_df().count() == 3
+    # and a fresh-process-style resolve (cache seeded from state) also
+    # survives the bad value
+    from incremental_etl_on_lakehouse_spark.lake import log as lakelog2
+
+    lakelog2._CKPT_INTERVAL_CACHE.pop(os.path.abspath(path), None)
+    lakelog2._CKPT_INTERVAL_CACHE.pop(path, None)
+    t.append(spark.createDataFrame([(99,)], SCHEMA))
+    assert t.to_df().count() == 4
