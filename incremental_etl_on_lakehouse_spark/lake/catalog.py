@@ -251,6 +251,35 @@ class LakeCatalog:
                 precondition=lambda st: db not in st,
             )
 
+    def _external_data_paths(
+        self, state: dict, include_orphans: bool = True
+    ) -> set[str]:
+        """Absolute paths of every externally-owned table data directory
+        this catalog can see: external registrations in EVERY database
+        (an external table may be registered in a different db than the
+        directory its data lives in), the extern-orphan markers, and —
+        when wired by a :class:`Lakehouse` — sibling catalogs'
+        registrations (``_extern_peers``). Every DROP path consults this
+        set so external bytes are never deleted regardless of which name
+        reaches them."""
+        paths = {
+            os.path.abspath(e["path"])
+            for dbname, entries in state.items()
+            if not dbname.startswith("__")
+            for e in entries.values()
+            if e["external"]
+        }
+        if include_orphans:
+            paths |= {
+                p
+                for p in state.get("__extern_orphans__", {})
+                if LakeTable.exists(p)
+            }
+        peers = getattr(self, "_extern_peers", None)
+        if peers is not None:
+            paths |= set(peers())
+        return paths
+
     def drop_database(self, db: str, cascade: bool = False) -> None:
         """``DROP DATABASE [CASCADE]`` (ref :106). Cascade drops managed
         table data; external tables lose only their registration."""
@@ -260,19 +289,31 @@ class LakeCatalog:
         path = self._db_path(db)
         # 'DROP never deletes external data' survives cascade: an external
         # table registered at a path that happens to live INSIDE the db
-        # directory must not lose its bytes to the directory rmtree below
+        # directory must not lose its bytes to the directory rmtree below.
+        # The scan covers EVERY database's registrations (an external table
+        # may be registered in a different db than the directory it lives
+        # in), the orphan markers, and — when this catalog belongs to a
+        # Lakehouse — sibling catalogs' registrations too, mirroring the
+        # drop_catalog blockers scan.
+        extern_paths = self._external_data_paths(state0)
         external_inside = any(
-            e["external"]
-            and not os.path.relpath(
-                os.path.abspath(e["path"]), os.path.abspath(path)
-            ).startswith("..")
-            for e in state0.get(db, {}).values()
-        ) or any(
             not os.path.relpath(p, os.path.abspath(path)).startswith("..")
-            and LakeTable.exists(p)
-            for p in state0.get("__extern_orphans__", {})
+            for p in extern_paths
         )
+        # Cascade must be order-independent: tables(db) lists an external
+        # table registered inside the db dir under BOTH its registered name
+        # and its directory basename. Dropping the registered name first
+        # writes the extern-orphan marker, and a later drop of the basename
+        # would hit the orphan guard and abort the cascade mid-way. Compute
+        # the skip set from state0 BEFORE the loop: directory-convention
+        # names whose path is externally owned are aliases, not tables.
+        registered0 = set(state0.get(db, {}))
         for t in self.tables(db):
+            if (
+                t not in registered0
+                and os.path.abspath(self._table_path(db, t)) in extern_paths
+            ):
+                continue  # basename alias of externally-owned data
             self.drop_table(db, t)
         if os.path.isdir(path):
             if external_inside:
@@ -426,10 +467,9 @@ class LakeCatalog:
         # another name, or orphaned externally-owned data; DROP never
         # deletes external data
         p = os.path.abspath(self._table_path(db, name))
-        if any(
-            e["external"] and os.path.abspath(e["path"]) == p
-            for e in state.get(db, {}).values()
-        ):
+        # any external registration — this db, another db, or a sibling
+        # catalog — claims the bytes; the directory name is just an alias
+        if p in self._external_data_paths(state, include_orphans=False):
             return
         if p in state.get("__extern_orphans__", {}):
             raise ValueError(
@@ -680,6 +720,7 @@ class Lakehouse:
         self.spark = spark
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+        self.default_catalog = default_catalog
         self.current_catalog = default_catalog
         self.current_db = default_db
         self._cats: dict[str, LakeCatalog] = {}
@@ -762,8 +803,35 @@ class Lakehouse:
         if not os.path.isdir(self._cat_path(name)):
             raise ValueError(f"no such catalog: {name}")
         if name not in self._cats:
-            self._cats[name] = LakeCatalog(self.spark, self._cat_path(name))
+            cat = LakeCatalog(self.spark, self._cat_path(name))
+            # DROP DATABASE in this catalog must also protect external
+            # data registered by SIBLING catalogs whose location lies
+            # inside the dropped db's directory — mirror the drop_catalog
+            # blockers scan via the catalog's _extern_peers hook
+            cat._extern_peers = lambda n=name: self._peer_external_paths(n)
+            self._cats[name] = cat
         return self._cats[name]
+
+    def _peer_external_paths(self, exclude: str) -> set[str]:
+        """External-registration + live-orphan paths across every catalog
+        EXCEPT ``exclude`` — O(catalogs) metadata reads, only on DROP."""
+        paths: set[str] = set()
+        for c in self.catalogs():
+            if c == exclude:
+                continue
+            _, st = self.catalog(c)._meta_state()
+            for dbname, entries in st.items():
+                if dbname.startswith("__"):
+                    continue
+                for e in entries.values():
+                    if e["external"]:
+                        paths.add(os.path.abspath(e["path"]))
+            paths |= {
+                p
+                for p in st.get("__extern_orphans__", {})
+                if LakeTable.exists(p)
+            }
+        return paths
 
     def use_catalog(self, name: str) -> None:
         if not os.path.isdir(self._cat_path(name)):
@@ -865,7 +933,17 @@ class Lakehouse:
         if m:
             cat, db = self._split_db(m.group(3))
             if m.group(1).upper() == "CREATE":
-                self.create_catalog(cat)
+                # the catalog must already exist — Unity Catalog's CREATE
+                # SCHEMA errors on a missing catalog, and silently minting
+                # one would turn a typo into a new namespace (the DROP
+                # branch below refuses the same side effect). The one
+                # exception is the session's DEFAULT catalog: like UC's
+                # built-in `main`, it materializes on first use so an
+                # unqualified CREATE DATABASE works out of the box.
+                if not os.path.isdir(self._cat_path(cat)):
+                    if cat != self.default_catalog:
+                        raise ValueError(f"no such catalog: {cat}")
+                    self.create_catalog(cat)
                 return self.catalog(cat).create_database(
                     db, if_not_exists=bool(m.group(2))
                 )

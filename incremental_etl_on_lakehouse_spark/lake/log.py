@@ -346,7 +346,23 @@ def clean_log(table_path: str, retention_ms: int) -> list[int]:
 # process's change is picked up lazily (first commit after the cache
 # seeds) — benign, because checkpoint placement is derived data: readers
 # use the nearest checkpoint <= target regardless of cadence.
+# Keys are os.path.abspath-normalized (raw and absolute spellings of the
+# same table must share one entry); LakeTable.create/drop invalidate the
+# entry so a recreated table never inherits its predecessor's cadence.
 _CKPT_INTERVAL_CACHE: dict[str, int] = {}
+
+
+def _ckpt_cache_key(table_path: str) -> str:
+    return os.path.abspath(table_path)
+
+
+def invalidate_ckpt_interval(table_path: str) -> None:
+    """Drop the cached checkpoint cadence for ``table_path`` — called on
+    table drop/create so a NEW incarnation at the same path re-reads its
+    own ``checkpointInterval`` instead of inheriting the dropped table's."""
+    _CKPT_INTERVAL_CACHE.pop(_ckpt_cache_key(table_path), None)
+    # legacy un-normalized entries from direct cache pokes
+    _CKPT_INTERVAL_CACHE.pop(table_path, None)
 
 
 def _safe_ckpt_interval(v) -> int:
@@ -362,18 +378,19 @@ def _safe_ckpt_interval(v) -> int:
 
 
 def _resolve_checkpoint_interval(table_path: str, commit: Commit) -> int:
+    key = _ckpt_cache_key(table_path)
     if "checkpointInterval" in commit.properties:
         v = commit.properties["checkpointInterval"]
         iv = CHECKPOINT_INTERVAL if v is None else _safe_ckpt_interval(v)
-        _CKPT_INTERVAL_CACHE[table_path] = iv
+        _CKPT_INTERVAL_CACHE[key] = iv
         return iv
-    if table_path not in _CKPT_INTERVAL_CACHE:
+    if key not in _CKPT_INTERVAL_CACHE:
         st = table_state(table_path)
         v = (st or {}).get("properties", {}).get("checkpointInterval")
-        _CKPT_INTERVAL_CACHE[table_path] = (
+        _CKPT_INTERVAL_CACHE[key] = (
             _safe_ckpt_interval(v) if v else CHECKPOINT_INTERVAL
         )
-    return _CKPT_INTERVAL_CACHE[table_path]
+    return _CKPT_INTERVAL_CACHE[key]
 
 
 def maybe_write_checkpoint(

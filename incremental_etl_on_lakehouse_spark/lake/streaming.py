@@ -58,13 +58,48 @@ class LakeStreamReader:
         mode: str = "append",
         starting_version: int = 0,
         max_versions_per_trigger: int = 1,
+        max_bytes_per_trigger: int | None = None,
     ):
         assert mode in ("append", "cdf")
+        if max_bytes_per_trigger is not None and max_versions_per_trigger != 1:
+            # mirror Spark's file source: the two pacing knobs are
+            # mutually exclusive ("can't be both set at the same time")
+            raise ValueError(
+                "max_versions_per_trigger and max_bytes_per_trigger can't "
+                "both be set"
+            )
         self.table = table
         self.mode = mode
         self.checkpoint = Checkpoint(checkpoint_path)
         self.starting_version = starting_version
         self.max_versions_per_trigger = max_versions_per_trigger
+        self.max_bytes_per_trigger = max_bytes_per_trigger
+
+    def _commit_bytes(self, c) -> int:
+        """On-disk bytes a commit contributes to a stream batch: its added
+        data files plus its CDF sidecar (the row-level payload the ``cdf``
+        mode actually reads). Metadata-scale (one stat per file via the
+        local layout, same as the table's own size accounting); a file
+        already vacuumed reads as 0 — the batch that would need it fails
+        downstream anyway."""
+        if c is None:
+            return 0
+        total = 0
+        rels = [a["path"] for a in c.add]
+        if c.cdf_path:
+            rels.append(c.cdf_path)
+        for rel in rels:
+            p = self.table._abs(rel)
+            try:
+                if os.path.isdir(p):  # Spark-written sidecars are dirs
+                    for root, _dirs, files in os.walk(p):
+                        for f in files:
+                            total += os.path.getsize(os.path.join(root, f))
+                else:
+                    total += os.path.getsize(p)
+            except OSError:
+                pass
+        return total
 
     def _batch_for(self, version: int) -> DataFrame | None:
         commits = {c.version: c for c in self.table._commits()}
@@ -115,9 +150,15 @@ class LakeStreamReader:
         micro-batch per commit (the reference's ``maxFilesPerTrigger=1``
         pacing, ``notebooks/demo-notebook.py:161``); larger values coalesce
         up to N commits per batch (``maxFilesPerTrigger=N`` catch-up
-        semantics) and ``fn`` receives the window's LAST version — the
-        offset the checkpoint records. Returns #batches run. Equivalent to
-        ``trigger(availableNow=True)`` + ``foreachBatch(fn)``.
+        semantics), and ``max_bytes_per_trigger`` instead coalesces up to
+        a byte budget (Autoloader's ``cloudFiles.maxBytesPerTrigger`` — a
+        SOFT maximum with Spark's exact greedy semantics: whole commits
+        while the running total stays within budget, at least one commit
+        per batch, boundaries always on commit edges). ``fn`` receives the
+        window's LAST version — the offset the checkpoint records. Returns
+        #batches run. Equivalent to ``trigger(availableNow=True)`` +
+        ``foreachBatch(fn)``, which honors both knobs across ALL catch-up
+        batches.
         """
         last = self.checkpoint.read()
         next_version = (last + 1) if last is not None else self.starting_version
@@ -125,9 +166,20 @@ class LakeStreamReader:
         # one log read for the whole catch-up, not one per version
         commits = {c.version: c for c in self.table._commits()}
         step = max(1, int(self.max_versions_per_trigger))
+        budget = self.max_bytes_per_trigger
         n = 0
         while next_version <= latest:
-            hi = min(next_version + step - 1, latest)
+            if budget is not None:
+                hi = next_version
+                used = self._commit_bytes(commits.get(hi))
+                while hi < latest:
+                    b = self._commit_bytes(commits.get(hi + 1))
+                    if used + b > budget:
+                        break
+                    used += b
+                    hi += 1
+            else:
+                hi = min(next_version + step - 1, latest)
             batch = self._batch_for_range(commits, next_version, hi)
             if batch is not None:
                 fn(batch, hi)

@@ -523,6 +523,9 @@ class LakeTable:
         props = LakeTable._derive_definition_props(
             schema, properties, partition_by
         )
+        # a recreate at a dropped table's path must not inherit the old
+        # incarnation's cached checkpoint cadence
+        lakelog.invalidate_ckpt_interval(t.path)
         os.makedirs(t.path, exist_ok=True)
         lakelog.write_commit(
             t.path,
@@ -856,6 +859,7 @@ class LakeTable:
         p = os.path.abspath(path)
         if os.path.isdir(p):
             shutil.rmtree(p)
+        lakelog.invalidate_ckpt_interval(p)
 
     def _commits(self) -> list[Commit]:
         """Full commit history — audit paths only (history/change feed);
@@ -3098,13 +3102,25 @@ class LakeTable:
             retention_ms = self._retention_from_property(
                 "deletedFileRetentionDuration", 7 * 24 * 3600 * 1000
             )
-        horizon = lakelog.now_ms() - retention_ms
-        orphan_horizon = (
-            horizon
-            if force
-            else min(horizon, lakelog.now_ms() - self.ORPHAN_SAFETY_MS)
-        )
         commits = self._commits()
+        # The eligibility clock is max(wall-clock, latest in-commit
+        # timestamp + 1): write_commit's monotonic clamp can stamp commits
+        # a few ms AHEAD of wall-clock when they land faster than the clock
+        # ticks, so a wall-clock-only horizon under 0-ms retention would
+        # exclude a remove stamped "in the future" — the vacuum flake found
+        # in r10 (vacuum(dry_run, force) returning [] right after a
+        # delete). The +1 matters because eligibility is STRICT (t <
+        # horizon): vacuum runs after the latest commit by definition, so
+        # its clock must sort strictly after that commit's timestamp —
+        # otherwise a delete in the same (or clamped-ahead) millisecond
+        # stays ineligible even at 0-ms retention.
+        now = lakelog.now_ms()
+        if commits:
+            now = max(now, commits[-1].timestamp_ms + 1)
+        horizon = now - retention_ms
+        orphan_horizon = (
+            horizon if force else min(horizon, now - self.ORPHAN_SAFETY_MS)
+        )
         state = self._state()
         # protect referenced DV sidecars too: RESTORE can re-point a file
         # at a sidecar an intermediate commit had released

@@ -204,6 +204,48 @@ def extract_features(
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def real_audio_decoder(buf: bytes) -> tuple[int, int, list[int]]:
+    """Library-backed decode (soundfile): the SAME ``(sample_rate,
+    n_channels, interleaved int16 samples)`` contract as
+    ``wav_codec.decode_wav``, so the two paths are swappable behind
+    :func:`extract_audio_features` and must agree EXACTLY on 16-bit PCM
+    WAV (soundfile reads int16 PCM losslessly with ``dtype='int16'``).
+    Production corpora also land FLAC/OGG — soundfile covers those where
+    the stdlib codec can't. Raises with a clear message when soundfile is
+    absent (this container ships none)."""
+    try:
+        import io
+
+        import soundfile as sf  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "real audio decoding needs soundfile, not installed here; pass "
+            "decoder=wav_codec.decode_wav or install soundfile"
+        ) from exc
+    data, sr = sf.read(
+        io.BytesIO(bytes(buf)), dtype="int16", always_2d=True
+    )
+    return int(sr), int(data.shape[1]), [int(x) for x in data.reshape(-1)]
+
+
+def default_audio_decoder() -> Callable[[bytes], tuple[int, int, list[int]]]:
+    """soundfile-backed decoder when available (wider format coverage),
+    else the pure-stdlib 16-bit-PCM WAV codec — both honor the same
+    return contract (and agree bit-exactly on PCM WAV, pinned by
+    tests/test_multimodal_libs.py), so the Spark-side plumbing is
+    identical either way."""
+    try:  # pragma: no cover - depends on environment
+        import soundfile  # noqa: F401  # type: ignore[import-not-found]
+
+        return real_audio_decoder
+    except ImportError:
+        from incremental_etl_on_lakehouse_spark.operators.wav_codec import (
+            decode_wav,
+        )
+
+        return decode_wav
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -225,17 +267,13 @@ def extract_audio_features(
 ) -> DataFrame:
     """Decode WAV audio and emit integer-exact per-clip statistics via
     mapInPandas (Arrow batches). Unlike the image path, the DEFAULT
-    decoder here is a real codec — ``wav_codec.decode_wav`` is pure
-    stdlib — so the audio pipeline is genuinely bytes -> samples -> stats
-    with no optional dependency. Statistics are integers (sum/min/max of
+    decoder here is always a real codec — soundfile when importable,
+    else the pure-stdlib ``wav_codec.decode_wav`` — so the audio pipeline
+    is genuinely bytes -> samples -> stats with no required dependency. Statistics are integers (sum/min/max of
     int16 PCM), bit-identical on any engine or retry, so the path is
     full-oracle checkable. Partitioning preserved; no shuffle."""
     if decoder is None:
-        from incremental_etl_on_lakehouse_spark.operators.wav_codec import (
-            decode_wav,
-        )
-
-        decoder = decode_wav
+        decoder = default_audio_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -811,6 +811,14 @@ def _bpe_run(words: DataFrame, steps: int):
             )
             .persist()
         )
+    if retired:
+        # The final st has been persisted but never materialized (only the
+        # NEXT round's collect would have done that); unpersisting its
+        # retired parent first would make the caller's terminal action
+        # recompute the whole multi-round window chain from scratch.
+        # Materialize st while its parent's cache is still alive, THEN
+        # release the retired frames — one O(vocab) count job.
+        st.count()
     for df_ in retired:
         df_.unpersist(blocking=False)
     return merges, st

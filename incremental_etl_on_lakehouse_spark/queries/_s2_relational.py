@@ -830,6 +830,48 @@ def stream_trigger_paced(spark, sf_dir):
     return spark.createDataFrame([(n_batches["n"],)], "n_micro_batches int")
 
 
+@query(
+    "stream_paced_bytes",
+    "SELECT 2 AS n_micro_batches, 4 AS total_rows, 2 AS two_file_batches",
+)
+def stream_paced_bytes(spark, sf_dir):
+    """maxBytesPerTrigger pacing (Autoloader's cloudFiles.maxBytesPerTrigger,
+    the byte-budget sibling of the reference's maxFilesPerTrigger=1 knob,
+    ref :161): 4 equal-size landing files under a 2-file byte budget ->
+    exactly 2 micro-batches of exactly 2 whole files each, honored by
+    trigger(availableNow) across ALL catch-up batches. Batch boundaries
+    fall on whole files (the soft-maximum greedy semantics), so each batch
+    carries exactly 2 rows here — equal file sizes make the assertion
+    independent of the source's file ordering."""
+    d = _tmpdir()
+    for i in range(4):
+        with open(os.path.join(d, f"f{i}.json"), "w") as f:
+            f.write(json.dumps({"id": i}))  # single digit: equal sizes
+    size = os.path.getsize(os.path.join(d, "f0.json"))
+    schema = StructType([StructField("id", LongType())])
+    stream = read_json_stream(
+        spark, d, schema, multiline=False, max_bytes_per_trigger=2 * size
+    )
+    batches: list[int] = []
+
+    def count_batch(df, _bid):
+        n = df.count()
+        if n:
+            batches.append(n)
+
+    (
+        stream.writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", os.path.join(_tmpdir(), "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.createDataFrame(
+        [(len(batches), sum(batches), sum(1 for b in batches if b == 2))],
+        "n_micro_batches int, total_rows int, two_file_batches int",
+    )
+
+
 @query("stream_checkpoint", "SELECT 3 AS first_run_batches, 0 AS second_run_batches")
 def stream_checkpoint(spark, sf_dir):
     """Checkpointed exactly-once progress (ref :92-97,172): a second run over

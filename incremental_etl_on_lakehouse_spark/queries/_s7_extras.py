@@ -682,10 +682,17 @@ def sql_recursive_cte(spark, sf_dir):
     " CAST(round(value * 100) AS BIGINT) AS cents"
     " FROM events WHERE user_id % 11 = 0)"
     " SELECT user_id, ts_ms,"
-    " sum(cents) OVER"
+    # CAST to BIGINT: DuckDB's sum(BIGINT) returns HUGEINT — the registry's
+    # only two HUGEINT-output oracles were exactly its only two driver-red
+    # keys (r8-r10). Driver-side fetch paths render HUGEINT differently
+    # (e.g. pandas float64 "310.0" vs Spark's "310"), flipping the value
+    # hash while rows/schema stay green. Spark's sum(BIGINT) is BIGINT, so
+    # the CAST restores type parity. The CASTing win_range_probe and
+    # win_rows_sliding were driver-green throughout — same fix here.
+    " CAST(sum(cents) OVER"
     "  (PARTITION BY user_id ORDER BY ts_ms"
     "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
-    "  AS rolling_cents"
+    "  AS BIGINT) AS rolling_cents"
     " FROM base",
 )
 def win_range_interval(spark, sf_dir):
@@ -732,10 +739,12 @@ def win_range_interval(spark, sf_dir):
     " CAST(round(value * 100) AS BIGINT) AS cents"
     " FROM events WHERE user_id % 11 = 0)"
     " SELECT user_id, ts_ms,"
-    " sum(cents) OVER"
+    # CAST to BIGINT: un-CAST sum(BIGINT) is HUGEINT in DuckDB — the
+    # driver-red hazard class; see win_range_interval's oracle comment.
+    " CAST(sum(cents) OVER"
     "  (PARTITION BY user_id ORDER BY ts_ms"
     "   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"
-    "  AS rolling_cents"
+    "  AS BIGINT) AS rolling_cents"
     " FROM base",
 )
 def win_range_rolling_ms(spark, sf_dir):

@@ -192,18 +192,49 @@ class SchemaTracker:
         return widened, [f.name for f in new]
 
 
+def _pacing_options(
+    reader: DataStreamReader,
+    max_files_per_trigger: int | None,
+    max_bytes_per_trigger: int | None,
+) -> DataStreamReader:
+    """Apply exactly one ingest-pacing knob (Autoloader's
+    ``cloudFiles.maxFilesPerTrigger`` / ``cloudFiles.maxBytesPerTrigger``
+    pair). Spark's file source rejects both together at stream start —
+    raise the same contract eagerly here. Default (neither given): 1 file
+    per micro-batch, the reference's pacing
+    (``notebooks/demo-notebook.py:161``). Both knobs are honored by
+    ``trigger(availableNow=True)`` across ALL catch-up batches (unlike
+    the legacy ``trigger(once=True)``, which ignores limits) — batch
+    boundaries always fall on whole files."""
+    if max_files_per_trigger is not None and max_bytes_per_trigger is not None:
+        raise ValueError(
+            "maxFilesPerTrigger and maxBytesPerTrigger can't both be set"
+        )
+    if max_bytes_per_trigger is not None:
+        return reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    return reader.option(
+        "maxFilesPerTrigger",
+        str(1 if max_files_per_trigger is None else max_files_per_trigger),
+    )
+
+
 def read_json_stream(
     spark: SparkSession,
     path: str,
     schema: StructType,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int | None = None,
     multiline: bool = True,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
     corrupt_col: str | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming JSON file source, 1 file per micro-batch by default
     (the reference's ``cloudFiles.maxFilesPerTrigger=1``,
-    ``notebooks/demo-notebook.py:161``).
+    ``notebooks/demo-notebook.py:161``); ``max_bytes_per_trigger``
+    switches to byte-budget pacing (Autoloader's
+    ``cloudFiles.maxBytesPerTrigger`` — a SOFT maximum: each batch takes
+    whole files while the running total stays under budget, at least one
+    file per batch). The two knobs are mutually exclusive.
 
     ``corrupt_col`` enables quarantine capture: malformed records surface
     with the raw text in that column instead of silently becoming all-null
@@ -217,7 +248,9 @@ def read_json_stream(
         spark.readStream.schema(schema)
         .option("multiLine", str(multiline).lower())
         .option("timestampFormat", timestamp_format)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    reader = _pacing_options(
+        reader, max_files_per_trigger, max_bytes_per_trigger
     )
     if corrupt_col:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
@@ -334,21 +367,23 @@ def read_json_auto_stream(
     spark: SparkSession,
     path: str,
     schema: StructType,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int | None = None,
     timestamp_format: str = CDC_TIMESTAMP_FORMAT,
     corrupt_col: str | None = None,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming ingest with per-file array/NDJSON dispatch — the pipeline's
     default landing reader. Same pacing contract as :func:`read_json_stream`
-    (1 file per micro-batch, the reference's cloudFiles.maxFilesPerTrigger=1,
-    ``notebooks/demo-notebook.py:161``); ``corrupt_col`` is the quarantine
-    channel (Autoloader rescued-data analogue)."""
-    raw = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(path)
+    (default 1 file per micro-batch, the reference's
+    cloudFiles.maxFilesPerTrigger=1, ``notebooks/demo-notebook.py:161``;
+    ``max_bytes_per_trigger`` for byte-budget pacing, mutually exclusive);
+    ``corrupt_col`` is the quarantine channel (Autoloader rescued-data
+    analogue)."""
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    reader = _pacing_options(
+        reader, max_files_per_trigger, max_bytes_per_trigger
     )
+    raw = reader.load(path)
     return _parse_json_any(raw, schema, timestamp_format, corrupt_col)
 
 

@@ -60,7 +60,15 @@ def repr_class(dtype: str) -> str:
         scale = int(m.group(2))
         # Decimal('2') prints like int 2; Decimal('2.00') does not.
         return "int" if scale == 0 else f"dec({scale})"
-    if t in ("tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+    if t in ("hugeint", "uhugeint"):
+        # NOT the int class: locally fetchall() renders HUGEINT as a Python
+        # int, but driver-side fetch paths differ (DuckDB 1.0 fetchdf()
+        # converts HUGEINT to float64 — "310.0" vs "310"), so an un-CAST
+        # DuckDB sum(BIGINT) oracle hash-flips on the driver while passing
+        # here. Giving HUGEINT its own class forces every oracle to CAST —
+        # the win_range_interval/win_range_rolling_ms r8-r10 red rows.
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
              "utinyint", "usmallint", "uinteger", "ubigint", "long", "short",
              "byte"):
         return "int"
@@ -133,6 +141,24 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
         (i, sr, dr) for i, (sr, dr) in enumerate(zip(s_norm, d_norm)) if sr != dr
     ]
     assert not mismatches, f"{name}: first stringified mismatches {mismatches[:3]}"
+
+
+def test_hugeint_is_its_own_class(ddb):
+    """An injected un-CAST DuckDB ``sum(BIGINT)`` (→ HUGEINT) must FAIL the
+    type-class gate against Spark's BIGINT sum — the r8-r10 driver-red
+    hazard class this gate was blind to when hugeint collapsed into int."""
+    desc = ddb.execute(
+        "DESCRIBE SELECT sum(CAST(1 AS BIGINT)) AS s"
+    ).fetchall()
+    assert desc[0][1].lower() == "hugeint"  # the hazard exists in this build
+    assert repr_class(desc[0][1]) == "hugeint"
+    assert repr_class("bigint") == "int"
+    assert repr_class(desc[0][1]) != repr_class("bigint")
+    # and the CAST fix restores parity
+    desc2 = ddb.execute(
+        "DESCRIBE SELECT CAST(sum(CAST(1 AS BIGINT)) AS BIGINT) AS s"
+    ).fetchall()
+    assert repr_class(desc2[0][1]) == "int"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -61,10 +61,12 @@ def _table_rows(t: LakeTable, version=None) -> frozenset:
 
 
 @pytest.mark.parametrize(
-    "mode", ["rewrite", "dv", "autocompact"]
+    "mode", ["rewrite", "dv", "autocompact", "frozenclock"]
 )
 @pytest.mark.parametrize("seed", range(6))
-def test_random_maintenance_interleavings(spark, tmp_path, seed, mode):
+def test_random_maintenance_interleavings(
+    spark, tmp_path, seed, mode, monkeypatch
+):
     """Runs in BOTH delete modes: file-rewrite and deletion vectors —
     RESTORE's DV reconciliation (every surviving file must end with
     exactly its target-version deletion vector) only gets exercised by
@@ -72,8 +74,17 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, mode):
     delete -> restore -> delete on the same file. The third mode runs
     the rewrite flavor with AUTO COMPACTION live, so background
     OPTIMIZE commits interleave every write — pure-physical invariance
-    under the full op mix."""
+    under the full op mix. The fourth mode FREEZES the wall clock for
+    the whole sequence so write_commit's monotonic clamp stamps every
+    commit ahead of now_ms() — the clamp-ahead hazard from the r10
+    vacuum flake: the tail-phase 0-retention vacuum must still see the
+    final delete's tombstones."""
     dv = mode == "dv"
+    if mode == "frozenclock":
+        from incremental_etl_on_lakehouse_spark.lake import log as lakelog
+
+        t0 = lakelog.now_ms()
+        monkeypatch.setattr(lakelog, "now_ms", lambda: t0)
     rng = random.Random(8800 + seed)
     props = {"enableChangeDataFeed": "true"}
     if dv:
@@ -227,6 +238,22 @@ def test_random_maintenance_interleavings(spark, tmp_path, seed, mode):
         rm, ad = by_commit[v]
         replay = (replay - rm) | ad
     assert replay == frozenset(model), (seed, "cdf-replay")
+
+    if mode == "frozenclock" and model:
+        # clamp-ahead regression (r10 flake): every commit above is
+        # stamped ahead of the frozen wall clock, yet a 0-retention
+        # dry-run vacuum right after a full delete must list the
+        # tombstoned files (rewrite mode: a full delete removes every
+        # data file from the snapshot)
+        files_before = set(t.files())
+        t.delete("val >= 0")
+        model.clear()
+        history[t.version()] = frozenset(model)
+        if files_before:
+            assert t.vacuum(retention_ms=0, dry_run=True, force=True), (
+                seed,
+                "clamp-ahead vacuum blind to the delete's tombstones",
+            )
 
     # VACUUM tail phase — the no-silent-corruption contract: after a
     # zero-retention vacuum, (a) the live snapshot is untouched, and

@@ -354,7 +354,6 @@ def test_malformed_checkpoint_interval_degrades_gracefully(spark, tmp_path):
     # survives the bad value
     from incremental_etl_on_lakehouse_spark.lake import log as lakelog2
 
-    lakelog2._CKPT_INTERVAL_CACHE.pop(os.path.abspath(path), None)
-    lakelog2._CKPT_INTERVAL_CACHE.pop(path, None)
+    lakelog2.invalidate_ckpt_interval(path)
     t.append(spark.createDataFrame([(99,)], SCHEMA))
     assert t.to_df().count() == 4
