@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     # round-10: incremental top-k CDF maintenance (the newest
     # non-subtractable aggregate path); NOT baseline-comparable
     "agg_incremental_topk",
+    # round-11: byte-budget ingest pacing (maxBytesPerTrigger through a
+    # real availableNow drain — fixed-cost streaming scenario, tracks the
+    # file-source pacing machinery); NOT baseline-comparable
+    "stream_paced_bytes",
 ]
 
 

@@ -448,9 +448,16 @@ class LakeCatalog:
         if entry is not None:
             if not entry["external"]:
                 LakeTable.drop(entry["path"])
-            elif not os.path.relpath(
-                os.path.abspath(entry["path"]), self.root
-            ).startswith("..") and LakeTable.exists(entry["path"]):
+            elif LakeTable.exists(entry["path"]):
+                # marker written UNCONDITIONALLY on location (round 11; it
+                # was once gated to paths inside this catalog's root):
+                # external data living under a SIBLING catalog's tree needs
+                # the marker too — the Lakehouse peer scan reads other
+                # catalogs' orphan sets, so the marker is what keeps the
+                # containing catalog's directory-convention DROP from
+                # deleting the bytes after unregistration. A marker for a
+                # path outside every root is inert (no drop path ever
+                # matches it) — harmless.
                 self._meta_commit(
                     {
                         "op": "put_extern_orphan",

@@ -68,16 +68,51 @@ def dedup_latest(
     key_cols: list[str],
     order_cols: list[str],
     tiebreak_cols: list[str] | None = None,
+    skew_salts: int | None = None,
 ) -> DataFrame:
     """Keep the latest record per key: row_number over (key, order desc).
 
     ``tiebreak_cols`` make the result deterministic when two records share the
     ordering timestamp (the reference's sample data never ties; real CDC logs
     do).
+
+    ``skew_salts``: skew hardening for pathological batches where one merge
+    key dominates (a hot account replayed all day, a tombstone storm on one
+    id). The plain window hash-partitions on the merge key alone, so a hot
+    key serializes ONE reducer regardless of cluster size. With salts the
+    latest-wins argmax runs in two phases — the ``salted_join`` pattern
+    applied to a window: phase 1 ranks within ``(key, salt)`` (the hot key
+    spreads over ``skew_salts`` reducers), phase 2 ranks the ≤ ``skew_salts``
+    local winners per key. Both phases declare the SAME ordering, and argmax
+    is associative, so the result is identical to the plain window whenever
+    ``(order, tiebreak)`` is a total order per key (full ties are an
+    arbitrary pick in BOTH paths — the documented contract). The salt is a
+    deterministic hash of the ordering columns: retries and replays land
+    every row in the same salt group. Cost: one extra exchange over the
+    phase-1 winners — O(keys x salts) rows — so leave it off (None) for
+    well-distributed batches and set 8-32 where a hot key is possible.
     """
     order = [F.col(c).desc() for c in order_cols] + [
         F.col(c).desc() for c in (tiebreak_cols or [])
     ]
+    if skew_salts is not None and skew_salts > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols + (tiebreak_cols or [])]),
+            F.lit(skew_salts),
+        )
+        w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order)
+        local = (
+            df.withColumn("__salt", salt)
+            .withColumn("__rnk", F.row_number().over(w1))
+            .where(F.col("__rnk") == 1)
+            .drop("__rnk")
+        )
+        w2 = Window.partitionBy(*key_cols).orderBy(*order)
+        return (
+            local.withColumn("__rnk", F.row_number().over(w2))
+            .where(F.col("__rnk") == 1)
+            .drop("__rnk", "__salt")
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         df.withColumn("__rnk", F.row_number().over(w))
@@ -98,6 +133,7 @@ def merge_cdc_batch(
     tiebreak_cols: list[str] | None = None,
     order_guard_col: str | None = None,
     order_guard_cols: list[str] | None = None,
+    dedup_skew_salts: int | None = None,
 ) -> dict:
     """Dedup a CDC micro-batch and MERGE it into the snapshot table.
 
@@ -125,8 +161,14 @@ def merge_cdc_batch(
 
     Idempotence under at-least-once replay: a re-delivered batch fires zero
     clauses -> zero files rewritten (file pruning includes clause conditions).
+
+    ``dedup_skew_salts``: see :func:`dedup_latest` — set it when a single
+    merge key can dominate a batch (the hot-key window would otherwise
+    serialize one reducer at cluster scale); results are identical.
     """
-    deduped = dedup_latest(batch, key_cols, order_cols, tiebreak_cols)
+    deduped = dedup_latest(
+        batch, key_cols, order_cols, tiebreak_cols, skew_salts=dedup_skew_salts
+    )
     cond = " AND ".join(f"source.`{k}` = target.`{k}`" for k in key_cols)
     guard_cols = list(order_guard_cols or ([order_guard_col] if order_guard_col else []))
     guard = f" AND {lex_greater_sql(guard_cols)}" if guard_cols else ""
@@ -541,6 +583,55 @@ def distinct_counts(
 ) -> DataFrame:
     """Exact per-group COUNT(DISTINCT) from the maintained state table."""
     return state.to_df().groupBy(*group_cols).agg(F.count("*").alias(out_col))
+
+
+def percentile_from_state(
+    state: LakeTable,
+    group_cols: list[str],
+    value_col: str,
+    q: tuple[int, int] = (1, 2),
+    out_col: str = "pctl",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Exact per-group discrete percentile from the multiset state —
+    incremental MEDIAN/quantiles for free: the per-(group, value) counts
+    maintained for exact COUNT(DISTINCT) (:func:`merge_distinct_state`)
+    are a compressed sorted histogram, so the q-th percentile (lower /
+    ``ceil`` definition: the smallest value whose cumulative multiplicity
+    reaches ``ceil(q * n)``) reads off one window pass over O(state
+    rows), never the source table. ``q`` is an exact rational
+    ``(numerator, denominator)`` so the rank threshold is pure integer
+    arithmetic (``cum * den >= n * num`` — equivalent to
+    ``cum >= ceil(n * q)`` for integer cum) and the result is
+    engine-exact, unlike interpolating ``percentile_cont``.
+
+    Scale: one window exchange keyed on the group over the state table
+    (O(live distinct values) — the same state COUNT(DISTINCT) already
+    pays for); the quantile itself adds no per-row source cost. Percentile
+    joins MIN/MAX, COUNT(DISTINCT), and TOP-K in the non-subtractable
+    family: state-merge on every batch, exact read at any time.
+    """
+    num, den = q
+    if not (0 < num <= den):
+        raise ValueError(f"q must be a rational in (0, 1]: {q}")
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    df = (
+        state.to_df()
+        .withColumn("__cum", F.sum(cnt_col).over(w_cum))
+        .withColumn("__n", F.sum(cnt_col).over(w_all))
+    )
+    return (
+        df.where(F.col("__cum") * den >= F.col("__n") * num)
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_col))
+    )
 
 
 class IncrementalAggView:

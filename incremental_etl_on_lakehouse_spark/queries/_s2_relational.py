@@ -405,6 +405,99 @@ def agg_incremental_topk(spark, sf_dir):
     return gold.to_df()
 
 
+MEDSTATE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("value_cents", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_CDC_MEDIAN_CACHE: dict[tuple[int, str], LakeTable] = {}
+
+
+@query(
+    "agg_incremental_median",
+    # lower-percentile definition, pure integer rank arithmetic on both
+    # engines: the q-th percentile is the smallest v whose cumulative
+    # multiplicity reaches ceil(q * n) — cum * den >= n * num for integer
+    # cum. Window sums are HUGEINT intermediates in DuckDB but appear only
+    # in the comparison; every OUTPUT column is CAST BIGINT (the round-11
+    # hazard-class rule).
+    _SQL_CDC
+    + "SELECT event_type,"
+    " CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)"
+    "  AS median_cents,"
+    " CAST(min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS BIGINT)"
+    "  AS p90_cents"
+    " FROM ("
+    "  SELECT event_type, v,"
+    "   sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,"
+    "   sum(cnt) OVER (PARTITION BY event_type) AS n"
+    "  FROM ("
+    "   SELECT event_type, value_cents AS v, count(*) AS cnt"
+    "   FROM final GROUP BY event_type, value_cents))"
+    " GROUP BY event_type",
+)
+def agg_incremental_median(spark, sf_dir):
+    """Incremental EXACT MEDIAN / percentiles from the change feed — the
+    quantile member of the non-subtractable family (SURVEY.md §7
+    hard-part d, next to MIN/MAX, COUNT(DISTINCT), TOP-K): the
+    per-(group, value) multiset state maintained for exact
+    COUNT(DISTINCT) is a compressed sorted histogram, so exact
+    median/p90 read off one window pass over O(state) rows at ANY point
+    — no quantile sketch error, no source rescan. Deletes in batch 2
+    (error events) decrement state rows to zero, so the removal path is
+    exercised. Final state equals the converged silver's multiset; the
+    oracle replays the identical lower-percentile integer-rank
+    definition over it."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        cdf_multiset_deltas,
+        merge_distinct_state,
+        percentile_from_state,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    cached = _CDC_MEDIAN_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.path):
+        state = cached
+    else:
+        silver = _run_cdc_silver(spark, sf_dir)
+        root = _tmpdir()
+        state = LakeTable.create(
+            spark, os.path.join(root, "medstate"), MEDSTATE_SCHEMA
+        )
+        reader = LakeStreamReader(
+            silver,
+            os.path.join(root, "med_ck.json"),
+            mode="cdf",
+            starting_version=1,
+            # multiset deltas fold additively across a span — catch-up
+            # coalescing valid (same argument as incremental top-k)
+            max_versions_per_trigger=64,
+        )
+
+        def update(changes: DataFrame, v: int) -> None:
+            deltas = cdf_multiset_deltas(
+                changes, group_cols=["event_type"], value_col="value_cents"
+            )
+            merge_distinct_state(
+                state, deltas, group_cols=["event_type"],
+                value_col="value_cents",
+            )
+
+        reader.process_available(update)
+        _CDC_MEDIAN_CACHE[cache_key] = state
+    med = percentile_from_state(
+        state, ["event_type"], "value_cents", q=(1, 2),
+        out_col="median_cents",
+    )
+    p90 = percentile_from_state(
+        state, ["event_type"], "value_cents", q=(9, 10),
+        out_col="p90_cents",
+    )
+    return med.join(p90, "event_type")
+
+
 _CDC_VIEW_CACHE: dict[tuple[int, str], object] = {}
 
 

@@ -650,6 +650,188 @@ def test_lakehouse_interleaving_fuzz(spark, tmp_path, seed):
                 )
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_lakehouse_external_interleaving_fuzz(spark, tmp_path, seed):
+    """Round-11 op-mix extension (ROTATION.md handoff): EXTERNAL
+    registrations join the Lakehouse interleaving fuzzer — register data
+    INSIDE a db directory (possibly a different db than the registration),
+    drop the registration (extern-orphan marker), drop its directory-name
+    alias (silent no-op while registered, clean refusal once orphaned),
+    re-register the orphaned path under a fresh name, and CASCADE drops
+    that must never delete externally-owned bytes. Checked against a
+    filesystem-level model (registrations + live lake paths + orphan
+    markers) through fresh instances each step."""
+    import os as _os
+    import random
+
+    from incremental_etl_on_lakehouse_spark.lake import LakeTable
+    from incremental_etl_on_lakehouse_spark.lake.catalog import Lakehouse
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("id", LongType())])
+    rng = random.Random(11_000 + seed)
+    root = str(tmp_path / "lh")
+    lhs = [Lakehouse(spark, root), Lakehouse(spark, root)]
+    cats: set[str] = set()
+    db_dirs: set[tuple[str, str]] = set()          # (cat, db) dirs that exist
+    regs: dict[tuple[str, str, str], tuple[str, bool]] = {}  # -> (path, ext)
+    live: set[str] = set()                         # paths holding a LakeTable
+    orphans: dict[str, set[str]] = {}              # cat -> marker paths
+    n = 0
+
+    def db_path(c, d):
+        return _os.path.join(root, c, d)
+
+    def expected_tables(c, d):
+        names = {t for (cc, dd, t) in regs if (cc, dd) == (c, d)}
+        dp = db_path(c, d)
+        names |= {
+            _os.path.basename(p)
+            for p in live
+            if _os.path.dirname(p) == dp
+        }
+        return names
+
+    def ext_alive_inside(c):
+        cp = _os.path.join(root, c)
+        ins = {
+            p
+            for (cc, _d, _t), (p, ext) in regs.items()
+            if cc == c and ext and p.startswith(cp + _os.sep) and p in live
+        }
+        ins |= {p for p in orphans.get(c, set()) if p in live}
+        return ins
+
+    for _ in range(24):
+        lh = rng.choice(lhs)
+        op = rng.choice(
+            ["create_cat", "create_db", "create_tbl", "reg_ext", "rereg",
+             "drop_reg", "drop_alias", "drop_db", "drop_cat"]
+        )
+        if op == "create_cat":
+            c = f"c{rng.randint(0, 1)}"
+            lh.create_catalog(c)
+            cats.add(c)
+        elif op == "create_db" and cats:
+            c = rng.choice(sorted(cats))
+            d = f"db{rng.randint(0, 1)}"
+            lh.catalog(c).create_database(d)
+            db_dirs.add((c, d))
+        elif op == "create_tbl" and db_dirs:
+            c, d = rng.choice(sorted(db_dirs))
+            t = f"m{n}"; n += 1
+            lh.catalog(c).create_table(d, t, schema)
+            regs[(c, d, t)] = (db_path(c, d) + _os.sep + t, False)
+            live.add(db_path(c, d) + _os.sep + t)
+        elif op == "reg_ext" and db_dirs:
+            # plant external data INSIDE a db dir, register it (same
+            # catalog, possibly a DIFFERENT db) under a distinct name
+            c, d_home = rng.choice(sorted(db_dirs))
+            home_dbs = sorted(dd for (cc, dd) in db_dirs if cc == c)
+            d_reg = rng.choice(home_dbs)
+            p = db_path(c, d_home) + _os.sep + f"x{n}"
+            LakeTable.create(spark, p, schema)
+            live.add(p)
+            t = f"r{n}"; n += 1
+            lh.catalog(c).register_table(d_reg, t, p)
+            regs[(c, d_reg, t)] = (p, True)
+        elif op == "rereg":
+            # re-register a surviving unregistered external path
+            registered = {p for (p, _e) in regs.values()}
+            cands = sorted(
+                p for p in live
+                if p not in registered and p.startswith(root + _os.sep)
+            )
+            if not cands or not db_dirs:
+                continue
+            p = rng.choice(cands)
+            c = p[len(root) + 1 :].split(_os.sep)[0]
+            home_dbs = sorted(dd for (cc, dd) in db_dirs if cc == c)
+            if not home_dbs:
+                continue
+            d = rng.choice(home_dbs)
+            t = f"rr{n}"; n += 1
+            lh.catalog(c).register_table(d, t, p)
+            regs[(c, d, t)] = (p, True)
+        elif op == "drop_reg" and regs:
+            (c, d, t) = rng.choice(sorted(regs))
+            p, ext = regs.pop((c, d, t))
+            lh.catalog(c).drop_table(d, t)
+            if not ext:
+                live.discard(p)
+            elif p in live and p.startswith(_os.path.join(root, c) + _os.sep):
+                orphans.setdefault(c, set()).add(p)
+        elif op == "drop_alias":
+            # directory-convention drop on an external path's basename
+            ext_paths = {p for (p, e) in regs.values() if e}
+            cands = sorted(
+                p for p in live
+                if p.startswith(root + _os.sep)
+                and not any(
+                    pp == p and not e for (pp, e) in regs.values()
+                )
+                and _os.path.dirname(p) in {db_path(*cd) for cd in db_dirs}
+            )
+            if not cands:
+                continue
+            p = rng.choice(cands)
+            c, d = p[len(root) + 1 :].split(_os.sep)[:2]
+            alias = _os.path.basename(p)
+            if p in ext_paths:
+                lh.catalog(c).drop_table(d, alias)  # silent no-op
+            elif p in orphans.get(c, set()):
+                with pytest.raises(ValueError, match="externally-owned"):
+                    lh.catalog(c).drop_table(d, alias)
+            else:
+                continue  # unreachable by construction
+            assert p in live and LakeTable.exists(p), (seed, "alias drop")
+        elif op == "drop_db" and db_dirs:
+            c, d = rng.choice(sorted(db_dirs))
+            lh.catalog(c).drop_database(d, cascade=True)
+            dp = db_path(c, d)
+            for key in sorted(k for k in regs if k[:2] == (c, d)):
+                p, ext = regs.pop(key)
+                if not ext:
+                    live.discard(p)
+                elif p in live and p.startswith(
+                    _os.path.join(root, c) + _os.sep
+                ):
+                    orphans.setdefault(c, set()).add(p)
+            if not any(_os.path.dirname(p) == dp for p in live):
+                db_dirs.discard((c, d))
+        elif op == "drop_cat" and cats:
+            c = rng.choice(sorted(cats))
+            if ext_alive_inside(c):
+                with pytest.raises(ValueError, match="externally-owned"):
+                    lhs[0].drop_catalog(c, cascade=True)
+                continue
+            lhs[0].drop_catalog(c, cascade=True)
+            cp = _os.path.join(root, c)
+            cats.discard(c)
+            db_dirs = {(cc, dd) for (cc, dd) in db_dirs if cc != c}
+            for key in sorted(k for k in regs if k[0] == c):
+                p, _ext = regs.pop(key)
+                live.discard(p)  # no alive externals inside (checked above)
+            live = {p for p in live if not p.startswith(cp + _os.sep)}
+            orphans.pop(c, None)
+        else:
+            continue
+
+        fresh = Lakehouse(spark, root)
+        assert set(fresh.catalogs()) == cats, (seed, op)
+        for c in cats:
+            got_dbs = set(fresh.catalog(c).databases())
+            want_dbs = {d for (cc, d) in db_dirs if cc == c}
+            assert got_dbs == want_dbs, (seed, op, c, got_dbs, want_dbs)
+            for d in want_dbs:
+                got = set(fresh.catalog(c).tables(d))
+                want = expected_tables(c, d)
+                assert got == want, (seed, op, c, d, got, want)
+        # external bytes are NEVER deleted while any model path is live
+        for p in live:
+            assert LakeTable.exists(p), (seed, op, p)
+
+
 def test_lakehouse_string_literals_not_rewritten(spark, lh):
     """Dotted values inside SQL string literals ('www.example.com') must
     not be parsed as catalog.db.table references."""

@@ -83,13 +83,19 @@ def order_key_df(df):
 ORD_SCHEMA = StructType(SCHEMA.fields + [StructField("ord", LongType())])
 
 
+@pytest.mark.parametrize("salts", [None, 4])
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(records=st.lists(RECORD, min_size=1, max_size=30), n_batches=st.integers(1, 3))
-def test_inorder_merge_matches_model(spark, tmp_path_factory, records, n_batches):
+def test_inorder_merge_matches_model(
+    spark, tmp_path_factory, records, n_batches, salts
+):
+    """salts=4 runs the identical property through the skew-salted dedup
+    path (round 11) — the 6-key domain makes every batch hot-key-heavy, so
+    the two-phase argmax is exercised on real collisions."""
     path = str(tmp_path_factory.mktemp("prop") / uuid.uuid4().hex)
     table = LakeTable.create(spark, path, ORD_SCHEMA)
     # time-ordered batches: sort by (ts, seq), then split contiguously
@@ -108,6 +114,7 @@ def test_inorder_merge_matches_model(spark, tmp_path_factory, records, n_batches
             key_cols=["id"],
             order_cols=["ts", "seq"],
             order_guard_col="ord",
+            dedup_skew_salts=salts,
         )
     got = {
         r["id"]: (r["ts"], r["value"]) for r in table.to_df().collect()

@@ -200,6 +200,30 @@ def test_lakehouse_sibling_catalog_external_protected(spark, tmp_path):
     assert lh.catalog("c2").table("d2", "ext").to_df().count() == 1
 
 
+def test_cross_catalog_orphan_marker_protects_after_unregistration(
+    spark, tmp_path
+):
+    """UNREGISTERING a cross-catalog external must leave the ownership
+    marker even though the data lives under a SIBLING catalog's tree (the
+    marker was once only written for paths inside the registering
+    catalog's own root): the containing catalog's directory-convention
+    DROP TABLE / DROP DATABASE CASCADE reads sibling orphan sets through
+    the Lakehouse peer scan, so the marker is what keeps the bytes alive
+    after unregistration."""
+    lh = Lakehouse(spark, str(tmp_path / "lh"))
+    lh.create_catalog("c1")
+    lh.create_catalog("c2")
+    lh.catalog("c1").create_database("db")
+    loc = str(tmp_path / "lh" / "c1" / "db" / "shared")
+    _mk_external(spark, loc)
+    lh.catalog("c2").register_table("d2", "ext", loc)
+    lh.catalog("c2").drop_table("d2", "ext")  # unregister -> orphan marker
+    lh.catalog("c1").drop_table("db", "shared")  # alias drop: no-op
+    assert LakeTable.exists(loc), "orphaned cross-catalog bytes deleted"
+    lh.catalog("c1").drop_database("db", cascade=True)
+    assert LakeTable.exists(loc), "cascade deleted orphaned sibling bytes"
+
+
 def test_lakehouse_create_database_requires_catalog(spark, tmp_path):
     """CREATE DATABASE in a missing catalog errors (Unity Catalog's
     CREATE SCHEMA semantics) instead of silently minting the catalog;
@@ -210,6 +234,168 @@ def test_lakehouse_create_database_requires_catalog(spark, tmp_path):
     assert "typo_cat" not in lh.catalogs()
     lh.sql("CREATE DATABASE db1")  # default catalog pre-exists
     assert "db1" in lh.catalog("main").databases()
+
+
+# ------------------------------------------------------- skew-salted dedup
+
+
+def _hot_key_batch(spark, seed: int, n: int = 400):
+    """90% of rows on ONE merge key — the pathological batch where the
+    plain dedup window serializes a single reducer."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        key = 7 if rng.random() < 0.9 else rng.randint(100, 120)
+        rows.append(
+            (key, rng.randint(0, 10_000), i, f"v{i}", f"h{i}",
+             "UPDATE" if rng.random() < 0.8 else "DELETE")
+        )
+    return spark.createDataFrame(
+        rows,
+        "id long, ts long, seq long, payload string, data_hash string,"
+        " cdc_operation string",
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_salted_dedup_matches_plain_window(spark, seed):
+    """Fuzzed 90%-one-key batches: the two-phase salted argmax returns
+    exactly the plain window's rows ((ts, seq) is a total order per key,
+    so both paths are deterministic)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import dedup_latest
+
+    batch = _hot_key_batch(spark, 9100 + seed)
+    plain = dedup_latest(batch, ["id"], ["ts"], ["seq"])
+    salted = dedup_latest(batch, ["id"], ["ts"], ["seq"], skew_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_dedup_plan_spreads_hot_key(spark):
+    """Plan shape: phase 1 partitions the window by (key, __salt) — the
+    hot key spreads across skew_salts reducers — and phase 2 reduces only
+    the local winners; the plain path must stay single-window."""
+    from incremental_etl_on_lakehouse_spark import plans
+    from incremental_etl_on_lakehouse_spark.operators.cdc import dedup_latest
+
+    batch = _hot_key_batch(spark, 9200)
+    salted_plan = plans.formatted_plan(
+        dedup_latest(batch, ["id"], ["ts"], ["seq"], skew_salts=8)
+    )
+    assert "__salt" in salted_plan
+    assert salted_plan.count("Window") >= 2
+    plain_plan = plans.formatted_plan(dedup_latest(batch, ["id"], ["ts"], ["seq"]))
+    assert "__salt" not in plain_plan
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_merge_cdc_salted_dedup_same_table_state(spark, tmp_path, seed):
+    """merge_cdc_batch with dedup_skew_salts lands the IDENTICAL table
+    state as the plain path on hot-key batches, including DELETE ops."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import merge_cdc_batch
+
+    schema = (
+        "id long, ts long, seq long, payload string, cdc_operation string"
+    )
+    states = []
+    for salts in (None, 8):
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"t_{salts}_{seed}"),
+            _hot_key_batch(spark, 1).schema,
+        )
+        for b in range(2):
+            merge_cdc_batch(
+                t,
+                _hot_key_batch(spark, 9300 + 10 * seed + b),
+                ["id"],
+                ["ts"],
+                tiebreak_cols=["seq"],
+                dedup_skew_salts=salts,
+            )
+        states.append(sorted(map(tuple, t.to_df().collect())))
+    assert states[0] == states[1]
+
+
+# ---------------------------------------------- incremental exact percentile
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_percentile_from_state_differential(spark, tmp_path, seed):
+    """Randomized differential: fold synthetic insert/delete change
+    batches into the multiset state and, after EVERY batch, the state
+    median/p90 must equal the python model's lower percentile over the
+    live multiset (including batches that delete current median-holders
+    and batches that empty a group entirely)."""
+    import random
+    from collections import Counter
+
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        cdf_multiset_deltas,
+        merge_distinct_state,
+        percentile_from_state,
+    )
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("val", LongType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    state = LakeTable.create(spark, str(tmp_path / "pstate"), schema)
+    rng = random.Random(11_500 + seed)
+    model: Counter = Counter()  # (grp, val) -> multiplicity
+
+    def model_pctl(grp, num, den):
+        items = sorted(
+            (v, c) for (g, v), c in model.items() if g == grp and c > 0
+        )
+        n = sum(c for _v, c in items)
+        if n == 0:
+            return None
+        cum = 0
+        for v, c in items:
+            cum += c
+            if cum * den >= n * num:
+                return v
+        raise AssertionError("unreachable")
+
+    for _batch in range(6):
+        changes = []
+        for _ in range(rng.randint(3, 10)):
+            live = [k for k, c in model.items() if c > 0]
+            if live and rng.random() < 0.45:
+                g, v = rng.choice(live)
+                changes.append((g, v, "delete"))
+                model[(g, v)] -= 1
+            else:
+                g = rng.choice("ab")
+                v = rng.randint(0, 9)
+                changes.append((g, v, "insert"))
+                model[(g, v)] += 1
+        cdf = spark.createDataFrame(
+            changes, "grp string, val long, _change_type string"
+        )
+        deltas = cdf_multiset_deltas(cdf, ["grp"], "val")
+        merge_distinct_state(state, deltas, ["grp"], "val")
+        for (num, den), col in (((1, 2), "m"), ((9, 10), "p")):
+            got = {
+                r["grp"]: r[col]
+                for r in percentile_from_state(
+                    state, ["grp"], "val", q=(num, den), out_col=col
+                ).collect()
+            }
+            want = {
+                g: model_pctl(g, num, den)
+                for g in "ab"
+                if model_pctl(g, num, den) is not None
+            }
+            assert got == want, (seed, _batch, (num, den), got, want)
 
 
 # ------------------------------------------------------------ BPE caching
