@@ -308,8 +308,18 @@ def clean_log(table_path: str, retention_ms: int) -> list[int]:
     commit_vs, ckpt_vs = list_versions(table_path)
     if not commit_vs:
         return []
-    horizon = now_ms() - retention_ms
     latest = commit_vs[-1]
+    # Same eligibility clock as VACUUM (round 11): in-commit timestamps are
+    # clamped monotonic and can run AHEAD of the wall clock when commits
+    # land faster than it ticks, so age is measured against
+    # max(wall-clock, latest commit ts + 1) — otherwise a 0-ms-retention
+    # cleanup stops its prefix at the first clamped-ahead commit and
+    # deletes less than the retention asks.
+    now = now_ms()
+    latest_ts = read_commit(table_path, latest).timestamp_ms
+    if latest_ts is not None:
+        now = max(now, latest_ts + 1)
+    horizon = now - retention_ms
     boundary = commit_vs[0]
     for v in commit_vs:
         # never delete the latest commit; the prefix stops at the first

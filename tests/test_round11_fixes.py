@@ -69,6 +69,21 @@ def test_vacuum_same_millisecond_delete(spark, tmp_path):
     assert t.vacuum(retention_ms=0, dry_run=True, force=True)
 
 
+def test_cleanup_log_full_prefix_under_frozen_clock(spark, tmp_path, monkeypatch):
+    """clean_log has the same clamp-ahead hazard as vacuum: with the wall
+    clock frozen, every commit is stamped ahead of now_ms() and a
+    0-ms-retention cleanup would stop its prefix at the first commit. The
+    shared eligibility clock must still clean up to the head."""
+    t0 = lakelog.now_ms()
+    monkeypatch.setattr(lakelog, "now_ms", lambda: t0)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(4):
+        _append(spark, t, i)
+    deleted = t.cleanup_log(retention_ms=0)
+    assert deleted and max(deleted) == t.version() - 1, deleted
+    assert t.to_df().count() == 4  # live snapshot intact
+
+
 def test_vacuum_long_retention_still_protects(spark, tmp_path, monkeypatch):
     """The clamp-aware clock must not erode real retention windows."""
     t0 = lakelog.now_ms()
