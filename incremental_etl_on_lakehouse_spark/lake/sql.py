@@ -912,7 +912,7 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
     """Utility DDL/maintenance statements -> (kind, table, params):
 
     - ``OPTIMIZE <t> [ZORDER BY (a, b, ...)]``
-    - ``VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]``
+    - ``VACUUM <t> [LITE] [RETAIN <n> HOURS] [DRY RUN]``
     - ``RESTORE TABLE <t> TO VERSION AS OF <v>``
     - ``CREATE TABLE <c> [SHALLOW|DEEP] CLONE <t>``
     """
@@ -943,7 +943,7 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
     if m:
         return "generate_manifest", m.group("t"), {}
     m = re.match(
-        rf"VACUUM\s+(?P<t>{_IDENT})"
+        rf"VACUUM\s+(?P<t>{_IDENT})(?:\s+(?P<l>LITE))?"
         rf"(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?(?:\s+(?P<d>DRY\s+RUN))?\s*$",
         s,
         re.IGNORECASE,
@@ -952,6 +952,8 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
         return "vacuum", m.group("t"), {
             "retain_hours": int(m.group("h")) if m.group("h") else None,
             "dry_run": bool(m.group("d")),
+            # Delta 3.3's VACUUM ... LITE: log-driven reclaim, no listing
+            "lite": bool(m.group("l")),
         }
     m = re.match(
         rf"RESTORE\s+TABLE\s+(?P<t>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
@@ -971,6 +973,21 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
         return "clone", m.group("t"), {
             "dest": m.group("c"),
             "shallow": (m.group("k") or "SHALLOW").upper() == "SHALLOW",
+        }
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<c>{_IDENT})"
+        rf"\s+LIKE\s+(?P<t>{_IDENT})\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        # Delta's CREATE TABLE ... LIKE: a new EMPTY table with the
+        # source's schema, table properties (incl. partitioning,
+        # constraints, generated/identity columns), and zero data —
+        # the definition-copy sibling of CLONE's data-copy
+        return "create_like", m.group("t"), {
+            "dest": m.group("c"),
+            "if_not_exists": bool(m.group("ine")),
         }
     m = re.match(
         r"CONVERT\s+TO\s+LAKE\s+parquet\s*\.\s*`(?P<p>[^`]+)`\s*$",
@@ -997,7 +1014,7 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
             zorder_by=p["zorder_by"] or None, where=p.get("where")
         )
     if kind == "vacuum":
-        kwargs = {"dry_run": p["dry_run"]}
+        kwargs = {"dry_run": p["dry_run"], "lite": p.get("lite", False)}
         if p["retain_hours"] is not None:
             kwargs["retention_ms"] = p["retain_hours"] * 3600 * 1000
         return target.vacuum(**kwargs)
@@ -1008,7 +1025,17 @@ def execute_utility(spark: SparkSession, sql: str, resolve, dest_path=None):
         # live snapshot's file list for external parquet readers
         return target.generate_manifest()
     if dest_path is None:
-        raise ValueError("CLONE requires dest_path for the new table")
+        raise ValueError(
+            f"{kind.upper()} requires dest_path for the new table"
+        )
+    if kind == "create_like":
+        return LakeTable.create(
+            spark,
+            dest_path,
+            target.schema(),
+            properties=dict(target.properties()),
+            if_not_exists=p["if_not_exists"],
+        )
     return target.clone(dest_path, shallow=p["shallow"])
 
 

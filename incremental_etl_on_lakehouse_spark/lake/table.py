@@ -3079,6 +3079,7 @@ class LakeTable:
         retention_ms: int | None = None,
         dry_run: bool = False,
         force: bool = False,
+        lite: bool = False,
     ) -> list[str]:
         """Physically delete data files no longer referenced by the current
         snapshot whose removal commit is older than ``retention_ms`` —
@@ -3094,6 +3095,15 @@ class LakeTable:
         (``dry_run=True`` only reports). ``force=True`` lifts the
         ``ORPHAN_SAFETY_MS`` floor on the unreferenced-path sweeps (tests /
         known-quiesced tables only).
+
+        ``lite=True`` is Delta 3.3's ``VACUUM ... LITE``: reclaim ONLY from
+        the commit log's remove entries and skip the directory-listing
+        sweeps (orphaned stage dirs, crashed-writer log residue). On an
+        object store a full vacuum's recursive LIST over a 100 TB table's
+        millions of files dominates its cost and rate-limits the bucket;
+        the lite pass is O(log) metadata instead, which is the right
+        routine cadence — run the full (listing) flavor occasionally to
+        catch crashed-writer orphans the log cannot see.
         """
         if retention_ms is None:
             # Delta's property-driven default: the table declares its own
@@ -3143,6 +3153,16 @@ class LakeTable:
             # belong to the source — Delta's VACUUM has the same rule.
             and not os.path.relpath(self._abs(f), self.path).startswith("..")
         )
+        if lite:
+            # log-driven reclaim only — no directory listing
+            if not dry_run:
+                for f in victims:
+                    p = self._abs(f)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    elif os.path.isfile(p):
+                        os.unlink(p)
+            return victims
         # Orphaned stage directories: a writer that staged files but never
         # published its commit — a crash after _stage_write, or a
         # merge/delete/update losing its optimistic commit — leaves

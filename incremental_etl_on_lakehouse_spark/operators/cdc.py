@@ -27,6 +27,7 @@ delta aggregation is a partial-aggregated shuffle on the group key.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -645,7 +646,11 @@ class IncrementalAggView:
     - ``("min", col)`` / ``("max", col)`` — monotone tighten on inserts,
       recompute pruned to extremum-touched groups on deletes;
     - ``("count_distinct", col)`` — exact, via per-(group, value) multiset
-      state.
+      state;
+    - ``("median", col)`` / ``("pNN", col)`` (p90, p75, ...) — EXACT lower
+      percentiles read from the same multiset-state shape
+      (:func:`percentile_from_state`): one window pass over O(live
+      distinct values) at read time, no sketch error, no source rescan.
 
     Each family lives in its own lake table under ``root`` (additive +
     avg components in one; one min/max table per clustered value column;
@@ -693,6 +698,10 @@ class IncrementalAggView:
         self._avg_specs: dict[str, str] = {}  # view name -> hidden sum col
         self._mm_cols: set[str] = set()  # value cols needing a minmax table
         self._distinct_cols: dict[str, str] = {}  # view name -> value col
+        # view name -> (value col, exact rational q) for quantile kinds:
+        # "median" or "pNN" (p90, p75, ...) — exact lower percentiles read
+        # from a per-column multiset state (percentile_from_state)
+        self._pctl_specs: dict[str, tuple[str, tuple[int, int]]] = {}
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
                 self._sum_cols[name] = f"__sum_{col}"
@@ -704,6 +713,10 @@ class IncrementalAggView:
                 self._mm_cols.add(col)
             elif kind == "count_distinct":
                 self._distinct_cols[name] = col
+            elif kind == "median":
+                self._pctl_specs[name] = (col, (1, 2))
+            elif re.fullmatch(r"p[1-9]\d?", kind):
+                self._pctl_specs[name] = (col, (int(kind[1:]), 100))
             else:
                 raise ValueError(f"unsupported aggregate kind: {kind!r}")
         hidden_sums = sorted(set(self._sum_cols.values()) | set(self._avg_specs.values()))
@@ -766,6 +779,25 @@ class IncrementalAggView:
                 if_not_exists=True,
             )
             for name, col in sorted(self._distinct_cols.items())
+        }
+        # one multiset state table per QUANTILE value column (shared by
+        # every quantile view on that column; a count_distinct on the same
+        # column keeps its own per-name table — unifying the two storages
+        # is possible but not worth the layout migration)
+        self.p_tables = {
+            col: LakeTable.create(
+                spark,
+                os.path.join(root, f"pctl_{col}"),
+                StructType(
+                    group_fields
+                    + [
+                        StructField("value", src_schema[col]),
+                        StructField("cnt", LongType()),
+                    ]
+                ),
+                if_not_exists=True,
+            )
+            for col in sorted({c for c, _q in self._pctl_specs.values()})
         }
         self._reader = LakeStreamReader(
             source,
@@ -831,6 +863,18 @@ class IncrementalAggView:
                 self.group_cols,
                 "value",
             )
+        for col, ptable in self.p_tables.items():
+            narrowed = changes.select(
+                *self.group_cols,
+                F.col(col).alias("value"),
+                "_change_type",
+            )
+            merge_distinct_state(
+                ptable,
+                cdf_multiset_deltas(narrowed, self.group_cols, "value"),
+                self.group_cols,
+                "value",
+            )
 
     def refresh(self) -> int:
         """Fold all unprocessed source CDF batches; returns batches applied."""
@@ -875,6 +919,20 @@ class IncrementalAggView:
                     self.d_tables[name], self.group_cols, out_col=f"__d_{name}"
                 ),
             )
+        for name, (col, q) in self._pctl_specs.items():
+            # exact lower percentile off the multiset state: NULL for a
+            # group whose value column is entirely NULL (no state row) —
+            # exactly batch MEDIAN/percentile semantics via the left join
+            out = _nullsafe_left(
+                out,
+                percentile_from_state(
+                    self.p_tables[col],
+                    self.group_cols,
+                    "value",
+                    q=q,
+                    out_col=f"__p_{name}",
+                ),
+            )
         sel = [F.col(c) for c in self.group_cols]
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
@@ -903,6 +961,8 @@ class IncrementalAggView:
                 sel.append(F.col(f"__min_{col}").alias(name))
             elif kind == "max":
                 sel.append(F.col(f"__max_{col}").alias(name))
+            elif name in self._pctl_specs:
+                sel.append(F.col(f"__p_{name}").alias(name))
             else:
                 sel.append(
                     F.coalesce(F.col(f"__d_{name}"), F.lit(0)).alias(name)

@@ -238,6 +238,123 @@ def util_vacuum(spark, sf_dir):
 
 
 @query(
+    "util_vacuum_lite",
+    "SELECT CAST(count(*) AS BIGINT) AS live_rows,"
+    " CAST(true AS BOOLEAN) AS tombstones_gone,"
+    " CAST(true AS BOOLEAN) AS orphan_untouched,"
+    " CAST(true AS BOOLEAN) AS full_reclaims_orphan FROM nation",
+)
+def util_vacuum_lite(spark, sf_dir):
+    """VACUUM LITE (Delta 3.3): log-driven reclaim with NO directory
+    listing. Builds a throwaway table from ``nation``, rewrites it with a
+    merge, plants a crashed-writer orphan stage dir (referenced by no
+    commit), then asserts the lite pass deletes exactly the commit log's
+    tombstoned files while the orphan survives — and a follow-up FULL
+    vacuum (the listing flavor) reclaims the orphan. At 100 TB the lite
+    pass is the routine cadence: O(log) metadata instead of a recursive
+    LIST over millions of files; the full pass runs occasionally for
+    crash residue the log cannot see."""
+    import time as _time
+
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_name").alias("name"),
+    )
+    t = LakeTable.create(
+        spark,
+        os.path.join(_tmpdir(), "vaclite"),
+        StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        ),
+    )
+    t.append(nat)
+    t.merge(
+        nat.select("id", F.initcap(F.col("name")).alias("name")),
+        "source.id = target.id",
+        [MergeClause("update", "source.name <> target.name", "*")],
+    )
+    orphan = os.path.join(t.path, "data", "orphaned_stage_dir")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    old = _time.time() - 3600
+    os.utime(orphan, (old, old))
+    lite = t.vacuum(retention_ms=-1, lite=True)
+    tombstones_gone = bool(lite) and all(
+        not os.path.isfile(t._abs(r)) for r in lite
+    )
+    orphan_untouched = os.path.isdir(orphan) and not any(
+        "orphaned_stage_dir" in r for r in lite
+    )
+    full = t.vacuum(retention_ms=-1, force=True)
+    full_reclaims = any(
+        "orphaned_stage_dir" in r for r in full
+    ) and not os.path.isdir(orphan)
+    return t.to_df().groupBy().agg(
+        F.count("*").alias("live_rows"),
+        F.lit(tombstones_gone).alias("tombstones_gone"),
+        F.lit(orphan_untouched).alias("orphan_untouched"),
+        F.lit(full_reclaims).alias("full_reclaims_orphan"),
+    )
+
+
+@query(
+    "ddl_create_like",
+    "SELECT CAST(count(*) AS BIGINT) AS src_rows,"
+    " CAST(0 AS BIGINT) AS like_rows,"
+    " CAST(true AS BOOLEAN) AS schema_copied,"
+    " CAST(true AS BOOLEAN) AS partitioning_copied,"
+    " CAST(true AS BOOLEAN) AS properties_copied FROM nation",
+)
+def ddl_create_like(spark, sf_dir):
+    """CREATE TABLE ... LIKE (Delta parity): a new EMPTY table carrying
+    the source's schema, partitioning, and table properties — the
+    definition-copy sibling of CLONE. Runs through the SQL front door
+    (``CREATE TABLE dst LIKE src``) and asserts zero data copied, schema
+    equality, and partition/property inheritance; the copy is O(metadata)
+    at any table size (one commit, no data movement)."""
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("region"),
+        F.col("n_name").alias("name"),
+    )
+    root = _tmpdir()
+    src = LakeTable.create(
+        spark,
+        os.path.join(root, "src"),
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("region", LongType()),
+                StructField("name", StringType()),
+            ]
+        ),
+        properties={"enableChangeDataFeed": "true"},
+        partition_by=["region"],
+    )
+    src.append(nat)
+    dst = execute_statement(
+        spark,
+        "CREATE TABLE dst LIKE src",
+        lambda name: src,
+        dest_path=os.path.join(root, "dst"),
+    )
+    return src.to_df().groupBy().agg(
+        F.count("*").alias("src_rows"),
+        F.lit(dst.to_df().count()).cast("long").alias("like_rows"),
+        F.lit(dst.schema() == src.schema()).alias("schema_copied"),
+        F.lit(dst.partition_columns() == ["region"]).alias(
+            "partitioning_copied"
+        ),
+        F.lit(
+            dst.properties().get("enableChangeDataFeed") == "true"
+        ).alias("properties_copied"),
+    )
+
+
+@query(
     "util_optimize_zorder",
     "SELECT CAST(c_custkey AS BIGINT) AS custkey,"
     " CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal AS acctbal"

@@ -96,6 +96,72 @@ def test_view_tracks_batch_truth_through_all_change_kinds(spark, tmp_path):
     assert view.add_table.version() == v
 
 
+def test_view_quantiles_track_batch_truth(spark, tmp_path):
+    """Round-11 quantile members of the view algebra: exact median/p90
+    maintained from the change feed must match the batch lower-percentile
+    definition after inserts, median-holder deletes, updates, NULL
+    values, and whole-group removal — including NULL for an all-NULL
+    group."""
+    import math
+
+    source = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        SCHEMA,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    view = IncrementalAggView(
+        source,
+        str(tmp_path / "view"),
+        group_cols=["grp"],
+        aggs={
+            "n": ("count", "*"),
+            "med": ("median", "val"),
+            "hi90": ("p90", "val"),
+        },
+    )
+
+    def truth():
+        rows = source.to_df().collect()
+        out = {}
+        for g in {r.grp for r in rows}:
+            vals = sorted(r.val for r in rows if r.grp == g and r.val is not None)
+            n_all = sum(1 for r in rows if r.grp == g)
+            res = {}
+            for q, k in ((0.5, "med"), (0.9, "hi90")):
+                if not vals:
+                    res[k] = None
+                else:
+                    res[k] = vals[math.ceil(q * len(vals)) - 1]
+            out[g] = (n_all, res["med"], res["hi90"])
+        return out
+
+    def got():
+        return {
+            r.grp: (r.n, r.med, r.hi90) for r in view.to_df().collect()
+        }
+
+    source.append(
+        spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "a", 5, 0), (3, "a", 1, 0),
+             (4, "a", 7, 0), (5, "b", 100, 0), (6, "c", None, 0)],
+            SCHEMA,
+        ).coalesce(1)
+    )
+    view.refresh()
+    assert got() == truth()  # incl. group c: all-NULL -> median NULL
+
+    source.delete("id = 4")  # removes group a's current median holder
+    source.update({"val": "val + 1"}, "id = 2")  # shift a value
+    view.refresh()
+    assert got() == truth()
+
+    source.delete("grp = 'b'")  # whole group vanishes
+    view.refresh()
+    assert got() == truth()
+    assert "b" not in got()
+
+
 def test_view_requires_cdf(spark, tmp_path):
     source = LakeTable.create(spark, str(tmp_path / "nocdf"), SCHEMA)
     with pytest.raises(ValueError, match="ChangeDataFeed"):

@@ -95,6 +95,92 @@ def test_vacuum_long_retention_still_protects(spark, tmp_path, monkeypatch):
     assert t.vacuum(retention_ms=7 * 86400000, dry_run=True, force=True) == []
 
 
+def test_vacuum_lite_log_driven_only(spark, tmp_path):
+    """VACUUM LITE (Delta 3.3): reclaims the commit log's tombstoned files
+    WITHOUT any directory listing — an unreferenced orphan stage dir
+    survives the lite pass and is reclaimed by the next full vacuum."""
+    import os
+    import time
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(3):
+        _append(spark, t, i)
+    t.delete("id = 0")
+    # plant a crashed-writer orphan: a staged dir no commit references
+    orphan = os.path.join(t.path, "data", "deadbeef_orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("x")
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+
+    lite = t.vacuum(retention_ms=0, lite=True)
+    assert lite, "lite must reclaim the delete's tombstone"
+    assert all("deadbeef_orphan" not in v for v in lite)
+    assert os.path.isdir(orphan), "lite must not list/sweep orphans"
+    full = t.vacuum(retention_ms=0, force=True)
+    assert any("deadbeef_orphan" in v for v in full)
+    assert not os.path.isdir(orphan)
+    assert t.to_df().count() == 2
+
+
+def test_vacuum_lite_sql(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(2):
+        _append(spark, t, i)
+    t.delete("id = 0")
+    got = execute_statement(
+        spark, "VACUUM tbl LITE RETAIN 0 HOURS DRY RUN", lambda name: t
+    )
+    assert got, "SQL LITE dry run must report the tombstone"
+    assert t.files()  # nothing deleted on dry run
+
+
+# --------------------------------------------------- CREATE TABLE LIKE
+
+
+def test_create_table_like(spark, tmp_path):
+    """Delta's CREATE TABLE ... LIKE: a new EMPTY table carrying the
+    source's schema, partitioning, and table properties — the
+    definition-copy sibling of CLONE (which copies data)."""
+    from pyspark.sql.types import StringType
+    from incremental_etl_on_lakehouse_spark.lake.sql import execute_statement
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("grp", StringType())]
+    )
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        schema,
+        properties={"enableChangeDataFeed": "true"},
+        partition_by=["grp"],
+    )
+    src.append(spark.createDataFrame([(1, "a")], schema))
+    dst = execute_statement(
+        spark,
+        "CREATE TABLE dst LIKE src",
+        lambda n: src,
+        dest_path=str(tmp_path / "dst"),
+    )
+    assert dst.schema() == src.schema()
+    assert dst.to_df().count() == 0, "LIKE must not copy data"
+    assert dst.partition_columns() == ["grp"]
+    assert dst.properties().get("enableChangeDataFeed") == "true"
+    dst.append(spark.createDataFrame([(2, "b")], schema))
+    assert dst.to_df().count() == 1
+    # IF NOT EXISTS over the existing dest is a no-op returning it
+    again = execute_statement(
+        spark,
+        "CREATE TABLE IF NOT EXISTS dst LIKE src",
+        lambda n: src,
+        dest_path=str(tmp_path / "dst"),
+    )
+    assert again.to_df().count() == 1
+
+
 # ------------------------------------------------- ckpt-interval cache
 
 

@@ -274,13 +274,19 @@ def test_sql_utility_statements(spark, tmp_path):
         "optimize", "t", {"zorder_by": ["a"], "where": "day = 'd0'"},
     )
     assert parse_utility("VACUUM t RETAIN 0 HOURS DRY RUN") == (
-        "vacuum", "t", {"retain_hours": 0, "dry_run": True},
+        "vacuum", "t", {"retain_hours": 0, "dry_run": True, "lite": False},
+    )
+    assert parse_utility("VACUUM t LITE RETAIN 0 HOURS") == (
+        "vacuum", "t", {"retain_hours": 0, "dry_run": False, "lite": True},
     )
     assert parse_utility("RESTORE TABLE t TO VERSION AS OF 2") == (
         "restore", "t", {"version": 2},
     )
     assert parse_utility("CREATE TABLE c SHALLOW CLONE t") == (
         "clone", "t", {"dest": "c", "shallow": True},
+    )
+    assert parse_utility("CREATE TABLE c LIKE t") == (
+        "create_like", "t", {"dest": "c", "if_not_exists": False},
     )
 
     schema = StructType([StructField("x", LongType())])
