@@ -541,6 +541,7 @@ class LakeCatalog:
             execute_create_table,
             execute_statement,
             parse_create_table,
+            parse_utility,
             strip_comments,
         )
 
@@ -649,6 +650,51 @@ class LakeCatalog:
                                 f"table exists: {db}.{name} "
                                 "(created concurrently)"
                             )
+                return t
+            # CREATE TABLE ... CLONE / ... LIKE: utility grammar whose
+            # destination is a CATALOG-MANAGED table — derive its path
+            # from the name and register it like any CREATE (previously
+            # these raised for lack of a dest_path; Databricks resolves
+            # the clone/like target through the catalog the same way)
+            try:
+                ukind, _usrc, up = parse_utility(statement)
+            except ValueError:
+                ukind = None
+            if ukind in ("clone", "create_like"):
+                db, name = self._split_name(up["dest"], default_db)
+                self.create_database(db)
+                _, state = self._meta_state()
+                entry = state.get(db, {}).get(name)
+                if entry is not None:
+                    if up.get("if_not_exists"):
+                        return self.table(db, name)
+                    raise ValueError(f"table exists: {db}.{name}")
+                path = self._table_path(db, name)
+                t = execute_statement(
+                    self.spark,
+                    statement,
+                    self.resolver(default_db),
+                    dest_path=path,
+                )
+                committed = self._meta_commit(
+                    {
+                        "op": "put_table",
+                        "db": db,
+                        "table": name,
+                        "path": os.path.abspath(path),
+                        "external": False,
+                    },
+                    precondition=lambda st: name not in st.get(db, {}),
+                )
+                if not committed:
+                    _, fresh = self._meta_state()
+                    now = fresh.get(db, {}).get(name)
+                    if now is not None and now["path"] != os.path.abspath(
+                        path
+                    ):
+                        raise ValueError(
+                            f"table exists: {db}.{name} (created concurrently)"
+                        )
                 return t
         return execute_statement(
             self.spark, statement, self.resolver(default_db)

@@ -181,6 +181,28 @@ def test_create_table_like(spark, tmp_path):
     assert again.to_df().count() == 1
 
 
+def test_catalog_clone_and_like_managed_destination(spark, tmp_path):
+    """CREATE TABLE db.new [SHALLOW CLONE|LIKE] db.src through the catalog
+    front door: the destination path derives from the name, the result is
+    REGISTERED as a managed table (previously these raised for lack of a
+    dest_path)."""
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    cat.create_database("db")
+    src = cat.create_table("db", "src", SCHEMA)
+    src.append(spark.createDataFrame([(1,), (2,)], SCHEMA))
+    cat.sql("CREATE TABLE db.c1 SHALLOW CLONE db.src")
+    assert cat.table("db", "c1").to_df().count() == 2
+    cat.sql("CREATE TABLE db.c2 LIKE db.src")
+    assert cat.table("db", "c2").to_df().count() == 0
+    assert {"c1", "c2"} <= set(cat.tables("db"))
+    assert not cat.is_external("db", "c2")
+    with pytest.raises(ValueError, match="exists"):
+        cat.sql("CREATE TABLE db.c1 LIKE db.src")
+    assert cat.sql("CREATE TABLE IF NOT EXISTS db.c2 LIKE db.src") is not None
+    cat.drop_table("db", "c2")  # managed: drop deletes data
+    assert "c2" not in cat.tables("db")
+
+
 # ------------------------------------------------- ckpt-interval cache
 
 
