@@ -143,6 +143,34 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
     assert not mismatches, f"{name}: first stringified mismatches {mismatches[:3]}"
 
 
+# Every oracle output column must stringify IDENTICALLY on every DuckDB
+# fetch path (fetchall, fetchdf, arrow): the r8-r10 driver-red pair was an
+# un-CAST sum() returning HUGEINT, which fetchall renders as int ("310")
+# but fetchdf as float64 ("310.0") — invisible locally, red on the driver.
+# The same divergence exists for raw DECIMAL, UUID, INTERVAL, and
+# TIMESTAMPTZ outputs, so the registry bans them outright: timestamps are
+# emitted as epoch-ms BIGINTs by convention (_core docstring) and money
+# goes DECIMAL(18,2)-exact internally but CASTs to DOUBLE on both sides.
+# Extending this set requires proving the new type's rendering is
+# fetch-path-invariant first.
+SAFE_ORACLE_OUTPUT_TYPES = {"bigint", "integer", "varchar", "boolean", "double"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_fetch_path_safe(name, ddb):
+    desc = ddb.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = {
+        col: typ
+        for col, typ, *_ in desc
+        if typ.lower().split("(")[0] not in SAFE_ORACLE_OUTPUT_TYPES
+    }
+    assert not bad, (
+        f"{name}: oracle output types outside the fetch-path-safe "
+        f"whitelist {sorted(SAFE_ORACLE_OUTPUT_TYPES)}: {bad} — CAST them "
+        "(the HUGEINT/DECIMAL driver-rendering hazard)"
+    )
+
+
 def test_hugeint_is_its_own_class(ddb):
     """An injected un-CAST DuckDB ``sum(BIGINT)`` (→ HUGEINT) must FAIL the
     type-class gate against Spark's BIGINT sum — the r8-r10 driver-red
