@@ -612,9 +612,27 @@ def percentile_from_state(
     joins MIN/MAX, COUNT(DISTINCT), and TOP-K in the non-subtractable
     family: state-merge on every batch, exact read at any time.
     """
-    num, den = q
-    if not (0 < num <= den):
-        raise ValueError(f"q must be a rational in (0, 1]: {q}")
+    return percentiles_from_state(
+        state, group_cols, value_col, {out_col: q}, cnt_col=cnt_col
+    )
+
+
+def percentiles_from_state(
+    state: LakeTable,
+    group_cols: list[str],
+    value_col: str,
+    qs: dict[str, tuple[int, int]],
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """All requested percentiles of one value column in a SINGLE window
+    pass: the cumulative/total counts are computed once and each quantile
+    is a conditional ``min`` in one grouped aggregate — N quantiles cost
+    exactly what one does (one window exchange + one agg on the same
+    clustering, no joins). ``qs`` maps output column -> exact rational q;
+    see :func:`percentile_from_state` for the rank definition."""
+    for out, (num, den) in qs.items():
+        if not (0 < num <= den):
+            raise ValueError(f"{out}: q must be a rational in (0, 1]")
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy(value_col)
@@ -628,10 +646,16 @@ def percentile_from_state(
         .withColumn("__cum", F.sum(cnt_col).over(w_cum))
         .withColumn("__n", F.sum(cnt_col).over(w_all))
     )
-    return (
-        df.where(F.col("__cum") * den >= F.col("__n") * num)
-        .groupBy(*group_cols)
-        .agg(F.min(value_col).alias(out_col))
+    return df.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * den >= F.col("__n") * num,
+                    F.col(value_col),
+                )
+            ).alias(out)
+            for out, (num, den) in qs.items()
+        ]
     )
 
 
@@ -919,18 +943,18 @@ class IncrementalAggView:
                     self.d_tables[name], self.group_cols, out_col=f"__d_{name}"
                 ),
             )
+        # exact lower percentiles off the multiset state, ALL quantiles of
+        # one column in a single window pass (percentiles_from_state);
+        # NULL for a group whose value column is entirely NULL (no state
+        # row) — exactly batch MEDIAN/percentile semantics via the left join
+        pctl_by_col: dict[str, dict[str, tuple[int, int]]] = {}
         for name, (col, q) in self._pctl_specs.items():
-            # exact lower percentile off the multiset state: NULL for a
-            # group whose value column is entirely NULL (no state row) —
-            # exactly batch MEDIAN/percentile semantics via the left join
+            pctl_by_col.setdefault(col, {})[f"__p_{name}"] = q
+        for col, qmap in pctl_by_col.items():
             out = _nullsafe_left(
                 out,
-                percentile_from_state(
-                    self.p_tables[col],
-                    self.group_cols,
-                    "value",
-                    q=q,
-                    out_col=f"__p_{name}",
+                percentiles_from_state(
+                    self.p_tables[col], self.group_cols, "value", qmap
                 ),
             )
         sel = [F.col(c) for c in self.group_cols]

@@ -453,7 +453,7 @@ def agg_incremental_median(spark, sf_dir):
     from incremental_etl_on_lakehouse_spark.operators.cdc import (
         cdf_multiset_deltas,
         merge_distinct_state,
-        percentile_from_state,
+        percentiles_from_state,
     )
 
     cache_key = (id(spark), sf_dir)
@@ -487,15 +487,14 @@ def agg_incremental_median(spark, sf_dir):
 
         reader.process_available(update)
         _CDC_MEDIAN_CACHE[cache_key] = state
-    med = percentile_from_state(
-        state, ["event_type"], "value_cents", q=(1, 2),
-        out_col="median_cents",
+    # both quantiles in ONE window pass over the state (no join): the
+    # cumulative counts are shared, each quantile is a conditional min
+    return percentiles_from_state(
+        state,
+        ["event_type"],
+        "value_cents",
+        {"median_cents": (1, 2), "p90_cents": (9, 10)},
     )
-    p90 = percentile_from_state(
-        state, ["event_type"], "value_cents", q=(9, 10),
-        out_col="p90_cents",
-    )
-    return med.join(p90, "event_type")
 
 
 _CDC_VIEW_CACHE: dict[tuple[int, str], object] = {}
