@@ -617,6 +617,46 @@ def percentile_from_state(
     )
 
 
+def mode_from_state(
+    state: LakeTable,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "mode",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Exact per-group MODE (most frequent value) from the multiset state
+    — the third aggregate family the COUNT(DISTINCT) state answers for
+    free (after quantiles): the mode is the state row with the maximal
+    multiplicity, ties broken deterministically by smallest value (batch
+    SQL's ``mode()`` is tie-arbitrary; a deterministic tiebreak is what
+    makes the result oracle-checkable and replay-stable). One max_by over
+    a struct ordering — a single map-side-combined aggregate on O(state)
+    rows, no window, no join."""
+    # max_by with a (cnt, -value) struct implements (max cnt, min value):
+    # struct comparison is lexicographic, so negating the value makes the
+    # smaller value win among equal counts. Negation needs a numeric value
+    # column; for non-numeric values fall back to a window formulation.
+    vt = dict(state.to_df().dtypes)[value_col]
+    numeric = vt in ("tinyint", "smallint", "int", "bigint", "float",
+                     "double") or vt.startswith("decimal")
+    df = state.to_df()
+    if numeric:
+        ordkey = F.struct(
+            F.col(cnt_col).alias("c"), (-F.col(value_col)).alias("nv")
+        )
+        return df.groupBy(*group_cols).agg(
+            F.max_by(F.col(value_col), ordkey).alias(out_col)
+        )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(cnt_col).desc(), F.col(value_col).asc()
+    )
+    return (
+        df.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") == 1)
+        .select(*group_cols, F.col(value_col).alias(out_col))
+    )
+
+
 def percentiles_from_state(
     state: LakeTable,
     group_cols: list[str],
@@ -674,7 +714,10 @@ class IncrementalAggView:
     - ``("median", col)`` / ``("pNN", col)`` (p90, p75, ...) — EXACT lower
       percentiles read from the same multiset-state shape
       (:func:`percentile_from_state`): one window pass over O(live
-      distinct values) at read time, no sketch error, no source rescan.
+      distinct values) at read time, no sketch error, no source rescan;
+    - ``("mode", col)`` — deterministic exact mode (max multiplicity,
+      smallest value on ties) off the same state
+      (:func:`mode_from_state`): one map-side-combined aggregate.
 
     Each family lives in its own lake table under ``root`` (additive +
     avg components in one; one min/max table per clustered value column;
@@ -726,6 +769,7 @@ class IncrementalAggView:
         # "median" or "pNN" (p90, p75, ...) — exact lower percentiles read
         # from a per-column multiset state (percentile_from_state)
         self._pctl_specs: dict[str, tuple[str, tuple[int, int]]] = {}
+        self._mode_specs: dict[str, str] = {}  # view name -> value col
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
                 self._sum_cols[name] = f"__sum_{col}"
@@ -741,6 +785,10 @@ class IncrementalAggView:
                 self._pctl_specs[name] = (col, (1, 2))
             elif re.fullmatch(r"p[1-9]\d?", kind):
                 self._pctl_specs[name] = (col, (int(kind[1:]), 100))
+            elif kind == "mode":
+                # deterministic mode (max count, min value) off the same
+                # per-column multiset state the quantile kinds maintain
+                self._mode_specs[name] = col
             else:
                 raise ValueError(f"unsupported aggregate kind: {kind!r}")
         hidden_sums = sorted(set(self._sum_cols.values()) | set(self._avg_specs.values()))
@@ -821,7 +869,10 @@ class IncrementalAggView:
                 ),
                 if_not_exists=True,
             )
-            for col in sorted({c for c, _q in self._pctl_specs.values()})
+            for col in sorted(
+                {c for c, _q in self._pctl_specs.values()}
+                | set(self._mode_specs.values())
+            )
         }
         self._reader = LakeStreamReader(
             source,
@@ -957,6 +1008,16 @@ class IncrementalAggView:
                     self.p_tables[col], self.group_cols, "value", qmap
                 ),
             )
+        for name, col in self._mode_specs.items():
+            out = _nullsafe_left(
+                out,
+                mode_from_state(
+                    self.p_tables[col],
+                    self.group_cols,
+                    "value",
+                    out_col=f"__mo_{name}",
+                ),
+            )
         sel = [F.col(c) for c in self.group_cols]
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
@@ -987,6 +1048,8 @@ class IncrementalAggView:
                 sel.append(F.col(f"__max_{col}").alias(name))
             elif name in self._pctl_specs:
                 sel.append(F.col(f"__p_{name}").alias(name))
+            elif name in self._mode_specs:
+                sel.append(F.col(f"__mo_{name}").alias(name))
             else:
                 sel.append(
                     F.coalesce(F.col(f"__d_{name}"), F.lit(0)).alias(name)

@@ -70,7 +70,8 @@ _PRIORITY_KEYS = [
     # (oldest driver rows), then the r4-green TPC-H block q2-q21 and the
     # r4-green join/win/agg head.
     "win_range_interval", "win_range_rolling_ms", "stream_paced_bytes",
-    "agg_incremental_median", "util_vacuum_lite", "ddl_create_like",
+    "agg_incremental_median", "agg_incremental_mode",
+    "util_vacuum_lite", "ddl_create_like",
     "util_vacuum", "ddl_catalog_metastore", "ddl_catalog_3level",
     "ext_bpe_train", "ext_bpe_encode", "ext_multimodal_audio",
     "src_json_stream", "src_json_auto", "stream_trigger_paced",
@@ -85,7 +86,7 @@ _PRIORITY_KEYS = [
     "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
     "q20_excess_suppliers", "q21_waiting_suppliers",
     "join_semi", "join_anti", "join_range", "join_skew_salted",
-    "win_lag", "win_running_sum", "win_rank_dense", "agg_rollup",
+    "win_lag", "win_running_sum", "win_rank_dense",
 ]
 
 _SECOND_PRIORITY = [
@@ -106,7 +107,7 @@ _SECOND_PRIORITY = [
     "stream_sliding_window", "stream_window_agg", "win_row_number_dedup",
     "win_session", "snk_replace_where", "snk_dynamic_partition_overwrite",
     "util_row_tracking", "ext_bpe_pair_counts", "agg_filtered",
-    "agg_grouping_sets", "agg_percentile",
+    "agg_grouping_sets", "agg_percentile", "agg_rollup",
     "stream_dedup_watermark", "merge_by_source",
     "src_json_batch", "pipeline_generic", "pipeline_expectations",
     "src_delta_stream", "util_concurrent_append", "util_optimize_zorder",

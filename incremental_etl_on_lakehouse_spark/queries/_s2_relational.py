@@ -451,42 +451,10 @@ def agg_incremental_median(spark, sf_dir):
     oracle replays the identical lower-percentile integer-rank
     definition over it."""
     from incremental_etl_on_lakehouse_spark.operators.cdc import (
-        cdf_multiset_deltas,
-        merge_distinct_state,
         percentiles_from_state,
     )
 
-    cache_key = (id(spark), sf_dir)
-    cached = _CDC_MEDIAN_CACHE.get(cache_key)
-    if cached is not None and os.path.isdir(cached.path):
-        state = cached
-    else:
-        silver = _run_cdc_silver(spark, sf_dir)
-        root = _tmpdir()
-        state = LakeTable.create(
-            spark, os.path.join(root, "medstate"), MEDSTATE_SCHEMA
-        )
-        reader = LakeStreamReader(
-            silver,
-            os.path.join(root, "med_ck.json"),
-            mode="cdf",
-            starting_version=1,
-            # multiset deltas fold additively across a span — catch-up
-            # coalescing valid (same argument as incremental top-k)
-            max_versions_per_trigger=64,
-        )
-
-        def update(changes: DataFrame, v: int) -> None:
-            deltas = cdf_multiset_deltas(
-                changes, group_cols=["event_type"], value_col="value_cents"
-            )
-            merge_distinct_state(
-                state, deltas, group_cols=["event_type"],
-                value_col="value_cents",
-            )
-
-        reader.process_available(update)
-        _CDC_MEDIAN_CACHE[cache_key] = state
+    state = _cdc_multiset_state(spark, sf_dir)
     # both quantiles in ONE window pass over the state (no join): the
     # cumulative counts are shared, each quantile is a conditional min
     return percentiles_from_state(
@@ -494,6 +462,89 @@ def agg_incremental_median(spark, sf_dir):
         ["event_type"],
         "value_cents",
         {"median_cents": (1, 2), "p90_cents": (9, 10)},
+    )
+
+
+def _cdc_multiset_state(spark, sf_dir) -> LakeTable:
+    """The per-(event_type, value_cents) multiset state maintained from
+    the CDC scenario's change feed — shared by the quantile and mode keys
+    (one build serves both in a driver sweep)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        cdf_multiset_deltas,
+        merge_distinct_state,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    cached = _CDC_MEDIAN_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.path):
+        return cached
+    silver = _run_cdc_silver(spark, sf_dir)
+    root = _tmpdir()
+    state = LakeTable.create(
+        spark, os.path.join(root, "medstate"), MEDSTATE_SCHEMA
+    )
+    reader = LakeStreamReader(
+        silver,
+        os.path.join(root, "med_ck.json"),
+        mode="cdf",
+        starting_version=1,
+        # multiset deltas fold additively across a span — catch-up
+        # coalescing valid (same argument as incremental top-k)
+        max_versions_per_trigger=64,
+    )
+
+    def update(changes: DataFrame, v: int) -> None:
+        deltas = cdf_multiset_deltas(
+            changes, group_cols=["event_type"], value_col="value_cents"
+        )
+        merge_distinct_state(
+            state, deltas, group_cols=["event_type"],
+            value_col="value_cents",
+        )
+
+    reader.process_available(update)
+    _CDC_MEDIAN_CACHE[cache_key] = state
+    return state
+
+
+@query(
+    "agg_incremental_mode",
+    # deterministic mode: max multiplicity, smallest value on ties — the
+    # tie-break is what makes a mode oracle-checkable (plain mode() is
+    # tie-arbitrary in both engines)
+    _SQL_CDC
+    + "SELECT event_type, CAST(v AS BIGINT) AS mode_cents,"
+    " CAST(cnt AS BIGINT) AS mode_count FROM ("
+    " SELECT event_type, v, cnt, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY cnt DESC, v ASC) AS rnk FROM ("
+    "  SELECT event_type, value_cents AS v, count(*) AS cnt"
+    "  FROM final GROUP BY event_type, value_cents)) WHERE rnk = 1",
+)
+def agg_incremental_mode(spark, sf_dir):
+    """Incremental exact MODE (most frequent value) from the change feed
+    — the third aggregate family the COUNT(DISTINCT) multiset state
+    answers for free (with quantiles): the mode is the state row with
+    maximal multiplicity, ties broken by smallest value so the result is
+    deterministic and replay-stable. Shares the maintained state with
+    agg_incremental_median (one build serves both); the read is a single
+    map-side-combined max_by over O(live distinct values) — no window,
+    no join, no source rescan (operators/cdc.py mode_from_state)."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        mode_from_state,
+    )
+
+    state = _cdc_multiset_state(spark, sf_dir)
+    mode = mode_from_state(
+        state, ["event_type"], "value_cents", out_col="mode_cents"
+    )
+    # attach the winning multiplicity (oracle-checkable evidence the
+    # argmax picked by count, not by value): one semi-join-free lookup
+    # via the same state
+    return (
+        state.to_df()
+        .groupBy("event_type")
+        .agg(F.max("cnt").alias("mode_count"))
+        .join(mode, "event_type")
     )
 
 

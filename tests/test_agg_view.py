@@ -118,6 +118,7 @@ def test_view_quantiles_track_batch_truth(spark, tmp_path):
             "n": ("count", "*"),
             "med": ("median", "val"),
             "hi90": ("p90", "val"),
+            "common": ("mode", "val"),
         },
     )
 
@@ -133,12 +134,19 @@ def test_view_quantiles_track_batch_truth(spark, tmp_path):
                     res[k] = None
                 else:
                     res[k] = vals[math.ceil(q * len(vals)) - 1]
-            out[g] = (n_all, res["med"], res["hi90"])
+            if not vals:
+                mode = None
+            else:
+                counts = {v: vals.count(v) for v in set(vals)}
+                best = max(counts.values())
+                mode = min(v for v, c in counts.items() if c == best)
+            out[g] = (n_all, res["med"], res["hi90"], mode)
         return out
 
     def got():
         return {
-            r.grp: (r.n, r.med, r.hi90) for r in view.to_df().collect()
+            r.grp: (r.n, r.med, r.hi90, r.common)
+            for r in view.to_df().collect()
         }
 
     source.append(
