@@ -162,6 +162,112 @@ def test_lake_stream_max_bytes_coalesces_commits(spark, tmp_path):
     assert tiny == [1, 1, 1, 1]
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_lake_stream_byte_pacing_fuzz(spark, tmp_path, seed):
+    """Property fuzz of the byte-budget commit windows: random commit
+    sizes + a random budget must yield windows that (a) never split a
+    commit, (b) are GREEDY-maximal (adding the next commit would exceed
+    the budget, except at the head), (c) only exceed the budget when a
+    single commit alone does, (d) deliver every appended row exactly
+    once, and (e) survive an interrupt/resume from the checkpoint
+    mid-drain."""
+    import random
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rng = random.Random(11_700 + seed)
+    schema = StructType([StructField("id", LongType())])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema)
+    next_id = 0
+    rows_per_commit: list[int] = []
+    for _ in range(rng.randint(5, 9)):
+        k = rng.randint(1, 20)
+        t.append(
+            spark.createDataFrame(
+                [(next_id + j,) for j in range(k)], schema
+            ).coalesce(1)
+        )
+        rows_per_commit.append(k)
+        next_id += k
+
+    probe = LakeStreamReader(t, str(tmp_path / "probe.json"), mode="append")
+    commits = {c.version: c for c in t._commits()}
+    # versions from the reader's starting_version on (0 is CREATE)
+    bytes_of = {
+        v: probe._commit_bytes(commits[v]) for v in commits if v >= 1
+    }
+    budget = rng.randint(1, int(sum(bytes_of.values()) * 0.7) + 1)
+
+    windows: list[tuple[int, int]] = []  # (hi_version, n_rows)
+    seen_rows: list[int] = []
+    reader = LakeStreamReader(
+        t,
+        str(tmp_path / "ck.json"),
+        mode="append",
+        starting_version=1,
+        max_bytes_per_trigger=budget,
+    )
+
+    def fn(df, hi):
+        rows = [r.id for r in df.collect()]
+        windows.append((hi, len(rows)))
+        seen_rows.extend(rows)
+
+    # interrupt/resume: a first reader drains exactly 2 windows (the
+    # interrupt fires BEFORE the 3rd window is processed, so its offset
+    # is never checkpointed and the resume redelivers it cleanly — the
+    # at-least-once boundary), then a FRESH reader on the same checkpoint
+    # finishes the backlog
+    first = LakeStreamReader(
+        t,
+        str(tmp_path / "ck.json"),
+        mode="append",
+        starting_version=1,
+        max_bytes_per_trigger=budget,
+    )
+    done = {"n": 0}
+
+    class _Stop(Exception):
+        pass
+
+    def fn_interrupt(df, hi):
+        if done["n"] == 2:
+            raise _Stop()
+        fn(df, hi)
+        done["n"] += 1
+
+    try:
+        first.process_available(fn_interrupt)
+    except _Stop:
+        pass
+    reader.process_available(fn)  # same checkpoint file: resumes
+
+    # (d) exactly-once delivery of every appended row
+    assert sorted(seen_rows) == list(range(next_id)), (seed, budget)
+    # (a)+(b)+(c): reconstruct the expected greedy windows and compare
+    expected = _expected_windows(bytes_of, budget)
+    assert [hi for hi, _n in windows] == expected, (
+        seed, budget, windows, expected, bytes_of,
+    )
+
+
+def _expected_windows(bytes_of: dict[int, int], budget: int) -> list[int]:
+    """Greedy whole-commit windows (the Spark file-source contract):
+    returns the window-end versions."""
+    versions = sorted(bytes_of)
+    out = []
+    i = 0
+    while i < len(versions):
+        used = bytes_of[versions[i]]
+        j = i
+        while j + 1 < len(versions) and used + bytes_of[versions[j + 1]] <= budget:
+            used += bytes_of[versions[j + 1]]
+            j += 1
+        out.append(versions[j])
+        i = j + 1
+    return out
+
+
 def test_lake_stream_both_knobs_rejected(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA)
     with pytest.raises(ValueError, match="both"):
