@@ -211,6 +211,29 @@ class LakeCatalog:
                     # below must capture the state at EXACTLY v.
                     cur, state = self._meta_state()
                     if cur == v:
+                        # checkpoint-time compaction: markers whose data
+                        # directory is gone are inert (no DROP path can
+                        # ever match them) but cost a LakeTable.exists
+                        # stat in every later DROP safety scan — prune
+                        # them here so drop-heavy workloads don't grow
+                        # __extern_orphans__ without bound. Pruning only
+                        # inside the checkpoint keeps the log itself an
+                        # append-only record; a racing checkpoint writer
+                        # that kept a just-deleted path is still correct
+                        # (the marker stays inert).
+                        orphans = state.get("__extern_orphans__")
+                        if orphans:
+                            live = {
+                                p: True
+                                for p in orphans
+                                if LakeTable.exists(p)
+                            }
+                            state = {
+                                k: (live if k == "__extern_orphans__" else s)
+                                for k, s in state.items()
+                            }
+                            if not live:
+                                state.pop("__extern_orphans__", None)
                         try:
                             store.put_if_absent(
                                 os.path.join(
@@ -221,6 +244,10 @@ class LakeCatalog:
                             )
                         except FileExistsError:
                             pass
+                        # the in-memory cache may hold the unpruned fold;
+                        # drop it so the next read re-folds from the
+                        # compacted checkpoint
+                        self._meta_cache = None
                 return True
             except FileExistsError:
                 self._meta_cache = None

@@ -942,19 +942,47 @@ def parse_utility(sql: str) -> tuple[str, str, dict]:
     )
     if m:
         return "generate_manifest", m.group("t"), {}
-    m = re.match(
-        rf"VACUUM\s+(?P<t>{_IDENT})(?:\s+(?P<l>LITE))?"
-        rf"(?:\s+RETAIN\s+(?P<h>\d+)\s+HOURS)?(?:\s+(?P<d>DRY\s+RUN))?\s*$",
-        s,
-        re.IGNORECASE,
-    )
+    m = re.match(rf"VACUUM\s+(?P<t>`[^`]+`|{_IDENT})(?P<rest>(?:\s+.*)?)\s*$",
+                 s, re.IGNORECASE | re.DOTALL)
     if m:
-        return "vacuum", m.group("t"), {
-            "retain_hours": int(m.group("h")) if m.group("h") else None,
-            "dry_run": bool(m.group("d")),
-            # Delta 3.3's VACUUM ... LITE: log-driven reclaim, no listing
-            "lite": bool(m.group("l")),
-        }
+        t, rest = m.group("t").strip("`"), m.group("rest") or ""
+        if m.group("t").upper() == "LITE":
+            # a bare identifier LITE is far more likely a misplaced
+            # keyword (`VACUUM LITE t`) than a table named LITE; demand
+            # backticks for the table so the keyword can never be
+            # swallowed silently
+            raise ValueError(
+                "VACUUM: ambiguous identifier LITE — LITE is the "
+                "log-driven-reclaim keyword and goes AFTER the table "
+                "name (VACUUM t LITE); a table literally named LITE "
+                "must be backtick-quoted (VACUUM `LITE`)"
+            )
+        # trailing clauses accepted in ANY order, each at most once —
+        # `VACUUM t DRY RUN LITE` must not silently drop the LITE
+        opts = {"retain_hours": None, "dry_run": False, "lite": False}
+        while rest.strip():
+            rest = rest.lstrip()
+            cm = re.match(r"LITE\b", rest, re.IGNORECASE)
+            if cm and not opts["lite"]:
+                opts["lite"] = True
+                rest = rest[cm.end():]
+                continue
+            cm = re.match(r"RETAIN\s+(\d+)\s+HOURS\b", rest, re.IGNORECASE)
+            if cm and opts["retain_hours"] is None:
+                opts["retain_hours"] = int(cm.group(1))
+                rest = rest[cm.end():]
+                continue
+            cm = re.match(r"DRY\s+RUN\b", rest, re.IGNORECASE)
+            if cm and not opts["dry_run"]:
+                opts["dry_run"] = True
+                rest = rest[cm.end():]
+                continue
+            raise ValueError(
+                f"VACUUM: cannot parse clause at {rest.strip()!r} "
+                "(expected LITE, RETAIN n HOURS, or DRY RUN, each once)"
+            )
+        # Delta 3.3's VACUUM ... LITE: log-driven reclaim, no listing
+        return "vacuum", t, opts
     m = re.match(
         rf"RESTORE\s+TABLE\s+(?P<t>{_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
         rf"(?P<v>\d+)\s*$",

@@ -86,7 +86,10 @@ class LakeStreamReader:
             return 0
         total = 0
         rels = [a["path"] for a in c.add]
-        if c.cdf_path:
+        # the sidecar only counts when this reader will actually read it;
+        # an append-mode batch reads added data files alone, so charging
+        # the sidecar would systematically under-fill append batches
+        if c.cdf_path and self.mode == "cdf":
             rels.append(c.cdf_path)
         for rel in rels:
             p = self.table._abs(rel)

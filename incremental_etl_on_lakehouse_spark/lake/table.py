@@ -1837,6 +1837,29 @@ class LakeTable:
             row_base=self._row_base_map(state) if with_row_ids else None,
         )
 
+    def to_df_pruned(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned snapshot read: the files of the (possibly
+        historical) snapshot whose recorded min/max overlap the per-column
+        ``(lo, hi)`` ranges — :meth:`files_matching` as a DataFrame. Files
+        without stats are conservatively kept, so the result is a SUPERSET
+        of the matching rows; callers must still apply the row-level
+        predicate or join. This is the scan shape incremental join-view
+        maintenance needs: the snapshot ⋈ Δbatch side reads only the files
+        a batch's join-key range can touch, not the whole table."""
+        state = self._state(version)
+        schema = None
+        if version is not None and state.get("schema_json"):
+            schema = StructType.fromJson(
+                __import__("json").loads(state["schema_json"])
+            )
+        return self._read_files(
+            self.files_matching(ranges, version=version),
+            dv_map=state.get("dv") or None,
+            schema=schema,
+        )
+
     # ---------------------------------------------------------------- writes
 
     def bloom_columns(self) -> list[str]:

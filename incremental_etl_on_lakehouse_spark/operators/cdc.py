@@ -634,15 +634,32 @@ def mode_from_state(
     rows, no window, no join."""
     # max_by with a (cnt, -value) struct implements (max cnt, min value):
     # struct comparison is lexicographic, so negating the value makes the
-    # smaller value win among equal counts. Negation needs a numeric value
-    # column; for non-numeric values fall back to a window formulation.
+    # smaller value win among equal counts. Two negation hazards are
+    # handled explicitly: integral types widen to decimal(38,0) first
+    # (ANSI mode throws ARITHMETIC_OVERFLOW negating LongType MIN_VALUE),
+    # and float/double get a NaN guard field (NaN survives negation and
+    # sorts GREATEST, so a bare -v would make NaN win "smallest value"
+    # ties; Spark's total order puts NaN above +inf, so NaN must LOSE
+    # every tie instead). Non-numeric values fall back to a window.
     vt = dict(state.to_df().dtypes)[value_col]
-    numeric = vt in ("tinyint", "smallint", "int", "bigint", "float",
-                     "double") or vt.startswith("decimal")
+    integral = vt in ("tinyint", "smallint", "int", "bigint")
+    floating = vt in ("float", "double")
     df = state.to_df()
-    if numeric:
+    if integral or vt.startswith("decimal"):
+        nv = -F.col(value_col).cast("decimal(38,0)") if integral else (
+            -F.col(value_col)
+        )
+        ordkey = F.struct(F.col(cnt_col).alias("c"), nv.alias("nv"))
+        return df.groupBy(*group_cols).agg(
+            F.max_by(F.col(value_col), ordkey).alias(out_col)
+        )
+    if floating:
+        v = F.col(value_col)
         ordkey = F.struct(
-            F.col(cnt_col).alias("c"), (-F.col(value_col)).alias("nv")
+            F.col(cnt_col).alias("c"),
+            # NaN ranks strictly below every real value on count ties
+            F.when(F.isnan(v), F.lit(0)).otherwise(F.lit(1)).alias("real"),
+            F.when(F.isnan(v), F.lit(0.0)).otherwise(-v).alias("nv"),
         )
         return df.groupBy(*group_cols).agg(
             F.max_by(F.col(value_col), ordkey).alias(out_col)
@@ -1062,6 +1079,8 @@ def merge_agg_deltas(
     deltas: DataFrame,
     group_cols: list[str],
     agg_cols: dict[str, str],
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """:func:`merge_agg_delta` generalized to multiple additive aggregates
     per row — ``agg_cols`` maps gold column -> delta column. The canonical
@@ -1079,7 +1098,12 @@ def merge_agg_deltas(
         MergeClause("update", None, assignments),
         MergeClause("insert", None, insert_assignments),
     ]
-    return gold.merge(deltas, cond, clauses)
+    # optional writer-transaction guard (Delta's txnAppId/txnVersion):
+    # the join-view maintenance path uses it for exactly-once replay
+    return gold.merge(
+        deltas, cond, clauses,
+        txn_app_id=txn_app_id, txn_version=txn_version,
+    )
 
 
 def merge_agg_delta(

@@ -461,6 +461,10 @@ def snk_merge(spark, sf_dir):
     return silver.to_df().select("user_id", "ts_ms", "event_type", "value_cents")
 
 
+# Ported SQL-statement shape: follows the reference's MERGE text
+# (demo-notebook.py:244-280, Databricks License — see NOTICE at the repo
+# root), including two inline comment lines; the key's contract is that
+# the reference's SQL-text MERGE interface runs verbatim on this engine.
 _MERGE_SQL_TEXT = """
     MERGE INTO silver_table target
     USING

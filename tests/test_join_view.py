@@ -1,0 +1,348 @@
+"""IncrementalJoinView: a Gold defined as ``left ⋈ right`` + aggregate,
+maintained from BOTH change feeds via delta-join algebra
+(Δ(A⋈B) = ΔA⋈B@old ∪ A@new⋈ΔB) — the multi-table generalization of the
+reference's Silver-CDF → Gold topology (demo-notebook.py:428-435).
+
+Every behavioral test compares the maintained view against a full batch
+recompute of the same join+aggregate after EVERY refresh."""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+from incremental_etl_on_lakehouse_spark.operators.join_view import (
+    IncrementalJoinView,
+)
+
+FACT_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("v", LongType()),
+        StructField("rid", LongType()),
+    ]
+)
+DIM_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("seg", StringType()),
+    ]
+)
+CDF = {"enableChangeDataFeed": "true", "statsColumns": "k"}
+
+
+def _mk(spark, tmp_path, name, schema):
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema, properties=CDF
+    )
+
+
+def _view(spark, tmp_path, left, right):
+    return IncrementalJoinView(
+        left,
+        right,
+        str(tmp_path / "view"),
+        join_keys=["k"],
+        group_cols=["seg"],
+        aggs={
+            "total": ("sum", "v"),
+            "n": ("count", "*"),
+            "mean": ("avg", "v"),
+        },
+    )
+
+
+def _batch_expected(left, right):
+    joined = left.to_df().join(right.to_df(), on=["k"], how="inner")
+    rows = (
+        joined.groupBy("seg")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("*").alias("n"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    )
+    return {
+        r["seg"]: (r["total"], r["n"], r["mean"]) for r in rows
+    }
+
+
+def _view_state(view):
+    return {
+        r["seg"]: (r["total"], r["n"], r["mean"])
+        for r in view.to_df().collect()
+    }
+
+
+def _assert_converged(view, left, right, ctx=""):
+    got, want = _view_state(view), _batch_expected(left, right)
+    assert got == want, (ctx, got, want)
+
+
+def test_join_view_matches_batch_through_interleaved_feeds(spark, tmp_path):
+    """Appends, deletes, and upserts land alternately on both inputs;
+    after every refresh the view equals the batch join+aggregate —
+    including the refresh where BOTH feeds advanced (the ΔA⋈ΔB cross
+    term rides the A@new⋈ΔB side)."""
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+
+    # facts first: no dim rows yet -> empty view
+    left.append(spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 5, 3), (3, 7, 4)], FACT_SCHEMA))
+    assert view.refresh() == 1
+    _assert_converged(view, left, right, "facts only")
+    assert _view_state(view) == {}
+
+    # dims arrive: A@new ⋈ ΔB does all the work
+    right.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "zzz")], DIM_SCHEMA))
+    view.refresh()
+    _assert_converged(view, left, right, "dims landed")
+    assert _view_state(view)["a"] == (30, 2, 15.0)
+
+    # more facts: ΔA ⋈ B@old
+    left.append(spark.createDataFrame([(2, 100, 5), (9, 1, 6)], FACT_SCHEMA))
+    view.refresh()
+    _assert_converged(view, left, right, "facts batch 2")
+
+    # BOTH feeds advance before one refresh: cross term exercised
+    left.append(spark.createDataFrame([(3, 50, 7)], FACT_SCHEMA))
+    right.append(spark.createDataFrame([(3, "a")], DIM_SCHEMA))
+    assert view.refresh() == 2
+    _assert_converged(view, left, right, "cross term")
+
+    # dim UPDATE moves a key between groups (preimage/postimage signs)
+    right.merge(
+        spark.createDataFrame([(2, "a")], DIM_SCHEMA),
+        "source.k = target.k",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    view.refresh()
+    _assert_converged(view, left, right, "dim group move")
+
+    # fact DELETE drains a group's rows
+    left.delete("k = 1")
+    view.refresh()
+    _assert_converged(view, left, right, "fact delete")
+    assert "b" not in _view_state(view)  # k=2 moved to 'a'; no b rows left
+
+    # no-op refresh
+    assert view.refresh() == 0
+    _assert_converged(view, left, right, "noop")
+
+
+def test_join_view_group_disappears_and_returns(spark, tmp_path):
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+    left.append(spark.createDataFrame([(1, 10, 1)], FACT_SCHEMA))
+    right.append(spark.createDataFrame([(1, "a")], DIM_SCHEMA))
+    view.refresh()
+    assert set(_view_state(view)) == {"a"}
+    left.delete("rid = 1")
+    view.refresh()
+    assert _view_state(view) == {}
+    left.append(spark.createDataFrame([(1, 99, 2)], FACT_SCHEMA))
+    view.refresh()
+    assert _view_state(view) == {"a": (99, 1, 99.0)}
+
+
+def test_join_view_null_semantics(spark, tmp_path):
+    """NULL join keys never match (inner-join semantics); an all-NULL
+    summed group reads SUM/AVG NULL while COUNT(*) counts rows; a NULL
+    group key is a first-class group."""
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+    left.append(spark.createDataFrame(
+        [(1, None, 1), (1, None, 2), (None, 5, 3), (2, 4, 4)], FACT_SCHEMA))
+    right.append(spark.createDataFrame(
+        [(1, "nulls"), (None, "nokey"), (2, None)], DIM_SCHEMA))
+    view.refresh()
+    _assert_converged(view, left, right, "null shapes")
+    got = _view_state(view)
+    assert got["nulls"] == (None, 2, None)
+    assert "nokey" not in got  # NULL keys never join
+    assert got[None] == (4, 1, 4.0)  # NULL group key maintained
+    # deleting one NULL-valued row keeps the all-NULL group semantics
+    left.delete("rid = 1")
+    view.refresh()
+    _assert_converged(view, left, right, "null delete")
+    assert _view_state(view)["nulls"] == (None, 1, None)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_join_view_differential_fuzz(spark, tmp_path, seed):
+    """Randomized differential: random append/delete/upsert batches land
+    on either or both inputs between refreshes; after every refresh the
+    maintained view must equal the batch recompute."""
+    rng = random.Random(12_000 + seed)
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+    rid = [0]
+    segs = ["a", "b", "c", None]
+
+    def fact_rows(n):
+        out = []
+        for _ in range(n):
+            rid[0] += 1
+            out.append(
+                (
+                    rng.choice([None, *range(6)]),
+                    rng.choice([None, *range(-3, 9)]),
+                    rid[0],
+                )
+            )
+        return out
+
+    for step in range(8):
+        for side in ("l", "r"):
+            if rng.random() < 0.7:
+                if side == "l":
+                    op = rng.random()
+                    if op < 0.6 or left.to_df().limit(1).count() == 0:
+                        left.append(
+                            spark.createDataFrame(
+                                fact_rows(rng.randint(1, 5)), FACT_SCHEMA
+                            )
+                        )
+                    else:
+                        left.delete(f"rid % 3 = {rng.randint(0, 2)}")
+                else:
+                    ups = [
+                        (k, rng.choice(segs))
+                        for k in rng.sample(range(6), rng.randint(1, 3))
+                    ]
+                    right.merge(
+                        spark.createDataFrame(ups, DIM_SCHEMA),
+                        "source.k = target.k",
+                        [
+                            MergeClause("update", None, "*"),
+                            MergeClause("insert", None, "*"),
+                        ],
+                    )
+        view.refresh()
+        _assert_converged(view, left, right, (seed, step))
+
+
+def test_join_view_crash_before_merge_recovers(spark, tmp_path, monkeypatch):
+    """Crash AFTER the write-ahead intent, BEFORE the maintenance merge:
+    a fresh refresh replays the pinned range and converges once."""
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+    left.append(spark.createDataFrame([(1, 10, 1)], FACT_SCHEMA))
+    right.append(spark.createDataFrame([(1, "a")], DIM_SCHEMA))
+    import incremental_etl_on_lakehouse_spark.operators.join_view as jv
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before merge")
+
+    monkeypatch.setattr(jv, "merge_agg_deltas", boom)
+    with pytest.raises(RuntimeError, match="crash before merge"):
+        view.refresh()
+    monkeypatch.undo()
+    # more commits arrive AFTER the crash — recovery must apply the
+    # pinned range first, then the tail, never double-counting
+    left.append(spark.createDataFrame([(1, 5, 2)], FACT_SCHEMA))
+    view.refresh()  # replays the pinned intent range
+    view.refresh()  # applies the post-crash tail
+    _assert_converged(view, left, right, "recovered")
+
+
+def test_join_view_crash_after_merge_never_double_applies(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the maintenance merge committed, BEFORE the checkpoint
+    finalize: the replay recomputes the same pinned range and the gold
+    table's txn guard no-ops the second apply."""
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+    left.append(spark.createDataFrame([(1, 10, 1)], FACT_SCHEMA))
+    right.append(spark.createDataFrame([(1, "a")], DIM_SCHEMA))
+    view.refresh()
+    left.append(spark.createDataFrame([(1, 7, 2)], FACT_SCHEMA))
+
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        _PairCheckpoint,
+    )
+
+    real_write = _PairCheckpoint.write
+    calls = {"n": 0}
+
+    def failing_finalize(self, d):
+        if d.get("intent") is None and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("crash before finalize")
+        real_write(self, d)
+
+    monkeypatch.setattr(_PairCheckpoint, "write", failing_finalize)
+    with pytest.raises(RuntimeError, match="crash before finalize"):
+        view.refresh()
+    monkeypatch.undo()
+    view.refresh()  # replay: txn guard must no-op the committed merge
+    _assert_converged(view, left, right, "post-recovery")
+    assert _view_state(view)["a"] == (17, 2, 8.5)
+
+
+def test_join_view_rejections(spark, tmp_path):
+    plain = LakeTable.create(
+        spark, str(tmp_path / "plain"), FACT_SCHEMA
+    )  # no CDF
+    dim = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        IncrementalJoinView(
+            plain, dim, str(tmp_path / "v1"), ["k"], ["seg"],
+            {"n": ("count", "*")},
+        )
+    fact = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    with pytest.raises(ValueError, match="subtractable"):
+        IncrementalJoinView(
+            fact, dim, str(tmp_path / "v2"), ["k"], ["seg"],
+            {"m": ("min", "v")},
+        )
+    with pytest.raises(ValueError, match="join key"):
+        IncrementalJoinView(
+            fact, dim, str(tmp_path / "v3"), ["seg"], ["seg"],
+            {"n": ("count", "*")},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        IncrementalJoinView(
+            fact, dim, str(tmp_path / "v4"), ["k"], ["nope"],
+            {"n": ("count", "*")},
+        )
+
+
+def test_to_df_pruned_skips_nonoverlapping_files(spark, tmp_path):
+    """The stats-pruned snapshot read behind the A@new ⋈ ΔB term: files
+    whose recorded key range cannot overlap the batch are not read."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), FACT_SCHEMA, properties=CDF
+    )
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, i, lo + i) for i in range(5)], FACT_SCHEMA
+            ).coalesce(1)
+        )
+    assert len(t.files()) == 3
+    pruned_files = t.files_matching({"k": (101, 103)})
+    assert len(pruned_files) == 1
+    got = t.to_df_pruned({"k": (101, 103)})
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == [100, 101, 102, 103, 104]  # one file, superset of matches
