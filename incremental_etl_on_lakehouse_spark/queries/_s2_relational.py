@@ -623,6 +623,130 @@ def agg_incremental_view(spark, sf_dir):
     )
 
 
+_JOIN_VIEW_CACHE: dict[tuple[int, str], object] = {}
+
+
+@query(
+    "view_incremental_join",
+    _SQL_CDC
+    + """
+, dim AS (
+  SELECT user_id,
+         CASE WHEN user_id IN (SELECT user_id FROM b2 WHERE user_id % 3 = 0)
+              THEN user_id % 4 + 10 ELSE user_id % 4 END AS segment
+  FROM (SELECT DISTINCT user_id FROM cdc)
+)
+SELECT d.segment,
+       CAST(sum(f.value_cents) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(f.value_cents) AS DOUBLE) / count(*), 6) AS avg_cents
+FROM final f JOIN dim d USING (user_id)
+GROUP BY d.segment""",
+)
+def view_incremental_join(spark, sf_dir):
+    """Incrementally-maintained JOIN view (operators/join_view.py): a Gold
+    defined as ``fact-silver ⋈ dim-silver`` + GROUP BY aggregate,
+    maintained from BOTH change feeds via delta-join algebra
+    (Δ(A⋈B) = ΔA⋈B@old ∪ A@new⋈ΔB, the snapshot side file-pruned by the
+    batch's join-key stats) — the multi-table generalization of the
+    reference's Silver-CDF → Gold topology (demo-notebook.py:428-435).
+
+    The scenario interleaves the feeds so every maintenance path runs:
+    fact batch 1 (ΔA against an empty dim), dim batch 1 (A@new ⋈ ΔB over
+    the populated fact), fact batch 2 (ΔA ⋈ B@old), dim batch 2 (segment
+    REASSIGNMENTS — update_preimage/postimage signs move users between
+    groups). The converged view hash-matches the batch join+aggregate of
+    the two final states."""
+    from incremental_etl_on_lakehouse_spark.lake.table import MergeClause
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalJoinView,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    view = _JOIN_VIEW_CACHE.get(cache_key)
+    if view is None or not os.path.isdir(view.add_table.path):
+        root = _tmpdir()
+        silver = LakeTable.create(
+            spark,
+            os.path.join(root, "fact_silver"),
+            SILVER_SCHEMA,
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "user_id",
+            },
+        )
+        dim_schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("segment", LongType()),
+            ]
+        )
+        dim = LakeTable.create(
+            spark,
+            os.path.join(root, "dim_silver"),
+            dim_schema,
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "user_id",
+            },
+        )
+        view = IncrementalJoinView(
+            silver,
+            dim,
+            os.path.join(root, "view"),
+            join_keys=["user_id"],
+            group_cols=["segment"],
+            aggs={
+                "total_cents": ("sum", "value_cents"),
+                "n_rows": ("count", "*"),
+                "avg_cents": ("avg", "value_cents"),
+            },
+        )
+        upsert = [
+            MergeClause("update", None, "*"),
+            MergeClause("insert", None, "*"),
+        ]
+        b1, b2 = _cdc_batches(spark, sf_dir)
+        for i, batch in enumerate((b1, b2)):
+            merge_cdc_batch(
+                silver,
+                batch.select(
+                    "user_id", "ts_ms", "event_type", "value_cents",
+                    "data_hash", "cdc_operation", "ts", "event_id",
+                ),
+                key_cols=["user_id"],
+                order_cols=["ts"],
+                tiebreak_cols=["event_id"],
+                order_guard_col="ts_ms",
+            )
+            view.refresh()  # fact side: ΔA ⋈ B@old (empty dim on i=0)
+            # batch 2 reassigns only every third user to a NEW segment —
+            # the view sees moved groups (preimage/postimage sign pairs),
+            # kept groups (identical-value updates whose deltas cancel),
+            # and b2-only inserts, all in one maintenance merge
+            seg = F.col("user_id") % 4
+            if i:
+                seg = F.when(
+                    F.col("user_id") % 3 == 0, F.col("user_id") % 4 + 10
+                ).otherwise(seg)
+            dim.merge(
+                batch.select("user_id").distinct().withColumn(
+                    "segment", seg.cast("long")
+                ),
+                "source.user_id = target.user_id",
+                upsert,
+                stats_prune={"user_id": "user_id"},
+            )
+            view.refresh()  # dim side: A@new ⋈ ΔB, stats-pruned fact read
+        _JOIN_VIEW_CACHE[cache_key] = view
+    return view.to_df().select(
+        "segment",
+        "total_cents",
+        "n_rows",
+        F.round(F.col("avg_cents"), 6).alias("avg_cents"),
+    )
+
+
 AVG_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
