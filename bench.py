@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     # real availableNow drain — fixed-cost streaming scenario, tracks the
     # file-source pacing machinery); NOT baseline-comparable
     "stream_paced_bytes",
+    # round-12: incrementally-maintained JOIN view (delta-join algebra
+    # from both change feeds, stats-pruned snapshot side) — tracks the
+    # two-feed maintenance merge path; NOT baseline-comparable
+    "view_incremental_join",
 ]
 
 
