@@ -108,6 +108,8 @@ class LakeCatalog:
             state.setdefault(e["db"], {})
         elif op == "drop_db":
             state.pop(e["db"], None)
+            # a db's views die with it, atomically in the same fold step
+            state.get("__views__", {}).pop(e["db"], None)
         elif op == "put_table":
             state.setdefault(e["db"], {})[e["table"]] = {
                 "path": e["path"],
@@ -124,6 +126,17 @@ class LakeCatalog:
             # directory-convention deletion must refuse it (keys starting
             # "__" are reserved — never database names)
             state.setdefault("__extern_orphans__", {})[e["path"]] = True
+        elif op == "put_view":
+            # persistent named view: stored SELECT text, late-bound at
+            # read time against the catalog's current tables (the
+            # reference's temp-view idiom, demo-notebook.py:236, made
+            # durable). Views live in their own reserved namespace so no
+            # table code path ever mistakes one for a data entry.
+            state.setdefault("__views__", {}).setdefault(e["db"], {})[
+                e["view"]
+            ] = e["sql"]
+        elif op == "drop_view":
+            state.get("__views__", {}).get(e["db"], {}).pop(e["view"], None)
 
     def _meta_state(self) -> tuple[int, dict]:
         """(latest version, state). State shape:
@@ -310,7 +323,7 @@ class LakeCatalog:
     def drop_database(self, db: str, cascade: bool = False) -> None:
         """``DROP DATABASE [CASCADE]`` (ref :106). Cascade drops managed
         table data; external tables lose only their registration."""
-        if self.tables(db) and not cascade:
+        if (self.tables(db) or self.views(db)) and not cascade:
             raise ValueError(f"database not empty: {db} (use cascade=True)")
         _, state0 = self._meta_state()
         path = self._db_path(db)
@@ -392,6 +405,10 @@ class LakeCatalog:
         ``<root>/<db>/<name>`` and DROP deletes the data."""
         self.create_database(db)
         _, state = self._meta_state()
+        if self._is_view(db, name):
+            raise ValueError(
+                f"{db}.{name} is a view; a table cannot shadow it"
+            )
         if name in state.get(db, {}):
             if if_not_exists:
                 return self.table(db, name)
@@ -437,6 +454,10 @@ class LakeCatalog:
         if not LakeTable.exists(path):
             raise ValueError(f"no lake table at {path}")
         self.create_database(db)
+        if self._is_view(db, name):
+            raise ValueError(
+                f"{db}.{name} is a view; a table cannot shadow it"
+            )
         _, state = self._meta_state()
         entry = state.get(db, {}).get(name)
         if entry is not None and entry["path"] != path:
@@ -472,6 +493,8 @@ class LakeCatalog:
         never be mistaken for a pre-metastore managed table and deleted."""
         _, state = self._meta_state()
         entry = state.get(db, {}).get(name)
+        if entry is None and self._is_view(db, name):
+            raise ValueError(f"{db}.{name} is a view — use DROP VIEW")
         if entry is not None:
             if not entry["external"]:
                 LakeTable.drop(entry["path"])
@@ -608,9 +631,41 @@ class LakeCatalog:
         )
         if m:
             db, name = self._split_name(m.group(2), default_db)
-            if m.group(1) and name not in self.tables(db):
+            if (
+                m.group(1)
+                and name not in self.tables(db)
+                and not self._is_view(db, name)
+            ):
                 return None
             return self.drop_table(db, name)
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([`\w.]+)\s+AS\s+(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            db, name = self._split_name(m.group(2), default_db)
+            return self.create_view(
+                db, name, m.group(3).strip(), or_replace=bool(m.group(1))
+            )
+        m = re.match(
+            r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$", s, re.IGNORECASE
+        )
+        if m:
+            db, name = self._split_name(m.group(2), default_db)
+            return self.drop_view(db, name, if_exists=bool(m.group(1)))
+        m = re.match(
+            r"SHOW\s+VIEWS(?:\s+IN\s+`?([\w]+)`?)?\s*$", s, re.IGNORECASE
+        )
+        if m:
+            db = m.group(1) or default_db
+            if db is None:
+                raise ValueError("SHOW VIEWS needs IN <db> or default_db")
+            return self.views(db)
+        if re.match(r"(SELECT|WITH)\b", s, re.IGNORECASE):
+            # catalog-resolved SELECT: FROM/JOIN references binding to
+            # catalog tables AND persistent views both work
+            return self.query(s, default_db=default_db)
         if re.match(
             r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\b", s, re.IGNORECASE
         ):
@@ -766,6 +821,166 @@ class LakeCatalog:
         for name in self.tables(db):
             view = f"{db}_{name}"
             self.table(db, name).to_df(version).createOrReplaceTempView(view)
+
+    # ------------------------------------------------------------ views
+    #
+    # Persistent named views: the metastore stores the SELECT text under
+    # the reserved "__views__" namespace; reads are LATE-BOUND — the text
+    # is re-resolved against the catalog's current tables on every read
+    # (standard view semantics: a view over a replaced table sees the new
+    # data; a view over a dropped table errors at read time).
+
+    def views(self, db: str) -> list[str]:
+        _, state = self._meta_state()
+        return sorted(state.get("__views__", {}).get(db, {}))
+
+    def view_sql(self, db: str, name: str) -> str:
+        _, state = self._meta_state()
+        sql = state.get("__views__", {}).get(db, {}).get(name)
+        if sql is None:
+            raise ValueError(f"no such view: {db}.{name}")
+        return sql
+
+    def _is_view(self, db: str, name: str) -> bool:
+        _, state = self._meta_state()
+        return name in state.get("__views__", {}).get(db, {})
+
+    def create_view(
+        self, db: str, name: str, select_sql: str, or_replace: bool = False
+    ) -> None:
+        """``CREATE [OR REPLACE] VIEW db.name AS <select>``. The name
+        shares the db's namespace with tables: a view may not shadow a
+        table (and vice versa) — a name that silently meant different
+        things to SELECT and MERGE would be a correctness trap."""
+        if db not in self.databases():
+            raise ValueError(f"no such database: {db}")
+        if name in self.tables(db):
+            raise ValueError(
+                f"{db}.{name} is a table; a view cannot shadow it"
+            )
+        if self._is_view(db, name) and not or_replace:
+            raise ValueError(
+                f"view exists: {db}.{name} (use CREATE OR REPLACE VIEW)"
+            )
+        # eager validation: resolve + analyze the plan now (no execution)
+        # so a typo'd table name fails at CREATE, like Delta/HMS views
+        self._resolved_select(select_sql, default_db=db)
+        self._meta_commit(
+            {"op": "put_view", "db": db, "view": name, "sql": select_sql}
+        )
+
+    def drop_view(self, db: str, name: str, if_exists: bool = False) -> None:
+        if not self._is_view(db, name):
+            if if_exists:
+                return
+            if name in self.tables(db):
+                raise ValueError(
+                    f"{db}.{name} is a table — use DROP TABLE"
+                )
+            raise ValueError(f"no such view: {db}.{name}")
+        self._meta_commit(
+            {"op": "drop_view", "db": db, "view": name},
+            precondition=lambda st: name
+            in st.get("__views__", {}).get(db, {}),
+        )
+
+    def read_view(self, db: str, name: str):
+        """The view as a DataFrame — its stored SELECT late-bound against
+        the catalog's CURRENT tables (bare names resolve in the view's
+        own db)."""
+        return self._resolved_select(
+            self.view_sql(db, name), default_db=db, stack=((db, name),)
+        )
+
+    def query(self, select_sql: str, default_db: str | None = None):
+        """Catalog-resolved SELECT: every ``FROM``/``JOIN`` reference
+        naming a catalog table or view is bound to the live table (or the
+        view's resolved plan) and the query runs through ``spark.sql``.
+        Names the catalog doesn't know stay untouched (session temp
+        views keep working)."""
+        return self._resolved_select(select_sql, default_db=default_db)
+
+    def _resolved_select(
+        self,
+        select_sql: str,
+        default_db: str | None,
+        stack: tuple = (),
+    ):
+        """Rewrite catalog references in a SELECT to uniquely-named temp
+        views backed by the live tables, then ``spark.sql`` it. ``stack``
+        carries the in-resolution view chain for cycle detection (a view
+        may reference other views; A→B→A must error, not recurse)."""
+        from incremental_etl_on_lakehouse_spark.lake.sql import strip_comments
+
+        sql = strip_comments(select_sql)
+        # positions inside single-quoted literals / backticked identifiers
+        # are off-limits for rewriting ('FROM x' inside a string is data)
+        masked = bytearray(len(sql))
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", "`"):
+                j = i + 1
+                while j < n:
+                    if sql[j] == ch:
+                        if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                for k in range(i, min(j + 1, n)):
+                    masked[k] = 1
+                i = j + 1
+            else:
+                i += 1
+
+        out: list[str] = []
+        last = 0
+        pat = re.compile(
+            r"\b(FROM|JOIN)(\s+)((?:`?\w+`?)(?:\.`?\w+`?)?)", re.IGNORECASE
+        )
+        for m in pat.finditer(sql):
+            if masked[m.start()]:
+                continue
+            ref = m.group(3)
+            try:
+                db, name = self._split_name(ref, default_db)
+            except ValueError:
+                continue  # unqualified name with no default db: leave it
+            replacement = None
+            if self._is_view(db, name):
+                if (db, name) in stack:
+                    chain = " -> ".join(f"{d}.{v}" for d, v in stack)
+                    raise ValueError(
+                        f"view cycle: {chain} -> {db}.{name}"
+                    )
+                tmp = f"__cat_view_{db}__{name}"
+                self._resolved_select(
+                    self.view_sql(db, name),
+                    default_db=db,
+                    stack=stack + ((db, name),),
+                ).createOrReplaceTempView(tmp)
+                replacement = tmp
+            else:
+                entry_path = None
+                _, state = self._meta_state()
+                entry = state.get(db, {}).get(name)
+                if entry is not None:
+                    entry_path = entry["path"]
+                elif db in self.databases() and LakeTable.exists(
+                    self._table_path(db, name)
+                ):
+                    entry_path = self._table_path(db, name)
+                if entry_path is not None:
+                    tmp = f"__cat_tbl_{db}__{name}"
+                    LakeTable(self.spark, entry_path).to_df().createOrReplaceTempView(tmp)
+                    replacement = tmp
+            if replacement is not None:
+                out.append(sql[last:m.start(3)])
+                out.append(replacement)
+                last = m.end(3)
+        out.append(sql[last:])
+        return self.spark.sql("".join(out))
 
 
 class Lakehouse:
@@ -1046,16 +1261,20 @@ class Lakehouse:
         if m:
             return self.catalog(m.group(1) or self.current_catalog).databases()
         m = re.match(
-            r"SHOW\s+TABLES(?:\s+IN\s+([`\w.]+))?\s*$", s, re.IGNORECASE
+            r"SHOW\s+(TABLES|VIEWS)(?:\s+IN\s+([`\w.]+))?\s*$",
+            s,
+            re.IGNORECASE,
         )
         if m:
-            if m.group(1):
-                cat, db = self._split_db(m.group(1))
+            kind = m.group(1).upper()
+            if m.group(2):
+                cat, db = self._split_db(m.group(2))
             elif self.current_db is not None:
                 cat, db = self.current_catalog, self.current_db
             else:
-                raise ValueError("SHOW TABLES needs IN <db> or USE first")
-            return self.catalog(cat).tables(db)
+                raise ValueError(f"SHOW {kind} needs IN <db> or USE first")
+            target = self.catalog(cat)
+            return target.tables(db) if kind == "TABLES" else target.views(db)
         # table-level statement: strip catalog qualifiers down to db.table
         # and reuse the two-level front door of the owning catalog
         cat, stripped = self._strip_catalog_qualifiers(statement)

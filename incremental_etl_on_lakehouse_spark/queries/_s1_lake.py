@@ -299,6 +299,88 @@ def util_vacuum_lite(spark, sf_dir):
 
 
 @query(
+    "ddl_create_view",
+    "SELECT CAST(n_regionkey AS BIGINT) AS region,"
+    " CAST(count(*) AS BIGINT) AS n_nations,"
+    " CAST(true AS BOOLEAN) AS listed,"
+    " CAST(true AS BOOLEAN) AS persisted,"
+    " CAST(true AS BOOLEAN) AS late_bound,"
+    " CAST(true AS BOOLEAN) AS replaced,"
+    " CAST(true AS BOOLEAN) AS shadow_blocked,"
+    " CAST(true AS BOOLEAN) AS dropped"
+    " FROM nation GROUP BY n_regionkey",
+)
+def ddl_create_view(spark, sf_dir):
+    """Persistent views through the catalog (the reference's temp-view
+    idiom, demo-notebook.py:236, made durable): CREATE VIEW stores the
+    SELECT text in the metastore, SHOW VIEWS lists it, a FRESH catalog
+    instance (new-session stand-in) resolves and queries it through the
+    SELECT front door, reads are LATE-BOUND (new rows appear without
+    re-creating the view), CREATE OR REPLACE swaps the definition, a
+    table cannot shadow a view, and DROP VIEW unregisters it. The data
+    rows come through the persisted view itself, so the oracle checks
+    the resolved plan, not just bookkeeping booleans."""
+    from incremental_etl_on_lakehouse_spark.lake.catalog import LakeCatalog
+
+    nat = load_table(spark, "nation", sf_dir).select(
+        F.col("n_regionkey").cast("long").alias("region"),
+        F.col("n_name").alias("name"),
+    )
+    root = os.path.join(_tmpdir(), "cat")
+    cat = LakeCatalog(spark, root)
+    cat.create_database("db1")
+    t = cat.create_table(
+        "db1",
+        "nations",
+        StructType(
+            [
+                StructField("region", LongType()),
+                StructField("name", StringType()),
+            ]
+        ),
+    )
+    # late binding: create the view over the EMPTY table, append after
+    cat.sql(
+        "CREATE VIEW db1.per_region AS"
+        " SELECT region, count(*) AS n_nations"
+        " FROM db1.nations GROUP BY region"
+    )
+    late_bound_empty = cat.read_view("db1", "per_region").count() == 0
+    t.append(nat)
+    listed = cat.sql("SHOW VIEWS IN db1") == ["per_region"]
+    fresh = LakeCatalog(spark, root)  # new-session stand-in
+    persisted = fresh.views("db1") == ["per_region"]
+    out = fresh.sql("SELECT region, n_nations FROM db1.per_region")
+    # OR REPLACE swaps the definition (columns change)
+    cat.sql("CREATE VIEW db1.scratch AS SELECT region FROM db1.nations")
+    cat.sql(
+        "CREATE OR REPLACE VIEW db1.scratch AS"
+        " SELECT name FROM db1.nations"
+    )
+    replaced = fresh.read_view("db1", "scratch").columns == ["name"]
+    try:
+        cat.create_table(
+            "db1", "per_region",
+            StructType([StructField("x", LongType())]),
+        )
+        shadow_blocked = False
+    except ValueError:
+        shadow_blocked = True
+    cat.sql("DROP VIEW db1.scratch")
+    dropped = fresh.views("db1") == ["per_region"]
+    return out.select(
+        "region",
+        "n_nations",
+        F.lit(listed).alias("listed"),
+        F.lit(persisted).alias("persisted"),
+        F.lit(late_bound_empty).alias("late_bound"),
+        F.lit(replaced).alias("replaced"),
+        F.lit(shadow_blocked).alias("shadow_blocked"),
+        F.lit(dropped).alias("dropped"),
+    )
+
+
+@query(
     "ddl_create_like",
     "SELECT CAST(count(*) AS BIGINT) AS src_rows,"
     " CAST(0 AS BIGINT) AS like_rows,"

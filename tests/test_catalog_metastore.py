@@ -343,12 +343,14 @@ def test_catalog_interleaving_fuzz(spark, tmp_path, seed):
         LakeTable.create(spark, p, SCHEMA)
         ext_pool.append(p)
     model: dict = {}  # db -> {name: ("managed"|"external", path)}
+    vmodel: dict = {}  # db -> {view: referenced table name}
     n_table = 0
 
     for _ in range(24):
         cat = rng.choice(cats)
         op = rng.choice(
-            ["create_db", "create_tbl", "register", "drop_tbl", "drop_db"]
+            ["create_db", "create_tbl", "register", "drop_tbl", "drop_db",
+             "create_view", "drop_view", "collide"]
         )
         if op == "create_db":
             db = f"db{rng.randint(0, 2)}"
@@ -385,6 +387,46 @@ def test_catalog_interleaving_fuzz(spark, tmp_path, seed):
             db = rng.choice(sorted(model))
             cat.drop_database(db, cascade=True)
             model.pop(db)
+            vmodel.pop(db, None)
+        elif op == "create_view":
+            # views racing table drops: a view may be created over any
+            # live table; a later drop of that table leaves the view
+            # registered (late binding) but unreadable
+            candidates = [d for d in model if model[d]]
+            if not candidates:
+                continue
+            db = rng.choice(candidates)
+            tname = rng.choice(sorted(model[db]))
+            vname = f"v{n_table}"
+            n_table += 1
+            cat.create_view(
+                db, vname, f"SELECT count(*) AS n FROM {db}.{tname}"
+            )
+            vmodel.setdefault(db, {})[vname] = tname
+        elif op == "drop_view":
+            nonempty = [d for d in vmodel if vmodel[d]]
+            if not nonempty:
+                continue
+            db = rng.choice(nonempty)
+            vname = rng.choice(sorted(vmodel[db]))
+            cat.drop_view(db, vname)
+            vmodel[db].pop(vname)
+        elif op == "collide":
+            # namespace collisions must raise, never corrupt state
+            tbl_dbs = [d for d in model if model[d]]
+            if tbl_dbs:
+                db = rng.choice(tbl_dbs)
+                tname = rng.choice(sorted(model[db]))
+                with pytest.raises(ValueError, match="cannot shadow"):
+                    cat.create_view(db, tname, "SELECT 1 AS x")
+            v_dbs = [d for d in vmodel if vmodel[d]]
+            if v_dbs:
+                db = rng.choice(v_dbs)
+                vname = rng.choice(sorted(vmodel[db]))
+                with pytest.raises(ValueError, match="is a view"):
+                    cat.create_table(db, vname, SCHEMA)
+                with pytest.raises(ValueError, match="is a view"):
+                    cat.drop_table(db, vname)
         # a FRESH instance folds to exactly the model (cross-instance
         # persistence at every step, through any checkpoints)
         fresh = LakeCatalog(spark, root)
@@ -393,6 +435,16 @@ def test_catalog_interleaving_fuzz(spark, tmp_path, seed):
             assert fresh.tables(d) == sorted(model[d]), (seed, d)
             for name, (kind, _p) in model[d].items():
                 assert fresh.is_external(d, name) == (kind == "external")
+            assert fresh.views(d) == sorted(vmodel.get(d, {})), (seed, d)
+            for vname, tname in vmodel.get(d, {}).items():
+                if tname in model[d]:
+                    # underlying table alive: the view reads one count row
+                    assert fresh.read_view(d, vname).count() == 1
+                else:
+                    # table dropped from under the view: registration
+                    # survives, the read errors (late binding)
+                    with pytest.raises(Exception):
+                        fresh.read_view(d, vname).collect()
 
     # the entry log is gap-free (no clobbered versions across 2 writers)
     meta = os.path.join(root, "_metastore")
