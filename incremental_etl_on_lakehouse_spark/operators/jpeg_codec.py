@@ -1,0 +1,578 @@
+"""Pure-stdlib/numpy baseline JPEG (JFIF) codec — no Pillow, no libjpeg.
+
+Completes the real-codec triad's gap for the dominant web-image format
+(PNG: ``png_codec.py``, WAV: ``wav_codec.py``, Y4M: ``y4m_codec.py``):
+
+- :func:`encode_jpeg` — baseline sequential DCT (SOF0), standard ITU
+  T.81 Annex-K quantization/Huffman tables (quality-scaled with the
+  classic libjpeg formula), 4:4:4 or 4:2:0 chroma subsampling, optional
+  restart intervals. The emitted stream is self-describing (DQT/DHT ride
+  in the file), so any conforming decoder reads it.
+- :func:`decode_jpeg` — baseline sequential decode: segment parse,
+  canonical Huffman (DC diff + AC run/length with ZRL/EOB), dequantize,
+  inverse zigzag, float64 IDCT, chroma upsample, JFIF YCbCr→RGB.
+  Progressive (SOF2) and arithmetic coding raise ``ValueError``.
+
+Everything is float64 matrix math on fixed tables, so a given byte
+stream decodes to bit-identical pixels on every run — the property the
+oracle-pinned query fixtures rely on. JPEG is lossy: round-tripping an
+image through encode→decode is approximate by design; decoding a given
+FILE is exact and deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# ---------------------------------------------------------------- constants
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# ITU T.81 Annex K.1 example quantization tables
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II basis: F = M @ f @ M.T, f = M.T @ F @ M
+_M = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _M[_u, _x] = 0.5 * c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = max(1, min(100, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for t in (QT_LUMA, QT_CHROMA):
+        q = (t * s + 50) // 100
+        out.append(np.clip(q, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+# ------------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, bits: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (bits & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical codes: symbol -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _category(v: int) -> tuple[int, int]:
+    """JPEG magnitude category: value -> (size, extra bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (already padded to multiples of 8) ->
+    (nblocks_v, nblocks_h, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2)
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    qt: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    coef = _M @ (block - 128.0) @ _M.T
+    q = np.round(coef / qt).astype(np.int64)
+    zz = q.flatten()[ZIGZAG]
+    dc = int(zz[0])
+    size, extra = _category(dc - pred)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    bw.write(extra, size)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, extra = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(extra, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 75,
+    subsample: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF JPEG."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode_jpeg needs an (H, W, 3) uint8 array")
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsample must be '4:4:4' or '4:2:0'")
+    h, w = rgb.shape[:2]
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+    cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+    qt_l, qt_c = _scaled_tables(quality)
+    sub = subsample == "4:2:0"
+    if sub:
+        y_p = _pad_to(y, 16)
+        cb_f = _pad_to(cb, 16)
+        cr_f = _pad_to(cr, 16)
+        # 2x2 box average
+        cb_p = cb_f.reshape(cb_f.shape[0] // 2, 2, cb_f.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr_p = cr_f.reshape(cr_f.shape[0] // 2, 2, cr_f.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+    else:
+        y_p, cb_p, cr_p = _pad_to(y, 8), _pad_to(cb, 8), _pad_to(cr, 8)
+    yb = _plane_blocks(y_p)
+    cbb = _plane_blocks(cb_p)
+    crb = _plane_blocks(cr_p)
+
+    dc_l = _huff_codes(*DC_LUMA)
+    ac_l = _huff_codes(*AC_LUMA)
+    dc_c = _huff_codes(*DC_CHROMA)
+    ac_c = _huff_codes(*AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 72, 72, 0, 0)
+    )
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += _seg(
+            0xDB, bytes([tid]) + bytes(int(x) for x in qt.flatten()[ZIGZAG])
+        )
+    hs = 2 if sub else 1
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | hs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    for tc_th, (bits, vals) in (
+        (0x00, DC_LUMA),
+        (0x10, AC_LUMA),
+        (0x01, DC_CHROMA),
+        (0x11, AC_CHROMA),
+    ):
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcu_rows = yb.shape[0] // hs
+    mcu_cols = yb.shape[1] // hs
+    mcu_idx = 0
+    rst = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for by in range(hs):
+                for bx in range(hs):
+                    preds[0] = _encode_block(
+                        bw, yb[mr * hs + by, mc * hs + bx], qt_l, dc_l, ac_l,
+                        preds[0],
+                    )
+            preds[1] = _encode_block(bw, cbb[mr, mc], qt_c, dc_c, ac_c, preds[1])
+            preds[2] = _encode_block(bw, crb[mr, mc], qt_c, dc_c, ac_c, preds[2])
+            mcu_idx += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ decoder
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs FF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker()
+            else:
+                raise ValueError("unexpected marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume padding + the RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing restart marker")
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol lookup dict."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Decode baseline JFIF JPEG bytes to an (H, W, 3) uint8 RGB array
+    (grayscale streams are replicated to 3 bands)."""
+    d = bytes(buf)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", d[pos + 2 : pos + 4])[0]
+        seg = d[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                prec = seg[i] >> 4
+                tid = seg[i] & 0xF
+                if prec:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[ZIGZAG] = zz
+                qts[tid] = qt.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc = seg[i] >> 4
+                th = seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append({"id": cs, "td": tds >> 4, "ta": tds & 0xF})
+            break  # entropy data follows at `pos`
+        # APPn/COM/etc: skipped
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS segment")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-frame["w"] // mcu_w)
+    mcus_y = -(-frame["h"] // mcu_h)
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+        for c in comps
+    }
+    br = _BitReader(d, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.sync_restart()
+                preds = {c["id"]: 0 for c in comps}
+            for sc in scan:
+                c = by_id[sc["id"]]
+                qt = qts[c["tq"]]
+                dct = dc_tabs[sc["td"]]
+                act = ac_tabs[sc["ta"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _read_symbol(br, dct)
+                        diff = _extend(br.bits(size), size)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * qt.flatten()[ZIGZAG]
+                        block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][py : py + 8, px : px + 8] = block
+            mcu_idx += 1
+
+    h, w = frame["h"], frame["w"]
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -121,14 +121,22 @@ def real_image_decoder(buf: bytes) -> list[float]:
 
 
 def builtin_image_decoder(buf: bytes) -> list[float]:
-    """REAL decode without Pillow: the built-in pure-Python/numpy PNG codec
-    (operators/png_codec.py — stdlib zlib + numpy, 8-bit gray/RGB/palette/
-    alpha). Same 8-feature contract as :func:`real_image_decoder`:
-    [width, height, bands, meanR, meanG, meanB, max, min]. Non-PNG bytes
-    raise ValueError (only PNG is decodable without external codecs)."""
+    """REAL decode without Pillow: the built-in pure-Python/numpy codecs —
+    PNG (operators/png_codec.py — stdlib zlib + numpy, 8-bit gray/RGB/
+    palette/alpha) and baseline JPEG (operators/jpeg_codec.py — JFIF
+    sequential DCT, the dominant web-corpus format). Same 8-feature
+    contract as :func:`real_image_decoder`: [width, height, bands, meanR,
+    meanG, meanB, max, min]. Other formats raise ValueError."""
+    from incremental_etl_on_lakehouse_spark.operators.jpeg_codec import (
+        decode_jpeg,
+    )
     from incremental_etl_on_lakehouse_spark.operators.png_codec import decode_png
 
-    rgb = decode_png(bytes(buf))
+    raw = bytes(buf)
+    if raw[:2] == b"\xff\xd8":
+        rgb = decode_jpeg(raw)
+    else:
+        rgb = decode_png(raw)
     h, w, _ = rgb.shape
     means = rgb.reshape(-1, 3).mean(axis=0)
     return [
@@ -144,10 +152,11 @@ def builtin_image_decoder(buf: bytes) -> list[float]:
 
 
 def auto_image_decoder(buf: bytes) -> list[float]:
-    """PNG bytes -> real built-in decode; anything else -> deterministic
-    fake features (mixed-format corpora keep flowing; the real path runs
-    wherever it can)."""
-    if bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
+    """PNG or baseline-JPEG bytes -> real built-in decode; anything else
+    -> deterministic fake features (mixed-format corpora keep flowing;
+    the real path runs wherever it can)."""
+    head = bytes(buf[:8])
+    if head == b"\x89PNG\r\n\x1a\n" or head[:2] == b"\xff\xd8":
         return builtin_image_decoder(buf)
     return fake_image_decoder(buf)
 

@@ -2988,6 +2988,79 @@ def ext_multimodal_decode(spark, sf_dir):
 
 
 @query(
+    "ext_multimodal_jpeg",
+    # three planted baseline JPEGs, stats pinned: solids decode EXACTLY
+    # (DC-only blocks; 4:4:4 and 4:2:0 — a box-averaged constant is the
+    # same constant), the 4:2:0 gradient with restart_interval=1 carries
+    # the full AC/upsample/RST path and is pinned to its deterministic
+    # decode at 2dp (the features column is float32)
+    "SELECT media_id, CAST(width AS DOUBLE) AS width,"
+    " CAST(height AS DOUBLE) AS height,"
+    " CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g,"
+    " CAST(mean_b AS DOUBLE) AS mean_b, CAST(max_px AS DOUBLE) AS max_px,"
+    " CAST(min_px AS DOUBLE) AS min_px FROM (VALUES"
+    " (CAST(1 AS BIGINT), 24.0, 16.0, 50.0, 100.0, 150.0, 150.0, 50.0),"
+    " (CAST(2 AS BIGINT), 16.0, 16.0, 200.0, 30.0, 90.0, 200.0, 30.0),"
+    " (CAST(3 AS BIGINT), 20.0, 12.0, 122.6, 115.75, 77.76,"
+    "  246.0, 0.0))"
+    " t(media_id, width, height, mean_r, mean_g, mean_b, max_px, min_px)"
+    " ORDER BY media_id",
+)
+def ext_multimodal_jpeg(spark, sf_dir):
+    """REAL JPEG decode end-to-end, no image library: planted baseline
+    JFIF images (encoded by the pure-numpy codec in operators/
+    jpeg_codec.py — Annex-K tables, 4:4:4 and 4:2:0, restart markers)
+    are decoded back by the same module's full baseline decoder (segment
+    parse, canonical Huffman, dequantize, float64 IDCT, chroma upsample,
+    YCbCr→RGB) inside the Arrow-batched mapInPandas feature extractor.
+    Completes the real-codec set for the dominant web-image format; the
+    two solid fixtures decode mathematically exactly, the gradient pins
+    the deterministic lossy path. Pillow, when importable, is agreement-
+    tested against both directions (tests/test_multimodal_libs.py)."""
+    import numpy as np
+
+    from incremental_etl_on_lakehouse_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+
+    solid = np.zeros((16, 24, 3), dtype=np.uint8)
+    solid[:, :] = (50, 100, 150)
+    s420 = np.zeros((16, 16, 3), dtype=np.uint8)
+    s420[:, :] = (200, 30, 90)
+    grad = np.zeros((12, 20, 3), dtype=np.uint8)
+    grad[..., 0] = (np.arange(20) * 13 % 256)[None, :]
+    grad[..., 1] = (np.arange(12) * 21 % 256)[:, None]
+    grad[..., 2] = 77
+    rows = [
+        (1, "image", bytearray(encode_jpeg(solid, quality=90,
+                                           subsample="4:4:4"))),
+        (2, "image", bytearray(encode_jpeg(s420, quality=85,
+                                           subsample="4:2:0"))),
+        (3, "image", bytearray(encode_jpeg(grad, quality=80,
+                                           subsample="4:2:0",
+                                           restart_interval=1))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    feats = MM.extract_features(df, decoder=MM.builtin_image_decoder)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("double").alias("width"),
+        f[1].cast("double").alias("height"),
+        # features ride as float32: round to 2dp (well inside float32
+        # precision at these magnitudes) so the pins are representation-
+        # independent; the solid fixtures are exact at any precision
+        F.round(f[3].cast("double"), 2).alias("mean_r"),
+        F.round(f[4].cast("double"), 2).alias("mean_g"),
+        F.round(f[5].cast("double"), 2).alias("mean_b"),
+        f[6].cast("double").alias("max_px"),
+        f[7].cast("double").alias("min_px"),
+    ).orderBy("media_id")
+
+
+@query(
     "ext_multimodal_audio",
     # planted 16-bit PCM clips: clip m has 64+32m samples at 8/16 kHz with
     # sample_i = ((m*7919 + i*104729) % 65536) - 32768 — the oracle

@@ -84,6 +84,43 @@ def test_builtin_and_pillow_image_decoders_agree():
     assert default_image_decoder() is real_image_decoder
 
 
+@pytest.mark.skipif(not HAS_PIL, reason="needs Pillow")
+def test_jpeg_codec_agrees_with_pillow_both_directions():
+    """Baseline-JPEG interop, both ways: (1) Pillow decodes OUR encoder's
+    bytes to pixels close to our own decode (different IDCT/upsample
+    implementations — small integer tolerance); (2) our decoder reads a
+    PILLOW-encoded baseline JPEG with the same tolerance."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from incremental_etl_on_lakehouse_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = np.zeros((16, 24, 3), np.uint8)
+    rgb[..., 0] = (np.arange(24) * 11 % 256)[None, :]
+    rgb[..., 1] = (np.arange(16) * 17 % 256)[:, None]
+    rgb[..., 2] = 123
+    # ours -> Pillow
+    buf = encode_jpeg(rgb, quality=90, subsample="4:2:0")
+    with Image.open(io.BytesIO(buf)) as im:
+        theirs = np.asarray(im.convert("RGB"), dtype=np.int64)
+    ours = decode_jpeg(buf).astype(np.int64)
+    assert theirs.shape == ours.shape
+    assert np.abs(theirs - ours).max() <= 3
+    # Pillow -> ours
+    out = io.BytesIO()
+    Image.fromarray(rgb).save(out, format="JPEG", quality=90)
+    pil_bytes = out.getvalue()
+    ours2 = decode_jpeg(pil_bytes).astype(np.int64)
+    with Image.open(io.BytesIO(pil_bytes)) as im:
+        theirs2 = np.asarray(im.convert("RGB"), dtype=np.int64)
+    assert np.abs(theirs2 - ours2).max() <= 3
+
+
 @pytest.mark.skipif(not HAS_SF, reason="needs soundfile")
 @pytest.mark.parametrize("stereo", [False, True])
 def test_stdlib_and_soundfile_audio_decoders_agree(stereo):
