@@ -5,18 +5,21 @@ fan-outs and key cardinality scale WITH the data instead of manufacturing
 10-member duplicate clusters. region/nation dims stay fixed (dims grow
 slower than facts, like TPC-H). Used for the SCALE.md weak-scaling rows.
 
-    python tools/make_sf1.py [out_dir]     # default /tmp/sf1
+    python tools/make_sf1.py [out_dir] [src_dir] [copies]
+    # defaults: /tmp/sf1  /root/testdata/sf0.1  10
+    # sf10:  python tools/make_sf1.py /tmp/sf10 /tmp/sf1 10
 
 DuckDB-only (no Spark): ~seconds. Offsets are max(key)+1 per key domain,
-applied as i * offset for copy i in 0..9. Copy 0 is byte-identical data
-(same rows), so sf1 strictly contains sf0.1's content.
+applied as i * offset for copy i in 0..copies-1. Copy 0 is byte-identical
+data (same rows), so the output strictly contains the source's content.
 """
 import os
 import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 if OUT.startswith("-"):
     # a flag-like argument is a mistake, not an output directory (a
@@ -80,7 +83,7 @@ for t, tpl in TEMPLATES.items():
     if tpl is None:
         con.execute(f"COPY (SELECT * FROM {t}) TO '{dst}' (FORMAT PARQUET)")
     else:
-        union = " UNION ALL ".join(tpl.format(i=i) for i in range(10))
+        union = " UNION ALL ".join(tpl.format(i=i) for i in range(COPIES))
         con.execute(f"COPY ({union}) TO '{dst}' (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}')").fetchall()[0][0]
     print(t, n)
