@@ -58,93 +58,101 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-11 ROTATION (see ROTATION.md): (a) the two standing red keys
-    # with the root-cause oracle fix (HUGEINT -> CAST AS BIGINT) — their
-    # green rows are THE round-11 deliverable; (b) the NEW round-11 key
-    # (byte-budget ingest pacing); (c) keys on engine code paths changed
-    # this round (vacuum eligibility clock, LakeTable.create/drop ckpt
-    # cache invalidation, catalog external-safety rework, Lakehouse
-    # default-catalog semantics, json_source pacing signatures,
-    # dedup_latest skew salting, BPE final-state materialization, audio
-    # default-decoder chooser); (d) the refresh queue: the r3-green tail
-    # (oldest driver rows), then the r4-green TPC-H block q2-q21 and the
-    # r4-green join/win/agg head.
-    "win_range_interval", "win_range_rolling_ms", "stream_paced_bytes",
-    "agg_incremental_median", "agg_incremental_mode",
-    "util_vacuum_lite", "ddl_create_like",
-    "util_vacuum", "ddl_catalog_metastore", "ddl_catalog_3level",
-    "ext_bpe_train", "ext_bpe_encode", "ext_multimodal_audio",
-    "src_json_stream", "src_json_auto", "stream_trigger_paced",
-    "stream_checkpoint", "merge_cdc_upsert", "ddl_create_table",
-    "ddl_drop", "ddl_replace_table",
-    "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters",
-    "ext_sample_hash", "ext_sample_stratified",
-    "q2_min_cost_supplier", "q4_order_exists", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_late_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
-    "q20_excess_suppliers", "q21_waiting_suppliers",
-    "join_semi", "join_anti", "join_range", "join_skew_salted",
-    "win_lag", "win_running_sum", "win_rank_dense",
+    # ROUND-12 ROTATION (see ROTATION.md): (a) the three NEW keys —
+    # the incrementally-maintained JOIN view, persistent catalog
+    # views, and the baseline-JPEG real codec; (b) keys on engine
+    # code paths changed this round (mode tiebreak rework, append-
+    # mode byte pacing, VACUUM clause grammar, metastore checkpoint
+    # orphan pruning + the view namespace guards, merge_agg_deltas
+    # txn signature, image-decoder JPEG routing); (c) the r1-stale
+    # headliners (never re-swept since round 1); (d) the r4-green
+    # refresh tail per the round-12 handoff; (e) the r6-green
+    # lake-feature head (next-oldest driver rows).
+    "view_incremental_join", "ddl_create_view", "ext_multimodal_jpeg",
+    "agg_incremental_mode", "stream_paced_bytes", "util_vacuum",
+    "util_vacuum_lite", "ddl_catalog_metastore", "ddl_catalog_3level",
+    "agg_incremental_view", "ext_multimodal_decode", "q1_pricing_summary",
+    "q_top_customers", "q_events_enriched", "ext_dedup_fuzzy",
+    "ext_dedup_simhash", "ext_sim_lsh", "agg_minmax_by",
+    "agg_collect_list", "setop_union", "setop_intersect", "setop_except",
+    "pivot_wide", "unpivot_long", "explode_tokens", "fn_json_extract",
+    "src_csv_batch", "ext_ngram_topk", "ext_embedding_cosine",
+    "ext_udf_vectorized", "join_asof_forward", "ddl_partitioned_table",
+    "util_history", "ext_line_dedup", "ext_pii_redact",
+    "ext_decontaminate", "stream_dedup_watermark", "agg_rollup",
+    "agg_grouping_sets", "agg_percentile", "agg_filtered",
+    "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
+    "ddl_rename_column", "util_bloom_skipping", "ddl_generated_columns",
+    "ddl_identity_columns", "merge_schema_evolution", "util_analyze_stats",
 ]
 
+
 _SECOND_PRIORITY = [
-    # Rotated-out round-10 slots first (all r10-green), then the prior
+    # Rotated-out round-11 slots first (all r11-green), then the prior
     # queue order: every key here has at least one driver-green row
     # (ROTATION.md keeps the per-round history) and stays locally
     # hash-verified every run by tests/test_oracle_parity.py.
-    "win_range_probe", "ext_knn_clusters", "agg_incremental_topk",
-    "ext_dedup_cross", "ext_sim_radius", "stream_static_join",
-    "ext_quality_classifier", "agg_incremental_avg", "agg_incremental_cdf",
-    "agg_incremental_minmax", "agg_incremental_var", "agg_incremental_view",
-    "ext_resample_ffill", "fn_datetime", "fn_timestamp_parse",
-    "fn_to_utc_timestamp", "join_asof_nearest", "merge_scd2",
-    "q3_shipping_priority", "snk_delta_append", "snk_merge", "snk_merge_sql",
-    "sort_multi_key", "src_cdf_batch", "src_cdf_stream", "src_time_travel",
-    "src_time_travel_ts", "stream_exactly_once", "stream_foreachbatch",
-    "stream_late_data", "stream_scd2", "stream_session_window",
-    "stream_sliding_window", "stream_window_agg", "win_row_number_dedup",
-    "win_session", "snk_replace_where", "snk_dynamic_partition_overwrite",
-    "util_row_tracking", "ext_bpe_pair_counts", "agg_filtered",
-    "agg_grouping_sets", "agg_percentile", "agg_rollup",
-    "stream_dedup_watermark", "merge_by_source",
-    "src_json_batch", "pipeline_generic", "pipeline_expectations",
-    "src_delta_stream", "util_concurrent_append", "util_optimize_zorder",
-    "util_restore", "join_asof", "stream_stateful", "stream_stream_join",
+    "win_range_interval", "win_range_rolling_ms", "agg_incremental_median",
+    "ddl_create_like", "ext_bpe_train", "ext_bpe_encode",
+    "ext_multimodal_audio", "src_json_stream", "src_json_auto",
+    "stream_trigger_paced", "stream_checkpoint", "merge_cdc_upsert",
+    "ddl_create_table", "ddl_drop", "ddl_replace_table",
+    "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters",
+    "ext_sample_hash", "ext_sample_stratified", "q2_min_cost_supplier",
+    "q4_order_exists", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_late_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "join_semi",
+    "join_anti", "join_range", "join_skew_salted", "win_lag",
+    "win_running_sum", "win_rank_dense", "win_range_probe",
+    "ext_knn_clusters", "agg_incremental_topk", "ext_dedup_cross",
+    "ext_sim_radius", "stream_static_join", "ext_quality_classifier",
+    "agg_incremental_avg", "agg_incremental_cdf", "agg_incremental_minmax",
+    "agg_incremental_var", "ext_resample_ffill", "fn_datetime",
+    "fn_timestamp_parse", "fn_to_utc_timestamp", "join_asof_nearest",
+    "merge_scd2", "q3_shipping_priority", "snk_delta_append", "snk_merge",
+    "snk_merge_sql", "sort_multi_key", "src_cdf_batch", "src_cdf_stream",
+    "src_time_travel", "src_time_travel_ts", "stream_exactly_once",
+    "stream_foreachbatch", "stream_late_data", "stream_scd2",
+    "stream_session_window", "stream_sliding_window", "stream_window_agg",
+    "win_row_number_dedup", "win_session", "snk_replace_where",
+    "snk_dynamic_partition_overwrite", "util_row_tracking",
+    "ext_bpe_pair_counts", "merge_by_source", "src_json_batch",
+    "pipeline_generic", "pipeline_expectations", "src_delta_stream",
+    "util_concurrent_append", "util_optimize_zorder", "util_restore",
+    "join_asof", "stream_stateful", "stream_stream_join",
     "filter_subquery", "agg_cube", "q10_returned_items", "q19_disjunctive",
     "q22_dormant_customers", "fn_nvl", "fn_md5_concat", "sort_single",
     "fn_case_when", "fn_arith", "agg_sum_groupby", "ext_dedup_exact",
-    "ext_dedup_embedding", "ext_sim_topk", "ext_text_analysis", "ext_lang_id",
-    "ext_quality_score", "ext_fingerprint", "fn_regexp_extract",
-    "ext_dedup_ngram_jaccard", "merge_agg_upsert", "join_right_outer",
-    "filter_eq", "proj_select_star", "filter_neq", "filter_conj",
-    "derive_withcolumn", "proj_alias", "fn_input_file_name",
+    "ext_dedup_embedding", "ext_sim_topk", "ext_text_analysis",
+    "ext_lang_id", "ext_quality_score", "ext_fingerprint",
+    "fn_regexp_extract", "ext_dedup_ngram_jaccard", "merge_agg_upsert",
+    "join_right_outer", "filter_eq", "proj_select_star", "filter_neq",
+    "filter_conj", "derive_withcolumn", "proj_alias", "fn_input_file_name",
     "ext_approx_distinct", "join_merge_key", "snk_update_delete_sql",
-    "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted", "ext_sim_ivf_planted",
-    "ext_dedup_simhash_planted", "ext_cluster_kmeans_planted",
-    "ext_multimodal_video", "ext_inverted_index",
-    "ext_dataset_profile", "fn_bitwise", "win_nth_value",
-    "setop_union_by_name", "fn_url_parse", "agg_bool_and_or",
-    "agg_count_distinct_multi", "win_lead_offset", "join_lateral",
-    "setop_intersect_except_all", "fn_try_arith", "filter_in_between_like",
-    "src_parquet_schema_merge", "fn_math_ops", "join_null_safe",
-    "fn_hash_sha", "explode_outer_tokens", "sql_recursive_cte",
-    "win_rows_sliding", "fn_binary_encode", "fn_map_ops", "fn_array_ops",
-    "fn_higher_order", "fn_string_distance", "fn_variant_json", "win_ntile",
-    "win_range_frame", "join_full_outer", "agg_histogram",
-    "agg_approx_percentile", "src_text_lines", "ext_doc_shuffle",
-    "util_optimize_where", "util_convert_to_lake", "agg_stats_moments",
-    "win_percent_rank", "agg_string_agg", "ext_graph_pagerank",
-    "stream_stateful_topk", "ext_bm25_topk", "ext_corpus_report",
-    "ext_multimodal_decode", "join_cross", "agg_mode", "win_first_last",
+    "ext_dedup_fuzzy_planted", "ext_sim_lsh_planted",
+    "ext_sim_ivf_planted", "ext_dedup_simhash_planted",
+    "ext_cluster_kmeans_planted", "ext_multimodal_video",
+    "ext_inverted_index", "ext_dataset_profile", "fn_bitwise",
+    "win_nth_value", "setop_union_by_name", "fn_url_parse",
+    "agg_bool_and_or", "agg_count_distinct_multi", "win_lead_offset",
+    "join_lateral", "setop_intersect_except_all", "fn_try_arith",
+    "filter_in_between_like", "src_parquet_schema_merge", "fn_math_ops",
+    "join_null_safe", "fn_hash_sha", "explode_outer_tokens",
+    "sql_recursive_cte", "win_rows_sliding", "fn_binary_encode",
+    "fn_map_ops", "fn_array_ops", "fn_higher_order", "fn_string_distance",
+    "fn_variant_json", "win_ntile", "win_range_frame", "join_full_outer",
+    "agg_histogram", "agg_approx_percentile", "src_text_lines",
+    "ext_doc_shuffle", "util_optimize_where", "util_convert_to_lake",
+    "agg_stats_moments", "win_percent_rank", "agg_string_agg",
+    "ext_graph_pagerank", "stream_stateful_topk", "ext_bm25_topk",
+    "ext_corpus_report", "join_cross", "agg_mode", "win_first_last",
     "fn_string_ops", "win_cume_dist", "ext_sim_ivf", "ext_cluster_kmeans",
     "ext_semdedup", "ext_quality_buckets_scale", "ext_sample_temperature",
     "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
-    "proj_select_list", "util_deletion_vectors",
-    "ddl_constraints", "ddl_clone_shallow", "ddl_rename_column",
-    "util_bloom_skipping", "ddl_generated_columns", "ddl_identity_columns",
-    "merge_schema_evolution", "util_analyze_stats", "util_describe_detail",
+    "proj_select_list", "util_describe_detail",
     "util_optimize_incremental", "util_optimized_writes",
     "ddl_add_drop_column", "ddl_tblproperties", "ddl_create_sql",
     "snk_copy_into", "sql_interface", "snk_insert_sql", "src_orc_batch",
@@ -155,13 +163,7 @@ _SECOND_PRIORITY = [
     "ext_dedup_survivors", "ext_quality_buckets", "ext_embedding_quantize",
     "ext_export_shards", "ext_url_normalize", "ext_dedup_url",
     "ext_domain_blocklist", "ext_dataset_split", "ext_multimodal_resize",
-    "ext_multimodal_frames", "ext_decontaminate_bloom", "ext_line_dedup",
-    "ext_pii_redact", "ext_decontaminate", "join_asof_forward",
-    "ddl_partitioned_table", "util_history",
-    "agg_minmax_by", "agg_collect_list", "setop_union",
-    "setop_intersect", "setop_except", "pivot_wide", "unpivot_long",
-    "explode_tokens", "fn_json_extract", "src_csv_batch", "ext_ngram_topk",
-    "ext_embedding_cosine", "ext_udf_vectorized",
+    "ext_multimodal_frames", "ext_decontaminate_bloom",
 ]
 
 
