@@ -108,8 +108,9 @@ class LakeCatalog:
             state.setdefault(e["db"], {})
         elif op == "drop_db":
             state.pop(e["db"], None)
-            # a db's views die with it, atomically in the same fold step
+            # a db's views/matviews die with it, atomically in one fold step
             state.get("__views__", {}).pop(e["db"], None)
+            state.get("__matviews__", {}).pop(e["db"], None)
         elif op == "put_table":
             state.setdefault(e["db"], {})[e["table"]] = {
                 "path": e["path"],
@@ -137,6 +138,22 @@ class LakeCatalog:
             ] = e["sql"]
         elif op == "drop_view":
             state.get("__views__", {}).get(e["db"], {}).pop(e["view"], None)
+        elif op == "put_matview":
+            # materialized view: parsed spec + resolved source paths +
+            # state root; reads are snapshot reads of the maintained
+            # state (stale until REFRESH), unlike the late-bound views
+            state.setdefault("__matviews__", {}).setdefault(e["db"], {})[
+                e["view"]
+            ] = {
+                "sql": e["sql"],
+                "spec": e["spec"],
+                "paths": e["paths"],
+                "root": e["root"],
+            }
+        elif op == "drop_matview":
+            state.get("__matviews__", {}).get(e["db"], {}).pop(
+                e["view"], None
+            )
 
     def _meta_state(self) -> tuple[int, dict]:
         """(latest version, state). State shape:
@@ -323,7 +340,7 @@ class LakeCatalog:
     def drop_database(self, db: str, cascade: bool = False) -> None:
         """``DROP DATABASE [CASCADE]`` (ref :106). Cascade drops managed
         table data; external tables lose only their registration."""
-        if (self.tables(db) or self.views(db)) and not cascade:
+        if (self.tables(db) or self.views(db) or self.matviews(db)) and not cascade:
             raise ValueError(f"database not empty: {db} (use cascade=True)")
         _, state0 = self._meta_state()
         path = self._db_path(db)
@@ -405,7 +422,7 @@ class LakeCatalog:
         ``<root>/<db>/<name>`` and DROP deletes the data."""
         self.create_database(db)
         _, state = self._meta_state()
-        if self._is_view(db, name):
+        if self._is_view(db, name) or self._is_matview(db, name):
             raise ValueError(
                 f"{db}.{name} is a view; a table cannot shadow it"
             )
@@ -454,7 +471,7 @@ class LakeCatalog:
         if not LakeTable.exists(path):
             raise ValueError(f"no lake table at {path}")
         self.create_database(db)
-        if self._is_view(db, name):
+        if self._is_view(db, name) or self._is_matview(db, name):
             raise ValueError(
                 f"{db}.{name} is a view; a table cannot shadow it"
             )
@@ -638,6 +655,45 @@ class LakeCatalog:
             ):
                 return None
             return self.drop_table(db, name)
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([`\w.]+)"
+            r"\s+AS\s+(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            db, name = self._split_name(m.group(2), default_db)
+            return self.create_materialized_view(
+                db, name, m.group(3).strip(), or_replace=bool(m.group(1))
+            )
+        m = re.match(
+            r"REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*$", s, re.IGNORECASE
+        )
+        if m:
+            db, name = self._split_name(m.group(1), default_db)
+            return self.refresh_materialized_view(db, name)
+        m = re.match(
+            r"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            db, name = self._split_name(m.group(2), default_db)
+            return self.drop_materialized_view(
+                db, name, if_exists=bool(m.group(1))
+            )
+        m = re.match(
+            r"SHOW\s+MATERIALIZED\s+VIEWS(?:\s+IN\s+`?([\w]+)`?)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            db = m.group(1) or default_db
+            if db is None:
+                raise ValueError(
+                    "SHOW MATERIALIZED VIEWS needs IN <db> or default_db"
+                )
+            return self.matviews(db)
         m = re.match(
             r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([`\w.]+)\s+AS\s+(.+)$",
             s,
@@ -858,6 +914,11 @@ class LakeCatalog:
             raise ValueError(
                 f"{db}.{name} is a table; a view cannot shadow it"
             )
+        if self._is_matview(db, name):
+            raise ValueError(
+                f"{db}.{name} is a materialized view; a view cannot "
+                "shadow it"
+            )
         if self._is_view(db, name) and not or_replace:
             raise ValueError(
                 f"view exists: {db}.{name} (use CREATE OR REPLACE VIEW)"
@@ -899,6 +960,106 @@ class LakeCatalog:
         Names the catalog doesn't know stay untouched (session temp
         views keep working)."""
         return self._resolved_select(select_sql, default_db=default_db)
+
+    # ------------------------------------------------------ materialized
+
+    def matviews(self, db: str) -> list[str]:
+        _, state = self._meta_state()
+        return sorted(state.get("__matviews__", {}).get(db, {}))
+
+    def _matview_entry(self, db: str, name: str) -> dict:
+        _, state = self._meta_state()
+        e = state.get("__matviews__", {}).get(db, {}).get(name)
+        if e is None:
+            raise ValueError(f"no such materialized view: {db}.{name}")
+        return e
+
+    def _is_matview(self, db: str, name: str) -> bool:
+        _, state = self._meta_state()
+        return name in state.get("__matviews__", {}).get(db, {})
+
+    def _matview(self, db: str, name: str):
+        """Rehydrate the maintenance object (IncrementalAggView or
+        IncrementalJoinView) from its persisted state + checkpoints."""
+        from incremental_etl_on_lakehouse_spark.lake.matview import (
+            build_maintainer,
+        )
+
+        e = self._matview_entry(db, name)
+        return build_maintainer(self.spark, e["spec"], e["paths"], e["root"])
+
+    def create_materialized_view(
+        self, db: str, name: str, select_sql: str, or_replace: bool = False
+    ) -> None:
+        """``CREATE [OR REPLACE] MATERIALIZED VIEW db.name AS <select>``:
+        parse the restricted aggregate shape (lake/matview.py), resolve
+        the source table(s) through the catalog (CDF required — the MV is
+        maintained from change feeds), build the state under the db's
+        hidden ``.__mv__`` directory, and run the INITIAL refresh so the
+        view is populated at creation."""
+        from incremental_etl_on_lakehouse_spark.lake.matview import (
+            build_maintainer,
+            parse_matview_select,
+        )
+
+        if db not in self.databases():
+            raise ValueError(f"no such database: {db}")
+        if name in self.tables(db) or self._is_view(db, name):
+            raise ValueError(
+                f"{db}.{name} exists as a table or view; a materialized "
+                "view cannot shadow it"
+            )
+        if self._is_matview(db, name) and not or_replace:
+            raise ValueError(
+                f"materialized view exists: {db}.{name} "
+                "(use CREATE OR REPLACE)"
+            )
+        spec = parse_matview_select(select_sql)
+        paths = []
+        for t in spec["tables"]:
+            tdb, tname = self._split_name(t, default_db=db)
+            paths.append(self.table(tdb, tname).path)
+        root = os.path.join(self.root, db, ".__mv__", name)
+        if self._is_matview(db, name):  # OR REPLACE: old state dies
+            self.drop_materialized_view(db, name)
+        mv = build_maintainer(self.spark, spec, paths, root)
+        mv.refresh()
+        self._meta_commit(
+            {
+                "op": "put_matview",
+                "db": db,
+                "view": name,
+                "sql": select_sql,
+                "spec": spec,
+                "paths": paths,
+                "root": root,
+            }
+        )
+
+    def refresh_materialized_view(self, db: str, name: str) -> int:
+        """Fold all unprocessed source change-feed commits into the MV
+        state; O(changed rows), never a base rescan."""
+        return self._matview(db, name).refresh()
+
+    def read_matview(self, db: str, name: str):
+        """Snapshot read of the maintained state — NO implicit refresh
+        (standard MV staleness semantics)."""
+        return self._matview(db, name).to_df()
+
+    def drop_materialized_view(
+        self, db: str, name: str, if_exists: bool = False
+    ) -> None:
+        if not self._is_matview(db, name):
+            if if_exists:
+                return
+            raise ValueError(f"no such materialized view: {db}.{name}")
+        e = self._matview_entry(db, name)
+        self._meta_commit(
+            {"op": "drop_matview", "db": db, "view": name},
+            precondition=lambda st: name
+            in st.get("__matviews__", {}).get(db, {}),
+        )
+        shutil.rmtree(e["root"], ignore_errors=True)  # state dies with it
 
     def _resolved_select(
         self,
@@ -960,6 +1121,10 @@ class LakeCatalog:
                     default_db=db,
                     stack=stack + ((db, name),),
                 ).createOrReplaceTempView(tmp)
+                replacement = tmp
+            elif self._is_matview(db, name):
+                tmp = f"__cat_mv_{db}__{name}"
+                self.read_matview(db, name).createOrReplaceTempView(tmp)
                 replacement = tmp
             else:
                 entry_path = None
@@ -1261,12 +1426,13 @@ class Lakehouse:
         if m:
             return self.catalog(m.group(1) or self.current_catalog).databases()
         m = re.match(
-            r"SHOW\s+(TABLES|VIEWS)(?:\s+IN\s+([`\w.]+))?\s*$",
+            r"SHOW\s+(TABLES|VIEWS|MATERIALIZED\s+VIEWS)"
+            r"(?:\s+IN\s+([`\w.]+))?\s*$",
             s,
             re.IGNORECASE,
         )
         if m:
-            kind = m.group(1).upper()
+            kind = re.sub(r"\s+", " ", m.group(1).upper())
             if m.group(2):
                 cat, db = self._split_db(m.group(2))
             elif self.current_db is not None:
@@ -1274,7 +1440,11 @@ class Lakehouse:
             else:
                 raise ValueError(f"SHOW {kind} needs IN <db> or USE first")
             target = self.catalog(cat)
-            return target.tables(db) if kind == "TABLES" else target.views(db)
+            if kind == "TABLES":
+                return target.tables(db)
+            if kind == "VIEWS":
+                return target.views(db)
+            return target.matviews(db)
         # table-level statement: strip catalog qualifiers down to db.table
         # and reuse the two-level front door of the owning catalog
         cat, stripped = self._strip_catalog_qualifiers(statement)

@@ -1,0 +1,174 @@
+"""SQL-defined MATERIALIZED VIEWs over the incremental-maintenance
+machinery: ``CREATE MATERIALIZED VIEW db.mv AS SELECT ...`` parses a
+restricted aggregate query and binds it to the engine's change-feed
+maintainers — :class:`~..operators.cdc.IncrementalAggView` for
+single-table aggregates (the full algebra: SUM/COUNT/AVG/MIN/MAX/
+COUNT(DISTINCT)/MEDIAN/pNN/MODE) and
+:class:`~..operators.join_view.IncrementalJoinView` for two-table
+equi-join aggregates (the subtractable family). ``REFRESH MATERIALIZED
+VIEW`` folds the unprocessed change feed(s); reads are SNAPSHOT reads of
+the maintained state (stale until refreshed — standard MV semantics,
+unlike the late-bound plain views).
+
+Supported SELECT shape (anything else raises with the reason):
+
+    SELECT g1, g2, ..., agg(col) AS name, ...
+    FROM t1 [JOIN t2 USING (k, ...) | JOIN t2 ON t1.k = t2.k [AND ...]]
+    GROUP BY g1, g2, ...
+
+Aggregates: count(*), sum(c), avg(c), and — single-table only — min(c),
+max(c), count(distinct c), median(c), mode(c), pNN(c) (p90, p75...).
+Every aggregate needs an AS alias (the alias is the state column name).
+"""
+
+from __future__ import annotations
+
+import re
+
+from incremental_etl_on_lakehouse_spark.lake.sql import (
+    split_top_level,
+    strip_comments,
+)
+
+_NAME = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
+
+_AGG_RE = re.compile(
+    r"^(?P<fn>[A-Za-z_]\w*)\s*\(\s*(?P<dis>DISTINCT\s+)?(?P<arg>\*|[A-Za-z_]\w*)"
+    r"\s*\)\s+AS\s+(?P<alias>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+
+SINGLE_ONLY = {"min", "max", "count_distinct", "median", "mode"}
+
+
+def parse_matview_select(sql: str) -> dict:
+    """Parse the restricted MV SELECT into a spec:
+    ``{"tables": [t1] | [t1, t2], "join_keys": [...] | None,
+    "group_cols": [...], "aggs": {alias: (kind, col)}}``."""
+    s = strip_comments(sql).strip().rstrip(";")
+    m = re.match(
+        rf"SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<t1>{_NAME})"
+        rf"(?:\s+JOIN\s+(?P<t2>{_NAME})\s+(?:USING\s*\((?P<using>[^)]+)\)"
+        rf"|ON\s+(?P<on>.*?)))?"
+        rf"\s+GROUP\s+BY\s+(?P<grp>.+)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported materialized-view shape: need SELECT <group cols +"
+            " aliased aggregates> FROM t [JOIN t2 USING(k)|ON a.k = b.k]"
+            " GROUP BY <group cols> (no WHERE/HAVING/expressions)"
+        )
+    if re.search(r"\bWHERE\b|\bHAVING\b", s, re.IGNORECASE):
+        raise ValueError(
+            "materialized views do not support WHERE/HAVING — filter in a"
+            " silver table or a plain view over the MV"
+        )
+    tables = [m.group("t1")]
+    join_keys = None
+    if m.group("t2"):
+        tables.append(m.group("t2"))
+        if m.group("using"):
+            join_keys = [c.strip().strip("`") for c in m.group("using").split(",")]
+        else:
+            join_keys = []
+            for clause in re.split(r"\bAND\b", m.group("on"), flags=re.IGNORECASE):
+                em = re.match(
+                    rf"\s*({_NAME})\s*=\s*({_NAME})\s*$", clause
+                )
+                if not em:
+                    raise ValueError(
+                        f"join condition must be equality of columns: "
+                        f"{clause.strip()!r}"
+                    )
+                l, r = (x.split(".")[-1] for x in em.groups())
+                if l != r:
+                    raise ValueError(
+                        f"join columns must have the same name on both sides "
+                        f"(got {l!r} = {r!r}) — the maintainer joins by name"
+                    )
+                join_keys.append(l)
+    group_cols: list[str] = []
+    aggs: dict[str, tuple[str, str]] = {}
+    for item in split_top_level(m.group("items")):
+        item = item.strip()
+        am = _AGG_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg")
+            if am.group("dis"):
+                if fn != "count":
+                    raise ValueError(f"DISTINCT only with count: {item!r}")
+                fn = "count_distinct"
+            if fn == "count" and arg != "*":
+                raise ValueError(
+                    "count(col) unsupported — use count(*) or"
+                    " count(DISTINCT col)"
+                )
+            if fn not in (
+                "count", "count_distinct", "sum", "avg", "min", "max",
+                "median", "mode",
+            ) and not re.fullmatch(r"p[1-9]\d?", fn):
+                raise ValueError(f"unsupported aggregate: {item!r}")
+            aggs[am.group("alias")] = (fn, arg)
+        elif re.fullmatch(r"[A-Za-z_]\w*", item):
+            group_cols.append(item)
+        else:
+            raise ValueError(
+                f"unsupported select item {item!r}: bare group columns and"
+                " aliased aggregates only"
+            )
+    grp = [c.strip().strip("`") for c in m.group("grp").split(",")]
+    if grp != group_cols:
+        raise ValueError(
+            f"GROUP BY {grp} must list exactly the bare select columns "
+            f"{group_cols}, in order"
+        )
+    if not aggs:
+        raise ValueError("a materialized view needs at least one aggregate")
+    if len(tables) == 2:
+        bad = [n for n, (k, _c) in aggs.items() if k in SINGLE_ONLY or
+               re.fullmatch(r"p[1-9]\d?", k)]
+        if bad:
+            raise ValueError(
+                f"join materialized views support the subtractable family "
+                f"(sum/count/avg) only; {bad} need per-group join-result "
+                "state"
+            )
+    return {
+        "tables": tables,
+        "join_keys": join_keys,
+        "group_cols": group_cols,
+        "aggs": aggs,
+    }
+
+
+def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
+    """Instantiate (or REHYDRATE from ``root`` — both maintainers resume
+    from their persisted state + checkpoints) the maintenance object for
+    a parsed spec."""
+    from incremental_etl_on_lakehouse_spark.lake.table import LakeTable
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        IncrementalAggView,
+    )
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalJoinView,
+    )
+
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    if len(table_paths) == 1:
+        return IncrementalAggView(
+            LakeTable(spark, table_paths[0]),
+            root,
+            group_cols=spec["group_cols"],
+            aggs=aggs,
+        )
+    return IncrementalJoinView(
+        LakeTable(spark, table_paths[0]),
+        LakeTable(spark, table_paths[1]),
+        root,
+        join_keys=spec["join_keys"],
+        group_cols=spec["group_cols"],
+        aggs=aggs,
+    )

@@ -69,6 +69,7 @@ _PRIORITY_KEYS = [
     # refresh tail per the round-12 handoff; (e) the r6-green
     # lake-feature head (next-oldest driver rows).
     "view_incremental_join", "ddl_create_view", "ext_multimodal_jpeg",
+    "ddl_create_matview",
     "agg_incremental_mode", "stream_paced_bytes", "util_vacuum",
     "util_vacuum_lite", "ddl_catalog_metastore", "ddl_catalog_3level",
     "agg_incremental_view", "ext_multimodal_decode", "q1_pricing_summary",
@@ -83,7 +84,7 @@ _PRIORITY_KEYS = [
     "agg_grouping_sets", "agg_percentile", "agg_filtered",
     "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
     "ddl_rename_column", "util_bloom_skipping", "ddl_generated_columns",
-    "ddl_identity_columns", "merge_schema_evolution", "util_analyze_stats",
+    "ddl_identity_columns", "merge_schema_evolution",
 ]
 
 
@@ -92,6 +93,7 @@ _SECOND_PRIORITY = [
     # queue order: every key here has at least one driver-green row
     # (ROTATION.md keeps the per-round history) and stays locally
     # hash-verified every run by tests/test_oracle_parity.py.
+    "util_analyze_stats",
     "win_range_interval", "win_range_rolling_ms", "agg_incremental_median",
     "ddl_create_like", "ext_bpe_train", "ext_bpe_encode",
     "ext_multimodal_audio", "src_json_stream", "src_json_auto",

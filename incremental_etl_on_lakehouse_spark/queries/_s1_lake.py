@@ -381,6 +381,113 @@ def ddl_create_view(spark, sf_dir):
 
 
 @query(
+    "ddl_create_matview",
+    # full batch aggregate over ALL orders-derived rows = the MV's
+    # post-refresh state; median uses the engine's lower-percentile
+    # integer-rank definition (cum * 2 >= n), every output CAST BIGINT
+    "WITH f AS (SELECT o_orderkey % 5 AS grp,"
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),"
+    " hist AS (SELECT grp, v, count(*) AS cnt FROM f GROUP BY grp, v),"
+    " cums AS (SELECT grp, v,"
+    "   sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum,"
+    "   sum(cnt) OVER (PARTITION BY grp) AS n FROM hist),"
+    " med AS (SELECT grp,"
+    "   CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS med"
+    "   FROM cums GROUP BY grp)"
+    " SELECT CAST(f.grp AS BIGINT) AS grp,"
+    " CAST(sum(v) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_rows,"
+    " round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS avg_v,"
+    " CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,"
+    " CAST(min(med.med) AS BIGINT) AS med,"
+    " CAST(true AS BOOLEAN) AS stale_before_refresh,"
+    " CAST(true AS BOOLEAN) AS join_mv_matches"
+    " FROM f JOIN med ON f.grp = med.grp GROUP BY f.grp",
+)
+def ddl_create_matview(spark, sf_dir):
+    """SQL-defined MATERIALIZED VIEWs (lake/matview.py): CREATE
+    MATERIALIZED VIEW parses the aggregate query and binds it to the
+    incremental maintainers — IncrementalAggView for the single-table
+    full algebra (here SUM/COUNT/AVG/MIN/MAX/MEDIAN), IncrementalJoinView
+    for two-table equi-joins. Reads are SNAPSHOT reads (the batch-2
+    append is invisible until REFRESH — attested), REFRESH folds only the
+    change feed (O(changed rows), never a base rescan), and a join MV
+    over fact⋈dim must equal the batch join aggregate (attested). The
+    oracle recomputes the full batch aggregate over everything appended."""
+    from incremental_etl_on_lakehouse_spark.lake.catalog import LakeCatalog
+
+    src = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (F.col("o_orderkey") % 5).cast("long").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    root = os.path.join(_tmpdir(), "cat")
+    cat = LakeCatalog(spark, root)
+    cat.create_database("db1")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("grp", LongType()),
+            StructField("v", LongType()),
+        ]
+    )
+    fact = cat.create_table(
+        "db1", "fact", schema,
+        properties={"enableChangeDataFeed": "true", "statsColumns": "k"},
+    )
+    fact.append(src.where(F.col("k") % 2 == 0))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.mv AS"
+        " SELECT grp, sum(v) AS total, count(*) AS n_rows, avg(v) AS avg_v,"
+        " min(v) AS lo, max(v) AS hi, median(v) AS med"
+        " FROM db1.fact GROUP BY grp"
+    )
+    half = {r["grp"]: r["total"] for r in cat.read_matview("db1", "mv").collect()}
+    fact.append(src.where(F.col("k") % 2 == 1))
+    stale = {
+        r["grp"]: r["total"] for r in cat.read_matview("db1", "mv").collect()
+    } == half
+    cat.sql("REFRESH MATERIALIZED VIEW db1.mv")
+    # join MV: fact ⋈ dim, maintained from both feeds, equals batch agg
+    dim = cat.create_table(
+        "db1", "dim",
+        StructType(
+            [StructField("k", LongType()), StructField("seg", LongType())]
+        ),
+        properties={"enableChangeDataFeed": "true", "statsColumns": "k"},
+    )
+    dim.append(src.select("k", (F.col("k") % 3).alias("seg")))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.jmv AS"
+        " SELECT seg, sum(v) AS total, count(*) AS n"
+        " FROM db1.fact JOIN db1.dim USING (k) GROUP BY seg"
+    )
+    got = {
+        tuple(r)
+        for r in cat.sql("SELECT seg, total, n FROM db1.jmv").collect()
+    }
+    want = {
+        tuple(r)
+        for r in src.groupBy((F.col("k") % 3).alias("seg"))
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    join_ok = got == want
+    return cat.sql(
+        "SELECT grp, total, n_rows, avg_v, lo, hi, med FROM db1.mv"
+    ).select(
+        "grp",
+        "total",
+        "n_rows",
+        F.round(F.col("avg_v"), 4).alias("avg_v"),
+        "lo",
+        "hi",
+        "med",
+        F.lit(stale).alias("stale_before_refresh"),
+        F.lit(join_ok).alias("join_mv_matches"),
+    )
+
+
+@query(
     "ddl_create_like",
     "SELECT CAST(count(*) AS BIGINT) AS src_rows,"
     " CAST(0 AS BIGINT) AS like_rows,"

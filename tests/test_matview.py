@@ -1,0 +1,199 @@
+"""SQL-defined MATERIALIZED VIEWs: CREATE/REFRESH/DROP/SHOW through the
+catalog front door, backed by the incremental maintainers — a
+single-table MV rides IncrementalAggView (full aggregate algebra), a
+two-table equi-join MV rides IncrementalJoinView (subtractable family).
+Reads are snapshot reads (stale until REFRESH); state + checkpoints
+persist across catalog instances."""
+
+import os
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from incremental_etl_on_lakehouse_spark.lake import LakeTable
+from incremental_etl_on_lakehouse_spark.lake.catalog import LakeCatalog
+from incremental_etl_on_lakehouse_spark.lake.matview import (
+    parse_matview_select,
+)
+
+FACT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("grp", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+DIM = StructType(
+    [StructField("k", LongType()), StructField("seg", StringType())]
+)
+CDF = {"enableChangeDataFeed": "true", "statsColumns": "k"}
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = LakeCatalog(spark, str(tmp_path / "cat"))
+    c.create_database("db1")
+    t = c.create_table("db1", "fact", FACT, properties=CDF)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)], FACT
+        )
+    )
+    return c
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_single_table_matview_lifecycle(cat, spark):
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.mv AS"
+        " SELECT grp, sum(v) AS total, count(*) AS n, avg(v) AS mean,"
+        " min(v) AS lo, max(v) AS hi, median(v) AS med, mode(v) AS mo"
+        " FROM db1.fact GROUP BY grp"
+    )
+    assert cat.sql("SHOW MATERIALIZED VIEWS IN db1") == ["mv"]
+    got = _rows(cat.sql("SELECT grp, total, n, lo, hi, med FROM db1.mv"))
+    assert got == {("a", 30, 2, 10, 20, 10), ("b", 5, 1, 5, 5, 5)}
+    # staleness: new rows are INVISIBLE until REFRESH
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(4, "b", 100)], FACT)
+    )
+    stale = _rows(cat.sql("SELECT grp, total FROM db1.mv"))
+    assert stale == {("a", 30), ("b", 5)}
+    cat.sql("REFRESH MATERIALIZED VIEW db1.mv")
+    fresh = _rows(cat.sql("SELECT grp, total, hi FROM db1.mv"))
+    assert fresh == {("a", 30, 20), ("b", 105, 100)}
+    cat.sql("DROP MATERIALIZED VIEW db1.mv")
+    assert cat.matviews("db1") == []
+    assert not os.path.isdir(
+        os.path.join(cat.root, "db1", ".__mv__", "mv")
+    )  # state removed
+
+
+def test_matview_persists_and_resumes_across_instances(cat, spark):
+    cat.create_materialized_view(
+        "db1", "mv", "SELECT grp, sum(v) AS total FROM db1.fact GROUP BY grp"
+    )
+    fresh_cat = LakeCatalog(spark, cat.root)
+    assert fresh_cat.matviews("db1") == ["mv"]
+    # a rehydrated maintainer resumes from the CHECKPOINT: refresh with no
+    # new commits applies nothing (no double count), with new commits it
+    # folds only the tail
+    fresh_cat.sql("REFRESH MATERIALIZED VIEW db1.mv")
+    assert _rows(fresh_cat.read_matview("db1", "mv")) == {("a", 30), ("b", 5)}
+    fresh_cat.table("db1", "fact").append(
+        spark.createDataFrame([(9, "a", 1)], FACT)
+    )
+    fresh_cat.sql("REFRESH MATERIALIZED VIEW db1.mv")
+    assert _rows(fresh_cat.read_matview("db1", "mv")) == {
+        ("a", 31),
+        ("b", 5),
+    }
+
+
+def test_join_matview_via_sql(cat, spark):
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], DIM))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.jmv AS"
+        " SELECT seg, sum(v) AS total, count(*) AS n"
+        " FROM db1.fact JOIN db1.dim USING (k) GROUP BY seg"
+    )
+    assert _rows(cat.sql("SELECT seg, total, n FROM db1.jmv")) == {
+        ("x", 15, 2),
+        ("y", 20, 1),
+    }
+    # both feeds advance; one refresh folds both
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(2, "a", 7)], FACT)
+    )
+    dim.delete("k = 3")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.jmv")
+    assert _rows(cat.sql("SELECT seg, total, n FROM db1.jmv")) == {
+        ("x", 10, 1),
+        ("y", 27, 2),
+    }
+
+
+def test_matview_rejections(cat, spark, tmp_path):
+    with pytest.raises(ValueError, match="WHERE"):
+        cat.create_materialized_view(
+            "db1", "m1",
+            "SELECT grp, sum(v) AS t FROM db1.fact WHERE v > 1 GROUP BY grp",
+        )
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        parse_matview_select("SELECT grp FROM t GROUP BY grp")
+    with pytest.raises(ValueError, match="subtractable"):
+        parse_matview_select(
+            "SELECT grp, min(v) AS lo FROM a JOIN b USING (k) GROUP BY grp"
+        )
+    with pytest.raises(ValueError, match="same name"):
+        parse_matview_select(
+            "SELECT g, sum(v) AS t FROM a JOIN b ON a.k = b.j GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_matview_select(
+            "SELECT grp, sum(v) AS t FROM t GROUP BY other"
+        )
+    with pytest.raises(ValueError, match="count"):
+        parse_matview_select("SELECT g, count(v) AS c FROM t GROUP BY g")
+    # non-CDF source refused by the maintainer
+    plain = cat.create_table("db1", "plain", FACT)  # no CDF props
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        cat.create_materialized_view(
+            "db1", "m2",
+            "SELECT grp, sum(v) AS t FROM db1.plain GROUP BY grp",
+        )
+    # aggregates need aliases
+    with pytest.raises(ValueError, match="unsupported select item"):
+        parse_matview_select("SELECT grp, sum(v) FROM t GROUP BY grp")
+
+
+def test_matview_namespace_shadowing(cat):
+    cat.create_materialized_view(
+        "db1", "mv", "SELECT grp, sum(v) AS t FROM db1.fact GROUP BY grp"
+    )
+    with pytest.raises(ValueError, match="is a view"):
+        cat.create_table("db1", "mv", FACT)
+    with pytest.raises(ValueError, match="materialized"):
+        cat.create_view("db1", "mv", "SELECT 1 AS x")
+    with pytest.raises(ValueError, match="cannot shadow"):
+        cat.create_materialized_view(
+            "db1", "fact", "SELECT grp, sum(v) AS t FROM db1.fact GROUP BY grp"
+        )
+    with pytest.raises(ValueError, match="materialized view exists"):
+        cat.create_materialized_view(
+            "db1", "mv", "SELECT grp, count(*) AS n FROM db1.fact GROUP BY grp"
+        )
+    # OR REPLACE swaps definition AND state
+    cat.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW db1.mv AS"
+        " SELECT grp, count(*) AS n FROM db1.fact GROUP BY grp"
+    )
+    assert _rows(cat.read_matview("db1", "mv")) == {("a", 2), ("b", 1)}
+
+
+def test_matview_plain_view_composition(cat):
+    """A late-bound plain view can SELECT over a materialized view."""
+    cat.create_materialized_view(
+        "db1", "mv", "SELECT grp, sum(v) AS total FROM db1.fact GROUP BY grp"
+    )
+    cat.create_view(
+        "db1", "big", "SELECT grp FROM db1.mv"
+    )
+    assert {r["grp"] for r in cat.read_view("db1", "big").collect()} == {
+        "a",
+        "b",
+    }
+
+
+def test_drop_database_covers_matviews(cat):
+    cat.create_materialized_view(
+        "db1", "mv", "SELECT grp, sum(v) AS t FROM db1.fact GROUP BY grp"
+    )
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_database("db1")
+    cat.drop_database("db1", cascade=True)
+    assert cat.matviews("db1") == []
