@@ -834,6 +834,16 @@ class LakeCatalog:
                             f"table exists: {db}.{name} (created concurrently)"
                         )
                 return t
+        if re.match(r"INSERT\b", s, re.IGNORECASE):
+            # the INSERT's SELECT part may read catalog tables/views/
+            # matviews: bind those references the same way SELECT does
+            # (the target name after INTO/OVERWRITE is untouched — the
+            # resolver handles it)
+            return execute_statement(
+                self.spark,
+                self._rewrite_refs(statement, default_db),
+                self.resolver(default_db),
+            )
         return execute_statement(
             self.spark, statement, self.resolver(default_db)
         )
@@ -1068,9 +1078,24 @@ class LakeCatalog:
         stack: tuple = (),
     ):
         """Rewrite catalog references in a SELECT to uniquely-named temp
-        views backed by the live tables, then ``spark.sql`` it. ``stack``
+        views backed by the live tables, then ``spark.sql`` it."""
+        return self.spark.sql(
+            self._rewrite_refs(select_sql, default_db, stack)
+        )
+
+    def _rewrite_refs(
+        self,
+        select_sql: str,
+        default_db: str | None,
+        stack: tuple = (),
+    ) -> str:
+        """Rewrite every ``FROM``/``JOIN`` reference naming a catalog
+        table, view, or materialized view into a uniquely-named temp view
+        bound to the live object; return the rewritten text. ``stack``
         carries the in-resolution view chain for cycle detection (a view
-        may reference other views; A→B→A must error, not recurse)."""
+        may reference other views; A→B→A must error, not recurse). Also
+        used by the INSERT front door so ``INSERT INTO t SELECT ... FROM
+        db.v`` reads catalog objects."""
         from incremental_etl_on_lakehouse_spark.lake.sql import strip_comments
 
         sql = strip_comments(select_sql)
@@ -1145,7 +1170,7 @@ class LakeCatalog:
                 out.append(replacement)
                 last = m.end(3)
         out.append(sql[last:])
-        return self.spark.sql("".join(out))
+        return "".join(out)
 
 
 class Lakehouse:

@@ -132,6 +132,16 @@ def test_if_exists_drop_view(cat):
     assert cat.views("db1") == []
 
 
+def test_insert_select_reads_catalog_objects(cat, spark):
+    """INSERT INTO ... SELECT through the catalog front door binds
+    catalog tables AND views in the SELECT part."""
+    cat.create_table("db1", "sink", SCHEMA)
+    cat.create_view("db1", "v", "SELECT id, v FROM db1.t WHERE id > 1")
+    cat.sql("INSERT INTO db1.sink SELECT id, v FROM db1.v")
+    got = sorted(r["id"] for r in cat.table("db1", "sink").to_df().collect())
+    assert got == [2, 3]
+
+
 def test_lakehouse_three_level_views(spark, tmp_path):
     lh = Lakehouse(spark, str(tmp_path / "lh"))
     lh.sql("CREATE CATALOG dev")
