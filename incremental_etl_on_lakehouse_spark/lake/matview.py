@@ -16,8 +16,9 @@ Supported SELECT shape (anything else raises with the reason):
     FROM t1 [JOIN t2 USING (k, ...) | JOIN t2 ON t1.k = t2.k [AND ...]]
     GROUP BY g1, g2, ...
 
-Aggregates: count(*), sum(c), avg(c), and — single-table only — min(c),
-max(c), count(distinct c), median(c), mode(c), pNN(c) (p90, p75...).
+Aggregates: count(*), sum(c), avg(c), and — single-table only — count(c)
+(non-null), min(c), max(c), count(distinct c), median(c), mode(c), pNN(c)
+(p90, p75...).
 Every aggregate needs an AS alias (the alias is the state column name).
 """
 
@@ -101,11 +102,6 @@ def parse_matview_select(sql: str) -> dict:
                 if fn != "count":
                     raise ValueError(f"DISTINCT only with count: {item!r}")
                 fn = "count_distinct"
-            if fn == "count" and arg != "*":
-                raise ValueError(
-                    "count(col) unsupported — use count(*) or"
-                    " count(DISTINCT col)"
-                )
             if fn not in (
                 "count", "count_distinct", "sum", "avg", "min", "max",
                 "median", "mode",
@@ -128,8 +124,8 @@ def parse_matview_select(sql: str) -> dict:
     if not aggs:
         raise ValueError("a materialized view needs at least one aggregate")
     if len(tables) == 2:
-        bad = [n for n, (k, _c) in aggs.items() if k in SINGLE_ONLY or
-               re.fullmatch(r"p[1-9]\d?", k)]
+        bad = [n for n, (k, c) in aggs.items() if k in SINGLE_ONLY or
+               re.fullmatch(r"p[1-9]\d?", k) or (k == "count" and c != "*")]
         if bad:
             raise ValueError(
                 f"join materialized views support the subtractable family "

@@ -787,13 +787,18 @@ class IncrementalAggView:
         # from a per-column multiset state (percentile_from_state)
         self._pctl_specs: dict[str, tuple[str, tuple[int, int]]] = {}
         self._mode_specs: dict[str, str] = {}  # view name -> value col
+        self._countnn_specs: dict[str, str] = {}  # view name -> value col
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
                 self._sum_cols[name] = f"__sum_{col}"
             elif kind == "avg":
                 self._avg_specs[name] = f"__sum_{col}"
             elif kind == "count":
-                pass  # __n is always maintained
+                # count(*) rides __n (always maintained); count(col) is
+                # the signed NON-NULL count — register the column's hidden
+                # sum so its __nn twin is maintained, and read the twin
+                if col != "*":
+                    self._countnn_specs[name] = col
             elif kind in ("min", "max"):
                 self._mm_cols.add(col)
             elif kind == "count_distinct":
@@ -808,7 +813,11 @@ class IncrementalAggView:
                 self._mode_specs[name] = col
             else:
                 raise ValueError(f"unsupported aggregate kind: {kind!r}")
-        hidden_sums = sorted(set(self._sum_cols.values()) | set(self._avg_specs.values()))
+        hidden_sums = sorted(
+            set(self._sum_cols.values())
+            | set(self._avg_specs.values())
+            | {f"__sum_{c}" for c in self._countnn_specs.values()}
+        )
 
         def _widen(dt):
             """Running-sum state type: always wide enough that the
@@ -1047,7 +1056,10 @@ class IncrementalAggView:
                     ).alias(name)
                 )
             elif kind == "count":
-                sel.append(F.col("__n").alias(name))
+                if col == "*":
+                    sel.append(F.col("__n").alias(name))
+                else:
+                    sel.append(F.col(f"__nn_{col}").alias(name))
             elif kind == "avg":
                 # AVG skips NULLs: the denominator is the non-null count,
                 # not COUNT(*) — and an all-NULL group averages to NULL

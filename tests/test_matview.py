@@ -137,8 +137,6 @@ def test_matview_rejections(cat, spark, tmp_path):
         parse_matview_select(
             "SELECT grp, sum(v) AS t FROM t GROUP BY other"
         )
-    with pytest.raises(ValueError, match="count"):
-        parse_matview_select("SELECT g, count(v) AS c FROM t GROUP BY g")
     # non-CDF source refused by the maintainer
     plain = cat.create_table("db1", "plain", FACT)  # no CDF props
     with pytest.raises(ValueError, match="enableChangeDataFeed"):
@@ -197,3 +195,35 @@ def test_drop_database_covers_matviews(cat):
         cat.drop_database("db1")
     cat.drop_database("db1", cascade=True)
     assert cat.matviews("db1") == []
+
+
+def test_count_col_counts_non_nulls(cat, spark):
+    """count(col) in a single-table MV is the maintained NON-NULL count
+    (batch SQL count(col) semantics), distinct from count(*)."""
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(7, "a", None), (8, None, 3)], FACT)
+    )
+    cat.create_materialized_view(
+        "db1", "cmv",
+        "SELECT grp, count(*) AS n_all, count(v) AS n_v FROM db1.fact"
+        " GROUP BY grp",
+    )
+    got = {
+        r["grp"]: (r["n_all"], r["n_v"])
+        for r in cat.read_matview("db1", "cmv").collect()
+    }
+    assert got["a"] == (3, 2)  # one NULL v in group a
+    assert got[None] == (1, 1)  # NULL group key is a first-class group
+    # deletes maintain it: remove the NULL-v row, counts diverge -> converge
+    cat.table("db1", "fact").delete("k = 7")
+    cat.refresh_materialized_view("db1", "cmv")
+    got = {
+        r["grp"]: (r["n_all"], r["n_v"])
+        for r in cat.read_matview("db1", "cmv").collect()
+    }
+    assert got["a"] == (2, 2)
+    # join MVs reject count(col)
+    with pytest.raises(ValueError, match="subtractable"):
+        parse_matview_select(
+            "SELECT g, count(v) AS c FROM a JOIN b USING (k) GROUP BY g"
+        )
