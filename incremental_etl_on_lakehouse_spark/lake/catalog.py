@@ -512,6 +512,11 @@ class LakeCatalog:
         entry = state.get(db, {}).get(name)
         if entry is None and self._is_view(db, name):
             raise ValueError(f"{db}.{name} is a view — use DROP VIEW")
+        if entry is None and self._is_matview(db, name):
+            raise ValueError(
+                f"{db}.{name} is a materialized view — use DROP "
+                "MATERIALIZED VIEW"
+            )
         if entry is not None:
             if not entry["external"]:
                 LakeTable.drop(entry["path"])
@@ -1105,12 +1110,12 @@ class LakeCatalog:
         i, n = 0, len(sql)
         while i < n:
             ch = sql[i]
-            if ch in ("'", "`"):
+            if ch in ("'", '"', "`"):
                 j = i + 1
                 while j < n:
                     if sql[j] == ch:
-                        if ch == "'" and j + 1 < n and sql[j + 1] == "'":
-                            j += 2
+                        if ch in ("'", '"') and j + 1 < n and sql[j + 1] == ch:
+                            j += 2  # doubled-char escape stays inside
                             continue
                         break
                     j += 1
@@ -1120,6 +1125,16 @@ class LakeCatalog:
             else:
                 i += 1
 
+        # CTE names defined in THIS statement shadow catalog objects
+        # (standard SQL scoping): collect them so `WITH t AS (...) ...
+        # FROM t` reads the CTE even when a table db.t exists
+        cte_names = {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"(?:\bWITH\s+|,\s*)(\w+)\s+AS\s*\(", sql, re.IGNORECASE
+            )
+            if not masked[m.start()]
+        }
         out: list[str] = []
         last = 0
         pat = re.compile(
@@ -1129,6 +1144,8 @@ class LakeCatalog:
             if masked[m.start()]:
                 continue
             ref = m.group(3)
+            if "." not in ref and ref.strip("`").lower() in cte_names:
+                continue  # CTE reference, not a catalog object
             try:
                 db, name = self._split_name(ref, default_db)
             except ValueError:

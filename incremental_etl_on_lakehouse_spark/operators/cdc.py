@@ -550,6 +550,8 @@ def merge_distinct_state(
     value_col: str,
     cnt_col: str = "cnt",
     delta_col: str = "delta_cnt",
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> None:
     """Fold multiset deltas into the per-group distinct-state table
     ``(*group_cols, value, cnt)``. A value's row reaching cnt=0 is deleted,
@@ -576,7 +578,10 @@ def merge_distinct_state(
         ),
         MergeClause("insert", f"source.`{delta_col}` > 0", insert_assignments),
     ]
-    state.merge(deltas, cond, clauses)
+    state.merge(
+        deltas, cond, clauses,
+        txn_app_id=txn_app_id, txn_version=txn_version,
+    )
 
 
 def distinct_counts(
@@ -814,34 +819,26 @@ class IncrementalAggView:
             else:
                 raise ValueError(f"unsupported aggregate kind: {kind!r}")
         hidden_sums = sorted(
-            set(self._sum_cols.values())
-            | set(self._avg_specs.values())
-            | {f"__sum_{c}" for c in self._countnn_specs.values()}
+            set(self._sum_cols.values()) | set(self._avg_specs.values())
         )
-
-        def _widen(dt):
-            """Running-sum state type: always wide enough that the
-            CUMULATIVE sum cannot wrap, whatever the source column's type
-            (a ('sum', int_col) view would otherwise silently overflow
-            once the total exceeds 2^31)."""
-            if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-                return LongType()
-            if isinstance(dt, (FloatType, DoubleType)):
-                return DoubleType()
-            if isinstance(dt, DecimalType):
-                return DecimalType(38, dt.scale)
-            return dt
-
+        # non-null-count columns: every summed/averaged column (SUM/AVG
+        # skip NULLs, so the view needs the non-null count both as AVG's
+        # true denominator and to report an all-NULL group's SUM as NULL,
+        # never 0) plus count(col) columns — the latter maintain ONLY the
+        # signed non-null count, never a running sum (count of a string
+        # column must not multiply strings)
+        nn_cols = sorted(
+            {h[len("__sum_"):] for h in hidden_sums}
+            | set(self._countnn_specs.values())
+        )
         for h in hidden_sums:
             add_fields.append(
-                StructField(h, _widen(src_schema[h[len("__sum_"):]]))
+                StructField(h, widen_sum_type(src_schema[h[len("__sum_"):]]))
             )
-            # signed count of NON-NULL values per summed column: SUM/AVG
-            # skip NULLs, so the view needs to know when a group's values
-            # are entirely NULL (sum -> NULL, not 0) and what AVG's true
-            # denominator is (non-null count, not COUNT(*))
-            add_fields.append(StructField(f"__nn{h[len('__sum'):]}", LongType()))
+        for c in nn_cols:
+            add_fields.append(StructField(f"__nn_{c}", LongType()))
         self._hidden_sums = hidden_sums
+        self._nn_cols = nn_cols
         self.add_table = LakeTable.create(
             spark,
             os.path.join(root, "additive"),
@@ -912,35 +909,23 @@ class IncrementalAggView:
             F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
         ).when(F.col("_change_type").isin("update_postimage", "insert"), F.lit(1))
         signed = changes.withColumn("__s", sign).where(F.col("__s").isNotNull())
-        agg_exprs = [F.sum("__s").alias("d___n")]
-        delta_cols = ["__n"]
-        for h in self._hidden_sums:
-            src_col = h[len("__sum_"):]
-            nn = f"__nn_{src_col}"
-            # coalesce: SUM skips NULL values, so a batch whose changed
-            # rows for a group are ALL NULL-valued yields a NULL delta —
-            # which would poison the running sum (state + NULL = NULL)
-            agg_exprs.append(
-                F.coalesce(
-                    F.sum(F.col("__s") * F.col(src_col)), F.lit(0)
-                ).alias(f"d_{h}")
-            )
-            agg_exprs.append(
-                F.sum(
-                    F.when(F.col(src_col).isNotNull(), F.col("__s")).otherwise(0)
-                ).alias(f"d_{nn}")
-            )
-            delta_cols += [h, nn]
-        deltas = (
-            signed.groupBy(*self.group_cols)
-            .agg(*agg_exprs)
-            .where(" OR ".join(f"`d_{c}` <> 0" for c in delta_cols))
+        deltas, delta_cols = signed_agg_deltas(
+            signed,
+            self.group_cols,
+            sum_cols=[h[len("__sum_"):] for h in self._hidden_sums],
+            nn_cols=self._nn_cols,
         )
+        # txn guard keyed on the source CDF version: additive merges are
+        # NOT idempotent under replay (a crash between this merge and the
+        # reader's checkpoint write re-delivers the batch — the guard
+        # makes the re-apply a no-op instead of a double count)
         merge_agg_deltas(
             self.add_table,
             deltas,
             group_cols=self.group_cols,
             agg_cols={c: f"d_{c}" for c in delta_cols},
+            txn_app_id="incremental-agg-view",
+            txn_version=int(version),
         )
         base = None
         for col, mm in self.mm_tables.items():
@@ -963,6 +948,8 @@ class IncrementalAggView:
                 cdf_multiset_deltas(narrowed, self.group_cols, "value"),
                 self.group_cols,
                 "value",
+                txn_app_id="incremental-agg-view",
+                txn_version=int(version),
             )
         for col, ptable in self.p_tables.items():
             narrowed = changes.select(
@@ -975,6 +962,8 @@ class IncrementalAggView:
                 cdf_multiset_deltas(narrowed, self.group_cols, "value"),
                 self.group_cols,
                 "value",
+                txn_app_id="incremental-agg-view",
+                txn_version=int(version),
             )
 
     def refresh(self) -> int:
@@ -1084,6 +1073,61 @@ class IncrementalAggView:
                     F.coalesce(F.col(f"__d_{name}"), F.lit(0)).alias(name)
                 )
         return out.select(*sel)
+
+
+def widen_sum_type(dt):
+    """Running-sum state type: always wide enough that the CUMULATIVE sum
+    cannot wrap, whatever the source column's type (a ('sum', int_col)
+    view would otherwise silently overflow once the total exceeds
+    2^31). Shared by IncrementalAggView and IncrementalJoinView."""
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return LongType()
+    if isinstance(dt, (FloatType, DoubleType)):
+        return DoubleType()
+    if isinstance(dt, DecimalType):
+        return DecimalType(38, dt.scale)
+    return dt
+
+
+def signed_agg_deltas(
+    signed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    nn_cols: list[str],
+) -> tuple[DataFrame, list[str]]:
+    """Grouped additive deltas from a SIGNED row frame (``__s`` = ±1):
+    ``d___n`` (row-count delta), ``d___sum_<c>`` per running-sum column,
+    and ``d___nn_<c>`` per signed NON-NULL count column. SUM/AVG skip
+    NULLs, so the view needs the non-null count both as AVG's true
+    denominator and to report an all-NULL group's SUM as NULL (never 0);
+    count(col) reads the same non-null count directly — no running sum
+    is maintained for it (a string column's count(col) must not try to
+    multiply strings). The sum delta coalesces to 0: a batch whose
+    changed rows for a group are ALL NULL-valued would otherwise poison
+    the running state (state + NULL = NULL). Returns (deltas, the state
+    column names the deltas update)."""
+    agg_exprs = [F.sum("__s").alias("d___n")]
+    delta_cols = ["__n"]
+    for c in sum_cols:
+        agg_exprs.append(
+            F.coalesce(F.sum(F.col("__s") * F.col(c)), F.lit(0)).alias(
+                f"d___sum_{c}"
+            )
+        )
+        delta_cols.append(f"__sum_{c}")
+    for c in nn_cols:
+        agg_exprs.append(
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("__s")).otherwise(0)
+            ).alias(f"d___nn_{c}")
+        )
+        delta_cols.append(f"__nn_{c}")
+    deltas = (
+        signed.groupBy(*group_cols)
+        .agg(*agg_exprs)
+        .where(" OR ".join(f"`d_{c}` <> 0" for c in delta_cols))
+    )
+    return deltas, delta_cols
 
 
 def merge_agg_deltas(

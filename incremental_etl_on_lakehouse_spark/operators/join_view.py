@@ -40,35 +40,16 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ByteType,
-    DecimalType,
-    DoubleType,
-    FloatType,
-    IntegerType,
-    LongType,
-    ShortType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, _json_safe
-from incremental_etl_on_lakehouse_spark.operators.cdc import merge_agg_deltas
+from incremental_etl_on_lakehouse_spark.operators.cdc import (
+    merge_agg_deltas,
+    signed_agg_deltas,
+    widen_sum_type,
+)
 
 __all__ = ["IncrementalJoinView"]
-
-
-def _widen(dt):
-    """Running-sum state type — wide enough that the cumulative sum
-    cannot wrap the source column's type (same rule as
-    IncrementalAggView)."""
-    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-        return LongType()
-    if isinstance(dt, (FloatType, DoubleType)):
-        return DoubleType()
-    if isinstance(dt, DecimalType):
-        return DecimalType(38, dt.scale)
-    return dt
 
 
 class _PairCheckpoint:
@@ -194,7 +175,7 @@ class IncrementalJoinView:
         )
         for h in self._hidden_sums:
             src = h[len("__sum_"):]
-            fields.append(StructField(h, _widen(joined_types[src])))
+            fields.append(StructField(h, widen_sum_type(joined_types[src])))
             fields.append(StructField(f"__nn_{src}", LongType()))
         self.add_table = LakeTable.create(
             spark,
@@ -272,6 +253,18 @@ class IncrementalJoinView:
     def _has_changes(self, table: LakeTable, lo: int, hi: int) -> bool:
         if hi < lo:
             return False
+        # log-retention guard: if cleanup removed commits at/below lo,
+        # changes_in_range would scan only the survivors and read a
+        # cleaned-away range as "provably empty" — the view would advance
+        # its cursor past changes it never folded. Mirror read_changes'
+        # incomplete-feed error instead of silently diverging.
+        earliest = table._commits()[0].version
+        if earliest > 0 and lo < earliest:
+            raise ValueError(
+                f"join-view feed needs changes from v{lo} but log "
+                f"retention cleanup kept v{earliest}+ only — the view "
+                "state is unrecoverable incrementally; rebuild it"
+            )
         return table.changes_in_range(lo, hi) is not False
 
     # ------------------------------------------------------------ interface
@@ -341,28 +334,9 @@ class IncrementalJoinView:
         for t in terms[1:]:
             joined = joined.unionByName(t)
 
-        agg_exprs = [F.sum("__s").alias("d___n")]
-        delta_cols = ["__n"]
-        for h in self._hidden_sums:
-            src = h[len("__sum_"):]
-            nn = f"__nn_{src}"
-            # coalesce: a batch whose joined rows for a group are all
-            # NULL-valued must contribute a 0 delta, not poison the state
-            agg_exprs.append(
-                F.coalesce(F.sum(F.col("__s") * F.col(src)), F.lit(0)).alias(
-                    f"d_{h}"
-                )
-            )
-            agg_exprs.append(
-                F.sum(
-                    F.when(F.col(src).isNotNull(), F.col("__s")).otherwise(0)
-                ).alias(f"d_{nn}")
-            )
-            delta_cols += [h, nn]
-        deltas = (
-            joined.groupBy(*self.group_cols)
-            .agg(*agg_exprs)
-            .where(" OR ".join(f"`d_{c}` <> 0" for c in delta_cols))
+        sum_srcs = [h[len("__sum_"):] for h in self._hidden_sums]
+        deltas, delta_cols = signed_agg_deltas(
+            joined, self.group_cols, sum_cols=sum_srcs, nn_cols=sum_srcs
         )
         merge_agg_deltas(
             self.add_table,

@@ -433,7 +433,18 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode baseline JFIF JPEG bytes to an (H, W, 3) uint8 RGB array
-    (grayscale streams are replicated to 3 bands)."""
+    (grayscale streams are replicated to 3 bands). Every malformation —
+    truncated segments, bad lengths, invalid codes — raises ValueError,
+    so callers with a fallback path need to catch one exception type."""
+    try:
+        return _decode_jpeg(bytes(buf))
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     d = bytes(buf)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")

@@ -153,11 +153,16 @@ def builtin_image_decoder(buf: bytes) -> list[float]:
 
 def auto_image_decoder(buf: bytes) -> list[float]:
     """PNG or baseline-JPEG bytes -> real built-in decode; anything else
-    -> deterministic fake features (mixed-format corpora keep flowing;
-    the real path runs wherever it can)."""
+    — including FFD8-magic streams the baseline decoder refuses
+    (progressive/arithmetic/corrupt JPEG) — falls back to deterministic
+    fake features, so mixed-format corpora keep flowing; the real path
+    runs wherever it can."""
     head = bytes(buf[:8])
     if head == b"\x89PNG\r\n\x1a\n" or head[:2] == b"\xff\xd8":
-        return builtin_image_decoder(buf)
+        try:
+            return builtin_image_decoder(buf)
+        except ValueError:
+            return fake_image_decoder(buf)
     return fake_image_decoder(buf)
 
 
@@ -417,26 +422,36 @@ def real_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
 
 
 def builtin_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
-    """REAL resize without Pillow: built-in PNG decode (png_codec) ->
+    """REAL resize without Pillow: built-in PNG or baseline-JPEG decode ->
     ITU-R 601 luma (Pillow's convert("L") formula) -> deterministic
     box-average thumbnail, row-major ints — the same signature/shape as
-    :func:`real_resize`/:func:`fake_resize`. Non-PNG bytes raise
+    :func:`real_resize`/:func:`fake_resize`. Other formats raise
     ValueError."""
+    from incremental_etl_on_lakehouse_spark.operators.jpeg_codec import (
+        decode_jpeg,
+    )
     from incremental_etl_on_lakehouse_spark.operators.png_codec import (
         box_resize,
         decode_png,
         luma,
     )
 
-    gray = luma(decode_png(bytes(buf)))
+    raw = bytes(buf)
+    rgb = decode_jpeg(raw) if raw[:2] == b"\xff\xd8" else decode_png(raw)
+    gray = luma(rgb)
     return [int(p) for p in box_resize(gray, width, height).reshape(-1)]
 
 
 def auto_resize(buf: bytes, width: int = 4, height: int = 4) -> list[int]:
-    """PNG bytes -> real built-in resize; anything else -> fake strided
+    """PNG or baseline-JPEG bytes -> real built-in resize; anything else
+    (including FFD8 streams the baseline decoder refuses) -> fake strided
     thumbnail (mixed-format corpora keep flowing)."""
-    if bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
-        return builtin_resize(buf, width, height)
+    head = bytes(buf[:8])
+    if head == b"\x89PNG\r\n\x1a\n" or head[:2] == b"\xff\xd8":
+        try:
+            return builtin_resize(buf, width, height)
+        except ValueError:
+            return fake_resize(buf, width, height)
     return fake_resize(buf, width, height)
 
 

@@ -157,3 +157,28 @@ def test_lakehouse_three_level_views(spark, tmp_path):
     assert lh.sql("SELECT n FROM dev.db1.v").collect()[0]["n"] == 2
     lh.sql("DROP VIEW dev.db1.v")
     assert lh.sql("SHOW VIEWS IN dev.db1") == []
+
+
+def test_cte_shadows_catalog_table(cat):
+    """A CTE named like a catalog table takes precedence (standard SQL
+    scoping) — the rewriter must not bind it to the table."""
+    got = cat.sql(
+        "WITH t AS (SELECT 111 AS one) SELECT one FROM t",
+        default_db="db1",
+    ).collect()
+    assert [r["one"] for r in got] == [111]
+    # a db-QUALIFIED reference still reads the table even with the CTE
+    got = cat.sql(
+        "WITH t AS (SELECT 111 AS one) SELECT count(*) AS n FROM db1.t"
+    ).collect()
+    assert got[0]["n"] == 3
+
+
+def test_double_quoted_literals_never_rewritten(cat, spark):
+    cat.table("db1", "t").append(
+        spark.createDataFrame([(9, "copied FROM t")], SCHEMA)
+    )
+    got = cat.sql(
+        'SELECT count(*) AS n FROM db1.t WHERE v = "copied FROM t"'
+    ).collect()
+    assert got[0]["n"] == 1

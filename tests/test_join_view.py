@@ -346,3 +346,24 @@ def test_to_df_pruned_skips_nonoverlapping_files(spark, tmp_path):
     got = t.to_df_pruned({"k": (101, 103)})
     ks = sorted(r["k"] for r in got.collect())
     assert ks == [100, 101, 102, 103, 104]  # one file, superset of matches
+
+
+def test_join_view_refuses_retention_cleaned_feed(spark, tmp_path):
+    """If log-retention cleanup removed commits the view has not folded,
+    refresh must RAISE (unrecoverable incrementally), never read the
+    cleaned-away range as provably empty and silently advance."""
+    left = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "dim", DIM_SCHEMA)
+    view = _view(spark, tmp_path, left, right)
+    right.append(spark.createDataFrame([(1, "a")], DIM_SCHEMA))
+    view.refresh()
+    for i in range(1, 4):
+        left.append(spark.createDataFrame([(1, i, i)], FACT_SCHEMA))
+    # drop the unfolded log prefix (retention 0)
+    removed = left.cleanup_log(retention_ms=0)
+    if not removed:
+        import pytest as _pytest
+
+        _pytest.skip("log cleanup kept everything on this layout")
+    with pytest.raises(ValueError, match="log retention"):
+        view.refresh()

@@ -227,3 +227,63 @@ def test_count_col_counts_non_nulls(cat, spark):
         parse_matview_select(
             "SELECT g, count(v) AS c FROM a JOIN b USING (k) GROUP BY g"
         )
+
+
+def test_count_string_column(cat, spark):
+    """count(col) of a STRING column: only the non-null count is
+    maintained — no running sum of strings (which would crash under ANSI
+    the first refresh)."""
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(9, None, 1)], FACT)
+    )
+    cat.create_materialized_view(
+        "db1", "smv",
+        "SELECT k, count(grp) AS ng, count(*) AS n FROM db1.fact GROUP BY k",
+    )
+    got = {
+        r["k"]: (r["ng"], r["n"])
+        for r in cat.read_matview("db1", "smv").collect()
+    }
+    assert got[9] == (0, 1)  # NULL string not counted
+    assert got[1] == (1, 1)
+
+
+def test_drop_table_on_matview_redirects(cat):
+    cat.create_materialized_view(
+        "db1", "mv", "SELECT grp, sum(v) AS t FROM db1.fact GROUP BY grp"
+    )
+    with pytest.raises(ValueError, match="DROP MATERIALIZED VIEW"):
+        cat.sql("DROP TABLE db1.mv")
+    assert cat.matviews("db1") == ["mv"]  # still registered
+
+
+def test_single_table_mv_refresh_exactly_once_on_crash(
+    cat, spark, monkeypatch
+):
+    """Crash between the additive merge and the reader's checkpoint
+    write: the replayed batch must NOT double-count (txn guard keyed on
+    the CDF version)."""
+    from incremental_etl_on_lakehouse_spark.lake.streaming import Checkpoint
+
+    cat.create_materialized_view(
+        "db1", "mv", "SELECT grp, sum(v) AS total FROM db1.fact GROUP BY grp"
+    )
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(10, "a", 100)], FACT)
+    )
+    real_write = Checkpoint.write
+    calls = {"n": 0}
+
+    def failing(self, v):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("crash before checkpoint")
+        real_write(self, v)
+
+    monkeypatch.setattr(Checkpoint, "write", failing)
+    with pytest.raises(RuntimeError, match="crash before checkpoint"):
+        cat.refresh_materialized_view("db1", "mv")
+    monkeypatch.undo()
+    cat.refresh_materialized_view("db1", "mv")  # replay: guard no-ops
+    got = {r["grp"]: r["total"] for r in cat.read_matview("db1", "mv").collect()}
+    assert got["a"] == 130  # 10 + 20 + 100, never 230
