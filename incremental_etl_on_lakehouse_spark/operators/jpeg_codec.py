@@ -442,6 +442,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise
     except (IndexError, struct.error, KeyError) as exc:
         raise ValueError(f"corrupt JPEG stream: {exc}") from exc
+    except _RestartMarker as exc:
+        # a restart marker outside a declared restart boundary is a
+        # malformed stream, not control flow
+        raise ValueError("unexpected restart marker") from exc
 
 
 def _decode_jpeg(buf: bytes) -> np.ndarray:
