@@ -14,7 +14,11 @@ Supported SELECT shape (anything else raises with the reason):
 
     SELECT g1, g2, ..., agg(col) AS name, ...
     FROM t1 [JOIN t2 USING (k, ...) | JOIN t2 ON t1.k = t2.k [AND ...]]
+       [JOIN t3 USING (...) | ON ...] ...
     GROUP BY g1, g2, ...
+
+A chain of joins maintains via :class:`IncrementalChainJoinView` — each
+JOIN's keys bind table i to the accumulated prefix by name equality.
 
 Aggregates: count(*), sum(c), avg(c), and — single-table only — count(c)
 (non-null), min(c), max(c), count(distinct c), median(c), mode(c), pNN(c)
@@ -49,8 +53,8 @@ def parse_matview_select(sql: str) -> dict:
     s = strip_comments(sql).strip().rstrip(";")
     m = re.match(
         rf"SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<t1>{_NAME})"
-        rf"(?:\s+JOIN\s+(?P<t2>{_NAME})\s+(?:USING\s*\((?P<using>[^)]+)\)"
-        rf"|ON\s+(?P<on>.*?)))?"
+        rf"(?P<joins>(?:\s+JOIN\s+{_NAME}\s+(?:USING\s*\([^)]+\)"
+        rf"|ON\s+(?:(?!\bJOIN\b|\bGROUP\b).)*?))*)"
         rf"\s+GROUP\s+BY\s+(?P<grp>.+)$",
         s,
         re.IGNORECASE | re.DOTALL,
@@ -58,7 +62,7 @@ def parse_matview_select(sql: str) -> dict:
     if not m:
         raise ValueError(
             "unsupported materialized-view shape: need SELECT <group cols +"
-            " aliased aggregates> FROM t [JOIN t2 USING(k)|ON a.k = b.k]"
+            " aliased aggregates> FROM t [JOIN t2 USING(k)|ON a.k = b.k]..."
             " GROUP BY <group cols> (no WHERE/HAVING/expressions)"
         )
     if re.search(r"\bWHERE\b|\bHAVING\b", s, re.IGNORECASE):
@@ -67,17 +71,24 @@ def parse_matview_select(sql: str) -> dict:
             " silver table or a plain view over the MV"
         )
     tables = [m.group("t1")]
-    join_keys = None
-    if m.group("t2"):
-        tables.append(m.group("t2"))
-        if m.group("using"):
-            join_keys = [c.strip().strip("`") for c in m.group("using").split(",")]
+    edges: list[list[str]] = [[]]
+    for jm in re.finditer(
+        rf"\s+JOIN\s+(?P<t>{_NAME})\s+(?:USING\s*\((?P<using>[^)]+)\)"
+        rf"|ON\s+(?P<on>(?:(?!\bJOIN\b).)*?)(?=\s+JOIN\b|$))",
+        m.group("joins") or "",
+        re.IGNORECASE | re.DOTALL,
+    ):
+        tables.append(jm.group("t"))
+        if jm.group("using"):
+            edges.append(
+                [c.strip().strip("`") for c in jm.group("using").split(",")]
+            )
         else:
-            join_keys = []
-            for clause in re.split(r"\bAND\b", m.group("on"), flags=re.IGNORECASE):
-                em = re.match(
-                    rf"\s*({_NAME})\s*=\s*({_NAME})\s*$", clause
-                )
+            keys = []
+            for clause in re.split(
+                r"\bAND\b", jm.group("on"), flags=re.IGNORECASE
+            ):
+                em = re.match(rf"\s*({_NAME})\s*=\s*({_NAME})\s*$", clause)
                 if not em:
                     raise ValueError(
                         f"join condition must be equality of columns: "
@@ -89,7 +100,9 @@ def parse_matview_select(sql: str) -> dict:
                         f"join columns must have the same name on both sides "
                         f"(got {l!r} = {r!r}) — the maintainer joins by name"
                     )
-                join_keys.append(l)
+                keys.append(l)
+            edges.append(keys)
+    join_keys = edges[1] if len(tables) == 2 else None
     group_cols: list[str] = []
     aggs: dict[str, tuple[str, str]] = {}
     for item in split_top_level(m.group("items")):
@@ -123,7 +136,7 @@ def parse_matview_select(sql: str) -> dict:
         )
     if not aggs:
         raise ValueError("a materialized view needs at least one aggregate")
-    if len(tables) == 2:
+    if len(tables) >= 2:
         bad = [n for n, (k, c) in aggs.items() if k in SINGLE_ONLY or
                re.fullmatch(r"p[1-9]\d?", k) or (k == "count" and c != "*")]
         if bad:
@@ -135,6 +148,7 @@ def parse_matview_select(sql: str) -> dict:
     return {
         "tables": tables,
         "join_keys": join_keys,
+        "edges": edges if len(tables) >= 2 else None,
         "group_cols": group_cols,
         "aggs": aggs,
     }
@@ -149,6 +163,7 @@ def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
         IncrementalAggView,
     )
     from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalChainJoinView,
         IncrementalJoinView,
     )
 
@@ -160,11 +175,19 @@ def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
             group_cols=spec["group_cols"],
             aggs=aggs,
         )
-    return IncrementalJoinView(
-        LakeTable(spark, table_paths[0]),
-        LakeTable(spark, table_paths[1]),
+    if len(table_paths) == 2:
+        return IncrementalJoinView(
+            LakeTable(spark, table_paths[0]),
+            LakeTable(spark, table_paths[1]),
+            root,
+            join_keys=spec.get("join_keys") or spec["edges"][1],
+            group_cols=spec["group_cols"],
+            aggs=aggs,
+        )
+    return IncrementalChainJoinView(
+        [LakeTable(spark, p) for p in table_paths],
+        spec["edges"],
         root,
-        join_keys=spec["join_keys"],
         group_cols=spec["group_cols"],
         aggs=aggs,
     )

@@ -1,36 +1,45 @@
-"""Incrementally-maintained JOIN views: a Gold defined as
-``left ⋈ right`` + aggregate, maintained from BOTH inputs' change feeds
-via delta-join algebra — the multi-table generalization of the
-reference's Silver-CDF → Gold topology
+"""Incrementally-maintained JOIN views: a Gold defined as an equi-join
+CHAIN ``T0 ⋈ T1 ⋈ ... ⋈ Tn`` + aggregate, maintained from EVERY input's
+change feed via delta-join algebra — the multi-table generalization of
+the reference's Silver-CDF → Gold topology
 (``notebooks/demo-notebook.py:428-435``), where the engine's
 single-table :class:`~.cdc.IncrementalAggView` family stops.
 
-For one refresh folding the left input from version ``a0 → a1`` and the
-right from ``b0 → b1`` (signed multiset deltas ``ΔA``, ``ΔB``):
+For one refresh folding each table ``Ti`` from version ``vi0 → vi1``
+(signed multiset delta ``Δi``), the telescoping identity in chain order
 
-    Δ(A ⋈ B)  =  ΔA ⋈ B@b0   ∪   A@a1 ⋈ ΔB
+    Δ(T0 ⋈ ... ⋈ Tn)  =  Σ_i  (⋈_{j<i} Tj@NEW)  ⋈  Δi  ⋈  (⋈_{j>i} Tj@OLD)
 
-The cross term ``ΔA ⋈ ΔB`` is covered exactly once because
-``A@a1 = A@a0 + ΔA``. Both terms are O(changed rows) on the delta side:
+covers every cross term exactly once (prefix tables enter at their new
+versions, suffix tables at their old — time-travel reads the lake log
+provides natively). Each term is O(changed rows) on the delta side:
 
-- ``ΔA ⋈ B@b0`` joins the batch against the right table's OLD snapshot
-  (a time-travel read — the lake log makes "the table as the last
-  refresh saw it" a first-class input);
-- ``A@a1 ⋈ ΔB``'s snapshot side is FILE-PRUNED by the batch's join-key
-  min/max (``LakeTable.to_df_pruned``): when the join key carries file
-  stats (``statsColumns``), only key-overlapping files of A are read —
-  at 100 TB the table-side scan is proportional to the batch's key
-  range, not the table. The joins themselves broadcast the delta side
-  (a micro-batch) against the snapshot side.
+- snapshot sides joined to a delta are FILE-PRUNED by the delta batch's
+  min/max over the join-path keys they share (``LakeTable.to_df_pruned``
+  — in an equi-chain every same-named projected column is equated, so a
+  key-range restriction on the delta restricts every snapshot carrying
+  that key). At 100 TB the table-side scans ride the batch's key range,
+  not the tables;
+- the joins themselves broadcast the micro-batch-sized delta-anchored
+  side at runtime (AQE) against the snapshot scans.
 
 The maintained aggregate state is the SUBTRACTABLE family (SUM /
 COUNT(*) / AVG): signed join deltas merge into one additive gold table
 (``merge_agg_deltas``) with the same NULL semantics as
-``IncrementalAggView`` — per-summed-column signed non-null counts, so
-SUM of an all-NULL group reads NULL and AVG divides by the non-null
-count. Non-subtractable aggregates over a join (MIN/MAX/quantiles)
-would need per-group join-result state; they are out of scope here and
+``IncrementalAggView``. Non-subtractable aggregates over a join
+(MIN/MAX/quantiles) would need per-group join-result state; they are
 rejected at construction.
+
+Refresh is EXACTLY-ONCE across crashes: the checkpoint records a
+write-ahead INTENT (the version vector about to be applied) before the
+merge, and the merge carries a ``txn.<app_id>`` guard at epoch+1 — a
+replay after a crash between merge-commit and checkpoint-finalize
+recomputes the SAME pinned range and the guard no-ops the double apply.
+
+:class:`IncrementalJoinView` is the two-table special case (one edge,
+``left ⋈ right``); :class:`IncrementalChainJoinView` is the general
+form, e.g. ``fact ⋈ dim1 ON fact.k1 = dim1.k1 ⋈ dim2 ON fact.k2 =
+dim2.k2`` as ``tables=[fact, dim1, dim2], edges=[[], ["k1"], ["k2"]]``.
 """
 
 from __future__ import annotations
@@ -49,27 +58,27 @@ from incremental_etl_on_lakehouse_spark.operators.cdc import (
     widen_sum_type,
 )
 
-__all__ = ["IncrementalJoinView"]
+__all__ = ["IncrementalChainJoinView", "IncrementalJoinView"]
 
 
-class _PairCheckpoint:
-    """Durable cursor over both change feeds with a write-ahead INTENT
-    record: ``{"left","right"}`` is the last APPLIED version pair,
-    ``"epoch"`` the count of maintenance merges committed, and
-    ``"intent"`` (when present) the version pair a merge was about to
-    apply. Together with the gold table's ``txn.<app_id>`` guard this
-    makes refresh exactly-once across crashes at ANY point: the intent
-    pins the replayed batch to the same version range, and the txn
-    guard no-ops the merge if it already committed."""
+class _VectorCheckpoint:
+    """Durable cursor over all change feeds with a write-ahead INTENT:
+    ``versions`` is the last APPLIED version vector, ``epoch`` the count
+    of maintenance merges committed, ``intent`` (when present) the
+    version vector a merge was about to apply. Reads the two-table
+    ``{"left","right"}`` layout transparently (pre-chain format)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, n: int):
         self.path = path
+        self.n = n
 
     def read(self) -> dict:
         if not os.path.exists(self.path):
-            return {"left": 0, "right": 0, "epoch": 0, "intent": None}
+            return {"versions": [0] * self.n, "epoch": 0, "intent": None}
         with open(self.path) as f:
             d = json.load(f)
+        if "left" in d:  # two-table back-compat
+            d["versions"] = [int(d.pop("left")), int(d.pop("right"))]
         d.setdefault("epoch", 0)
         d.setdefault("intent", None)
         return d
@@ -82,75 +91,66 @@ class _PairCheckpoint:
         os.replace(tmp, self.path)
 
 
-class IncrementalJoinView:
-    """Materialized ``left ⋈ right`` + GROUP BY aggregate view maintained
-    from both change feeds. See the module docstring for the algebra.
+class IncrementalChainJoinView:
+    """Materialized equi-join-chain + GROUP BY aggregate view maintained
+    from every input's change feed. See the module docstring.
 
     Parameters
     ----------
-    left, right : CDF-enabled :class:`LakeTable` inputs.
+    tables : CDF-enabled :class:`LakeTable` inputs, in chain order.
+    edges : per-table equi-join key lists — ``edges[i]`` (i >= 1) joins
+        ``tables[i]`` to the accumulated relation of ``tables[0..i-1]``
+        by column-name equality (``edges[0]`` must be empty). NULL keys
+        never match — batch SQL inner-join semantics.
     root : directory for the view's state (gold table + checkpoint).
-    join_keys : equi-join column names, present on BOTH sides (the join
-        is ``INNER`` on name equality; NULL keys never match — batch SQL
-        semantics).
     group_cols : output grouping columns of the joined relation; every
-        non-join-key column name must be unambiguous (live on exactly
-        one side).
+        non-edge-key column name must live on exactly one table.
     aggs : ``{output_name: (kind, column)}`` with kinds ``sum`` /
         ``count`` (column ``"*"``) / ``avg``.
     """
 
     def __init__(
         self,
-        left: LakeTable,
-        right: LakeTable,
+        tables: list[LakeTable],
+        edges: list[list[str]],
         root: str,
-        join_keys: list[str],
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
     ):
-        for side, t in (("left", left), ("right", right)):
+        if len(tables) < 2:
+            raise ValueError("a join view needs at least two tables")
+        if len(edges) != len(tables) or edges[0]:
+            raise ValueError(
+                "edges must align with tables (edges[0] empty; edges[i] "
+                "joins tables[i] to the accumulated prefix)"
+            )
+        for i, t in enumerate(tables):
             if not t.cdf_enabled():
+                side = ("left", "right")[i] if len(tables) == 2 else f"#{i}"
                 raise ValueError(
                     f"IncrementalJoinView needs enableChangeDataFeed on the "
                     f"{side} input"
                 )
-        self.left, self.right, self.root = left, right, root
-        self.join_keys = list(join_keys)
+        self.tables = list(tables)
+        self.edges = [list(e) for e in edges]
+        self.root = root
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
 
-        lcols = {f.name: f.dataType for f in left.schema().fields}
-        rcols = {f.name: f.dataType for f in right.schema().fields}
-        for k in self.join_keys:
-            if k not in lcols or k not in rcols:
-                raise ValueError(f"join key {k!r} must exist on both sides")
-        # joined-relation column -> side ("l"/"r"); join keys read "l"
-        self._side: dict[str, str] = {}
-        joined_types: dict[str, object] = {}
-        for name in set(lcols) | set(rcols):
-            if name in self.join_keys:
-                self._side[name] = "l"
-                joined_types[name] = lcols[name]
-            elif name in lcols and name in rcols:
-                continue  # ambiguous — only an error if actually used
-            elif name in lcols:
-                self._side[name] = "l"
-                joined_types[name] = lcols[name]
-            else:
-                self._side[name] = "r"
-                joined_types[name] = rcols[name]
-
+        schemas = [
+            {f.name: f.dataType for f in t.schema().fields} for t in tables
+        ]
+        edge_keys = {k for e in self.edges for k in e}
         self._sum_cols: dict[str, str] = {}
         self._avg_specs: dict[str, str] = {}
-        used = list(self.group_cols)
+        used_cols = list(self.group_cols)
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
                 self._sum_cols[name] = f"__sum_{col}"
-                used.append(col)
+                used_cols.append(col)
             elif kind == "avg":
                 self._avg_specs[name] = f"__sum_{col}"
-                used.append(col)
+                used_cols.append(col)
             elif kind == "count":
                 if col != "*":
                     raise ValueError("count supports '*' only")
@@ -161,13 +161,48 @@ class IncrementalJoinView:
                     "quantiles over a join need per-group join-result "
                     "state)"
                 )
-        for c in used:
-            if c in set(lcols) & set(rcols) and c not in self.join_keys:
-                raise ValueError(f"ambiguous column {c!r}: on both sides")
-            if c not in joined_types:
+        # every needed column resolves: edge keys may live on many tables
+        # (the chain equates them); anything else on exactly one
+        needed = set(used_cols) | edge_keys
+        joined_types: dict[str, object] = {}
+        for c in needed:
+            owners = [i for i, sc in enumerate(schemas) if c in sc]
+            if not owners:
                 raise ValueError(f"unknown column {c!r}")
+            if len(owners) > 1 and c not in edge_keys:
+                raise ValueError(f"ambiguous column {c!r}: on both sides")
+            joined_types[c] = schemas[owners[0]][c]
+        for i in range(1, len(tables)):
+            for k in self.edges[i]:
+                if k not in schemas[i]:
+                    raise ValueError(
+                        f"join key {k!r} must exist on both sides of "
+                        f"edge {i}"
+                    )
+            if not self.edges[i]:
+                raise ValueError(f"edge {i} needs at least one join key")
+        # per-table projection: its edge keys + needed columns it is the
+        # FIRST provider of (later same-named non-edge columns are the
+        # ambiguity error above; later edge-key copies merge via on=)
+        provided: set[str] = set()
+        self._projs: list[list[str]] = []
+        for i, sc in enumerate(schemas):
+            own = sorted(
+                set(self.edges[i])
+                | {c for c in needed if c in sc and c not in provided}
+            )
+            # chain validity: this table's edge keys must already be
+            # provided by the prefix
+            missing = [k for k in self.edges[i] if k not in provided]
+            if i > 0 and missing:
+                raise ValueError(
+                    f"join key {missing[0]!r} must exist on both sides of "
+                    f"edge {i} (not provided by tables 0..{i - 1})"
+                )
+            self._projs.append(own)
+            provided |= set(own)
 
-        spark = left.spark
+        spark = tables[0].spark
         fields = [StructField(c, joined_types[c]) for c in self.group_cols]
         fields.append(StructField("__n", LongType()))
         self._hidden_sums = sorted(
@@ -183,48 +218,45 @@ class IncrementalJoinView:
             StructType(fields),
             if_not_exists=True,
         )
-        self._ckpt = _PairCheckpoint(os.path.join(root, "checkpoint.json"))
+        self._ckpt = _VectorCheckpoint(
+            os.path.join(root, "checkpoint.json"), len(tables)
+        )
         self._txn_app_id = "incremental-join-view"
 
     # ------------------------------------------------------------ internals
 
-    def _signed(self, changes: DataFrame, side: str) -> DataFrame:
-        """CDF rows -> narrow signed rows: join keys + this side's used
-        columns + ``__s`` (±1). Narrowing BEFORE the join keeps the
-        exchange at delta width, not table width."""
+    def _signed(self, changes: DataFrame, i: int) -> DataFrame:
+        """CDF rows of table i -> narrow signed rows: the table's chain
+        projection + ``__s`` (±1). Narrowing BEFORE any join keeps the
+        exchanges at delta width, not table width."""
         sign = F.when(
             F.col("_change_type").isin("update_preimage", "delete"),
             F.lit(-1),
         ).when(
             F.col("_change_type").isin("update_postimage", "insert"), F.lit(1)
         )
-        keep = self._side_cols(side)
         return (
             changes.withColumn("__s", sign)
             .where(F.col("__s").isNotNull())
-            .select(*self.join_keys, *keep, "__s")
+            .select(*self._projs[i], "__s")
         )
 
-    def _side_cols(self, side: str) -> list[str]:
-        """The non-join-key columns of ``side`` the view actually uses."""
-        used = set(self.group_cols) | {
-            h[len("__sum_"):] for h in self._hidden_sums
-        }
-        return sorted(
-            c
-            for c in used
-            if c not in self.join_keys and self._side[c] == side
-        )
-
-    def _snapshot(self, table: LakeTable, side: str, version: int,
-                  prune_from: DataFrame | None = None) -> DataFrame:
-        """Snapshot projected to the columns this view needs. With
-        ``prune_from`` (the other feed's delta batch), the read is
-        file-pruned to the batch's join-key min/max range."""
-        cols = [*self.join_keys, *self._side_cols(side)]
-        if prune_from is not None:
+    def _snapshot(
+        self,
+        i: int,
+        version: int,
+        prune_from: DataFrame | None = None,
+        prune_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Table i's snapshot at ``version``, projected to its chain
+        columns. With ``prune_from`` (a delta batch) the read is
+        file-pruned to the batch's min/max over the shared join-path
+        keys (``prune_cols``) that carry file stats."""
+        table = self.tables[i]
+        cols = self._projs[i]
+        if prune_from is not None and prune_cols:
             stats = set(table.stats_columns())
-            keys = [k for k in self.join_keys if k in stats]
+            keys = [k for k in prune_cols if k in stats]
             if keys:
                 row = prune_from.agg(
                     *[
@@ -267,95 +299,95 @@ class IncrementalJoinView:
             )
         return table.changes_in_range(lo, hi) is not False
 
+    def _term(self, i: int, delta: DataFrame, v_new: list[int],
+              v_old: list[int]) -> DataFrame:
+        """One telescoping term: prefix tables at NEW versions, Δi,
+        suffix tables at OLD versions, joined in chain order. Snapshots
+        prune on the keys they share with the delta's projection (the
+        equi-chain equates every same-named projected column)."""
+        dcols = set(self._projs[i])
+        rel: DataFrame | None = None
+        for j in range(len(self.tables)):
+            if j == i:
+                part = delta
+            else:
+                version = v_new[j] if j < i else v_old[j]
+                shared = sorted(dcols & set(self._projs[j]))
+                part = self._snapshot(
+                    j, version, prune_from=delta, prune_cols=shared
+                )
+            rel = part if rel is None else rel.join(
+                part, on=self.edges[j], how="inner"
+            )
+        return rel
+
     # ------------------------------------------------------------ interface
 
     def refresh(self) -> int:
-        """Fold all unprocessed commits of BOTH feeds through one
-        delta-join maintenance merge; returns the number of feed sides
-        that had changes. Signed deltas are additive across commits, so
-        the whole backlog of each side folds into the one algebraic
-        step (availableNow-style catch-up coalescing).
-
-        Exactly-once across crashes: the checkpoint records a
-        write-ahead INTENT (the version pair about to be applied) before
-        the merge, and the merge itself carries a ``txn.<app_id>`` guard
-        at epoch+1 — a replay after a crash between merge-commit and
-        checkpoint-finalize recomputes the SAME pinned range and the
-        guard no-ops the double apply."""
+        """Fold all unprocessed commits of EVERY feed through one
+        delta-join maintenance merge; returns the number of feeds that
+        had changes. Signed deltas are additive across commits, so each
+        feed's whole backlog folds into its one telescoping term
+        (availableNow-style catch-up coalescing)."""
         ck = self._ckpt.read()
-        a0, b0 = ck["left"], ck["right"]
+        v_old = list(ck["versions"])
         if ck["intent"] is not None:
             # crash recovery: a merge for this exact range may or may not
             # have committed; re-run it (the txn guard decides) with the
             # PINNED bounds, never the current head
-            a1, b1 = ck["intent"]
+            v_new = list(ck["intent"])
         else:
-            a1, b1 = self.left.version(), self.right.version()
-        terms: list[DataFrame] = []
+            v_new = [t.version() for t in self.tables]
+        deltas: list[DataFrame | None] = []
         applied = 0
-        d_b = None
-        if self._has_changes(self.right, b0 + 1, b1):
-            d_b = self._signed(
-                self.right.read_changes(b0 + 1, b1), "r"
-            ).persist()
-        d_a = None
-        if self._has_changes(self.left, a0 + 1, a1):
-            applied += 1
-            # persisted: the delta feeds both a bounds job (file pruning
-            # of the snapshot side) and the maintenance merge
-            d_a = self._signed(
-                self.left.read_changes(a0 + 1, a1), "l"
-            ).persist()
-            # ΔA joins the right side's OLD snapshot (time travel):
-            # ΔA ⋈ ΔB is NOT in this term — A@a1 ⋈ ΔB carries it
-            terms.append(
-                d_a.join(
-                    self._snapshot(self.right, "r", b0, prune_from=d_a),
-                    on=self.join_keys,
-                    how="inner",
+        for i, t in enumerate(self.tables):
+            if self._has_changes(t, v_old[i] + 1, v_new[i]):
+                applied += 1
+                # persisted: each delta feeds the snapshot-pruning bounds
+                # jobs of its term AND the maintenance merge
+                deltas.append(
+                    self._signed(
+                        t.read_changes(v_old[i] + 1, v_new[i]), i
+                    ).persist()
                 )
-            )
-        if d_b is not None:
-            applied += 1
-            terms.append(
-                self._snapshot(
-                    self.left, "l", a1, prune_from=d_b
-                ).join(d_b, on=self.join_keys, how="inner")
-            )
+            else:
+                deltas.append(None)
+        terms = [
+            self._term(i, d, v_new, v_old)
+            for i, d in enumerate(deltas)
+            if d is not None
+        ]
         if not terms:
             self._ckpt.write(
-                {"left": a1, "right": b1, "epoch": ck["epoch"], "intent": None}
+                {"versions": v_new, "epoch": ck["epoch"], "intent": None}
             )
             return 0
         # write-ahead intent: pin the range BEFORE the merge so a crash
         # replays exactly this batch
-        self._ckpt.write({**ck, "intent": [a1, b1]})
+        self._ckpt.write(
+            {"versions": v_old, "epoch": ck["epoch"], "intent": v_new}
+        )
         joined = terms[0]
         for t in terms[1:]:
             joined = joined.unionByName(t)
 
         sum_srcs = [h[len("__sum_"):] for h in self._hidden_sums]
-        deltas, delta_cols = signed_agg_deltas(
+        agg_deltas, delta_cols = signed_agg_deltas(
             joined, self.group_cols, sum_cols=sum_srcs, nn_cols=sum_srcs
         )
         merge_agg_deltas(
             self.add_table,
-            deltas,
+            agg_deltas,
             group_cols=self.group_cols,
             agg_cols={c: f"d_{c}" for c in delta_cols},
             txn_app_id=self._txn_app_id,
             txn_version=ck["epoch"] + 1,
         )
-        for d in (d_a, d_b):
+        for d in deltas:
             if d is not None:
                 d.unpersist()
         self._ckpt.write(
-            {
-                "left": a1,
-                "right": b1,
-                "epoch": ck["epoch"] + 1,
-                "intent": None,
-            }
+            {"versions": v_new, "epoch": ck["epoch"] + 1, "intent": None}
         )
         return applied
 
@@ -385,3 +417,33 @@ class IncrementalJoinView:
                     ).alias(name)
                 )
         return out.select(*sel)
+
+
+class IncrementalJoinView(IncrementalChainJoinView):
+    """The two-table special case: ``left ⋈ right`` on shared key names
+    — one chain edge. Kept as the stable named surface (the
+    ``view_incremental_join`` driver key, the matview builder)."""
+
+    def __init__(
+        self,
+        left: LakeTable,
+        right: LakeTable,
+        root: str,
+        join_keys: list[str],
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ):
+        for k in join_keys:
+            if k not in left.schema().fieldNames():
+                raise ValueError(
+                    f"join key {k!r} must exist on both sides"
+                )
+        super().__init__(
+            [left, right],
+            [[], list(join_keys)],
+            root,
+            group_cols,
+            aggs,
+        )
+        self.left, self.right = left, right
+        self.join_keys = list(join_keys)

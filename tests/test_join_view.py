@@ -279,10 +279,10 @@ def test_join_view_crash_after_merge_never_double_applies(
     left.append(spark.createDataFrame([(1, 7, 2)], FACT_SCHEMA))
 
     from incremental_etl_on_lakehouse_spark.operators.join_view import (
-        _PairCheckpoint,
+        _VectorCheckpoint,
     )
 
-    real_write = _PairCheckpoint.write
+    real_write = _VectorCheckpoint.write
     calls = {"n": 0}
 
     def failing_finalize(self, d):
@@ -291,7 +291,7 @@ def test_join_view_crash_after_merge_never_double_applies(
             raise RuntimeError("crash before finalize")
         real_write(self, d)
 
-    monkeypatch.setattr(_PairCheckpoint, "write", failing_finalize)
+    monkeypatch.setattr(_VectorCheckpoint, "write", failing_finalize)
     with pytest.raises(RuntimeError, match="crash before finalize"):
         view.refresh()
     monkeypatch.undo()
@@ -367,3 +367,178 @@ def test_join_view_refuses_retention_cleaned_feed(spark, tmp_path):
         _pytest.skip("log cleanup kept everything on this layout")
     with pytest.raises(ValueError, match="log retention"):
         view.refresh()
+
+
+# --------------------------------------------------- N-table chain views
+
+
+CHAIN_DIM2 = StructType(
+    [
+        StructField("d", LongType()),
+        StructField("region", StringType()),
+    ]
+)
+CHAIN_FACT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("d", LongType()),
+        StructField("v", LongType()),
+        StructField("rid", LongType()),
+    ]
+)
+
+
+def _chain_expected(fact, dim1, dim2):
+    joined = (
+        fact.to_df()
+        .join(dim1.to_df(), on=["k"], how="inner")
+        .join(dim2.to_df(), on=["d"], how="inner")
+    )
+    rows = (
+        joined.groupBy("seg", "region")
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    return {(r["seg"], r["region"]): (r["total"], r["n"]) for r in rows}
+
+
+def test_chain_join_view_three_tables(spark, tmp_path):
+    """fact ⋈ dim1 (on k) ⋈ dim2 (on d), maintained from all THREE
+    change feeds; equals the batch recompute after every refresh —
+    including a refresh where all three advanced at once."""
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalChainJoinView,
+    )
+
+    fact = _mk(spark, tmp_path, "fact", CHAIN_FACT)
+    dim1 = _mk(spark, tmp_path, "dim1", DIM_SCHEMA)
+    dim2 = _mk(spark, tmp_path, "dim2", CHAIN_DIM2)
+    view = IncrementalChainJoinView(
+        [fact, dim1, dim2],
+        [[], ["k"], ["d"]],
+        str(tmp_path / "view"),
+        group_cols=["seg", "region"],
+        aggs={"total": ("sum", "v"), "n": ("count", "*")},
+    )
+
+    def got():
+        return {
+            (r["seg"], r["region"]): (r["total"], r["n"])
+            for r in view.to_df().collect()
+        }
+
+    fact.append(
+        spark.createDataFrame(
+            [(1, 10, 5, 1), (2, 10, 7, 2), (1, 20, 1, 3)], CHAIN_FACT
+        )
+    )
+    assert view.refresh() == 1
+    assert got() == {}  # dims empty
+    dim1.append(spark.createDataFrame([(1, "a"), (2, "b")], DIM_SCHEMA))
+    dim2.append(spark.createDataFrame([(10, "eu"), (20, "us")], CHAIN_DIM2))
+    assert view.refresh() == 2
+    assert got() == _chain_expected(fact, dim1, dim2)
+    assert got()[("a", "eu")] == (5, 1)
+    # all three feeds advance before ONE refresh (every cross term)
+    fact.append(spark.createDataFrame([(3, 20, 100, 4)], CHAIN_FACT))
+    dim1.append(spark.createDataFrame([(3, "a")], DIM_SCHEMA))
+    dim2.delete("d = 10")
+    assert view.refresh() == 3
+    assert got() == _chain_expected(fact, dim1, dim2)
+    # dim1 group move propagates through the chain
+    dim1.merge(
+        spark.createDataFrame([(1, "b")], DIM_SCHEMA),
+        "source.k = target.k",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    view.refresh()
+    assert got() == _chain_expected(fact, dim1, dim2)
+    # no-op refresh
+    assert view.refresh() == 0
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_chain_join_view_differential_fuzz(spark, tmp_path, seed):
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalChainJoinView,
+    )
+
+    rng = random.Random(12_900 + seed)
+    fact = _mk(spark, tmp_path, "fact", CHAIN_FACT)
+    dim1 = _mk(spark, tmp_path, "dim1", DIM_SCHEMA)
+    dim2 = _mk(spark, tmp_path, "dim2", CHAIN_DIM2)
+    view = IncrementalChainJoinView(
+        [fact, dim1, dim2],
+        [[], ["k"], ["d"]],
+        str(tmp_path / "view"),
+        group_cols=["seg", "region"],
+        aggs={"total": ("sum", "v"), "n": ("count", "*")},
+    )
+    rid = [0]
+    for step in range(6):
+        if rng.random() < 0.8:
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                rid[0] += 1
+                rows.append(
+                    (rng.randint(0, 4), rng.choice([10, 20, 30]),
+                     rng.randint(-5, 9), rid[0])
+                )
+            fact.append(spark.createDataFrame(rows, CHAIN_FACT))
+        if rng.random() < 0.6:
+            ups = [
+                (k, rng.choice(["a", "b", None]))
+                for k in rng.sample(range(5), rng.randint(1, 2))
+            ]
+            dim1.merge(
+                spark.createDataFrame(ups, DIM_SCHEMA),
+                "source.k = target.k",
+                [
+                    MergeClause("update", None, "*"),
+                    MergeClause("insert", None, "*"),
+                ],
+            )
+        if rng.random() < 0.5:
+            ups = [
+                (d, rng.choice(["eu", "us"]))
+                for d in rng.sample([10, 20, 30], rng.randint(1, 2))
+            ]
+            dim2.merge(
+                spark.createDataFrame(ups, CHAIN_DIM2),
+                "source.d = target.d",
+                [
+                    MergeClause("update", None, "*"),
+                    MergeClause("insert", None, "*"),
+                ],
+            )
+        view.refresh()
+        got = {
+            (r["seg"], r["region"]): (r["total"], r["n"])
+            for r in view.to_df().collect()
+        }
+        assert got == _chain_expected(fact, dim1, dim2), (seed, step)
+
+
+def test_chain_join_view_rejections(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalChainJoinView,
+    )
+
+    fact = _mk(spark, tmp_path, "fact", CHAIN_FACT)
+    dim1 = _mk(spark, tmp_path, "dim1", DIM_SCHEMA)
+    dim2 = _mk(spark, tmp_path, "dim2", CHAIN_DIM2)
+    with pytest.raises(ValueError, match="edges must align"):
+        IncrementalChainJoinView(
+            [fact, dim1], [["k"], ["k"]], str(tmp_path / "v1"),
+            ["seg"], {"n": ("count", "*")},
+        )
+    with pytest.raises(ValueError, match="at least two tables"):
+        IncrementalChainJoinView(
+            [fact], [[]], str(tmp_path / "v2"), ["k"], {"n": ("count", "*")},
+        )
+    # an edge key the prefix does not provide
+    with pytest.raises(ValueError, match="join key"):
+        IncrementalChainJoinView(
+            [dim2, dim1], [[], ["k"]], str(tmp_path / "v3"),
+            ["region"], {"n": ("count", "*")},
+        )

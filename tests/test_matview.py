@@ -8,6 +8,7 @@ persist across catalog instances."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from incremental_etl_on_lakehouse_spark.lake import LakeTable
@@ -287,3 +288,50 @@ def test_single_table_mv_refresh_exactly_once_on_crash(
     cat.refresh_materialized_view("db1", "mv")  # replay: guard no-ops
     got = {r["grp"]: r["total"] for r in cat.read_matview("db1", "mv").collect()}
     assert got["a"] == 130  # 10 + 20 + 100, never 230
+
+
+def test_chain_matview_three_tables(cat, spark):
+    """A 3-table join chain through the SQL MV grammar maintains via
+    IncrementalChainJoinView from all three change feeds."""
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], DIM))
+    reg_schema = StructType(
+        [StructField("seg", StringType()), StructField("region", StringType())]
+    )
+    reg = cat.create_table(
+        "db1", "reg", reg_schema,
+        properties={"enableChangeDataFeed": "true"},
+    )
+    reg.append(spark.createDataFrame([("x", "eu"), ("y", "us")], reg_schema))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.cmv3 AS"
+        " SELECT region, sum(v) AS total, count(*) AS n"
+        " FROM db1.fact JOIN db1.dim USING (k) JOIN db1.reg USING (seg)"
+        " GROUP BY region"
+    )
+    got = {
+        r["region"]: (r["total"], r["n"])
+        for r in cat.sql("SELECT region, total, n FROM db1.cmv3").collect()
+    }
+    assert got == {"eu": (15, 2), "us": (20, 1)}
+    # all three feeds advance; one REFRESH folds everything
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(2, "a", 50)], FACT)
+    )
+    dim.delete("k = 3")
+    reg.append(spark.createDataFrame([("z", "apac")], reg_schema))
+    cat.sql("REFRESH MATERIALIZED VIEW db1.cmv3")
+    want = {
+        r["region"]: (r["t"], r["n"])
+        for r in cat.table("db1", "fact").to_df()
+        .join(dim.to_df(), on=["k"])
+        .join(reg.to_df(), on=["seg"])
+        .groupBy("region")
+        .agg(F.sum("v").alias("t"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["region"]: (r["total"], r["n"])
+        for r in cat.read_matview("db1", "cmv3").collect()
+    }
+    assert got == want
