@@ -147,6 +147,7 @@ def main() -> None:
         qmod._CDC_GOLD_CACHE.clear()
         qmod._CDC_MINMAX_CACHE.clear()
         qmod._CDC_TOPK_CACHE.clear()
+        qmod._JOIN_VIEW_CACHE.clear()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

@@ -37,6 +37,7 @@ from incremental_etl_on_lakehouse_spark.queries import _s7_extras  # noqa: F401,
 from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa: E402
     _CDC_MINMAX_CACHE,
     _CDC_TOPK_CACHE,
+    _JOIN_VIEW_CACHE,
 )
 
 # ---------------------------------------------------------------------------
