@@ -49,17 +49,29 @@ from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
 def lex_greater_sql(cols: list[str]) -> str:
     """``source.(cols) > target.(cols)`` lexicographically, as merge-clause SQL.
 
-    For ``[a, b]``: ``(source.a > target.a OR (source.a = target.a AND
+    For ``[a, b]``: ``(source.a > target.a OR (source.a <=> target.a AND
     source.b > target.b))``. Strict on the final column, so an exactly-equal
     tuple (identical redelivery) never fires a matched clause.
+
+    NULL-safe with NULL ordered smallest (matching ``dedup_latest``'s
+    ``desc_nulls_last`` and Spark's default NULLS FIRST ascending sort):
+    the equality chain uses ``<=>`` and a non-NULL source beats a NULL
+    target. A plain ``=``/``>`` chain evaluates to NULL whenever a guard
+    column is NULL on either side, which makes the matched clauses
+    unfireable — one unparseable ordering timestamp would otherwise freeze
+    the key's snapshot row forever even though the tiebreak column (ingest
+    time / commit version) still orders the changes correctly.
     """
     assert cols
     terms = []
     for i, c in enumerate(cols):
         eqs = " AND ".join(
-            f"source.`{p}` = target.`{p}`" for p in cols[:i]
+            f"source.`{p}` <=> target.`{p}`" for p in cols[:i]
         )
-        gt = f"source.`{c}` > target.`{c}`"
+        gt = (
+            f"(source.`{c}` > target.`{c}` OR "
+            f"(target.`{c}` IS NULL AND source.`{c}` IS NOT NULL))"
+        )
         terms.append(f"({eqs} AND {gt})" if eqs else gt)
     return "(" + " OR ".join(terms) + ")"
 
@@ -233,7 +245,7 @@ def merge_cdc_batch_tombstone(
     clauses = [
         MergeClause(
             "update",
-            f"source.`{order_guard_col}` > target.`{order_guard_col}`",
+            lex_greater_sql([order_guard_col]),
             assignments,
         ),
         MergeClause("insert", None, insert_assignments),

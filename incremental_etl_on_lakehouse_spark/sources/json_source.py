@@ -32,7 +32,14 @@ from pyspark.sql.types import StructType
 # (notebooks/demo-notebook.py:146 fixtures) and ISO-8601 'T' — the spelling
 # most CDC emitters/log shippers produce. Before round 9 the 'T' form was
 # rejected and whole NDJSON batches landed in quarantine instead of Bronze.
-CDC_TIMESTAMP_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSS][XXX]"
+# The fraction ladder matters: the reference's own sample data carries
+# MICROSECOND cdc_timestamps (data/db_cdc_log_demo_sample.json:10
+# "21:32:22.987432"); a bare [.SSS] nulls those out on ingest, and a NULL
+# ordering column silently blocks every later UPDATE to the key at the
+# Silver merge's order guard. The [.SSSSSSSSS]/[.SSSSSS]/[.SSS] chain
+# parses 1-9 fractional digits (each S-run is a variable-length
+# appendFraction under Spark's Iso8601TimestampFormatter).
+CDC_TIMESTAMP_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX]"
 
 
 def read_json_batch(

@@ -283,10 +283,11 @@ def test_equal_timestamp_change_across_batches_applies(pipeline):
 def test_lex_greater_sql_shapes():
     from incremental_etl_on_lakehouse_spark.operators.cdc import lex_greater_sql
 
-    assert lex_greater_sql(["a"]) == "(source.`a` > target.`a`)"
+    gt_a = "(source.`a` > target.`a` OR (target.`a` IS NULL AND source.`a` IS NOT NULL))"
+    gt_b = "(source.`b` > target.`b` OR (target.`b` IS NULL AND source.`b` IS NOT NULL))"
+    assert lex_greater_sql(["a"]) == f"({gt_a})"
     assert lex_greater_sql(["a", "b"]) == (
-        "(source.`a` > target.`a` OR "
-        "(source.`a` = target.`a` AND source.`b` > target.`b`))"
+        f"({gt_a} OR (source.`a` <=> target.`a` AND {gt_b}))"
     )
 
 
