@@ -59,21 +59,28 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-12 ROTATION (see ROTATION.md): (a) the three NEW keys —
-    # the incrementally-maintained JOIN view, persistent catalog
-    # views, and the baseline-JPEG real codec; (b) keys on engine
+    # ROUND-12 ROTATION (see ROTATION.md): (a) the NEW keys — the
+    # incrementally-maintained JOIN view, persistent catalog views,
+    # the baseline-JPEG real codec, SQL matviews, and the two
+    # ingest/merge-hardening keys (microsecond-fraction JSON
+    # timestamps; NULL-safe merge order guards); (b) keys on engine
     # code paths changed this round (mode tiebreak rework, append-
     # mode byte pacing, VACUUM clause grammar, metastore checkpoint
     # orphan pruning + the view namespace guards, merge_agg_deltas
-    # txn signature, image-decoder JPEG routing); (c) the r1-stale
+    # txn signature, image-decoder JPEG routing, and — late round 12
+    # — the NULL-safe lex_greater_sql guard under merge_cdc_upsert /
+    # the tombstone merge under stream_late_data); (c) the r1-stale
     # headliners (never re-swept since round 1); (d) the r4-green
-    # refresh tail per the round-12 handoff; (e) the r6-green
-    # lake-feature head (next-oldest driver rows).
+    # refresh tail per the round-12 handoff (agg_rollup,
+    # agg_grouping_sets, agg_percentile, agg_filtered yield their
+    # slots to the late additions and head the round-13 queue);
+    # (e) the r6-green lake-feature head (next-oldest driver rows).
     "view_incremental_join", "ddl_create_view", "ext_multimodal_jpeg",
-    "ddl_create_matview",
+    "ddl_create_matview", "src_json_micro_ts", "merge_cdc_null_order",
     "agg_incremental_mode", "stream_paced_bytes", "util_vacuum",
     "util_vacuum_lite", "ddl_catalog_metastore", "ddl_catalog_3level",
-    "agg_incremental_view", "ext_multimodal_decode", "q1_pricing_summary",
+    "agg_incremental_view", "ext_multimodal_decode", "merge_cdc_upsert",
+    "stream_late_data", "q1_pricing_summary",
     "q_top_customers", "q_events_enriched", "ext_dedup_fuzzy",
     "ext_dedup_simhash", "ext_sim_lsh", "agg_minmax_by",
     "agg_collect_list", "setop_union", "setop_intersect", "setop_except",
@@ -81,8 +88,7 @@ _PRIORITY_KEYS = [
     "src_csv_batch", "ext_ngram_topk", "ext_embedding_cosine",
     "ext_udf_vectorized", "join_asof_forward", "ddl_partitioned_table",
     "util_history", "ext_line_dedup", "ext_pii_redact",
-    "ext_decontaminate", "stream_dedup_watermark", "agg_rollup",
-    "agg_grouping_sets", "agg_percentile", "agg_filtered",
+    "ext_decontaminate", "stream_dedup_watermark",
     "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
     "ddl_rename_column", "util_bloom_skipping", "ddl_generated_columns",
     "ddl_identity_columns", "merge_schema_evolution",
@@ -94,11 +100,12 @@ _SECOND_PRIORITY = [
     # queue order: every key here has at least one driver-green row
     # (ROTATION.md keeps the per-round history) and stays locally
     # hash-verified every run by tests/test_oracle_parity.py.
-    "util_analyze_stats",
+    "util_analyze_stats", "agg_rollup", "agg_grouping_sets",
+    "agg_percentile", "agg_filtered",
     "win_range_interval", "win_range_rolling_ms", "agg_incremental_median",
     "ddl_create_like", "ext_bpe_train", "ext_bpe_encode",
     "ext_multimodal_audio", "src_json_stream", "src_json_auto",
-    "stream_trigger_paced", "stream_checkpoint", "merge_cdc_upsert",
+    "stream_trigger_paced", "stream_checkpoint",
     "ddl_create_table", "ddl_drop", "ddl_replace_table",
     "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters",
     "ext_sample_hash", "ext_sample_stratified", "q2_min_cost_supplier",
@@ -118,7 +125,7 @@ _SECOND_PRIORITY = [
     "merge_scd2", "q3_shipping_priority", "snk_delta_append", "snk_merge",
     "snk_merge_sql", "sort_multi_key", "src_cdf_batch", "src_cdf_stream",
     "src_time_travel", "src_time_travel_ts", "stream_exactly_once",
-    "stream_foreachbatch", "stream_late_data", "stream_scd2",
+    "stream_foreachbatch", "stream_scd2",
     "stream_session_window", "stream_sliding_window", "stream_window_agg",
     "win_row_number_dedup", "win_session", "snk_replace_where",
     "snk_dynamic_partition_overwrite", "util_row_tracking",

@@ -1110,3 +1110,118 @@ def ext_bpe_encode(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     return bpe_encode(words, _BPE_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 ingest/merge hardening keys (driver attestation of the
+# microsecond-timestamp + NULL-safe-order-guard fixes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_json_micro_ts",
+    "SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS ts_us FROM events",
+)
+def src_json_micro_ts(spark, sf_dir):
+    """JSON ingest of MICROSECOND-fraction timestamps — the spelling the
+    reference's own landing data uses (data/db_cdc_log_demo_sample.json:10,
+    "2023-01-08 21:32:22.987432"). Round-trips events.ts through a JSON
+    landing zone and back through read_json_batch's CDC timestampFormat;
+    the oracle compares exact epoch-micros against the parquet source, so
+    any fraction-ladder regression (a [.SSS]-only format nulls 6-digit
+    fractions) breaks the hash, not just a unit test.
+
+    Scale: a narrow schema-applied JSON scan — no shuffle; the format
+    ladder is per-record CPU inside the JacksonParser, identical cost to
+    any other explicit timestampFormat."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    out = os.path.join(_tmpdir(), "micro_landing")
+    ev.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    df = read_json_batch(spark, out, schema, multiline=False)
+    return df.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@query(
+    "merge_cdc_null_order",
+    "WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,"
+    " CAST(c_acctbal AS DECIMAL(12,2)) AS val FROM customer)"
+    " SELECT id, CAST(CASE WHEN id % 3 = 0 THEN val + 100"
+    " WHEN id % 3 = 1 THEN val + 500 ELSE val END AS DECIMAL(12,2)) AS val"
+    " FROM base WHERE id % 9 <> 2",
+)
+def merge_cdc_null_order(spark, sf_dir):
+    """CDC MERGE whose ordering column is NULL for most records — the state
+    an unparseable upstream event-time leaves behind. The NULL-safe
+    lexicographic order guard (operators/cdc.py lex_greater_sql) must fall
+    through to the ingest-sequence tiebreak instead of evaluating to NULL
+    and freezing the snapshot:
+
+    - batch2 UPDATE (order NULL -> NULL, seq 2 > 1): applies via tiebreak;
+    - batch3 UPDATE (order non-NULL vs NULL target, OLDER seq): applies —
+      a known event-time beats an unknown one (NULL ordered smallest);
+    - batch4 DELETE (order NULL, seq 2): fires the guarded DELETE clause.
+
+    Scale: same single hash-guarded MERGE shape as merge_cdc_upsert; the
+    guard is clause SQL, zero extra exchanges."""
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_acctbal").cast(DEC).alias("val"),
+    )
+
+    def cdc(df, op, seq, order_ts):
+        return df.select(
+            "id",
+            "val",
+            F.lit(order_ts).cast("timestamp").alias("order_ts"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("cdc_operation"),
+            F.md5(F.concat_ws("|", "id", "val")).alias("data_hash"),
+        )
+
+    b1 = cdc(c, "INSERT", 1, None)
+    tbl = LakeTable.create(
+        spark, os.path.join(_tmpdir(), "null_order"), b1.schema
+    )
+    batches = [
+        b1,
+        cdc(
+            c.where(F.col("id") % 3 == 0).withColumn(
+                "val", (F.col("val") + 100).cast(DEC)
+            ),
+            "UPDATE",
+            2,
+            None,
+        ),
+        cdc(
+            c.where(F.col("id") % 3 == 1).withColumn(
+                "val", (F.col("val") + 500).cast(DEC)
+            ),
+            "UPDATE",
+            1,
+            "2023-01-01 00:00:00",
+        ),
+        cdc(c.where(F.col("id") % 9 == 2), "DELETE", 2, None),
+    ]
+    for b in batches:
+        merge_cdc_batch(
+            tbl,
+            b,
+            key_cols=["id"],
+            order_cols=["order_ts"],
+            tiebreak_cols=["seq"],
+            order_guard_cols=["order_ts", "seq"],
+        )
+    return tbl.to_df().select("id", "val")
