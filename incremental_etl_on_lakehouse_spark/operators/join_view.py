@@ -23,11 +23,17 @@ provides natively). Each term is O(changed rows) on the delta side:
 - the joins themselves broadcast the micro-batch-sized delta-anchored
   side at runtime (AQE) against the snapshot scans.
 
-The maintained aggregate state is the SUBTRACTABLE family (SUM /
-COUNT(*) / AVG): signed join deltas merge into one additive gold table
-(``merge_agg_deltas``) with the same NULL semantics as
-``IncrementalAggView``. Non-subtractable aggregates over a join
-(MIN/MAX/quantiles) would need per-group join-result state; they are
+The maintained aggregate state covers the SUBTRACTABLE family (SUM /
+COUNT(*) / COUNT(col) / AVG — signed join deltas merge into one additive
+gold table with the same NULL semantics as ``IncrementalAggView``) AND
+the non-subtractable MIN/MAX, maintained with the same split as the
+single-table ``incremental_minmax_update``: additions tighten the stored
+extremes monotonically; removals that touch a stored extremum trigger a
+recompute of exactly those groups from the touched groups' join at the
+pinned new versions (group-owning tables pre-filtered by a broadcast
+semi-join, so the recompute is O(rows joining into touched groups)).
+Both families fold into ONE maintenance merge per refresh. Quantiles
+over a join would need full per-group join-result state; they are
 rejected at construction.
 
 Refresh is EXACTLY-ONCE across crashes: the checkpoint records a
@@ -51,7 +57,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, _json_safe
+from incremental_etl_on_lakehouse_spark.lake.table import (
+    LakeTable,
+    MergeClause,
+    _json_safe,
+)
 from incremental_etl_on_lakehouse_spark.operators.cdc import (
     merge_agg_deltas,
     signed_agg_deltas,
@@ -143,6 +153,8 @@ class IncrementalChainJoinView:
         edge_keys = {k for e in self.edges for k in e}
         self._sum_cols: dict[str, str] = {}
         self._avg_specs: dict[str, str] = {}
+        self._mm_specs: dict[str, tuple[str, str]] = {}  # name -> (kind, col)
+        self._nn_counts: dict[str, str] = {}  # name -> col for count(col)
         used_cols = list(self.group_cols)
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
@@ -153,13 +165,16 @@ class IncrementalChainJoinView:
                 used_cols.append(col)
             elif kind == "count":
                 if col != "*":
-                    raise ValueError("count supports '*' only")
+                    self._nn_counts[name] = col
+                    used_cols.append(col)
+            elif kind in ("min", "max"):
+                self._mm_specs[name] = (kind, col)
+                used_cols.append(col)
             else:
                 raise ValueError(
-                    f"unsupported join-view aggregate kind: {kind!r} (the "
-                    "subtractable family sum/count/avg only — MIN/MAX/"
-                    "quantiles over a join need per-group join-result "
-                    "state)"
+                    f"unsupported join-view aggregate kind: {kind!r} "
+                    "(sum/count/count(col)/avg/min/max — quantiles over a "
+                    "join need full per-group join-result state)"
                 )
         # every needed column resolves: edge keys may live on many tables
         # (the chain equates them); anything else on exactly one
@@ -212,6 +227,19 @@ class IncrementalChainJoinView:
             src = h[len("__sum_"):]
             fields.append(StructField(h, widen_sum_type(joined_types[src])))
             fields.append(StructField(f"__nn_{src}", LongType()))
+        # count(col) needs the signed non-null count even when no sum/avg
+        # maintains it
+        sum_srcs = {h[len("__sum_"):] for h in self._hidden_sums}
+        for c in sorted(set(self._nn_counts.values()) - sum_srcs):
+            fields.append(StructField(f"__nn_{c}", LongType()))
+        # MIN/MAX state: the current per-group extremes of the JOINED
+        # relation (maintained monotonically on inserts, recomputed from
+        # the touched groups' join on extremum-touching removals)
+        self._mm_cols = sorted({c for _, c in self._mm_specs.values()})
+        self._mm_types = {c: joined_types[c] for c in self._mm_cols}
+        for c in self._mm_cols:
+            fields.append(StructField(f"__min_{c}", joined_types[c]))
+            fields.append(StructField(f"__max_{c}", joined_types[c]))
         self.add_table = LakeTable.create(
             spark,
             os.path.join(root, "additive"),
@@ -321,6 +349,240 @@ class IncrementalChainJoinView:
             )
         return rel
 
+    def _ns_join(
+        self, left: DataFrame, right: DataFrame, cols: list[str], how: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """Null-safe join of two per-group frames on ``cols`` (a NULL group
+        key is a legal GROUP BY group; plain ``=`` would never match its
+        state). Returns (joined, renamed_right) so the caller can address
+        the right side's columns unambiguously."""
+        ren = {c: f"__r_{c}" for c in cols}
+        r = right.withColumnsRenamed(ren)
+        cond = None
+        for c in cols:
+            e = left[c].eqNullSafe(r[f"__r_{c}"])
+            cond = e if cond is None else cond & e
+        return left.join(r, cond, how), r
+
+    def _groups_join_snapshot(
+        self, groups: DataFrame, v_new: list[int]
+    ) -> DataFrame:
+        """The chain join at the NEW version vector, restricted to the
+        given groups: every table that provides a group column is
+        pre-filtered with a null-safe BROADCAST semi-join before the
+        chain joins, so the recompute scans only rows that can reach the
+        touched groups (with the group column in ``statsColumns`` /
+        partitioning the semi-joined scan also file-prunes). The other
+        tables enter through the inner join, which bounds them by the
+        filtered side — O(rows joining into touched groups), never
+        O(table)."""
+        rel: DataFrame | None = None
+        for j in range(len(self.tables)):
+            part = self._snapshot(j, v_new[j])
+            own = [c for c in self.group_cols if c in self._projs[j]]
+            if own:
+                ren = groups.select(
+                    *[F.col(c).alias(f"__g_{c}") for c in own]
+                ).distinct()
+                cond = None
+                for c in own:
+                    e = part[c].eqNullSafe(ren[f"__g_{c}"])
+                    cond = e if cond is None else cond & e
+                part = part.join(F.broadcast(ren), cond, "left_semi")
+            rel = part if rel is None else rel.join(
+                part, on=self.edges[j], how="inner"
+            )
+        return rel
+
+    def _minmax_source(
+        self, joined: DataFrame, v_new: list[int]
+    ) -> tuple[DataFrame, list[DataFrame]]:
+        """Per-group MIN/MAX updates from the signed join delta, split the
+        same way as the single-table ``incremental_minmax_update``:
+
+        - additions tighten extremes monotonically (least/greatest with
+          the stored state — never a scan);
+        - removals recompute ONLY the groups whose removed values touch
+          the stored extremes, from the touched groups' join at the
+          pinned NEW versions (``_groups_join_snapshot``). Removals
+          strictly inside the open interval are provably no-ops.
+
+        Returns (source, persisted-frames-to-release): group cols +
+        ``__mm_set`` marker + the new ``__min_*``/``__max_*`` values for
+        every group whose extremes change."""
+        g = self.group_cols
+        add_aggs, rem_aggs = [], []
+        for c in self._mm_cols:
+            add_aggs += [
+                F.min(c).alias(f"__inc_min_{c}"),
+                F.max(c).alias(f"__inc_max_{c}"),
+            ]
+            rem_aggs += [
+                F.min(c).alias(f"__dec_min_{c}"),
+                F.max(c).alias(f"__dec_max_{c}"),
+            ]
+        adds = joined.where(F.col("__s") == 1).groupBy(*g).agg(*add_aggs)
+        rems = joined.where(F.col("__s") == -1).groupBy(*g).agg(*rem_aggs)
+        ar_j, rems_r = self._ns_join(adds, rems, g, "full_outer")
+        ar = ar_j.select(
+            *[
+                F.coalesce(adds[c], rems_r[f"__r_{c}"]).alias(c)
+                for c in g
+            ],
+            *[ar_j[c] for c in ar_j.columns if c.startswith("__inc_")],
+            *[ar_j[c] for c in ar_j.columns if c.startswith("__dec_")],
+        )
+        cur = self.add_table.to_df().select(
+            *g,
+            *[
+                f
+                for c in self._mm_cols
+                for f in (
+                    F.col(f"__min_{c}").alias(f"__cur_min_{c}"),
+                    F.col(f"__max_{c}").alias(f"__cur_max_{c}"),
+                )
+            ],
+            F.lit(1).alias("__in_state"),
+        )
+        st_j, cur_r = self._ns_join(ar, cur, g, "left")
+        st = st_j.drop(*[f"__r_{c}" for c in g]).persist()
+        touch = F.lit(False)
+        grow = F.lit(False)
+        for c in self._mm_cols:
+            missing = (
+                F.col("__in_state").isNull()
+                | F.col(f"__cur_min_{c}").isNull()
+            )
+            touch = touch | (
+                F.col(f"__dec_min_{c}").isNotNull()
+                & (
+                    missing
+                    | (F.col(f"__dec_min_{c}") <= F.col(f"__cur_min_{c}"))
+                    | (F.col(f"__dec_max_{c}") >= F.col(f"__cur_max_{c}"))
+                )
+            )
+            grow = grow | (
+                F.col(f"__inc_min_{c}").isNotNull()
+                & (
+                    missing
+                    | (F.col(f"__inc_min_{c}") < F.col(f"__cur_min_{c}"))
+                    | (F.col(f"__inc_max_{c}") > F.col(f"__cur_max_{c}"))
+                )
+            )
+        touch = F.coalesce(touch, F.lit(False))
+        grow = F.coalesce(grow, F.lit(False))
+        recompute_groups = st.where(touch).select(*g)
+        mono = st.where(~touch & grow).select(
+            *g,
+            *[
+                f
+                for c in self._mm_cols
+                for f in (
+                    F.least(f"__inc_min_{c}", f"__cur_min_{c}").alias(
+                        f"__min_{c}"
+                    ),
+                    F.greatest(f"__inc_max_{c}", f"__cur_max_{c}").alias(
+                        f"__max_{c}"
+                    ),
+                )
+            ],
+        )
+        # gate the join-recompute branch on an actual extremum-touching
+        # removal: the probe runs over micro-batch-scale aggregates only
+        if recompute_groups.isEmpty():
+            source = mono
+        else:
+            base = self._groups_join_snapshot(recompute_groups, v_new)
+            recomputed = base.groupBy(*g).agg(
+                *[
+                    f
+                    for c in self._mm_cols
+                    for f in (
+                        F.min(c).alias(f"__min_{c}"),
+                        F.max(c).alias(f"__max_{c}"),
+                    )
+                ]
+            )
+            van_j, _ = self._ns_join(
+                recompute_groups, recomputed, g, "left_anti"
+            )
+            vanished = van_j.select(
+                *g,
+                *[
+                    f
+                    for c in self._mm_cols
+                    for f in (
+                        F.lit(None)
+                        .cast(self._mm_types[c])
+                        .alias(f"__min_{c}"),
+                        F.lit(None)
+                        .cast(self._mm_types[c])
+                        .alias(f"__max_{c}"),
+                    )
+                ],
+            )
+            source = recomputed.unionByName(vanished).unionByName(mono)
+        return source.withColumn("__mm_set", F.lit(1)), [st]
+
+    def _merge_maintenance(
+        self,
+        agg_deltas: DataFrame,
+        delta_cols: list[str],
+        mm_bundle: tuple[DataFrame, list[DataFrame]],
+        txn_version: int,
+    ) -> None:
+        """ONE maintenance merge combining the additive deltas with the
+        MIN/MAX updates (null-safe FULL OUTER per group: a batch can move
+        a group's extremes while its additive deltas cancel exactly —
+        delete 10 / insert 4 / delete 2 / insert 8 nets zero rows and
+        zero sum but moves the min). A single merge keeps the refresh one
+        commit and the write-ahead-intent + txn-guard exactly-once story
+        unchanged."""
+        mm_source, to_release = mm_bundle
+        g = self.group_cols
+        src_j, mm_r = self._ns_join(agg_deltas, mm_source, g, "full_outer")
+        src = src_j.select(
+            *[
+                F.coalesce(agg_deltas[c], mm_r[f"__r_{c}"]).alias(c)
+                for c in g
+            ],
+            *[agg_deltas[f"d_{c}"] for c in delta_cols],
+            *[
+                mm_r[f"__{k}_{c}"]
+                for c in self._mm_cols
+                for k in ("min", "max")
+            ],
+            mm_r["__mm_set"],
+        )
+        cond = " AND ".join(f"source.`{k}` <=> target.`{k}`" for k in g)
+        assignments = {
+            c: f"target.`{c}` + coalesce(source.`d_{c}`, 0)"
+            for c in delta_cols
+        }
+        insert_assignments = {k: f"source.`{k}`" for k in g}
+        insert_assignments.update(
+            {c: f"coalesce(source.`d_{c}`, 0)" for c in delta_cols}
+        )
+        for c in self._mm_cols:
+            for k in ("min", "max"):
+                assignments[f"__{k}_{c}"] = (
+                    f"CASE WHEN source.`__mm_set` = 1 THEN "
+                    f"source.`__{k}_{c}` ELSE target.`__{k}_{c}` END"
+                )
+                insert_assignments[f"__{k}_{c}"] = f"source.`__{k}_{c}`"
+        self.add_table.merge(
+            src,
+            cond,
+            [
+                MergeClause("update", None, assignments),
+                MergeClause("insert", None, insert_assignments),
+            ],
+            txn_app_id=self._txn_app_id,
+            txn_version=txn_version,
+        )
+        for fr in to_release:
+            fr.unpersist()
+
     # ------------------------------------------------------------ interface
 
     def refresh(self) -> int:
@@ -370,19 +632,31 @@ class IncrementalChainJoinView:
         joined = terms[0]
         for t in terms[1:]:
             joined = joined.unionByName(t)
+        if self._mm_cols:
+            # the signed join delta feeds BOTH the additive aggregation and
+            # the min/max adds/rems probes — evaluate it once
+            joined = joined.persist()
 
         sum_srcs = [h[len("__sum_"):] for h in self._hidden_sums]
+        nn_srcs = sorted(set(sum_srcs) | set(self._nn_counts.values()))
         agg_deltas, delta_cols = signed_agg_deltas(
-            joined, self.group_cols, sum_cols=sum_srcs, nn_cols=sum_srcs
+            joined, self.group_cols, sum_cols=sum_srcs, nn_cols=nn_srcs
         )
-        merge_agg_deltas(
-            self.add_table,
-            agg_deltas,
-            group_cols=self.group_cols,
-            agg_cols={c: f"d_{c}" for c in delta_cols},
-            txn_app_id=self._txn_app_id,
-            txn_version=ck["epoch"] + 1,
-        )
+        if self._mm_cols:
+            mm_source = self._minmax_source(joined, v_new)
+            self._merge_maintenance(
+                agg_deltas, delta_cols, mm_source, ck["epoch"] + 1
+            )
+            joined.unpersist()
+        else:
+            merge_agg_deltas(
+                self.add_table,
+                agg_deltas,
+                group_cols=self.group_cols,
+                agg_cols={c: f"d_{c}" for c in delta_cols},
+                txn_app_id=self._txn_app_id,
+                txn_version=ck["epoch"] + 1,
+            )
         for d in deltas:
             if d is not None:
                 d.unpersist()
@@ -405,8 +679,12 @@ class IncrementalChainJoinView:
                         F.col(f"__nn_{col}") > 0, F.col(self._sum_cols[name])
                     ).alias(name)
                 )
-            elif kind == "count":
+            elif kind == "count" and col == "*":
                 sel.append(F.col("__n").alias(name))
+            elif kind == "count":
+                sel.append(F.col(f"__nn_{col}").alias(name))
+            elif kind in ("min", "max"):
+                sel.append(F.col(f"__{kind}_{col}").alias(name))
             else:  # avg
                 nn = f"__nn_{col}"
                 sel.append(

@@ -58,8 +58,16 @@ def _view(spark, tmp_path, left, right):
             "total": ("sum", "v"),
             "n": ("count", "*"),
             "mean": ("avg", "v"),
+            # round-12 additions: the non-subtractable extremes (touched-
+            # group recompute path) + the signed non-null count
+            "mn": ("min", "v"),
+            "mx": ("max", "v"),
+            "nv": ("count", "v"),
         },
     )
+
+
+_TUPLE = ("total", "n", "mean", "mn", "mx", "nv")
 
 
 def _batch_expected(left, right):
@@ -70,17 +78,18 @@ def _batch_expected(left, right):
             F.sum("v").alias("total"),
             F.count("*").alias("n"),
             F.avg("v").alias("mean"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count("v").alias("nv"),
         )
         .collect()
     )
-    return {
-        r["seg"]: (r["total"], r["n"], r["mean"]) for r in rows
-    }
+    return {r["seg"]: tuple(r[c] for c in _TUPLE) for r in rows}
 
 
 def _view_state(view):
     return {
-        r["seg"]: (r["total"], r["n"], r["mean"])
+        r["seg"]: tuple(r[c] for c in _TUPLE)
         for r in view.to_df().collect()
     }
 
@@ -111,7 +120,7 @@ def test_join_view_matches_batch_through_interleaved_feeds(spark, tmp_path):
         [(1, "a"), (2, "b"), (9, "zzz")], DIM_SCHEMA))
     view.refresh()
     _assert_converged(view, left, right, "dims landed")
-    assert _view_state(view)["a"] == (30, 2, 15.0)
+    assert _view_state(view)["a"] == (30, 2, 15.0, 10, 20, 2)
 
     # more facts: ΔA ⋈ B@old
     left.append(spark.createDataFrame([(2, 100, 5), (9, 1, 6)], FACT_SCHEMA))
@@ -157,7 +166,7 @@ def test_join_view_group_disappears_and_returns(spark, tmp_path):
     assert _view_state(view) == {}
     left.append(spark.createDataFrame([(1, 99, 2)], FACT_SCHEMA))
     view.refresh()
-    assert _view_state(view) == {"a": (99, 1, 99.0)}
+    assert _view_state(view) == {"a": (99, 1, 99.0, 99, 99, 1)}
 
 
 def test_join_view_null_semantics(spark, tmp_path):
@@ -174,14 +183,14 @@ def test_join_view_null_semantics(spark, tmp_path):
     view.refresh()
     _assert_converged(view, left, right, "null shapes")
     got = _view_state(view)
-    assert got["nulls"] == (None, 2, None)
+    assert got["nulls"] == (None, 2, None, None, None, 0)
     assert "nokey" not in got  # NULL keys never join
-    assert got[None] == (4, 1, 4.0)  # NULL group key maintained
+    assert got[None] == (4, 1, 4.0, 4, 4, 1)  # NULL group key maintained
     # deleting one NULL-valued row keeps the all-NULL group semantics
     left.delete("rid = 1")
     view.refresh()
     _assert_converged(view, left, right, "null delete")
-    assert _view_state(view)["nulls"] == (None, 1, None)
+    assert _view_state(view)["nulls"] == (None, 1, None, None, None, 0)
 
 
 @pytest.mark.parametrize("seed", range(3))
@@ -252,7 +261,12 @@ def test_join_view_crash_before_merge_recovers(spark, tmp_path, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("crash before merge")
 
-    monkeypatch.setattr(jv, "merge_agg_deltas", boom)
+    # the mm-bearing view routes through _merge_maintenance; patch that
+    # seam (the sum-only path's merge_agg_deltas is covered by the
+    # matview/pipeline crash fuzzers)
+    monkeypatch.setattr(
+        jv.IncrementalChainJoinView, "_merge_maintenance", boom
+    )
     with pytest.raises(RuntimeError, match="crash before merge"):
         view.refresh()
     monkeypatch.undo()
@@ -297,7 +311,7 @@ def test_join_view_crash_after_merge_never_double_applies(
     monkeypatch.undo()
     view.refresh()  # replay: txn guard must no-op the committed merge
     _assert_converged(view, left, right, "post-recovery")
-    assert _view_state(view)["a"] == (17, 2, 8.5)
+    assert _view_state(view)["a"] == (17, 2, 8.5, 7, 10, 2)
 
 
 def test_join_view_rejections(spark, tmp_path):
@@ -311,10 +325,11 @@ def test_join_view_rejections(spark, tmp_path):
             {"n": ("count", "*")},
         )
     fact = _mk(spark, tmp_path, "fact", FACT_SCHEMA)
-    with pytest.raises(ValueError, match="subtractable"):
+    # min/max joined the supported family in round 12; quantiles stay out
+    with pytest.raises(ValueError, match="unsupported join-view aggregate"):
         IncrementalJoinView(
             fact, dim, str(tmp_path / "v2"), ["k"], ["seg"],
-            {"m": ("min", "v")},
+            {"m": ("median", "v")},
         )
     with pytest.raises(ValueError, match="join key"):
         IncrementalJoinView(
@@ -388,18 +403,20 @@ CHAIN_FACT = StructType(
 )
 
 
-def _chain_expected(fact, dim1, dim2):
+def _chain_expected(fact, dim1, dim2, mm=False):
     joined = (
         fact.to_df()
         .join(dim1.to_df(), on=["k"], how="inner")
         .join(dim2.to_df(), on=["d"], how="inner")
     )
-    rows = (
-        joined.groupBy("seg", "region")
-        .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
-        .collect()
-    )
-    return {(r["seg"], r["region"]): (r["total"], r["n"]) for r in rows}
+    aggs = [F.sum("v").alias("total"), F.count("*").alias("n")]
+    if mm:
+        aggs += [F.min("v").alias("mn"), F.max("v").alias("mx")]
+    rows = joined.groupBy("seg", "region").agg(*aggs).collect()
+    cols = ("total", "n", "mn", "mx") if mm else ("total", "n")
+    return {
+        (r["seg"], r["region"]): tuple(r[c] for c in cols) for r in rows
+    }
 
 
 def test_chain_join_view_three_tables(spark, tmp_path):
@@ -472,7 +489,12 @@ def test_chain_join_view_differential_fuzz(spark, tmp_path, seed):
         [[], ["k"], ["d"]],
         str(tmp_path / "view"),
         group_cols=["seg", "region"],
-        aggs={"total": ("sum", "v"), "n": ("count", "*")},
+        aggs={
+            "total": ("sum", "v"),
+            "n": ("count", "*"),
+            "mn": ("min", "v"),
+            "mx": ("max", "v"),
+        },
     )
     rid = [0]
     for step in range(6):
@@ -513,10 +535,13 @@ def test_chain_join_view_differential_fuzz(spark, tmp_path, seed):
             )
         view.refresh()
         got = {
-            (r["seg"], r["region"]): (r["total"], r["n"])
+            (r["seg"], r["region"]): (r["total"], r["n"], r["mn"], r["mx"])
             for r in view.to_df().collect()
         }
-        assert got == _chain_expected(fact, dim1, dim2), (seed, step)
+        assert got == _chain_expected(fact, dim1, dim2, mm=True), (
+            seed,
+            step,
+        )
 
 
 def test_chain_join_view_rejections(spark, tmp_path):
