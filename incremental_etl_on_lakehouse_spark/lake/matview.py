@@ -5,7 +5,8 @@ maintainers — :class:`~..operators.cdc.IncrementalAggView` for
 single-table aggregates (the full algebra: SUM/COUNT/AVG/MIN/MAX/
 COUNT(DISTINCT)/MEDIAN/pNN/MODE) and
 :class:`~..operators.join_view.IncrementalJoinView` for two-table
-equi-join aggregates (the subtractable family). ``REFRESH MATERIALIZED
+equi-join aggregates (sum/count/count(col)/avg plus the round-12
+touched-group-recompute min/max). ``REFRESH MATERIALIZED
 VIEW`` folds the unprocessed change feed(s); reads are SNAPSHOT reads of
 the maintained state (stale until refreshed — standard MV semantics,
 unlike the late-bound plain views).
@@ -20,9 +21,9 @@ Supported SELECT shape (anything else raises with the reason):
 A chain of joins maintains via :class:`IncrementalChainJoinView` — each
 JOIN's keys bind table i to the accumulated prefix by name equality.
 
-Aggregates: count(*), sum(c), avg(c), and — single-table only — count(c)
-(non-null), min(c), max(c), count(distinct c), median(c), mode(c), pNN(c)
-(p90, p75...).
+Aggregates: count(*), count(c) (non-null), sum(c), avg(c), min(c),
+max(c), and — single-table only — count(distinct c), median(c), mode(c),
+pNN(c) (p90, p75...).
 Every aggregate needs an AS alias (the alias is the state column name).
 """
 
@@ -43,7 +44,9 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 
-SINGLE_ONLY = {"min", "max", "count_distinct", "median", "mode"}
+# aggregate kinds only the single-table maintainer supports (quantile-
+# class state over a join would need the full per-group join result)
+SINGLE_ONLY = {"count_distinct", "median", "mode"}
 
 
 def parse_matview_select(sql: str) -> dict:
@@ -137,12 +140,15 @@ def parse_matview_select(sql: str) -> dict:
     if not aggs:
         raise ValueError("a materialized view needs at least one aggregate")
     if len(tables) >= 2:
-        bad = [n for n, (k, c) in aggs.items() if k in SINGLE_ONLY or
-               re.fullmatch(r"p[1-9]\d?", k) or (k == "count" and c != "*")]
+        # min/max joined the join-view family in round 12 (touched-group
+        # recompute); quantiles/mode/count-distinct still need per-group
+        # join-result state
+        bad = [n for n, (k, c) in aggs.items()
+               if k in SINGLE_ONLY or re.fullmatch(r"p[1-9]\d?", k)]
         if bad:
             raise ValueError(
-                f"join materialized views support the subtractable family "
-                f"(sum/count/avg) only; {bad} need per-group join-result "
+                f"join materialized views support sum/count/count(col)/"
+                f"avg/min/max only; {bad} need per-group join-result "
                 "state"
             )
     return {

@@ -118,6 +118,29 @@ def test_join_matview_via_sql(cat, spark):
     }
 
 
+def test_join_matview_minmax_via_sql(cat, spark):
+    """MIN/MAX in a join MV (the round-12 touched-group-recompute path):
+    an extremum-removing delete on one feed converges through REFRESH."""
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], DIM))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.mmv AS"
+        " SELECT seg, min(v) AS lo, max(v) AS hi, count(v) AS nv"
+        " FROM db1.fact JOIN db1.dim USING (k) GROUP BY seg"
+    )
+    assert _rows(cat.sql("SELECT seg, lo, hi, nv FROM db1.mmv")) == {
+        ("x", 5, 10, 2),
+        ("y", 20, 20, 1),
+    }
+    # delete the current max of 'x' -> recompute path
+    cat.table("db1", "fact").delete("v = 10")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.mmv")
+    assert _rows(cat.sql("SELECT seg, lo, hi, nv FROM db1.mmv")) == {
+        ("x", 5, 5, 1),
+        ("y", 20, 20, 1),
+    }
+
+
 def test_matview_rejections(cat, spark, tmp_path):
     with pytest.raises(ValueError, match="WHERE"):
         cat.create_materialized_view(
@@ -126,9 +149,9 @@ def test_matview_rejections(cat, spark, tmp_path):
         )
     with pytest.raises(ValueError, match="at least one aggregate"):
         parse_matview_select("SELECT grp FROM t GROUP BY grp")
-    with pytest.raises(ValueError, match="subtractable"):
+    with pytest.raises(ValueError, match="per-group join-result"):
         parse_matview_select(
-            "SELECT grp, min(v) AS lo FROM a JOIN b USING (k) GROUP BY grp"
+            "SELECT grp, p90(v) AS q FROM a JOIN b USING (k) GROUP BY grp"
         )
     with pytest.raises(ValueError, match="same name"):
         parse_matview_select(
@@ -223,10 +246,14 @@ def test_count_col_counts_non_nulls(cat, spark):
         for r in cat.read_matview("db1", "cmv").collect()
     }
     assert got["a"] == (2, 2)
-    # join MVs reject count(col)
-    with pytest.raises(ValueError, match="subtractable"):
+    # join MVs accept count(col) since round 12; quantile-class stays out
+    spec = parse_matview_select(
+        "SELECT g, count(v) AS c FROM a JOIN b USING (k) GROUP BY g"
+    )
+    assert spec["aggs"] == {"c": ("count", "v")}
+    with pytest.raises(ValueError, match="per-group join-result"):
         parse_matview_select(
-            "SELECT g, count(v) AS c FROM a JOIN b USING (k) GROUP BY g"
+            "SELECT g, median(v) AS m FROM a JOIN b USING (k) GROUP BY g"
         )
 
 
