@@ -1225,3 +1225,118 @@ def merge_cdc_null_order(spark, sf_dir):
             order_guard_cols=["order_ts", "seq"],
         )
     return tbl.to_df().select("id", "val")
+
+
+_JOIN_MM_CACHE: dict[tuple[int, str], object] = {}
+
+
+@query(
+    "view_join_minmax",
+    _SQL_CDC
+    + """
+, dim AS (
+  SELECT user_id,
+         CASE WHEN user_id IN (SELECT user_id FROM b2 WHERE user_id % 3 = 0)
+              THEN user_id % 4 + 10 ELSE user_id % 4 END AS segment
+  FROM (SELECT DISTINCT user_id FROM cdc)
+)
+SELECT d.segment,
+       CAST(min(f.value_cents) AS BIGINT) AS min_cents,
+       CAST(max(f.value_cents) AS BIGINT) AS max_cents,
+       CAST(count(f.value_cents) AS BIGINT) AS n_vals
+FROM final f JOIN dim d USING (user_id)
+GROUP BY d.segment""",
+)
+def view_join_minmax(spark, sf_dir):
+    """MIN/MAX + count(col) maintained in an incremental JOIN view — the
+    non-subtractable extension of view_incremental_join (same interleaved
+    feeds: fact batch, dim batch, fact batch with DELETEs that remove
+    group extremes, dim segment reassignment). Inserts tighten the stored
+    extremes monotonically; the extremum-removing DELETE batch exercises
+    the touched-group recompute (the groups' join at the pinned new
+    versions, dim pre-filtered by a broadcast semi-join on the touched
+    segments).
+
+    Scale: the recompute is O(rows joining into touched groups), never
+    O(table) — extremes-touching removals are the rare path, everything
+    else is least/greatest against micro-batch aggregates."""
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalJoinView,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    view = _JOIN_MM_CACHE.get(cache_key)
+    if view is None or not os.path.isdir(view.add_table.path):
+        root = _tmpdir()
+        silver = LakeTable.create(
+            spark,
+            os.path.join(root, "fact_silver"),
+            SILVER_SCHEMA,
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "user_id",
+            },
+        )
+        dim_schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("segment", LongType()),
+            ]
+        )
+        dim = LakeTable.create(
+            spark,
+            os.path.join(root, "dim_silver"),
+            dim_schema,
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "user_id",
+            },
+        )
+        view = IncrementalJoinView(
+            silver,
+            dim,
+            os.path.join(root, "view"),
+            join_keys=["user_id"],
+            group_cols=["segment"],
+            aggs={
+                "min_cents": ("min", "value_cents"),
+                "max_cents": ("max", "value_cents"),
+                "n_vals": ("count", "value_cents"),
+            },
+        )
+        upsert = [
+            MergeClause("update", None, "*"),
+            MergeClause("insert", None, "*"),
+        ]
+        b1, b2 = _cdc_batches(spark, sf_dir)
+        for i, batch in enumerate((b1, b2)):
+            merge_cdc_batch(
+                silver,
+                batch.select(
+                    "user_id", "ts_ms", "event_type", "value_cents",
+                    "data_hash", "cdc_operation", "ts", "event_id",
+                ),
+                key_cols=["user_id"],
+                order_cols=["ts"],
+                tiebreak_cols=["event_id"],
+                order_guard_col="ts_ms",
+            )
+            view.refresh()
+            seg = F.col("user_id") % 4
+            if i:
+                seg = F.when(
+                    F.col("user_id") % 3 == 0, F.col("user_id") % 4 + 10
+                ).otherwise(seg)
+            dim.merge(
+                batch.select("user_id").distinct().withColumn(
+                    "segment", seg.cast("long")
+                ),
+                "source.user_id = target.user_id",
+                upsert,
+                stats_prune={"user_id": "user_id"},
+            )
+            view.refresh()
+        _JOIN_MM_CACHE[cache_key] = view
+    return view.to_df().select(
+        "segment", "min_cents", "max_cents", "n_vals"
+    )
