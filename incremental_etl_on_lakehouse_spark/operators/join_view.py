@@ -55,7 +55,12 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from incremental_etl_on_lakehouse_spark.lake.table import (
     LakeTable,
@@ -126,6 +131,7 @@ class IncrementalChainJoinView:
         root: str,
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
+        publish: bool = False,
     ):
         if len(tables) < 2:
             raise ValueError("a join view needs at least two tables")
@@ -250,6 +256,34 @@ class IncrementalChainJoinView:
             os.path.join(root, "checkpoint.json"), len(tables)
         )
         self._txn_app_id = "incremental-join-view"
+        # published: the view's LOGICAL output materialized into a
+        # CDF-enabled lake table, maintained O(changed groups) per
+        # refresh — the stacking surface: any downstream change-feed
+        # maintainer (IncrementalAggView, another join view, the
+        # medallion gold stage) can consume the view AS A SOURCE,
+        # giving multi-hop Gold -> Platinum topologies for free.
+        self.published: LakeTable | None = None
+        if publish:
+            out_fields = [
+                StructField(c, joined_types[c]) for c in self.group_cols
+            ]
+            for name, (kind, col) in self.aggs.items():
+                if kind == "sum":
+                    dt = widen_sum_type(joined_types[col])
+                elif kind == "count":
+                    dt = LongType()
+                elif kind == "avg":
+                    dt = DoubleType()
+                else:  # min / max
+                    dt = joined_types[col]
+                out_fields.append(StructField(name, dt))
+            self.published = LakeTable.create(
+                spark,
+                os.path.join(root, "published"),
+                StructType(out_fields),
+                properties={"enableChangeDataFeed": "true"},
+                if_not_exists=True,
+            )
 
     # ------------------------------------------------------------ internals
 
@@ -632,9 +666,10 @@ class IncrementalChainJoinView:
         joined = terms[0]
         for t in terms[1:]:
             joined = joined.unionByName(t)
-        if self._mm_cols:
-            # the signed join delta feeds BOTH the additive aggregation and
-            # the min/max adds/rems probes — evaluate it once
+        if self._mm_cols or self.published is not None:
+            # the signed join delta feeds the additive aggregation, the
+            # min/max adds/rems probes, and the publish group set —
+            # evaluate it once
             joined = joined.persist()
 
         sum_srcs = [h[len("__sum_"):] for h in self._hidden_sums]
@@ -647,7 +682,6 @@ class IncrementalChainJoinView:
             self._merge_maintenance(
                 agg_deltas, delta_cols, mm_source, ck["epoch"] + 1
             )
-            joined.unpersist()
         else:
             merge_agg_deltas(
                 self.add_table,
@@ -657,6 +691,15 @@ class IncrementalChainJoinView:
                 txn_app_id=self._txn_app_id,
                 txn_version=ck["epoch"] + 1,
             )
+        if self.published is not None:
+            # derived from the pinned CDF ranges, so deterministic under
+            # crash-replay even though the state merge above already
+            # committed; the publish merge's own txn guard no-ops a
+            # replayed double apply
+            changed = joined.select(*self.group_cols).distinct()
+            self._publish(changed, ck["epoch"] + 1)
+        if self._mm_cols or self.published is not None:
+            joined.unpersist()
         for d in deltas:
             if d is not None:
                 d.unpersist()
@@ -671,6 +714,11 @@ class IncrementalChainJoinView:
         divides by the non-null count — batch INNER JOIN + GROUP BY
         semantics exactly."""
         out = self.add_table.to_df().where(F.col("__n") > 0)
+        return out.select(*self._logical_exprs())
+
+    def _logical_exprs(self) -> list:
+        """The view's output columns as expressions over a state row —
+        shared by ``to_df`` and the publish merge."""
         sel = [F.col(c) for c in self.group_cols]
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
@@ -694,7 +742,46 @@ class IncrementalChainJoinView:
                         / F.col(nn),
                     ).alias(name)
                 )
-        return out.select(*sel)
+        return sel
+
+    def _publish(self, changed: DataFrame, txn_version: int) -> None:
+        """Merge the changed groups' LOGICAL rows into ``published``.
+
+        O(changed groups): the state read is a semi-join on the batch's
+        group set (AQE broadcasts it when small; at large group
+        cardinality it stays a shuffle semi-join — never a full publish
+        rewrite). No-op groups fire zero clauses (the update condition
+        null-safe-compares every output column), a group whose row count
+        reached zero is DELETEd from the published table, and the merge
+        carries its own txn guard so a crash-replay never double-applies.
+        """
+        g = self.group_cols
+        state = self.add_table.to_df()
+        st_j, _ = self._ns_join(changed, state, g, "inner")
+        src = st_j.drop(*[f"__r_{c}" for c in g]).select(
+            *self._logical_exprs(), F.col("__n")
+        )
+        logical = [*g, *self.aggs]
+        cond = " AND ".join(f"source.`{k}` <=> target.`{k}`" for k in g)
+        set_all = {c: f"source.`{c}`" for c in logical}
+        nochange = " AND ".join(
+            f"source.`{c}` <=> target.`{c}`" for c in logical
+        )
+        self.published.merge(
+            src,
+            cond,
+            [
+                MergeClause("delete", "source.`__n` <= 0"),
+                MergeClause(
+                    "update",
+                    f"source.`__n` > 0 AND NOT ({nochange})",
+                    set_all,
+                ),
+                MergeClause("insert", "source.`__n` > 0", set_all),
+            ],
+            txn_app_id=self._txn_app_id + ":publish",
+            txn_version=txn_version,
+        )
 
 
 class IncrementalJoinView(IncrementalChainJoinView):
@@ -710,6 +797,7 @@ class IncrementalJoinView(IncrementalChainJoinView):
         join_keys: list[str],
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
+        publish: bool = False,
     ):
         for k in join_keys:
             if k not in left.schema().fieldNames():
@@ -722,6 +810,7 @@ class IncrementalJoinView(IncrementalChainJoinView):
             root,
             group_cols,
             aggs,
+            publish=publish,
         )
         self.left, self.right = left, right
         self.join_keys = list(join_keys)

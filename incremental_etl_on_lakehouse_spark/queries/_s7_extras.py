@@ -1340,3 +1340,145 @@ def view_join_minmax(spark, sf_dir):
     return view.to_df().select(
         "segment", "min_cents", "max_cents", "n_vals"
     )
+
+
+_STACK_CACHE: dict[tuple[int, str], object] = {}
+
+
+@query(
+    "view_stacked_rollup",
+    _SQL_CDC
+    + """
+, dim AS (
+  SELECT user_id,
+         CASE WHEN user_id IN (SELECT user_id FROM b2 WHERE user_id % 3 = 0)
+              THEN user_id % 4 + 10 ELSE user_id % 4 END AS segment
+  FROM (SELECT DISTINCT user_id FROM cdc)
+)
+, gold AS (
+  SELECT d.segment, f.event_type,
+         sum(f.value_cents) AS total_cents,
+         count(*) AS n_rows
+  FROM final f JOIN dim d USING (user_id)
+  GROUP BY d.segment, f.event_type
+)
+SELECT event_type,
+       CAST(sum(total_cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(max(total_cents) AS BIGINT) AS max_group_cents
+FROM gold GROUP BY event_type""",
+)
+def view_stacked_rollup(spark, sf_dir):
+    """STACKED incremental views — the multi-hop Gold -> Platinum
+    topology: a published join view (fact-silver ⋈ dim, grouped by
+    (segment, event_type), publish=True) materializes its logical output
+    into a CDF-enabled lake table O(changed groups) per refresh, and a
+    downstream IncrementalAggView consumes that table AS A SOURCE,
+    rolling the per-(segment, event_type) Golds up to per-event_type
+    Platinum (sum of group totals, group count, max group total) purely
+    from the published change feed.
+
+    Scale: each hop is O(its own changed groups) — the publish merge
+    no-op-suppresses unchanged groups, so downstream refreshes see only
+    real group movements, never the base tables. This is how a lakehouse
+    keeps a DAG of aggregates fresh without any full recomputes."""
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        IncrementalAggView,
+    )
+    from incremental_etl_on_lakehouse_spark.operators.join_view import (
+        IncrementalJoinView,
+    )
+
+    cache_key = (id(spark), sf_dir)
+    cached = _STACK_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.root):
+        plat = cached
+    else:
+        root = _tmpdir()
+        silver = LakeTable.create(
+            spark,
+            os.path.join(root, "fact_silver"),
+            SILVER_SCHEMA,
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "user_id",
+            },
+        )
+        dim_schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("segment", LongType()),
+            ]
+        )
+        dim = LakeTable.create(
+            spark,
+            os.path.join(root, "dim_silver"),
+            dim_schema,
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "user_id",
+            },
+        )
+        gold = IncrementalJoinView(
+            silver,
+            dim,
+            os.path.join(root, "gold"),
+            join_keys=["user_id"],
+            group_cols=["segment", "event_type"],
+            aggs={
+                "total_cents": ("sum", "value_cents"),
+                "n_rows": ("count", "*"),
+            },
+            publish=True,
+        )
+        plat = IncrementalAggView(
+            gold.published,
+            os.path.join(root, "plat"),
+            group_cols=["event_type"],
+            aggs={
+                "sum_cents": ("sum", "total_cents"),
+                "n_groups": ("count", "*"),
+                "max_group_cents": ("max", "total_cents"),
+            },
+        )
+        upsert = [
+            MergeClause("update", None, "*"),
+            MergeClause("insert", None, "*"),
+        ]
+        b1, b2 = _cdc_batches(spark, sf_dir)
+        for i, batch in enumerate((b1, b2)):
+            merge_cdc_batch(
+                silver,
+                batch.select(
+                    "user_id", "ts_ms", "event_type", "value_cents",
+                    "data_hash", "cdc_operation", "ts", "event_id",
+                ),
+                key_cols=["user_id"],
+                order_cols=["ts"],
+                tiebreak_cols=["event_id"],
+                order_guard_col="ts_ms",
+            )
+            gold.refresh()
+            plat.refresh()
+            seg = F.col("user_id") % 4
+            if i:
+                seg = F.when(
+                    F.col("user_id") % 3 == 0, F.col("user_id") % 4 + 10
+                ).otherwise(seg)
+            dim.merge(
+                batch.select("user_id").distinct().withColumn(
+                    "segment", seg.cast("long")
+                ),
+                "source.user_id = target.user_id",
+                upsert,
+                stats_prune={"user_id": "user_id"},
+            )
+            gold.refresh()
+            plat.refresh()
+        _STACK_CACHE[cache_key] = plat
+    return plat.to_df().select(
+        "event_type",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        "n_groups",
+        F.col("max_group_cents").cast("long").alias("max_group_cents"),
+    )

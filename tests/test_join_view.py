@@ -567,3 +567,143 @@ def test_chain_join_view_rejections(spark, tmp_path):
             [dim2, dim1], [[], ["k"]], str(tmp_path / "v3"),
             ["region"], {"n": ("count", "*")},
         )
+
+
+# ---------------------------------------------------------------------------
+# Published views: the stacking surface (round 12)
+# ---------------------------------------------------------------------------
+
+STACK_DIM = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("seg", StringType()),
+        StructField("et", StringType()),
+    ]
+)
+
+
+def _stacked(spark, tmp_path):
+    from incremental_etl_on_lakehouse_spark.operators.cdc import (
+        IncrementalAggView,
+    )
+
+    fact = _mk(spark, tmp_path, "sfact", FACT_SCHEMA)
+    dim = _mk(spark, tmp_path, "sdim", STACK_DIM)
+    gold = IncrementalJoinView(
+        fact,
+        dim,
+        str(tmp_path / "gold"),
+        join_keys=["k"],
+        group_cols=["seg", "et"],
+        aggs={"total": ("sum", "v"), "n": ("count", "*"), "mx": ("max", "v")},
+        publish=True,
+    )
+    plat = IncrementalAggView(
+        gold.published,
+        str(tmp_path / "plat"),
+        group_cols=["et"],
+        aggs={
+            "sum_total": ("sum", "total"),
+            "n_groups": ("count", "*"),
+            "max_mx": ("max", "mx"),
+        },
+    )
+    return fact, dim, gold, plat
+
+
+def _assert_stack_converged(fact, dim, gold, plat, ctx=""):
+    pub = sorted(tuple(r) for r in gold.published.to_df().collect())
+    logical = sorted(tuple(r) for r in gold.to_df().collect())
+    assert pub == logical, (ctx, pub, logical)
+    got = sorted(tuple(r) for r in plat.to_df().collect())
+    exp = sorted(
+        tuple(r)
+        for r in fact.to_df()
+        .join(dim.to_df(), "k")
+        .groupBy("seg", "et")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("*").alias("n"),
+            F.max("v").alias("mx"),
+        )
+        .groupBy("et")
+        .agg(
+            F.sum("total").alias("sum_total"),
+            F.count("*").alias("n_groups"),
+            F.max("mx").alias("max_mx"),
+        )
+        .collect()
+    )
+    assert got == exp, (ctx, got, exp)
+
+
+def test_join_view_publish_feeds_downstream_view(spark, tmp_path):
+    """Multi-hop: fact ⋈ dim -> published gold (CDF lake table maintained
+    O(changed groups)) -> downstream IncrementalAggView. After every
+    refresh pair, published == the view's logical output AND the platinum
+    rollup equals the full two-level batch recompute."""
+    fact, dim, gold, plat = _stacked(spark, tmp_path)
+
+    def step(ctx):
+        gold.refresh()
+        plat.refresh()
+        _assert_stack_converged(fact, dim, gold, plat, ctx)
+
+    fact.append(
+        spark.createDataFrame(
+            [(1, 10, 1), (2, 5, 2), (3, 7, 3), (4, 20, 4)], FACT_SCHEMA
+        )
+    )
+    dim.append(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "x")],
+            STACK_DIM,
+        )
+    )
+    step("b1")
+    # extremum delete -> gold recompute -> published UPDATE rides the CDF
+    fact.delete("rid = 4")
+    step("b2 extreme delete")
+    # dim reassignment moves a (seg, et) group between platinum groups
+    dim.merge(
+        spark.createDataFrame([(1, "a", "y")], STACK_DIM),
+        "source.k = target.k",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    step("b3 reassign")
+    # drain a gold group -> published DELETE -> platinum group count drops
+    fact.delete("rid = 3")
+    step("b4 drain")
+    # no-op refresh never advances the published table
+    v0 = gold.published.version()
+    assert gold.refresh() == 0
+    assert gold.published.version() == v0
+
+
+def test_join_view_publish_crash_between_merges_replays_once(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the state maintenance merge committed, BEFORE the
+    publish merge: the replay no-ops the state merge (txn guard) and
+    completes the publish, exactly once."""
+    fact, dim, gold, plat = _stacked(spark, tmp_path)
+    fact.append(spark.createDataFrame([(1, 10, 1)], FACT_SCHEMA))
+    dim.append(spark.createDataFrame([(1, "a", "x")], STACK_DIM))
+    gold.refresh()
+    plat.refresh()
+    fact.append(spark.createDataFrame([(1, 4, 2)], FACT_SCHEMA))
+
+    import incremental_etl_on_lakehouse_spark.operators.join_view as jv
+
+    def boom(self, *a, **k):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(jv.IncrementalChainJoinView, "_publish", boom)
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        gold.refresh()
+    monkeypatch.undo()
+    gold.refresh()  # replay: state merge no-ops, publish completes
+    plat.refresh()
+    _assert_stack_converged(fact, dim, gold, plat, "post-crash")
+    got = {r["et"]: r["sum_total"] for r in plat.to_df().collect()}
+    assert got == {"x": 14}
