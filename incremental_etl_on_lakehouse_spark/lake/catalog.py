@@ -149,6 +149,7 @@ class LakeCatalog:
                 "spec": e["spec"],
                 "paths": e["paths"],
                 "root": e["root"],
+                "publish": e.get("publish", False),
             }
         elif op == "drop_matview":
             state.get("__matviews__", {}).get(e["db"], {}).pop(
@@ -662,14 +663,18 @@ class LakeCatalog:
             return self.drop_table(db, name)
         m = re.match(
             r"CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([`\w.]+)"
-            r"\s+AS\s+(.+)$",
+            r"(\s+PUBLISH)?\s+AS\s+(.+)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             db, name = self._split_name(m.group(2), default_db)
             return self.create_materialized_view(
-                db, name, m.group(3).strip(), or_replace=bool(m.group(1))
+                db,
+                name,
+                m.group(4).strip(),
+                or_replace=bool(m.group(1)),
+                publish=bool(m.group(3)),
             )
         m = re.match(
             r"REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*$", s, re.IGNORECASE
@@ -1001,17 +1006,46 @@ class LakeCatalog:
         )
 
         e = self._matview_entry(db, name)
-        return build_maintainer(self.spark, e["spec"], e["paths"], e["root"])
+        return build_maintainer(
+            self.spark,
+            e["spec"],
+            e["paths"],
+            e["root"],
+            publish=e.get("publish", False),
+        )
+
+    def _published_path(self, db: str, name: str) -> str:
+        """The CDF lake table a PUBLISHed MV materializes its logical
+        output into — the binding surface for stacked MVs."""
+        e = self._matview_entry(db, name)
+        if not e.get("publish"):
+            raise ValueError(
+                f"{db}.{name} is a materialized view without PUBLISH — "
+                "only published MVs can feed another materialized view "
+                "(recreate it with CREATE MATERIALIZED VIEW ... PUBLISH "
+                "AS ...)"
+            )
+        return os.path.join(e["root"], "published")
 
     def create_materialized_view(
-        self, db: str, name: str, select_sql: str, or_replace: bool = False
+        self,
+        db: str,
+        name: str,
+        select_sql: str,
+        or_replace: bool = False,
+        publish: bool = False,
     ) -> None:
-        """``CREATE [OR REPLACE] MATERIALIZED VIEW db.name AS <select>``:
-        parse the restricted aggregate shape (lake/matview.py), resolve
-        the source table(s) through the catalog (CDF required — the MV is
-        maintained from change feeds), build the state under the db's
-        hidden ``.__mv__`` directory, and run the INITIAL refresh so the
-        view is populated at creation."""
+        """``CREATE [OR REPLACE] MATERIALIZED VIEW db.name [PUBLISH] AS
+        <select>``: parse the restricted aggregate shape
+        (lake/matview.py), resolve the source table(s) through the
+        catalog (CDF required — the MV is maintained from change feeds),
+        build the state under the db's hidden ``.__mv__`` directory, and
+        run the INITIAL refresh so the view is populated at creation.
+
+        ``publish`` (join MVs) additionally materializes the logical
+        output into a CDF-enabled lake table, O(changed groups) per
+        refresh — and a FROM reference naming a PUBLISHED MV binds to
+        that table, so MVs stack into multi-hop DAGs."""
         from incremental_etl_on_lakehouse_spark.lake.matview import (
             build_maintainer,
             parse_matview_select,
@@ -1033,11 +1067,19 @@ class LakeCatalog:
         paths = []
         for t in spec["tables"]:
             tdb, tname = self._split_name(t, default_db=db)
-            paths.append(self.table(tdb, tname).path)
+            if self._is_matview(tdb, tname):
+                if tdb == db and tname == name:
+                    raise ValueError(
+                        f"materialized view {db}.{name} cannot reference "
+                        "itself"
+                    )
+                paths.append(self._published_path(tdb, tname))
+            else:
+                paths.append(self.table(tdb, tname).path)
         root = os.path.join(self.root, db, ".__mv__", name)
         if self._is_matview(db, name):  # OR REPLACE: old state dies
             self.drop_materialized_view(db, name)
-        mv = build_maintainer(self.spark, spec, paths, root)
+        mv = build_maintainer(self.spark, spec, paths, root, publish=publish)
         mv.refresh()
         self._meta_commit(
             {
@@ -1048,6 +1090,7 @@ class LakeCatalog:
                 "spec": spec,
                 "paths": paths,
                 "root": root,
+                "publish": publish,
             }
         )
 
@@ -1069,6 +1112,22 @@ class LakeCatalog:
                 return
             raise ValueError(f"no such materialized view: {db}.{name}")
         e = self._matview_entry(db, name)
+        # a PUBLISHED MV may feed other MVs; dropping it would orphan
+        # their source binding (the published path dies with the root)
+        pub = os.path.join(e["root"], "published")
+        _, state = self._meta_state()
+        dependents = [
+            f"{d}.{v}"
+            for d, vs in state.get("__matviews__", {}).items()
+            for v, ve in vs.items()
+            if pub in ve.get("paths", []) and (d, v) != (db, name)
+        ]
+        if dependents:
+            raise ValueError(
+                f"cannot drop {db}.{name}: materialized view(s) "
+                f"{sorted(dependents)} consume its published output — "
+                "drop them first"
+            )
         self._meta_commit(
             {"op": "drop_matview", "db": db, "view": name},
             precondition=lambda st: name

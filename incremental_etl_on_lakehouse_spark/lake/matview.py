@@ -160,7 +160,13 @@ def parse_matview_select(sql: str) -> dict:
     }
 
 
-def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
+def build_maintainer(
+    spark,
+    spec: dict,
+    table_paths: list[str],
+    root: str,
+    publish: bool = False,
+):
     """Instantiate (or REHYDRATE from ``root`` — both maintainers resume
     from their persisted state + checkpoints) the maintenance object for
     a parsed spec."""
@@ -175,6 +181,13 @@ def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
 
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
     if len(table_paths) == 1:
+        if publish:
+            raise ValueError(
+                "PUBLISH is supported on join materialized views only "
+                "(the single-table maintainer spreads its state across "
+                "several tables; publish its SOURCE instead, or define "
+                "the MV as a join)"
+            )
         return IncrementalAggView(
             LakeTable(spark, table_paths[0]),
             root,
@@ -189,6 +202,7 @@ def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
             join_keys=spec.get("join_keys") or spec["edges"][1],
             group_cols=spec["group_cols"],
             aggs=aggs,
+            publish=publish,
         )
     return IncrementalChainJoinView(
         [LakeTable(spark, p) for p in table_paths],
@@ -196,4 +210,5 @@ def build_maintainer(spark, spec: dict, table_paths: list[str], root: str):
         root,
         group_cols=spec["group_cols"],
         aggs=aggs,
+        publish=publish,
     )

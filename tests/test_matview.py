@@ -362,3 +362,92 @@ def test_chain_matview_three_tables(cat, spark):
         for r in cat.read_matview("db1", "cmv3").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PUBLISH + stacked MVs (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_stacked_matviews_via_publish(cat, spark):
+    """CREATE MATERIALIZED VIEW ... PUBLISH AS ... materializes the join
+    MV's logical output into a CDF lake table; a downstream MV names the
+    published MV in FROM and maintains a second-level rollup from its
+    change feed — the multi-hop DAG in pure SQL."""
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], DIM))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.gold PUBLISH AS"
+        " SELECT seg, grp, sum(v) AS total, count(*) AS n"
+        " FROM db1.fact JOIN db1.dim USING (k) GROUP BY seg, grp"
+    )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.plat AS"
+        " SELECT grp, sum(total) AS sum_total, count(*) AS n_segs,"
+        " max(total) AS max_total"
+        " FROM db1.gold GROUP BY grp"
+    )
+    assert _rows(cat.sql("SELECT grp, sum_total, n_segs FROM db1.plat")) == {
+        ("a", 30, 2),
+        ("b", 5, 1),
+    }
+    # source change flows gold -> published -> plat through two REFRESHes
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(3, "b", 100)], FACT)
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW db1.gold")
+    # plat is STALE until its own refresh (standard MV semantics)
+    assert _rows(cat.sql("SELECT grp, sum_total FROM db1.plat")) == {
+        ("a", 30),
+        ("b", 5),
+    }
+    cat.sql("REFRESH MATERIALIZED VIEW db1.plat")
+    assert _rows(
+        cat.sql("SELECT grp, sum_total, n_segs, max_total FROM db1.plat")
+    ) == {("a", 30, 2, 20), ("b", 105, 1, 105)}
+    # the published binding survives catalog rehydration
+    fresh = LakeCatalog(spark, cat.root)
+    fresh.table("db1", "fact").delete("v = 100")
+    fresh.sql("REFRESH MATERIALIZED VIEW db1.gold")
+    fresh.sql("REFRESH MATERIALIZED VIEW db1.plat")
+    assert _rows(fresh.sql("SELECT grp, sum_total FROM db1.plat")) == {
+        ("a", 30),
+        ("b", 5),
+    }
+
+
+def test_publish_guards(cat, spark):
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x")], DIM))
+    # PUBLISH on a single-table MV is rejected with the reason
+    with pytest.raises(ValueError, match="join materialized views only"):
+        cat.create_materialized_view(
+            "db1", "m1",
+            "SELECT grp, sum(v) AS t FROM db1.fact GROUP BY grp",
+            publish=True,
+        )
+    # an UNpublished MV cannot feed another MV
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.gold AS"
+        " SELECT seg, sum(v) AS total FROM db1.fact JOIN db1.dim USING (k)"
+        " GROUP BY seg"
+    )
+    with pytest.raises(ValueError, match="without PUBLISH"):
+        cat.sql(
+            "CREATE MATERIALIZED VIEW db1.p AS"
+            " SELECT seg, sum(total) AS t FROM db1.gold GROUP BY seg"
+        )
+    # a published MV with dependents refuses DROP (and OR REPLACE)
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.gold2 PUBLISH AS"
+        " SELECT seg, grp, sum(v) AS total FROM db1.fact"
+        " JOIN db1.dim USING (k) GROUP BY seg, grp"
+    )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.p2 AS"
+        " SELECT grp, sum(total) AS t FROM db1.gold2 GROUP BY grp"
+    )
+    with pytest.raises(ValueError, match="consume its published output"):
+        cat.sql("DROP MATERIALIZED VIEW db1.gold2")
+    cat.sql("DROP MATERIALIZED VIEW db1.p2")
+    cat.sql("DROP MATERIALIZED VIEW db1.gold2")  # now fine
