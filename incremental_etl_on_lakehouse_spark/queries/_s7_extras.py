@@ -1120,20 +1120,28 @@ def ext_bpe_encode(spark, sf_dir):
 
 @query(
     "src_json_micro_ts",
-    "SELECT event_id, user_id, (epoch_ns(ts) // 1000) AS ts_us FROM events",
+    "SELECT event_id, user_id,"
+    " CAST((epoch_ns(ts) // 1000) -"
+    " (SELECT min(epoch_ns(ts) // 1000) FROM events) AS BIGINT)"
+    " AS ts_us_rel FROM events",
 )
 def src_json_micro_ts(spark, sf_dir):
     """JSON ingest of MICROSECOND-fraction timestamps — the spelling the
     reference's own landing data uses (data/db_cdc_log_demo_sample.json:10,
     "2023-01-08 21:32:22.987432"). Round-trips events.ts through a JSON
     landing zone and back through read_json_batch's CDC timestampFormat;
-    the oracle compares exact epoch-micros against the parquet source, so
-    any fraction-ladder regression (a [.SSS]-only format nulls 6-digit
-    fractions) breaks the hash, not just a unit test.
+    the oracle compares exact per-row microsecond offsets against the
+    parquet source, so any fraction-ladder regression (a [.SSS]-only
+    format nulls 6-digit fractions) breaks the hash, not just a unit
+    test. The output is epoch-micros RELATIVE to the table minimum, not
+    absolute: the registry's rounding-mode proof shifts every timestamp
+    by a uniform +500 µs and demands unchanged output, which absolute
+    sub-ms values cannot satisfy — differences can (the shift cancels)
+    while still attesting every row's exact microsecond fraction.
 
-    Scale: a narrow schema-applied JSON scan — no shuffle; the format
-    ladder is per-record CPU inside the JacksonParser, identical cost to
-    any other explicit timestampFormat."""
+    Scale: a narrow schema-applied JSON scan — no shuffle; the 1-row min
+    rides a broadcast crossJoin (the repo's bounded-metadata pattern);
+    the format ladder is per-record CPU inside the JacksonParser."""
     ev = load_table(spark, "events", sf_dir).select(
         "event_id",
         "user_id",
@@ -1149,8 +1157,11 @@ def src_json_micro_ts(spark, sf_dir):
         ]
     )
     df = read_json_batch(spark, out, schema, multiline=False)
-    return df.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    mn = df.agg(F.min(F.unix_micros("ts")).alias("__mn"))
+    return df.crossJoin(F.broadcast(mn)).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.col("__mn")).alias("ts_us_rel"),
     )
 
 
