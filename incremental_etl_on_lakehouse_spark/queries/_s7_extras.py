@@ -1169,9 +1169,9 @@ def src_json_micro_ts(spark, sf_dir):
     "merge_cdc_null_order",
     "WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id,"
     " CAST(c_acctbal AS DECIMAL(12,2)) AS val FROM customer)"
-    " SELECT id, CAST(CASE WHEN id % 3 = 0 THEN val + 100"
-    " WHEN id % 3 = 1 THEN val + 500 ELSE val END AS DECIMAL(12,2)) AS val"
-    " FROM base WHERE id % 9 <> 2",
+    " SELECT id, CAST(round((CASE WHEN id % 3 = 0 THEN val + 100"
+    " WHEN id % 3 = 1 THEN val + 500 ELSE val END) * 100) AS BIGINT)"
+    " AS val_cents FROM base WHERE id % 9 <> 2",
 )
 def merge_cdc_null_order(spark, sf_dir):
     """CDC MERGE whose ordering column is NULL for most records — the state
@@ -1235,7 +1235,12 @@ def merge_cdc_null_order(spark, sf_dir):
             tiebreak_cols=["seq"],
             order_guard_cols=["order_ts", "seq"],
         )
-    return tbl.to_df().select("id", "val")
+    # exact-cents BIGINT output: DECIMAL is outside the fetch-path-safe
+    # oracle output whitelist (driver-rendering hazard class)
+    return tbl.to_df().select(
+        "id",
+        F.round(F.col("val") * 100).cast("long").alias("val_cents"),
+    )
 
 
 _JOIN_MM_CACHE: dict[tuple[int, str], object] = {}
