@@ -677,11 +677,15 @@ class LakeCatalog:
                 publish=bool(m.group(3)),
             )
         m = re.match(
-            r"REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*$", s, re.IGNORECASE
+            r"REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)(\s+CASCADE)?\s*$",
+            s,
+            re.IGNORECASE,
         )
         if m:
             db, name = self._split_name(m.group(1), default_db)
-            return self.refresh_materialized_view(db, name)
+            return self.refresh_materialized_view(
+                db, name, cascade=bool(m.group(2))
+            )
         m = re.match(
             r"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([`\w.]+)\s*$",
             s,
@@ -1094,9 +1098,29 @@ class LakeCatalog:
             }
         )
 
-    def refresh_materialized_view(self, db: str, name: str) -> int:
+    def refresh_materialized_view(
+        self, db: str, name: str, cascade: bool = False
+    ) -> int:
         """Fold all unprocessed source change-feed commits into the MV
-        state; O(changed rows), never a base rescan."""
+        state; O(changed rows), never a base rescan.
+
+        ``cascade`` walks the stacked-MV DAG upstream first: any source
+        that is another MV's published table gets refreshed before this
+        one, recursively — one statement brings a whole Gold -> Platinum
+        chain current in dependency order."""
+        if cascade:
+            e = self._matview_entry(db, name)
+            _, state = self._meta_state()
+            pub_to_mv = {
+                os.path.join(ve["root"], "published"): (d, v)
+                for d, vs in state.get("__matviews__", {}).items()
+                for v, ve in vs.items()
+                if ve.get("publish")
+            }
+            for p in e["paths"]:
+                up = pub_to_mv.get(p)
+                if up is not None and up != (db, name):
+                    self.refresh_materialized_view(*up, cascade=True)
         return self._matview(db, name).refresh()
 
     def read_matview(self, db: str, name: str):

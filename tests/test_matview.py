@@ -451,3 +451,34 @@ def test_publish_guards(cat, spark):
         cat.sql("DROP MATERIALIZED VIEW db1.gold2")
     cat.sql("DROP MATERIALIZED VIEW db1.p2")
     cat.sql("DROP MATERIALIZED VIEW db1.gold2")  # now fine
+
+
+def test_refresh_cascade_walks_the_dag(cat, spark):
+    """REFRESH ... CASCADE brings a Gold -> Platinum chain current in
+    dependency order with one statement."""
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], DIM))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.gold PUBLISH AS"
+        " SELECT seg, grp, sum(v) AS total FROM db1.fact"
+        " JOIN db1.dim USING (k) GROUP BY seg, grp"
+    )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.plat AS"
+        " SELECT grp, sum(total) AS t FROM db1.gold GROUP BY grp"
+    )
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(1, "a", 1000)], FACT)
+    )
+    # a plain refresh of plat alone sees a STALE gold
+    cat.sql("REFRESH MATERIALIZED VIEW db1.plat")
+    assert _rows(cat.sql("SELECT grp, t FROM db1.plat")) == {
+        ("a", 30),
+        ("b", 5),
+    }
+    # CASCADE refreshes gold first, then plat
+    cat.sql("REFRESH MATERIALIZED VIEW db1.plat CASCADE")
+    assert _rows(cat.sql("SELECT grp, t FROM db1.plat")) == {
+        ("a", 1030),
+        ("b", 5),
+    }
