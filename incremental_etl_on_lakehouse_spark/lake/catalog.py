@@ -1125,8 +1125,13 @@ class LakeCatalog:
 
     def read_matview(self, db: str, name: str):
         """Snapshot read of the maintained state — NO implicit refresh
-        (standard MV staleness semantics)."""
-        return self._matview(db, name).to_df()
+        (standard MV staleness semantics). HAVING (a predicate over the
+        view's output aliases / group cols) filters the assembled frame
+        at read time."""
+        e = self._matview_entry(db, name)
+        df = self._matview(db, name).to_df()
+        having = e["spec"].get("having")
+        return df.where(having) if having else df
 
     def drop_materialized_view(
         self, db: str, name: str, if_exists: bool = False

@@ -16,7 +16,15 @@ Supported SELECT shape (anything else raises with the reason):
     SELECT g1, g2, ..., agg(col) AS name, ...
     FROM t1 [JOIN t2 USING (k, ...) | JOIN t2 ON t1.k = t2.k [AND ...]]
        [JOIN t3 USING (...) | ON ...] ...
+    [WHERE <row predicate>]
     GROUP BY g1, g2, ...
+    [HAVING <predicate over output aliases / group cols>]
+
+WHERE filters rows BEFORE aggregation and is maintained incrementally
+(a stateless predicate commutes with signed-delta maintenance; the
+min/max recompute reads the base through it). HAVING filters the
+ASSEMBLED view at read time. Neither accepts subqueries or window
+functions.
 
 A chain of joins maintains via :class:`IncrementalChainJoinView` — each
 JOIN's keys bind table i to the accumulated prefix by name equality.
@@ -57,8 +65,10 @@ def parse_matview_select(sql: str) -> dict:
     m = re.match(
         rf"SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<t1>{_NAME})"
         rf"(?P<joins>(?:\s+JOIN\s+{_NAME}\s+(?:USING\s*\([^)]+\)"
-        rf"|ON\s+(?:(?!\bJOIN\b|\bGROUP\b).)*?))*)"
-        rf"\s+GROUP\s+BY\s+(?P<grp>.+)$",
+        rf"|ON\s+(?:(?!\bJOIN\b|\bGROUP\b|\bWHERE\b).)*?))*)"
+        rf"(?:\s+WHERE\s+(?P<where>(?:(?!\bGROUP\s+BY\b).)+?))?"
+        rf"\s+GROUP\s+BY\s+(?P<grp>.+?)"
+        rf"(?:\s+HAVING\s+(?P<having>.+))?$",
         s,
         re.IGNORECASE | re.DOTALL,
     )
@@ -66,13 +76,19 @@ def parse_matview_select(sql: str) -> dict:
         raise ValueError(
             "unsupported materialized-view shape: need SELECT <group cols +"
             " aliased aggregates> FROM t [JOIN t2 USING(k)|ON a.k = b.k]..."
-            " GROUP BY <group cols> (no WHERE/HAVING/expressions)"
+            " [WHERE <row predicate>] GROUP BY <group cols>"
+            " [HAVING <predicate over output aliases>]"
         )
-    if re.search(r"\bWHERE\b|\bHAVING\b", s, re.IGNORECASE):
-        raise ValueError(
-            "materialized views do not support WHERE/HAVING — filter in a"
-            " silver table or a plain view over the MV"
-        )
+    for clause in ("where", "having"):
+        pred = m.group(clause)
+        if pred and re.search(
+            r"\(\s*SELECT\b|\bOVER\s*\(", pred, re.IGNORECASE
+        ):
+            raise ValueError(
+                f"{clause.upper()} supports plain row predicates only "
+                "(no subqueries or window functions) — stage those in a "
+                "silver table"
+            )
     tables = [m.group("t1")]
     edges: list[list[str]] = [[]]
     for jm in re.finditer(
@@ -157,6 +173,8 @@ def parse_matview_select(sql: str) -> dict:
         "edges": edges if len(tables) >= 2 else None,
         "group_cols": group_cols,
         "aggs": aggs,
+        "where": (m.group("where") or "").strip() or None,
+        "having": (m.group("having") or "").strip() or None,
     }
 
 
@@ -180,6 +198,7 @@ def build_maintainer(
     )
 
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    where = spec.get("where")
     if len(table_paths) == 1:
         if publish:
             raise ValueError(
@@ -193,6 +212,7 @@ def build_maintainer(
             root,
             group_cols=spec["group_cols"],
             aggs=aggs,
+            where=where,
         )
     if len(table_paths) == 2:
         return IncrementalJoinView(
@@ -203,6 +223,7 @@ def build_maintainer(
             group_cols=spec["group_cols"],
             aggs=aggs,
             publish=publish,
+            where=where,
         )
     return IncrementalChainJoinView(
         [LakeTable(spark, p) for p in table_paths],
@@ -211,4 +232,5 @@ def build_maintainer(
         group_cols=spec["group_cols"],
         aggs=aggs,
         publish=publish,
+        where=where,
     )

@@ -778,6 +778,7 @@ class IncrementalAggView:
         root: str,
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
+        where: str | None = None,
     ):
         from incremental_etl_on_lakehouse_spark.lake.streaming import (
             LakeStreamReader,
@@ -789,6 +790,12 @@ class IncrementalAggView:
         self.root = root
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        # row predicate applied BEFORE aggregation (the MV's WHERE): a
+        # stateless filter commutes with signed-delta maintenance — each
+        # CDF row (pre- and postimage independently) either contributes
+        # or doesn't, exactly as in the batch aggregate; the min/max
+        # recompute reads the base through the same filter
+        self.where = where
         spark = source.spark
         src_schema = {f.name: f.dataType for f in source.schema().fields}
         group_fields = [
@@ -917,6 +924,8 @@ class IncrementalAggView:
         )
 
     def _apply(self, changes: DataFrame, version: int) -> None:
+        if self.where:
+            changes = changes.where(self.where)
         sign = F.when(
             F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
         ).when(F.col("_change_type").isin("update_postimage", "insert"), F.lit(1))
@@ -943,6 +952,8 @@ class IncrementalAggView:
         for col, mm in self.mm_tables.items():
             if base is None:
                 base = self.source.to_df(version=version)
+                if self.where:
+                    base = base.where(self.where)
             incremental_minmax_update(
                 mm, base, changes, self.group_cols, col,
                 min_col="min_value", max_col="max_value",

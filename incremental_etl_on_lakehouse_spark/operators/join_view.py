@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,7 +122,13 @@ class IncrementalChainJoinView:
     group_cols : output grouping columns of the joined relation; every
         non-edge-key column name must live on exactly one table.
     aggs : ``{output_name: (kind, column)}`` with kinds ``sum`` /
-        ``count`` (column ``"*"``) / ``avg``.
+        ``count`` (``"*"`` or a column — non-null count) / ``avg`` /
+        ``min`` / ``max``.
+    publish : materialize the logical output into a CDF-enabled lake
+        table (``self.published``), O(changed groups) per refresh — the
+        stacking surface.
+    where : SQL row predicate over the JOINED relation, applied before
+        aggregation (the MV's WHERE clause).
     """
 
     def __init__(
@@ -132,6 +139,7 @@ class IncrementalChainJoinView:
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
         publish: bool = False,
+        where: str | None = None,
     ):
         if len(tables) < 2:
             raise ValueError("a join view needs at least two tables")
@@ -152,6 +160,11 @@ class IncrementalChainJoinView:
         self.root = root
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        # row predicate over the JOINED relation (the MV's WHERE):
+        # σ_pred(Δ(A⋈B)) = Δ(σ_pred(A⋈B)) for a stateless filter, so it
+        # applies identically to every delta term and to the recompute
+        # base; Catalyst pushes each conjunct below the join on its own
+        self.where = where
 
         schemas = [
             {f.name: f.dataType for f in t.schema().fields} for t in tables
@@ -162,6 +175,16 @@ class IncrementalChainJoinView:
         self._mm_specs: dict[str, tuple[str, str]] = {}  # name -> (kind, col)
         self._nn_counts: dict[str, str] = {}  # name -> col for count(col)
         used_cols = list(self.group_cols)
+        if self.where:
+            # every identifier in the predicate that names a table column
+            # must ride the projections; non-column identifiers (function
+            # names, literals) fall through the set intersection
+            idents = set(
+                re.findall(r"\b[A-Za-z_]\w*\b", self.where)
+            )
+            used_cols += sorted(
+                idents & {c for sc in schemas for c in sc}
+            )
         for name, (kind, col) in self.aggs.items():
             if kind == "sum":
                 self._sum_cols[name] = f"__sum_{col}"
@@ -381,7 +404,7 @@ class IncrementalChainJoinView:
             rel = part if rel is None else rel.join(
                 part, on=self.edges[j], how="inner"
             )
-        return rel
+        return rel.where(self.where) if self.where else rel
 
     def _ns_join(
         self, left: DataFrame, right: DataFrame, cols: list[str], how: str
@@ -426,7 +449,7 @@ class IncrementalChainJoinView:
             rel = part if rel is None else rel.join(
                 part, on=self.edges[j], how="inner"
             )
-        return rel
+        return rel.where(self.where) if self.where else rel
 
     def _minmax_source(
         self, joined: DataFrame, v_new: list[int]
@@ -798,6 +821,7 @@ class IncrementalJoinView(IncrementalChainJoinView):
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
         publish: bool = False,
+        where: str | None = None,
     ):
         for k in join_keys:
             if k not in left.schema().fieldNames():
@@ -811,6 +835,7 @@ class IncrementalJoinView(IncrementalChainJoinView):
             group_cols,
             aggs,
             publish=publish,
+            where=where,
         )
         self.left, self.right = left, right
         self.join_keys = list(join_keys)

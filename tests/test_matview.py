@@ -142,10 +142,11 @@ def test_join_matview_minmax_via_sql(cat, spark):
 
 
 def test_matview_rejections(cat, spark, tmp_path):
-    with pytest.raises(ValueError, match="WHERE"):
+    with pytest.raises(ValueError, match="plain row predicates"):
         cat.create_materialized_view(
             "db1", "m1",
-            "SELECT grp, sum(v) AS t FROM db1.fact WHERE v > 1 GROUP BY grp",
+            "SELECT grp, sum(v) AS t FROM db1.fact"
+            " WHERE v > (SELECT avg(v) FROM db1.fact) GROUP BY grp",
         )
     with pytest.raises(ValueError, match="at least one aggregate"):
         parse_matview_select("SELECT grp FROM t GROUP BY grp")
@@ -481,4 +482,77 @@ def test_refresh_cascade_walks_the_dag(cat, spark):
     assert _rows(cat.sql("SELECT grp, t FROM db1.plat")) == {
         ("a", 1030),
         ("b", 5),
+    }
+
+
+# ---------------------------------------------------------------------------
+# WHERE / HAVING (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_matview_where_single_table(cat, spark):
+    """WHERE filters rows before aggregation and is maintained
+    incrementally — including the min/max recompute, which must read the
+    base THROUGH the filter (a filtered-out row must never become a
+    group's extreme)."""
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.wmv AS"
+        " SELECT grp, sum(v) AS t, count(*) AS n, max(v) AS hi"
+        " FROM db1.fact WHERE v >= 10 GROUP BY grp"
+    )
+    assert _rows(cat.sql("SELECT grp, t, n, hi FROM db1.wmv")) == {
+        ("a", 30, 2, 20),
+    }  # the (3, 'b', 5) row is filtered; group b has no qualifying rows
+    # an update moving a row ACROSS the predicate boundary: v 20 -> 3
+    # leaves the filtered aggregate, and the max must recompute to 10 —
+    # NOT pick up the now-unqualified 3
+    cat.table("db1", "fact").update({"v": "3"}, "k = 2")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.wmv")
+    assert _rows(cat.sql("SELECT grp, t, n, hi FROM db1.wmv")) == {
+        ("a", 10, 1, 10),
+    }
+    # and back across: v 3 -> 50 re-enters
+    cat.table("db1", "fact").update({"v": "50"}, "k = 2")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.wmv")
+    assert _rows(cat.sql("SELECT grp, t, n, hi FROM db1.wmv")) == {
+        ("a", 60, 2, 50),
+    }
+
+
+def test_matview_where_join(cat, spark):
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], DIM))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.wj AS"
+        " SELECT seg, sum(v) AS t, min(v) AS lo"
+        " FROM db1.fact JOIN db1.dim USING (k)"
+        " WHERE v > 5 AND seg <> 'zzz' GROUP BY seg"
+    )
+    assert _rows(cat.sql("SELECT seg, t, lo FROM db1.wj")) == {
+        ("x", 10, 10),
+        ("y", 20, 20),
+    }
+    # delete the only qualifying x row -> filtered recompute drains x
+    cat.table("db1", "fact").delete("v = 10")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.wj")
+    assert _rows(cat.sql("SELECT seg, t, lo FROM db1.wj")) == {
+        ("y", 20, 20),
+    }
+
+
+def test_matview_having_read_time(cat, spark):
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.hmv AS"
+        " SELECT grp, sum(v) AS t, count(*) AS n FROM db1.fact"
+        " GROUP BY grp HAVING t > 10"
+    )
+    assert _rows(cat.sql("SELECT grp, t, n FROM db1.hmv")) == {("a", 30, 2)}
+    # HAVING is read-time: the group reappears as soon as it qualifies
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(9, "b", 100)], FACT)
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW db1.hmv")
+    assert _rows(cat.sql("SELECT grp, t, n FROM db1.hmv")) == {
+        ("a", 30, 2),
+        ("b", 105, 2),
     }
