@@ -77,7 +77,7 @@ _PRIORITY_KEYS = [
     # (e) the r6-green lake-feature head (next-oldest driver rows).
     "view_incremental_join", "ddl_create_view", "ext_multimodal_jpeg",
     "ddl_create_matview", "src_json_micro_ts", "merge_cdc_null_order",
-    "view_join_minmax", "view_stacked_rollup",
+    "view_join_minmax", "view_stacked_rollup", "view_matview_where",
     "agg_incremental_mode", "stream_paced_bytes", "util_vacuum",
     "util_vacuum_lite", "ddl_catalog_metastore", "ddl_catalog_3level",
     "agg_incremental_view", "ext_multimodal_decode", "merge_cdc_upsert",
@@ -91,7 +91,7 @@ _PRIORITY_KEYS = [
     "util_history", "ext_line_dedup", "ext_pii_redact",
     "ext_decontaminate", "stream_dedup_watermark",
     "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
-    "ddl_rename_column", "util_bloom_skipping", "ddl_generated_columns",
+    "ddl_rename_column", "util_bloom_skipping",
 ]
 
 
@@ -102,7 +102,7 @@ _SECOND_PRIORITY = [
     # hash-verified every run by tests/test_oracle_parity.py.
     "util_analyze_stats", "agg_rollup", "agg_grouping_sets",
     "agg_percentile", "agg_filtered", "merge_schema_evolution",
-    "ddl_identity_columns",
+    "ddl_identity_columns", "ddl_generated_columns",
     "win_range_interval", "win_range_rolling_ms", "agg_incremental_median",
     "ddl_create_like", "ext_bpe_train", "ext_bpe_encode",
     "ext_multimodal_audio", "src_json_stream", "src_json_auto",

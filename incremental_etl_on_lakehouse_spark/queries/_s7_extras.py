@@ -1498,3 +1498,77 @@ def view_stacked_rollup(spark, sf_dir):
         "n_groups",
         F.col("max_group_cents").cast("long").alias("max_group_cents"),
     )
+
+
+_MV_WHERE_CACHE: dict[tuple[int, str], object] = {}
+
+
+@query(
+    "view_matview_where",
+    "WITH post AS ("
+    "  SELECT CAST(c_custkey AS BIGINT) AS id,"
+    "         CAST(c_custkey % 7 AS BIGINT) AS grp,"
+    "         CAST(round(c_acctbal * 100) AS BIGINT)"
+    "           - CASE WHEN c_custkey % 5 = 0 THEN 200000 ELSE 0 END"
+    "           AS bal_cents"
+    "  FROM customer WHERE c_custkey % 11 <> 0)"
+    " SELECT grp, CAST(sum(bal_cents) AS BIGINT) AS t,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(max(bal_cents) AS BIGINT) AS hi"
+    " FROM post WHERE bal_cents >= 0 GROUP BY grp HAVING count(*) > 3",
+)
+def view_matview_where(spark, sf_dir):
+    """MATERIALIZED VIEW with WHERE + HAVING through the SQL front door:
+    the MV filters negative balances BEFORE aggregation (maintained
+    incrementally — batch 2's -2000.00 update pushes some rows across the
+    0 boundary OUT of the aggregate, and its deletes remove group maxima,
+    driving the FILTERED min/max recompute), while HAVING prunes small
+    groups at read time. The oracle replays the post-state in plain SQL
+    with the same WHERE/HAVING.
+
+    Scale: the WHERE rides the change feed (no base rescan); the
+    boundary-crossing update is just a preimage(-1)/postimage(filtered)
+    pair; the recompute reads only extremum-touched groups through the
+    predicate."""
+    from incremental_etl_on_lakehouse_spark.lake.catalog import LakeCatalog
+
+    cache_key = (id(spark), sf_dir)
+    cached = _MV_WHERE_CACHE.get(cache_key)
+    if cached is not None and os.path.isdir(cached.root):
+        cat = cached
+    else:
+        cat = LakeCatalog(spark, os.path.join(_tmpdir(), "cat"))
+        cat.create_database("db1")
+        t = cat.create_table(
+            "db1",
+            "balances",
+            StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("grp", LongType()),
+                    StructField("bal_cents", LongType()),
+                ]
+            ),
+            properties={
+                "enableChangeDataFeed": "true",
+                "statsColumns": "id,grp",
+            },
+        )
+        c = load_table(spark, "customer", sf_dir).select(
+            F.col("c_custkey").cast("long").alias("id"),
+            (F.col("c_custkey") % 7).cast("long").alias("grp"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+        t.append(c)
+        cat.sql(
+            "CREATE MATERIALIZED VIEW db1.mv AS"
+            " SELECT grp, sum(bal_cents) AS t, count(*) AS n,"
+            " max(bal_cents) AS hi"
+            " FROM db1.balances WHERE bal_cents >= 0 GROUP BY grp"
+            " HAVING n > 3"
+        )
+        t.update({"bal_cents": "bal_cents - 200000"}, "id % 5 = 0")
+        t.delete("id % 11 = 0")
+        cat.sql("REFRESH MATERIALIZED VIEW db1.mv")
+        _MV_WHERE_CACHE[cache_key] = cat
+    return cat.sql("SELECT grp, t, n, hi FROM db1.mv")
