@@ -200,19 +200,13 @@ def build_maintainer(
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
     where = spec.get("where")
     if len(table_paths) == 1:
-        if publish:
-            raise ValueError(
-                "PUBLISH is supported on join materialized views only "
-                "(the single-table maintainer spreads its state across "
-                "several tables; publish its SOURCE instead, or define "
-                "the MV as a join)"
-            )
         return IncrementalAggView(
             LakeTable(spark, table_paths[0]),
             root,
             group_cols=spec["group_cols"],
             aggs=aggs,
             where=where,
+            publish=publish,
         )
     if len(table_paths) == 2:
         return IncrementalJoinView(

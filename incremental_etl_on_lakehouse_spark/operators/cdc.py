@@ -779,6 +779,7 @@ class IncrementalAggView:
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
         where: str | None = None,
+        publish: bool = False,
     ):
         from incremental_etl_on_lakehouse_spark.lake.streaming import (
             LakeStreamReader,
@@ -916,6 +917,36 @@ class IncrementalAggView:
                 | set(self._mode_specs.values())
             )
         }
+        # published: the view's LOGICAL output materialized into a
+        # CDF-enabled lake table — the stacking surface (same contract as
+        # IncrementalChainJoinView.publish). Maintained per source batch:
+        # the merge touches only the batch's changed groups; the state
+        # left-joins behind the logical projection are the same reads a
+        # to_df() costs (quantile/distinct-bearing views pay their
+        # O(live distinct values) state aggregation per publish — still
+        # never a base rescan).
+        self.published: LakeTable | None = None
+        if publish:
+            out_fields = [
+                StructField(c, src_schema[c]) for c in self.group_cols
+            ]
+            for name, (kind, col) in self.aggs.items():
+                if kind == "sum":
+                    dt = widen_sum_type(src_schema[col])
+                elif kind in ("count", "count_distinct"):
+                    dt = LongType()
+                elif kind == "avg":
+                    dt = DoubleType()
+                else:  # min/max/median/pNN/mode carry the source type
+                    dt = src_schema[col]
+                out_fields.append(StructField(name, dt))
+            self.published = LakeTable.create(
+                spark,
+                os.path.join(root, "published"),
+                StructType(out_fields),
+                properties={"enableChangeDataFeed": "true"},
+                if_not_exists=True,
+            )
         self._reader = LakeStreamReader(
             source,
             os.path.join(root, "checkpoint.json"),
@@ -988,20 +1019,69 @@ class IncrementalAggView:
                 txn_app_id="incremental-agg-view",
                 txn_version=int(version),
             )
+        if self.published is not None:
+            self._publish(changes, int(version))
+
+    def _publish(self, changes: DataFrame, version: int) -> None:
+        """Merge the batch's changed groups' LOGICAL rows into
+        ``published`` — same contract as the join-view publish: no-op
+        groups fire zero clauses (null-safe per-column compare), drained
+        groups are DELETEd, the txn guard (keyed on the source CDF
+        version like every other state merge of this batch) no-ops a
+        crash-replay."""
+        changed = changes.select(*self.group_cols).distinct()
+        ren = {c: f"__g_{c}" for c in self.group_cols}
+        ch = changed.withColumnsRenamed(ren)
+        state = self.add_table.to_df()
+        cond = None
+        for c in self.group_cols:
+            e = state[c].eqNullSafe(ch[f"__g_{c}"])
+            cond = e if cond is None else cond & e
+        roster = state.join(ch, cond, "left_semi")
+        src = self._assemble(roster, keep_n=True)
+        logical = [*self.group_cols, *self.aggs]
+        mcond = " AND ".join(
+            f"source.`{k}` <=> target.`{k}`" for k in self.group_cols
+        )
+        set_all = {c: f"source.`{c}`" for c in logical}
+        nochange = " AND ".join(
+            f"source.`{c}` <=> target.`{c}`" for c in logical
+        )
+        self.published.merge(
+            src,
+            mcond,
+            [
+                MergeClause("delete", "source.`__n` <= 0"),
+                MergeClause(
+                    "update",
+                    f"source.`__n` > 0 AND NOT ({nochange})",
+                    set_all,
+                ),
+                MergeClause("insert", "source.`__n` > 0", set_all),
+            ],
+            txn_app_id="incremental-agg-view:publish",
+            txn_version=version,
+        )
 
     def refresh(self) -> int:
         """Fold all unprocessed source CDF batches; returns batches applied."""
         return self._reader.process_available(self._apply)
 
     def to_df(self) -> DataFrame:
+        return self._assemble(
+            self.add_table.to_df().where(F.col("__n") > 0)
+        )
+
+    def _assemble(self, out: DataFrame, keep_n: bool = False) -> DataFrame:
         # The additive table is the group roster; the mm/distinct state
         # tables LEFT-join onto it because neither holds a row for a group
         # whose value column is entirely NULL (the mono path requires a
         # non-null extreme; NULLs never enter distinct state).  Batch
         # semantics for such a group are MIN/MAX = NULL and
         # COUNT(DISTINCT) = 0 — exactly what the left join + coalesce
-        # yield — while the group's SUM/COUNT stay visible.
-        out = self.add_table.to_df().where(F.col("__n") > 0)
+        # yield — while the group's SUM/COUNT stay visible.  ``keep_n``
+        # rides the maintained row count along (the publish merge uses it
+        # to DELETE drained groups).
 
         def _nullsafe_left(acc: DataFrame, state: DataFrame) -> DataFrame:
             """Left-join a state table on the group keys NULL-SAFELY: a
@@ -1095,6 +1175,8 @@ class IncrementalAggView:
                 sel.append(
                     F.coalesce(F.col(f"__d_{name}"), F.lit(0)).alias(name)
                 )
+        if keep_n:
+            sel.append(F.col("__n"))
         return out.select(*sel)
 
 

@@ -420,13 +420,24 @@ def test_stacked_matviews_via_publish(cat, spark):
 def test_publish_guards(cat, spark):
     dim = cat.create_table("db1", "dim", DIM, properties=CDF)
     dim.append(spark.createDataFrame([(1, "x")], DIM))
-    # PUBLISH on a single-table MV is rejected with the reason
-    with pytest.raises(ValueError, match="join materialized views only"):
-        cat.create_materialized_view(
-            "db1", "m1",
-            "SELECT grp, sum(v) AS t FROM db1.fact GROUP BY grp",
-            publish=True,
-        )
+    # PUBLISH works on single-table MVs too (round-12 late addition):
+    # the published table carries the assembled logical output
+    cat.create_materialized_view(
+        "db1", "m1",
+        "SELECT grp, sum(v) AS t, median(v) AS med FROM db1.fact"
+        " GROUP BY grp",
+        publish=True,
+    )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.m2 AS"
+        " SELECT grp, sum(t) AS tt, max(med) AS mm FROM db1.m1"
+        " GROUP BY grp"
+    )
+    # med is the engine's exact LOWER percentile (10 of [10, 20])
+    assert _rows(cat.sql("SELECT grp, tt, mm FROM db1.m2")) == {
+        ("a", 30, 10),
+        ("b", 5, 5),
+    }
     # an UNpublished MV cannot feed another MV
     cat.sql(
         "CREATE MATERIALIZED VIEW db1.gold AS"
@@ -555,4 +566,66 @@ def test_matview_having_read_time(cat, spark):
     assert _rows(cat.sql("SELECT grp, t, n FROM db1.hmv")) == {
         ("a", 30, 2),
         ("b", 105, 2),
+    }
+
+
+def test_single_table_publish_full_algebra(cat, spark):
+    """A published single-table MV carrying the FULL aggregate algebra
+    (sum/count/avg/min/max/count-distinct/median/mode) stays byte-equal
+    to its logical read through inserts, boundary updates, and
+    extreme-removing deletes — and the published CDF drives a downstream
+    MV correctly."""
+    cat.create_materialized_view(
+        "db1", "pub",
+        "SELECT grp, sum(v) AS t, count(*) AS n, avg(v) AS mean,"
+        " min(v) AS lo, max(v) AS hi, count(DISTINCT v) AS nd,"
+        " median(v) AS med, mode(v) AS mo FROM db1.fact GROUP BY grp",
+        publish=True,
+    )
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.roll AS"
+        " SELECT grp, sum(t) AS tt, min(lo) AS lolo FROM db1.pub"
+        " GROUP BY grp"
+    )
+
+    def converged(ctx):
+        mv = cat._matview("db1", "pub")
+        cols = sorted(mv.published.to_df().columns)
+        # compare BY NAME: the metastore JSON roundtrip alphabetizes the
+        # spec's agg order, so the rehydrated logical frame's column
+        # ORDER differs from the published schema (values don't)
+        pub = sorted(
+            tuple(r[c] for c in cols)
+            for r in mv.published.to_df().collect()
+        )
+        logical = sorted(
+            tuple(r[c] for c in cols) for r in mv.to_df().collect()
+        )
+        assert pub == logical, (ctx, pub, logical)
+        roll = {
+            (r["grp"]): (r["tt"], r["lolo"])
+            for r in cat.read_matview("db1", "roll").collect()
+        }
+        exp = {
+            r["grp"]: (r["t"], r["lo"])
+            for r in mv.to_df().collect()
+        }
+        assert roll == exp, (ctx, roll, exp)
+
+    converged("initial")
+    cat.table("db1", "fact").append(
+        spark.createDataFrame([(7, "a", 100), (8, "b", -3)], FACT)
+    )
+    cat.sql("REFRESH MATERIALIZED VIEW db1.roll CASCADE")
+    converged("appends")
+    # delete the max of 'a' -> minmax recompute -> published update
+    cat.table("db1", "fact").delete("v = 100")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.roll CASCADE")
+    converged("extreme delete")
+    # drain 'b' entirely -> published DELETE -> downstream group vanishes
+    cat.table("db1", "fact").delete("grp = 'b'")
+    cat.sql("REFRESH MATERIALIZED VIEW db1.roll CASCADE")
+    converged("drain")
+    assert "b" not in {
+        r["grp"] for r in cat.read_matview("db1", "roll").collect()
     }
