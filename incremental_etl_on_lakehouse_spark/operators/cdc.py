@@ -944,7 +944,13 @@ class IncrementalAggView:
                 spark,
                 os.path.join(root, "published"),
                 StructType(out_fields),
-                properties={"enableChangeDataFeed": "true"},
+                properties={
+                    "enableChangeDataFeed": "true",
+                    # group-key file stats: downstream consumers (stacked
+                    # views' delta joins, key_range reads) file-prune on
+                    # the published table's group columns
+                    "statsColumns": ",".join(self.group_cols),
+                },
                 if_not_exists=True,
             )
         self._reader = LakeStreamReader(
