@@ -64,7 +64,8 @@ def parse_matview_select(sql: str) -> dict:
     s = strip_comments(sql).strip().rstrip(";")
     m = re.match(
         rf"SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<t1>{_NAME})"
-        rf"(?P<joins>(?:\s+JOIN\s+{_NAME}\s+(?:USING\s*\([^)]+\)"
+        rf"(?P<joins>(?:\s+(?:LEFT\s+(?:OUTER\s+)?)?JOIN\s+{_NAME}\s+"
+        rf"(?:USING\s*\([^)]+\)"
         rf"|ON\s+(?:(?!\bJOIN\b|\bGROUP\b|\bWHERE\b).)*?))*)"
         rf"(?:\s+WHERE\s+(?P<where>(?:(?!\bGROUP\s+BY\b).)+?))?"
         rf"\s+GROUP\s+BY\s+(?P<grp>.+?)"
@@ -91,13 +92,16 @@ def parse_matview_select(sql: str) -> dict:
             )
     tables = [m.group("t1")]
     edges: list[list[str]] = [[]]
+    hows: list[str] = []
     for jm in re.finditer(
-        rf"\s+JOIN\s+(?P<t>{_NAME})\s+(?:USING\s*\((?P<using>[^)]+)\)"
-        rf"|ON\s+(?P<on>(?:(?!\bJOIN\b).)*?)(?=\s+JOIN\b|$))",
+        rf"\s+(?P<left>LEFT\s+(?:OUTER\s+)?)?JOIN\s+(?P<t>{_NAME})\s+"
+        rf"(?:USING\s*\((?P<using>[^)]+)\)"
+        rf"|ON\s+(?P<on>(?:(?!\bJOIN\b).)*?)(?=\s+(?:LEFT\s+)?JOIN\b|$))",
         m.group("joins") or "",
         re.IGNORECASE | re.DOTALL,
     ):
         tables.append(jm.group("t"))
+        hows.append("left" if jm.group("left") else "inner")
         if jm.group("using"):
             edges.append(
                 [c.strip().strip("`") for c in jm.group("using").split(",")]
@@ -121,6 +125,15 @@ def parse_matview_select(sql: str) -> dict:
                     )
                 keys.append(l)
             edges.append(keys)
+    how = "inner"
+    if any(h == "left" for h in hows):
+        if len(tables) != 2:
+            raise ValueError(
+                "LEFT JOIN materialized views support exactly two tables "
+                "— stage the inner chain in a PUBLISHed MV and LEFT JOIN "
+                "over it"
+            )
+        how = "left"
     join_keys = edges[1] if len(tables) == 2 else None
     group_cols: list[str] = []
     aggs: dict[str, tuple[str, str]] = {}
@@ -175,6 +188,7 @@ def parse_matview_select(sql: str) -> dict:
         "aggs": aggs,
         "where": (m.group("where") or "").strip() or None,
         "having": (m.group("having") or "").strip() or None,
+        "how": how,
     }
 
 
@@ -199,6 +213,7 @@ def build_maintainer(
 
     aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
     where = spec.get("where")
+    how = spec.get("how", "inner")
     if len(table_paths) == 1:
         return IncrementalAggView(
             LakeTable(spark, table_paths[0]),
@@ -218,6 +233,7 @@ def build_maintainer(
             aggs=aggs,
             publish=publish,
             where=where,
+            how=how,
         )
     return IncrementalChainJoinView(
         [LakeTable(spark, p) for p in table_paths],

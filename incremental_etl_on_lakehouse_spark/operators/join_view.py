@@ -140,9 +140,19 @@ class IncrementalChainJoinView:
         aggs: dict[str, tuple[str, str]],
         publish: bool = False,
         where: str | None = None,
+        how: str = "inner",
     ):
         if len(tables) < 2:
             raise ValueError("a join view needs at least two tables")
+        if how not in ("inner", "left"):
+            raise ValueError(f"unsupported join type: {how!r} (inner/left)")
+        if how == "left" and len(tables) != 2:
+            raise ValueError(
+                "LEFT OUTER join views support exactly two tables — chain "
+                "the outer join last over an inner-chain view's published "
+                "table"
+            )
+        self.how = how
         if len(edges) != len(tables) or edges[0]:
             raise ValueError(
                 "edges must align with tables (edges[0] empty; edges[i] "
@@ -205,6 +215,12 @@ class IncrementalChainJoinView:
                     "(sum/count/count(col)/avg/min/max — quantiles over a "
                     "join need full per-group join-result state)"
                 )
+        if how == "left" and self._mm_specs:
+            raise ValueError(
+                "MIN/MAX in a LEFT OUTER join view is not supported (the "
+                "touched-group recompute is not outer-aware) — use the "
+                "subtractable family sum/count/count(col)/avg"
+            )
         # every needed column resolves: edge keys may live on many tables
         # (the chain equates them); anything else on exactly one
         needed = set(used_cols) | edge_keys
@@ -245,6 +261,13 @@ class IncrementalChainJoinView:
                 )
             self._projs.append(own)
             provided |= set(own)
+        self._joined_types = joined_types
+        # LEFT OUTER: the right side's non-edge projection columns are the
+        # ones NULL-extended on unmatched left rows (join keys keep the
+        # left row's values, exactly as in batch LEFT JOIN output)
+        self._right_only = [
+            c for c in self._projs[-1] if c not in set(self.edges[-1])
+        ]
 
         spark = tables[0].spark
         fields = [StructField(c, joined_types[c]) for c in self.group_cols]
@@ -456,6 +479,90 @@ class IncrementalChainJoinView:
                 part, on=self.edges[j], how="inner"
             )
         return rel.where(self.where) if self.where else rel
+
+    def _outer_terms(
+        self,
+        deltas: list[DataFrame | None],
+        v_new: list[int],
+        v_old: list[int],
+    ) -> list[DataFrame]:
+        """The LEFT-OUTER extension terms — the delta of the null-extended
+        unmatched part ``A ▷ B``, alongside the inner terms' delta of
+        ``A ⋈ B``:
+
+            Δ(A ▷ B) = ΔA ▷ B@old  ∪  σ_crossing(A@new)
+
+        where *crossing* keys are those whose B match count crossed zero
+        between B@old and B@new (0 -> matched: the key's A rows LEAVE the
+        unmatched set, sign -1; matched -> 0: they ENTER it, sign +1).
+        Match counts are computed from the PINNED old/new B snapshots
+        restricted to the batch's keys — no maintained count state, so a
+        crash-replay recomputes byte-identical terms and the maintenance
+        merge's txn guard stays the only idempotence mechanism. NULL join
+        keys never match (anti-join keeps them: always unmatched), and
+        the stats-pruned snapshot reads keep every scan O(batch key
+        range), never O(table)."""
+        keys = self.edges[1]
+
+        def extend(df: DataFrame) -> DataFrame:
+            ext = df.select(
+                *self._projs[0],
+                "__s",
+                *[
+                    F.lit(None)
+                    .cast(self._joined_types[c])
+                    .alias(c)
+                    for c in self._right_only
+                ],
+            )
+            return ext.where(self.where) if self.where else ext
+
+        out: list[DataFrame] = []
+        d0, d1 = deltas
+        if d0 is not None:
+            bkeys_old = (
+                self._snapshot(1, v_old[1], prune_from=d0, prune_cols=keys)
+                .select(*keys)
+                .distinct()
+            )
+            out.append(
+                extend(d0.join(bkeys_old, on=keys, how="left_anti"))
+            )
+        if d1 is not None:
+            nn = None
+            for k in keys:
+                e = F.col(k).isNotNull()
+                nn = e if nn is None else nn & e
+            dkeys = d1.select(*keys).where(nn).distinct()
+
+            def cnts(version: int, alias: str) -> DataFrame:
+                b = self._snapshot(
+                    1, version, prune_from=dkeys, prune_cols=keys
+                ).select(*keys)
+                return (
+                    b.join(dkeys, on=keys, how="left_semi")
+                    .groupBy(*keys)
+                    .agg(F.count("*").alias(alias))
+                )
+
+            c_old = F.coalesce(F.col("__c_old"), F.lit(0))
+            c_new = F.coalesce(F.col("__c_new"), F.lit(0))
+            crossing = (
+                dkeys.join(cnts(v_old[1], "__c_old"), on=keys, how="left")
+                .join(cnts(v_new[1], "__c_new"), on=keys, how="left")
+                .select(
+                    *keys,
+                    F.when((c_old == 0) & (c_new > 0), F.lit(-1))
+                    .when((c_old > 0) & (c_new == 0), F.lit(1))
+                    .alias("__s"),
+                )
+                .where(F.col("__s").isNotNull())
+            )
+            a_new = self._snapshot(
+                0, v_new[0], prune_from=crossing, prune_cols=keys
+            )
+            out.append(extend(a_new.join(crossing, on=keys, how="inner")))
+        return out
 
     def _minmax_source(
         self, joined: DataFrame, v_new: list[int]
@@ -682,6 +789,8 @@ class IncrementalChainJoinView:
             for i, d in enumerate(deltas)
             if d is not None
         ]
+        if self.how == "left":
+            terms += self._outer_terms(deltas, v_new, v_old)
         if not terms:
             self._ckpt.write(
                 {"versions": v_new, "epoch": ck["epoch"], "intent": None}
@@ -828,6 +937,7 @@ class IncrementalJoinView(IncrementalChainJoinView):
         aggs: dict[str, tuple[str, str]],
         publish: bool = False,
         where: str | None = None,
+        how: str = "inner",
     ):
         for k in join_keys:
             if k not in left.schema().fieldNames():
@@ -842,6 +952,7 @@ class IncrementalJoinView(IncrementalChainJoinView):
             aggs,
             publish=publish,
             where=where,
+            how=how,
         )
         self.left, self.right = left, right
         self.join_keys = list(join_keys)

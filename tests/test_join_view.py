@@ -707,3 +707,162 @@ def test_join_view_publish_crash_between_merges_replays_once(
     _assert_stack_converged(fact, dim, gold, plat, "post-crash")
     got = {r["et"]: r["sum_total"] for r in plat.to_df().collect()}
     assert got == {"x": 14}
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join views (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _left_view(spark, tmp_path, left, right):
+    return IncrementalJoinView(
+        left,
+        right,
+        str(tmp_path / "lview"),
+        join_keys=["k"],
+        group_cols=["seg"],
+        how="left",
+        aggs={
+            "total": ("sum", "v"),
+            "n": ("count", "*"),
+            "nv": ("count", "v"),
+            "mean": ("avg", "v"),
+        },
+    )
+
+
+def _left_expected(left, right):
+    rows = (
+        left.to_df()
+        .join(right.to_df(), on=["k"], how="left")
+        .groupBy("seg")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("*").alias("n"),
+            F.count("v").alias("nv"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    )
+    return {r["seg"]: (r["total"], r["n"], r["nv"], r["mean"]) for r in rows}
+
+
+def _left_state(view):
+    return {
+        r["seg"]: (r["total"], r["n"], r["nv"], r["mean"])
+        for r in view.to_df().collect()
+    }
+
+
+def test_left_join_view_match_state_transitions(spark, tmp_path):
+    """Facts-before-dims: unmatched rows live under the NULL-extended
+    group; a dim arrival moves the key's rows matched-ward (crossing),
+    a dim delete moves them back — each time the view must equal the
+    batch LEFT JOIN aggregate."""
+    left = _mk(spark, tmp_path, "lfact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "ldim", DIM_SCHEMA)
+    view = _left_view(spark, tmp_path, left, right)
+    left.append(
+        spark.createDataFrame(
+            [(1, 10, 1), (2, 5, 2), (None, 7, 3)], FACT_SCHEMA
+        )
+    )
+    view.refresh()
+    assert _left_state(view) == _left_expected(left, right)
+    # everything unmatched: one NULL-seg group carrying all 3 rows
+    assert _left_state(view)[None][1] == 3
+    # dims arrive: key 1 crosses into matched; NULL-key row never does
+    right.append(spark.createDataFrame([(1, "a"), (9, "z")], DIM_SCHEMA))
+    view.refresh()
+    assert _left_state(view) == _left_expected(left, right)
+    # both feeds advance before one refresh: new fact + key-2 crossing
+    left.append(spark.createDataFrame([(2, 100, 4), (3, 1, 5)], FACT_SCHEMA))
+    right.merge(
+        spark.createDataFrame([(2, "b")], DIM_SCHEMA),
+        "source.k = target.k",
+        [MergeClause("update", None, "*"), MergeClause("insert", None, "*")],
+    )
+    view.refresh()
+    assert _left_state(view) == _left_expected(left, right)
+    # dim delete: key 1 crosses back to unmatched
+    right.delete("k = 1")
+    view.refresh()
+    assert _left_state(view) == _left_expected(left, right)
+    # dim fan-out 1 -> 2 rows for key 2 (count change, NO crossing)
+    right.append(spark.createDataFrame([(2, "b2")], DIM_SCHEMA))
+    view.refresh()
+    assert _left_state(view) == _left_expected(left, right)
+    # no-op refresh
+    assert view.refresh() == 0
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_left_join_view_differential_fuzz(spark, tmp_path, seed):
+    """Randomized differential for the LEFT OUTER view: random batches
+    on both feeds, view vs batch LEFT JOIN aggregate after every
+    refresh."""
+    rng = random.Random(13_500 + seed)
+    left = _mk(spark, tmp_path, "lfact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "ldim", DIM_SCHEMA)
+    view = _left_view(spark, tmp_path, left, right)
+    rid = [0]
+    segs = ["a", "b", None]
+
+    def fact_rows(n):
+        out = []
+        for _ in range(n):
+            rid[0] += 1
+            out.append(
+                (
+                    rng.choice([None, *range(6)]),
+                    rng.choice([None, *range(-3, 9)]),
+                    rid[0],
+                )
+            )
+        return out
+
+    for step in range(8):
+        if rng.random() < 0.7:
+            op = rng.random()
+            if op < 0.6 or left.to_df().limit(1).count() == 0:
+                left.append(
+                    spark.createDataFrame(
+                        fact_rows(rng.randint(1, 5)), FACT_SCHEMA
+                    )
+                )
+            else:
+                left.delete(f"rid % 3 = {rng.randint(0, 2)}")
+        if rng.random() < 0.7:
+            op = rng.random()
+            if op < 0.6:
+                ups = [
+                    (k, rng.choice(segs))
+                    for k in rng.sample(range(6), rng.randint(1, 3))
+                ]
+                right.merge(
+                    spark.createDataFrame(ups, DIM_SCHEMA),
+                    "source.k = target.k",
+                    [
+                        MergeClause("update", None, "*"),
+                        MergeClause("insert", None, "*"),
+                    ],
+                )
+            else:
+                right.delete(f"k % 3 = {rng.randint(0, 2)}")
+        view.refresh()
+        assert _left_state(view) == _left_expected(left, right), (seed, step)
+
+
+def test_left_join_view_rejections(spark, tmp_path):
+    left = _mk(spark, tmp_path, "lfact", FACT_SCHEMA)
+    right = _mk(spark, tmp_path, "ldim", DIM_SCHEMA)
+    with pytest.raises(ValueError, match="not outer-aware"):
+        IncrementalJoinView(
+            left, right, str(tmp_path / "v1"), ["k"], ["seg"],
+            {"m": ("min", "v")}, how="left",
+        )
+    with pytest.raises(ValueError, match="unsupported join type"):
+        IncrementalJoinView(
+            left, right, str(tmp_path / "v2"), ["k"], ["seg"],
+            {"n": ("count", "*")}, how="full",
+        )

@@ -629,3 +629,25 @@ def test_single_table_publish_full_algebra(cat, spark):
     assert "b" not in {
         r["grp"] for r in cat.read_matview("db1", "roll").collect()
     }
+
+
+def test_left_join_matview_via_sql(cat, spark):
+    """LEFT JOIN MV: unmatched fact rows aggregate under the NULL
+    segment; a dim arrival moves them matched-ward through REFRESH."""
+    dim = cat.create_table("db1", "dim", DIM, properties=CDF)
+    dim.append(spark.createDataFrame([(1, "x")], DIM))
+    cat.sql(
+        "CREATE MATERIALIZED VIEW db1.lmv AS"
+        " SELECT seg, sum(v) AS t, count(*) AS n"
+        " FROM db1.fact LEFT JOIN db1.dim USING (k) GROUP BY seg"
+    )
+    assert _rows(cat.sql("SELECT seg, t, n FROM db1.lmv")) == {
+        ("x", 10, 1),
+        (None, 25, 2),  # keys 2 and 3 unmatched
+    }
+    dim.append(spark.createDataFrame([(2, "y"), (3, "x")], DIM))
+    cat.sql("REFRESH MATERIALIZED VIEW db1.lmv")
+    assert _rows(cat.sql("SELECT seg, t, n FROM db1.lmv")) == {
+        ("x", 15, 2),
+        ("y", 20, 1),
+    }
