@@ -170,12 +170,85 @@ def _micro_plan_mode(spark: SparkSession, active: bool):
         yield
         return
     key = "spark.sql.adaptive.enabled"
+    pkey = "spark.sql.shuffle.partitions"
+    bkey = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(key, "true")
+    prev_p = spark.conf.get(pkey, None)
+    prev_b = spark.conf.get(bkey, None)
     spark.conf.set(key, "false")
+    # a provably-micro shuffle needs exactly one reducer: N static
+    # partitions are N near-empty tasks each paying scheduler+launch
+    # overhead (32 locally, 200 on a default cluster session), and with
+    # AQE off nothing coalesces them. Gated on the same exact row counts
+    # as the AQE disable, so a big shuffle never sees this.
+    spark.conf.set(pkey, "1")
+    # ... and no broadcast joins: every BroadcastExchange spawns its own
+    # driver-side build JOB (the withThreadLocalCaptured future), which on
+    # single-partition micro plans costs more scheduling than the join it
+    # feeds — a 1-task sort-merge/hash join executes INSIDE the one job.
+    # Explicit broadcast() hints override this; micro-aware callers gate
+    # their hints on the scope decision.
+    spark.conf.set(bkey, "-1")
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        if prev_p is None:
+            spark.conf.unset(pkey)
+        else:
+            spark.conf.set(pkey, prev_p)
+        if prev_b is None:
+            spark.conf.unset(bkey)
+        else:
+            spark.conf.set(bkey, prev_b)
+
+
+# planning inputs at or under this byte total are "provably micro": AQE's
+# per-stage scheduling and multi-task shuffles cannot pay for themselves
+MICRO_PLAN_INPUT_BYTES = 64 * 1024 * 1024
+
+
+def _analyzed_leaf_bytes(df: DataFrame) -> int | None:
+    """Sum of the ANALYZED plan's leaf size estimates (file-backed scans /
+    local relations). Deliberately not the optimized plan's root estimate:
+    a join in the plan makes the root a row-count product (inflated by
+    orders of magnitude), and the optimized plan substitutes cached
+    subtrees whose InMemoryRelation stats inherit that inflation. Engine
+    maintenance plans are row-preserving over their scans, so input bytes
+    bound their work. Analysis only — no optimizer run. None = unknown."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        return sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def maintenance_plan_scope(spark: SparkSession, *dfs: DataFrame):
+    """AQE-off + single-reducer scope for a maintenance computation whose
+    EVERY input frame is provably micro (combined analyzed leaf bytes at
+    or under MICRO_PLAN_INPUT_BYTES). Covers the operator-level persists
+    and emptiness probes that sit OUTSIDE LakeTable.merge's own probe
+    scope: persist() compiles the cached physical plan at call time, so a
+    persist taken with AQE on pays one scheduled query-stage job per
+    Exchange every time the cache materializes — pure fixed cost on a
+    few-thousand-row maintenance batch, the right trade on a big one
+    (which keeps AQE because the gate won't fire). Yields the decision so
+    callers can branch on it if needed."""
+    total = 0
+    micro = True
+    for df in dfs:
+        b = _analyzed_leaf_bytes(df)
+        if b is None:
+            micro = False
+            break
+        total += b
+    micro = micro and total <= MICRO_PLAN_INPUT_BYTES
+    with _micro_plan_mode(spark, micro):
+        yield micro
 
 
 @contextlib.contextmanager
@@ -1650,7 +1723,18 @@ class LakeTable:
         dvr = self._dv_rows(dv_map or {}, files) if files else None
         need_lineage = with_lineage or dvr is not None or row_base is not None
         if not files:
-            out = self.spark.createDataFrame([], schema)
+            # range(0)-backed empty frame, NOT createDataFrame([], schema):
+            # the latter is RDD-backed (LogicalRDD) whose size estimate is
+            # the Long.MaxValue "unknown" sentinel, which poisons every
+            # downstream micro-plan gate (maintenance_plan_scope, the merge
+            # probe) that sums leaf sizes — an EMPTY table read must
+            # estimate as zero bytes. Semantically identical.
+            out = self.spark.range(0).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
             if with_lineage:
                 out = out.withColumn("__fname", F.lit(None).cast("string")).withColumn(
                     "__pos", F.lit(None).cast("long")
@@ -1677,8 +1761,14 @@ class LakeTable:
                     "left_anti",
                 )
             if row_base is not None:
+                # ONE-slice parallelize: plain createDataFrame(list) slices
+                # the driver-local metadata into defaultParallelism (32+)
+                # partitions, so every broadcast build of this tiny frame
+                # ran a 32-task stage — measured ~300 ms per row-id read
                 bases = self.spark.createDataFrame(
-                    list(row_base.items()) or [(None, None)],
+                    self.spark.sparkContext.parallelize(
+                        list(row_base.items()) or [(None, None)], 1
+                    ),
                     StructType(
                         [
                             StructField("__bf", StringType()),
@@ -3503,13 +3593,6 @@ class LakeTable:
         # being silently built over (write-skew).
         snapshot_version = self.version()
 
-        # The source is evaluated by several jobs (bounds, touched-file
-        # probe, rewrite join, insert anti-join); persist it so any upstream
-        # work (e.g. a dedup window) runs once.
-        src_persisted = source.withColumn("__s_match", F.lit(True)).persist()
-        src = src_persisted.alias("source")
-        cond = F.expr(condition)
-
         # Data skipping: when the merge keys have file stats, restrict the
         # target read to files whose key range overlaps the batch's. Rows in
         # skipped files cannot match any source row (equi-key), so every
@@ -3536,14 +3619,53 @@ class LakeTable:
             # immediately and skipping resumes; correctness is unaffected
             # either way (pruning only ever narrows the read set).
             prune_map = {}
+
+        # Probe micro mode: with AQE on, every Exchange under the planning
+        # jobs (the source's dedup window, the planning join, the probe's
+        # partial agg) materializes as its OWN query-stage job — measured
+        # 4-6 jobs x 100-500 ms per micro-batch merge, the largest fixed
+        # cost of the CDC scenario keys. persist() compiles the cached
+        # physical plan EAGERLY at call time, so the AQE-off scope must
+        # open BEFORE the source is persisted, not just around the collect.
+        # The gate is metadata-exact on the target side (the log's per-file
+        # row counts) and estimate-bounded on the source side (the
+        # optimizer's own sizeInBytes for the batch plan — a 100 TB initial
+        # load keeps AQE for its dedup window; a micro batch provably
+        # doesn't need it). Performance-only either way.
+        active_rows = [a.get("rows") for a in state["active"].values()]
+        total_target_rows = (
+            sum(active_rows) if all(r is not None for r in active_rows) else None
+        )
+        src_bytes = _analyzed_leaf_bytes(source)
+        probe_micro = (
+            (
+                target_empty
+                or (
+                    total_target_rows is not None
+                    and total_target_rows <= 100_000
+                )
+            )
+            and src_bytes is not None
+            and src_bytes <= MICRO_PLAN_INPUT_BYTES
+        )
+        # The source is evaluated by several jobs (bounds, touched-file
+        # probe, rewrite join, insert anti-join); persist it so any upstream
+        # work (e.g. a dedup window) runs once. persist() compiles the
+        # cached physical plan at CALL time, so it sits inside the probe
+        # micro scope — that is what keeps the cached subtree non-adaptive.
+        with _micro_plan_mode(self.spark, probe_micro):
+            src_persisted = source.withColumn("__s_match", F.lit(True)).persist()
+        src = src_persisted.alias("source")
+        cond = F.expr(condition)
         if prune_map:
-            bounds_row = src_persisted.agg(
-                *[
-                    f
-                    for scol in prune_map.values()
-                    for f in (F.min(scol).alias(f"__mn_{scol}"), F.max(scol).alias(f"__mx_{scol}"))
-                ]
-            ).collect()[0]
+            with _micro_plan_mode(self.spark, probe_micro):
+                bounds_row = src_persisted.agg(
+                    *[
+                        f
+                        for scol in prune_map.values()
+                        for f in (F.min(scol).alias(f"__mn_{scol}"), F.max(scol).alias(f"__mx_{scol}"))
+                    ]
+                ).collect()[0]
             ranges = {
                 tcol: (
                     _json_safe(bounds_row[f"__mn_{scol}"]),
@@ -3586,10 +3708,17 @@ class LakeTable:
         target = target_df.alias("target")
         # hint only the PLANNING join's build side (target is its right
         # side); the rewrite join below has target on the LEFT of a
-        # left_outer, where a broadcast hint is unsupported noise
+        # left_outer, where a broadcast hint is unsupported noise. In
+        # probe-micro scope the hint is SKIPPED: the single-partition join
+        # runs inside the probe's one job, while a broadcast exchange
+        # would spawn its own build job (the hint overrides the scope's
+        # threshold disable).
         target_plan = (
             F.broadcast(target)
-            if not target_empty and known_rows is not None and known_rows <= 100_000
+            if not probe_micro
+            and not target_empty
+            and known_rows is not None
+            and known_rows <= 100_000
             else target
         )
 
@@ -3644,15 +3773,6 @@ class LakeTable:
             )
             s_action = s_action.when(~s_matched & c, F.lit(f"insert{j}"))
         s_action = s_action.otherwise(F.lit("skip"))
-        if target_empty:
-            s_joined = src.withColumn("__action", s_action).persist()
-        else:
-            s_joined = (
-                src.join(target_plan, cond, "left_outer")
-                .withColumn("__action", s_action)
-                .persist()
-            )
-
         # ONE action over S yields both the touched-file list and every
         # per-action row count (one fewer Spark job per merge; the result is
         # O(actions x touched files) rows — driver-metadata scale).
@@ -3662,11 +3782,20 @@ class LakeTable:
             if target_empty
             else F.expr("target.`__file`")
         )
-        plan_rows = (
-            s_joined.groupBy(F.col("__action"), file_col.alias("__f"))
-            .count()
-            .collect()
-        )
+        with _micro_plan_mode(self.spark, probe_micro):
+            if target_empty:
+                s_joined = src.withColumn("__action", s_action).persist()
+            else:
+                s_joined = (
+                    src.join(target_plan, cond, "left_outer")
+                    .withColumn("__action", s_action)
+                    .persist()
+                )
+            plan_rows = (
+                s_joined.groupBy(F.col("__action"), file_col.alias("__f"))
+                .count()
+                .collect()
+            )
         action_counts: dict[str, int] = {}
         touched_set: set[str] = set()
         for r in plan_rows:
@@ -3702,20 +3831,28 @@ class LakeTable:
             # plans as a shuffled anti join sized by AQE — an
             # unconditional hint would blow the broadcast limit.
             src_rows = sum(action_counts.values())
-            bs_src = F.broadcast(src) if src_rows <= 1_000_000 else src
-            bs_fired = (
-                target.join(bs_src, cond, "left_anti")
-                .withColumn("__action", bs_action)
-                .where(F.col("__action") != "keep")
-                .persist()
+            bs_src = (
+                F.broadcast(src)
+                if src_rows <= 1_000_000 and not probe_micro
+                else src
             )
-            bs_rows = (
-                bs_fired.groupBy(
-                    F.col("__action"), F.expr("target.`__file`").alias("__f")
+            # same probe-micro gate: by-source merges read the FULL target
+            # (prune_map cleared above), so total_target_rows covers the
+            # whole anti-join input
+            with _micro_plan_mode(self.spark, probe_micro):
+                bs_fired = (
+                    target.join(bs_src, cond, "left_anti")
+                    .withColumn("__action", bs_action)
+                    .where(F.col("__action") != "keep")
+                    .persist()
                 )
-                .count()
-                .collect()
-            )
+                bs_rows = (
+                    bs_fired.groupBy(
+                        F.col("__action"), F.expr("target.`__file`").alias("__f")
+                    )
+                    .count()
+                    .collect()
+                )
             for r in bs_rows:
                 action_counts[r["__action"]] = (
                     action_counts.get(r["__action"], 0) + r["count"]
@@ -4266,7 +4403,13 @@ class LakeTable:
                     )
                 )
         if not parts:
-            empty = self.spark.createDataFrame([], schema)
+            # range(0)-backed for honest zero-size stats (see _read_files)
+            empty = self.spark.range(0).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
             return (
                 empty.withColumn(CHANGE_TYPE, F.lit(""))
                 .withColumn(COMMIT_VERSION, F.lit(0).cast("long"))

@@ -43,7 +43,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from incremental_etl_on_lakehouse_spark.lake.table import LakeTable, MergeClause
+from incremental_etl_on_lakehouse_spark.lake.table import (
+    LakeTable,
+    MergeClause,
+    maintenance_plan_scope,
+)
 
 
 def lex_greater_sql(cols: list[str]) -> str:
@@ -309,8 +313,13 @@ def scd2_merge(
     # The classify join feeds THREE union branches (close-out rows, new-
     # version rows, brand-new rows) and the MERGE evaluates its source in
     # several jobs; persist so the dedup window + join run once, not 3+
-    # times (measured 12.6 -> ~6 s on the sf0.1 bench key).
-    joined = deduped.join(current, on=join_cond, how="left").persist()
+    # times (measured 12.6 -> ~6 s on the sf0.1 bench key). The persist
+    # sits in a maintenance micro scope (gated on the batch's AND the
+    # dimension's input bytes): persist() compiles the cached plan at call
+    # time, so an AQE-on persist pays one query-stage job per Exchange
+    # every time the cache materializes — pure fixed cost at micro scale.
+    with maintenance_plan_scope(table.spark, batch, current):
+        joined = deduped.join(current, on=join_cond, how="left").persist()
     changed = joined.where(
         F.col("__t_hash").isNotNull() & (F.col(hash_col) != F.col("__t_hash"))
     ).select(*data_cols)
@@ -412,6 +421,31 @@ def incremental_minmax_update(
     semi-join scan file-prunes. Groups whose recompute comes back empty
     (last row removed) are deleted from the aggregate table.
     """
+    # maintenance micro scope: the emptiness probes and the merge below
+    # otherwise each pay AQE query-stage jobs per Exchange — pure fixed
+    # cost when every input (batch, state, pinned base) is provably micro;
+    # a big input keeps AQE because the byte gate won't fire
+    with maintenance_plan_scope(gold.spark, changes, base, gold.to_df()) as micro:
+        return _incremental_minmax_update_impl(
+            gold, base, changes, group_cols, value_col,
+            min_col, max_col, change_type_col, micro,
+        )
+
+
+def _incremental_minmax_update_impl(
+    gold: LakeTable,
+    base: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    min_col: str,
+    max_col: str,
+    change_type_col: str,
+    micro: bool = False,
+) -> None:
+    # broadcast hints are scope-aware: in micro scope a hint would force a
+    # dedicated broadcast-build job the 1-task join doesn't need
+    bc = (lambda d: d) if micro else F.broadcast
     cur = gold.to_df().select(
         *group_cols,
         F.col(min_col).alias("__cur_min"),
@@ -491,7 +525,7 @@ def incremental_minmax_update(
     else:
         rg_r, rg_cond = _ns(base, recompute_groups, "__rg_")
         recomputed = (
-            base.join(F.broadcast(rg_r), rg_cond, "left_semi")
+            base.join(bc(rg_r), rg_cond, "left_semi")
             .groupBy(*group_cols)
             .agg(
                 F.min(value_col).alias(min_col),
@@ -1344,6 +1378,28 @@ def incremental_topk_update(
     DELETE markers from an anti-join of old state vs new state), so one
     commit per batch. At 100 TB the recompute is O(rows of touched
     groups) with the group column in statsColumns for file pruning."""
+    # maintenance micro scope: see incremental_minmax_update — the
+    # persists/probes below pay per-Exchange AQE jobs otherwise
+    with maintenance_plan_scope(gold.spark, changes, base, gold.to_df()) as micro:
+        return _incremental_topk_update_impl(
+            gold, base, changes, group_cols, value_col, k,
+            cnt_col, change_type_col, micro,
+        )
+
+
+def _incremental_topk_update_impl(
+    gold: LakeTable,
+    base: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    cnt_col: str,
+    change_type_col: str,
+    micro: bool = False,
+) -> None:
+    # scope-aware broadcast hints: see _incremental_minmax_update_impl
+    bc = (lambda d: d) if micro else F.broadcast
     # deltas drive the emptiness probe, the group classification, AND the
     # applicable-delta join; persist so the CDF scan + agg run once per
     # batch, not once per consumer (the operator's O(changed keys) claim)
@@ -1397,11 +1453,11 @@ def incremental_topk_update(
     # direct path: state rows of the group + the applicable deltas
     dg_r, dg_cond = _ns(state, direct_groups, "__d_")
     state_direct = state.join(
-        F.broadcast(dg_r), dg_cond, "left_semi"
+        bc(dg_r), dg_cond, "left_semi"
     ).select(*group_cols, value_col, F.col(cnt_col).alias("__c"))
     del_r, del_cond = _ns(deltas, direct_groups, "__g_")
     applicable = (
-        deltas.join(F.broadcast(del_r), del_cond, "inner")
+        deltas.join(bc(del_r), del_cond, "inner")
         .where(
             # state-complete groups take every delta; full groups only
             # positive deltas at-or-above the threshold (below-threshold
@@ -1426,7 +1482,7 @@ def incremental_topk_update(
     if not recompute_groups.isEmpty():
         rg_r, rg_cond = _ns(base, recompute_groups, "__rg_")
         parts.append(
-            base.join(F.broadcast(rg_r), rg_cond, "left_semi")
+            base.join(bc(rg_r), rg_cond, "left_semi")
             .where(F.col(value_col).isNotNull())
             .groupBy(*group_cols, value_col)
             .agg(F.count(F.lit(1)).cast("long").alias(cnt_col))
@@ -1447,7 +1503,7 @@ def incremental_topk_update(
         direct_groups.select(*group_cols)
     ).distinct()
     tg_r, tg_cond = _ns(state, tg, "__t_")
-    old_touched = state.join(F.broadcast(tg_r), tg_cond, "left_semi")
+    old_touched = state.join(bc(tg_r), tg_cond, "left_semi")
     ns_r, ns_cond = _ns(
         old_touched, new_state, "__v_", cols=[*group_cols, value_col]
     )

@@ -64,9 +64,11 @@ from pyspark.sql.types import (
 )
 
 from incremental_etl_on_lakehouse_spark.lake.table import (
+    MERGE_PRUNE_MIN_FILES,
     LakeTable,
     MergeClause,
     _json_safe,
+    maintenance_plan_scope,
 )
 from incremental_etl_on_lakehouse_spark.operators.cdc import (
     merge_agg_deltas,
@@ -371,6 +373,16 @@ class IncrementalChainJoinView:
         if prune_from is not None and prune_cols:
             stats = set(table.stats_columns())
             keys = [k for k in prune_cols if k in stats]
+            # same fixed-cost rule as the merge path's
+            # MERGE_PRUNE_MIN_FILES: pruning pays a dedicated bounds job
+            # over the delta to save snapshot-file reads — with only a
+            # handful of active files it can't pay for itself, so read
+            # them outright; at scale the file count crosses the
+            # threshold immediately and pruning resumes
+            if keys and len(
+                table._state(version)["active"]
+            ) <= MERGE_PRUNE_MIN_FILES:
+                keys = []
             if keys:
                 row = prune_from.agg(
                     *[
@@ -474,7 +486,9 @@ class IncrementalChainJoinView:
                 for c in own:
                     e = part[c].eqNullSafe(ren[f"__g_{c}"])
                     cond = e if cond is None else cond & e
-                part = part.join(F.broadcast(ren), cond, "left_semi")
+                if not getattr(self, "_scope_micro", False):
+                    ren = F.broadcast(ren)
+                part = part.join(ren, cond, "left_semi")
             rel = part if rel is None else rel.join(
                 part, on=self.edges[j], how="inner"
             )
@@ -770,20 +784,53 @@ class IncrementalChainJoinView:
             v_new = list(ck["intent"])
         else:
             v_new = [t.version() for t in self.tables]
-        deltas: list[DataFrame | None] = []
+        raw: list[DataFrame | None] = []
         applied = 0
         for i, t in enumerate(self.tables):
             if self._has_changes(t, v_old[i] + 1, v_new[i]):
                 applied += 1
-                # persisted: each delta feeds the snapshot-pruning bounds
-                # jobs of its term AND the maintenance merge
-                deltas.append(
-                    self._signed(
-                        t.read_changes(v_old[i] + 1, v_new[i]), i
-                    ).persist()
-                )
+                raw.append(t.read_changes(v_old[i] + 1, v_new[i]))
             else:
-                deltas.append(None)
+                raw.append(None)
+        if not any(d is not None for d in raw) and self.how != "left":
+            self._ckpt.write(
+                {"versions": v_new, "epoch": ck["epoch"], "intent": None}
+            )
+            return 0
+        # maintenance micro scope for the WHOLE refresh: the delta
+        # persists, the snapshot-pruning bounds jobs, the min/max probes
+        # and the maintenance/publish merges below each pay per-Exchange
+        # AQE query-stage jobs otherwise (persist() compiles its cached
+        # plan at CALL time) — pure fixed cost when every input (change
+        # feeds + pinned snapshots) is provably micro; big feeds keep AQE
+        # because the byte gate won't fire.
+        gate = [d for d in raw if d is not None] + [
+            t.to_df(version=v_new[i]) for i, t in enumerate(self.tables)
+        ]
+        with maintenance_plan_scope(self.tables[0].spark, *gate) as micro:
+            # scope-aware broadcast hints (see _groups_join_snapshot): in
+            # micro scope a hint forces a dedicated broadcast-build job
+            # the 1-task joins don't need
+            self._scope_micro = micro
+            try:
+                return self._refresh_locked(ck, v_old, v_new, raw, applied)
+            finally:
+                self._scope_micro = False
+
+    def _refresh_locked(
+        self,
+        ck: dict,
+        v_old: list[int],
+        v_new: list[int],
+        raw: list[DataFrame | None],
+        applied: int,
+    ) -> int:
+        deltas: list[DataFrame | None] = [
+            # persisted: each delta feeds the snapshot-pruning bounds
+            # jobs of its term AND the maintenance merge
+            self._signed(d, i).persist() if d is not None else None
+            for i, d in enumerate(raw)
+        ]
         terms = [
             self._term(i, d, v_new, v_old)
             for i, d in enumerate(deltas)

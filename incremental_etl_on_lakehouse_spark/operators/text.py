@@ -738,7 +738,23 @@ def _bpe_run(words: DataFrame, steps: int):
     left-to-right application; see bpe_train for the scale notes)."""
     from pyspark.sql import Window
 
+    from incremental_etl_on_lakehouse_spark.lake.table import (
+        maintenance_plan_scope,
+    )
+
     spark = words.sparkSession
+    # micro scope for the whole merge loop: each round's 1-row argmax
+    # collect and per-round persist otherwise pay AQE query-stage jobs and
+    # multi-task micro shuffles (the pair agg is O(pair domain) rows); a
+    # 100 TB-scale vocabulary fails the byte gate and keeps AQE. The
+    # explicit wid repartition below is conf-independent either way.
+    with maintenance_plan_scope(spark, words):
+        return _bpe_run_impl(spark, words, steps)
+
+
+def _bpe_run_impl(spark, words: DataFrame, steps: int):
+    from pyspark.sql import Window
+
     st = words.select(
         F.col("w").alias("wid"),
         "freq",

@@ -1095,8 +1095,15 @@ def util_row_tracking(spark, sf_dir):
         for r in t.to_df(with_row_ids=True).collect()
     }
     ids_survive_update = ids2 == ids0
+    # range(1)-based literal source (not createDataFrame): the RDD-backed
+    # form slices 1 row across defaultParallelism partitions and reports
+    # the unknown-size sentinel, which blocks the merge's micro-probe gate
     t.merge(
-        spark.createDataFrame([(999, "wakanda", 4)], schema),
+        spark.range(1).select(
+            F.lit(999).cast("long").alias("n_nationkey"),
+            F.lit("wakanda").alias("n_name"),
+            F.lit(4).cast("long").alias("n_regionkey"),
+        ),
         "source.n_nationkey = target.n_nationkey",
         [MergeClause("insert", None, "*")],
     )
