@@ -2612,6 +2612,14 @@ class LakeTable:
         return v
 
     def delete(self, condition: str) -> int:
+        # micro scope: the touched-probe collect and rewrite/CDF writes
+        # below otherwise pay per-Exchange AQE jobs and broadcast builds —
+        # pure fixed cost when the whole table is provably micro (analyzed
+        # leaf bytes); a big table keeps AQE
+        with maintenance_plan_scope(self.spark, self.to_df()):
+            return self._delete_impl(condition)
+
+    def _delete_impl(self, condition: str) -> int:
         """DELETE FROM table WHERE condition — rewrites only touched files.
 
         Commits as (snapshot version at read time) + 1: a concurrent commit
@@ -2726,6 +2734,13 @@ class LakeTable:
         return v
 
     def update(
+        self, assignments: dict[str, str], condition: str | None = None
+    ) -> int:
+        # micro scope: see delete()
+        with maintenance_plan_scope(self.spark, self.to_df()):
+            return self._update_impl(assignments, condition)
+
+    def _update_impl(
         self, assignments: dict[str, str], condition: str | None = None
     ) -> int:
         """UPDATE table SET col = expr, ... [WHERE condition] — rewrites
@@ -2872,6 +2887,22 @@ class LakeTable:
         return v
 
     def compact(
+        self,
+        target_file_rows: int = 4_000_000,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        max_input_file_rows: int | None = None,
+        where: str | None = None,
+    ) -> int:
+        # micro scope: see delete() — a micro table's compaction rewrite
+        # and z-order sampling don't need AQE stages or broadcast builds
+        with maintenance_plan_scope(self.spark, self.to_df()):
+            return self._compact_impl(
+                target_file_rows, cluster_by, zorder_by,
+                max_input_file_rows, where,
+            )
+
+    def _compact_impl(
         self,
         target_file_rows: int = 4_000_000,
         cluster_by: list[str] | None = None,
@@ -3420,8 +3451,10 @@ class LakeTable:
         ):
             # same optimized-write sizing as _stage_write: change feeds are
             # sparse, and a per-shuffle-partition shard explosion here makes
-            # every downstream CDF reader pay the file opens
-            out = out.repartition(self._optimized_write_partitions(expected_rows))
+            # every downstream CDF reader pay the file opens; n == 1 uses
+            # coalesce (no exchange) exactly like _stage_write
+            n = self._optimized_write_partitions(expected_rows)
+            out = out.coalesce(1) if n == 1 else out.repartition(n)
         out.write.mode("overwrite").parquet(self._abs(rel))
         return rel
 
@@ -4039,7 +4072,6 @@ class LakeTable:
             # An insert-only merge (the initial CDC load) writes its data
             # exactly once and skips the CDF job entirely. Without CDF the
             # split buys nothing, so both parts ride one staged write.
-            split_inserts = self.cdf_enabled() and n_ins > 0
             adds, written_rows = ([], 0)
             touched_total = 0
             if touched:
@@ -4060,6 +4092,27 @@ class LakeTable:
             micro_jobs = (
                 sum(action_counts.values()) <= 100_000
                 and touched_total + n_ins <= 1_000_000
+            )
+            # ... and a provably-micro merge that pays a CDF job ANYWAY
+            # (update/delete images present) rides its insert rows on ONE
+            # unified staged write and materializes their change rows into
+            # the sidecar it is already writing — one write action fewer
+            # per micro-batch merge, identical feed content. At scale
+            # (micro gate off) the split stays: inserts dominate big
+            # merges and doubling their bytes into the sidecar is the
+            # wrong trade there. Identity-bearing tables also keep the
+            # split: generated ids must be evaluated by exactly ONE action
+            # (the unified path would evaluate the insert projection in
+            # both the data write and the CDF write).
+            unify_inserts = (
+                self.cdf_enabled()
+                and n_ins > 0
+                and micro_jobs
+                and (n_del + n_upd) > 0
+                and not idcols
+            )
+            split_inserts = (
+                self.cdf_enabled() and n_ins > 0 and not unify_inserts
             )
             if split_inserts:
                 if touched:
@@ -4163,6 +4216,18 @@ class LakeTable:
                         bsu.select(*bs_post_cols), write_schema
                     ).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
                 )
+            if unify_inserts and inserts is not None:
+                # unified micro path: insert change rows ride the sidecar
+                # the update/delete images are writing anyway (their file
+                # copies are NOT ins-flagged, so read_changes never
+                # synthesizes a second delivery). Deterministic across the
+                # two consuming actions: inserts project the PERSISTED
+                # planning frame.
+                cdf_parts.append(
+                    self._align(inserts, write_schema).withColumn(
+                        CHANGE_TYPE, F.lit("insert")
+                    )
+                )
             if self.cdf_enabled() and cdf_parts:
                 cdf_all = cdf_parts[0]
                 for p in cdf_parts[1:]:
@@ -4171,7 +4236,10 @@ class LakeTable:
                 # whenever the write jobs are (same exact-count gate)
                 with _micro_plan_mode(self.spark, micro_jobs):
                     cdf_rel = self._write_cdf(
-                        cdf_all, expected_rows=n_del + 2 * n_upd
+                        cdf_all,
+                        expected_rows=n_del
+                        + 2 * n_upd
+                        + (n_ins if unify_inserts else 0),
                     )
 
             metrics = {
@@ -4370,7 +4438,19 @@ class LakeTable:
                     diff = resurrected.unionByName(remasked)
                     part = diff if part is None else part.unionByName(diff)
             if c.cdf_path:
-                cdf = self.spark.read.parquet(self._abs(c.cdf_path))
+                # explicit schema (head PHYSICAL fields + change type):
+                # schema-less read.parquet pays a footer-inference job per
+                # sidecar per feed read. Parquet schema-on-read keeps the
+                # semantics: a pre-ADD-COLUMN sidecar reads the new column
+                # as NULL, a pre-DROP sidecar's stale column is unread —
+                # exactly what the head-schema projection below produced.
+                cdf_schema = StructType(
+                    self._physical_schema(schema).fields
+                    + [StructField(CHANGE_TYPE, StringType())]
+                )
+                cdf = self.spark.read.schema(cdf_schema).parquet(
+                    self._abs(c.cdf_path)
+                )
                 ren = {
                     self._physical_name(f): f.name
                     for f in schema.fields
