@@ -429,10 +429,13 @@ def unigram_lm_score(
 
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
     words = df.select(F.col(id_col), F.explode(toks).alias("term"))
-    counts = words.groupBy("term").agg(F.count("*").alias("c"))
-    totals = words.agg(
-        F.count("*").cast("double").alias("__T"),
-        F.countDistinct("term").cast("double").alias("__V"),
+    # persisted O(vocab) model table; (T, V) fold off it instead of
+    # re-exploding the corpus (T = sum of term counts, V = vocab rows —
+    # identical values, one corpus pass fewer)
+    counts = words.groupBy("term").agg(F.count("*").alias("c")).persist()
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("__T"),
+        F.count("*").cast("double").alias("__V"),
     )
     scored = (
         words.join(counts, "term")
@@ -562,17 +565,33 @@ def bm25_topk(
     from pyspark.sql import Window
 
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
-    words = df.select(F.col(id_col), F.explode(toks).alias("term"))
-    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # One-pass shapes (the old formulation exploded the FULL corpus four
+    # times — dl, tf, dfreq and the N/avgdl scalars each re-ran the
+    # explode):
+    # - document length is size() of the token array — narrow, no explode,
+    #   no shuffle; dl > 0 keeps exactly the docs the exploded groupBy saw;
+    # - only QUERY-TERM occurrences are exploded for tf (the filter runs
+    #   inside the array, before the generator — O(matches), not O(tokens));
+    # - corpus scalars fold the persisted O(docs) length table: N = docs
+    #   with tokens, toks = sum of lengths — identical values;
+    # - tf (O(docs x |Q|)) persists for its two consumers (dfreq, scored).
+    dl = (
+        df.select(F.col(id_col), F.size(toks).alias("dl"))
+        .where(F.col("dl") > 0)
+        .persist()
+    )
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    qtoks = F.filter(toks, lambda x: F.array_contains(qlit, x))
     tf = (
-        words.where(F.col("term").isin(list(query_terms)))
+        df.select(F.col(id_col), F.explode(qtoks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = words.agg(
-        F.count_distinct(F.col(id_col)).alias("__N"),
-        F.count("*").alias("__toks"),
+    stats = dl.agg(
+        F.count("*").alias("__N"),
+        F.sum("dl").alias("__toks"),
     )
     scored = (
         tf.join(dfreq, "term")
@@ -652,7 +671,13 @@ def quality_buckets_by_threshold(
         return scored.select(
             *scored.columns, F.lit(1).cast("int").alias(bucket_col)
         )
-    hist = scored.groupBy(score_col).agg(F.count("*").alias("__c"))
+    # persisted: ``scored`` feeds the histogram AND the final assignment,
+    # and the histogram feeds the cumulative window AND the total count —
+    # without the caches the whole upstream scoring pipeline re-ran up to
+    # 3x (measured 18 parquet scans on the bucket-scale key). scored is
+    # O(docs) narrow rows, hist O(distinct rounded scores).
+    scored = scored.persist()
+    hist = scored.groupBy(score_col).agg(F.count("*").alias("__c")).persist()
     w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(score_col, F.sum("__c").over(w).alias("__cum"))
     totals = hist.agg(F.sum("__c").alias("__n"))

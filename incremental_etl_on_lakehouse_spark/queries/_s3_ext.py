@@ -473,9 +473,14 @@ def ext_decontaminate_bloom(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(planted)
+    # persisted: the benchmark gram set feeds BOTH the bitmap aggregation
+    # and the exact-verify join — without the cache the bench-side shingle
+    # explode + distinct shuffle run twice. O(benchmark grams), the side
+    # that by premise doesn't broadcast but caches fine distributed.
     bgrams = (
         bench.select(F.explode(T.shingles(F.col("text"), 8)).alias("gram"))
         .distinct()
+        .persist()
     )
     cgrams = corpus.select(
         "doc_id", F.explode(T.shingles(F.col("text"), 8)).alias("gram")
