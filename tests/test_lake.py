@@ -1426,12 +1426,71 @@ def test_optimized_write_disable_property(spark, tmp_path):
     assert got[1] == "Wales" and got[200] == "England" and len(got) == 200
 
 
-def test_merge_insert_cdf_synthesized_from_flagged_files(spark, tmp_path):
-    """A CDF-enabled merge stages insert rows into files of their own
-    (add entries flagged "ins") and the change feed synthesizes their
-    insert rows from those files — the materialized change rows carry only
-    the update/delete images, never a second copy of every insert."""
+def test_merge_insert_cdf_unified_micro_write(spark, tmp_path):
+    """A provably-MICRO CDF merge with update images rides its inserts on
+    ONE unified staged write (no ins-flagged files) and materializes their
+    change rows into the sidecar it is already writing — the feed must
+    deliver exactly one copy of every change either way."""
     t = make_table(spark, tmp_path, [(1, "England", 10), (2, "Wales", 20)])
+    src = spark.createDataFrame(
+        [(2, "Wales", 99), (3, "Scotland", 30), (4, "Ulster", 40)], SCHEMA
+    )
+    t.merge(
+        src,
+        "source.id = target.id",
+        [
+            MergeClause("update", "source.visitors <> target.visitors", "*"),
+            MergeClause("insert", None, "*"),
+        ],
+    )
+    v = t.version()
+    commit = lakelog.read_commit(t.path, v)
+    # unified micro path: no ins-flagged files; update pre+post images AND
+    # the two insert rows live in the sidecar
+    assert not [a for a in commit.add if a.get("ins")]
+    cdf_rows = spark.read.parquet(t._abs(commit.cdf_path)).count()
+    assert cdf_rows == 4
+    # the feed reports every change exactly once
+    ch = t.read_changes(starting_version=v, ending_version=v)
+    rows = ch.collect()
+    assert len(rows) == 4
+    got = {
+        (r["id"], r["_change_type"]): r["visitors"] for r in rows
+    }
+    assert got == {
+        (2, "update_preimage"): 20,
+        (2, "update_postimage"): 99,
+        (3, "insert"): 30,
+        (4, "insert"): 40,
+    }
+
+
+def test_merge_insert_cdf_split_kept_for_identity_tables(spark, tmp_path):
+    """Identity-bearing tables must KEEP the split-staged insert write
+    (generated ids are evaluated by exactly one action), so their feed
+    still synthesizes insert rows from ins-flagged files."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("country", StringType()),
+            StructField("visitors", LongType()),
+            StructField("rid", LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ident"),
+        schema,
+        properties={
+            "enableChangeDataFeed": "true",
+            "identity.rid": "1,1",
+        },
+    )
+    t.append(
+        spark.createDataFrame([(1, "England", 10), (2, "Wales", 20)], SCHEMA)
+    )
     src = spark.createDataFrame(
         [(2, "Wales", 99), (3, "Scotland", 30), (4, "Ulster", 40)], SCHEMA
     )
@@ -1448,11 +1507,9 @@ def test_merge_insert_cdf_synthesized_from_flagged_files(spark, tmp_path):
     ins_adds = [a for a in commit.add if a.get("ins")]
     plain_adds = [a for a in commit.add if not a.get("ins")]
     assert ins_adds and plain_adds
-    assert sum(a["rows"] for a in ins_adds) == 2  # the two new keys
-    # materialized change rows = pre+post images of the ONE update only
-    cdf_rows = spark.read.parquet(t._abs(commit.cdf_path)).count()
-    assert cdf_rows == 2
-    # the full feed still reports every change
+    assert sum(a["rows"] for a in ins_adds) == 2
+    # sidecar carries only the update images; inserts synthesize from files
+    assert spark.read.parquet(t._abs(commit.cdf_path)).count() == 2
     ch = t.read_changes(starting_version=v, ending_version=v)
     got = {
         (r["id"], r["_change_type"]): r["visitors"] for r in ch.collect()
