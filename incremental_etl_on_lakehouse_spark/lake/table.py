@@ -98,6 +98,12 @@ def _row_satisfies(row, spark, schema, expr: str) -> bool:
     return bool(df.where(F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect())
 
 
+def _bq(name: str) -> str:
+    """Escape a column name for use inside SQL backquotes (doubling any
+    embedded backtick, Spark's identifier-quoting rule)."""
+    return name.replace("`", "``")
+
+
 def _json_safe(v):
     """Restrict file stats to JSON-comparable scalars; anything else is
     dropped (None = no stat = conservatively kept by data skipping)."""
@@ -1242,22 +1248,36 @@ class LakeTable:
 
     def _to_logical(self, df: DataFrame, schema: StructType, extra: list[str] = ()):
         """Rename a physically-named frame to logical names, preserving any
-        extra (non-schema) columns by name."""
-        cols = [
-            F.col(self._physical_name(f)).alias(f.name) for f in schema.fields
-        ]
-        return df.select(*cols, *[F.col(c) for c in extra])
+        extra (non-schema) columns by name.
+
+        Built as ONE selectExpr over SQL strings: the per-column
+        ``F.col().alias()`` chain paid 2-3 py4j round trips per column on
+        a path that runs for EVERY table read (profiled as a top driver
+        cost of the merge-heavy scenario keys — guide §5, the driver
+        should do almost no per-call work)."""
+        exprs = [
+            f"`{_bq(self._physical_name(f))}` AS `{_bq(f.name)}`"
+            for f in schema.fields
+        ] + [f"`{_bq(c)}`" for c in extra]
+        return df.selectExpr(*exprs)
 
     def _to_physical(self, df: DataFrame, schema: StructType) -> DataFrame:
         present = set(df.columns)
         cols = [
-            (F.col(f.name) if f.name in present else F.lit(None))
-            .cast(f.dataType)
-            .alias(self._physical_name(f))
+            (
+                f"CAST(`{_bq(f.name)}` AS {f.dataType.simpleString()})"
+                if f.name in present
+                else f"CAST(NULL AS {f.dataType.simpleString()})"
+            )
+            + f" AS `{_bq(self._physical_name(f))}`"
             for f in schema.fields
         ]
-        extras = [c for c in df.columns if c not in {f.name for f in schema.fields}]
-        return df.select(*cols, *[F.col(c) for c in extras])
+        extras = [
+            f"`{_bq(c)}`"
+            for c in df.columns
+            if c not in {f.name for f in schema.fields}
+        ]
+        return df.selectExpr(*cols, *extras)
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN old TO new — metadata-only (no data
@@ -3772,40 +3792,36 @@ class LakeTable:
         # empty-side scan + AQE query stages are pure fixed cost).  The
         # matched-clause machinery below still sees n_del = n_upd = 0 and
         # touched = [], exactly as the join would have produced.
-        s_matched = (
-            F.lit(False) if target_empty else F.expr("target.`__file`").isNotNull()
-        )
-        s_action = None
-        if target_empty:
-            # matched branches are unreachable AND their conditions
-            # reference target columns that don't exist in the join-free
-            # plan — omit them entirely
-            s_action = F.when(F.lit(False), F.lit("keep"))
-        else:
+        # The action classifier is built as ONE SQL CASE string (a single
+        # F.expr round trip): the equivalent chained F.when/F.coalesce
+        # Column build paid 2-4 py4j round trips per clause per merge —
+        # pure driver fixed cost on the scenario keys (guide §5).
+        sm = "FALSE" if target_empty else "(target.`__file` IS NOT NULL)"
+        branches: list[str] = []
+        if not target_empty:
+            # matched branches of an empty target are unreachable AND their
+            # conditions reference target columns that don't exist in the
+            # join-free plan — omit them entirely
             for i, cl in enumerate(matched_clauses):
                 c = (
-                    F.expr(cl.condition)
+                    f"coalesce(({cl.condition}), FALSE)"
                     if cl.condition is not None
-                    else F.lit(True)
+                    else "TRUE"
                 )
-                branch = s_matched & F.coalesce(c, F.lit(False))
-                step = F.when(branch, F.lit(f"{cl.kind}{i}"))
-                s_action = step if s_action is None else s_action.when(
-                    branch, F.lit(f"{cl.kind}{i}")
-                )
-            s_action = (
-                s_action.when(s_matched, F.lit("keep"))
-                if s_action is not None
-                else F.when(s_matched, F.lit("keep"))
-            )
+                branches.append(f"WHEN {sm} AND {c} THEN '{cl.kind}{i}'")
+            branches.append(f"WHEN {sm} THEN 'keep'")
         for j, cl in enumerate(insert_clauses):
             c = (
-                F.coalesce(F.expr(cl.condition), F.lit(False))
+                f"coalesce(({cl.condition}), FALSE)"
                 if cl.condition
-                else F.lit(True)
+                else "TRUE"
             )
-            s_action = s_action.when(~s_matched & c, F.lit(f"insert{j}"))
-        s_action = s_action.otherwise(F.lit("skip"))
+            branches.append(f"WHEN (NOT {sm}) AND {c} THEN 'insert{j}'")
+        s_action = F.expr(
+            "CASE " + " ".join(branches) + " ELSE 'skip' END"
+            if branches
+            else "'skip'"
+        )
         # ONE action over S yields both the touched-file list and every
         # per-action row count (one fewer Spark job per merge; the result is
         # O(actions x touched files) rows — driver-metadata scale).
@@ -3845,18 +3861,20 @@ class LakeTable:
         #     Clause conditions reference target columns only.
         bs_fired = None
         if by_source_clauses and not target_empty:
-            bs_action = None
-            for i, cl in enumerate(by_source_clauses):
-                c = (
-                    F.coalesce(F.expr(cl.condition), F.lit(False))
-                    if cl.condition is not None
-                    else F.lit(True)
+            bs_action = F.expr(
+                "CASE "
+                + " ".join(
+                    "WHEN "
+                    + (
+                        f"coalesce(({cl.condition}), FALSE)"
+                        if cl.condition is not None
+                        else "TRUE"
+                    )
+                    + f" THEN '{cl.kind}{i}'"
+                    for i, cl in enumerate(by_source_clauses)
                 )
-                step = F.when(c, F.lit(f"{cl.kind}{i}"))
-                bs_action = (
-                    step if bs_action is None else bs_action.when(c, F.lit(f"{cl.kind}{i}"))
-                )
-            bs_action = bs_action.otherwise(F.lit("keep"))
+                + " ELSE 'keep' END"
+            )
             # broadcast the source only when it is provably small: the
             # plan probe above counted EVERY source row (each lands in
             # exactly one action), so the gate is exact and free. A
@@ -3903,84 +3921,105 @@ class LakeTable:
         joined = touched_target.join(src, cond, "left_outer")
         inserts = None
         try:
-            action = None
+            # Rewrite-side action classifier + post-image projection, both
+            # as SQL strings (one F.expr / one selectExpr round trip): the
+            # per-column nested F.when chain paid O(columns x clauses)
+            # py4j round trips per merge (guide §5). CASE branches are
+            # disjoint on __action, so flattening the original nested
+            # otherwise() chain preserves semantics exactly.
+            action_branches: list[str] = []
             for i, cl in enumerate(matched_clauses):
                 c = (
-                    F.expr(cl.condition)
-                    if cl.condition is not None
-                    else F.lit(True)
+                    f"({cl.condition})" if cl.condition is not None else "TRUE"
                 )
-                step = F.when(F.col("__s_match").isNotNull() & c, F.lit(f"{cl.kind}{i}"))
-                action = step if action is None else action.when(
-                    F.col("__s_match").isNotNull() & c, F.lit(f"{cl.kind}{i}")
+                action_branches.append(
+                    f"WHEN (__s_match IS NOT NULL) AND {c} THEN '{cl.kind}{i}'"
                 )
             for i, cl in enumerate(by_source_clauses):
                 c = (
-                    F.coalesce(F.expr(cl.condition), F.lit(False))
+                    f"coalesce(({cl.condition}), FALSE)"
                     if cl.condition is not None
-                    else F.lit(True)
+                    else "TRUE"
                 )
-                branch = F.col("__s_match").isNull() & c
-                step = F.when(branch, F.lit(f"{cl.kind}{i}"))
-                action = step if action is None else action.when(
-                    branch, F.lit(f"{cl.kind}{i}")
+                action_branches.append(
+                    f"WHEN (__s_match IS NULL) AND {c} THEN '{cl.kind}{i}'"
                 )
-            action = (action.otherwise(F.lit("keep")) if action is not None else F.lit("keep"))
-            acted = joined.withColumn("__action", action)
+            acted = joined.withColumn(
+                "__action",
+                F.expr(
+                    "CASE " + " ".join(action_branches) + " ELSE 'keep' END"
+                    if action_branches
+                    else "'keep'"
+                ),
+            )
 
-            def assignment_expr(cl: MergeClause, i: int, col: str, current):
-                if cl.assignments == "*" or cl.assignments is None:
-                    src_cols = set(source.columns)
-                    expr = (
-                        F.expr(f"source.`{col}`")
-                        if col in src_cols
-                        else target_or_null(col)
-                    )
-                else:
-                    expr = (
-                        F.expr(cl.assignments[col])
-                        if col in cl.assignments
-                        else target_or_null(col)
-                    )
-                return F.when(F.col("__action") == f"update{i}", expr).otherwise(current)
+            src_cols = set(source.columns)
 
-            def target_or_null(colname: str):
+            def target_or_null_sql(colname: str) -> str:
                 # evolved columns don't exist in the target scan yet:
                 # untouched rows carry NULL (schema-on-read)
                 if colname in old_cols:
-                    return F.expr(f"target.`{colname}`")
-                return F.lit(None).cast(tgt_types[colname])
+                    return f"target.`{_bq(colname)}`"
+                return f"CAST(NULL AS {tgt_types[colname].simpleString()})"
 
-            def bs_assignment_expr(cl: MergeClause, i: int, col: str, current):
-                # by-source: no source row — assignments are target-only
-                # SQL (dict form enforced at entry)
-                expr = (
-                    F.expr(cl.assignments[col])
-                    if col in cl.assignments
-                    else target_or_null(col)
-                )
-                return F.when(
-                    F.col("__action") == f"update_by_source{i}", expr
-                ).otherwise(current)
+            def post_exprs(
+                include_matched: bool, include_bs: bool
+            ) -> list[str]:
+                """Post-image projection (SQL strings): per column, a CASE
+                over the selected update-clause families, falling back to
+                the target value (NULL for evolved columns)."""
+                exprs = []
+                for colname in tgt_cols:
+                    val_branches: list[str] = []
+                    if include_matched:
+                        for i, cl in enumerate(matched_clauses):
+                            if cl.kind != "update":
+                                continue
+                            if cl.assignments == "*" or cl.assignments is None:
+                                e = (
+                                    f"source.`{_bq(colname)}`"
+                                    if colname in src_cols
+                                    else target_or_null_sql(colname)
+                                )
+                            else:
+                                e = (
+                                    f"({cl.assignments[colname]})"
+                                    if colname in cl.assignments
+                                    else target_or_null_sql(colname)
+                                )
+                            val_branches.append(
+                                f"WHEN __action = 'update{i}' THEN {e}"
+                            )
+                    if include_bs:
+                        for i, cl in enumerate(by_source_clauses):
+                            if cl.kind != "update_by_source":
+                                continue
+                            # by-source: no source row — assignments are
+                            # target-only SQL (dict form enforced at entry)
+                            e = (
+                                f"({cl.assignments[colname]})"
+                                if colname in cl.assignments
+                                else target_or_null_sql(colname)
+                            )
+                            val_branches.append(
+                                f"WHEN __action = 'update_by_source{i}' THEN {e}"
+                            )
+                    base = target_or_null_sql(colname)
+                    sql = (
+                        f"CASE {' '.join(val_branches)} ELSE {base} END"
+                        if val_branches
+                        else base
+                    )
+                    exprs.append(f"{sql} AS `{_bq(colname)}`")
+                return exprs
 
             # Post-image values for kept/updated rows.
-            out_cols = []
-            for colname in tgt_cols:
-                val = target_or_null(colname)
-                for i, cl in enumerate(matched_clauses):
-                    if cl.kind == "update":
-                        val = assignment_expr(cl, i, colname, val)
-                for i, cl in enumerate(by_source_clauses):
-                    if cl.kind == "update_by_source":
-                        val = bs_assignment_expr(cl, i, colname, val)
-                out_cols.append(val.alias(colname))
+            out_cols = post_exprs(True, True)
 
-            rid_cols = (
-                [F.expr("target.`_row_id`").alias("__row_id")] if rt else []
-            )
+            rid_cols = ["target.`_row_id` AS `__row_id`"] if rt else []
             survivors = acted.where(
-                ~F.col("__action").startswith("delete")
-            ).select(*out_cols, *rid_cols)
+                "__action NOT LIKE 'delete%'"
+            ).selectExpr(*out_cols, *rid_cols)
 
             # 3. Inserts: the S rows that matched no target row (rows in
             #    stat-pruned files can't match the equi-key, so the pruned
@@ -3989,19 +4028,28 @@ class LakeTable:
             inserts = None
             ins_parts = []
             for j, cl in enumerate(insert_clauses):
-                part = s_joined.where(F.col("__action") == f"insert{j}")
+                part = s_joined.where(f"__action = 'insert{j}'")
                 if cl.assignments == "*" or cl.assignments is None:
-                    src_cols = set(source.columns)
                     proj = [
-                        (F.expr(f"source.`{c}`") if c in src_cols else F.lit(None)).alias(c)
+                        (
+                            f"source.`{_bq(c)}`"
+                            if c in src_cols
+                            else "NULL"
+                        )
+                        + f" AS `{_bq(c)}`"
                         for c in tgt_cols
                     ]
                 else:
                     proj = [
-                        (F.expr(cl.assignments[c]) if c in cl.assignments else F.lit(None)).alias(c)
+                        (
+                            f"({cl.assignments[c]})"
+                            if c in cl.assignments
+                            else "NULL"
+                        )
+                        + f" AS `{_bq(c)}`"
                         for c in tgt_cols
                     ]
-                ins_parts.append(part.select(*proj))
+                ins_parts.append(part.selectExpr(*proj))
             if ins_parts:
                 inserts = ins_parts[0]
                 for p in ins_parts[1:]:
@@ -4158,24 +4206,21 @@ class LakeTable:
             #    synthesis-from-files can't express them; inserts are
             #    synthesized from the flagged files instead).
             cdf_rel = None
-            pre_cols = [target_or_null(c).alias(c) for c in tgt_cols]
+            pre_cols = [
+                f"{target_or_null_sql(c)} AS `{_bq(c)}`" for c in tgt_cols
+            ]
             cdf_parts = []
             if n_mat_del:
-                d = s_joined.where(F.col("__action").isin(del_actions)).select(*pre_cols)
+                d = s_joined.where(
+                    F.col("__action").isin(del_actions)
+                ).selectExpr(*pre_cols)
                 cdf_parts.append(
                     self._align(d, write_schema).withColumn(CHANGE_TYPE, F.lit("delete"))
                 )
             if n_mat_upd:
                 upd_rows = s_joined.where(F.col("__action").isin(upd_actions))
-                pre = upd_rows.select(*pre_cols)
-                post_cols = []
-                for colname in tgt_cols:
-                    val = target_or_null(colname)
-                    for i, cl in enumerate(matched_clauses):
-                        if cl.kind == "update":
-                            val = assignment_expr(cl, i, colname, val)
-                    post_cols.append(val.alias(colname))
-                post = upd_rows.select(*post_cols)
+                pre = upd_rows.selectExpr(*pre_cols)
+                post = upd_rows.selectExpr(*post_exprs(True, False))
                 cdf_parts.append(
                     self._align(pre, write_schema).withColumn(
                         CHANGE_TYPE, F.lit("update_preimage")
@@ -4191,7 +4236,7 @@ class LakeTable:
             if n_bs_del:
                 d = bs_fired.where(
                     F.col("__action").isin(bs_del_actions)
-                ).select(*pre_cols)
+                ).selectExpr(*pre_cols)
                 cdf_parts.append(
                     self._align(d, write_schema).withColumn(
                         CHANGE_TYPE, F.lit("delete")
@@ -4199,21 +4244,14 @@ class LakeTable:
                 )
             if n_bs_upd:
                 bsu = bs_fired.where(F.col("__action").isin(bs_upd_actions))
-                bs_post_cols = []
-                for colname in tgt_cols:
-                    val = target_or_null(colname)
-                    for i, cl in enumerate(by_source_clauses):
-                        if cl.kind == "update_by_source":
-                            val = bs_assignment_expr(cl, i, colname, val)
-                    bs_post_cols.append(val.alias(colname))
                 cdf_parts.append(
-                    self._align(bsu.select(*pre_cols), write_schema).withColumn(
-                        CHANGE_TYPE, F.lit("update_preimage")
-                    )
+                    self._align(
+                        bsu.selectExpr(*pre_cols), write_schema
+                    ).withColumn(CHANGE_TYPE, F.lit("update_preimage"))
                 )
                 cdf_parts.append(
                     self._align(
-                        bsu.select(*bs_post_cols), write_schema
+                        bsu.selectExpr(*post_exprs(False, True)), write_schema
                     ).withColumn(CHANGE_TYPE, F.lit("update_postimage"))
                 )
             if unify_inserts and inserts is not None:

@@ -60,6 +60,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # PySpark's DataFrame-debugging wrapper (call-site capture for
+        # enriched error messages) pays FOUR extra py4j round trips per
+        # DataFrame API call — getActiveSession, a conf.get, and the
+        # PySparkCurrentOrigin set/clear — plus a Python stack walk.
+        # Profiled at ~25% of all py4j traffic on the merge-heavy scenario
+        # keys (3.5k of 14.2k round trips for one view_incremental_join
+        # build). Purely diagnostic metadata; the conf exists exactly to
+        # turn it off in production (guide §5: the driver should do almost
+        # no work per call).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)
