@@ -178,10 +178,19 @@ def _micro_plan_mode(spark: SparkSession, active: bool):
     key = "spark.sql.adaptive.enabled"
     pkey = "spark.sql.shuffle.partitions"
     bkey = "spark.sql.autoBroadcastJoinThreshold"
+    ckey = "spark.sql.codegen.wholeStage"
     prev = spark.conf.get(key, "true")
     prev_p = spark.conf.get(pkey, None)
     prev_b = spark.conf.get(bkey, None)
+    prev_c = spark.conf.get(ckey, None)
     spark.conf.set(key, "false")
+    # ... and no whole-stage codegen: a provably-micro job's few thousand
+    # rows never amortize a Janino compile, and the compile cache misses
+    # on every merge because the generated code embeds literals that
+    # change per commit (file paths, versions) — measured as the largest
+    # slice of the ~0.3 s/job floor on 1-task maintenance jobs. Scoped to
+    # micro plans only; big jobs keep codegen (where it pays).
+    spark.conf.set(ckey, "false")
     # a provably-micro shuffle needs exactly one reducer: N static
     # partitions are N near-empty tasks each paying scheduler+launch
     # overhead (32 locally, 200 on a default cluster session), and with
@@ -207,6 +216,10 @@ def _micro_plan_mode(spark: SparkSession, active: bool):
             spark.conf.unset(bkey)
         else:
             spark.conf.set(bkey, prev_b)
+        if prev_c is None:
+            spark.conf.unset(ckey)
+        else:
+            spark.conf.set(ckey, prev_c)
 
 
 # planning inputs at or under this byte total are "provably micro": AQE's

@@ -492,9 +492,12 @@ def _incremental_minmax_update_impl(
         "__dec_max",
     )
     cur_r, cur_cond = _ns(ar, cur, "__c_")
+    # persisted: the classification probe, the mono/recompute branches and
+    # the merge source all read this O(batch groups) frame — without the
+    # cache the change-feed aggregation re-runs per consumer (guide §2.3)
     joined = ar.join(cur_r, cur_cond, "left").drop(
         *[f"__c_{c}" for c in group_cols]
-    )
+    ).persist()
     has_rem = F.col("__dec_min").isNotNull()
     need_recompute = has_rem & (
         F.col("__cur_min").isNull()
@@ -502,25 +505,41 @@ def _incremental_minmax_update_impl(
         | (F.col("__dec_max") >= F.col("__cur_max"))
     )
     recompute_groups = joined.where(need_recompute).select(*group_cols)
-    # monotone groups: additions only touch extremes outward; rows with no
-    # possible change are excluded so a no-op batch rewrites zero files
-    mono = joined.where(~need_recompute).where(
+    is_mono = (~need_recompute) & (
         F.col("__inc_min").isNotNull()
         & (
             F.col("__cur_min").isNull()
             | (F.col("__inc_min") < F.col("__cur_min"))
             | (F.col("__inc_max") > F.col("__cur_max"))
         )
-    ).select(
+    )
+    # monotone groups: additions only touch extremes outward; rows with no
+    # possible change are excluded so a no-op batch rewrites zero files
+    mono = joined.where(is_mono).select(
         *group_cols,
         F.least("__inc_min", "__cur_min").alias(min_col),
         F.greatest("__inc_max", "__cur_max").alias(max_col),
         F.lit("UPSERT").alias("__op"),
     )
-    # Gate the base-table branch on an actual recompute being needed: the
-    # emptiness probe runs over micro-batch-scale aggregates only, and in
-    # the common all-monotone batch the base table is never scanned at all.
-    if recompute_groups.isEmpty():
+    # Gate the base-table branch on an actual recompute being needed, and
+    # the merge on anything changing at all — ONE classification job over
+    # the persisted micro-batch-scale aggregate (the previous shape paid
+    # two isEmpty jobs: one here, one on the assembled source). In the
+    # common all-monotone batch the base table is never scanned at all.
+    # Equivalence of the single probe: with recomputes present the merge
+    # source is never empty (every recompute group lands in exactly one of
+    # recomputed/vanished), so the old source.isEmpty() early-return could
+    # only fire in the recompute-free case — which n_mono == 0 covers.
+    counts = joined.select(
+        F.sum(F.when(need_recompute, 1).otherwise(0)).alias("__n_rec"),
+        F.sum(F.when(is_mono, 1).otherwise(0)).alias("__n_mono"),
+    ).collect()[0]
+    n_rec = counts["__n_rec"] or 0
+    n_mono = counts["__n_mono"] or 0
+    if n_rec == 0 and n_mono == 0:
+        joined.unpersist()
+        return  # nothing can change: no commit, no file writes
+    if n_rec == 0:
         source = mono
     else:
         rg_r, rg_cond = _ns(base, recompute_groups, "__rg_")
@@ -544,8 +563,6 @@ def _incremental_minmax_update_impl(
         source = recomputed.withColumn("__op", F.lit("UPSERT")).unionByName(
             vanished
         ).unionByName(mono)
-    if source.isEmpty():
-        return  # nothing can change: no commit, no file writes
     # null-safe equality: a NULL group key is a legal GROUP BY group; with
     # plain `=` its state row would never match and every refresh would
     # insert a duplicate partial row
@@ -558,7 +575,10 @@ def _incremental_minmax_update_impl(
         MergeClause("update", "source.`__op` = 'UPSERT'", assignments),
         MergeClause("insert", "source.`__op` <> 'DELETE'", insert_assignments),
     ]
-    gold.merge(source, cond, clauses)
+    try:
+        gold.merge(source, cond, clauses)
+    finally:
+        joined.unpersist()
 
 
 def cdf_multiset_deltas(
@@ -997,6 +1017,20 @@ class IncrementalAggView:
     def _apply(self, changes: DataFrame, version: int) -> None:
         if self.where:
             changes = changes.where(self.where)
+        # the change feed drives EVERY maintained aggregate of this view
+        # (additive deltas, each min/max update's adds/rems probes, the
+        # distinct/percentile multiset deltas, the publish group set) —
+        # without the persist the CDF read re-runs once per consumer
+        # (guide §2.3). Scoped persist: compiled non-adaptive when the
+        # batch is provably micro, with AQE kept for big feeds.
+        with maintenance_plan_scope(self.source.spark, changes):
+            changes = changes.persist()
+        try:
+            self._apply_persisted(changes, version)
+        finally:
+            changes.unpersist()
+
+    def _apply_persisted(self, changes: DataFrame, version: int) -> None:
         sign = F.when(
             F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
         ).when(F.col("_change_type").isin("update_postimage", "insert"), F.lit(1))
