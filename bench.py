@@ -170,6 +170,79 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ---- sf1 tier (round-13, additions-only): the sf0.1 bench saturated
+    # on fixed driver cost (the 16 comparable keys sum identically at 8
+    # and 32 cores in BENCH_r12), so data-path wins are invisible in wall
+    # clock there. This block re-times the DATA-BOUND keys at sf1 (a
+    # deterministic 10x key-shifted replication of sf0.1 — tools/
+    # make_sf1.py — generated once beside the source dir). Evidence-only:
+    # it reports via stderr + the bench_detail.json sidecar and does NOT
+    # touch the stdout contract line (same 35 keys, same methodology), so
+    # cross-round comparisons stay valid. SPARK_GRAFT_SF1=0 skips it.
+    sf1_timings: dict[str, float] = {}
+    sf1_samples: dict[str, list[float]] = {}
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
+        os.path.dirname(SF_DIR.rstrip("/")), "sf1"
+    )
+    run_sf1 = (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and os.path.basename(SF_DIR.rstrip("/")) == "sf0.1"
+    )
+    if run_sf1 and not os.path.isdir(sf1_dir):
+        try:
+            import subprocess
+
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(__file__), "tools", "make_sf1.py"),
+                    sf1_dir,
+                    SF_DIR,
+                ],
+                check=True,
+                capture_output=True,
+                timeout=600,
+            )
+        except Exception as exc:  # no duckdb / read-only parent: skip tier
+            print(f"# sf1 generation skipped: {exc}", file=sys.stderr)
+            run_sf1 = False
+    if run_sf1 and os.path.isdir(sf1_dir):
+        sf1_keys = [
+            "q1_pricing_summary",
+            "agg_sum_groupby",
+            "q_top_customers",
+            "win_row_number_dedup",
+            "sort_multi_key",
+            "join_merge_key",
+            "q21_waiting_suppliers",
+            "ext_dedup_fuzzy",
+            "ext_bm25_topk",
+            "ext_quality_buckets_scale",
+            "ext_decontaminate",
+            "ext_decontaminate_bloom",
+        ]
+        # 1 sample by default: the sf1 walls are multi-second data-bound
+        # measurements (10-50x the ~0.3 s noise floor), and the block runs
+        # inside every driver bench invocation — keep it to ~45 s
+        n_sf1 = max(1, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "1")))
+        for name in sf1_keys:
+            fn = QUERIES[name]
+            runs = []
+            for _ in range(n_sf1):
+                reset_memoized_state()
+                start = time.perf_counter()
+                df = fn(spark, sf1_dir)
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(round(time.perf_counter() - start, 3))
+            sf1_timings[name] = min(runs)
+            sf1_samples[name] = runs
+            print(f"# sf1 {name}: min {min(runs):.3f}s of {runs}", file=sys.stderr)
+        print(
+            "# sf1 total "
+            f"{round(sum(sf1_timings.values()), 3)}s over {len(sf1_keys)} keys",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     # stdout carries ONLY the compact contract line: the driver tail-captures
     # ~2000 chars of stdout, and round 4's line (per-key medians + 5-sample
@@ -196,6 +269,9 @@ def main() -> None:
         median_total=round(sum(medians.values()), 3),
         samples=samples,
         n=n_runs,
+        sf1=sf1_timings,
+        sf1_samples=sf1_samples,
+        sf1_total=round(sum(sf1_timings.values()), 3),
     )
     try:
         with open("bench_detail.json", "w") as fh:

@@ -59,81 +59,82 @@ from incremental_etl_on_lakehouse_spark.queries._s2_relational import (  # noqa:
 # named (sampling, packing, clusters). Everything stays registered and
 # locally hash-verified by tests/test_oracle_parity.py either way.
 _PRIORITY_KEYS = [
-    # ROUND-12 ROTATION (see ROTATION.md): (a) the NEW keys — the
-    # incrementally-maintained JOIN view, persistent catalog views,
-    # the baseline-JPEG real codec, SQL matviews, and the two
-    # ingest/merge-hardening keys (microsecond-fraction JSON
-    # timestamps; NULL-safe merge order guards); (b) keys on engine
-    # code paths changed this round (mode tiebreak rework, append-
-    # mode byte pacing, VACUUM clause grammar, metastore checkpoint
-    # orphan pruning + the view namespace guards, merge_agg_deltas
-    # txn signature, image-decoder JPEG routing, and — late round 12
-    # — the NULL-safe lex_greater_sql guard under merge_cdc_upsert /
-    # the tombstone merge under stream_late_data); (c) the r1-stale
-    # headliners (never re-swept since round 1); (d) the r4-green
-    # refresh tail per the round-12 handoff (agg_rollup,
-    # agg_grouping_sets, agg_percentile, agg_filtered yield their
-    # slots to the late additions and head the round-13 queue);
-    # (e) the r6-green lake-feature head (next-oldest driver rows).
-    "view_incremental_join", "ddl_create_view", "ext_multimodal_jpeg",
-    "ddl_create_matview", "src_json_micro_ts", "merge_cdc_null_order",
-    "view_join_minmax", "view_stacked_rollup", "view_matview_where",
-    "agg_incremental_mode", "stream_paced_bytes", "util_vacuum",
-    "util_vacuum_lite", "ddl_catalog_metastore", "ddl_catalog_3level",
-    "agg_incremental_view", "ext_multimodal_decode", "merge_cdc_upsert",
-    "stream_late_data", "q1_pricing_summary",
-    "q_top_customers", "q_events_enriched", "ext_dedup_fuzzy",
-    "ext_dedup_simhash", "ext_sim_lsh", "agg_minmax_by",
+    # ROUND-13 ROTATION (see ROTATION.md): an OPTIMIZATION round — no
+    # new keys, so the 50 slots split between (a) every key riding an
+    # engine code path the round restructured (the MERGE planner's
+    # SQL-string action/projection rewrite incl. schema evolution,
+    # identity/generated columns and CDF images; the column-mapping
+    # selectExpr rewrite under RENAME COLUMN; IncrementalAggView's
+    # persisted change feed + single-probe min/max maintenance; the
+    # micro-plan codegen gate under every maintenance/merge scenario)
+    # and (b) the ROTATION.md refresh queue, oldest driver rows first
+    # (agg_rollup/grouping_sets/percentile/filtered which yielded
+    # their r12 slots, util_analyze_stats which heads _SECOND_PRIORITY,
+    # then the r6-green block).
+    "merge_cdc_upsert", "merge_scd2", "merge_by_source", "snk_merge_sql",
+    "agg_incremental_cdf", "agg_incremental_view", "agg_incremental_mode",
+    "agg_incremental_topk", "view_incremental_join", "view_join_minmax",
+    "view_stacked_rollup", "view_matview_where", "ddl_create_matview",
+    "util_row_tracking", "util_deletion_vectors", "util_optimize_zorder",
+    "merge_schema_evolution", "ddl_rename_column", "merge_cdc_null_order",
+    "stream_late_data", "ddl_generated_columns", "ddl_identity_columns",
+    "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_filtered",
+    "util_analyze_stats", "util_describe_detail",
+    "util_optimize_incremental", "util_optimized_writes",
+    "ddl_add_drop_column", "ddl_tblproperties", "ddl_create_sql",
+    "snk_copy_into", "sql_interface", "snk_insert_sql", "src_orc_batch",
+    "src_partition_pruned", "join_bucketed", "join_stats_driven",
+    "ext_repetition_filter", "ext_mix_budget", "ext_chunk_docs",
+    "ext_tfidf_topk", "ext_semdedup_planted", "ext_lm_perplexity",
+    "ext_corpus_pipeline", "ext_substring_dedup", "ext_dedup_incremental",
+    "ext_dedup_survivors",
+]
+
+
+_SECOND_PRIORITY = [
+    # Rotated-out round-12 slots first (all r12-green), then the prior
+    # queue order: every key here has at least one driver-green row
+    # (ROTATION.md keeps the per-round history) and stays locally
+    # hash-verified every run by tests/test_oracle_parity.py.
+    "ddl_create_view", "ext_multimodal_jpeg", "src_json_micro_ts",
+    "stream_paced_bytes", "util_vacuum", "util_vacuum_lite",
+    "ddl_catalog_metastore", "ddl_catalog_3level", "ext_multimodal_decode",
+    "q1_pricing_summary", "q_top_customers", "q_events_enriched",
+    "ext_dedup_fuzzy", "ext_dedup_simhash", "ext_sim_lsh", "agg_minmax_by",
     "agg_collect_list", "setop_union", "setop_intersect", "setop_except",
     "pivot_wide", "unpivot_long", "explode_tokens", "fn_json_extract",
     "src_csv_batch", "ext_ngram_topk", "ext_embedding_cosine",
     "ext_udf_vectorized", "join_asof_forward", "ddl_partitioned_table",
     "util_history", "ext_line_dedup", "ext_pii_redact",
-    "ext_decontaminate", "stream_dedup_watermark",
-    "util_deletion_vectors", "ddl_constraints", "ddl_clone_shallow",
-    "ddl_rename_column", "util_bloom_skipping",
-]
-
-
-_SECOND_PRIORITY = [
-    # Rotated-out round-11 slots first (all r11-green), then the prior
-    # queue order: every key here has at least one driver-green row
-    # (ROTATION.md keeps the per-round history) and stays locally
-    # hash-verified every run by tests/test_oracle_parity.py.
-    "util_analyze_stats", "agg_rollup", "agg_grouping_sets",
-    "agg_percentile", "agg_filtered", "merge_schema_evolution",
-    "ddl_identity_columns", "ddl_generated_columns",
-    "win_range_interval", "win_range_rolling_ms", "agg_incremental_median",
-    "ddl_create_like", "ext_bpe_train", "ext_bpe_encode",
-    "ext_multimodal_audio", "src_json_stream", "src_json_auto",
-    "stream_trigger_paced", "stream_checkpoint",
-    "ddl_create_table", "ddl_drop", "ddl_replace_table",
-    "ext_multimodal_col", "ext_pack_sequences", "ext_dedup_clusters",
-    "ext_sample_hash", "ext_sample_stratified", "q2_min_cost_supplier",
-    "q4_order_exists", "q5_local_supplier", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q12_late_priority",
+    "ext_decontaminate", "stream_dedup_watermark", "ddl_constraints",
+    "ddl_clone_shallow", "util_bloom_skipping", "win_range_interval",
+    "win_range_rolling_ms", "agg_incremental_median", "ddl_create_like",
+    "ext_bpe_train", "ext_bpe_encode", "ext_multimodal_audio",
+    "src_json_stream", "src_json_auto", "stream_trigger_paced",
+    "stream_checkpoint", "ddl_create_table", "ddl_drop",
+    "ddl_replace_table", "ext_multimodal_col", "ext_pack_sequences",
+    "ext_dedup_clusters", "ext_sample_hash", "ext_sample_stratified",
+    "q2_min_cost_supplier", "q4_order_exists", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_late_priority",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
     "q20_excess_suppliers", "q21_waiting_suppliers", "join_semi",
     "join_anti", "join_range", "join_skew_salted", "win_lag",
     "win_running_sum", "win_rank_dense", "win_range_probe",
-    "ext_knn_clusters", "agg_incremental_topk", "ext_dedup_cross",
-    "ext_sim_radius", "stream_static_join", "ext_quality_classifier",
-    "agg_incremental_avg", "agg_incremental_cdf", "agg_incremental_minmax",
-    "agg_incremental_var", "ext_resample_ffill", "fn_datetime",
-    "fn_timestamp_parse", "fn_to_utc_timestamp", "join_asof_nearest",
-    "merge_scd2", "q3_shipping_priority", "snk_delta_append", "snk_merge",
-    "snk_merge_sql", "sort_multi_key", "src_cdf_batch", "src_cdf_stream",
+    "ext_knn_clusters", "ext_dedup_cross", "ext_sim_radius",
+    "stream_static_join", "ext_quality_classifier", "agg_incremental_avg",
+    "agg_incremental_minmax", "agg_incremental_var", "ext_resample_ffill",
+    "fn_datetime", "fn_timestamp_parse", "fn_to_utc_timestamp",
+    "join_asof_nearest", "q3_shipping_priority", "snk_delta_append",
+    "snk_merge", "sort_multi_key", "src_cdf_batch", "src_cdf_stream",
     "src_time_travel", "src_time_travel_ts", "stream_exactly_once",
-    "stream_foreachbatch", "stream_scd2",
-    "stream_session_window", "stream_sliding_window", "stream_window_agg",
-    "win_row_number_dedup", "win_session", "snk_replace_where",
-    "snk_dynamic_partition_overwrite", "util_row_tracking",
-    "ext_bpe_pair_counts", "merge_by_source", "src_json_batch",
-    "pipeline_generic", "pipeline_expectations", "src_delta_stream",
-    "util_concurrent_append", "util_optimize_zorder", "util_restore",
-    "join_asof", "stream_stateful", "stream_stream_join",
+    "stream_foreachbatch", "stream_scd2", "stream_session_window",
+    "stream_sliding_window", "stream_window_agg", "win_row_number_dedup",
+    "win_session", "snk_replace_where", "snk_dynamic_partition_overwrite",
+    "ext_bpe_pair_counts", "src_json_batch", "pipeline_generic",
+    "pipeline_expectations", "src_delta_stream", "util_concurrent_append",
+    "util_restore", "join_asof", "stream_stateful", "stream_stream_join",
     "filter_subquery", "agg_cube", "q10_returned_items", "q19_disjunctive",
     "q22_dormant_customers", "fn_nvl", "fn_md5_concat", "sort_single",
     "fn_case_when", "fn_arith", "agg_sum_groupby", "ext_dedup_exact",
@@ -163,15 +164,7 @@ _SECOND_PRIORITY = [
     "fn_string_ops", "win_cume_dist", "ext_sim_ivf", "ext_cluster_kmeans",
     "ext_semdedup", "ext_quality_buckets_scale", "ext_sample_temperature",
     "util_file_put_rm", "util_fs_ls", "fn_current_timestamp",
-    "proj_select_list", "util_describe_detail",
-    "util_optimize_incremental", "util_optimized_writes",
-    "ddl_add_drop_column", "ddl_tblproperties", "ddl_create_sql",
-    "snk_copy_into", "sql_interface", "snk_insert_sql", "src_orc_batch",
-    "src_partition_pruned", "join_bucketed", "join_stats_driven",
-    "ext_repetition_filter", "ext_mix_budget", "ext_chunk_docs",
-    "ext_tfidf_topk", "ext_semdedup_planted", "ext_lm_perplexity",
-    "ext_corpus_pipeline", "ext_substring_dedup", "ext_dedup_incremental",
-    "ext_dedup_survivors", "ext_quality_buckets", "ext_embedding_quantize",
+    "proj_select_list", "ext_quality_buckets", "ext_embedding_quantize",
     "ext_export_shards", "ext_url_normalize", "ext_dedup_url",
     "ext_domain_blocklist", "ext_dataset_split", "ext_multimodal_resize",
     "ext_multimodal_frames", "ext_decontaminate_bloom",

@@ -7,7 +7,7 @@ scenario keys (each local-mode job pays scheduler+planning latency), so
 Usage:
   python tools/profile_key.py KEY [KEY...] [--runs N] [--sf DIR] [--explain]
 
-Writes explain output to plans/r12/<key>_<tag>.txt with --explain TAG.
+Writes explain output to plans/$SPARK_GRAFT_PLANS_DIR/<key>_<tag>.txt (default r13) with --explain TAG.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("keys", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--explain", default=None, help="tag: write plans/r12/<key>_<tag>.txt")
+    ap.add_argument("--explain", default=None, help="tag: write plans/$SPARK_GRAFT_PLANS_DIR/<key>_<tag>.txt (default r13)")
     args = ap.parse_args()
 
     from incremental_etl_on_lakehouse_spark.queries import QUERIES
@@ -92,7 +92,7 @@ def main() -> None:
             out_dir = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "plans",
-                "r12",
+                os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
             )
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, f"{key}_{args.explain}.txt"), "w") as fh:
